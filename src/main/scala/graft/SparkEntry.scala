@@ -1,13 +1,417 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GeoFrame, SpatialAggs}
+import graft.functions.st
+import graft.geom.GeomCodec
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Spatial queries run over a deterministic point layer derived from
+  * `customer` (FIXTURES.md §7): lattice coordinates
+  *   x = (c_custkey % 360) - 180 + 0.5
+  *   y = ((c_custkey * 7) % 180) - 90 + 0.5
+  * — integer+0.5 doubles, exact in both Spark and the DuckDB oracle, so
+  * hash-match comparisons are stable. Line layers per nation connect those
+  * points ordered by custkey.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic customer point layer in canonical schema (SURVEY §1.3). */
+  private def pointsDf(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "customer").select(
+        col("c_custkey").as("ck"), col("c_nationkey"), col("c_acctbal"),
+        ((col("c_custkey") % 360) - 180 + 0.5).cast("double").as("x"),
+        (((col("c_custkey") * 7) % 180) - 90 + 0.5).cast("double").as("y"))
+      .withColumn("id", col("ck").cast("string"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("gtype", lit(GeomCodec.GTYPE_POINT))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+
+  private def pointsLayer(s: SparkSession, dir: String): GeoFrame =
+    new GeoFrame(pointsDf(s, dir))
+
+  /** Shared oracle CTE for the point layer (must mirror pointsDf exactly). */
+  private val PtsCte =
+    """WITH pts AS (
+      |  SELECT c_custkey AS ck, c_nationkey, c_acctbal,
+      |         CAST((c_custkey % 360) - 180 + 0.5 AS DOUBLE) AS x,
+      |         CAST(((c_custkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS y
+      |  FROM customer
+      |)""".stripMargin
+
+  /** Per-nation LineString layer: customer points connected in custkey order
+    * (used by length / extract / closest-edge queries).
+    */
+  private def linesLayer(s: SparkSession, dir: String): GeoFrame = {
+    val mkLine = udf((xs: Seq[Double], ys: Seq[Double]) => {
+      val coords = xs.indices.map(i =>
+        new org.locationtech.jts.geom.Coordinate(xs(i), ys(i))).toArray
+      val g: org.locationtech.jts.geom.Geometry =
+        if (coords.length < 2) GeomCodec.factory.createPoint(coords.head)
+        else GeomCodec.factory.createLineString(coords)
+      GeomCodec.toWkb(g)
+    })
+    val df = pointsDf(s, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_list(struct(col("ck"), col("x"), col("y")))).as("cs"))
+      .withColumn("geometry", mkLine(expr("transform(cs, c -> c.x)"), expr("transform(cs, c -> c.y)")))
+      .withColumn("id", col("c_nationkey").cast("string"))
+      .withColumn("gtype", st.gtype(col("geometry")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+      .drop("cs")
+    new GeoFrame(df)
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * `spatial.withinDistance` over the customer point layer.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pointsLayer(spark, "/root/testdata/sf0.001")
+      .withinDistanceKm(10.5, 20.5, 3000.0)
+      .df.select(col("ck").as("id"), col("x"), col("y"), col("distance"))
+
+  // =====================================================================
+  // queries + oracleSql — the driver's correctness gate (sf0.01 vs DuckDB)
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational core (Catalyst pushdown/join/agg parity)
+    "q1_agg" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    "q2_top_orders" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q3_nation_volume" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val sup = T(s, dir, "supplier")
+      val nat = T(s, dir, "nation")
+      li.join(broadcast(sup), li("l_suppkey") === sup("s_suppkey"))
+        .join(broadcast(nat), sup("s_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("n_name"))
+    }),
+
+    "ev_top_users" -> ((s, dir) => {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
+      // default; read it as long nanos (we don't use ts here)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      T(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    }),
+
+    // --------------------------------------------------- spatial searches
+    // spatial.bbox quirk: WITHIN semantics (SpatialProcedures.java:822-836)
+    "sp_bbox_within" -> ((s, dir) =>
+      pointsLayer(s, dir).bboxSearch(0.25, -10.25, 30.25, 40.25)
+        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
+
+    // window INTERSECTS semantics incl. boundary lattice points
+    "sp_bbox_intersects" -> ((s, dir) =>
+      pointsLayer(s, dir).intersectsWindow(0.5, -10.5, 30.5, 40.5)
+        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
+
+    "sp_within_distance" -> ((s, dir) =>
+      pointsLayer(s, dir).withinDistanceKm(10.5, 20.5, 1500.0)
+        .df.select(col("ck").as("id"), round(col("distance"), 3).as("dist_km"))
+        .orderBy(col("dist_km"), col("id"))),
+
+    "sp_knn" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .withColumn("dist_km",
+          round(st.haversineKm(lit(-100.5), lit(30.5), col("x"), col("y")), 3))
+        .select(col("ck").as("id"), col("dist_km"))
+        .orderBy(col("dist_km"), col("id"))
+        .limit(25)),
+
+    "sp_layer_bbox" -> ((s, dir) => pointsLayer(s, dir).boundingBox()),
+
+    // ------------------------------------------------- spatial aggregates
+    "sp_centroid_nation" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .groupBy(col("c_nationkey"))
+        .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
+        .select(col("c_nationkey"),
+          st.x(st.centroid(col("g"))).as("cx"),
+          st.y(st.centroid(col("g"))).as("cy"))
+        .orderBy(col("c_nationkey"))),
+
+    "sp_envelope_area" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .groupBy(col("c_nationkey"))
+        .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
+        .select(col("c_nationkey"), st.area(st.envelope(col("g"))).as("env_area"))
+        .orderBy(col("c_nationkey"))),
+
+    "sp_union_npoints" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .groupBy(col("c_nationkey"))
+        .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
+        .select(col("c_nationkey"), st.numGeometries(col("g")).cast("long").as("n_pts"))
+        .orderBy(col("c_nationkey"))),
+
+    "sp_line_length" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"), round(st.length(col("geometry")), 6).as("len"))
+        .orderBy(col("c_nationkey"))),
+
+    "sp_extract_points" -> ((s, dir) =>
+      linesLayer(s, dir).extractPoints
+        .df.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))),
+
+    // Min/Max keep-ties semantics (Min.java:30-72) — per-nation variant
+    "sp_max_acctbal_ties" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
+      pointsDf(s, dir)
+        .withColumn("m", max(col("c_acctbal")).over(w))
+        .filter(col("c_acctbal") === col("m"))
+        .select(col("c_nationkey"), col("ck").as("id"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("id"))
+    }),
+
+    // ------------------------------------------------------- dedup / text
+    "dd_exact_groups" -> ((s, dir) =>
+      Dedup.exactGroups(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("text_hash"))),
+
+    "tx_tokens" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_split"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    "tx_quality" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
+            .cast("double") / length(col("text")), 6).as("digit_ratio"),
+          round((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
+            .cast("double") / length(col("text")), 6).as("vowel_ratio"))
+        .orderBy(col("doc_id"))),
+
+    // ------------------------------------------------------- similarity
+    "sim_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", q, 50)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
+    // =================================================== no-oracle (rows-only)
+    "sp_intersects_poly" -> ((s, dir) =>
+      pointsLayer(s, dir)
+        .intersects("POLYGON ((0.2 -10.2, 30.2 -10.2, 30.2 40.2, 0.2 40.2, 0.2 -10.2))")
+        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
+
+    "sp_closest_edge" -> ((s, dir) =>
+      linesLayer(s, dir).closestEdges(10.5, 20.5, 50.0)
+        .df.select(col("c_nationkey"), round(col("snap_distance"), 6).as("snap_dist"))
+        .orderBy(col("snap_dist"), col("c_nationkey"))),
+
+    "sp_buffer_union_area" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .filter(col("c_nationkey") === 0)
+        .withColumn("geometry", st.buffer(col("geometry"), lit(0.45)))
+        .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
+        .select(round(st.area(col("g")), 6).as("area"),
+          st.numGeometries(col("g")).as("n_parts"))),
+
+    "sp_convexhull" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .groupBy(col("c_nationkey"))
+        .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
+        .select(col("c_nationkey"),
+          round(st.area(st.convexHull(col("g"))), 6).as("hull_area"),
+          st.numPoints(st.convexHull(col("g"))).as("hull_pts"))
+        .orderBy(col("c_nationkey"))),
+
+    "sp_density_islands" -> ((s, dir) => {
+      val pts = pointsLayer(s, dir).df.filter(col("c_nationkey") === 0)
+      SpatialAggs.densityIslandsScalable(pts, 25.0)
+        .select(col("island_key"), col("n_members"))
+        .orderBy(col("island_key"))
+    }),
+
+    "sp_geojson_roundtrip" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"), st.asGeoJson(col("geometry")).as("gj"),
+          st.asText(col("geometry")).as("wkt"))
+        .select(col("c_nationkey"), length(col("gj")).as("gj_len"), length(col("wkt")).as("wkt_len"))
+        .orderBy(col("c_nationkey"))),
+
+    "dd_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    "dd_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    "tx_langid" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"),
+          TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))),
+
+    "sim_srp_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.srpTopK(emb, "vec_id", "embedding", q, 20, dim = 64)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+    }),
+
+    "mm_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+      Multimodal.decodeAndFeaturize(media, 16, 16)
+        .select(col("media_id"),
+          round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4).as("pixel_sum"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |       min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_top_orders" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q3_nation_volume" ->
+      """SELECT n_name, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_top_users" ->
+      "SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20",
+
+    "sp_bbox_within" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x > 0.25 AND x < 30.25 AND y > -10.25 AND y < 40.25
+        |ORDER BY id""".stripMargin),
+
+    "sp_bbox_intersects" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5
+        |ORDER BY id""".stripMargin),
+
+    "sp_within_distance" -> (PtsCte +
+      """
+        |SELECT ck AS id,
+        |       round(acos(least(sin(radians(20.5)) * sin(radians(y))
+        |             + cos(radians(20.5)) * cos(radians(y))
+        |             * cos(radians(x) - radians(10.5)), 1.0)) * 6371, 3) AS dist_km
+        |FROM pts
+        |WHERE acos(least(sin(radians(20.5)) * sin(radians(y))
+        |      + cos(radians(20.5)) * cos(radians(y))
+        |      * cos(radians(x) - radians(10.5)), 1.0)) * 6371 <= 1500.0
+        |ORDER BY dist_km, id""".stripMargin),
+
+    "sp_knn" -> (PtsCte +
+      """
+        |SELECT ck AS id,
+        |       round(acos(least(sin(radians(30.5)) * sin(radians(y))
+        |             + cos(radians(30.5)) * cos(radians(y))
+        |             * cos(radians(x) - radians(-100.5)), 1.0)) * 6371, 3) AS dist_km
+        |FROM pts ORDER BY dist_km, id LIMIT 25""".stripMargin),
+
+    "sp_layer_bbox" -> (PtsCte +
+      """
+        |SELECT min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy FROM pts""".stripMargin),
+
+    "sp_centroid_nation" -> (PtsCte +
+      """
+        |SELECT c_nationkey, avg(x) AS cx, avg(y) AS cy
+        |FROM (SELECT DISTINCT c_nationkey, x, y FROM pts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_envelope_area" -> (PtsCte +
+      """
+        |SELECT c_nationkey, (max(x) - min(x)) * (max(y) - min(y)) AS env_area
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_union_npoints" -> (PtsCte +
+      """
+        |SELECT c_nationkey, count(*) AS n_pts
+        |FROM (SELECT DISTINCT c_nationkey, x, y FROM pts)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_line_length" -> (PtsCte +
+      """
+        |SELECT c_nationkey, round(coalesce(sum(seg), 0), 6) AS len FROM (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |) GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_extract_points" -> (PtsCte +
+      """
+        |SELECT c_nationkey, count(*) AS n FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_max_acctbal_ties" -> (PtsCte +
+      """
+        |SELECT c_nationkey, ck AS id, c_acctbal FROM (
+        |  SELECT *, max(c_acctbal) OVER (PARTITION BY c_nationkey) AS m FROM pts
+        |) WHERE c_acctbal = m ORDER BY c_nationkey, id""".stripMargin),
+
+    "dd_exact_groups" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_tokens" ->
+      """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_split,
+        |       length(text)::BIGINT AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      """SELECT doc_id,
+        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+        |        / length(text), 6) AS digit_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
+        |        / length(text), 6) AS vowel_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """SELECT e.vec_id AS id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+        |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY cosine DESC, id LIMIT 50""".stripMargin
+  )
 }

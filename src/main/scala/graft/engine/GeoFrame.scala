@@ -1,0 +1,250 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.locationtech.jts.geom.Geometry
+
+import graft.functions.st
+import graft.geom.{GeomCodec, Orthodromic}
+
+/** The DataFrame-native layer surface: every GeoPipeline verb of the
+  * reference as one declarative transformation, so Catalyst can push the
+  * cheap bbox conjuncts into the parquet scan and whole-stage-codegen the
+  * rest (SURVEY §2.3, §4).
+  *
+  * Pattern for every topology search (reference: GeoPipeline.java:197-263):
+  * bbox window prune (cheap, pushdown-able min/max comparisons on the bbox
+  * struct — the R-tree traversal's role) → exact JTS predicate (UDF).
+  */
+class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
+
+  private def geom = col("geometry")
+  private def lift(d: DataFrame) = new GeoFrame(d, meta)
+
+  def count(): Long = df.count()
+
+  /** Layer bounding box — `spatial.getLayerBoundingBox`
+    * (reference: SpatialProcedures.java:598; RTree root envelope
+    * RTreeIndex.java:739-741).
+    */
+  def boundingBox(): DataFrame =
+    df.agg(
+      min(col("bbox")("minx")).as("minx"), min(col("bbox")("miny")).as("miny"),
+      max(col("bbox")("maxx")).as("maxx"), max(col("bbox")("maxy")).as("maxy"))
+
+  // ------------------------------------------------------------- searches
+
+  /** `spatial.bbox` — deliberately WITHIN semantics, not intersects: the
+    * reference uses startWithinSearch (quirk documented at
+    * SpatialProcedures.java:822-836).
+    */
+  def bboxSearch(minx: Double, miny: Double, maxx: Double, maxy: Double): GeoFrame = {
+    val env = GeomCodec.factory.toGeometry(
+      new org.locationtech.jts.geom.Envelope(minx, maxx, miny, maxy))
+    lift(df.filter(
+      st.bboxIntersects(col("bbox"), minx, miny, maxx, maxy) &&
+      st.within(geom, lit(GeomCodec.toWkb(env)))))
+  }
+
+  /** Window intersect search with the INCLUDE_ALL fast path: a bbox fully
+    * inside the rectangular window skips the exact JTS test entirely
+    * (reference: SearchIntersectWindow.java:57-77) — here the containment
+    * disjunct short-circuits before the UDF in codegen.
+    */
+  def intersectsWindow(minx: Double, miny: Double, maxx: Double, maxy: Double): GeoFrame = {
+    val env = GeomCodec.factory.toGeometry(
+      new org.locationtech.jts.geom.Envelope(minx, maxx, miny, maxy))
+    lift(df.filter(
+      st.bboxContainedBy(col("bbox"), minx, miny, maxx, maxy) ||
+      (st.bboxIntersects(col("bbox"), minx, miny, maxx, maxy) &&
+        st.intersects(geom, lit(GeomCodec.toWkb(env))))))
+  }
+
+  private def pruneThenExact(query: Geometry, exact: (Column, Column) => Column): GeoFrame = {
+    val e = query.getEnvelopeInternal
+    lift(df.filter(
+      st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
+      exact(geom, lit(GeomCodec.toWkb(query)))))
+  }
+
+  /** `spatial.intersects` (reference: SpatialProcedures.java:901 →
+    * GeoPipeline.startIntersectSearch:241). */
+  def intersects(query: Geometry): GeoFrame = pruneThenExact(query, st.intersects)
+  def intersects(wkt: String): GeoFrame = intersects(GeomCodec.fromWkt(wkt))
+
+  /** startWithinSearch (reference: GeoPipeline.java:263). */
+  def within(query: Geometry): GeoFrame = pruneThenExact(query, st.within)
+  /** startContainSearch (reference: GeoPipeline.java:204). */
+  def containing(query: Geometry): GeoFrame = pruneThenExact(query, st.contains)
+  /** startCoverSearch (reference: GeoPipeline.java:211). */
+  def covering(query: Geometry): GeoFrame = pruneThenExact(query, st.covers)
+  /** startCoveredBySearch (reference: GeoPipeline.java:218). */
+  def coveredBy(query: Geometry): GeoFrame = pruneThenExact(query, st.coveredBy)
+  /** startCrossSearch (reference: GeoPipeline.java:225). */
+  def crossing(query: Geometry): GeoFrame = pruneThenExact(query, st.crosses)
+  /** startOverlapSearch (reference: GeoPipeline.java:249). */
+  def overlapping(query: Geometry): GeoFrame = pruneThenExact(query, st.overlaps)
+  /** startTouchSearch (reference: GeoPipeline.java:256). */
+  def touching(query: Geometry): GeoFrame = pruneThenExact(query, st.touches)
+  /** startEqualExactSearch (reference: GeoPipeline.java:232). */
+  def equalExact(query: Geometry, tolerance: Double): GeoFrame = {
+    val e = query.getEnvelopeInternal
+    lift(df.filter(
+      st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
+      st.equalsExact(geom, lit(GeomCodec.toWkb(query)), lit(tolerance))))
+  }
+
+  /** `spatial.withinDistance` — degree-window prune (cos(lat)-compensated,
+    * reference: OrthodromicDistance.suggestSearchWindow:74-90) → exact
+    * orthodromic distance → filter → ascending sort
+    * (reference: SpatialProcedures.java:864-880, GeoPipeline.java:304-311).
+    * Adds column `distance` (km).
+    */
+  def withinDistanceKm(lon: Double, lat: Double, km: Double): GeoFrame = {
+    val w = Orthodromic.searchWindow(lon, lat, km)
+    val pruned = df.filter(
+      st.bboxIntersects(col("bbox"), w.getMinX, w.getMinY, w.getMaxX, w.getMaxY))
+    val withDist =
+      if (df.columns.contains("x"))
+        // point layer: pure column arithmetic, no UDF, full codegen
+        pruned.withColumn("distance", st.haversineKm(lit(lon), lit(lat), col("x"), col("y")))
+      else
+        pruned.withColumn("distance", st.orthodromicDistanceKm(geom, lon, lat))
+    lift(withDist.filter(col("distance") <= km).orderBy(col("distance")))
+  }
+
+  /** k-NN `findClosestPointsTo` — density-estimated window sized for ~2k
+    * candidates, then exact distance sort + take(k)
+    * (reference: SimplePointLayer.java:61-77, LIMIT_RESULTS=100 at :34;
+    * window estimate SpatialTopologyUtils.java:200-238). The limit becomes a
+    * TakeOrdered physical op — no global sort materialization.
+    */
+  def closestPoints(lon: Double, lat: Double, k: Int = 100): GeoFrame = {
+    val bb = boundingBox().head()
+    val (minx, miny, maxx, maxy) =
+      (bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
+    val total = math.max(df.count(), 1L)
+    val area = math.max((maxx - minx) * (maxy - miny), 1e-12)
+    // density estimate: window side so that ~2k points fall inside
+    val side = math.sqrt(2.0 * k * area / total)
+    val half = side / 2
+    val cand = df.filter(
+      st.bboxIntersects(col("bbox"), lon - half, lat - half, lon + half, lat + half))
+    val withDist =
+      if (df.columns.contains("x"))
+        cand.withColumn("distance", st.haversineKm(lit(lon), lit(lat), col("x"), col("y")))
+      else cand.withColumn("distance", st.orthodromicDistanceKm(geom, lon, lat))
+    lift(withDist.orderBy(col("distance")).limit(k))
+  }
+
+  /** `spatial.closest` — snap query point to nearest point/edge of each
+    * geometry within maxDistance (degrees), sorted by snap distance
+    * (reference: SpatialProcedures.java:850-862 →
+    * SpatialTopologyUtils.findClosestEdges:95-140).
+    */
+  def closestEdges(lon: Double, lat: Double, maxDistance: Double): GeoFrame = {
+    val pt = GeomCodec.point(lon, lat)
+    val pruned = df.filter(st.bboxIntersects(col("bbox"),
+      lon - maxDistance, lat - maxDistance, lon + maxDistance, lat + maxDistance))
+    lift(pruned
+      .withColumn("snapped", st.closestPointTo(geom, lon, lat))
+      .withColumn("snap_distance", st.distance(col("snapped"), lit(GeomCodec.toWkb(pt))))
+      .filter(col("snap_distance") <= maxDistance)
+      .orderBy(col("snap_distance")))
+  }
+
+  // ------------------------------------------------ property/CQL filtering
+
+  /** FilterProperty / FilterCQL — Spark SQL expression strings are a strict
+    * superset of the reference's ECQL surface (reference:
+    * pipes/filtering/FilterProperty.java:29-49, FilterCQL.java:35-51).
+    */
+  def filterExpr(sqlExpr: String): GeoFrame = lift(df.filter(expr(sqlExpr)))
+
+  /** Dynamic layer = named filtered view with pushed-down predicate
+    * (reference: DynamicLayer.java:56-217, CQLIndexReader.java:54).
+    */
+  def asDynamicLayer(viewName: String, sqlExpr: String): GeoFrame = {
+    val v = df.filter(expr(sqlExpr))
+    v.createOrReplaceTempView(viewName)
+    new GeoFrame(v, meta)
+  }
+
+  // --------------------------------------------------------- geometry ops
+
+  def withArea: GeoFrame = lift(df.withColumn("area", st.area(geom)))
+  def withLength: GeoFrame = lift(df.withColumn("length", st.length(geom)))
+  def withOrthodromicLength: GeoFrame =
+    lift(df.withColumn("length_km", st.orthodromicLengthKm(geom)))
+  def withCentroid: GeoFrame = lift(df.withColumn("geometry", st.centroid(geom)))
+  def withBuffer(d: Double): GeoFrame = lift(df.withColumn("geometry", st.buffer(geom, lit(d))))
+  def withConvexHull: GeoFrame = lift(df.withColumn("geometry", st.convexHull(geom)))
+  def withEnvelope: GeoFrame = lift(df.withColumn("geometry", st.envelope(geom)))
+  def withBoundary: GeoFrame = lift(df.withColumn("geometry", st.boundary(geom)))
+  def withInteriorPoint: GeoFrame = lift(df.withColumn("geometry", st.interiorPoint(geom)))
+  def withStartPoint: GeoFrame = lift(df.withColumn("geometry", st.startPoint(geom)))
+  def withEndPoint: GeoFrame = lift(df.withColumn("geometry", st.endPoint(geom)))
+  def withSimplify(tol: Double): GeoFrame = lift(df.withColumn("geometry", st.simplify(geom, lit(tol))))
+  def withDensify(tol: Double): GeoFrame = lift(df.withColumn("geometry", st.densify(geom, lit(tol))))
+  def withWkt: GeoFrame = lift(df.withColumn("wkt", st.asText(geom)))
+  def withGeoJson: GeoFrame = lift(df.withColumn("geojson", st.asGeoJson(geom)))
+  def withGml: GeoFrame = lift(df.withColumn("gml", st.asGml(geom)))
+  def withKml: GeoFrame = lift(df.withColumn("kml", st.asKml(geom)))
+
+  // ------------------------------------------------------------ generators
+
+  /** ExtractPoints: one row per coordinate, ids suffixed `-pointN` like the
+    * reference's cloned flows (reference: ExtractPoints.java:29-45).
+    */
+  def extractPoints: GeoFrame = lift(
+    df.select(col("*"), posexplode(st.extractPoints(geom)).as(Seq("pos", "pt")))
+      .withColumn("id", concat(col("id"), lit("-point"), col("pos")))
+      .withColumn("geometry", col("pt")).drop("pos", "pt"))
+
+  /** ExtractGeometries (reference: ExtractGeometries.java:28). */
+  def extractGeometries: GeoFrame = lift(
+    df.select(col("*"), posexplode(st.extractGeometries(geom)).as(Seq("pos", "g")))
+      .withColumn("id", concat(col("id"), lit("-geom"), col("pos")))
+      .withColumn("geometry", col("g")).drop("pos", "g"))
+
+  // ----------------------------------------------------------- aggregates
+
+  /** UnionAll fold (reference: pipes/processing/UnionAll.java:30-40). */
+  def unionAll(): DataFrame = df.agg(SpatialAggs.unionAgg(geom).as("geometry"))
+
+  /** IntersectAll fold (reference: pipes/processing/IntersectAll.java:30-40). */
+  def intersectAll(): DataFrame = df.agg(SpatialAggs.intersectAgg(geom).as("geometry"))
+
+  /** Min/Max keep-ALL-ties semantics, null rows dropped
+    * (reference: pipes/processing/Min.java:30-72, Max.java:30-72).
+    */
+  def minOf(property: String): GeoFrame = minMax(property, isMin = true)
+  def maxOf(property: String): GeoFrame = minMax(property, isMin = false)
+
+  private def minMax(property: String, isMin: Boolean): GeoFrame = {
+    // broadcast the 1-row extremum instead of a single-partition window —
+    // keeps the scan fully parallel at scale
+    val nonNull = df.filter(col(property).isNotNull)
+    val ext = nonNull.agg(
+      (if (isMin) min(col(property)) else max(col(property))).as("__ext"))
+    lift(nonNull.crossJoin(broadcast(ext))
+      .filter(col(property) === col("__ext")).drop("__ext"))
+  }
+
+  /** Greedy single-link clustering (reference: DensityIslands.java:26-49).
+    * Exact mode: single-partition greedy fold reproducing the reference's
+    * order-dependent semantics (for parity tests). For scale, prefer
+    * [[SpatialAggs.densityIslandsScalable]] — grid-bucketed union-find whose
+    * island memberships are order-independent.
+    */
+  def densityIslands(density: Double): DataFrame =
+    SpatialAggs.densityIslandsExact(df, density)
+
+  /** Sort pipe: nulls first, like the reference (Sort.java:44-52). */
+  def sortBy(property: String, asc: Boolean = true): GeoFrame =
+    lift(df.orderBy(if (asc) col(property).asc_nulls_first else col(property).desc_nulls_last))
+
+  /** RangeFilterPipe positional slice (reference: RangeFilterPipe.java:32-69). */
+  def range(low: Int, high: Int): GeoFrame =
+    lift(df.limit(high + 1).offset(low))
+}

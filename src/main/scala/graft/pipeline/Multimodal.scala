@@ -1,0 +1,99 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata structs, processed in batch-shaped partition passes.
+  *
+  * The decode kernels themselves are STUBBED with a deterministic fake
+  * (no image/audio codecs in this container) — everything Spark-side is
+  * real: schemas, partition sizing, batch iteration, output shapes. Swap
+  * `fakeDecode` for a real codec (e.g. javax.imageio / ffmpeg pipe) without
+  * touching the dataflow.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: media carried as bytes + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),        // image|audio|video
+    StructField("bytes", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("format", StringType, nullable = true))), nullable = true)))
+
+  /** STUB decode: deterministic pseudo-pixels from the byte content (FNV
+    * chain) shaped (h, w) — stands in for a real image decode. Keeps output
+    * size bounded and reproducible for tests.
+    */
+  private def fakeDecode(bytes: Array[Byte], w: Int, h: Int): Array[Float] = {
+    val out = new Array[Float](w * h)
+    var state = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { state ^= bytes(i); state *= 0x100000001b3L; i += 1 }
+    i = 0
+    while (i < out.length) {
+      state ^= i; state *= 0x100000001b3L
+      out(i) = ((state >>> 40).toInt & 0xFF) / 255.0f
+      i += 1
+    }
+    out
+  }
+
+  /** Decode + resize to (w×h) feature vectors, one batch-shaped partition
+    * pass (the Scala analog of a Pandas mapInPandas batch UDF: per-partition
+    * iterator, amortized setup, bounded memory per batch).
+    */
+  def decodeAndFeaturize(df: DataFrame, w: Int = 32, h: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition setup would init the real codec once here
+        it.map { case (id, bytes) =>
+          val px = if (bytes == null) new Array[Float](w * h) else fakeDecode(bytes, w, h)
+          (id, px, w, h)
+        }
+      }
+      .toDF("media_id", "pixels", "width", "height")
+  }
+
+  /** Frame sampling for video-kind rows: emits `n` evenly spaced pseudo
+    * frames per media row (explode shape identical to a real frame sampler).
+    */
+  def sampleFrames(df: DataFrame, n: Int = 4, w: Int = 16, h: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("kind") === "video")
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        (0 until n).map { f =>
+          val seed = if (bytes == null) Array[Byte](f.toByte)
+            else bytes :+ f.toByte
+          (id, f, fakeDecode(seed, w, h))
+        }
+      }
+      .toDF("media_id", "frame_idx", "pixels")
+  }
+
+  /** Synthesize a deterministic media table from any source table (for tests
+    * and benchmarks — the container has no real media files).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).map { i =>
+      val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+      val bytes = Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 251).toByte)
+      (i, kind, bytes)
+    }.toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(
+        lit(640).as("width"), lit(480).as("height"), lit(3).as("channels"),
+        lit(16000).as("sample_rate"), lit(1000L).as("duration_ms"), lit("fake").as("format")))
+  }
+}

@@ -1,0 +1,144 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline.
+  * All pure column expressions or scalar UDFs — fully codegen/pushdown
+  * friendly, no shuffles, no state; linear scans that scale to any data size.
+  */
+object TextAnalysis {
+
+  // -------------------------------------------------------------- counting
+
+  /** Whitespace token count as a pure column expression (codegen'd). */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish sub-word token count: alpha runs, digit runs, and individual
+    * punctuation each count as one token — a cheap deterministic proxy for a
+    * byte-pair tokenizer's token count.
+    */
+  private val bpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def tokenCountBpe(text: Column): Column = {
+    val re = bpeTokenRe
+    udf((s: String) => if (s == null) 0 else re.r.findAllIn(s).length).apply(text)
+  }
+
+  // -------------------------------------------------------------- quality
+
+  private val stopwords = Set(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
+    "for", "on", "with", "as", "was", "at", "by", "be", "this", "are", "from")
+
+  /** Quality-scoring feature columns: length, token count, mean word length,
+    * punctuation ratio, digit ratio, stopword ratio, uppercase ratio.
+    * Returned as a struct so callers can `select(textQuality($"text").as("q"))`
+    * then prune fields — Catalyst prunes unused struct fields at the scan.
+    */
+  def textQuality(text: Column): Column = {
+    val n = length(text).cast("double")
+    val nPunct = (n - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double")
+    val nDigit = (n - length(regexp_replace(text, "[0-9]", ""))).cast("double")
+    val nUpper = (n - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
+    val toks = tokenCountWs(text).cast("double")
+    val stopUdf = udf((s: String) => {
+      if (s == null || s.isEmpty) 0.0
+      else {
+        val ws = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (ws.isEmpty) 0.0 else ws.count(stopwords.contains).toDouble / ws.length
+      }
+    })
+    struct(
+      n.as("n_chars"),
+      toks.as("n_tokens"),
+      when(toks > 0, n / toks).otherwise(lit(0.0)).as("mean_token_len"),
+      when(n > 0, nPunct / n).otherwise(lit(0.0)).as("punct_ratio"),
+      when(n > 0, nDigit / n).otherwise(lit(0.0)).as("digit_ratio"),
+      when(n > 0, nUpper / n).otherwise(lit(0.0)).as("upper_ratio"),
+      stopUdf(text).as("stopword_ratio"))
+  }
+
+  // ------------------------------------------------------------ language id
+
+  /** Tiny per-language marker vocabularies (top function words). A document
+    * votes for the language with the highest marker hit-rate; CJK characters
+    * short-circuit to zh/ja/ko by script. Deterministic n-gram/stopword
+    * heuristic — no model download, linear scan.
+    */
+  private val markers: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "for", "with", "on"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"),
+    "fr" -> Set("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
+    "es" -> Set("el", "la", "los", "las", "y", "es", "en", "que", "una", "por"),
+    "it" -> Set("il", "la", "e", "di", "che", "per", "una", "sono", "con", "non"),
+    "pt" -> Set("o", "a", "os", "as", "e", "de", "que", "em", "uma", "para"))
+
+  def languageId(text: Column): Column =
+    udf((s: String) => {
+      if (s == null || s.isEmpty) "und"
+      else {
+        val cjk = s.codePoints().limit(400).filter(cp =>
+          (cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF) ||
+          (cp >= 0xAC00 && cp <= 0xD7AF)).count()
+        if (cjk > 0) {
+          if (s.codePoints().anyMatch(cp => cp >= 0x3040 && cp <= 0x30FF)) "ja"
+          else if (s.codePoints().anyMatch(cp => cp >= 0xAC00 && cp <= 0xD7AF)) "ko"
+          else "zh"
+        } else {
+          val ws = s.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty)
+          if (ws.isEmpty) "und"
+          else {
+            val scores = markers.view.mapValues(m => ws.count(m.contains)).toMap
+            val (best, score) = scores.maxBy { case (lang, c) => (c, lang) }
+            if (score == 0) "und" else best
+          }
+        }
+      }
+    }).apply(text)
+
+  // ---------------------------------------------------------- fingerprints
+
+  /** 64-bit FNV-1a — stable across JVMs/runs (no String.hashCode). */
+  def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Whole-document fingerprint: FNV-1a over whitespace-normalized,
+    * lowercased text — equal fingerprints ⟺ equal normalized text
+    * (modulo 2^-64 collisions).
+    */
+  def docFingerprint(text: Column): Column =
+    udf((s: String) =>
+      if (s == null) 0L
+      else fnv1a64(s.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
+    ).apply(text)
+
+  /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    * k-gram rolling hashes, window-min selection. Robust local fingerprints
+    * for near-dup / overlap detection; returns array<long>.
+    */
+  def winnowingFingerprints(text: Column, k: Int = 8, window: Int = 4): Column =
+    udf((s: String) => {
+      if (s == null || s.length < k) Array.empty[Long]
+      else {
+        val norm = s.toLowerCase.replaceAll("\\s+", " ")
+        val hashes = new Array[Long](norm.length - k + 1)
+        var i = 0
+        while (i + k <= norm.length) { hashes(i) = fnv1a64(norm.substring(i, i + k)); i += 1 }
+        val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+        var w = 0
+        while (w + window <= hashes.length) {
+          var m = hashes(w); var j = 1
+          while (j < window) { if (hashes(w + j) < m) m = hashes(w + j); j += 1 }
+          out += m
+          w += 1
+        }
+        out.toArray
+      }
+    }).apply(text)
+}

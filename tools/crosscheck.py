@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run each oracle_sql.json
+query in DuckDB over the sf tables, compare against the Verify parquet dumps
+(columns sorted by name, values hashed/compared exactly)."""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+names = sorted([os.path.basename(d) for d in glob.glob(f"{outdir}/*") if os.path.isdir(d)])
+
+n_ok = n_bad = 0
+for name in names:
+    files = glob.glob(f"{outdir}/{name}/*.parquet")
+    if not files:
+        print(f"{name:24s} NO OUTPUT"); n_bad += 1; continue
+    got = pd.read_parquet(files[0])
+    got = got[sorted(got.columns)]
+    if name not in oracle:
+        print(f"{name:24s} rows-only: {len(got)} rows, cols={list(got.columns)}")
+        continue
+    try:
+        exp = con.execute(oracle[name]).fetchdf()
+    except Exception as e:
+        print(f"{name:24s} ORACLE SQL ERROR: {e}"); n_bad += 1; continue
+    exp = exp[sorted(exp.columns)]
+    ok_schema = list(got.columns) == list(exp.columns)
+    ok_rows = len(got) == len(exp)
+    ok_vals = False
+    if ok_schema and ok_rows:
+        try:
+            g = got.reset_index(drop=True)
+            e = exp.reset_index(drop=True)
+            # normalize dtypes for compare
+            ok_vals = True
+            for c in g.columns:
+                gc, ec = g[c], e[c]
+                if str(gc.dtype).startswith("datetime") or str(ec.dtype).startswith("datetime"):
+                    gc = pd.to_datetime(gc).astype("datetime64[us]")
+                    ec = pd.to_datetime(ec).astype("datetime64[us]")
+                eq = (gc.values == ec.values)
+                import numpy as np
+                if gc.isna().any() or ec.isna().any():
+                    eq = eq | (gc.isna().values & ec.isna().values)
+                if not eq.all():
+                    ok_vals = False
+                    idx = [i for i, v in enumerate(eq) if not v][:3]
+                    print(f"  [{name}.{c}] first diffs at rows {idx}:")
+                    for i in idx:
+                        print(f"    got={g[c].iloc[i]!r} exp={e[c].iloc[i]!r}")
+        except Exception as ex:
+            print(f"  [{name}] compare error: {ex}")
+            ok_vals = False
+    status = "OK" if (ok_schema and ok_rows and ok_vals) else \
+        f"MISMATCH schema={ok_schema}({list(got.columns)}vs{list(exp.columns)}) rows={len(got)}/{len(exp)} vals={ok_vals}"
+    if status == "OK": n_ok += 1
+    else: n_bad += 1
+    print(f"{name:24s} {status}")
+
+print(f"\n{n_ok} OK, {n_bad} BAD, {len([n for n in names if n not in oracle])} rows-only")

@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{GeoFrame, SpatialAggs}
+import graft.functions.st
+import graft.geom.GeomCodec
+
+/** Layer-verb tests, including the reference's golden grid contract
+  * (reference: server-plugin/src/test/.../RTreeBulkInsertTest.java:269-278):
+  * uniform width² grid at (i/width, j/width), query box (0.5,0.5)-(0.52,0.52)
+  * → 9 matched / 1 strictly contained for width=100.
+  */
+class GeoFrameSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkGrid(width: Int): GeoFrame = {
+    val df = spark.range(width.toLong * width)
+      .withColumn("x", (col("id") % width).cast("double") / width)
+      .withColumn("y", floor(col("id") / width).cast("double") / width)
+      .withColumn("id", col("id").cast("string"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("gtype", lit(GeomCodec.GTYPE_POINT))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    new GeoFrame(df)
+  }
+
+  test("RTreeBulkInsertTest very_small grid: 9 matched, 1 contained") {
+    val layer = mkGrid(100)
+    assert(layer.intersectsWindow(0.5, 0.5, 0.52, 0.52).count() == 9)
+    // bboxSearch = WITHIN semantics (strict interior for points)
+    assert(layer.bboxSearch(0.5, 0.5, 0.52, 0.52).count() == 1)
+  }
+
+  test("withinDistance returns sorted ascending distances under the limit") {
+    val layer = mkGrid(50)
+    val rows = layer.withinDistanceKm(0.5, 0.5, 10.0)
+      .df.select("distance").as[Double].collect()
+    assert(rows.nonEmpty)
+    assert(rows.sameElements(rows.sorted))
+    assert(rows.forall(_ <= 10.0))
+  }
+
+  test("closestPoints returns k ascending") {
+    val layer = mkGrid(50)
+    val d = layer.closestPoints(0.5, 0.5, 7).df.select("distance").as[Double].collect()
+    assert(d.length == 7)
+    assert(d.sameElements(d.sorted))
+  }
+
+  test("intersects/within/contains against a polygon") {
+    val layer = mkGrid(10) // points at 0, .1, ..., .9
+    val n = layer.intersects("POLYGON ((0.05 0.05, 0.35 0.05, 0.35 0.35, 0.05 0.35, 0.05 0.05))").count()
+    assert(n == 9) // x,y in {.1,.2,.3}
+  }
+
+  test("minOf/maxOf keep all ties and drop nulls") {
+    val df = Seq(
+      ("a", Some(1.0)), ("b", Some(3.0)), ("c", Some(3.0)), ("d", None), ("e", Some(2.0))
+    ).toDF("id", "v")
+    val layer = new GeoFrame(df)
+    assert(layer.maxOf("v").df.select("id").as[String].collect().toSet == Set("b", "c"))
+    assert(layer.minOf("v").df.select("id").as[String].collect().toSet == Set("a"))
+  }
+
+  test("unionAll fold dedups identical points") {
+    val df = Seq((1.0, 1.0), (1.0, 1.0), (2.0, 2.0))
+      .toDF("x", "y").withColumn("geometry", st.makePoint(col("x"), col("y")))
+    val g = GeomCodec.fromWkb(
+      df.agg(SpatialAggs.unionAgg(col("geometry"))).head().getAs[Array[Byte]](0))
+    assert(g.getNumGeometries == 2)
+  }
+
+  test("intersectAll fold") {
+    val df = Seq(
+      "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+      "POLYGON ((2 2, 6 2, 6 6, 2 6, 2 2))",
+      "POLYGON ((3 0, 7 0, 7 7, 3 7, 3 0))").toDF("wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+    val g = GeomCodec.fromWkb(
+      df.agg(SpatialAggs.intersectAgg(col("geometry"))).head().getAs[Array[Byte]](0))
+    // intersection = [3,4]x[2,4] → area 2
+    assert(math.abs(g.getArea - 2.0) < 1e-9)
+  }
+
+  test("densityIslandsExact reproduces greedy single-link semantics") {
+    // order matters: a(0,0), b(0,0.5), c(10,10), d(0,1.0) with density 0.6:
+    // b joins a's island; d joins (a∪b) island (distance to b = 0.5); c alone
+    val df = Seq(
+      ("a", 0.0, 0.0), ("b", 0.0, 0.5), ("c", 10.0, 10.0), ("d", 0.0, 1.0)
+    ).toDF("id", "x", "y").withColumn("geometry", st.makePoint(col("x"), col("y")))
+    val islands = SpatialAggs.densityIslandsExact(df, 0.6)
+      .select("n_members").as[Long].collect().sorted
+    assert(islands.toSeq == Seq(1L, 3L))
+  }
+
+  test("densityIslandsScalable finds same components as exact transitive closure") {
+    val df = Seq(
+      ("a", 0.0, 0.0), ("b", 0.0, 0.5), ("c", 10.0, 10.0), ("d", 0.0, 1.0)
+    ).toDF("id", "x", "y")
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    val islands = SpatialAggs.densityIslandsScalable(df, 0.6)
+      .select("n_members").as[Long].collect().sorted
+    assert(islands.toSeq == Seq(1L, 3L))
+  }
+
+  test("extractPoints explodes coordinates with -pointN ids") {
+    val df = Seq(("l1", "LINESTRING (0 0, 1 1, 2 2)")).toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+    val out = new GeoFrame(df).extractPoints.df.select("id").as[String].collect()
+    assert(out.toSet == Set("l1-point0", "l1-point1", "l1-point2"))
+  }
+
+  test("range slice mirrors RangeFilterPipe") {
+    val df = spark.range(10).select(col("id").cast("string").as("id"))
+    val out = new GeoFrame(df.orderBy("id")).range(2, 5).df.count()
+    assert(out == 4) // rows 2..5 inclusive
+  }
+
+  test("sortBy nulls first") {
+    val df = Seq(("a", Some(2.0)), ("b", None), ("c", Some(1.0))).toDF("id", "v")
+    val out = new GeoFrame(df).sortBy("v").df.select("id").as[String].collect()
+    assert(out.head == "b")
+  }
+
+  test("closestEdges snaps to nearest point on linestring") {
+    val df = Seq(("l1", "LINESTRING (0 0, 10 0)")).toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val r = new GeoFrame(df).closestEdges(5.0, 2.0, 5.0).df
+      .select("snap_distance").as[Double].head()
+    assert(math.abs(r - 2.0) < 1e-9) // snapped point is (5,0)
+  }
+}

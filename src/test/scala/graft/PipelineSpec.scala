@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),          // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),          // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "")).toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per text") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(out.count() == 4)
+    assert(out.filter(col("text").startsWith("the quick brown fox jumps"))
+      .select("doc_id").as[Long].head() == 1L)
+    val groups = Dedup.exactGroups(docs, "doc_id", "text")
+    assert(groups.filter(col("n_dups") === 2).count() == 1)
+  }
+
+  test("minhash finds exact and near dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash signature of identical docs is identical") {
+    val sigs = docs.filter(col("doc_id") <= 2)
+      .select(Dedup.minhashSignature(col("text")))
+      .as[Seq[Long]].collect()
+    assert(sigs(0) == sigs(1))
+  }
+
+  test("simhash near-dup pairs include the exact pair with hamming 0") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 10)
+      .as[(Long, Long, Int)].collect()
+    val exact = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(exact.exists(_._3 == 0))
+  }
+
+  test("ngram jaccard of exact dups is 1.0") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+  }
+
+  test("cosine + brute-force top-k ordering") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", Array(1.0, 0.0, 0.0), 2)
+      .select("id").as[Long].collect()
+    assert(top.toSeq == Seq(0L, 1L))
+  }
+
+  test("SRP bucket is deterministic and groups identical vectors") {
+    val vecs = Seq(
+      (0L, Array.fill(8)(0.5f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val buckets = vecs.select(col("vec_id"),
+        Similarity.srpBucket(col("embedding"), 8, 16).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(buckets(0L) == buckets(1L))
+    assert(buckets(0L) != buckets(2L)) // opposite vector flips every plane sign
+  }
+
+  test("cosine near-dup pairs via SRP buckets") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.01f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.01f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding",
+        threshold = 0.99, dim = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("token counting: whitespace vs BPE-ish") {
+    val df = Seq(("hello world, 42 times!")).toDF("text")
+    val ws = df.select(TextAnalysis.tokenCountWs(col("text"))).as[Int].head()
+    val bpe = df.select(TextAnalysis.tokenCountBpe(col("text"))).as[Int].head()
+    assert(ws == 4)
+    // hello | world | , | 42 | times | !
+    assert(bpe == 6)
+  }
+
+  test("text quality features") {
+    val q = Seq(("The cat and the dog. 123!")).toDF("text")
+      .select(TextAnalysis.textQuality(col("text")).as("q"))
+      .select("q.n_chars", "q.stopword_ratio", "q.digit_ratio").head()
+    assert(q.getDouble(0) == 25.0)
+    assert(q.getDouble(1) > 0.3) // "The","and","the" of 6 tokens
+    assert(math.abs(q.getDouble(2) - 3.0 / 25) < 1e-9)
+  }
+
+  test("language id picks marker language; CJK short-circuits") {
+    val df = Seq(
+      ("en", "the cat and the dog is on the table"),
+      ("de", "der hund und die katze ist nicht mit ein"),
+      ("fr", "le chat est dans la maison pour que une"),
+      ("zh", "这是一个中文句子")).toDF("expected", "text")
+    val got = df.select(col("expected"), TextAnalysis.languageId(col("text")))
+      .as[(String, String)].collect()
+    got.foreach { case (exp, act) => assert(exp == act, s"expected $exp got $act") }
+  }
+
+  test("doc fingerprint is whitespace-normalization invariant") {
+    val df = Seq(("hello   world"), ("hello world"), ("hello worlds")).toDF("text")
+    val fps = df.select(TextAnalysis.docFingerprint(col("text"))).as[Long].collect()
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("winnowing fingerprints overlap for shared content") {
+    val a = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val b = "PREFIX the quick brown fox jumps over the lazy dog and keeps running far away"
+    val df = Seq((1L, a), (2L, b)).toDF("id", "text")
+    val fps = df.select(TextAnalysis.winnowingFingerprints(col("text")))
+      .as[Seq[Long]].collect()
+    val inter = fps(0).toSet.intersect(fps(1).toSet)
+    assert(inter.size >= fps(0).size / 2)
+  }
+
+  test("multimodal decode plumbing: deterministic shapes and values") {
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val out = Multimodal.decodeAndFeaturize(media, 8, 8)
+    assert(out.count() == 9)
+    val px = out.orderBy("media_id").select("pixels").as[Seq[Float]].head()
+    assert(px.length == 64)
+    // re-run → identical (deterministic fake decode)
+    val px2 = Multimodal.decodeAndFeaturize(media, 8, 8)
+      .orderBy("media_id").select("pixels").as[Seq[Float]].head()
+    assert(px == px2)
+    val frames = Multimodal.sampleFrames(media, n = 3, 4, 4)
+    assert(frames.count() == 9) // 3 videos × 3 frames
+  }
+}

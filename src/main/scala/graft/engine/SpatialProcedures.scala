@@ -1,0 +1,174 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.st
+import graft.geom.{GeomCodec, GeoOutput, Orthodromic}
+
+/** Procedure facade: one Scala method per procedure row of SURVEY §2.1, so
+  * parity tests read like the reference's Cypher calls
+  * (reference: server-plugin/.../procedures/SpatialProcedures.java and
+  * functions/SpatialFunctions.java).
+  *
+  * Methods returning result sets return DataFrames; layer handles are
+  * GeoFrames. Geometry inputs are WKT strings or (lon, lat) pairs — the
+  * reference's coordinate polymorphism (SpatialApiBase.java:63-140) collapses
+  * to these two shapes in a batch engine.
+  */
+class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
+  import spark.implicits._
+
+  val catalog = new SpatialCatalog(spark, warehouseDir)
+  graft.functions.SpatialFunctions.register(spark)
+
+  /** Layer-type presets (reference: SpatialLayerTypePresets.java:39-73).
+    * Index choice collapses to a storage-layout strategy in Spark.
+    */
+  val layerTypes: Map[String, (String, String)] = Map(
+    "SimplePoint" -> ("point-xy", "bbox"),
+    "Geohash" -> ("point-xy", "geohash"),
+    "ZOrder" -> ("point-xy", "zorder"),
+    "Hilbert" -> ("point-xy", "hilbert"),
+    "NativePoint" -> ("point-xy", "bbox"),
+    "NativePoints" -> ("point-xy", "bbox"),
+    "NativeGeohash" -> ("point-xy", "geohash"),
+    "NativeZOrder" -> ("point-xy", "zorder"),
+    "NativeHilbert" -> ("point-xy", "hilbert"),
+    "WKT" -> ("wkt", "bbox"),
+    "WKB" -> ("wkb", "bbox"))
+
+  // ------------------------------------------------------------- metadata
+
+  /** spatial.procedures (reference: SpatialProcedures.java:210). */
+  def procedures(): DataFrame =
+    this.getClass.getDeclaredMethods
+      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
+      .map(m => (m.getName, m.getParameterTypes.map(_.getSimpleName).mkString("(", ",", ")")))
+      .toSeq.sorted.toDF("name", "signature")
+
+  /** spatial.layers (reference: :239). */
+  def layers(): DataFrame = catalog.listLayers().toDF("name")
+
+  /** spatial.layerTypes (reference: :253). */
+  def layerTypesDf(): DataFrame =
+    layerTypes.toSeq.sortBy(_._1)
+      .map { case (n, (enc, idx)) => (n, enc, idx) }.toDF("name", "encoder", "index")
+
+  /** spatial.layer (reference: :546). */
+  def layer(name: String): GeoFrame = catalog.getLayer(name)
+
+  /** spatial.layerMeta equivalent: geometry type, crs, attributes. */
+  def layerMeta(name: String): DataFrame = {
+    val m = catalog.getLayer(name).meta.get
+    Seq((m.name, GeomCodec.gtypeName(m.gtype), m.crs, m.encoder, m.indexType,
+      m.attributes.mkString(","))).toDF("name", "geometryType", "crs", "encoder", "index", "attributes")
+  }
+
+  /** spatial.getFeatureAttributes (reference: :578): discovered columns. */
+  def getFeatureAttributes(name: String): Seq[String] = {
+    val core = Set("id", "geometry", "gtype", "bbox", "x", "y", "props")
+    catalog.getLayer(name).df.columns.filterNot(core.contains).toSeq
+  }
+
+  /** spatial.getFeatureCount (reference: :589). */
+  def getFeatureCount(name: String): Long = catalog.getLayer(name).count()
+
+  /** spatial.getLayerBoundingBox (reference: :598). */
+  def getLayerBoundingBox(name: String): DataFrame = catalog.getLayer(name).boundingBox()
+
+  // --------------------------------------------------------- layer create
+
+  /** spatial.addPointLayer / addPointLayerXY (reference: :262,303). */
+  def addPointLayerXY(name: String, source: DataFrame,
+      idCol: String, xCol: String, yCol: String): GeoFrame =
+    catalog.createPointLayer(name, source, idCol, xCol, yCol)
+
+  /** spatial.addLayer with a preset type (reference: :509). */
+  def addLayer(name: String, layerType: String, source: DataFrame,
+      idCol: String, geomCol: String): GeoFrame = {
+    val (enc, _) = layerTypes.getOrElse(layerType,
+      throw new IllegalArgumentException(s"unknown layer type $layerType"))
+    enc match {
+      case "wkt" => catalog.createWktLayer(name, source, idCol, geomCol)
+      case _ => catalog.createWktLayer(name, source, idCol, geomCol)
+    }
+  }
+
+  /** spatial.addWKTLayer (reference: :537). */
+  def addWKTLayer(name: String, source: DataFrame, idCol: String, wktCol: String): GeoFrame =
+    catalog.createWktLayer(name, source, idCol, wktCol)
+
+  /** spatial.removeLayer (reference: :625). */
+  def removeLayer(name: String): Unit = catalog.dropLayer(name)
+
+  // ------------------------------------------------------------ mutations
+
+  /** spatial.addWKT / addWKTs (reference: :735,767). */
+  def addWKTs(name: String, wkts: Seq[String]): Long = {
+    val existing = catalog.getLayer(name).count()
+    val src = wkts.zipWithIndex
+      .map { case (w, i) => ((existing + i).toString, w) }.toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("gtype", st.gtype(col("geometry")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+      .select("id", "geometry", "gtype", "bbox")
+    catalog.appendToLayer(name, src)
+    wkts.size.toLong
+  }
+
+  /** spatial.removeNodes.byId (reference: :706-718). */
+  def removeNodes(name: String, ids: Seq[String]): Long =
+    catalog.removeFromLayer(name, ids)
+
+  // ------------------------------------------------------------- searches
+
+  /** spatial.bbox — WITHIN semantics quirk preserved (reference: :822-836). */
+  def bbox(name: String, minx: Double, miny: Double, maxx: Double, maxy: Double): DataFrame =
+    catalog.getLayer(name).bboxSearch(minx, miny, maxx, maxy).df
+
+  /** spatial.cql — Spark SQL expression (superset of ECQL; reference: :838-848). */
+  def cql(name: String, expression: String): DataFrame =
+    catalog.getLayer(name).filterExpr(expression).df
+
+  /** spatial.withinDistance (reference: :864-880). */
+  def withinDistance(name: String, lon: Double, lat: Double, km: Double): DataFrame =
+    catalog.getLayer(name).withinDistanceKm(lon, lat, km).df
+
+  /** spatial.intersects (reference: :901-911). */
+  def intersects(name: String, wkt: String): DataFrame =
+    catalog.getLayer(name).intersects(wkt).df
+
+  /** spatial.closest (reference: :850-862). */
+  def closest(name: String, lon: Double, lat: Double, maxDistance: Double): DataFrame =
+    catalog.getLayer(name).closestEdges(lon, lat, maxDistance).df
+
+  // ------------------------------------------------------------ functions
+
+  /** fn spatial.asGeometry / decodeGeometry: WKT → WKB bytes. */
+  def asGeometry(wkt: String): Array[Byte] = GeomCodec.toWkb(GeomCodec.fromWkt(wkt))
+
+  /** fn spatial.nodeAsWKT / neo4jGeometryToWkt (reference: SpatialFunctions.java:58,104). */
+  def asWKT(wkb: Array[Byte]): String = GeomCodec.toWkt(GeomCodec.fromWkb(wkb))
+
+  /** fn spatial.wktToGeoJson (reference: SpatialFunctions.java:93). */
+  def wktToGeoJson(wkt: String): String = GeoOutput.toGeoJson(GeomCodec.fromWkt(wkt))
+
+  /** spatial.decodeGeometry distance helper — orthodromic km. */
+  def distanceKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    Orthodromic.distanceKm(lon1, lat1, lon2, lat2)
+
+  // --------------------------------------------------------------- import
+
+  /** spatial.importShapefileToLayer (reference: :788). */
+  def importShapefile(name: String, shpPath: String): GeoFrame = {
+    val layer = graft.sources.Shapefile.importShapefile(spark, shpPath)
+    catalog.createLayer(name, layer.df, LayerMeta(name, 0, encoder = "wkb"))
+  }
+
+  /** spatial.importOSMToLayer (reference: OsmSpatialProcedures.java:57). */
+  def importOSM(name: String, osmPath: String): GeoFrame = {
+    val ways = graft.osm.OsmImport.importOsm(spark, osmPath)
+    catalog.createLayer(name, ways.df, LayerMeta(name, 0, encoder = "wkb"))
+  }
+}

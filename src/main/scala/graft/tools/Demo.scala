@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Runnable end-to-end demo of the procedure surface: imports the OSM and
+  * shapefile fixtures, runs searches, exports and re-imports a shapefile.
+  * Usage: runMain graft.tools.Demo [osmPath shpPath]
+  */
+object Demo {
+  def main(args: Array[String]): Unit = {
+    val osmPath = args.lift(0).getOrElse("/root/reference/example-data/osm/example.osm")
+    val shpPath = args.lift(1).getOrElse("/root/reference/example-data/shp/highway.shp")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-demo")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val wh = java.nio.file.Files.createTempDirectory("graft-demo-wh").toString
+    val proc = new graft.engine.SpatialProcedures(spark, wh)
+
+    proc.importOSM("osm_ways", osmPath)
+    println(s"[demo] OSM ways imported: ${proc.getFeatureCount("osm_ways")}")
+    proc.layer("osm_ways").withWkt.df.select("id", "wkt").show(2, 80)
+
+    proc.importShapefile("highway", shpPath)
+    println(s"[demo] shapefile features imported: ${proc.getFeatureCount("highway")}")
+    proc.getLayerBoundingBox("highway").show()
+
+    println("[demo] closest roads to (13.0, 56.05):")
+    proc.closest("highway", 13.0, 56.05, 0.2).select("id", "snap_distance").show(3)
+
+    println("[demo] cql filter gtype=2 count=" + proc.cql("highway", "gtype = 2").count())
+
+    graft.sources.Shapefile.exportShapefile(
+      proc.layer("highway").df.limit(5), "/tmp/graft_demo_export")
+    val back = graft.sources.Shapefile.importShapefile(spark, "/tmp/graft_demo_export.shp")
+    println(s"[demo] shapefile export/import roundtrip rows: ${back.count()}")
+
+    println(s"[demo] layers: ${proc.layers().collect().map(_.getString(0)).mkString(", ")}")
+    spark.stop()
+  }
+}

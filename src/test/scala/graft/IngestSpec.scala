@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.osm.OsmImport
+import graft.sources.Shapefile
+import graft.engine.{GeoFrame, SpatialProcedures}
+import graft.geom.GeomCodec
+
+/** OSM / shapefile ingestion against the reference's example-data fixtures
+  * (read-only at /root/reference/example-data). Expected values mirror the
+  * reference's own golden tests (TestOSMImportBase.checkOSMLayer, TestSpatial).
+  */
+class IngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val osmFixture = "/root/reference/example-data/osm/example.osm"
+  private val shpFixture = "/root/reference/example-data/shp/highway.shp"
+
+  test("OSM parse stages nodes/ways/tags") {
+    val st8 = OsmImport.parse(spark, osmFixture)
+    assert(st8.nodes.count() == 8)
+    assert(st8.ways.count() == 1)
+    assert(st8.wayNds.count() == 8)
+    val tags = st8.tags.as[(String, Long, String, String)].collect()
+    assert(tags.contains(("way", 72090582L, "highway", "residential")))
+    assert(tags.contains(("way", 72090582L, "name", "Nybrodalsvägen")))
+  }
+
+  test("OSM way assembly builds a LineString within the fixture bbox") {
+    val ways = OsmImport.assembleWays(OsmImport.parse(spark, osmFixture))
+    assert(ways.count() == 1)
+    val row = ways.head()
+    val g = GeomCodec.fromWkb(row.getAs[Array[Byte]]("geometry"))
+    assert(g.getGeometryType == "LineString")
+    assert(g.getNumPoints == 8)
+    // fixture bounds: lon 12.93..13.01, lat 56.04..56.08
+    val env = g.getEnvelopeInternal
+    assert(env.getMinX > 12.9 && env.getMaxX < 13.02)
+    assert(env.getMinY > 56.0 && env.getMaxY < 56.08)
+    val props = row.getAs[Map[String, String]]("props")
+    assert(props("highway") == "residential")
+  }
+
+  test("OSM points layer carries node tags and coordinates") {
+    val pts = OsmImport.assemblePoints(OsmImport.parse(spark, osmFixture))
+    assert(pts.count() == 8)
+    assert(pts.filter(col("x") > 12.9 && col("x") < 13.02).count() == 8)
+  }
+
+  test("OSM tag-filtered dynamic layer") {
+    val ways = OsmImport.assembleWays(OsmImport.parse(spark, osmFixture))
+    assert(OsmImport.tagFilteredLayer(ways, "highway", "*").count() == 1)
+    assert(OsmImport.tagFilteredLayer(ways, "highway", "residential").count() == 1)
+    assert(OsmImport.tagFilteredLayer(ways, "highway", "motorway").count() == 0)
+  }
+
+  test("way geometry rules: closed ring becomes polygon") {
+    val poly = OsmImport.buildWayGeometry(Seq(0, 1, 1, 0, 0), Seq(0, 0, 1, 1, 0))
+    assert(poly.getGeometryType == "Polygon")
+    val line = OsmImport.buildWayGeometry(Seq(0, 1, 2), Seq(0, 0, 0))
+    assert(line.getGeometryType == "LineString")
+  }
+
+  test("shapefile reader parses highway.shp geometry + dbf attributes") {
+    val layer = Shapefile.importShapefile(spark, shpFixture)
+    val n = layer.count()
+    assert(n == 143, s"expected 143 records, got $n") // (shx 1244 - 100) / 8
+    val types = layer.df.select("gtype").distinct().as[Int].collect().toSet
+    assert(types.subsetOf(Set(GeomCodec.GTYPE_LINESTRING, GeomCodec.GTYPE_MULTILINESTRING)))
+    // dbf attributes discovered
+    val props = layer.df.select("props").head().getAs[Map[String, String]](0)
+    assert(props.nonEmpty)
+    // all geometries inside the fixture region (southern Sweden)
+    val bb = layer.boundingBox().head()
+    assert(bb.getDouble(0) > 12 && bb.getDouble(2) < 14)
+    assert(bb.getDouble(1) > 55 && bb.getDouble(3) < 57)
+  }
+
+  test("shapefile export/import roundtrip") {
+    val dir = Files.createTempDirectory("graft-shp").toString
+    val src = Seq(
+      ("a", "LINESTRING (12.95 56.05, 12.96 56.06)", Map("name" -> "road-a")),
+      ("b", "LINESTRING (12.97 56.07, 12.98 56.08)", Map("name" -> "road-b")))
+      .toDF("id", "wkt", "props")
+      .withColumn("geometry", graft.functions.st.geomFromText(col("wkt")))
+    Shapefile.exportShapefile(src, s"$dir/out")
+    val back = Shapefile.importShapefile(spark, s"$dir/out.shp")
+    assert(back.count() == 2)
+    val props = back.df.orderBy("id").select("props").as[Map[String, String]].collect()
+    assert(props(0)("name") == "road-a")
+    val g = GeomCodec.fromWkb(back.df.orderBy("id").select("geometry").head().getAs[Array[Byte]](0))
+    assert(g.getGeometryType == "LineString")
+  }
+
+  test("procedures facade: end-to-end layer lifecycle") {
+    val wh = Files.createTempDirectory("graft-proc").toString
+    val proc = new SpatialProcedures(spark, wh)
+    // addPointLayer + addWKT + withinDistance — the reference's canonical
+    // smoke flow (SpatialProceduresTest.add_node_and_search_bbox_and_distance)
+    val src = Seq((1L, 15.0, 60.0)).toDF("k", "lon", "lat")
+    proc.addPointLayerXY("geom", src, "k", "lon", "lat")
+    assert(proc.layers().as[String].collect().toSeq == Seq("geom"))
+    assert(proc.getFeatureCount("geom") == 1)
+    val hits = proc.withinDistance("geom", 15.0, 60.0, 100.0)
+    assert(hits.count() == 1)
+    assert(hits.select("distance").as[Double].head() == 0.0)
+    val none = proc.withinDistance("geom", 15.0, 50.0, 100.0)
+    assert(none.count() == 0)
+    val bb = proc.bbox("geom", 14.8, 59.8, 15.2, 60.2)
+    assert(bb.count() == 1)
+    proc.removeLayer("geom")
+    assert(proc.layers().count() == 0)
+    // WKT layer + intersects + cql + closest
+    val wktSrc = Seq(("w1", "LINESTRING (15.1 60.1, 15.2 60.2)"),
+      ("w2", "POINT (16 61)")).toDF("k", "wkt")
+    proc.addWKTLayer("wl", wktSrc, "k", "wkt")
+    assert(proc.intersects("wl", "POLYGON ((15 60, 15.3 60, 15.3 60.3, 15 60.3, 15 60))").count() == 1)
+    assert(proc.cql("wl", "gtype = 1").count() == 1)
+    val added = proc.addWKTs("wl", Seq("POINT (15.15 60.15)"))
+    assert(added == 1 && proc.getFeatureCount("wl") == 3)
+    val removed = proc.removeNodes("wl", Seq("w2"))
+    assert(removed == 1 && proc.getFeatureCount("wl") == 2)
+    assert(proc.wktToGeoJson("POINT (1 2)") == """{"type":"Point","coordinates":[1,2]}""")
+  }
+
+  test("procedures facade: importShapefile + importOSM register layers") {
+    val wh = Files.createTempDirectory("graft-proc2").toString
+    val proc = new SpatialProcedures(spark, wh)
+    proc.importShapefile("highway", shpFixture)
+    assert(proc.getFeatureCount("highway") == 143)
+    proc.importOSM("osm_ways", osmFixture)
+    assert(proc.getFeatureCount("osm_ways") == 1)
+    assert(proc.layers().as[String].collect().toSet == Set("highway", "osm_ways"))
+  }
+}

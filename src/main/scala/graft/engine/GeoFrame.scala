@@ -43,7 +43,7 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
       new org.locationtech.jts.geom.Envelope(minx, maxx, miny, maxy))
     lift(df.filter(
       st.bboxIntersects(col("bbox"), minx, miny, maxx, maxy) &&
-      st.within(geom, lit(GeomCodec.toWkb(env)))))
+      graft.functions.STPredicate.column("within", geom, env)))
   }
 
   /** Window intersect search with the INCLUDE_ALL fast path: a bbox fully
@@ -57,35 +57,39 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     lift(df.filter(
       st.bboxContainedBy(col("bbox"), minx, miny, maxx, maxy) ||
       (st.bboxIntersects(col("bbox"), minx, miny, maxx, maxy) &&
-        st.intersects(geom, lit(GeomCodec.toWkb(env))))))
+        graft.functions.STPredicate.column("intersects", geom, env))))
   }
 
-  private def pruneThenExact(query: Geometry, exact: (Column, Column) => Column): GeoFrame = {
+  /** bbox window prune (pushdown-able column comparisons) → exact JTS
+    * predicate as a native expression caching the prepared query geometry
+    * per task ([[graft.functions.STPredicate]]).
+    */
+  private def pruneThenExact(query: Geometry, predicate: String): GeoFrame = {
     val e = query.getEnvelopeInternal
     lift(df.filter(
       st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
-      exact(geom, lit(GeomCodec.toWkb(query)))))
+      graft.functions.STPredicate.column(predicate, geom, query)))
   }
 
   /** `spatial.intersects` (reference: SpatialProcedures.java:901 →
     * GeoPipeline.startIntersectSearch:241). */
-  def intersects(query: Geometry): GeoFrame = pruneThenExact(query, st.intersects)
+  def intersects(query: Geometry): GeoFrame = pruneThenExact(query, "intersects")
   def intersects(wkt: String): GeoFrame = intersects(GeomCodec.fromWkt(wkt))
 
   /** startWithinSearch (reference: GeoPipeline.java:263). */
-  def within(query: Geometry): GeoFrame = pruneThenExact(query, st.within)
+  def within(query: Geometry): GeoFrame = pruneThenExact(query, "within")
   /** startContainSearch (reference: GeoPipeline.java:204). */
-  def containing(query: Geometry): GeoFrame = pruneThenExact(query, st.contains)
+  def containing(query: Geometry): GeoFrame = pruneThenExact(query, "contains")
   /** startCoverSearch (reference: GeoPipeline.java:211). */
-  def covering(query: Geometry): GeoFrame = pruneThenExact(query, st.covers)
+  def covering(query: Geometry): GeoFrame = pruneThenExact(query, "covers")
   /** startCoveredBySearch (reference: GeoPipeline.java:218). */
-  def coveredBy(query: Geometry): GeoFrame = pruneThenExact(query, st.coveredBy)
+  def coveredBy(query: Geometry): GeoFrame = pruneThenExact(query, "coveredby")
   /** startCrossSearch (reference: GeoPipeline.java:225). */
-  def crossing(query: Geometry): GeoFrame = pruneThenExact(query, st.crosses)
+  def crossing(query: Geometry): GeoFrame = pruneThenExact(query, "crosses")
   /** startOverlapSearch (reference: GeoPipeline.java:249). */
-  def overlapping(query: Geometry): GeoFrame = pruneThenExact(query, st.overlaps)
+  def overlapping(query: Geometry): GeoFrame = pruneThenExact(query, "overlaps")
   /** startTouchSearch (reference: GeoPipeline.java:256). */
-  def touching(query: Geometry): GeoFrame = pruneThenExact(query, st.touches)
+  def touching(query: Geometry): GeoFrame = pruneThenExact(query, "touches")
   /** startEqualExactSearch (reference: GeoPipeline.java:232). */
   def equalExact(query: Geometry, tolerance: Double): GeoFrame = {
     val e = query.getEnvelopeInternal

@@ -84,59 +84,82 @@ object SpatialAggs {
     * Island MEMBERSHIP matches the transitive closure of the reference's
     * merge relation; island ids/geometry unions are canonicalized by min id.
     */
-  def densityIslandsScalable(df: DataFrame, density: Double, maxIterations: Int = 20): DataFrame = {
+  def densityIslandsScalable(df: DataFrame, density: Double, maxIterations: Int = 25): DataFrame = {
     val cell = density // grid cell = density ⇒ neighbors are within 1 cell
-    val pts = df
-      .select(col("id").cast("string").as("id"), col("geometry"),
+    val hasXY = df.columns.contains("x") && df.columns.contains("y")
+    val base = if (hasXY)
+      df.select(col("id").cast("string").as("id"), col("geometry"),
+        col("x").as("px"), col("y").as("py"))
+    else
+      df.select(col("id").cast("string").as("id"), col("geometry"),
         col("bbox")("minx").as("px"), col("bbox")("miny").as("py"))
+    val pts = base
       .withColumn("cx", floor(col("px") / cell))
       .withColumn("cy", floor(col("py") / cell))
 
     // candidate pairs: same or adjacent cell (covers all pairs within density
-    // for point geometries), refined by exact JTS distance
+    // for point geometries), refined by exact distance — pure column math for
+    // point layers (codegen), JTS decode only for non-point geometries
     val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
     val neighborCells = offsets.map { case (dx, dy) =>
       struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
     }
     val expanded = pts.withColumn("cell", explode(array(neighborCells: _*)))
-      .select(col("id"), col("geometry"), col("cell.cx").as("ncx"), col("cell.cy").as("ncy"))
+      .select(col("id"), col("geometry"), col("px"), col("py"),
+        col("cell.cx").as("ncx"), col("cell.cy").as("ncy"))
 
     val right = pts.select(col("id").as("rid"), col("geometry").as("rgeom"),
-      col("cx").as("rcx"), col("cy").as("rcy"))
+      col("px").as("rpx"), col("py").as("rpy"), col("cx").as("rcx"), col("cy").as("rcy"))
 
-    val dist = udf((a: Array[Byte], b: Array[Byte]) =>
-      GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b)))
+    val distCond =
+      if (hasXY)
+        sqrt((col("px") - col("rpx")) * (col("px") - col("rpx")) +
+             (col("py") - col("rpy")) * (col("py") - col("rpy"))) <= density
+      else
+        udf((a: Array[Byte], b: Array[Byte]) =>
+          GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b)))
+          .apply(col("geometry"), col("rgeom")) <= density
 
     val edges = expanded.join(right,
         col("ncx") === col("rcx") && col("ncy") === col("rcy") && col("id") < col("rid"))
-      .filter(dist(col("geometry"), col("rgeom")) <= density)
+      .filter(distCond)
       .select(col("id").as("src"), col("rid").as("dst"))
       .distinct()
 
-    // label propagation: component = min id reachable
-    var labels = pts.select(col("id"), col("id").as("label")).cache()
-    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst"))).cache()
-    var converged = false
+    // Connected components by hash-to-min with pointer jumping: each round a
+    // vertex takes the min over its own label, neighbor labels, AND its
+    // label's label (label(label(v))). The pointer jump halves chain depth
+    // per round, so convergence is O(log diameter) instead of O(diameter) —
+    // plain min-label propagation on a long lattice chain was the 100x
+    // bottleneck at sf0.1. localCheckpoint truncates lineage each round.
+    val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    var labels = pts.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var checksum = -1L
     var iter = 0
+    var converged = false
     while (!converged && iter < maxIterations) {
-      val prop = sym.join(labels, col("dst") === col("id"))
-        .select(col("src").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(prop)
-        .groupBy("id").agg(min("label").as("label")).cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
+      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("label"))
+      val l1 = labels.select(col("id"), col("label"))
+      val l2 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val viaJump = l1.join(l2, l1("label") === l2("jid"))
+        .select(col("id"), col("jlabel").as("label"))
+      val next = l1.union(viaEdges).union(viaJump)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      // xor-fold checksum: order-independent, no ANSI long-overflow like sum
+      val nextSum = next.agg(bit_xor(xxhash64(col("id"), col("label")))).head().getLong(0)
       labels = next
-      converged = changed == 0
+      converged = nextSum == checksum
+      checksum = nextSum
       iter += 1
     }
-    val out = df.select(col("id").cast("string").as("id"), col("geometry"))
+    df.select(col("id").cast("string").as("id"), col("geometry"))
       .join(labels, "id")
       .groupBy(col("label").as("island_key"))
       .agg(unionAgg(col("geometry")).as("geometry"),
         sort_array(collect_list(col("id"))).as("members"),
         count(lit(1)).as("n_members"))
-    sym.unpersist()
-    out
   }
 }

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's private[sql] Column↔Expression converters, needed to
+  * expose custom Catalyst expressions (graft.functions.STPredicate) as public
+  * `Column`s. Standard pattern for Spark extension libraries on 4.x, where
+  * `new Column(expr)` is no longer public.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -69,6 +69,29 @@ object SparkEntry {
     new GeoFrame(df)
   }
 
+  /** Per-nation supplier envelope polygons joined against customer points
+    * (intersects ⇒ envelope boundary inclusive, matching SQL BETWEEN).
+    */
+  private def spatialJoinQuery(s: SparkSession, dir: String, useGrid: Boolean): DataFrame = {
+    import graft.engine.{SpatialAggs, SpatialJoin}
+    val supPolys = T(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"),
+        ((col("s_suppkey") % 360) - 180 + 0.5).cast("double").as("x"),
+        (((col("s_suppkey") * 7) % 180) - 90 + 0.5).cast("double").as("y"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .groupBy(col("s_nationkey"))
+      .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
+      .select(col("s_nationkey").as("id"), st.envelope(col("g")).as("geometry"))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val pts = pointsDf(s, dir).select(col("ck").as("id"), col("geometry"), col("bbox"))
+    val joined =
+      if (useGrid) SpatialJoin.gridJoin(pts, supPolys, cellSize = 30.0, "intersects")
+      else SpatialJoin.broadcastJoin(pts, supPolys, "intersects")
+    joined.groupBy(col("r_id").cast("int").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_pts"))
+      .orderBy(col("s_nationkey"))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * `spatial.withinDistance` over the customer point layer.
     */
@@ -224,6 +247,13 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // -------------------------------------------- distributed spatial join
+    // customer points vs per-nation supplier envelope polygons — the
+    // TestIntersectsPathQueries-style genuine spatial join (SURVEY §2.5),
+    // run through BOTH strategies against one oracle
+    "sp_join_broadcast" -> ((s, dir) => spatialJoinQuery(s, dir, useGrid = false)),
+    "sp_join_grid" -> ((s, dir) => spatialJoinQuery(s, dir, useGrid = true)),
+
     // =================================================== no-oracle (rows-only)
     "sp_intersects_poly" -> ((s, dir) =>
       pointsLayer(s, dir)
@@ -297,6 +327,24 @@ object SparkEntry {
         .orderBy(col("media_id"))
     })
   )
+
+  /** Oracle for both spatial-join strategies: envelope containment is plain
+    * min/max BETWEEN arithmetic on the lattice coordinates.
+    */
+  private val SupJoinSql =
+    """
+      |, sup AS (
+      |  SELECT s_nationkey, min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+      |  FROM (SELECT s_nationkey,
+      |               CAST((s_suppkey % 360) - 180 + 0.5 AS DOUBLE) AS x,
+      |               CAST(((s_suppkey * 7) % 180) - 90 + 0.5 AS DOUBLE) AS y
+      |        FROM supplier)
+      |  GROUP BY 1
+      |)
+      |SELECT s.s_nationkey, count(*) AS n_pts
+      |FROM sup s JOIN pts p
+      |  ON p.x >= s.minx AND p.x <= s.maxx AND p.y >= s.miny AND p.y <= s.maxy
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -390,6 +438,9 @@ object SparkEntry {
         |SELECT c_nationkey, ck AS id, c_acctbal FROM (
         |  SELECT *, max(c_acctbal) OVER (PARTITION BY c_nationkey) AS m FROM pts
         |) WHERE c_acctbal = m ORDER BY c_nationkey, id""".stripMargin),
+
+    "sp_join_broadcast" -> (PtsCte + SupJoinSql),
+    "sp_join_grid" -> (PtsCte + SupJoinSql),
 
     "dd_exact_groups" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_dups

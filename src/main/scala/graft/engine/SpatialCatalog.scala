@@ -70,19 +70,30 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
       .filter(p => Files.exists(p.resolve("layer.json"))).map(_.getFileName.toString)
       .toSeq.sorted
 
-  /** Create a layer from a DataFrame already in canonical schema. */
+  /** Create a layer from a DataFrame already in canonical schema. Layers
+    * with a space-filling-curve indexType write clustered by the curve key
+    * (graft.plans.SpatialLayout) so window queries prune parquet row groups —
+    * the distributed stand-in for the reference's index build.
+    */
   def createLayer(name: String, df: DataFrame, meta: LayerMeta): GeoFrame = {
     require(!layerExists(name), s"layer $name already exists")
-    df.write.mode("overwrite").parquet(dataPath(name))
+    if (Set("hilbert", "zorder", "geohash").contains(meta.indexType)
+        && df.columns.contains("x"))
+      graft.plans.SpatialLayout.writeClustered(df, dataPath(name), meta.indexType)
+    else
+      df.write.mode("overwrite").parquet(dataPath(name))
     writeMeta(meta.copy(name = name))
     getLayer(name)
   }
 
   /** Create a point layer from x/y columns — the `spatial.addPointLayerXY`
-    * path (reference: SpatialProcedures.java:303).
+    * path (reference: SpatialProcedures.java:303); `indexType` selects the
+    * storage layout (bbox | hilbert | zorder | geohash), mirroring the
+    * reference's index presets.
     */
   def createPointLayer(name: String, source: DataFrame,
-      idCol: String, xCol: String, yCol: String): GeoFrame = {
+      idCol: String, xCol: String, yCol: String,
+      indexType: String = "bbox"): GeoFrame = {
     val canonical = source
       .withColumn("id", col(idCol).cast("string"))
       .withColumn("x", col(xCol).cast("double"))
@@ -91,7 +102,8 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
       .withColumn("gtype", lit(graft.geom.GeomCodec.GTYPE_POINT))
       .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
       .select("id", "geometry", "gtype", "bbox", "x", "y")
-    createLayer(name, canonical, LayerMeta(name, graft.geom.GeomCodec.GTYPE_POINT, encoder = "point-xy"))
+    createLayer(name, canonical,
+      LayerMeta(name, graft.geom.GeomCodec.GTYPE_POINT, encoder = "point-xy", indexType = indexType))
   }
 
   /** Create a WKT layer — the `spatial.addWKTLayer` + `spatial.addWKTs` path

@@ -40,6 +40,27 @@ object Demo {
     println(s"[demo] shapefile export/import roundtrip rows: ${back.count()}")
 
     println(s"[demo] layers: ${proc.layers().collect().map(_.getString(0)).mkString(", ")}")
+
+    // hilbert-clustered point layer + window query (SFC layout path)
+    import org.apache.spark.sql.functions._
+    val pts = spark.range(10000)
+      .withColumn("x", (col("id") * 37 % 3600).cast("double") / 10 - 180)
+      .withColumn("y", (col("id") * 73 % 1800).cast("double") / 10 - 90)
+    proc.catalog.createPointLayer("hilbert_pts", pts, "id", "x", "y", indexType = "hilbert")
+    val hits = proc.catalog.getLayer("hilbert_pts").intersectsWindow(-10, -10, 10, 10).count()
+    println(s"[demo] hilbert-clustered layer window hits: $hits")
+
+    // streaming ingest of the same points into a second layer
+    val streamDir = java.nio.file.Files.createTempDirectory("demo-stream").toString
+    pts.write.mode("overwrite").parquet(s"$streamDir/in")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$streamDir/in").schema).parquet(s"$streamDir/in")
+    val q = graft.streaming.PointStream.writeToLayer(
+      graft.streaming.PointStream.canonicalize(stream, "id", "x", "y"),
+      s"$streamDir/layer", s"$streamDir/ckpt")
+    q.awaitTermination(120000)
+    val streamed = new graft.engine.GeoFrame(spark.read.parquet(s"$streamDir/layer"))
+    println(s"[demo] streamed layer rows: ${streamed.count()}, window hits: ${streamed.intersectsWindow(-10, -10, 10, 10).count()}")
     spark.stop()
   }
 }

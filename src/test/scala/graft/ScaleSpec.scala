@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.engine.{GeoFrame, SpatialCatalog, SpatialJoin}
+import graft.functions.st
+import graft.geom.GeomCodec
+import graft.plans.SpatialLayout
+import graft.streaming.PointStream
+
+/** Layout-matrix equivalence (the reference's IndexImplementationMatrixTest
+  * analog: same query, every index/layout, identical results —
+  * reference: index/IndexImplementationMatrixTest.java:84-103), spatial-join
+  * strategies, and streaming ingest.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def randomPoints(n: Int): org.apache.spark.sql.DataFrame = {
+    // deterministic pseudo-random points in [0,100)²
+    spark.range(n.toLong)
+      .withColumn("x", (col("id") * 37 % 1000).cast("double") / 10)
+      .withColumn("y", (col("id") * 73 % 1000).cast("double") / 10)
+      .select(col("id").cast("long").as("k"), col("x"), col("y"))
+  }
+
+  test("layout matrix: bbox vs hilbert vs zorder vs geohash return identical results") {
+    val wh = Files.createTempDirectory("graft-matrix").toString
+    val cat = new SpatialCatalog(spark, wh)
+    val src = randomPoints(5000)
+    val results = Seq("bbox", "hilbert", "zorder", "geohash").map { idx =>
+      cat.createPointLayer(s"pts_$idx", src, "k", "x", "y", indexType = idx)
+      val hits = cat.getLayer(s"pts_$idx")
+        .intersectsWindow(20.0, 30.0, 45.0, 55.0)
+        .df.select("id").as[String].collect().sorted.toSeq
+      idx -> hits
+    }.toMap
+    assert(results("bbox").nonEmpty)
+    assert(results.values.toSet.size == 1, "layouts disagree on query results")
+  }
+
+  test("hilbert curve is a bijective space-filling walk") {
+    val level = 4
+    val n = 1 << level
+    val ds = for (x <- 0L until n; y <- 0L until n) yield SpatialLayout.hilbert(x, y, level)
+    assert(ds.toSet.size == n * n)            // bijection onto [0, n²)
+    assert(ds.min == 0 && ds.max == n * n - 1)
+  }
+
+  test("zorder interleaves bits") {
+    assert(SpatialLayout.zOrder(0, 0, 4) == 0)
+    assert(SpatialLayout.zOrder(1, 0, 4) == 1)
+    assert(SpatialLayout.zOrder(0, 1, 4) == 2)
+    assert(SpatialLayout.zOrder(3, 3, 4) == 15)
+  }
+
+  test("geohash matches known values") {
+    // well-known reference value: (lat 57.64911, lon 10.40744) → u4pruydqqvj
+    assert(SpatialLayout.geohash(10.40744, 57.64911, 11) == "u4pruydqqvj")
+  }
+
+  test("hilbert window ranges cover exactly the window's coarse cells") {
+    val ranges = SpatialLayout.hilbertRangesForWindow(0, 0, 1, 1, 0, 0, 16, 16, level = 8, coarse = 4)
+    // window = one coarse cell → a single contiguous range of 4^(8-4)=256
+    assert(ranges.map { case (lo, hi) => hi - lo + 1 }.sum == 256)
+  }
+
+  test("broadcast and grid spatial joins agree with each other and with brute force") {
+    val left = randomPoints(800)
+      .withColumn("id", col("k").cast("string"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    // right: 16 overlapping boxes as polygons
+    val boxes = (0 until 16).map { i =>
+      val minx = (i % 4) * 25.0; val miny = (i / 4) * 25.0
+      (i.toString, s"POLYGON (($minx $miny, ${minx + 30} $miny, ${minx + 30} ${miny + 30}, $minx ${miny + 30}, $minx $miny))")
+    }.toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry"))).drop("wkt")
+
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_id"), col("r_id")).as[(String, String)].collect().toSet
+
+    val viaBroadcast = pairs(SpatialJoin.broadcastJoin(left, boxes, "intersects"))
+    val viaGrid = pairs(SpatialJoin.gridJoin(left, boxes, cellSize = 10.0, "intersects"))
+    assert(viaBroadcast.nonEmpty)
+    assert(viaBroadcast == viaGrid, s"strategies disagree: ${viaBroadcast.size} vs ${viaGrid.size}")
+
+    // brute-force truth on a sample
+    val sample = left.limit(50).select("id", "geometry").as[(String, Array[Byte])].collect()
+    val boxGeoms = boxes.select("id", "geometry").as[(String, Array[Byte])].collect()
+    val brute = (for {
+      (lid, lg) <- sample
+      (rid, rg) <- boxGeoms
+      if GeomCodec.fromWkb(lg).intersects(GeomCodec.fromWkb(rg))
+    } yield (lid, rid)).toSet
+    val sampleIds = sample.map(_._1).toSet
+    assert(viaBroadcast.filter(p => sampleIds.contains(p._1)) == brute)
+  }
+
+  test("streaming point ingest writes a batch-readable layer with watermark aggregation") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/layer"; val ckpt = s"$dir/ckpt"
+    // seed input files
+    randomPoints(200)
+      .withColumn("ts", expr("timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, cast(k % 60 AS int), 0)"))
+      .write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+    val canonical = PointStream.canonicalize(stream, "k", "x", "y")
+    val q = PointStream.writeToLayer(canonical.withColumn("ts", col("ts")), outDir, ckpt)
+    q.awaitTermination(60000)
+    val layer = new GeoFrame(spark.read.parquet(outDir))
+    assert(layer.count() == 200)
+    // batch query over the streamed layer works unchanged
+    assert(layer.intersectsWindow(0, 0, 100, 100).count() == 200)
+    // windowed watermark agg (batch-mode execution of the streaming plan shape)
+    val agg = PointStream.windowedCellStats(
+      spark.read.parquet(outDir).join(spark.read.parquet(srcDir).select(col("k").cast("string").as("id"), col("ts")), "id"),
+      "ts", "10 minutes", 25.0)
+    assert(agg.count() > 0)
+  }
+}

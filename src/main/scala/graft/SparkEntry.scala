@@ -146,6 +146,19 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "ev_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // ts arrives as long nanos (see ev_top_users); integer `div` keeps the
+      // bucket arithmetic exact (a double division would lose precision at
+      // 1e18-scale nanos)
+      T(s, dir, "events")
+        .withColumn("hour_idx", expr("ts div 3600000000000"))
+        .groupBy(col("hour_idx"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"))
+        .orderBy(col("hour_idx"), col("event_type"))
+    }),
+
     // --------------------------------------------------- spatial searches
     // spatial.bbox quirk: WITHIN semantics (SpatialProcedures.java:822-836)
     "sp_bbox_within" -> ((s, dir) =>
@@ -366,6 +379,11 @@ object SparkEntry {
 
     "ev_top_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20",
+
+    "ev_hourly" ->
+      """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type,
+        |       count(*) AS n, min(event_id) AS min_ev, max(event_id) AS max_ev
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "sp_bbox_within" -> (PtsCte +
       """

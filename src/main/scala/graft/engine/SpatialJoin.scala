@@ -101,14 +101,39 @@ object SpatialJoin {
     joined.drop("__cell")
   }
 
+  /** Pick a grid cell size from bbox statistics: a cell should be on the
+    * order of the larger of (a) the mean right-side bbox extent — so a
+    * typical geometry replicates to O(1) cells — and (b) the data span
+    * divided by ~sqrt(4x shuffle parallelism) — so small-extent data still
+    * spreads across enough cells to parallelize. One cheap agg over the
+    * (already tiny) bbox columns.
+    */
+  def suggestCellSize(left: DataFrame, right: DataFrame): Double = {
+    val s = right.agg(
+      avg(col("bbox")("maxx") - col("bbox")("minx")),
+      avg(col("bbox")("maxy") - col("bbox")("miny")),
+      min(col("bbox")("minx")), max(col("bbox")("maxx")),
+      min(col("bbox")("miny")), max(col("bbox")("maxy"))).head()
+    val meanExtent = math.max(s.getDouble(0), s.getDouble(1))
+    val span = math.max(s.getDouble(3) - s.getDouble(2), s.getDouble(5) - s.getDouble(4))
+    val parallelism = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bySpan = span / math.max(1.0, math.sqrt(parallelism * 4.0))
+    val cell = math.max(meanExtent, bySpan)
+    if (cell > 0 && !cell.isNaN && !cell.isInfinite) cell else 1.0
+  }
+
   /** Strategy pick: broadcast when the right side is below the threshold
     * (mirrors Catalyst's broadcast-join sizing decision, but on row count
-    * since geometry byte size is not visible in stats here).
+    * since geometry byte size is not visible in stats here). `cellSize <= 0`
+    * auto-sizes the grid from bbox statistics.
     */
   def join(left: DataFrame, right: DataFrame, predicate: String = "intersects",
-      cellSize: Double = 1.0, broadcastThreshold: Long = 10000L): DataFrame = {
+      cellSize: Double = 0.0, broadcastThreshold: Long = 10000L): DataFrame = {
     val rightCount = right.count()
     if (rightCount <= broadcastThreshold) broadcastJoin(left, right, predicate)
-    else gridJoin(left, right, cellSize, predicate)
+    else {
+      val cs = if (cellSize > 0) cellSize else suggestCellSize(left, right)
+      gridJoin(left, right, cs, predicate)
+    }
   }
 }

@@ -117,6 +117,23 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
     wkts.size.toLong
   }
 
+  /** spatial.updateWKT — replace one geometry by id (reference: :747).
+    * Copy-on-write: materialize the replacement row BEFORE the anti-join
+    * delete rewrites the layer files, then append it.
+    */
+  def updateWKT(name: String, id: String, wkt: String): Unit = {
+    val replacementRows = catalog.getLayer(name).df.filter(col("id") === id)
+      .withColumn("geometry", st.geomFromText(lit(wkt)))
+      .withColumn("gtype", st.gtype(col("geometry")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val schema = replacementRows.schema
+    val cached = replacementRows.collect()
+    require(cached.nonEmpty, s"id $id not found in layer $name")
+    catalog.removeFromLayer(name, Seq(id))
+    catalog.appendToLayer(name,
+      spark.createDataFrame(java.util.Arrays.asList(cached: _*), schema))
+  }
+
   /** spatial.removeNodes.byId (reference: :706-718). */
   def removeNodes(name: String, ids: Seq[String]): Long =
     catalog.removeFromLayer(name, ids)

@@ -39,6 +39,10 @@ object Demo {
     val back = graft.sources.Shapefile.importShapefile(spark, "/tmp/graft_demo_export.shp")
     println(s"[demo] shapefile export/import roundtrip rows: ${back.count()}")
 
+    proc.updateWKT("osm_ways", "72090582", "LINESTRING (12.96 56.07, 12.97 56.08)")
+    println("[demo] after updateWKT: " +
+      proc.layer("osm_ways").withWkt.df.select("wkt").head().getString(0))
+
     println(s"[demo] layers: ${proc.layers().collect().map(_.getString(0)).mkString(", ")}")
 
     // hilbert-clustered point layer + window query (SFC layout path)
@@ -49,6 +53,13 @@ object Demo {
     proc.catalog.createPointLayer("hilbert_pts", pts, "id", "x", "y", indexType = "hilbert")
     val hits = proc.catalog.getLayer("hilbert_pts").intersectsWindow(-10, -10, 10, 10).count()
     println(s"[demo] hilbert-clustered layer window hits: $hits")
+
+    // auto-sized grid spatial join (broadcastThreshold=0 forces the grid path)
+    val layerDf = proc.catalog.getLayer("hilbert_pts").df
+    val autoCell = graft.engine.SpatialJoin.suggestCellSize(layerDf, layerDf)
+    val selfPairs = graft.engine.SpatialJoin.join(
+      layerDf, layerDf, "intersects", cellSize = 0.0, broadcastThreshold = 0L).count()
+    println(f"[demo] auto grid join: cell=$autoCell%.3f, coincident-point pairs=$selfPairs")
 
     // streaming ingest of the same points into a second layer
     val streamDir = java.nio.file.Files.createTempDirectory("demo-stream").toString

@@ -100,6 +100,38 @@ class ScaleSpec extends SparkSpec {
     assert(viaBroadcast.filter(p => sampleIds.contains(p._1)) == brute)
   }
 
+  test("auto cell sizing picks a usable grid and matches broadcast results") {
+    val left = randomPoints(600)
+      .withColumn("id", col("k").cast("string"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    val boxes = (0 until 12).map { i =>
+      val minx = (i % 4) * 25.0; val miny = (i / 4) * 25.0
+      (i.toString, s"POLYGON (($minx $miny, ${minx + 20} $miny, ${minx + 20} ${miny + 20}, $minx ${miny + 20}, $minx $miny))")
+    }.toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry"))).drop("wkt")
+    val cs = SpatialJoin.suggestCellSize(left, boxes)
+    assert(cs > 0 && cs <= 100, s"cell size $cs out of range")
+    val auto = SpatialJoin.join(left, boxes, "intersects", broadcastThreshold = 0L)
+      .select("l_id", "r_id").as[(String, String)].collect().toSet
+    val bcast = SpatialJoin.broadcastJoin(left, boxes, "intersects")
+      .select("l_id", "r_id").as[(String, String)].collect().toSet
+    assert(auto == bcast)
+  }
+
+  test("updateWKT replaces a geometry in place") {
+    val wh = Files.createTempDirectory("graft-upd").toString
+    val proc = new graft.engine.SpatialProcedures(spark, wh)
+    proc.addWKTLayer("upd", Seq(("a", "POINT (1 1)"), ("b", "POINT (2 2)")).toDF("k", "wkt"), "k", "wkt")
+    proc.updateWKT("upd", "a", "LINESTRING (0 0, 5 5)")
+    val layer = proc.layer("upd")
+    assert(layer.count() == 2)
+    val types = layer.df.select("id", "gtype").as[(String, Int)].collect().toMap
+    assert(types == Map("a" -> GeomCodec.GTYPE_LINESTRING, "b" -> GeomCodec.GTYPE_POINT))
+    intercept[IllegalArgumentException] { proc.updateWKT("upd", "zzz", "POINT (0 0)") }
+  }
+
   test("streaming point ingest writes a batch-readable layer with watermark aggregation") {
     val dir = Files.createTempDirectory("graft-stream").toString
     val srcDir = s"$dir/in"; val outDir = s"$dir/layer"; val ckpt = s"$dir/ckpt"

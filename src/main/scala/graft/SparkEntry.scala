@@ -219,15 +219,11 @@ object SparkEntry {
         .df.groupBy(col("c_nationkey")).agg(count(lit(1)).as("n"))
         .orderBy(col("c_nationkey"))),
 
-    // Min/Max keep-ties semantics (Min.java:30-72) — per-nation variant
-    "sp_max_acctbal_ties" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("c_nationkey"))
-      pointsDf(s, dir)
-        .withColumn("m", max(col("c_acctbal")).over(w))
-        .filter(col("c_acctbal") === col("m"))
-        .select(col("c_nationkey"), col("ck").as("id"), col("c_acctbal"))
-        .orderBy(col("c_nationkey"), col("id"))
-    }),
+    // Min/Max keep-ties semantics (Min.java:30-72) — per-nation grouped verb
+    "sp_max_acctbal_ties" -> ((s, dir) =>
+      pointsLayer(s, dir).maxOfGrouped("c_acctbal", "c_nationkey")
+        .df.select(col("c_nationkey"), col("ck").as("id"), col("c_acctbal"))
+        .orderBy(col("c_nationkey"), col("id"))),
 
     // ------------------------------------------------------- dedup / text
     "dd_exact_groups" -> ((s, dir) =>
@@ -268,9 +264,10 @@ object SparkEntry {
     "sp_join_grid" -> ((s, dir) => spatialJoinQuery(s, dir, useGrid = true)),
 
     // =================================================== no-oracle (rows-only)
+    // rectangle query geometry ⇒ intersects ⟺ closed-bounds window (oracle!)
     "sp_intersects_poly" -> ((s, dir) =>
       pointsLayer(s, dir)
-        .intersects("POLYGON ((0.2 -10.2, 30.2 -10.2, 30.2 40.2, 0.2 40.2, 0.2 -10.2))")
+        .intersects(RectWkt)
         .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
 
     "sp_closest_edge" -> ((s, dir) =>
@@ -302,11 +299,13 @@ object SparkEntry {
         .orderBy(col("island_key"))
     }),
 
+    // serializer fidelity: write GeoJSON + WKT, parse BACK, count coordinates
+    // — parse-back point counts are oracle-checkable (= rows per nation)
     "sp_geojson_roundtrip" -> ((s, dir) =>
       linesLayer(s, dir).df
-        .select(col("c_nationkey"), st.asGeoJson(col("geometry")).as("gj"),
-          st.asText(col("geometry")).as("wkt"))
-        .select(col("c_nationkey"), length(col("gj")).as("gj_len"), length(col("wkt")).as("wkt_len"))
+        .select(col("c_nationkey"),
+          st.numPoints(st.geomFromGeoJson(st.asGeoJson(col("geometry")))).cast("long").as("gj_pts"),
+          st.numPoints(st.geomFromText(st.asText(col("geometry")))).cast("long").as("wkt_pts"))
         .orderBy(col("c_nationkey"))),
 
     "dd_minhash_pairs" -> ((s, dir) =>
@@ -314,14 +313,19 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
+    // SQL-expressible 24-bit simhash: banding guarantees recall for Hamming≤3
+    // (maxHamming+1 chunks), exact Hamming verify — DuckDB computes the very
+    // same signature, so this is a full hash-match check
     "dd_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 10)
+      Dedup.simhashPolyPairs(T(s, dir, "documents"), "doc_id", "text",
+          bits = 24, maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
         .orderBy(col("id_a"), col("id_b"))),
 
     "tx_langid" -> ((s, dir) =>
       T(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.languageId(col("text")).as("lang_guess"),
-          TextAnalysis.docFingerprint(col("text")).as("fingerprint"))
+        .select(col("doc_id"), TextAnalysis.languageIdExpr(col("text")).as("lang_guess"),
+          TextAnalysis.polyFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
 
     "sim_srp_topk" -> ((s, dir) => {
@@ -338,8 +342,111 @@ object SparkEntry {
         .select(col("media_id"),
           round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4).as("pixel_sum"))
         .orderBy(col("media_id"))
+    }),
+
+    // ====================================== §2 operator-coverage additions
+    // ApplyAffineTransformation (ApplyAffineTransformation.java:30-55):
+    // scale+translate on exact lattice coords — exact double arithmetic
+    "sp_affine_scale" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .withColumn("t", st.affine(col("geometry"), 2.0, 0.0, 10.0, 0.0, 0.5, -5.0))
+        .select(col("ck").as("id"), st.x(col("t")).as("ax"), st.y(col("t")).as("ay"))
+        .orderBy(col("id"))),
+
+    // FilterInRelation DE-9IM (FilterInRelation.java:30-49): full relate
+    // matrix, point strictly inside rectangle ⟺ '0FFFFF212'
+    "sp_relate_within" -> ((s, dir) =>
+      pointsLayer(s, dir).df
+        .withColumn("rel", st.relate(col("geometry"), lit(GeomCodec.toWkb(GeomCodec.fromWkt(RectWkt)))))
+        .filter(col("rel") === "0FFFFF212")
+        .select(col("ck").as("id"), col("rel"))
+        .orderBy(col("id"))),
+
+    // GeometryType/Dimension/NumPoints/Boundary pipes (processing/*.java:29)
+    "sp_line_meta" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          st.geometryType(col("geometry")).as("gt"),
+          st.dimension(col("geometry")).cast("long").as("dim"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          st.numPoints(st.boundary(col("geometry"))).cast("long").as("n_boundary"))
+        .orderBy(col("c_nationkey"))),
+
+    // StartPoint/EndPoint pipes (StartPoint.java:30, EndPoint.java:31)
+    "sp_start_end" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          st.x(st.startPoint(col("geometry"))).as("sx"),
+          st.y(st.startPoint(col("geometry"))).as("sy"),
+          st.x(st.endPoint(col("geometry"))).as("ex"),
+          st.y(st.endPoint(col("geometry"))).as("ey"))
+        .orderBy(col("c_nationkey"))),
+
+    // Intersection/Difference/SymDifference + FilterEmpty pipes per row
+    "sp_set_ops" -> ((s, dir) => {
+      val rect = lit(GeomCodec.toWkb(GeomCodec.fromWkt(RectWkt)))
+      pointsLayer(s, dir).df
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(when(!st.isEmpty(st.intersection(col("geometry"), rect)), 1)).as("n_in"),
+          count(when(st.isEmpty(st.difference(col("geometry"), rect)), 1)).as("n_diff_empty"),
+          count(when(st.numGeometries(st.symDifference(col("geometry"), rect)) === 2, 1)).as("n_sym2"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Sort + RangeFilterPipe positional slice (Sort.java:33, RangeFilterPipe.java:32)
+    "sp_sort_slice" -> ((s, dir) =>
+      new GeoFrame(pointsDf(s, dir).orderBy(col("c_acctbal").desc, col("ck")))
+        .range(10, 29)
+        .df.select(col("ck").as("id"), col("c_acctbal"))),
+
+    // DynamicLayer = named filtered view with pushdown (DynamicLayer.java:56-217)
+    "sp_dynamic_cql" -> ((s, dir) =>
+      pointsLayer(s, dir).asDynamicLayer("rich_points", "c_acctbal > 5000.0")
+        .df.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"), max(col("c_acctbal")).as("max_bal"))
+        .orderBy(col("c_nationkey"))),
+
+    // Densify pipe (Densify.java:31): JTS splits each segment into
+    // floor(len/tol)+1 pieces — closed-form point count per nation line
+    "sp_densify_npoints" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          st.numPoints(st.densify(col("geometry"), lit(0.7))).cast("long").as("n_dense"))
+        .orderBy(col("c_nationkey"))),
+
+    // ================================= training-pipeline operator additions
+    // exact word-4-gram Jaccard pairs, inverted-index candidates (guaranteed
+    // recall — unlike MinHash LSH this is fully oracle-checkable)
+    "dd_jaccard_pairs" -> ((s, dir) =>
+      Dedup.shingleJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.2, shingleK = 4)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // embedding-cosine near-dup pairs, exact variant (recall-guaranteed)
+    "dd_embed_neardup" -> ((s, dir) =>
+      Similarity.exactNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // IVF ANN: 16 deterministic coarse centroids, probe 2 lists, exact
+    // re-rank inside — the partition-pruned scale path beside brute force
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 2)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
     })
   )
+
+  /** Query rectangle shared by sp_intersects_poly / sp_relate_within /
+    * sp_set_ops — off-lattice bounds so no point ever sits on the boundary.
+    */
+  private val RectWkt =
+    "POLYGON ((0.2 -10.2, 30.2 -10.2, 30.2 40.2, 0.2 40.2, 0.2 -10.2))"
 
   /** Oracle for both spatial-join strategies: envelope containment is plain
     * min/max BETWEEN arithmetic on the lattice coordinates.
@@ -481,6 +588,243 @@ object SparkEntry {
       """SELECT e.vec_id AS id,
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-        |ORDER BY cosine DESC, id LIMIT 50""".stripMargin
+        |ORDER BY cosine DESC, id LIMIT 50""".stripMargin,
+
+    // ------------------------------------------ formerly-rows-only queries
+    "sp_intersects_poly" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x >= 0.2 AND x <= 30.2 AND y >= -10.2 AND y <= 40.2
+        |ORDER BY id""".stripMargin),
+
+    "sp_geojson_roundtrip" -> (PtsCte +
+      """
+        |SELECT c_nationkey, count(*)::BIGINT AS gj_pts, count(*)::BIGINT AS wkt_pts
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_closest_edge" -> ClosestEdgeSql,
+
+    "dd_simhash_pairs" -> SimhashSql,
+
+    "tx_langid" ->
+      s"""SELECT doc_id, ${TextAnalysis.languageIdDuckSql("text")} AS lang_guess,
+         |       ${TextAnalysis.polyFingerprintDuckSql("text")} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_decode" -> MmDecodeSql,
+
+    "sp_density_islands" -> DensityIslandsSql,
+
+    // ------------------------------------------------ §2 coverage oracles
+    "sp_affine_scale" -> (PtsCte +
+      """
+        |SELECT ck AS id, 2.0 * x + 10.0 AS ax, 0.5 * y - 5.0 AS ay
+        |FROM pts ORDER BY id""".stripMargin),
+
+    "sp_relate_within" -> (PtsCte +
+      """
+        |SELECT ck AS id, '0FFFFF212' AS rel FROM pts
+        |WHERE x > 0.2 AND x < 30.2 AND y > -10.2 AND y < 40.2
+        |ORDER BY id""".stripMargin),
+
+    "sp_line_meta" -> (PtsCte +
+      """
+        |SELECT c_nationkey,
+        |  CASE WHEN count(*) = 1 THEN 'Point' ELSE 'LineString' END AS gt,
+        |  CASE WHEN count(*) = 1 THEN 0 ELSE 1 END::BIGINT AS dim,
+        |  count(*)::BIGINT AS n_pts,
+        |  CASE WHEN count(*) = 1 THEN 0
+        |       WHEN (max(ck) - min(ck)) % 360 = 0 THEN 0
+        |       ELSE 2 END::BIGINT AS n_boundary
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_start_end" -> (PtsCte +
+      """
+        |SELECT c_nationkey, arg_min(x, ck) AS sx, arg_min(y, ck) AS sy,
+        |       arg_max(x, ck) AS ex, arg_max(y, ck) AS ey
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_set_ops" -> (PtsCte +
+      """
+        |SELECT c_nationkey,
+        |  count(*) FILTER (WHERE x > 0.2 AND x < 30.2 AND y > -10.2 AND y < 40.2) AS n_in,
+        |  count(*) FILTER (WHERE x > 0.2 AND x < 30.2 AND y > -10.2 AND y < 40.2) AS n_diff_empty,
+        |  count(*) FILTER (WHERE NOT (x > 0.2 AND x < 30.2 AND y > -10.2 AND y < 40.2)) AS n_sym2
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_sort_slice" -> (PtsCte +
+      """
+        |SELECT ck AS id, c_acctbal FROM pts
+        |ORDER BY c_acctbal DESC, ck LIMIT 20 OFFSET 10""".stripMargin),
+
+    "sp_dynamic_cql" -> (PtsCte +
+      """
+        |SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
+        |FROM pts WHERE c_acctbal > 5000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_densify_npoints" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |)
+        |SELECT c_nationkey,
+        |       CAST(1 + coalesce(sum(floor(seg / 0.7) + 1), 0) AS BIGINT) AS n_dense
+        |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // ------------------------------------------- training-pipeline oracles
+    "dd_jaccard_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(ts) - 3), i ->
+        |    array_to_string(ts[i+1:i+4], ' '))) AS ss
+        |  FROM toks
+        |), sh AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.ss, y.ss))::DOUBLE
+        |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jac
+        |  FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |sims AS (
+        |  SELECT e.vec_id AS id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+        |  FROM e CROSS JOIN c
+        |), assign AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1
+        |), probes AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid, row_number() OVER (ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM c CROSS JOIN q) WHERE rn <= 2
+        |)
+        |SELECT a.id, round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+        |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+        |ORDER BY cosine DESC, id LIMIT 20""".stripMargin
   )
+
+  // ------------------------------------------------- generated oracle SQL
+
+  /** spatial.closest oracle: nearest point on each nation polyline via the
+    * exact JTS projection algebra (LineSegment.projectionFactor + pointAlong;
+    * reference: SpatialTopologyUtils.java:95-140) written as plain SQL —
+    * identical IEEE double ops, so round(6) is bit-stable.
+    */
+  private val ClosestEdgeSql: String = {
+    val (px, py) = ("10.5", "20.5")
+    val r = s"((($px - x1) * dx + ($py - y1) * dy) / (dx * dx + dy * dy))"
+    val seg =
+      s"""CASE
+         |  WHEN dx * dx + dy * dy = 0 THEN sqrt(($px - x1) * ($px - x1) + ($py - y1) * ($py - y1))
+         |  WHEN $r <= 0 THEN sqrt(($px - x1) * ($px - x1) + ($py - y1) * ($py - y1))
+         |  WHEN $r >= 1 THEN sqrt(($px - x2) * ($px - x2) + ($py - y2) * ($py - y2))
+         |  ELSE sqrt(($px - (x1 + $r * dx)) * ($px - (x1 + $r * dx))
+         |          + ($py - (y1 + $r * dy)) * ($py - (y1 + $r * dy)))
+         |END""".stripMargin
+    PtsCte +
+      s"""
+         |, segs AS (
+         |  SELECT c_nationkey,
+         |         lag(x) OVER w AS x1, lag(y) OVER w AS y1,
+         |         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy,
+         |         x AS x2, y AS y2
+         |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+         |), d AS (
+         |  SELECT c_nationkey, min($seg) AS sd
+         |  FROM segs WHERE x1 IS NOT NULL GROUP BY 1
+         |)
+         |SELECT c_nationkey, round(sd, 6) AS snap_dist FROM d
+         |WHERE sd <= 50.0
+         |ORDER BY snap_dist, c_nationkey""".stripMargin
+  }
+
+  /** dd_simhash_pairs oracle: the same 24-bit polynomial simhash computed in
+    * DuckDB (generator kept beside the Spark expression — Dedup.polySimhash),
+    * O(n²) Hamming self-join (fine at oracle scale).
+    */
+  private val SimhashSql: String = {
+    val bits = 24
+    val hamming = (0 until bits).map { j =>
+      val p = 1L << j
+      s"(CASE WHEN (a.sh // $p) % 2 <> (b.sh // $p) % 2 THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Dedup.polySimhashDuckSql("text", bits)} AS sh FROM documents
+       |), p AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, ($hamming) AS hamming
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming FROM p
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** mm_decode oracle: the deterministic FNV-1a stub decode replayed in SQL —
+    * a recursive chain over UBIGINT state with the 64-bit wrap-around multiply
+    * done in HUGEINT and Java's byte sign-extension reproduced explicitly.
+    * Steps 1..64 fold the synthetic bytes; steps 65..320 emit 256 pixels.
+    */
+  private val MmDecodeSql: String =
+    """WITH RECURSIVE chain(media_id, step, state) AS (
+      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i)
+      |  UNION ALL
+      |  SELECT media_id, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64
+      |        THEN CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
+      |                  THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
+      |                  ELSE (media_id * 31 + step * 7) % 251 END
+      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 320
+      |)
+      |SELECT media_id,
+      |       round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
+      |FROM chain WHERE step > 64
+      |GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** sp_density_islands oracle: single-link connected components over the
+    * nation-0 point graph (edges = pairs within density 25) via a recursive
+    * transitive-closure CTE; island key = lexicographic min member id, the
+    * same canonicalization as densityIslandsScalable.
+    */
+  private val DensityIslandsSql: String =
+    PtsCte.replace("WITH pts", "WITH RECURSIVE pts") +
+      """
+        |, p0 AS (SELECT CAST(ck AS VARCHAR) AS id, x, y FROM pts WHERE c_nationkey = 0),
+        |e AS (
+        |  SELECT a.id AS src, b.id AS dst FROM p0 a JOIN p0 b
+        |  ON a.id <> b.id
+        |  AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 25.0
+        |), reach(id, label) AS (
+        |  SELECT id, id FROM p0
+        |  UNION
+        |  SELECT e.src, r.label FROM e JOIN reach r ON e.dst = r.id
+        |), comp AS (SELECT id, min(label) AS label FROM reach GROUP BY id)
+        |SELECT label AS island_key, count(*) AS n_members
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -235,6 +235,22 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
       .filter(col(property) === col("__ext")).drop("__ext"))
   }
 
+  /** Grouped Min/Max keep-ties: the reference's Min/Max pipe applied per
+    * group (e.g. per nation). A partitioned window max — one shuffle on the
+    * group keys, no broadcast needed, scales with group cardinality.
+    */
+  def minOfGrouped(property: String, groupCols: String*): GeoFrame =
+    minMaxGrouped(property, isMin = true, groupCols)
+  def maxOfGrouped(property: String, groupCols: String*): GeoFrame =
+    minMaxGrouped(property, isMin = false, groupCols)
+
+  private def minMaxGrouped(property: String, isMin: Boolean, groupCols: Seq[String]): GeoFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    val ext = (if (isMin) min(col(property)) else max(col(property))).over(w)
+    lift(df.filter(col(property).isNotNull)
+      .withColumn("__ext", ext).filter(col(property) === col("__ext")).drop("__ext"))
+  }
+
   /** Greedy single-link clustering (reference: DensityIslands.java:26-49).
     * Exact mode: single-partition greedy fold reproducing the reference's
     * order-dependent semantics (for parity tests). For scale, prefer

@@ -85,46 +85,77 @@ object SpatialAggs {
     * merge relation; island ids/geometry unions are canonicalized by min id.
     */
   def densityIslandsScalable(df: DataFrame, density: Double, maxIterations: Int = 25): DataFrame = {
-    val cell = density // grid cell = density ⇒ neighbors are within 1 cell
+    val cell = density // grid cell = density ⇒ point neighbors are within 1 cell
     val hasXY = df.columns.contains("x") && df.columns.contains("y")
-    val base = if (hasXY)
-      df.select(col("id").cast("string").as("id"), col("geometry"),
-        col("x").as("px"), col("y").as("py"))
-    else
-      df.select(col("id").cast("string").as("id"), col("geometry"),
-        col("bbox")("minx").as("px"), col("bbox")("miny").as("py"))
-    val pts = base
-      .withColumn("cx", floor(col("px") / cell))
-      .withColumn("cy", floor(col("py") / cell))
 
-    // candidate pairs: same or adjacent cell (covers all pairs within density
-    // for point geometries), refined by exact distance — pure column math for
-    // point layers (codegen), JTS decode only for non-point geometries
-    val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
-    val neighborCells = offsets.map { case (dx, dy) =>
-      struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+    val edges: DataFrame = if (hasXY) {
+      // point fast path: same-or-adjacent-cell candidates, refined by pure
+      // column distance math (codegen, no JTS decode)
+      val pts = df.select(col("id").cast("string").as("id"),
+          col("x").as("px"), col("y").as("py"))
+        .withColumn("cx", floor(col("px") / cell))
+        .withColumn("cy", floor(col("py") / cell))
+      val offsets = Seq((-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 0), (0, 1), (1, -1), (1, 0), (1, 1))
+      val neighborCells = offsets.map { case (dx, dy) =>
+        struct((col("cx") + dx).as("cx"), (col("cy") + dy).as("cy"))
+      }
+      val expanded = pts.withColumn("cell", explode(array(neighborCells: _*)))
+        .select(col("id"), col("px"), col("py"),
+          col("cell.cx").as("ncx"), col("cell.cy").as("ncy"))
+      val right = pts.select(col("id").as("rid"),
+        col("px").as("rpx"), col("py").as("rpy"), col("cx").as("rcx"), col("cy").as("rcy"))
+      expanded.join(right,
+          col("ncx") === col("rcx") && col("ncy") === col("rcy") && col("id") < col("rid"))
+        .filter(sqrt((col("px") - col("rpx")) * (col("px") - col("rpx")) +
+                     (col("py") - col("rpy")) * (col("py") - col("rpy"))) <= density)
+        .select(col("id").as("src"), col("rid").as("dst"))
+        .distinct()
+    } else {
+      // non-point geometries: two bboxes within `density` can have min-corners
+      // arbitrarily many cells apart, so corner bucketing misses edges. Instead
+      // replicate LEFT to every cell overlapped by its bbox expanded by
+      // `density` and RIGHT to its plain bbox cells — any pair within density
+      // then shares ≥1 cell (like SpatialJoin.cellsOf). Rows whose bbox would
+      // fan out past the cap pair via broadcast instead of exploding.
+      val jdist = udf((a: Array[Byte], b: Array[Byte]) =>
+        GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b)))
+      val base = df.select(col("id").cast("string").as("id"), col("geometry"), col("bbox"))
+      def cellsUdf(expand: Double) =
+        udf((minx: Double, miny: Double, maxx: Double, maxy: Double) => {
+          val x0 = math.floor((minx - expand) / cell).toLong
+          val x1 = math.floor((maxx + expand) / cell).toLong
+          val y0 = math.floor((miny - expand) / cell).toLong
+          val y1 = math.floor((maxy + expand) / cell).toLong
+          (for (cx <- x0 to x1; cy <- y0 to y1) yield (cx, cy)).toArray
+        })
+      val cap = 256L
+      val fanCol =
+        (floor((col("bbox")("maxx") + density) / cell) - floor((col("bbox")("minx") - density) / cell) + 1) *
+        (floor((col("bbox")("maxy") + density) / cell) - floor((col("bbox")("miny") - density) / cell) + 1)
+      val norm = base.filter(fanCol <= cap)
+      val big = base.filter(fanCol > cap)
+      val lrep = norm.withColumn("c", explode(cellsUdf(density)(
+        col("bbox")("minx"), col("bbox")("miny"), col("bbox")("maxx"), col("bbox")("maxy"))))
+      val rrep = norm.select(col("id").as("rid"), col("geometry").as("rgeom"), col("bbox").as("rbbox"))
+        .withColumn("c", explode(cellsUdf(0.0)(
+          col("rbbox")("minx"), col("rbbox")("miny"), col("rbbox")("maxx"), col("rbbox")("maxy"))))
+      val gridPairs = lrep.join(rrep, lrep("c") === rrep("c") && col("id") < col("rid"))
+        .select(col("id"), col("geometry"), col("rid"), col("rgeom"))
+        .distinct()
+      // every pair involving an oversized row, canonicalized src<dst
+      val bigPairs = base.join(
+          broadcast(big.select(col("id").as("rid"), col("geometry").as("rgeom"))),
+          col("id") =!= col("rid"))
+        .select(least(col("id"), col("rid")).as("id"),
+          when(col("id") < col("rid"), col("geometry")).otherwise(col("rgeom")).as("geometry"),
+          greatest(col("id"), col("rid")).as("rid"),
+          when(col("id") < col("rid"), col("rgeom")).otherwise(col("geometry")).as("rgeom"))
+        .distinct()
+      gridPairs.unionByName(bigPairs)
+        .filter(jdist(col("geometry"), col("rgeom")) <= density)
+        .select(col("id").as("src"), col("rid").as("dst"))
+        .distinct()
     }
-    val expanded = pts.withColumn("cell", explode(array(neighborCells: _*)))
-      .select(col("id"), col("geometry"), col("px"), col("py"),
-        col("cell.cx").as("ncx"), col("cell.cy").as("ncy"))
-
-    val right = pts.select(col("id").as("rid"), col("geometry").as("rgeom"),
-      col("px").as("rpx"), col("py").as("rpy"), col("cx").as("rcx"), col("cy").as("rcy"))
-
-    val distCond =
-      if (hasXY)
-        sqrt((col("px") - col("rpx")) * (col("px") - col("rpx")) +
-             (col("py") - col("rpy")) * (col("py") - col("rpy"))) <= density
-      else
-        udf((a: Array[Byte], b: Array[Byte]) =>
-          GeomCodec.fromWkb(a).distance(GeomCodec.fromWkb(b)))
-          .apply(col("geometry"), col("rgeom")) <= density
-
-    val edges = expanded.join(right,
-        col("ncx") === col("rcx") && col("ncy") === col("rcy") && col("id") < col("rid"))
-      .filter(distCond)
-      .select(col("id").as("src"), col("rid").as("dst"))
-      .distinct()
 
     // Connected components by hash-to-min with pointer jumping: each round a
     // vertex takes the min over its own label, neighbor labels, AND its
@@ -134,7 +165,8 @@ object SpatialAggs {
     // bottleneck at sf0.1. localCheckpoint truncates lineage each round.
     val sym = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = pts.select(col("id"), col("id").as("label")).localCheckpoint(true)
+    var labels = df.select(col("id").cast("string").as("id"), col("id").cast("string").as("label"))
+      .localCheckpoint(true)
     var checksum = -1L
     var iter = 0
     var converged = false

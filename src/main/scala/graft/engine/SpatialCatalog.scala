@@ -78,7 +78,7 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
   def createLayer(name: String, df: DataFrame, meta: LayerMeta): GeoFrame = {
     require(!layerExists(name), s"layer $name already exists")
     if (Set("hilbert", "zorder", "geohash").contains(meta.indexType)
-        && df.columns.contains("x"))
+        && df.columns.contains("bbox"))
       graft.plans.SpatialLayout.writeClustered(df, dataPath(name), meta.indexType)
     else
       df.write.mode("overwrite").parquet(dataPath(name))
@@ -109,14 +109,15 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
   /** Create a WKT layer — the `spatial.addWKTLayer` + `spatial.addWKTs` path
     * (reference: SpatialProcedures.java:537,767).
     */
-  def createWktLayer(name: String, source: DataFrame, idCol: String, wktCol: String): GeoFrame = {
+  def createWktLayer(name: String, source: DataFrame, idCol: String, wktCol: String,
+      indexType: String = "bbox"): GeoFrame = {
     val canonical = source
       .withColumn("id", col(idCol).cast("string"))
       .withColumn("geometry", st.geomFromText(col(wktCol)))
       .withColumn("gtype", st.gtype(col("geometry")))
       .withColumn("bbox", st.bboxOf(col("geometry")))
       .select("id", "geometry", "gtype", "bbox")
-    createLayer(name, canonical, LayerMeta(name, 0, encoder = "wkt"))
+    createLayer(name, canonical, LayerMeta(name, 0, encoder = "wkt", indexType = indexType))
   }
 
   def getLayer(name: String): GeoFrame = {

@@ -61,44 +61,77 @@ object SpatialJoin {
       exactPred(predicate)(col("l_geometry"), col("r_geometry")))
   }
 
-  /** Cells (cx, cy) overlapped by a bbox at the given cell size. */
+  /** Cells (cx, cy) overlapped by a bbox at the given cell size. Callers must
+    * pre-filter rows to fan-out ≤ MaxCellsPerRow (see gridJoin); this UDF
+    * only ever sees bounded replication.
+    */
   private def cellsOf(bboxCol: Column, cellSize: Double): Column = {
     val cells = udf((minx: Double, miny: Double, maxx: Double, maxy: Double) => {
       val x0 = math.floor(minx / cellSize).toLong
       val x1 = math.floor(maxx / cellSize).toLong
       val y0 = math.floor(miny / cellSize).toLong
       val y1 = math.floor(maxy / cellSize).toLong
-      // cap per-row replication; oversized geometries fall back to coarse cells
       val out = for (cx <- x0 to x1; cy <- y0 to y1) yield (cx, cy)
       out.toArray
     })
     cells(bboxCol("minx"), bboxCol("miny"), bboxCol("maxx"), bboxCol("maxy"))
   }
 
+  /** Cap on grid-cell replication per row. A geometry whose bbox spans more
+    * cells than this (relative to cellSize — auto-sizing uses the MEAN
+    * extent, so a single continent-sized geometry can exceed it arbitrarily)
+    * would explode unboundedly and OOM an executor; such rows are few by
+    * construction and instead join via broadcast.
+    */
+  val MaxCellsPerRow = 256L
+
+  private def fanout(bboxCol: Column, cellSize: Double): Column =
+    (floor(bboxCol("maxx") / cellSize) - floor(bboxCol("minx") / cellSize) + 1) *
+    (floor(bboxCol("maxy") / cellSize) - floor(bboxCol("miny") / cellSize) + 1)
+
+  private def bboxOverlap: Column =
+    col("l_bbox")("minx") <= col("r_bbox")("maxx") &&
+    col("l_bbox")("maxx") >= col("r_bbox")("minx") &&
+    col("l_bbox")("miny") <= col("r_bbox")("maxy") &&
+    col("l_bbox")("maxy") >= col("r_bbox")("miny")
+
   /** PBSM grid strategy for two large sides. `cellSize` should be on the
     * order of the typical right-side bbox extent (a few rows per cell).
+    * Rows whose bbox would replicate to more than MaxCellsPerRow cells are
+    * split off and joined via broadcast (cheap: they're rare outliers), so
+    * per-row explode fan-out is bounded regardless of geometry size.
     */
   def gridJoin(left: DataFrame, right: DataFrame, cellSize: Double,
       predicate: String = "intersects"): DataFrame = {
-    val l = prefixed(left, "l_")
-      .withColumn("__cell", explode(cellsOf(col("l_bbox"), cellSize)))
-    val r = prefixed(right, "r_")
-      .withColumn("__cell", explode(cellsOf(col("r_bbox"), cellSize)))
+    val l0 = prefixed(left, "l_")
+    val r0 = prefixed(right, "r_")
+    val exact = exactPred(predicate)(col("l_geometry"), col("r_geometry"))
 
-    val joined = l.join(r, l("__cell") === r("__cell"))
-      .filter(
-        col("l_bbox")("minx") <= col("r_bbox")("maxx") &&
-        col("l_bbox")("maxx") >= col("r_bbox")("minx") &&
-        col("l_bbox")("miny") <= col("r_bbox")("maxy") &&
-        col("l_bbox")("maxy") >= col("r_bbox")("miny"))
+    val lNorm = l0.filter(fanout(col("l_bbox"), cellSize) <= MaxCellsPerRow)
+    val lBig  = l0.filter(fanout(col("l_bbox"), cellSize) > MaxCellsPerRow)
+    val rNorm = r0.filter(fanout(col("r_bbox"), cellSize) <= MaxCellsPerRow)
+    val rBig  = r0.filter(fanout(col("r_bbox"), cellSize) > MaxCellsPerRow)
+
+    val l = lNorm.withColumn("__cell", explode(cellsOf(col("l_bbox"), cellSize)))
+    val r = rNorm.withColumn("__cell", explode(cellsOf(col("r_bbox"), cellSize)))
+
+    val grid = l.join(r, l("__cell") === r("__cell"))
+      .filter(bboxOverlap)
       // reference-point dedup: emit the pair only from the cell that contains
       // the top-left corner of the bbox intersection (each pair has exactly
       // one such cell, so replicated candidates collapse without a distinct)
       .filter(
         floor(greatest(col("l_bbox")("minx"), col("r_bbox")("minx")) / cellSize) === l("__cell")("_1") &&
         floor(greatest(col("l_bbox")("miny"), col("r_bbox")("miny")) / cellSize) === l("__cell")("_2"))
-      .filter(exactPred(predicate)(col("l_geometry"), col("r_geometry")))
-    joined.drop("__cell")
+      .filter(exact)
+      .drop("__cell")
+
+    // oversized-left × all-right, and normal-left × oversized-right: covers
+    // every pair involving an oversized row exactly once
+    val viaBigL = r0.join(broadcast(lBig), bboxOverlap && exact)
+    val viaBigR = lNorm.join(broadcast(rBig), bboxOverlap && exact)
+    val cols = grid.columns.map(col).toSeq
+    grid.unionByName(viaBigL.select(cols: _*)).unionByName(viaBigR.select(cols: _*))
   }
 
   /** Pick a grid cell size from bbox statistics: a cell should be on the

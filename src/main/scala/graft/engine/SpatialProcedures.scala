@@ -84,14 +84,26 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
       idCol: String, xCol: String, yCol: String): GeoFrame =
     catalog.createPointLayer(name, source, idCol, xCol, yCol)
 
-  /** spatial.addLayer with a preset type (reference: :509). */
+  /** spatial.addLayer with a preset type (reference: :509). The preset picks
+    * BOTH the encoder and the index/layout (SpatialLayerTypePresets.java:39-73):
+    * point-xy presets take `geomCol` as an `"xCol:yCol"` encoder config (the
+    * reference's `"longitude:latitude"` shape, SimplePointEncoder.java:36) and
+    * build a point layer; WKT/WKB presets parse the geometry column. The
+    * preset's indexType reaches the catalog so curve presets write clustered.
+    */
   def addLayer(name: String, layerType: String, source: DataFrame,
       idCol: String, geomCol: String): GeoFrame = {
-    val (enc, _) = layerTypes.getOrElse(layerType,
+    val (enc, indexType) = layerTypes.getOrElse(layerType,
       throw new IllegalArgumentException(s"unknown layer type $layerType"))
     enc match {
-      case "wkt" => catalog.createWktLayer(name, source, idCol, geomCol)
-      case _ => catalog.createWktLayer(name, source, idCol, geomCol)
+      case "point-xy" =>
+        val (xCol, yCol) = geomCol.split(":") match {
+          case Array(x, y) => (x, y)
+          case _ => throw new IllegalArgumentException(
+            s"point layer type $layerType needs geomCol as 'xCol:yCol', got '$geomCol'")
+        }
+        catalog.createPointLayer(name, source, idCol, xCol, yCol, indexType)
+      case _ => catalog.createWktLayer(name, source, idCol, geomCol, indexType)
     }
   }
 

@@ -71,6 +71,8 @@ object st {
   val geomFromText: Column => Column = c => udf((s: String) => if (s == null) null else GeomCodec.toWkb(GeomCodec.fromWkt(s))).apply(c)
   val asText: Column => Column = c => g1[String](GeomCodec.toWkt).apply(c)
   val asGeoJson: Column => Column = c => g1[String](GeoOutput.toGeoJson).apply(c)
+  val geomFromGeoJson: Column => Column = c =>
+    udf((s: String) => if (s == null) null else GeomCodec.toWkb(GeoOutput.fromGeoJson(s))).apply(c)
   val asGml: Column => Column = c => g1[String](GeoOutput.toGml).apply(c)
   val asKml: Column => Column = c => g1[String](GeoOutput.toKml).apply(c)
   def makePoint(x: Column, y: Column): Column =

@@ -43,6 +43,148 @@ object GeoOutput {
     case other => throw new IllegalArgumentException(s"Unsupported geometry type: ${other.getGeometryType}")
   }
 
+  /** GeoJSON → JTS parser (inverse of toGeoJson): a small recursive-descent
+    * scan over the geometry subset of GeoJSON — no JSON library needed for
+    * the fixed `{"type":…,"coordinates":…}` shape our writer and common
+    * producers emit. Whitespace-tolerant; 2D/3D positions.
+    */
+  def fromGeoJson(s: String): Geometry = new GeoJsonParser(s).parseGeometry()
+
+  private final class GeoJsonParser(s: String) {
+    private var i = 0
+    private def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    private def expect(c: Char): Unit = {
+      ws()
+      if (i >= s.length || s.charAt(i) != c)
+        throw new IllegalArgumentException(s"GeoJSON parse: expected '$c' at $i in $s")
+      i += 1
+    }
+    private def parseString(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        if (s.charAt(i) == '\\') i += 1
+        sb.append(s.charAt(i)); i += 1
+      }
+      i += 1
+      sb.toString
+    }
+    private def parseNumber(): Double = {
+      ws()
+      val start = i
+      while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+      s.substring(start, i).toDouble
+    }
+    private def peek(): Char = { ws(); s.charAt(i) }
+
+    /** [x,y] or [x,y,z] */
+    private def parsePosition(): Coordinate = {
+      expect('[')
+      val x = parseNumber()
+      expect(',')
+      val y = parseNumber()
+      val c = if (peek() == ',') { i += 1; new Coordinate(x, y, parseNumber()) }
+              else new Coordinate(x, y)
+      expect(']')
+      c
+    }
+    private def parseArrayOf[T](elem: () => T): Vector[T] = {
+      expect('[')
+      val out = Vector.newBuilder[T]
+      if (peek() != ']') {
+        out += elem()
+        while (peek() == ',') { i += 1; out += elem() }
+      }
+      expect(']')
+      out.result()
+    }
+
+    private val f = GeomCodec.factory
+
+    def parseGeometry(): Geometry = {
+      expect('{')
+      var typ: String = null
+      var geom: Geometry = null
+      var coordsStart = -1
+      var done = false
+      while (!done) {
+        val key = parseString()
+        expect(':')
+        key match {
+          case "type" => typ = parseString()
+          case "coordinates" =>
+            // type may appear after coordinates; remember position and skip
+            coordsStart = { ws(); i }
+            skipValue()
+          case "geometries" =>
+            val members = parseArrayOf(() => parseGeometry())
+            geom = f.createGeometryCollection(members.toArray)
+          case _ => skipValue()
+        }
+        if (peek() == ',') i += 1 else { expect('}'); done = true }
+      }
+      if (typ == "GeometryCollection") geom
+      else {
+        require(typ != null && coordsStart >= 0, s"GeoJSON parse: missing type/coordinates in $s")
+        val endPos = i // past this object's '}' — restore before returning
+        i = coordsStart
+        val g = typ match {
+          case "Point" => f.createPoint(parsePosition())
+          case "LineString" => f.createLineString(parseArrayOf(() => parsePosition()).toArray)
+          case "Polygon" => polygonOf(parseArrayOf(() => parseArrayOf(() => parsePosition())))
+          case "MultiPoint" =>
+            f.createMultiPoint(parseArrayOf(() => parsePosition()).map(f.createPoint).toArray)
+          case "MultiLineString" =>
+            f.createMultiLineString(
+              parseArrayOf(() => parseArrayOf(() => parsePosition())).map(cs => f.createLineString(cs.toArray)).toArray)
+          case "MultiPolygon" =>
+            f.createMultiPolygon(
+              parseArrayOf(() => parseArrayOf(() => parseArrayOf(() => parsePosition()))).map(polygonOf).toArray)
+          case other => throw new IllegalArgumentException(s"GeoJSON type $other not supported")
+        }
+        i = endPos
+        g
+      }
+    }
+
+    private def polygonOf(rings: Vector[Vector[Coordinate]]): Polygon = {
+      val shell = f.createLinearRing(rings.head.toArray)
+      val holes = rings.tail.map(r => f.createLinearRing(r.toArray)).toArray
+      f.createPolygon(shell, holes)
+    }
+
+    /** Skip any JSON value (used for unknown keys and coordinate pre-scan). */
+    private def skipValue(): Unit = {
+      ws()
+      s.charAt(i) match {
+        case '{' =>
+          var depth = 0
+          do {
+            s.charAt(i) match {
+              case '{' | '[' => depth += 1
+              case '}' | ']' => depth -= 1
+              case '"' => i += 1; while (s.charAt(i) != '"') { if (s.charAt(i) == '\\') i += 1; i += 1 }
+              case _ =>
+            }
+            i += 1
+          } while (depth > 0)
+        case '[' =>
+          var depth = 0
+          do {
+            s.charAt(i) match {
+              case '[' | '{' => depth += 1
+              case ']' | '}' => depth -= 1
+              case '"' => i += 1; while (s.charAt(i) != '"') { if (s.charAt(i) == '\\') i += 1; i += 1 }
+              case _ =>
+            }
+            i += 1
+          } while (depth > 0)
+        case '"' => parseString()
+        case _ => while (i < s.length && ",}]".indexOf(s.charAt(i)) < 0) i += 1
+      }
+    }
+  }
+
   // ---------------------------------------------------------------- GML 2
 
   def toGml(g: Geometry): String = g match {

@@ -151,16 +151,80 @@ object Dedup {
       }
     }).apply(text)
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16):
-    * pigeonhole on 4 × 16-bit chunks — any pair within Hamming 3 shares at
-    * least one exact chunk, so the self-join key is (chunk_idx, chunk_value).
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming: pigeonhole on
+    * (maxHamming+1) chunks of the 64-bit signature — a pair within Hamming
+    * maxHamming differs in at most maxHamming chunks, so it SHARES at least
+    * one exact chunk (guaranteed recall for any maxHamming ≤ 15), and the
+    * self-join key is (chunk_idx, chunk_value). Smaller maxHamming ⇒ wider
+    * chunks ⇒ sharper buckets; maxHamming is capped at 15 (4-bit chunks)
+    * because beyond that bucket selectivity collapses toward O(n²).
     */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0,15] (got $maxHamming): chunks of 64/(maxHamming+1) bits must stay selective")
     val sim = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sh"))
+    hammingBandPairs(sim, 64, maxHamming)
+  }
+
+  /** SimHash over word unigrams using the SQL-expressible polynomial token
+    * hash (TextAnalysis.polyHash) — `bits`-bit signature as a pure column
+    * expression (codegen, no UDF). Bit j weight = Σ_tokens ±1 by bit j of the
+    * token hash; sign > 0 sets the bit. The identical computation is emitted
+    * for DuckDB by [[polySimhashDuckSql]], making simhash pair queries
+    * oracle-checkable end-to-end.
+    */
+  def polySimhash(text: Column, bits: Int = 24): Column =
+    // compiled loop rather than HOF columns: the per-char lambda
+    // interpretation of transform/aggregate is ~20× slower on wide corpora;
+    // the arithmetic below is integer-exact and identical to the DuckDB
+    // generator, so oracle hash-matches are unaffected
+    udf((s: String) => {
+      if (s == null) 0L
+      else {
+        val acc = new Array[Long](bits)
+        s.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { t =>
+          var h = 7L
+          var i = 0
+          while (i < t.length) { h = (h * 31 + t.charAt(i).toInt) % 1000000007L; i += 1 }
+          var j = 0
+          while (j < bits) { if (((h >> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1; j += 1 }
+        }
+        var out = 0L
+        var j = 0
+        while (j < bits) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+        out
+      }
+    }).apply(text)
+
+  /** DuckDB equivalent of [[polySimhash]] over `textExpr`. */
+  def polySimhashDuckSql(textExpr: String, bits: Int = 24): String = {
+    val toks = s"list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> t <> '')"
+    val hashes = s"list_transform($toks, t -> ${TextAnalysis.polyHashDuckSql("t")})"
+    (0 until bits).map { j =>
+      val p = 1L << j
+      s"(CASE WHEN list_sum(list_transform($hashes, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $p ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
+  /** Pigeonhole-banded Hamming-≤maxHamming self-join over a (id, sh) frame:
+    * (maxHamming+1) chunks of the `bits`-wide signature guarantee any
+    * qualifying pair shares an exact chunk. Exact Hamming verify after.
+    */
+  private def hammingBandPairs(sim: DataFrame, bits: Int, maxHamming: Int): DataFrame = {
+    val numChunks = maxHamming + 1
+    val baseW = bits / numChunks
+    val extra = bits % numChunks
+    val bounds = (0 until numChunks).scanLeft(0)((acc, i) =>
+      acc + baseW + (if (i < extra) 1 else 0))
     val chunked = sim.select(col("id"), col("sh"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("ci"), shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("c"))
+        explode(array((0 until numChunks).map { i =>
+          val start = bounds(i)
+          val w = bounds(i + 1) - start
+          val mask = if (w == 64) -1L else (1L << w) - 1
+          struct(lit(i).as("ci"),
+            shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("cv"))
+        }: _*)).as("c"))
       .select(col("id"), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
     val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     chunked.as("l").join(chunked.as("r"),
@@ -171,6 +235,16 @@ object Dedup {
       .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Oracle-checkable SimHash near-dup pairs: polySimhash signatures, banded
+    * candidate join, exact Hamming verify.
+    */
+  def simhashPolyPairs(df: DataFrame, idCol: String, textCol: String,
+      bits: Int = 24, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, s"maxHamming in [0,15], got $maxHamming")
+    val sim = df.select(col(idCol).as("id"), polySimhash(col(textCol), bits).as("sh"))
+    hammingBandPairs(sim, bits, maxHamming)
   }
 
   // ------------------------------------------------------- n-gram Jaccard
@@ -187,6 +261,46 @@ object Dedup {
         set.toArray.sorted
       }
     }).apply(text)
+
+  /** Exact word-k-gram Jaccard pairs with GUARANTEED recall for any
+    * threshold > 0: candidates = pairs sharing ≥1 distinct shingle (inverted
+    * index self-join on the shingle — sub-quadratic: cost is Σ_shingle f²,
+    * bounded by shingle selectivity, not n²), then exact set Jaccard.
+    * Deterministic and fully SQL-expressible, so DuckDB can oracle-check it —
+    * unlike MinHash LSH, whose candidate set is probabilistic.
+    */
+  def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 4): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 for shared-shingle recall to hold")
+    // distinct k-gram shingles as strings (exact sets — no hash collisions);
+    // compiled loop: the HOF slice/array_join pipeline interprets its lambda
+    // per shingle and is recomputed for each of the three consumers below
+    val shingleSet = udf((s: String) => {
+      if (s == null) Array.empty[String]
+      else {
+        val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < shingleK) Array.empty[String]
+        else toks.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
+      }
+    })
+    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol)).as("ss"))
+    val inv = sets.select(col("id"), explode(col("ss")).as("s"))
+    val cand = inv.as("l").join(inv.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    val jac = udf((a: Seq[String], b: Seq[String]) => {
+      val sa = a.toSet; val sb = b.toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
+    })
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 
   /** Character-n-gram Jaccard for candidate pairs (pairs from any LSH stage;
     * here reuses the minhash banding to stay sub-quadratic).

@@ -118,6 +118,77 @@ object TextAnalysis {
       else fnv1a64(s.toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" "))
     ).apply(text)
 
+  // ------------------------------------------- oracle-expressible variants
+  //
+  // These variants use ONLY constructs with exact DuckDB-SQL equivalents
+  // (polynomial char hash mod 1e9+7, list folds, marker-vocabulary voting),
+  // so the driver's DuckDB correctness gate can hash-match them end-to-end.
+  // Each has a companion *DuckSql generator emitting the matching SQL — keep
+  // the pairs in sync. Pure column expressions: codegen, no UDFs.
+
+  /** Polynomial char hash: fold (acc*31 + code(char)) % 1_000_000_007, seed 7.
+    * ASCII-safe (Spark `ascii` and DuckDB `ord` agree on single-byte chars).
+    */
+  def polyHash(strCol: Column): Column = {
+    val codes = transform(
+      filter(split(strCol, ""), c => c =!= ""),
+      c => ascii(c).cast("long"))
+    aggregate(codes, lit(7L), (acc, c) => (acc * 31 + c) % 1000000007L)
+  }
+
+  /** DuckDB equivalent of [[polyHash]] over the SQL expression `e`. */
+  def polyHashDuckSql(e: String): String =
+    s"list_reduce(list_prepend(CAST(7 AS BIGINT), " +
+      s"list_transform(range(1, length($e) + 1), i -> CAST(ord(substr($e, i, 1)) AS BIGINT))), " +
+      "(a, c) -> (a * 31 + c) % 1000000007)"
+
+  /** Whole-document fingerprint over whitespace-normalized lowercase text —
+    * the oracle-checkable analog of [[docFingerprint]].
+    */
+  def polyFingerprint(text: Column): Column =
+    polyHash(array_join(filter(split(lower(text), "\\s+"), t => t =!= ""), " "))
+
+  def polyFingerprintDuckSql(textExpr: String): String =
+    polyHashDuckSql(
+      s"array_to_string(list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> t <> ''), ' ')")
+
+  /** Language-ID as a pure column expression: marker-vocabulary voting with
+    * the same argmax-by-(count, lang) tie rule as [[languageId]], minus the
+    * CJK script short-circuit (script detection needs codepoints; documents
+    * in this pipeline stage are ASCII — route CJK via [[languageId]]).
+    */
+  def languageIdExpr(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-z]+"), t => t =!= "")
+    val langsDesc = markers.keys.toSeq.sorted.reverse // pt, it, fr, es, en, de
+    val counts: Map[String, Column] = langsDesc.map { l =>
+      l -> size(filter(toks, t => t.isin(markers(l).toSeq: _*)))
+    }.toMap
+    val total = counts.values.reduce(_ + _)
+    // maxBy((count, lang)): scan langs in descending name order, first one
+    // whose count >= all others wins (ties fall to the later alphabet name)
+    val picked = langsDesc.init.foldRight(lit(langsDesc.last)) { (l, els) =>
+      val cond = langsDesc.filterNot(_ == l).map(o => counts(l) >= counts(o)).reduce(_ && _)
+      when(cond, lit(l)).otherwise(els)
+    }
+    when(total === 0, lit("und")).otherwise(picked)
+  }
+
+  /** DuckDB equivalent of [[languageIdExpr]] over `textExpr`. */
+  def languageIdDuckSql(textExpr: String): String = {
+    val toks = s"list_filter(string_split_regex(lower($textExpr), '[^a-z]+'), t -> t <> '')"
+    val langsDesc = markers.keys.toSeq.sorted.reverse
+    def cnt(l: String): String = {
+      val in = markers(l).toSeq.sorted.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter($toks, t -> t IN ($in)))"
+    }
+    val total = langsDesc.map(cnt).mkString(" + ")
+    val branches = langsDesc.init.map { l =>
+      val cond = langsDesc.filterNot(_ == l).map(o => s"${cnt(l)} >= ${cnt(o)}").mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }.mkString(" ")
+    s"CASE WHEN ($total) = 0 THEN 'und' $branches ELSE '${langsDesc.last}' END"
+  }
+
   /** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03):
     * k-gram rolling hashes, window-min selection. Robust local fingerprints
     * for near-dup / overlap detection; returns array<long>.

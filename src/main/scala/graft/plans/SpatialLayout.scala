@@ -120,7 +120,13 @@ object SpatialLayout {
     */
   def writeClustered(df: DataFrame, path: String,
       indexType: String = "hilbert", numPartitions: Int = 0): Unit = {
-    val keyed = keyFor(indexType, col("x"), col("y")) match {
+    // point layers key on x/y; general layers key on the bbox center (the
+    // same centroid-keyed curve the reference uses for non-point RTree leaves)
+    val (kx, ky) =
+      if (df.columns.contains("x")) (col("x"), col("y"))
+      else ((col("bbox")("minx") + col("bbox")("maxx")) / 2,
+            (col("bbox")("miny") + col("bbox")("maxy")) / 2)
+    val keyed = keyFor(indexType, kx, ky) match {
       case Some(k) => df.withColumn("__sfc", k)
       case None => df
     }

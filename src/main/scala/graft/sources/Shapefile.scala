@@ -257,14 +257,24 @@ object Shapefile {
       b.putInt(1); b.putDouble(g.getCoordinate.x); b.putDouble(g.getCoordinate.y)
       b.array()
     case 3 | 5 =>
-      val parts: Seq[Array[Coordinate]] = g match {
+      // each polygon ring (shell + every hole) is its OWN shapefile part;
+      // flattening a member polygon's coordinates would fuse shell and holes
+      // into one corrupt self-touching ring. ESRI winding: shells CW, holes
+      // CCW — enforced here so readers (incl. ours) reassemble correctly.
+      def wound(cs: Array[Coordinate], ccw: Boolean): Array[Coordinate] =
+        if (org.locationtech.jts.algorithm.Orientation.isCCW(
+              GeomCodec.factory.getCoordinateSequenceFactory.create(cs)) == ccw) cs
+        else cs.reverse
+      def partsOf(geom: Geometry): Seq[Array[Coordinate]] = geom match {
         case p: org.locationtech.jts.geom.Polygon =>
-          (Seq(p.getExteriorRing) ++ (0 until p.getNumInteriorRing).map(p.getInteriorRingN))
-            .map(_.getCoordinates)
+          wound(p.getExteriorRing.getCoordinates, ccw = false) +:
+            (0 until p.getNumInteriorRing)
+              .map(i => wound(p.getInteriorRingN(i).getCoordinates, ccw = true))
         case m: org.locationtech.jts.geom.GeometryCollection =>
-          (0 until m.getNumGeometries).map(i => m.getGeometryN(i).getCoordinates)
+          (0 until m.getNumGeometries).flatMap(i => partsOf(m.getGeometryN(i)))
         case other => Seq(other.getCoordinates)
       }
+      val parts: Seq[Array[Coordinate]] = partsOf(g)
       val numPoints = parts.map(_.length).sum
       val b = ByteBuffer.allocate(44 + parts.length * 4 + numPoints * 16)
         .order(ByteOrder.LITTLE_ENDIAN)

@@ -194,6 +194,35 @@ class Round2Spec extends SparkSpec {
     assert(got == Set(1, 2, 4))
   }
 
+  // ---------------------------------------- bbox-conjunct optimizer rule
+
+  test("BboxConjunctRule injects an envelope pre-filter that reaches the scan") {
+    graft.plans.GraftOptimizations.install(spark)
+    val dir = java.nio.file.Files.createTempDirectory("bboxrule").toString
+    val pts = (1 to 200).map { i =>
+      val x = (i % 40).toDouble; val y = (i / 40).toDouble
+      (i.toString, GeomCodec.toWkb(GeomCodec.point(x, y)), x, y)
+    }.toDF("id", "geometry", "x", "y")
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    pts.write.mode("overwrite").parquet(dir)
+    val layer = spark.read.parquet(dir)
+    val rect = GeomCodec.toWkb(GeomCodec.fromWkt("POLYGON ((0.5 0.5, 10.5 0.5, 10.5 3.5, 0.5 3.5, 0.5 0.5))"))
+    val q = layer.filter(call_udf("st_intersects", col("geometry"), lit(rect)))
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("minx"), s"no envelope conjunct in:\n$optimized")
+    // idempotent under fix-point: conjuncts injected once, not per pass
+    assert("minx".r.findAllIn(optimized).length <= 4, s"rule re-injected conjuncts:\n$optimized")
+    // same rows as the bare predicate evaluated without the rule's pre-filter
+    val expected = pts.collect().map(r => (r.getString(0), r.getDouble(2), r.getDouble(3)))
+      .filter { case (_, x, y) => x >= 0.5 && x <= 10.5 && y >= 0.5 && y <= 3.5 }
+      .map(_._1).toSet
+    assert(q.select("id").as[String].collect().toSet == expected)
+    // directional predicates: literal on either side, correct containment sense
+    val qWithin = layer.filter(call_udf("st_within", col("geometry"), lit(rect)))
+    assert(qWithin.queryExecution.optimizedPlan.toString().contains("minx"))
+    assert(qWithin.select("id").as[String].collect().toSet == expected)
+  }
+
   // ----------------------------------------- addLayer preset dispatch (fix)
 
   test("addLayer point preset builds a point layer with the preset index") {

@@ -234,16 +234,23 @@ object SparkEntry {
       T(s, dir, "documents")
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_split"),
+          TextAnalysis.tokenCountBpe(col("text")).cast("long").as("n_bpe"),
           length(col("text")).cast("long").as("n_chars"))
         .orderBy(col("doc_id"))),
 
+    // the full quality-scoring struct (length/tokens/punct/digit/upper/
+    // stopword features), every field oracle-checked
     "tx_quality" -> ((s, dir) =>
       T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.textQuality(col("text")).as("q"))
         .select(col("doc_id"),
-          round((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")))
-            .cast("double") / length(col("text")), 6).as("digit_ratio"),
-          round((length(col("text")) - length(regexp_replace(col("text"), "[aeiou]", "")))
-            .cast("double") / length(col("text")), 6).as("vowel_ratio"))
+          col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          round(col("q.mean_token_len"), 6).as("mean_token_len"),
+          round(col("q.punct_ratio"), 6).as("punct_ratio"),
+          round(col("q.digit_ratio"), 6).as("digit_ratio"),
+          round(col("q.upper_ratio"), 6).as("upper_ratio"),
+          round(col("q.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
     // ------------------------------------------------------- similarity
@@ -415,6 +422,17 @@ object SparkEntry {
           st.numPoints(st.densify(col("geometry"), lit(0.7))).cast("long").as("n_dense"))
         .orderBy(col("c_nationkey"))),
 
+    // GML/KML writer pipes (GML.java:30-48, KeyholeMarkupLanguage.java:32-55):
+    // coordinate-token counts in the emitted markup must equal the row count
+    "sp_gml_kml" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          size(split(regexp_extract(st.asKml(col("geometry")),
+            "<coordinates>([^<]*)</coordinates>", 1), " ")).cast("long").as("kml_pts"),
+          size(split(regexp_extract(st.asGml(col("geometry")),
+            "<gml:coordinates>([^<]*)</gml:coordinates>", 1), " ")).cast("long").as("gml_pts"))
+        .orderBy(col("c_nationkey"))),
+
     // ================================= training-pipeline operator additions
     // exact word-4-gram Jaccard pairs, inverted-index candidates (guaranteed
     // recall — unlike MinHash LSH this is fully oracle-checkable)
@@ -573,16 +591,11 @@ object SparkEntry {
 
     "tx_tokens" ->
       """SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_split,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS n_bpe,
         |       length(text)::BIGINT AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "tx_quality" ->
-      """SELECT doc_id,
-        |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
-        |        / length(text), 6) AS digit_ratio,
-        |  round((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')))::DOUBLE
-        |        / length(text), 6) AS vowel_ratio
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_quality" -> TxQualitySql,
 
     "sim_cosine_topk" ->
       """SELECT e.vec_id AS id,
@@ -663,6 +676,11 @@ object SparkEntry {
         |FROM pts WHERE c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "sp_gml_kml" -> (PtsCte +
+      """
+        |SELECT c_nationkey, count(*)::BIGINT AS kml_pts, count(*)::BIGINT AS gml_pts
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "sp_densify_npoints" -> (PtsCte +
       """
         |, segs AS (
@@ -727,6 +745,30 @@ object SparkEntry {
   )
 
   // ------------------------------------------------- generated oracle SQL
+
+  /** tx_quality oracle: the textQuality struct fields recomputed in DuckDB.
+    * ASCII documents ⇒ Java `\p{Punct}` ≡ POSIX `[[:punct:]]`; the stopword
+    * vocabulary comes from TextAnalysis.stopwordList so both sides share it.
+    */
+  private val TxQualitySql: String = {
+    val stops = TextAnalysis.stopwordList.map(w => s"'$w'").mkString(", ")
+    val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+    val nToks = s"len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))"
+    s"""SELECT doc_id,
+       |  length(text)::DOUBLE AS n_chars,
+       |  $nToks::DOUBLE AS n_tokens,
+       |  round(CASE WHEN $nToks > 0 THEN length(text)::DOUBLE / $nToks ELSE 0 END, 6) AS mean_token_len,
+       |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |        / length(text), 6) AS punct_ratio,
+       |  round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+       |        / length(text), 6) AS digit_ratio,
+       |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+       |        / length(text), 6) AS upper_ratio,
+       |  round(CASE WHEN len($toks) > 0
+       |        THEN len(list_filter($toks, t -> t IN ($stops)))::DOUBLE / len($toks)
+       |        ELSE 0 END, 6) AS stopword_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   /** spatial.closest oracle: nearest point on each nation polyline via the
     * exact JTS projection algebra (LineSegment.projectionFactor + pointAlong;

@@ -32,6 +32,9 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "that",
     "for", "on", "with", "as", "was", "at", "by", "be", "this", "are", "from")
 
+  /** Stable ordering of the stopword vocabulary — for oracle SQL generation. */
+  val stopwordList: Seq[String] = stopwords.toSeq.sorted
+
   /** Quality-scoring feature columns: length, token count, mean word length,
     * punctuation ratio, digit ratio, stopword ratio, uppercase ratio.
     * Returned as a struct so callers can `select(textQuality($"text").as("q"))`

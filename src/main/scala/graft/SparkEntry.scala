@@ -422,6 +422,19 @@ object SparkEntry {
           st.numPoints(st.densify(col("geometry"), lit(0.7))).cast("long").as("n_dense"))
         .orderBy(col("c_nationkey"))),
 
+    // SimplifyWithDouglasPeucker / Reverse / FilterEqualNorm pipes: tolerance
+    // 500 exceeds any chord deviation on the ±180×±90 lattice, so an open
+    // line always simplifies to its 2 endpoints; a reversed line normalizes
+    // equal to the original
+    "sp_simplify_reverse" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          st.numPoints(st.simplify(col("geometry"), lit(500.0))).cast("long").as("n_dp"),
+          st.x(st.startPoint(st.reverse(col("geometry")))).as("rev_sx"),
+          st.y(st.startPoint(st.reverse(col("geometry")))).as("rev_sy"),
+          st.equalsNorm(col("geometry"), st.reverse(col("geometry")), lit(0.0)).as("eq_norm_rev"))
+        .orderBy(col("c_nationkey"))),
+
     // GML/KML writer pipes (GML.java:30-48, KeyholeMarkupLanguage.java:32-55):
     // coordinate-token counts in the emitted markup must equal the row count
     "sp_gml_kml" -> ((s, dir) =>
@@ -675,6 +688,14 @@ object SparkEntry {
         |SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
         |FROM pts WHERE c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_simplify_reverse" -> (PtsCte +
+      """
+        |SELECT c_nationkey,
+        |  CASE WHEN count(*) = 1 THEN 1 ELSE 2 END::BIGINT AS n_dp,
+        |  arg_max(x, ck) AS rev_sx, arg_max(y, ck) AS rev_sy,
+        |  TRUE AS eq_norm_rev
+        |FROM pts GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "sp_gml_kml" -> (PtsCte +
       """

@@ -33,6 +33,14 @@ object ExplainAudit {
     println("========== two-column projection (pruning check) ==========")
     layer.df.select("id", "x").filter(col("x") > 100).explain("formatted")
 
+    println("========== BboxConjunctRule: auto-injected envelope pre-filter ==========")
+    graft.plans.GraftOptimizations.install(spark)
+    graft.functions.SpatialFunctions.register(spark)
+    val rect = graft.geom.GeomCodec.toWkb(graft.geom.GeomCodec.fromWkt(
+      "POLYGON ((-10 -10, 10 -10, 10 10, -10 10, -10 -10))"))
+    layer.df.filter(call_udf("st_intersects", col("geometry"), lit(rect)))
+      .explain("formatted")
+
     spark.stop()
   }
 }

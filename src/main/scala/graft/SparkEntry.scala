@@ -422,6 +422,24 @@ object SparkEntry {
           st.numPoints(st.densify(col("geometry"), lit(0.7))).cast("long").as("n_dense"))
         .orderBy(col("c_nationkey"))),
 
+    // OrthodromicLength pipe (OrthodromicLength.java:34-74): spherical
+    // segment-sum over each nation polyline
+    "sp_ortho_length" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          round(st.orthodromicLengthKm(col("geometry")), 3).as("len_km"))
+        .orderBy(col("c_nationkey"))),
+
+    // frame sampling over video-kind media: the 1→N explode shape of a real
+    // frame sampler, deterministic stub decode replayed by the oracle
+    "mm_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+      Multimodal.sampleFrames(media, n = 4, w = 16, h = 16)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4).as("pixel_sum"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
     // SimplifyWithDouglasPeucker / Reverse / FilterEqualNorm pipes: tolerance
     // 500 exceeds any chord deviation on the ±180×±90 lattice, so an open
     // line always simplifies to its 2 endpoints; a reversed line normalizes
@@ -689,6 +707,21 @@ object SparkEntry {
         |FROM pts WHERE c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    "sp_ortho_length" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         lag(x) OVER w AS x1, lag(y) OVER w AS y1, x AS x2, y AS y2
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |)
+        |SELECT c_nationkey,
+        |  round(coalesce(sum(acos(least(sin(radians(y1)) * sin(radians(y2))
+        |        + cos(radians(y1)) * cos(radians(y2))
+        |        * cos(radians(x2) - radians(x1)), 1.0)) * 6371), 0), 3) AS len_km
+        |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "mm_frames" -> MmFramesSql,
+
     "sp_simplify_reverse" -> (PtsCte +
       """
         |SELECT c_nationkey,
@@ -869,6 +902,33 @@ object SparkEntry {
       |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
       |FROM chain WHERE step > 64
       |GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** mm_frames oracle: sampleFrames' stub decode replayed per (video, frame)
+    * — same FNV chain as MmDecodeSql but seeded with the 64 synthetic bytes
+    * PLUS the frame index byte (step 64), then 256 pixel steps.
+    */
+  private val MmFramesSql: String =
+    """WITH RECURSIVE chain(media_id, frame_idx, step, state) AS (
+      |  SELECT i AS media_id, f AS frame_idx, 0 AS step,
+      |         CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i), range(4) u(f) WHERE i % 3 = 2
+      |  UNION ALL
+      |  SELECT media_id, frame_idx, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64 THEN
+      |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
+      |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
+      |             ELSE (media_id * 31 + step * 7) % 251 END
+      |      WHEN step = 64 THEN frame_idx
+      |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 321
+      |)
+      |SELECT media_id, frame_idx,
+      |       round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
+      |FROM chain WHERE step > 65
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** sp_density_islands oracle: single-link connected components over the
     * nation-0 point graph (edges = pairs within density 25) via a recursive

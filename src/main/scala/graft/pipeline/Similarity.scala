@@ -198,6 +198,15 @@ object Similarity {
       df.orderBy(col(idCol)).limit(nlist)
         .select(col(vecCol)).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    ivfTopKWith(df, idCol, vecCol, query, k, cents, nprobe)
+  }
+
+  /** assign-to-nearest-list / probe / exact-re-rank dataflow shared by the
+    * deterministic-centroid and k-means IVF variants.
+    */
+  private def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, cents: Array[(Int, Array[Double])],
+      nprobe: Int): DataFrame = {
     def cos(a: Array[Double], b: Seq[Double]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       val n = math.min(a.length, b.length)
@@ -222,6 +231,72 @@ object Similarity {
       .select(col(idCol).as("id"), cosine(asDouble(col(vecCol)), qlit).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
+  }
+
+  /** Distributed Lloyd k-means coarse quantizer for IVF: deterministic init
+    * (the first `k` vectors by id), then `iters` rounds of
+    * assign-to-nearest-centroid (broadcast centroids, compiled cosine) and
+    * per-cluster mean (one shuffle of vectors keyed by cluster per round —
+    * with k ≪ n the reduce side is k streaming groups, so the loop scales to
+    * any corpus size). Empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Array[Array[Double]] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .as[(Long, Array[Float])]
+    var cents: Array[Array[Double]] =
+      vecs.orderBy(col("id")).limit(k).collect().map(_._2.map(_.toDouble))
+    def cos(a: Array[Double], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (_ <- 1 to iters) {
+      val bc = spark.sparkContext.broadcast(cents)
+      val next = vecs.map { case (_, v) =>
+          val cs = bc.value
+          var best = 0; var bestS = Double.NegativeInfinity
+          var c = 0
+          while (c < cs.length) {
+            val s = cos(cs(c), v)
+            if (s > bestS) { bestS = s; best = c }
+            c += 1
+          }
+          (best, v)
+        }
+        .groupByKey(_._1)
+        .mapGroups { (cluster, it) =>
+          var sum: Array[Double] = null
+          var count = 0L
+          it.foreach { case (_, v) =>
+            if (sum == null) sum = new Array[Double](v.length)
+            var i = 0
+            while (i < v.length) { sum(i) += v(i); i += 1 }
+            count += 1
+          }
+          (cluster, sum.map(_ / count))
+        }
+        .collect().toMap
+      cents = cents.indices.map(i => next.getOrElse(i, cents(i))).toArray
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** IVF top-k with learned k-means centroids — the production ANN path
+    * (sim_ivf_topk's deterministic-centroid variant stays as the
+    * oracle-checkable one; the probe/re-rank dataflow is identical).
+    */
+  def ivfTopKKMeans(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 2,
+      kmeansIters: Int = 5): DataFrame = {
+    val cents = kmeansCentroids(df, idCol, vecCol, nlist, kmeansIters)
+      .zipWithIndex.map { case (c, i) => (i, c) }
+    ivfTopKWith(df, idCol, vecCol, query, k, cents, nprobe)
   }
 
   /** All pairs with cosine ≥ threshold — SRP-bucket self-join (candidates

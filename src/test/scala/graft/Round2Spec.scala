@@ -159,6 +159,29 @@ class Round2Spec extends SparkSpec {
     assert(part.head == 0L)
   }
 
+  test("k-means IVF: full probe equals brute force; partial probe has useful recall") {
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated gaussian clusters so k-means has real structure to find
+    val centers = Array.fill(4)(Array.fill(8)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.indices.map(d => (c(d) + rnd.nextGaussian() * 0.3).toFloat).toArray)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = vecs(7)._2.map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .select("id").as[Long].collect().toSeq
+    val fullProbe = Similarity.ivfTopKKMeans(df, "vec_id", "embedding", q,
+        k = 10, nlist = 4, nprobe = 4, kmeansIters = 3)
+      .select("id").as[Long].collect().toSeq
+    assert(fullProbe == brute)
+    val oneProbe = Similarity.ivfTopKKMeans(df, "vec_id", "embedding", q,
+        k = 10, nlist = 4, nprobe = 1, kmeansIters = 3)
+      .select("id").as[Long].collect().toSet
+    // the query's own cluster holds its neighbors: recall should be high
+    assert(brute.count(oneProbe.contains) >= 8, s"recall too low: $oneProbe vs $brute")
+  }
+
   test("exactNearDupPairs finds symmetric duplicate vectors") {
     val v = Array.fill(6)(0.5f)
     val df = Seq((1L, v), (2L, v), (3L, v.map(-_))).toDF("vec_id", "embedding")

@@ -178,7 +178,7 @@ object SparkEntry {
     "sp_knn" -> ((s, dir) =>
       pointsLayer(s, dir).df
         .withColumn("dist_km",
-          round(st.haversineKm(lit(-100.5), lit(30.5), col("x"), col("y")), 3))
+          round(st.orthodromicKm(lit(-100.5), lit(30.5), col("x"), col("y")), 3))
         .select(col("ck").as("id"), col("dist_km"))
         .orderBy(col("dist_km"), col("id"))
         .limit(25)),

@@ -90,6 +90,17 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
   def overlapping(query: Geometry): GeoFrame = pruneThenExact(query, "overlaps")
   /** startTouchSearch (reference: GeoPipeline.java:256). */
   def touching(query: Geometry): GeoFrame = pruneThenExact(query, "touches")
+  /** SearchEqualEnvelopes — rows whose envelope EQUALS the query's envelope
+    * exactly (reference: rtree/filter/SearchEqualEnvelopes.java:28-38); pure
+    * column equality on the bbox struct, no JTS call needed.
+    */
+  def equalEnvelopes(query: Geometry): GeoFrame = {
+    val e = query.getEnvelopeInternal
+    lift(df.filter(
+      col("bbox")("minx") === e.getMinX && col("bbox")("maxx") === e.getMaxX &&
+      col("bbox")("miny") === e.getMinY && col("bbox")("maxy") === e.getMaxY))
+  }
+
   /** startEqualExactSearch (reference: GeoPipeline.java:232). */
   def equalExact(query: Geometry, tolerance: Double): GeoFrame = {
     val e = query.getEnvelopeInternal
@@ -111,7 +122,7 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     val withDist =
       if (df.columns.contains("x"))
         // point layer: pure column arithmetic, no UDF, full codegen
-        pruned.withColumn("distance", st.haversineKm(lit(lon), lit(lat), col("x"), col("y")))
+        pruned.withColumn("distance", st.orthodromicKm(lit(lon), lit(lat), col("x"), col("y")))
       else
         pruned.withColumn("distance", st.orthodromicDistanceKm(geom, lon, lat))
     lift(withDist.filter(col("distance") <= km).orderBy(col("distance")))
@@ -136,7 +147,7 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
       st.bboxIntersects(col("bbox"), lon - half, lat - half, lon + half, lat + half))
     val withDist =
       if (df.columns.contains("x"))
-        cand.withColumn("distance", st.haversineKm(lit(lon), lit(lat), col("x"), col("y")))
+        cand.withColumn("distance", st.orthodromicKm(lit(lon), lit(lat), col("x"), col("y")))
       else cand.withColumn("distance", st.orthodromicDistanceKm(geom, lon, lat))
     lift(withDist.orderBy(col("distance")).limit(k))
   }

@@ -61,12 +61,12 @@ object SpatialAggs {
       val islands = scala.collection.mutable.ArrayBuffer.empty[(Geometry, scala.collection.mutable.ArrayBuffer[String])]
       it.foreach { case (id, wkb) =>
         val g = GeomCodec.fromWkb(wkb)
-        islands.find(_._1.distance(g) <= density) match {
-          case Some(isl) =>
-            val idx = islands.indexOf(isl)
-            islands(idx) = (isl._1.union(g), isl._2 += id)
-          case None =>
-            islands += ((g, scala.collection.mutable.ArrayBuffer(id)))
+        val idx = islands.indexWhere(_._1.distance(g) <= density)
+        if (idx >= 0) {
+          val isl = islands(idx)
+          islands(idx) = (isl._1.union(g), isl._2 += id)
+        } else {
+          islands += ((g, scala.collection.mutable.ArrayBuffer(id)))
         }
       }
       islands.iterator.zipWithIndex.map { case ((g, ids), i) =>

@@ -39,25 +39,27 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
 
   // -------------------------------------------------------------- metadata
 
+  // Jackson (on Spark's classpath) rather than hand-rolled JSON: layer or
+  // attribute names containing quotes/commas/backslashes round-trip intact.
   private def writeMeta(m: LayerMeta): Unit = {
     Files.createDirectories(dir(m.name))
-    val attrs = m.attributes.map(a => "\"" + a + "\"").mkString("[", ",", "]")
-    Files.writeString(metaPath(m.name),
-      s"""{"name":"${m.name}","gtype":${m.gtype},"crs":"${m.crs}","encoder":"${m.encoder}","indexType":"${m.indexType}","attributes":$attrs}""")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    node.put("name", m.name); node.put("gtype", m.gtype); node.put("crs", m.crs)
+    node.put("encoder", m.encoder); node.put("indexType", m.indexType)
+    val arr = node.putArray("attributes")
+    m.attributes.foreach(arr.add)
+    Files.writeString(metaPath(m.name), om.writeValueAsString(node))
   }
 
   private def readMeta(name: String): LayerMeta = {
-    val txt = Files.readString(metaPath(name))
-    def field(k: String): String =
-      ("\"" + k + "\":\"([^\"]*)\"").r.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-    def intField(k: String): Int =
-      ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
-    val attrs = "\"attributes\":\\[([^\\]]*)\\]".r.findFirstMatchIn(txt)
-      .map(_.group(1)).filter(_.nonEmpty)
-      .map(_.split(",").map(_.stripPrefix("\"").stripSuffix("\"")).toSeq)
-      .getOrElse(Nil)
-    LayerMeta(field("name"), intField("gtype"), field("crs"), field("encoder"),
-      field("indexType"), attrs)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = om.readTree(Files.readString(metaPath(name)))
+    def s(k: String): String = Option(n.get(k)).map(_.asText).getOrElse("")
+    val attrs = Option(n.get("attributes")).toSeq
+      .flatMap(_.elements.asScala.map(_.asText).toSeq)
+    LayerMeta(s("name"), Option(n.get("gtype")).map(_.asInt).getOrElse(0),
+      s("crs"), s("encoder"), s("indexType"), attrs)
   }
 
   // ---------------------------------------------------------------- layers
@@ -118,6 +120,17 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
       .withColumn("bbox", st.bboxOf(col("geometry")))
       .select("id", "geometry", "gtype", "bbox")
     createLayer(name, canonical, LayerMeta(name, 0, encoder = "wkt", indexType = indexType))
+  }
+
+  /** `spatial.setFeatureAttributes` — persist the layer's declared attribute
+    * whitelist (reference: SpatialProcedures.java:613-623; stored on the
+    * layer node as `layerprops`).
+    */
+  def setLayerAttributes(name: String, attributes: Seq[String]): LayerMeta = {
+    require(layerExists(name), s"layer $name does not exist")
+    val updated = readMeta(name).copy(attributes = attributes)
+    writeMeta(updated)
+    updated
   }
 
   def getLayer(name: String): GeoFrame = {

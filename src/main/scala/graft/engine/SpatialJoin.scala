@@ -107,10 +107,15 @@ object SpatialJoin {
     val r0 = prefixed(right, "r_")
     val exact = exactPred(predicate)(col("l_geometry"), col("r_geometry"))
 
-    val lNorm = l0.filter(fanout(col("l_bbox"), cellSize) <= MaxCellsPerRow)
-    val lBig  = l0.filter(fanout(col("l_bbox"), cellSize) > MaxCellsPerRow)
-    val rNorm = r0.filter(fanout(col("r_bbox"), cellSize) <= MaxCellsPerRow)
-    val rBig  = r0.filter(fanout(col("r_bbox"), cellSize) > MaxCellsPerRow)
+    // fan-out computed ONCE per side as a routing column (cheap floor
+    // arithmetic, evaluated before cellsOf so an oversized bbox never
+    // materializes a giant cell array), then both branches filter on it
+    val lF = l0.withColumn("__fo", fanout(col("l_bbox"), cellSize))
+    val rF = r0.withColumn("__fo", fanout(col("r_bbox"), cellSize))
+    val lNorm = lF.filter(col("__fo") <= MaxCellsPerRow).drop("__fo")
+    val lBig  = lF.filter(col("__fo") > MaxCellsPerRow).drop("__fo")
+    val rNorm = rF.filter(col("__fo") <= MaxCellsPerRow).drop("__fo")
+    val rBig  = rF.filter(col("__fo") > MaxCellsPerRow).drop("__fo")
 
     val l = lNorm.withColumn("__cell", explode(cellsOf(col("l_bbox"), cellSize)))
     val r = rNorm.withColumn("__cell", explode(cellsOf(col("r_bbox"), cellSize)))

@@ -150,6 +150,12 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
   def removeNodes(name: String, ids: Seq[String]): Long =
     catalog.removeFromLayer(name, ids)
 
+  /** spatial.setFeatureAttributes — declare the attribute whitelist on the
+    * layer (reference: :613-623), returned like the reference's node echo.
+    */
+  def setFeatureAttributes(name: String, attributeNames: Seq[String]): Seq[String] =
+    catalog.setLayerAttributes(name, attributeNames).attributes
+
   // ------------------------------------------------------------- searches
 
   /** spatial.bbox — WITHIN semantics quirk preserved (reference: :822-836). */
@@ -199,5 +205,33 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
   def importOSM(name: String, osmPath: String): GeoFrame = {
     val ways = graft.osm.OsmImport.importOsm(spark, osmPath)
     catalog.createLayer(name, ways.df, LayerMeta(name, 0, encoder = "wkb"))
+  }
+
+  // --------------------------------------------------------------- export
+
+  /** OSM tag-filtered layer → shapefile, the cli-tools export helper
+    * (reference: cli-tools/.../OSMLayerToShapefileExporter.java:31-78):
+    * import, keep ways carrying `tagKey[=tagValue]`, write `outBase.shp/.dbf`.
+    * Returns the exported feature count.
+    */
+  def exportOsmToShapefile(osmPath: String, tagKey: String, tagValue: String,
+      outBase: String): Long = {
+    val ways = graft.osm.OsmImport.importOsm(spark, osmPath).df
+    val filtered = graft.osm.OsmImport.tagFilteredLayer(ways, tagKey, tagValue)
+    graft.sources.Shapefile.exportShapefile(filtered, outBase)
+    filtered.count()
+  }
+
+  /** fn spatial.asMap — geometry as a {type, coordinate(s)} map, the
+    * reference's map-shaped function output (reference:
+    * SpatialFunctions.java:69-91, GeometryResult map rendering).
+    */
+  def asMap(wkb: Array[Byte]): Map[String, Any] = {
+    val g = GeomCodec.fromWkb(wkb)
+    def coords(geom: org.locationtech.jts.geom.Geometry): Any = geom match {
+      case p: org.locationtech.jts.geom.Point => Seq(p.getX, p.getY)
+      case _ => geom.getCoordinates.toSeq.map(c => Seq(c.x, c.y))
+    }
+    Map("type" -> g.getGeometryType, "coordinates" -> coords(g))
   }
 }

@@ -13,7 +13,7 @@ import graft.geom.{GeomCodec, GeoOutput, Orthodromic}
 /** Column-level spatial function surface.
   *
   * Two tiers, per SURVEY §2.11:
-  *  - HOT tier: pure `Column` arithmetic (haversine, bbox predicates) that
+  *  - HOT tier: pure `Column` arithmetic (orthodromic distance, bbox predicates) that
   *    stays inside whole-stage codegen and is pushdown-friendly — mirrors the
   *    reference's envelope pre-filters (reference: server-plugin/.../rtree/filter/
   *    AbstractSearchEnvelopeIntersection.java) without any UDF cost.
@@ -30,7 +30,7 @@ object st {
   // (reference: pipes/processing/OrthodromicDistance.java:85-97). Spark's
   // trig functions codegen to java.lang.Math, so results bit-match the
   // reference JVM implementation.
-  def haversineKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+  def orthodromicKm(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
     acos(least(
       sin(radians(lat1)) * sin(radians(lat2)) +
         cos(radians(lat1)) * cos(radians(lat2)) * cos(radians(lon2) - radians(lon1)),

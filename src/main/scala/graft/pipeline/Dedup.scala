@@ -262,34 +262,45 @@ object Dedup {
       }
     }).apply(text)
 
+  /** Distinct word-k-gram shingles hashed to int64 (FNV-1a). Hashing keeps
+    * the inverted index, the join keys and the verify sets 8 bytes per
+    * shingle instead of a ~25-byte string; at 64 bits a corpus needs ~2^32
+    * distinct shingles before a collision is even likely, and a collision
+    * only perturbs one set's cardinality by 1.
+    */
+  private def shingleHashSet(shingleK: Int) = udf((s: String) => {
+    if (s == null) Array.empty[Long]
+    else {
+      val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (toks.length < shingleK) Array.empty[Long]
+      else {
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        toks.sliding(shingleK).foreach(w => set += TextAnalysis.fnv1a64(w.mkString(" ")))
+        set.toArray
+      }
+    }
+  })
+
   /** Exact word-k-gram Jaccard pairs with GUARANTEED recall for any
-    * threshold > 0: candidates = pairs sharing ≥1 distinct shingle (inverted
-    * index self-join on the shingle — sub-quadratic: cost is Σ_shingle f²,
-    * bounded by shingle selectivity, not n²), then exact set Jaccard.
-    * Deterministic and fully SQL-expressible, so DuckDB can oracle-check it —
-    * unlike MinHash LSH, whose candidate set is probabilistic.
+    * threshold > 0, via PREFIX FILTERING (Chaudhuri et al., ICDE'06 /
+    * Bayardo et al., WWW'07): order every document's shingles by ascending
+    * global document frequency (ties by hash) and index only the first
+    * `|S| - ceil(t·|S|) + 1` of them. Any pair with Jaccard ≥ t must share a
+    * prefix shingle (J ≥ t ⟹ |A∩B| ≥ t·|A|; if B misses all of A's prefix it
+    * can cover at most |A| - prefixLen(A) = ceil(t·|A|) - 1 of A), so recall
+    * is exact, while a stop-phrase shingle shared by f documents sorts LAST
+    * in the frequency order and almost never lands in a prefix — the Σf²
+    * blow-up of a plain shared-shingle join on a skewed corpus disappears.
+    * Candidates are verified with exact set Jaccard over the int64-hashed
+    * sets. Deterministic and SQL-expressible, so DuckDB can oracle-check the
+    * output (the oracle needs no prefix logic: the final pair set is
+    * identical to the plain shared-shingle plan's).
     */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 4): DataFrame = {
-    require(threshold > 0, "threshold must be > 0 for shared-shingle recall to hold")
-    // distinct k-gram shingles as strings (exact sets — no hash collisions);
-    // compiled loop: the HOF slice/array_join pipeline interprets its lambda
-    // per shingle and is recomputed for each of the three consumers below
-    val shingleSet = udf((s: String) => {
-      if (s == null) Array.empty[String]
-      else {
-        val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
-        if (toks.length < shingleK) Array.empty[String]
-        else toks.sliding(shingleK).map(_.mkString(" ")).toArray.distinct
-      }
-    })
-    val sets = df.select(col(idCol).as("id"), shingleSet(col(textCol)).as("ss"))
-    val inv = sets.select(col("id"), explode(col("ss")).as("s"))
-    val cand = inv.as("l").join(inv.as("r"),
-        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    val jac = udf((a: Seq[String], b: Seq[String]) => {
+    val sets = df.select(col(idCol).as("id"), shingleHashSet(shingleK)(col(textCol)).as("ss"))
+    val cand = shingleJaccardCandidates(sets, threshold)
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
       val sa = a.toSet; val sb = b.toSet
       if (sa.isEmpty && sb.isEmpty) 1.0
       else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
@@ -300,6 +311,29 @@ object Dedup {
       .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Prefix-filtered candidate pairs over an (id, ss: array<long>) frame —
+    * exposed for the skew ScaleSpec test. Shuffles carry (long, long) keys
+    * only: df count on the shingle hash, one window on id, self-join on the
+    * prefix shingle hash.
+    */
+  private[graft] def shingleJaccardCandidates(sets: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 for prefix-filter recall to hold")
+    val inv = sets.select(col("id"), explode(col("ss")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = inv.join(dfreq, "s")
+      .withColumn("n_sh", count(lit(1)).over(w))
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id"), col("s"))
+    prefix.as("l").join(prefix.as("r"),
+        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
   }
 
   /** Character-n-gram Jaccard for candidate pairs (pairs from any LSH stage;

@@ -128,6 +128,9 @@ object Similarity {
   /** public: Catalyst's generated deserializer must instantiate it */
   case class VecRow(id: Long, vec: Array[Float])
 
+  /** Target bytes per collect_list bundle row in [[exactNearDupPairs]]. */
+  private val TargetBundleBytes = 16L << 20
+
   /** Block-matrix shape: an inequality self-join (`id_a < id_b`) plans as a
     * nested-loop join that deserializes + boxes both vectors PER PAIR — the
     * dominant cost. Bundling vectors into `numBlocks` buckets and joining the
@@ -136,10 +139,25 @@ object Similarity {
     * results). Work distributes across block pairs, so a cluster scales it.
     */
   def exactNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, numBlocks: Int = 32): DataFrame = {
+      threshold: Double, numBlocks: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val b = df.select(pmod(col(idCol), lit(numBlocks)).cast("int").as("blk"),
+    // numBlocks <= 0 ⇒ auto-size so a bundle row stays ~TargetBundleBytes
+    // (well under Spark's 2 GB single-row ceiling) AND there are enough block
+    // pairs (B(B+1)/2) to feed every core — a fixed B breaks one way or the
+    // other as n grows. Result set is identical for any B: each unordered id
+    // pair lands in exactly one block pair.
+    val blocks = if (numBlocks > 0) numBlocks else {
+      val n = df.count()
+      val dim = df.select(col(vecCol)).head(1).headOption
+        .map(_.getSeq[Float](0).length).getOrElse(0)
+      val bytesPerRow = dim.toLong * 4 + 32
+      val rowsPerBundle = math.max(1L, TargetBundleBytes / math.max(1L, bytesPerRow))
+      val forMemory = (n + rowsPerBundle - 1) / rowsPerBundle
+      val forCores = math.ceil(math.sqrt(2.0 * spark.sparkContext.defaultParallelism)).toLong
+      math.max(1L, math.max(forMemory, math.min(forCores, n))).toInt
+    }
+    val b = df.select(pmod(col(idCol), lit(blocks)).cast("int").as("blk"),
         struct(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).as("r"))
       .groupBy("blk").agg(collect_list("r").as("rows"))
     val x = b.select(col("blk").as("bx"), col("rows").as("rx"))

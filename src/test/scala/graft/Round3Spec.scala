@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.engine.SpatialProcedures
+import graft.geom.GeomCodec
+import graft.pipeline.{Dedup, Similarity}
+
+/** Round-3 regression tests: prefix-filtered shingle Jaccard (skew-proof),
+  * auto-sized near-dup blocking, and the small procedure-surface additions.
+  */
+class Round3Spec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------- prefix-filtered Jaccard pairs
+
+  test("shingleJaccardPairs: one stop-phrase shingle shared by ALL docs yields zero candidates") {
+    // every doc shares the hot 4-gram "the common stop phrase"; the rest is
+    // unique. A plain shared-shingle inverted index would emit n(n-1)/2
+    // candidate pairs; prefix filtering sorts the hot shingle LAST by
+    // document frequency so it never lands in a prefix at threshold 0.5.
+    val n = 200
+    val docs = (0 until n).map { i =>
+      (i.toLong, s"the common stop phrase u${i}a u${i}b u${i}c u${i}d u${i}e")
+    }.toDF("doc_id", "text")
+    val sets = docs.select(col("doc_id").as("id"),
+      udf((s: String) => {
+        val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val set = scala.collection.mutable.HashSet.empty[Long]
+        toks.sliding(4).foreach(w => set += graft.pipeline.TextAnalysis.fnv1a64(w.mkString(" ")))
+        set.toArray
+      }).apply(col("text")).as("ss"))
+    val nCand = Dedup.shingleJaccardCandidates(sets, threshold = 0.5).count()
+    assert(nCand == 0, s"expected 0 candidates on the skewed corpus, got $nCand")
+    assert(Dedup.shingleJaccardPairs(docs, "doc_id", "text", 0.5, 4).count() == 0)
+  }
+
+  test("shingleJaccardPairs: prefix filter keeps exact recall for true near-dups") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),                      // high Jaccard with 1
+      (3L, "one two three four five six seven"),  // unrelated
+      (4L, "the common stop phrase filler a b c"),
+      (5L, "the common stop phrase filler d e f") // shares hot 4-grams with 4
+    ).toDF("doc_id", "text")
+    val got = Dedup.shingleJaccardPairs(docs, "doc_id", "text", threshold = 0.5, shingleK = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pair (1,2): sets of 7 vs 8 shingles sharing 7 → J = 7/8 ≥ 0.5.
+    // pair (4,5): share 2 of each doc's 4 shingles → J = 2/6 < 0.5 (excluded).
+    assert(got == Set((1L, 2L)))
+  }
+
+  test("shingleJaccardPairs matches the plain shared-shingle plan on a mixed corpus") {
+    val rnd = new scala.util.Random(5)
+    val vocab = (0 until 40).map(i => s"w$i")
+    val docs = (0 until 60).map { i =>
+      val words = Array.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.shingleJaccardPairs(docs, "doc_id", "text", threshold = 0.3, shingleK = 3)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 9).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    // reference result: brute-force exact Jaccard over all pairs
+    val mat = docs.as[(Long, String)].collect()
+    def sset(s: String) = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .sliding(3).map(_.mkString(" ")).toSet
+    val want = (for {
+      i <- mat.indices; j <- (i + 1) until mat.length
+      sa = sset(mat(i)._2); sb = sset(mat(j)._2)
+      jac = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if jac >= 0.3
+    } yield {
+      val (a, b) = if (mat(i)._1 < mat(j)._1) (mat(i)._1, mat(j)._1) else (mat(j)._1, mat(i)._1)
+      (a, b, BigDecimal(jac).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).toSet
+    assert(got == want)
+  }
+
+  // ------------------------------------------------ auto-sized block pairing
+
+  test("exactNearDupPairs results are identical for auto and explicit block counts") {
+    val rnd = new scala.util.Random(13)
+    val vecs = (0 until 300).map(i => (i.toLong, Array.fill(6)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def run(b: Int) = Similarity.exactNearDupPairs(df, "vec_id", "embedding", 0.5, b)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 9).as("c"))
+      .as[(Long, Long, Double)].collect().toSet
+    val auto = run(0)
+    assert(auto.nonEmpty)
+    assert(auto == run(2) && auto == run(7) && auto == run(32))
+  }
+
+  // ------------------------------------------- procedure-surface additions
+
+  test("setFeatureAttributes persists the whitelist; JSON survives hostile names") {
+    val wh = Files.createTempDirectory("graft-r3").toString
+    val proc = new SpatialProcedures(spark, wh)
+    val src = Seq(("1", 1.0, 2.0)).toDF("k", "lon", "lat")
+    proc.addPointLayerXY("attrs_layer", src, "k", "lon", "lat")
+    val hostile = Seq("plain", "with\"quote", "with,comma", "with\\backslash")
+    assert(proc.setFeatureAttributes("attrs_layer", hostile) == hostile)
+    assert(proc.layer("attrs_layer").meta.get.attributes == hostile)
+  }
+
+  test("equalEnvelopes matches only exact-envelope rows") {
+    val wh = Files.createTempDirectory("graft-r3e").toString
+    val proc = new SpatialProcedures(spark, wh)
+    val src = Seq(("a", 1.0, 2.0), ("b", 1.0, 2.5), ("c", 3.0, 4.0)).toDF("k", "lon", "lat")
+    proc.addPointLayerXY("env_layer", src, "k", "lon", "lat")
+    val q = GeomCodec.point(1.0, 2.0)
+    val got = proc.layer("env_layer").equalEnvelopes(q).df.select("id").as[String].collect().toSeq
+    assert(got == Seq("a"))
+  }
+
+  test("asMap renders type + coordinates like the reference map function") {
+    val proc = new SpatialProcedures(spark, Files.createTempDirectory("graft-r3m").toString)
+    val m = proc.asMap(GeomCodec.toWkb(GeomCodec.point(3.5, -7.25)))
+    assert(m("type") == "Point")
+    assert(m("coordinates") == Seq(3.5, -7.25))
+    val line = proc.asMap(GeomCodec.toWkb(GeomCodec.fromWkt("LINESTRING (0 0, 1 1)")))
+    assert(line("type") == "LineString")
+    assert(line("coordinates") == Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)))
+  }
+}

@@ -464,6 +464,58 @@ object SparkEntry {
             "<gml:coordinates>([^<]*)</gml:coordinates>", 1), " ")).cast("long").as("gml_pts"))
         .orderBy(col("c_nationkey"))),
 
+    // Boundary-lattice predicate matrix: every remaining filter/processing
+    // pipe under one closed-form oracle. Per row: unit box B=[x,x+1]×[y,y+1],
+    // diagonal segment, bowtie (self-intersecting) ring, and a ±400 big box,
+    // against the lattice-aligned rectangle R=[0.5,30.5]×[-10.5,40.5] whose
+    // boundary passes through lattice coordinates — so touch/overlap/cover/
+    // cross outcomes are exact interval arithmetic in DuckDB.
+    // (reference: pipes/filtering/FilterTouch.java:29, FilterOverlap.java:29,
+    // FilterCross.java:29, FilterCover.java:29, FilterCoveredBy.java:29,
+    // FilterDisjoint.java:29, FilterEqualExact.java:30, FilterEqualTopo.java:30,
+    // FilterInvalid.java:29, processing/InteriorPoint.java:29,
+    // SimplifyPreservingTopology.java:31, ExtractGeometries.java:28,
+    // IntersectAll.java:30)
+    "sp_predicate_lattice" -> ((s, dir) => {
+      val rect = lit(GeomCodec.toWkb(GeomCodec.fromWkt(LatticeRectWkt)))
+      val vline = lit(GeomCodec.toWkb(GeomCodec.fromWkt("LINESTRING (10.25 -200, 10.25 200)")))
+      val p0 = lit(GeomCodec.toWkb(GeomCodec.point(10.5, 20.5)))
+      val xs = col("x").cast("string"); val ys = col("y").cast("string")
+      val x1s = (col("x") + 1).cast("string"); val y1s = (col("y") + 1).cast("string")
+      val sp = lit(" "); val cm = lit(", ")
+      pointsLayer(s, dir).df
+        .withColumn("bx", st.makeBox(col("x"), col("y"), col("x") + 1, col("y") + 1))
+        .withColumn("diag", st.makeLine(col("x"), col("y"), col("x") + 1, col("y") + 1))
+        .withColumn("bowtie", st.geomFromText(concat(
+          lit("POLYGON (("), xs, sp, ys, cm, x1s, sp, y1s, cm,
+          x1s, sp, ys, cm, xs, sp, y1s, cm, xs, sp, ys, lit("))"))))
+        .withColumn("big", st.makeBox(col("x") - 400, col("y") - 400, col("x") + 400, col("y") + 400))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          count(when(st.touches(col("bx"), rect), 1)).as("n_touch"),
+          count(when(st.overlaps(col("bx"), rect), 1)).as("n_overlap"),
+          count(when(st.crosses(col("diag"), vline), 1)).as("n_cross"),
+          count(when(st.covers(rect, col("bx")), 1)).as("n_cover"),
+          count(when(st.coveredBy(col("bx"), rect), 1)).as("n_covby"),
+          count(when(st.disjoint(col("geometry"), rect), 1)).as("n_disj"),
+          count(when(st.equalsExact(col("geometry"), p0, lit(0.0)), 1)).as("n_eq"),
+          count(when(st.equalsTopo(col("geometry"), p0), 1)).as("n_topo"),
+          count(when(st.equalsExact(col("diag"), st.reverse(col("diag")), lit(0.0)), 1)).as("n_xrev"),
+          count(when(st.equalsTopo(col("diag"), st.reverse(col("diag"))), 1)).as("n_trev"),
+          count(when(st.isValid(col("bx")), 1)).as("n_valid"),
+          count(when(!st.isValid(col("bowtie")), 1)).as("n_inval"),
+          sum((st.x(st.interiorPoint(col("bx"))) - col("x")) * 2).cast("long").as("ip2"),
+          count(when(st.numPoints(st.simplifyPreserveTopology(
+            st.densify(col("diag"), lit(0.7)), lit(500.0))) === 2, 1)).as("n_tps"),
+          sum(size(st.extractGeometries(st.symDifference(col("bx"), rect)))).cast("long").as("symp"),
+          SpatialAggs.intersectAgg(col("big")).as("ia"))
+        .select(col("c_nationkey"), col("n_touch"), col("n_overlap"), col("n_cross"),
+          col("n_cover"), col("n_covby"), col("n_disj"), col("n_eq"), col("n_topo"),
+          col("n_xrev"), col("n_trev"), col("n_valid"), col("n_inval"), col("ip2"),
+          col("n_tps"), col("symp"), round(st.area(col("ia")), 6).as("ia_area"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // ================================= training-pipeline operator additions
     // exact word-4-gram Jaccard pairs, inverted-index candidates (guaranteed
     // recall — unlike MinHash LSH this is fully oracle-checkable)
@@ -496,6 +548,12 @@ object SparkEntry {
     */
   private val RectWkt =
     "POLYGON ((0.2 -10.2, 30.2 -10.2, 30.2 40.2, 0.2 40.2, 0.2 -10.2))"
+
+  /** Lattice-ALIGNED rectangle for sp_predicate_lattice: its boundary passes
+    * through point coordinates, so touch/corner cases actually occur.
+    */
+  private val LatticeRectWkt =
+    "POLYGON ((0.5 -10.5, 30.5 -10.5, 30.5 40.5, 0.5 40.5, 0.5 -10.5))"
 
   /** Oracle for both spatial-join strategies: envelope containment is plain
     * min/max BETWEEN arithmetic on the lattice coordinates.
@@ -746,6 +804,40 @@ object SparkEntry {
         |SELECT c_nationkey,
         |       CAST(1 + coalesce(sum(floor(seg / 0.7) + 1), 0) AS BIGINT) AS n_dense
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Interval arithmetic on the lattice decides every predicate: wx/wy are
+    // the (possibly negative) overlap widths of the unit box vs the aligned
+    // rectangle; touch ⟺ overlap degenerate, overlap ⟺ positive widths and
+    // not covered, symDifference parts = 2 ⟺ strictly disjoint (JTS merges
+    // edge- AND corner-touching results into one polygon), intersectAll of
+    // the ±400 boxes = [max-400, min+400]² closed-form area.
+    "sp_predicate_lattice" -> (PtsCte +
+      """
+        |, w AS (
+        |  SELECT c_nationkey, x, y,
+        |         least(x + 1, 30.5) - greatest(x, 0.5) AS wx,
+        |         least(y + 1, 40.5) - greatest(y, -10.5) AS wy,
+        |         (x >= 0.5 AND x + 1 <= 30.5 AND y >= -10.5 AND y + 1 <= 40.5) AS covered
+        |  FROM pts
+        |)
+        |SELECT c_nationkey,
+        |  count(*) FILTER (WHERE wx >= 0 AND wy >= 0 AND (wx = 0 OR wy = 0)) AS n_touch,
+        |  count(*) FILTER (WHERE wx > 0 AND wy > 0 AND NOT covered) AS n_overlap,
+        |  count(*) FILTER (WHERE x = 9.5) AS n_cross,
+        |  count(*) FILTER (WHERE covered) AS n_cover,
+        |  count(*) FILTER (WHERE covered) AS n_covby,
+        |  count(*) FILTER (WHERE NOT (x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5)) AS n_disj,
+        |  count(*) FILTER (WHERE x = 10.5 AND y = 20.5) AS n_eq,
+        |  count(*) FILTER (WHERE x = 10.5 AND y = 20.5) AS n_topo,
+        |  0::BIGINT AS n_xrev,
+        |  count(*) AS n_trev,
+        |  count(*) AS n_valid,
+        |  count(*) AS n_inval,
+        |  count(*) AS ip2,
+        |  count(*) AS n_tps,
+        |  CAST(sum(CASE WHEN wx < 0 OR wy < 0 THEN 2 ELSE 1 END) AS BIGINT) AS symp,
+        |  round((800 - (max(x) - min(x))) * (800 - (max(y) - min(y))), 6) AS ia_area
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // ------------------------------------------- training-pipeline oracles
     "dd_jaccard_pairs" ->

@@ -78,6 +78,22 @@ object st {
   def makePoint(x: Column, y: Column): Column =
     udf((x: Double, y: Double) => GeomCodec.toWkb(GeomCodec.point(x, y))).apply(x, y)
 
+  /** Axis-aligned box polygon from corner columns — the envelope-geometry
+    * constructor behind the reference's window searches
+    * (reference: rtree/filter/AbstractSearchEnvelopeIntersection.java:30).
+    */
+  def makeBox(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
+    udf((x0: Double, y0: Double, x1: Double, y1: Double) =>
+      GeomCodec.toWkb(GeomCodec.factory.toGeometry(
+        new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1)))).apply(minx, miny, maxx, maxy)
+
+  /** Two-point segment from coordinate columns. */
+  def makeLine(x1: Column, y1: Column, x2: Column, y2: Column): Column =
+    udf((ax: Double, ay: Double, bx: Double, by: Double) =>
+      GeomCodec.toWkb(GeomCodec.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(ax, ay),
+        new org.locationtech.jts.geom.Coordinate(bx, by))))).apply(x1, y1, x2, y2)
+
   // Scalar compute (reference: pipes/processing/<Name>.java:29-60 each)
   val area: Column => Column = c => g1[Double](_.getArea).apply(c)
   val length: Column => Column = c => g1[Double](_.getLength).apply(c)

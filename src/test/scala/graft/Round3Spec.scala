@@ -114,6 +114,46 @@ class Round3Spec extends SparkSpec {
     assert(got == Seq("a"))
   }
 
+  // --------------------------------------- lattice-predicate JTS invariants
+  // These pin the JTS behaviors the sp_predicate_lattice oracle relies on.
+
+  test("interiorPoint of an axis box is its exact center") {
+    val df = Seq((2.5, -3.5)).toDF("x", "y")
+      .withColumn("b", graft.functions.st.makeBox(col("x"), col("y"), col("x") + 1, col("y") + 1))
+      .select(graft.functions.st.x(graft.functions.st.interiorPoint(col("b"))),
+              graft.functions.st.y(graft.functions.st.interiorPoint(col("b"))))
+    assert(df.as[(Double, Double)].head() == ((3.0, -3.0)))
+  }
+
+  test("symDifference part counts across box/rect relations") {
+    import graft.functions.st
+    val rect = lit(GeomCodec.toWkb(GeomCodec.fromWkt(
+      "POLYGON ((0.5 -10.5, 30.5 -10.5, 30.5 40.5, 0.5 40.5, 0.5 -10.5))")))
+    // (x, y, expected parts of symDifference(unit box, rect))
+    val cases = Seq(
+      (100.5, 50.5, 2),   // strictly disjoint
+      (-0.5, -11.5, 1),   // corner touch at (0.5, -10.5): OverlayNG emits one polygon
+      (-0.5, 5.5, 1),     // edge touch on rect's left side
+      (0.0, 5.5, 1),      // proper overlap sticking out left  (x not lattice, still exact)
+      (10.5, 5.5, 1)      // strictly inside -> rect with hole
+    )
+    val got = cases.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+      .withColumn("b", st.makeBox(col("x"), col("y"), col("x") + 1, col("y") + 1))
+      .select(col("x"), st.numGeometries(st.symDifference(col("b"), rect)).as("n"))
+      .as[(Double, Int)].collect().toMap
+    cases.foreach { case (x, _, want) => assert(got(x) == want, s"x=$x") }
+  }
+
+  test("crosses: diagonal lattice segment vs off-lattice vertical line") {
+    import graft.functions.st
+    val v = lit(GeomCodec.toWkb(GeomCodec.fromWkt("LINESTRING (10.25 -200, 10.25 200)")))
+    val got = Seq(8.5, 9.5, 10.5).toDF("x")
+      .withColumn("d", st.makeLine(col("x"), lit(0.5), col("x") + 1, lit(1.5)))
+      .select(col("x"), st.crosses(col("d"), v).as("c"))
+      .as[(Double, Boolean)].collect().toMap
+    assert(got == Map(8.5 -> false, 9.5 -> true, 10.5 -> false))
+  }
+
   test("asMap renders type + coordinates like the reference map function") {
     val proc = new SpatialProcedures(spark, Files.createTempDirectory("graft-r3m").toString)
     val m = proc.asMap(GeomCodec.toWkb(GeomCodec.point(3.5, -7.25)))

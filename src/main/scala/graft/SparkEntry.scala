@@ -516,6 +516,57 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // Ingest under the oracle: the OSM XML is GENERATED from the customer
+    // lattice (nodes = points, one tagged way per nation in ck order), then
+    // flows through the REAL import path — StAX parse → staging DFs →
+    // assembleWays → geometry build — and the oracle replays node counts,
+    // way lengths and tag values from `customer` directly. Matches the
+    // reference's golden-data checks (osm tests TestOSMImportBase
+    // .checkOSMLayer:79: index count == feature count).
+    "osm_ingest_stats" -> ((s, dir) => {
+      val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
+      val sb = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
+      rows.foreach { r =>
+        sb ++= s"  <node id='${r.getLong(0)}' lat='${r.getDouble(3)}' lon='${r.getDouble(2)}' version='1'/>\n"
+      }
+      rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).foreach { case (nk, rs) =>
+        sb ++= s"  <way id='${1000 + nk}' version='1'>\n"
+        rs.sortBy(_.getLong(0)).foreach(r => sb ++= s"    <nd ref='${r.getLong(0)}'/>\n")
+        sb ++= s"    <tag k='highway' v='residential'/>\n    <tag k='name' v='way-$nk'/>\n  </way>\n"
+      }
+      sb ++= "</osm>\n"
+      val tmp = java.nio.file.Files.createTempFile("graft-osm-ingest", ".osm")
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      graft.osm.OsmImport.importOsm(s, tmp.toString).df
+        .select((col("way_id") - 1000).cast("int").as("c_nationkey"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          round(st.length(col("geometry")), 6).as("len"),
+          col("props").getItem("name").as("name"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // Shapefile writer AND reader under the oracle: per-nation polylines
+    // (with a dbf attribute) are exported through the real ESRI encoder and
+    // re-imported; record numbers, point counts, lengths and the attribute
+    // round-trip are replayed by the oracle from `customer`.
+    // (reference: ShapefileExporter.java:37, ShapefileImporter via
+    // SpatialProcedures.java:788-820)
+    "shp_ingest_stats" -> ((s, dir) => {
+      val lines = linesLayer(s, dir).df
+        .withColumn("props", map(lit("name"), concat(lit("ln-"), col("c_nationkey"))))
+        .orderBy(col("c_nationkey"))
+      val base = java.nio.file.Files.createTempDirectory("graft-shp-ingest")
+        .resolve("nations").toString
+      graft.sources.Shapefile.exportShapefile(lines, base)
+      graft.sources.Shapefile.importShapefile(s, base + ".shp").df
+        .select(col("id").cast("long").as("rec"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          round(st.length(col("geometry")), 6).as("len"),
+          col("props").getItem("name").as("name"))
+        .orderBy(col("rec"))
+    }),
+
     // ================================= training-pipeline operator additions
     // exact word-4-gram Jaccard pairs, inverted-index candidates (guaranteed
     // recall — unlike MinHash LSH this is fully oracle-checkable)
@@ -838,6 +889,35 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN wx < 0 OR wy < 0 THEN 2 ELSE 1 END) AS BIGINT) AS symp,
         |  round((800 - (max(x) - min(x))) * (800 - (max(y) - min(y))), 6) AS ia_area
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "osm_ingest_stats" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_pts,
+        |       round(coalesce(sum(seg), 0), 6) AS len,
+        |       'way-' || c_nationkey AS name
+        |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "shp_ingest_stats" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |), agg AS (
+        |  SELECT c_nationkey, count(*)::BIGINT AS n_pts,
+        |         round(coalesce(sum(seg), 0), 6) AS len
+        |  FROM segs GROUP BY 1
+        |)
+        |SELECT row_number() OVER (ORDER BY c_nationkey)::BIGINT AS rec,
+        |       n_pts, len, 'ln-' || c_nationkey AS name
+        |FROM agg ORDER BY rec""".stripMargin),
 
     // ------------------------------------------- training-pipeline oracles
     "dd_jaccard_pairs" ->

@@ -282,13 +282,17 @@ object SparkEntry {
         .df.select(col("c_nationkey"), round(col("snap_distance"), 6).as("snap_dist"))
         .orderBy(col("snap_dist"), col("c_nationkey"))),
 
+    // Disc buffers on the lattice are pairwise DISJOINT (spacing 1 > 2r), so
+    // union area = n_distinct · one-disc area and n_parts = n_distinct; the
+    // oracle embeds JTS's exact 32-gon disc area as a literal. round(4)
+    // absorbs the ~1e-13 translation noise of buffering at each center.
     "sp_buffer_union_area" -> ((s, dir) =>
       pointsLayer(s, dir).df
         .filter(col("c_nationkey") === 0)
         .withColumn("geometry", st.buffer(col("geometry"), lit(0.45)))
         .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
-        .select(round(st.area(col("g")), 6).as("area"),
-          st.numGeometries(col("g")).as("n_parts"))),
+        .select(round(st.area(col("g")), 4).as("area"),
+          st.numGeometries(col("g")).cast("long").as("n_parts"))),
 
     "sp_convexhull" -> ((s, dir) =>
       pointsLayer(s, dir).df
@@ -296,7 +300,7 @@ object SparkEntry {
         .agg(SpatialAggs.unionAgg(col("geometry")).as("g"))
         .select(col("c_nationkey"),
           round(st.area(st.convexHull(col("g"))), 6).as("hull_area"),
-          st.numPoints(st.convexHull(col("g"))).as("hull_pts"))
+          st.numPoints(st.convexHull(col("g"))).cast("long").as("hull_pts"))
         .orderBy(col("c_nationkey"))),
 
     "sp_density_islands" -> ((s, dir) => {
@@ -465,11 +469,13 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))),
 
     // Boundary-lattice predicate matrix: every remaining filter/processing
-    // pipe under one closed-form oracle. Per row: unit box B=[x,x+1]×[y,y+1],
-    // diagonal segment, bowtie (self-intersecting) ring, and a ±400 big box,
-    // against the lattice-aligned rectangle R=[0.5,30.5]×[-10.5,40.5] whose
-    // boundary passes through lattice coordinates — so touch/overlap/cover/
-    // cross outcomes are exact interval arithmetic in DuckDB.
+    // pipe under one closed-form oracle. Per row: a 1.5×1.5 box
+    // B=[x,x+1.5]×[y,y+1.5] (the half-overhang makes PROPER overlap with the
+    // aligned rectangle actually occur — a unit box would always be covered
+    // or touching), diagonal segment, bowtie (self-intersecting) ring, and a
+    // ±400 big box, against R=[0.5,30.5]×[-10.5,40.5] whose boundary passes
+    // through lattice coordinates — so touch/overlap/cover/cross outcomes
+    // are exact interval arithmetic in DuckDB.
     // (reference: pipes/filtering/FilterTouch.java:29, FilterOverlap.java:29,
     // FilterCross.java:29, FilterCover.java:29, FilterCoveredBy.java:29,
     // FilterDisjoint.java:29, FilterEqualExact.java:30, FilterEqualTopo.java:30,
@@ -484,7 +490,7 @@ object SparkEntry {
       val x1s = (col("x") + 1).cast("string"); val y1s = (col("y") + 1).cast("string")
       val sp = lit(" "); val cm = lit(", ")
       pointsLayer(s, dir).df
-        .withColumn("bx", st.makeBox(col("x"), col("y"), col("x") + 1, col("y") + 1))
+        .withColumn("bx", st.makeBox(col("x"), col("y"), col("x") + 1.5, col("y") + 1.5))
         .withColumn("diag", st.makeLine(col("x"), col("y"), col("x") + 1, col("y") + 1))
         .withColumn("bowtie", st.geomFromText(concat(
           lit("POLYGON (("), xs, sp, ys, cm, x1s, sp, y1s, cm,
@@ -504,14 +510,14 @@ object SparkEntry {
           count(when(st.equalsTopo(col("diag"), st.reverse(col("diag"))), 1)).as("n_trev"),
           count(when(st.isValid(col("bx")), 1)).as("n_valid"),
           count(when(!st.isValid(col("bowtie")), 1)).as("n_inval"),
-          sum((st.x(st.interiorPoint(col("bx"))) - col("x")) * 2).cast("long").as("ip2"),
+          sum((st.x(st.interiorPoint(col("bx"))) - col("x")) * 4).cast("long").as("ip4"),
           count(when(st.numPoints(st.simplifyPreserveTopology(
             st.densify(col("diag"), lit(0.7)), lit(500.0))) === 2, 1)).as("n_tps"),
           sum(size(st.extractGeometries(st.symDifference(col("bx"), rect)))).cast("long").as("symp"),
           SpatialAggs.intersectAgg(col("big")).as("ia"))
         .select(col("c_nationkey"), col("n_touch"), col("n_overlap"), col("n_cross"),
           col("n_cover"), col("n_covby"), col("n_disj"), col("n_eq"), col("n_topo"),
-          col("n_xrev"), col("n_trev"), col("n_valid"), col("n_inval"), col("ip2"),
+          col("n_xrev"), col("n_trev"), col("n_valid"), col("n_inval"), col("ip4"),
           col("n_tps"), col("symp"), round(st.area(col("ia")), 6).as("ia_area"))
         .orderBy(col("c_nationkey"))
     }),
@@ -605,6 +611,12 @@ object SparkEntry {
     */
   private val LatticeRectWkt =
     "POLYGON ((0.5 -10.5, 30.5 -10.5, 30.5 40.5, 0.5 40.5, 0.5 -10.5))"
+
+  /** Exact area of ONE JTS r=0.45 disc buffer (32-gon, quadrantSegments=8),
+    * embedded as a literal in the sp_buffer_union_area oracle.
+    */
+  private lazy val DiscArea: Double =
+    GeomCodec.point(0.0, 0.0).buffer(0.45).getArea
 
   /** Oracle for both spatial-join strategies: envelope containment is plain
     * min/max BETWEEN arithmetic on the lattice coordinates.
@@ -857,18 +869,19 @@ object SparkEntry {
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Interval arithmetic on the lattice decides every predicate: wx/wy are
-    // the (possibly negative) overlap widths of the unit box vs the aligned
+    // the (possibly negative) overlap widths of the 1.5-box vs the aligned
     // rectangle; touch ⟺ overlap degenerate, overlap ⟺ positive widths and
-    // not covered, symDifference parts = 2 ⟺ strictly disjoint (JTS merges
-    // edge- AND corner-touching results into one polygon), intersectAll of
-    // the ±400 boxes = [max-400, min+400]² closed-form area.
+    // not covered, symDifference parts = 2 ⟺ strictly disjoint OR proper
+    // overlap (JTS merges pure edge/corner touches into one polygon but
+    // keeps the two lobes of an overlap separate — pinned by Round3Spec),
+    // intersectAll of the ±400 boxes = [max-400, min+400]² closed-form area.
     "sp_predicate_lattice" -> (PtsCte +
       """
         |, w AS (
         |  SELECT c_nationkey, x, y,
-        |         least(x + 1, 30.5) - greatest(x, 0.5) AS wx,
-        |         least(y + 1, 40.5) - greatest(y, -10.5) AS wy,
-        |         (x >= 0.5 AND x + 1 <= 30.5 AND y >= -10.5 AND y + 1 <= 40.5) AS covered
+        |         least(x + 1.5, 30.5) - greatest(x, 0.5) AS wx,
+        |         least(y + 1.5, 40.5) - greatest(y, -10.5) AS wy,
+        |         (x >= 0.5 AND x + 1.5 <= 30.5 AND y >= -10.5 AND y + 1.5 <= 40.5) AS covered
         |  FROM pts
         |)
         |SELECT c_nationkey,
@@ -884,11 +897,50 @@ object SparkEntry {
         |  count(*) AS n_trev,
         |  count(*) AS n_valid,
         |  count(*) AS n_inval,
-        |  count(*) AS ip2,
+        |  CAST(3 * count(*) AS BIGINT) AS ip4,
         |  count(*) AS n_tps,
-        |  CAST(sum(CASE WHEN wx < 0 OR wy < 0 THEN 2 ELSE 1 END) AS BIGINT) AS symp,
+        |  CAST(sum(CASE WHEN wx < 0 OR wy < 0
+        |                  OR (wx > 0 AND wy > 0 AND NOT covered)
+        |           THEN 2 ELSE 1 END) AS BIGINT) AS symp,
         |  round((800 - (max(x) - min(x))) * (800 - (max(y) - min(y))), 6) AS ia_area
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Convex hull replayed in plain SQL: a directed pair (a,b) of distinct
+    // lattice points is a CCW hull edge iff every other point is strictly
+    // left of it or collinear ON the segment (robust on the lattice: all
+    // cross products are exact quarter-integer doubles). Each hull vertex
+    // has exactly one outgoing edge, so vertices = edges and the shoelace
+    // sum over edges is twice the hull area. O(n³) per nation — fine at the
+    // oracle's sf, irrelevant to the Spark plan.
+    "sp_convexhull" -> (PtsCte +
+      """
+        |, d AS (SELECT DISTINCT c_nationkey, x, y FROM pts),
+        |e AS (
+        |  SELECT a.c_nationkey, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+        |  FROM d a JOIN d b
+        |    ON a.c_nationkey = b.c_nationkey AND (a.x <> b.x OR a.y <> b.y)
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM d c
+        |    WHERE c.c_nationkey = a.c_nationkey
+        |      AND NOT (c.x = a.x AND c.y = a.y) AND NOT (c.x = b.x AND c.y = b.y)
+        |      AND NOT (
+        |        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+        |        OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+        |            AND c.x BETWEEN least(a.x, b.x) AND greatest(a.x, b.x)
+        |            AND c.y BETWEEN least(a.y, b.y) AND greatest(a.y, b.y))
+        |      )
+        |  )
+        |)
+        |SELECT c_nationkey,
+        |  round(abs(sum(ax * by - bx * ay)) / 2, 6) AS hull_area,
+        |  (count(*) + 1)::BIGINT AS hull_pts
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_buffer_union_area" -> (PtsCte +
+      s"""
+        |SELECT round(count(DISTINCT (x, y)) * $DiscArea, 4) AS area,
+        |       count(DISTINCT (x, y))::BIGINT AS n_parts
+        |FROM pts WHERE c_nationkey = 0""".stripMargin),
 
     "osm_ingest_stats" -> (PtsCte +
       """

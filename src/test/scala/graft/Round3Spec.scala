@@ -114,6 +114,56 @@ class Round3Spec extends SparkSpec {
     assert(got == Seq("a"))
   }
 
+  // ------------------------------- recall invariants for probabilistic ops
+  // dd_minhash_pairs / sim_srp_topk stay rows-only at the driver (candidate
+  // sets are probabilistic); these tests pin their recall against the exact
+  // ground-truth operators so they still carry a checked invariant.
+
+  test("minhash LSH recall vs exact shingle-Jaccard ground truth") {
+    val rnd = new scala.util.Random(3)
+    val vocab = (0 until 200).map(i => s"tok$i")
+    def doc(seed: Int) = {
+      val r = new scala.util.Random(seed)
+      Array.fill(30)(vocab(r.nextInt(vocab.size))).mkString(" ")
+    }
+    // 40 base docs + 20 near-dups (one word changed -> Jaccard well above 0.7)
+    val base = (0 until 40).map(i => (i.toLong, doc(i)))
+    val dups = (0 until 20).map { i =>
+      val words = base(i)._2.split(" "); words(7) = "mutated"
+      ((100 + i).toLong, words.mkString(" "))
+    }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val truth = Dedup.shingleJaccardPairs(docs, "doc_id", "text", threshold = 0.7, shingleK = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.7, shingleK = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 15, s"weak ground truth: ${truth.size}")
+    // precision is exact by construction (candidates are verified with exact
+    // Jaccard); recall of 16-band/8-row LSH at J≈0.9 is essentially 1
+    assert(found.subsetOf(truth))
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall below 0.9")
+  }
+
+  test("SRP near-dup recall vs exact cosine ground truth") {
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(30)(Array.fill(16)(rnd.nextGaussian()))
+    val vecs = (0 until 30).flatMap { i =>
+      val jitter = base(i).map(v => (v + rnd.nextGaussian() * 0.05).toFloat)
+      Seq((i.toLong, base(i).map(_.toFloat)), ((100 + i).toLong, jitter))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val truth = Similarity.exactNearDupPairs(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", 0.95,
+        dim = 16, bits = 8, tables = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.size >= 25, s"weak ground truth: ${truth.size}")
+    assert(found.subsetOf(truth))  // exact verify => perfect precision
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.8, s"SRP recall $recall below 0.8")
+  }
+
   // --------------------------------------- lattice-predicate JTS invariants
   // These pin the JTS behaviors the sp_predicate_lattice oracle relies on.
 
@@ -129,19 +179,46 @@ class Round3Spec extends SparkSpec {
     import graft.functions.st
     val rect = lit(GeomCodec.toWkb(GeomCodec.fromWkt(
       "POLYGON ((0.5 -10.5, 30.5 -10.5, 30.5 40.5, 0.5 40.5, 0.5 -10.5))")))
-    // (x, y, expected parts of symDifference(unit box, rect))
+    // (x, y, expected parts of symDifference(1.5-box, rect)): JTS merges pure
+    // touches into ONE polygon but keeps the two lobes of a proper overlap
+    // (they share only a boundary segment) as TWO result polygons.
     val cases = Seq(
-      (100.5, 50.5, 2),   // strictly disjoint
-      (-0.5, -11.5, 1),   // corner touch at (0.5, -10.5): OverlayNG emits one polygon
-      (-0.5, 5.5, 1),     // edge touch on rect's left side
-      (0.0, 5.5, 1),      // proper overlap sticking out left  (x not lattice, still exact)
-      (10.5, 5.5, 1)      // strictly inside -> rect with hole
+      (100.5, 50.5, 2),    // strictly disjoint
+      (30.5, 40.5, 1),     // corner touch at (30.5, 40.5)
+      (30.5, 5.5, 1),      // edge touch on rect's right side
+      (-0.5, 5.5, 2),      // proper overlap sticking out left
+      (-0.5, -11.5, 2),    // corner overlap across (0.5, -10.5)
+      (29.5, 5.5, 2),      // proper overlap sticking out right
+      (10.5, 5.5, 1)       // strictly inside -> rect with hole
     )
     val got = cases.map { case (x, y, _) => (x, y) }.toDF("x", "y")
-      .withColumn("b", st.makeBox(col("x"), col("y"), col("x") + 1, col("y") + 1))
+      .withColumn("b", st.makeBox(col("x"), col("y"), col("x") + 1.5, col("y") + 1.5))
       .select(col("x"), st.numGeometries(st.symDifference(col("b"), rect)).as("n"))
       .as[(Double, Int)].collect().toMap
     cases.foreach { case (x, _, want) => assert(got(x) == want, s"x=$x") }
+  }
+
+  test("overlap/touch/cover truth table for the 1.5-box vs aligned rect") {
+    import graft.functions.st
+    val rect = lit(GeomCodec.toWkb(GeomCodec.fromWkt(
+      "POLYGON ((0.5 -10.5, 30.5 -10.5, 30.5 40.5, 0.5 40.5, 0.5 -10.5))")))
+    // (x, y, overlaps, touches, coveredBy)
+    val cases = Seq(
+      (100.5, 50.5, false, false, false),
+      (30.5, 40.5, false, true, false),    // corner touch
+      (30.5, 5.5, false, true, false),     // edge touch
+      (-0.5, 5.5, true, false, false),     // proper overlap
+      (29.5, 5.5, true, false, false),
+      (0.5, 5.5, false, false, true),      // inside, touching boundary from inside
+      (10.5, 5.5, false, false, true)
+    )
+    val got = cases.map { case (x, y, _, _, _) => (x, y) }.toDF("x", "y")
+      .withColumn("b", st.makeBox(col("x"), col("y"), col("x") + 1.5, col("y") + 1.5))
+      .select(col("x"), st.overlaps(col("b"), rect), st.touches(col("b"), rect),
+        st.coveredBy(col("b"), rect))
+      .as[(Double, Boolean, Boolean, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    cases.foreach { case (x, _, o, t, c) => assert(got(x) == ((o, t, c)), s"x=$x got=${got(x)}") }
   }
 
   test("crosses: diagonal lattice segment vs off-lattice vertical line") {

@@ -60,6 +60,28 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
         graft.functions.STPredicate.column("intersects", geom, env))))
   }
 
+  /** Window search via the stored space-filling-curve key: the window
+    * becomes a set of 1-D `__sfc` ranges (the reference's
+    * getTilesIntersectingEnvelope → range scans,
+    * LayerSpaceFillingCurvePointIndex.java:110-124) pushed into the parquet
+    * scan, where the curve-sorted layout's row-group min/max stats skip
+    * everything outside the ranges; the exact window filter still applies
+    * after, so results are identical to [[intersectsWindow]]. Requires a
+    * hilbert-clustered layer (SpatialLayout.writeClustered keeps `__sfc`).
+    * Stronger than bbox-stat pruning on fragmented windows: a curve range is
+    * contiguous on disk even when the window cuts across many bbox strides.
+    */
+  def windowViaCurve(minx: Double, miny: Double, maxx: Double, maxy: Double): GeoFrame = {
+    require(df.columns.contains("__sfc"),
+      "layer has no stored __sfc key — write it with indexType=hilbert")
+    require(meta.forall(_.indexType == "hilbert"),
+      s"windowViaCurve supports hilbert layouts, layer has ${meta.map(_.indexType)}")
+    val ranges = graft.plans.SpatialLayout.hilbertRangesForWindow(minx, miny, maxx, maxy)
+    val rangePred = ranges.map { case (lo, hi) => col("__sfc").between(lo, hi) }
+      .reduceOption(_ || _).getOrElse(lit(false))
+    lift(df.filter(rangePred)).intersectsWindow(minx, miny, maxx, maxy)
+  }
+
   /** bbox window prune (pushdown-able column comparisons) → exact JTS
     * predicate as a native expression caching the prepared query geometry
     * per task ([[graft.functions.STPredicate]]).

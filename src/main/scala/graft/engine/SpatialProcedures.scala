@@ -67,7 +67,7 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
 
   /** spatial.getFeatureAttributes (reference: :578): discovered columns. */
   def getFeatureAttributes(name: String): Seq[String] = {
-    val core = Set("id", "geometry", "gtype", "bbox", "x", "y", "props")
+    val core = Set("id", "geometry", "gtype", "bbox", "x", "y", "props", "__sfc")
     catalog.getLayer(name).df.columns.filterNot(core.contains).toSeq
   }
 

@@ -4,7 +4,7 @@ import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 import java.io.FileInputStream
 import scala.collection.mutable.ArrayBuffer
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.locationtech.jts.geom.{Coordinate, Geometry, LinearRing, Polygon}
 
@@ -189,8 +189,41 @@ object OsmImport {
       .select("id", "geometry", "gtype", "bbox", "props", "x", "y", "node_id")
   }
 
+  /** Transitively resolve relation members down to WAY members — relations
+    * may contain relations (reference: OSMGeometryEncoder.java:270-291
+    * recurses through relation members). Depth-bounded driver loop, ONE join
+    * per level (each level is fully distributed); a nested member keeps its
+    * position via fractional sort keys (parent_seq + (child_seq+1)/1024^d)
+    * and a child with an empty role inherits its parent's role. Cycles
+    * terminate at maxDepth. Output: (relation_id, seq: double, role,
+    * member_ref) with one row per transitively-reachable way member.
+    */
+  def resolveWayMembers(members: DataFrame, maxDepth: Int = 4): DataFrame = {
+    val base = members.select(col("relation_id"),
+      col("seq").cast("double").as("seq"), col("role"),
+      col("member_type"), col("member_ref"))
+    var acc = base.filter(col("member_type") === "way").drop("member_type")
+    var frontier = base.filter(col("member_type") === "relation").drop("member_type")
+    var depth = 0
+    while (depth < maxDepth) {
+      val child = members.select(col("relation_id").as("sub_id"),
+        col("seq").cast("double").as("cseq"), col("role").as("crole"),
+        col("member_type").as("ctype"), col("member_ref").as("cref"))
+      val expanded = frontier.join(child, col("member_ref") === col("sub_id"))
+        .select(col("relation_id"),
+          (col("seq") + (col("cseq") + 1) / math.pow(1024, depth + 1)).as("seq"),
+          when(col("crole") === "", col("role")).otherwise(col("crole")).as("role"),
+          col("ctype"), col("cref").as("member_ref"))
+      acc = acc.unionByName(expanded.filter(col("ctype") === "way").drop("ctype"))
+      frontier = expanded.filter(col("ctype") === "relation").drop("ctype")
+      depth += 1
+    }
+    acc
+  }
+
   /** Assemble polygon relations: members with role outer/inner become
-    * polygon shells/holes (reference: OSMGeometryEncoder.java:245-291).
+    * polygon shells/holes (reference: OSMGeometryEncoder.java:245-291);
+    * relation members are resolved recursively ([[resolveWayMembers]]).
     * Two shuffles: member-ways coords, then group by relation.
     */
   def assembleRelations(st8: Staging): DataFrame = {
@@ -200,7 +233,7 @@ object OsmImport {
       .select(col("way_id"),
         expr("transform(cs, c -> c.lon)").as("xs"), expr("transform(cs, c -> c.lat)").as("ys"))
 
-    val memberWays = st8.members.filter(col("member_type") === "way")
+    val memberWays = resolveWayMembers(st8.members)
       .join(wayCoords, col("member_ref") === col("way_id"))
       .select(col("relation_id"), col("seq"), col("role"), col("xs"), col("ys"))
 
@@ -266,4 +299,25 @@ object OsmImport {
   def tagFilteredLayer(ways: DataFrame, key: String, value: String): DataFrame =
     if (value == "*") ways.filter(map_contains_key(col("props"), key))
     else ways.filter(col("props").getItem(key) === value)
+
+  /** Road direction from the `oneway` tag, EXACT reference decode
+    * (reference: OSMImporter.getRoadDirection:1607-1618, RoadDirection.java:22):
+    * "-1" → BACKWARD; "1" | "yes" | "true" (case-insensitive) → FORWARD;
+    * anything else, including no tag → BOTH.
+    */
+  def roadDirection(props: Column): Column = {
+    val raw = props.getItem("oneway")
+    when(raw === "-1", "BACKWARD")
+      .when(raw === "1" || lower(raw) === "yes" || lower(raw) === "true", "FORWARD")
+      .otherwise("BOTH")
+  }
+
+  /** Road enrichment mirroring the importer (reference: OSMImporter.java:655-662):
+    * ways carrying a `highway` tag get the decoded direction as
+    * `road_direction` (null for non-roads, as the reference only stores
+    * `oneway` on roads).
+    */
+  def withRoadDirection(ways: DataFrame): DataFrame =
+    ways.withColumn("road_direction",
+      when(map_contains_key(col("props"), "highway"), roadDirection(col("props"))))
 }

@@ -132,8 +132,12 @@ object SpatialLayout {
     }
     val parts = if (numPartitions > 0) numPartitions
       else keyed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // `__sfc` is KEPT as a stored column: it is the 1-D scan key that
+    // GeoFrame.windowViaCurve turns window queries into range predicates on
+    // (parquet min/max row-group stats on a sorted column ⟺ the reference's
+    // curve-index b-tree range scan, LayerSpaceFillingCurvePointIndex.java:110-124).
     val out = if (keyed.columns.contains("__sfc"))
-      keyed.repartitionByRange(parts, col("__sfc")).sortWithinPartitions("__sfc").drop("__sfc")
+      keyed.repartitionByRange(parts, col("__sfc")).sortWithinPartitions("__sfc")
     else keyed.repartition(parts)
     out.write.mode("overwrite").parquet(path)
   }

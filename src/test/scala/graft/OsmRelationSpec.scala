@@ -17,7 +17,8 @@ class OsmRelationSpec extends SparkSpec {
     val nodes = Seq(
       (1, 0.0, 0.0), (2, 10.0, 0.0), (3, 10.0, 10.0), (4, 0.0, 10.0),
       (5, 2.0, 2.0), (6, 4.0, 2.0), (7, 4.0, 4.0), (8, 2.0, 4.0),
-      (9, 20.0, 20.0), (10, 30.0, 20.0), (11, 30.0, 30.0))
+      (9, 20.0, 20.0), (10, 30.0, 20.0), (11, 30.0, 30.0),
+      (12, 40.0, 40.0), (13, 44.0, 40.0), (14, 44.0, 44.0), (15, 40.0, 44.0))
     val sb = new StringBuilder
     sb ++= "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n<osm version=\"0.6\">\n"
     nodes.foreach { case (id, lon, lat) =>
@@ -31,6 +32,7 @@ class OsmRelationSpec extends SparkSpec {
     way(100, Seq(1, 2, 3, 4, 1))       // closed outer
     way(101, Seq(5, 6, 7, 8, 5))       // closed inner
     way(102, Seq(9, 10, 11))           // unclosed outer (repair)
+    way(103, Seq(12, 13, 14, 15, 12))  // closed outer for the super-relation
     sb ++= """ <relation id="200" version="1">
               |  <member type="way" ref="100" role="outer"/>
               |  <member type="way" ref="101" role="inner"/>
@@ -38,6 +40,11 @@ class OsmRelationSpec extends SparkSpec {
               | </relation>
               | <relation id="201" version="1">
               |  <member type="way" ref="102" role="outer"/>
+              | </relation>
+              | <relation id="300" version="1">
+              |  <member type="relation" ref="200" role=""/>
+              |  <member type="way" ref="103" role="outer"/>
+              |  <tag k="type" v="multipolygon"/>
               | </relation>
               |</osm>
               |""".stripMargin
@@ -48,8 +55,8 @@ class OsmRelationSpec extends SparkSpec {
 
   test("relation assembly: polygon with hole; unclosed outer repaired") {
     val st8 = OsmImport.parse(spark, writeOsm())
-    assert(st8.relations.count() == 2)
-    assert(st8.members.count() == 3)
+    assert(st8.relations.count() == 3)
+    assert(st8.members.count() == 5)
     val rels = OsmImport.assembleRelations(st8)
       .collect().map(r => r.getAs[String]("id") ->
         GeomCodec.fromWkb(r.getAs[Array[Byte]]("geometry"))).toMap
@@ -65,6 +72,40 @@ class OsmRelationSpec extends SparkSpec {
     assert(repaired.getGeometryType == "Polygon")
     // closed triangle (20,20)-(30,20)-(30,30): area 50
     assert(math.abs(repaired.getArea - 50.0) < 1e-9)
+  }
+
+  test("relation-of-relations resolves nested members recursively") {
+    val st8 = OsmImport.parse(spark, writeOsm())
+    val g = OsmImport.assembleRelations(st8)
+      .filter(org.apache.spark.sql.functions.col("id") === "300")
+      .head()
+    val geom = GeomCodec.fromWkb(g.getAs[Array[Byte]]("geometry"))
+    // relation 300 = relation 200 (10x10 outer with 2x2 hole, roles inherited
+    // through the empty-role relation member) + its own 4x4 outer way
+    assert(geom.getGeometryType == "MultiPolygon", geom.getGeometryType)
+    assert(geom.getNumGeometries == 2)
+    assert(math.abs(geom.getArea - (96.0 + 16.0)) < 1e-9, s"area=${geom.getArea}")
+    val holed = (0 until 2).map(geom.getGeometryN(_).asInstanceOf[org.locationtech.jts.geom.Polygon])
+      .map(_.getNumInteriorRing).max
+    assert(holed == 1, "the nested 2x2 hole must survive recursion")
+  }
+
+  test("road direction decodes the oneway tag exactly like the reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, map}
+    val rows = Seq(
+      Map("highway" -> "primary", "oneway" -> "yes"),
+      Map("highway" -> "primary", "oneway" -> "TRUE"),
+      Map("highway" -> "primary", "oneway" -> "1"),
+      Map("highway" -> "primary", "oneway" -> "-1"),
+      Map("highway" -> "primary", "oneway" -> "no"),
+      Map("highway" -> "primary"),
+      Map("building" -> "yes", "oneway" -> "yes")  // not a road -> null
+    ).toDF("props")
+    val got = OsmImport.withRoadDirection(rows).select("road_direction")
+      .as[Option[String]].collect().toSeq
+    assert(got == Seq(Some("FORWARD"), Some("FORWARD"), Some("FORWARD"),
+      Some("BACKWARD"), Some("BOTH"), Some("BOTH"), None))
   }
 
   test("relation tags land in props") {

@@ -41,6 +41,37 @@ class ScaleSpec extends SparkSpec {
     assert(results.values.toSet.size == 1, "layouts disagree on query results")
   }
 
+  test("windowViaCurve returns intersectsWindow results and actually prunes the scan") {
+    val wh = Files.createTempDirectory("graft-curve-read").toString
+    val cat = new SpatialCatalog(spark, wh)
+    val src = randomPoints(50000)
+    cat.createPointLayer("pts_curve_read", src, "k", "x", "y", indexType = "hilbert")
+    val layer = cat.getLayer("pts_curve_read")
+    assert(layer.df.columns.contains("__sfc"), "__sfc key must be stored")
+
+    val viaCurve = layer.windowViaCurve(20.0, 30.0, 45.0, 55.0)
+    val plain = layer.intersectsWindow(20.0, 30.0, 45.0, 55.0)
+    val a = viaCurve.df.select("id").as[String].collect().sorted.toSeq
+    val b = plain.df.select("id").as[String].collect().sorted.toSeq
+    assert(a.nonEmpty && a == b, "curve-range read must equal the plain window read")
+
+    // pruning evidence: the scan behind the curve-range plan must emit far
+    // fewer rows than the table holds (row groups outside the __sfc ranges
+    // are skipped via parquet min/max stats on the sorted key)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedRows(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val plan = d.queryExecution.executedPlan match {
+        case ad: AdaptiveSparkPlanExec => ad.executedPlan
+        case p => p
+      }
+      plan.collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+    }
+    val rows = scannedRows(viaCurve.df)
+    assert(rows > 0 && rows < 50000 / 2, s"expected pruned scan, read $rows of 50000 rows")
+  }
+
   test("hilbert curve is a bijective space-filling walk") {
     val level = 4
     val n = 1 << level

@@ -139,17 +139,21 @@ object st {
   val symDifference: (Column, Column) => Column = (a, b) => gg2(_.symDifference(_)).apply(a, b)
   val distance: (Column, Column) => Column = (a, b) => g2[Double](_.distance(_)).apply(a, b)
 
-  // Predicates (reference: pipes/filtering/Filter*.java, one JTS call each)
-  val intersects: (Column, Column) => Column = (a, b) => g2[Boolean](_.intersects(_)).apply(a, b)
-  val contains: (Column, Column) => Column = (a, b) => g2[Boolean](_.contains(_)).apply(a, b)
-  val within: (Column, Column) => Column = (a, b) => g2[Boolean](_.within(_)).apply(a, b)
-  val covers: (Column, Column) => Column = (a, b) => g2[Boolean](_.covers(_)).apply(a, b)
-  val coveredBy: (Column, Column) => Column = (a, b) => g2[Boolean](_.coveredBy(_)).apply(a, b)
-  val crosses: (Column, Column) => Column = (a, b) => g2[Boolean](_.crosses(_)).apply(a, b)
-  val overlaps: (Column, Column) => Column = (a, b) => g2[Boolean](_.overlaps(_)).apply(a, b)
-  val touches: (Column, Column) => Column = (a, b) => g2[Boolean](_.touches(_)).apply(a, b)
-  val disjoint: (Column, Column) => Column = (a, b) => g2[Boolean](_.disjoint(_)).apply(a, b)
-  val equalsTopo: (Column, Column) => Column = (a, b) => g2[Boolean](_.equals(_)).apply(a, b)
+  // Predicates (reference: pipes/filtering/Filter*.java, one JTS call each).
+  // Each carries its st_* name so BboxConjunctRule recognizes Column-API
+  // calls too (an anonymous ScalaUDF is invisible to the optimizer rule).
+  private def g2pred(name: String)(f: (Geometry, Geometry) => Boolean): (Column, Column) => Column =
+    (a, b) => g2[Boolean](f).withName(name).apply(a, b)
+  val intersects: (Column, Column) => Column = g2pred("st_intersects")(_.intersects(_))
+  val contains: (Column, Column) => Column = g2pred("st_contains")(_.contains(_))
+  val within: (Column, Column) => Column = g2pred("st_within")(_.within(_))
+  val covers: (Column, Column) => Column = g2pred("st_covers")(_.covers(_))
+  val coveredBy: (Column, Column) => Column = g2pred("st_coveredby")(_.coveredBy(_))
+  val crosses: (Column, Column) => Column = g2pred("st_crosses")(_.crosses(_))
+  val overlaps: (Column, Column) => Column = g2pred("st_overlaps")(_.overlaps(_))
+  val touches: (Column, Column) => Column = g2pred("st_touches")(_.touches(_))
+  val disjoint: (Column, Column) => Column = g2pred("st_disjoint")(_.disjoint(_))
+  val equalsTopo: (Column, Column) => Column = g2pred("st_equals")(_.equals(_))
   def equalsExact(a: Column, b: Column, tol: Column): Column =
     udf((x: Array[Byte], y: Array[Byte], t: Double) =>
       if (x == null || y == null) null.asInstanceOf[Boolean]

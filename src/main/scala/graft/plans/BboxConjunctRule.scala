@@ -67,7 +67,11 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  /** The envelope comparisons implied by one spatial-predicate conjunct. */
+  /** The envelope comparisons implied by one spatial-predicate conjunct.
+    * Matches all three predicate surfaces: SQL-registered `st_*` UDFs,
+    * the (named) Column-API UDFs of graft.functions.st, and the native
+    * [[graft.functions.STPredicate]] prepared-geometry expression.
+    */
   private def conjunctFor(c: Expression, bbox: Attribute): Option[Seq[Expression]] = c match {
     case u: ScalaUDF if u.udfName.exists(n => isSpatialPred(n.toLowerCase))
         && u.children.length == 2 =>
@@ -79,6 +83,10 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
           envConjunct(name, bbox, envOf(b), litIsSecond = false)
         case _ => None
       }
+    // STPredicate relates the ROW geometry (child) to its constant query —
+    // exactly the litIsSecond convention
+    case p: graft.functions.STPredicate if isSpatialPred("st_" + p.predicate) =>
+      envConjunct("st_" + p.predicate, bbox, envOf(p.queryWkb), litIsSecond = true)
     case _ => None
   }
 

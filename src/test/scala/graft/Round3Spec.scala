@@ -114,6 +114,47 @@ class Round3Spec extends SparkSpec {
     assert(got == Seq("a"))
   }
 
+  // ------------------------ BboxConjunctRule fires for the Scala API too
+
+  test("BboxConjunctRule injects conjuncts for named Column-API UDFs and STPredicate") {
+    import graft.functions.st
+    graft.plans.GraftOptimizations.install(spark)
+    // must be a file relation: ConvertToLocalRelation would otherwise fold
+    // the whole filter away before the rule can be observed
+    val dir = Files.createTempDirectory("bboxrule-r3").toString
+    (1 to 100).map { i =>
+      val x = (i % 20).toDouble; val y = (i / 20).toDouble
+      (i.toString, GeomCodec.toWkb(GeomCodec.point(x, y)), x, y)
+    }.toDF("id", "geometry", "x", "y")
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+      .write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val rectG = GeomCodec.fromWkt("POLYGON ((0.5 0.5, 10.5 0.5, 10.5 3.5, 0.5 3.5, 0.5 0.5))")
+    val rect = GeomCodec.toWkb(rectG)
+    val expected = (1 to 100).filter { i =>
+      val x = (i % 20).toDouble; val y = (i / 20).toDouble
+      x >= 0.5 && x <= 10.5 && y >= 0.5 && y <= 3.5
+    }.map(_.toString).toSet
+
+    // Column-API UDF (st.intersects now carries its st_ name)
+    val viaUdf = pts.filter(st.intersects(col("geometry"), lit(rect)))
+    val planUdf = viaUdf.queryExecution.optimizedPlan.toString()
+    assert(planUdf.contains("minx"), s"no conjunct for Column-API UDF:\n$planUdf")
+    assert(viaUdf.select("id").as[String].collect().toSet == expected)
+
+    // native prepared-geometry expression
+    val viaExpr = pts.filter(graft.functions.STPredicate.column("intersects", col("geometry"), rectG))
+    val planExpr = viaExpr.queryExecution.optimizedPlan.toString()
+    assert(planExpr.contains("minx"), s"no conjunct for STPredicate:\n$planExpr")
+    assert("minx".r.findAllIn(planExpr).length <= 4, s"re-injection:\n$planExpr")
+    assert(viaExpr.select("id").as[String].collect().toSet == expected)
+
+    // directional sense through STPredicate: row within query ⇒ bbox ⊆ env
+    val viaWithin = pts.filter(graft.functions.STPredicate.column("within", col("geometry"), rectG))
+    assert(viaWithin.queryExecution.optimizedPlan.toString().contains("minx"))
+    assert(viaWithin.select("id").as[String].collect().toSet == expected)
+  }
+
   // ------------------------------- recall invariants for probabilistic ops
   // dd_minhash_pairs / sim_srp_topk stay rows-only at the driver (candidate
   // sets are probabilistic); these tests pin their recall against the exact

@@ -588,6 +588,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // PRODUCTION simhash variant beside the 24-bit oracle gate: full 64-bit
+    // FNV-token signature, pigeonhole banding (maxHamming+1 chunks ⇒ 16-bit
+    // keys at r=3, selective at any corpus size). Rows-only at the driver
+    // (FNV-64 per char is impractical to replay in SQL); recall is
+    // unit-verified (Round2Spec pigeonhole test).
+    "dd_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // PRODUCTION IVF variant: distributed k-means coarse quantizer instead
+    // of the oracle's deterministic first-N centroids; probe/re-rank
+    // dataflow identical. Rows-only; full-probe≡brute-force is unit-verified.
+    "sim_ivf_kmeans" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfTopKKMeans(emb, "vec_id", "embedding", q, k = 20,
+          nlist = 16, nprobe = 2, kmeansIters = 3)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
     // IVF ANN: 16 deterministic coarse centroids, probe 2 lists, exact
     // re-rank inside — the partition-pruned scale path beside brute force
     "sim_ivf_topk" -> ((s, dir) => {

@@ -175,10 +175,12 @@ object SparkEntry {
         .df.select(col("ck").as("id"), round(col("distance"), 3).as("dist_km"))
         .orderBy(col("dist_km"), col("id"))),
 
+    // window-pruned EXACT k-NN (GeoFrame.knnCandidates proves the pruned
+    // scan contains the full-scan top-k incl. round-ties) — the oracle stays
+    // a full scan; results are provably identical
     "sp_knn" -> ((s, dir) =>
-      pointsLayer(s, dir).df
-        .withColumn("dist_km",
-          round(st.orthodromicKm(lit(-100.5), lit(30.5), col("x"), col("y")), 3))
+      pointsLayer(s, dir).knnCandidates(-100.5, 30.5, 25)
+        .df.withColumn("dist_km", round(col("distance"), 3))
         .select(col("ck").as("id"), col("dist_km"))
         .orderBy(col("dist_km"), col("id"))
         .limit(25)),

@@ -174,6 +174,53 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     lift(withDist.orderBy(col("distance")).limit(k))
   }
 
+  /** PROVABLY-exact k-NN candidate set with window pruning: grow a
+    * density-estimated degree window (×2 per round) until the k-th candidate
+    * distance plus `slackKm` fits inside a proven lower bound on the
+    * distance to anything outside the window
+    * ([[Orthodromic.minDistanceOutsideWindowKm]]) — from then on the pruned
+    * scan contains every row a FULL scan's top-k could select, including
+    * under any ordering on a rounding of distance coarser than `slackKm`
+    * (monotone rounding keeps the k-th rank; the slack absorbs round-ties at
+    * the boundary). Each round is one bbox-pruned scan + one k-row
+    * TakeOrdered; typical cost is a single round. This is the plan that
+    * survives 100×: the full-scan top-k only rides on TakeOrdered, while
+    * this also prunes the scan itself (reference window estimation:
+    * SpatialTopologyUtils.java:200-238).
+    */
+  def knnCandidates(lon: Double, lat: Double, k: Int, slackKm: Double = 0.001): GeoFrame = {
+    val bb = boundingBox().head()
+    val (minx, miny, maxx, maxy) =
+      (bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
+    val total = math.max(df.count(), 1L)
+    val area = math.max((maxx - minx) * (maxy - miny), 1e-12)
+    var side = math.max(1e-6, math.sqrt(2.0 * math.max(k, 1) * area / total))
+    var result: Option[DataFrame] = None
+    while (result.isEmpty) {
+      val half = side / 2
+      val pruned = df.filter(
+        st.bboxIntersects(col("bbox"), lon - half, lat - half, lon + half, lat + half))
+      val withDist =
+        if (df.columns.contains("x"))
+          pruned.withColumn("distance", st.orthodromicKm(lit(lon), lit(lat), col("x"), col("y")))
+        else pruned.withColumn("distance", st.orthodromicDistanceKm(geom, lon, lat))
+      val coversAll = lon - half <= minx && lon + half >= maxx &&
+        lat - half <= miny && lat + half >= maxy
+      if (coversAll) result = Some(withDist)
+      else {
+        val top = withDist.select(col("distance")).orderBy(col("distance")).limit(k)
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
+            max(col("distance")).as("kth")).head()
+        val n = top.getLong(0)
+        if (n >= k &&
+            top.getDouble(1) + slackKm <= Orthodromic.minDistanceOutsideWindowKm(lon, lat, half))
+          result = Some(withDist)
+        else side *= 2
+      }
+    }
+    lift(result.get)
+  }
+
   /** `spatial.closest` — snap query point to nearest point/edge of each
     * geometry within maxDistance (degrees), sorted by snap distance
     * (reference: SpatialProcedures.java:850-862 →

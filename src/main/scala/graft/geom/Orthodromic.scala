@@ -41,6 +41,30 @@ object Orthodromic {
     new Envelope(lon - lonDegrees, lon + lonDegrees, lat - latDegrees, lat + latDegrees)
   }
 
+  /** Conservative LOWER bound on the orthodromic distance from (lon,lat) to
+    * ANY point outside the degree window [lon±half, lat±half]. An outside
+    * point has |Δlat| ≥ half (central angle ≥ Δlat ⇒ d ≥ R·half_rad) or
+    * |Δlon| ≥ half with its latitude inside the band (θ grows with |Δλ|, so
+    * the minimum sits on the Δλ = half edge — minimized numerically over
+    * the band, then shrunk 0.1% to absorb grid error). Used by the exact
+    * k-NN window verification (GeoFrame.knnCandidates).
+    */
+  def minDistanceOutsideWindowKm(lon: Double, lat: Double, halfDeg: Double): Double = {
+    val latBound = EarthRadiusKm * math.toRadians(halfDeg)
+    var lonBound = Double.MaxValue
+    val n = 2048
+    var i = 0
+    while (i <= n) {
+      val lat2 = lat - halfDeg + (2.0 * halfDeg * i) / n
+      if (lat2 >= -90 && lat2 <= 90) {
+        val d = distanceKm(lon, lat, lon + halfDeg, lat2)
+        if (d < lonBound) lonBound = d
+      }
+      i += 1
+    }
+    0.999 * math.min(latBound, lonBound)
+  }
+
   /** Sum of orthodromic segment lengths along a geometry's coordinates.
     * The reference uses GeoTools' GeodeticCalculator (ellipsoidal)
     * (reference: OrthodromicLength.java:34-74); GeoTools is unavailable here,

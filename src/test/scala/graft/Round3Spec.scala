@@ -114,6 +114,31 @@ class Round3Spec extends SparkSpec {
     assert(got == Seq("a"))
   }
 
+  // ----------------------------------------- provably-exact windowed k-NN
+
+  test("knnCandidates equals the full-scan top-k, including forced window growth") {
+    import graft.engine.GeoFrame
+    import graft.functions.st
+    // clustered far from the query point so the first density window misses
+    // and the verb must grow + re-verify
+    val pts = (1 to 2000).map { i =>
+      val x = (i % 100).toDouble / 2; val y = (i / 100).toDouble / 2
+      (i.toString, x, y)
+    }.toDF("id", "x", "y")
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    val layer = new GeoFrame(pts)
+    for (k <- Seq(5, 50, 500)) {
+      val pruned = layer.knnCandidates(48.0, 9.0, k)
+        .df.orderBy(col("distance"), col("id")).limit(k)
+        .select("id").as[String].collect().toSeq
+      val full = pts
+        .withColumn("distance", st.orthodromicKm(lit(48.0), lit(9.0), col("x"), col("y")))
+        .orderBy(col("distance"), col("id")).limit(k)
+        .select("id").as[String].collect().toSeq
+      assert(pruned == full, s"k=$k mismatch")
+    }
+  }
+
   // ------------------------ BboxConjunctRule fires for the Scala API too
 
   test("BboxConjunctRule injects conjuncts for named Column-API UDFs and STPredicate") {

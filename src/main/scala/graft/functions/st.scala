@@ -106,6 +106,13 @@ object st {
   val isSimple: Column => Column = c => g1[Boolean](_.isSimple).apply(c)
   val x: Column => Column = c => g1[Double](g => g.getCoordinate.x).apply(c)
   val y: Column => Column = c => g1[Double](g => g.getCoordinate.y).apply(c)
+  /** z ordinate (NaN for 2D geometries) — 3D layers per
+    * reference: SimpleGraphEncoder.java:46, Constants.java:74-75. */
+  val z: Column => Column = c => g1[Double](g => g.getCoordinate.z).apply(c)
+
+  def makePointZ(x: Column, y: Column, z: Column): Column =
+    udf((x: Double, y: Double, z: Double) => GeomCodec.toWkb(GeomCodec.point(x, y, z)))
+      .apply(x, y, z)
 
   // Geometry→geometry transforms
   val centroid: Column => Column = c => gg(_.getCentroid).apply(c)

@@ -18,15 +18,36 @@ object GeomCodec {
 
   private val wkbReader = ThreadLocal.withInitial[WKBReader](() => new WKBReader(factory))
   private val wkbWriter = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(2))
+  private val wkbWriter3 = ThreadLocal.withInitial[WKBWriter](() => new WKBWriter(3))
   private val wktReader = ThreadLocal.withInitial[WKTReader](() => new WKTReader(factory))
   private val wktWriter = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(2))
+  private val wktWriter3 = ThreadLocal.withInitial[WKTWriter](() => new WKTWriter(3))
+
+  /** A geometry carries z when any coordinate's z is set (non-NaN) — the
+    * reference stores z only for its 3D CRS layers
+    * (reference: SimpleGraphEncoder.java:46, 3D codes Constants.java:74-75).
+    */
+  def hasZ(g: Geometry): Boolean = {
+    val cs = g.getCoordinates
+    var i = 0
+    while (i < cs.length) {
+      if (!cs(i).z.isNaN) return true
+      i += 1
+    }
+    false
+  }
 
   def fromWkb(bytes: Array[Byte]): Geometry = wkbReader.get.read(bytes)
-  def toWkb(g: Geometry): Array[Byte] = wkbWriter.get.write(g)
+  /** Dimension-aware: 2D geometries stay 2-coord WKB; z survives when present. */
+  def toWkb(g: Geometry): Array[Byte] =
+    if (hasZ(g)) wkbWriter3.get.write(g) else wkbWriter.get.write(g)
   def fromWkt(wkt: String): Geometry = wktReader.get.read(wkt)
-  def toWkt(g: Geometry): String = wktWriter.get.write(g)
+  def toWkt(g: Geometry): String =
+    if (hasZ(g)) wktWriter3.get.write(g) else wktWriter.get.write(g)
 
   def point(x: Double, y: Double): Point = factory.createPoint(new Coordinate(x, y))
+  def point(x: Double, y: Double, z: Double): Point =
+    factory.createPoint(new Coordinate(x, y, z))
 
   /** Geometry type codes, identical to the reference
     * (reference: server-plugin/.../Constants.java:66-72).

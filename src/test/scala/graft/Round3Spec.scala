@@ -297,6 +297,26 @@ class Round3Spec extends SparkSpec {
     assert(got == Map(8.5 -> false, 9.5 -> true, 10.5 -> false))
   }
 
+  test("z coordinates survive WKB/WKT round trips; 2D output is unchanged") {
+    import graft.functions.st
+    val p3 = GeomCodec.point(1.5, 2.5, 42.0)
+    assert(GeomCodec.hasZ(p3))
+    val back = GeomCodec.fromWkb(GeomCodec.toWkb(p3))
+    assert(back.getCoordinate.z == 42.0)
+    assert(GeomCodec.toWkt(p3) == "POINT Z(1.5 2.5 42)")
+    val line3 = GeomCodec.fromWkt("LINESTRING Z(0 0 1, 1 1 2)")
+    assert(GeomCodec.fromWkb(GeomCodec.toWkb(line3)).getCoordinates.map(_.z).toSeq == Seq(1.0, 2.0))
+    // 2D path untouched (every oracle depends on this)
+    val p2 = GeomCodec.point(1.5, 2.5)
+    assert(!GeomCodec.hasZ(p2))
+    assert(GeomCodec.toWkt(p2) == "POINT (1.5 2.5)")
+    // column accessors
+    val got = Seq((1.5, 2.5, 42.0)).toDF("px", "py", "pz")
+      .select(st.z(st.makePointZ(col("px"), col("py"), col("pz"))))
+      .as[Double].head()
+    assert(got == 42.0)
+  }
+
   test("asMap renders type + coordinates like the reference map function") {
     val proc = new SpatialProcedures(spark, Files.createTempDirectory("graft-r3m").toString)
     val m = proc.asMap(GeomCodec.toWkb(GeomCodec.point(3.5, -7.25)))

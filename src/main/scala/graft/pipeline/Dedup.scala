@@ -298,7 +298,12 @@ object Dedup {
     */
   def shingleJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double, shingleK: Int = 4): DataFrame = {
+    // the hashed sets feed three consumers (inverted index + both verify
+    // joins); caching computes the tokenize/hash UDF once per row instead of
+    // three times. MEMORY_AND_DISK: sets are ~8 bytes/shingle, a fraction of
+    // the input text, and spill cleanly at corpus scale.
     val sets = df.select(col(idCol).as("id"), shingleHashSet(shingleK)(col(textCol)).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = shingleJaccardCandidates(sets, threshold)
     val jac = udf((a: Seq[Long], b: Seq[Long]) => {
       val sa = a.toSet; val sb = b.toSet
@@ -320,13 +325,12 @@ object Dedup {
     */
   private[graft] def shingleJaccardCandidates(sets: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be > 0 for prefix-filter recall to hold")
-    val inv = sets.select(col("id"), explode(col("ss")).as("s"))
+    // set size rides along with the explode — no second window pass for it
+    val inv = sets.select(col("id"), size(col("ss")).as("n_sh"), explode(col("ss")).as("s"))
     val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
     val ordered = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("df"), col("s"))
     val prefix = inv.join(dfreq, "s")
-      .withColumn("n_sh", count(lit(1)).over(w))
       .withColumn("rn", row_number().over(ordered))
       .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
       .select(col("id"), col("s"))

@@ -27,6 +27,9 @@ object ExplainAudit {
     println("========== window query over stored hilbert layer ==========")
     layer.intersectsWindow(-10, -10, 10, 10).df.explain("formatted")
 
+    println("========== windowViaCurve: __sfc range scan ==========")
+    layer.windowViaCurve(-10, -10, 10, 10).df.explain("formatted")
+
     println("========== withinDistance over stored layer ==========")
     layer.withinDistanceKm(0, 0, 500).df.explain("formatted")
 

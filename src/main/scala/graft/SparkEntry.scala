@@ -436,6 +436,17 @@ object SparkEntry {
           round(st.orthodromicLengthKm(col("geometry")), 3).as("len_km"))
         .orderBy(col("c_nationkey"))),
 
+    // audio waveform windowing: decode → fixed windows → per-window sum/peak
+    // (the VAD/loudness shape), FNV stub replayed by the oracle
+    "mm_audio" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+      Multimodal.sampleWaveform(media, windows = 8, samplesPerWindow = 32)
+        .select(col("media_id"), col("window_idx").cast("long").as("window_idx"),
+          round(col("sample_sum"), 4).as("sample_sum"),
+          round(col("peak"), 6).as("peak"))
+        .orderBy(col("media_id"), col("window_idx"))
+    }),
+
     // frame sampling over video-kind media: the 1→N explode shape of a real
     // frame sampler, deterministic stub decode replayed by the oracle
     "mm_frames" -> ((s, dir) => {
@@ -868,6 +879,8 @@ object SparkEntry {
 
     "mm_frames" -> MmFramesSql,
 
+    "mm_audio" -> MmAudioSql,
+
     "sp_simplify_reverse" -> (PtsCte +
       """
         |SELECT c_nationkey,
@@ -1151,6 +1164,34 @@ object SparkEntry {
       |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
       |FROM chain WHERE step > 64
       |GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** mm_audio oracle: sampleWaveform's stub decode replayed for audio-kind
+    * rows (i % 3 = 1) — the SAME chain as MmDecodeSql; sample index
+    * step-65 buckets into 32-wide windows, float division replicated before
+    * the double aggregation.
+    */
+  private val MmAudioSql: String =
+    """WITH RECURSIVE chain(media_id, step, state) AS (
+      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i) WHERE i % 3 = 1
+      |  UNION ALL
+      |  SELECT media_id, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64
+      |        THEN CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
+      |                  THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
+      |                  ELSE (media_id * 31 + step * 7) % 251 END
+      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 320
+      |)
+      |SELECT media_id, CAST((step - 65) // 32 AS BIGINT) AS window_idx,
+      |       round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS sample_sum,
+      |       round(max(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 6) AS peak
+      |FROM chain WHERE step > 64
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** mm_frames oracle: sampleFrames' stub decode replayed per (video, frame)
     * — same FNV chain as MmDecodeSql but seeded with the 64 synthetic bytes

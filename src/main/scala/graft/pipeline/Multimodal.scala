@@ -82,6 +82,37 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "pixels")
   }
 
+  /** Waveform windowing for audio-kind rows: decode to a pseudo-sample
+    * stream, split into `windows` fixed-size windows, emit per-window
+    * amplitude stats — the 1→N explode + window-stat shape of a real audio
+    * feature extractor (VAD, loudness normalization), with the stub decode
+    * replayable by the DuckDB oracle. Swap `fakeDecode` for a PCM decode
+    * without touching the dataflow.
+    */
+  def sampleWaveform(df: DataFrame, windows: Int = 8, samplesPerWindow: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val samples = if (bytes == null) new Array[Float](windows * samplesPerWindow)
+          else fakeDecode(bytes, samplesPerWindow, windows)
+        (0 until windows).map { wi =>
+          var sum = 0.0
+          var peak = Float.MinValue
+          var i = wi * samplesPerWindow
+          val end = i + samplesPerWindow
+          while (i < end) {
+            sum += samples(i)
+            if (samples(i) > peak) peak = samples(i)
+            i += 1
+          }
+          (id, wi, sum, peak.toDouble)
+        }
+      }
+      .toDF("media_id", "window_idx", "sample_sum", "peak")
+  }
+
   /** Synthesize a deterministic media table from any source table (for tests
     * and benchmarks — the container has no real media files).
     */

@@ -108,6 +108,47 @@ class OsmRelationSpec extends SparkSpec {
       Some("BACKWARD"), Some("BOTH"), Some("BOTH"), None))
   }
 
+  test("golden OSM layer checks: index-count invariant + envelope searches") {
+    // the analog of the reference's checkOSMLayer golden test
+    // (reference: TestOSMImportBase.java:79-130): index count == feature
+    // count, layer bbox exists, and within-searches around a way's envelope
+    // (expanding 4x) always find it; searches around the layer centre grow
+    // monotonically as the window doubles.
+    import org.apache.spark.sql.functions.col
+    val osmFixture = "/root/reference/example-data/osm/example.osm"
+    val st8 = OsmImport.parse(spark, osmFixture)
+    val layer = OsmImport.importOsm(spark, osmFixture)
+    val featureCount = layer.count()
+    assert(featureCount == st8.wayNds.select("way_id").distinct().count(),
+      "every way with nodes must be indexed exactly once")
+
+    val bb = layer.boundingBox().head()
+    val (minx, miny, maxx, maxy) = (bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
+    assert(minx < maxx && miny < maxy)
+
+    val way = layer.df.orderBy(col("id")).head()
+    val wb = way.getAs[org.apache.spark.sql.Row]("bbox")
+    var (wminx, wminy, wmaxx, wmaxy) =
+      (wb.getDouble(0), wb.getDouble(1), wb.getDouble(2), wb.getDouble(3))
+    for (_ <- 1 to 4) {
+      val hits = layer.intersectsWindow(wminx, wminy, wmaxx, wmaxy).count()
+      assert(hits >= 1, "a way must be found by a search over its own envelope")
+      val (w, h) = (wmaxx - wminx, wmaxy - wminy)
+      wminx -= w; wmaxx += w; wminy -= h; wmaxy += h
+    }
+
+    val (cx, cy) = ((minx + maxx) / 2, (miny + maxy) / 2)
+    var (hw, hh) = ((maxx - minx) / 100, (maxy - miny) / 100)
+    var prev = -1L
+    for (_ <- 1 to 4) {
+      val hits = layer.intersectsWindow(cx - hw, cy - hh, cx + hw, cy + hh).count()
+      assert(hits >= prev, "hits must grow with the window")
+      prev = hits
+      hw *= 2; hh *= 2
+    }
+    assert(prev <= featureCount)
+  }
+
   test("relation tags land in props") {
     val st8 = OsmImport.parse(spark, writeOsm())
     val props = OsmImport.assembleRelations(st8)

@@ -340,6 +340,14 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
   def densityIslands(density: Double): DataFrame =
     SpatialAggs.densityIslandsExact(df, density)
 
+  /** Distributed spatial join against another layer — strategy picked by
+    * right-side size (broadcast vs PBSM grid), see [[SpatialJoin.join]].
+    * Column names come back prefixed l_/r_.
+    */
+  def spatialJoin(other: GeoFrame, predicate: String = "intersects",
+      cellSize: Double = 0.0, broadcastThreshold: Long = 10000L): DataFrame =
+    SpatialJoin.join(df, other.df, predicate, cellSize, broadcastThreshold)
+
   /** Sort pipe: nulls first, like the reference (Sort.java:44-52). */
   def sortBy(property: String, asc: Boolean = true): GeoFrame =
     lift(df.orderBy(if (asc) col(property).asc_nulls_first else col(property).desc_nulls_last))

@@ -101,7 +101,10 @@ object Dedup {
 
   /** MinHash-LSH near-duplicate PAIRS above `threshold` Jaccard.
     * Plan shape: sig (narrow) → band explode (×16) → bucket self-join on
-    * (band, hash) → distinct pairs → exact-Jaccard verify (join back texts).
+    * (band, hash) → distinct pairs → exact-Jaccard verify over the
+    * int64-HASHED shingle sets (the verify joins ship ~8 bytes/shingle, not
+    * the full texts, and each document tokenizes once — not once per
+    * candidate pair).
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
@@ -122,11 +125,21 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    val texts = df.select(col(idCol).as("id"), col(textCol).as("text"))
+    // same shingle universe as minhashSignature/jaccardShingles (incl. the
+    // short-text single-hash fallback), so jaccard values are identical to
+    // the old text-shipping verify
+    val shSet = udf((s: String) =>
+      shingles(if (s == null) "" else s, shingleK).toSet.toArray)
+    val sets = df.select(col(idCol).as("id"), shSet(col(textCol)).as("ss"))
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
+      val sa = a.toSet; val sb = b.toSet
+      if (sa.isEmpty && sb.isEmpty) 1.0
+      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
+    })
     cand
-      .join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("text", "text_a"), "id_a")
-      .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("text", "text_b"), "id_b")
-      .withColumn("jaccard", jaccardShingles(col("text_a"), col("text_b"), shingleK))
+      .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

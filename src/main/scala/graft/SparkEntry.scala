@@ -179,7 +179,7 @@ object SparkEntry {
     // scan contains the full-scan top-k incl. round-ties) — the oracle stays
     // a full scan; results are provably identical
     "sp_knn" -> ((s, dir) =>
-      pointsLayer(s, dir).knnCandidates(-100.5, 30.5, 25)
+      pointsLayer(s, dir).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
         .df.withColumn("dist_km", round(col("distance"), 3))
         .select(col("ck").as("id"), col("dist_km"))
         .orderBy(col("dist_km"), col("id"))

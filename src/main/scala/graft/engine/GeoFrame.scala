@@ -188,14 +188,23 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     * this also prunes the scan itself (reference window estimation:
     * SpatialTopologyUtils.java:200-238).
     */
-  def knnCandidates(lon: Double, lat: Double, k: Int, slackKm: Double = 0.001): GeoFrame = {
-    val bb = boundingBox().head()
-    val (minx, miny, maxx, maxy) =
-      (bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
-    val total = math.max(df.count(), 1L)
-    val area = math.max((maxx - minx) * (maxy - miny), 1e-12)
-    var side = math.max(1e-6, math.sqrt(2.0 * math.max(k, 1) * area / total))
+  def knnCandidates(lon: Double, lat: Double, k: Int, slackKm: Double = 0.001,
+      initialSide: Double = 0.0): GeoFrame = {
+    // `initialSide` > 0 skips the size-estimation job entirely — the
+    // estimate only affects how many doubling rounds run, never correctness
+    // (the verification bound does that), so a rough caller hint is safe.
+    var side = if (initialSide > 0) initialSide else {
+      val s = df.agg(
+        min(col("bbox")("minx")), min(col("bbox")("miny")),
+        max(col("bbox")("maxx")), max(col("bbox")("maxy")),
+        org.apache.spark.sql.functions.count(lit(1))).head()
+      val area = math.max(
+        (s.getDouble(2) - s.getDouble(0)) * (s.getDouble(3) - s.getDouble(1)), 1e-12)
+      val total = math.max(s.getLong(4), 1L)
+      math.max(1e-6, math.sqrt(2.0 * math.max(k, 1) * area / total))
+    }
     var result: Option[DataFrame] = None
+    var iters = 0
     while (result.isEmpty) {
       val half = side / 2
       val pruned = df.filter(
@@ -204,10 +213,12 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
         if (df.columns.contains("x"))
           pruned.withColumn("distance", st.orthodromicKm(lit(lon), lit(lat), col("x"), col("y")))
         else pruned.withColumn("distance", st.orthodromicDistanceKm(geom, lon, lat))
-      val coversAll = lon - half <= minx && lon + half >= maxx &&
-        lat - half <= miny && lat + half >= maxy
-      if (coversAll) result = Some(withDist)
-      else {
+      iters += 1
+      if (iters >= 40) {
+        // side has doubled past any earthly extent — the window holds
+        // everything, trivially a superset (covers the total-rows < k case)
+        result = Some(withDist)
+      } else {
         val top = withDist.select(col("distance")).orderBy(col("distance")).limit(k)
           .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"),
             max(col("distance")).as("kth")).head()

@@ -160,15 +160,22 @@ object SpatialJoin {
     if (cell > 0 && !cell.isNaN && !cell.isInfinite) cell else 1.0
   }
 
-  /** Strategy pick: broadcast when the right side is below the threshold
-    * (mirrors Catalyst's broadcast-join sizing decision, but on row count
-    * since geometry byte size is not visible in stats here). `cellSize <= 0`
-    * auto-sizes the grid from bbox statistics.
+  /** Byte thresholds for the stats-based strategy pick. */
+  private val BroadcastBytes = BigInt(10L << 20)   // mirror Catalyst's default
+  private val DefinitelyBigBytes = BigInt(1L << 30)
+
+  /** Strategy pick, cheapest signal first: Catalyst's size-in-bytes estimate
+    * (free — file metadata for scans) decides clearly-small (broadcast) and
+    * clearly-large (grid) right sides without touching the data; only the
+    * in-between band pays a `count()` scan. Mirrors Catalyst's broadcast
+    * sizing decision. `cellSize <= 0` auto-sizes the grid from bbox stats.
     */
   def join(left: DataFrame, right: DataFrame, predicate: String = "intersects",
       cellSize: Double = 0.0, broadcastThreshold: Long = 10000L): DataFrame = {
-    val rightCount = right.count()
-    if (rightCount <= broadcastThreshold) broadcastJoin(left, right, predicate)
+    val sizeInBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
+    val small = sizeInBytes <= BroadcastBytes ||
+      (sizeInBytes < DefinitelyBigBytes && right.count() <= broadcastThreshold)
+    if (small) broadcastJoin(left, right, predicate)
     else {
       val cs = if (cellSize > 0) cellSize else suggestCellSize(left, right)
       gridJoin(left, right, cs, predicate)

@@ -84,6 +84,18 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
       idCol: String, xCol: String, yCol: String): GeoFrame =
     catalog.createPointLayer(name, source, idCol, xCol, yCol)
 
+  /** spatial.addPointLayer with a WKB point-GEOMETRY column — the third
+    * shape of the reference's coordinate polymorphism
+    * (reference: SpatialApiBase.java:63-140: lon/lat pair | map | geometry).
+    */
+  def addPointLayerGeom(name: String, source: DataFrame,
+      idCol: String, geomCol: String): GeoFrame = {
+    val withXY = source
+      .withColumn("__px", st.x(col(geomCol)))
+      .withColumn("__py", st.y(col(geomCol)))
+    catalog.createPointLayer(name, withXY, idCol, "__px", "__py")
+  }
+
   /** spatial.addLayer with a preset type (reference: :509). The preset picks
     * BOTH the encoder and the index/layout (SpatialLayerTypePresets.java:39-73):
     * point-xy presets take `geomCol` as an `"xCol:yCol"` encoder config (the

@@ -68,5 +68,16 @@ object SpatialFunctions {
 
     r.register("st_orthodromic_km",
       (lon1: Double, lat1: Double, lon2: Double, lat2: Double) => Orthodromic.distanceKm(lon1, lat1, lon2, lat2))
+
+    r.register("st_pointz", (x: Double, y: Double, z: Double) => GeomCodec.toWkb(GeomCodec.point(x, y, z)))
+    r.register("st_z", (b: Array[Byte]) => dec(b).getCoordinate.z)
+    r.register("st_makebox", (x0: Double, y0: Double, x1: Double, y1: Double) =>
+      GeomCodec.toWkb(GeomCodec.factory.toGeometry(
+        new org.locationtech.jts.geom.Envelope(x0, x1, y0, y1))))
+    r.register("st_makeline", (x1: Double, y1: Double, x2: Double, y2: Double) =>
+      GeomCodec.toWkb(GeomCodec.factory.createLineString(Array(
+        new org.locationtech.jts.geom.Coordinate(x1, y1),
+        new org.locationtech.jts.geom.Coordinate(x2, y2)))))
+    r.register("st_reverse", (b: Array[Byte]) => GeomCodec.toWkb(dec(b).reverse))
   }
 }

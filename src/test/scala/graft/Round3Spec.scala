@@ -317,6 +317,28 @@ class Round3Spec extends SparkSpec {
     assert(got == 42.0)
   }
 
+  test("addPointLayerGeom accepts a WKB point-geometry column") {
+    import graft.functions.st
+    val wh = Files.createTempDirectory("graft-r3g").toString
+    val proc = new SpatialProcedures(spark, wh)
+    val src = Seq(("a", 1.5, 2.5), ("b", -3.5, 4.5)).toDF("k", "lon", "lat")
+      .withColumn("g", st.makePoint(col("lon"), col("lat")))
+    val gf = proc.addPointLayerGeom("geom_pts", src, "k", "g")
+    val got = gf.df.select("id", "x", "y").as[(String, Double, Double)].collect().toSet
+    assert(got == Set(("a", 1.5, 2.5), ("b", -3.5, 4.5)))
+  }
+
+  test("new SQL registrations: st_makebox/st_makeline/st_z/st_reverse") {
+    graft.functions.SpatialFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT st_area(st_makebox(0.0D, 0.0D, 2.0D, 3.0D)) AS a,
+        |       st_numpoints(st_makeline(0.0D, 0.0D, 1.0D, 1.0D)) AS n,
+        |       st_z(st_pointz(1.0D, 2.0D, 9.0D)) AS z,
+        |       st_x(st_reverse(st_makeline(0.0D, 0.0D, 1.0D, 1.0D))) AS rx
+        |""".stripMargin).head()
+    assert(r.getDouble(0) == 6.0 && r.getInt(1) == 2 && r.getDouble(2) == 9.0 && r.getDouble(3) == 1.0)
+  }
+
   test("asMap renders type + coordinates like the reference map function") {
     val proc = new SpatialProcedures(spark, Files.createTempDirectory("graft-r3m").toString)
     val m = proc.asMap(GeomCodec.toWkb(GeomCodec.point(3.5, -7.25)))

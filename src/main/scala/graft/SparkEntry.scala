@@ -595,6 +595,12 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // the full curation chain as ONE plan: quality gate -> exact dedup ->
+    // per-language stats (the composition the pipeline operators exist for)
+    "tx_curation" -> ((s, dir) =>
+      graft.pipeline.Curation.curationStats(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("lang"))),
+
     // embedding-cosine near-dup pairs, exact variant (recall-guaranteed)
     "dd_embed_neardup" -> ((s, dir) =>
       Similarity.exactNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.42)
@@ -1010,6 +1016,28 @@ object SparkEntry {
         |FROM agg ORDER BY rec""".stripMargin),
 
     // ------------------------------------------- training-pipeline oracles
+    "tx_curation" -> {
+      val nToks = """len(list_filter(string_split_regex(trim(text), '\s+'), t -> t <> ''))"""
+      s"""WITH q AS (
+         |  SELECT doc_id, text, $nToks AS n_toks,
+         |    CASE WHEN length(text) > 0
+         |      THEN (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+         |           / length(text)
+         |      ELSE 0 END AS punct_ratio
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id, text, n_toks FROM q
+         |  WHERE n_toks >= 5 AND punct_ratio <= 0.1
+         |), d AS (
+         |  SELECT doc_id, text, n_toks,
+         |         row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |  FROM g
+         |)
+         |SELECT ${TextAnalysis.languageIdDuckSql("text")} AS lang,
+         |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS sum_tokens
+         |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "dd_jaccard_pairs" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts

@@ -144,7 +144,10 @@ object st {
   val intersection: (Column, Column) => Column = (a, b) => gg2(_.intersection(_)).apply(a, b)
   val difference: (Column, Column) => Column = (a, b) => gg2(_.difference(_)).apply(a, b)
   val symDifference: (Column, Column) => Column = (a, b) => gg2(_.symDifference(_)).apply(a, b)
-  val distance: (Column, Column) => Column = (a, b) => g2[Double](_.distance(_)).apply(a, b)
+  // named so BboxConjunctRule can derive the expanded-envelope conjunct for
+  // `st.distance(geom, lit) <= d` range filters
+  val distance: (Column, Column) => Column =
+    (a, b) => g2[Double](_.distance(_)).withName("st_distance").apply(a, b)
 
   // Predicates (reference: pipes/filtering/Filter*.java, one JTS call each).
   // Each carries its st_* name so BboxConjunctRule recognizes Column-API

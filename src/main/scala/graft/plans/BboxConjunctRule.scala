@@ -87,6 +87,26 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
     // exactly the litIsSecond convention
     case p: graft.functions.STPredicate if isSpatialPred("st_" + p.predicate) =>
       envConjunct("st_" + p.predicate, bbox, envOf(p.queryWkb), litIsSecond = true)
+    // distance range: st_distance(geom, lit) <= d ⟹ bbox intersects the
+    // literal's envelope EXPANDED by d — the reference's withinDistance
+    // window prune (OrthodromicDistance.suggestSearchWindow:74-90), derived
+    // automatically for SQL users
+    case cmp @ (_: LessThanOrEqual | _: LessThan) =>
+      val (l, r) = (cmp.asInstanceOf[BinaryComparison].left,
+        cmp.asInstanceOf[BinaryComparison].right)
+      (l, r) match {
+        case (u: ScalaUDF, Literal(d: Double, DoubleType))
+            if u.udfName.exists(_.equalsIgnoreCase("st_distance")) && u.children.length == 2 =>
+          val env = u.children.collectFirst {
+            case Literal(b: Array[Byte], BinaryType) => envOf(b)
+          }
+          env.flatMap { e =>
+            val expanded = new Envelope(e)
+            expanded.expandBy(d)
+            envConjunct("st_intersects", bbox, expanded, litIsSecond = true)
+          }
+        case _ => None
+      }
     case _ => None
   }
 

@@ -180,6 +180,30 @@ class Round3Spec extends SparkSpec {
     assert(viaWithin.select("id").as[String].collect().toSet == expected)
   }
 
+  test("BboxConjunctRule injects an expanded-envelope conjunct for distance ranges") {
+    import graft.functions.st
+    graft.plans.GraftOptimizations.install(spark)
+    graft.functions.SpatialFunctions.register(spark)
+    val dir = Files.createTempDirectory("bboxrule-dist").toString
+    (1 to 100).map { i =>
+      val x = (i % 20).toDouble; val y = (i / 20).toDouble
+      (i.toString, GeomCodec.toWkb(GeomCodec.point(x, y)), x, y)
+    }.toDF("id", "geometry", "x", "y")
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+      .write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val q = lit(GeomCodec.toWkb(GeomCodec.point(5.0, 2.0)))
+    val viaDist = pts.filter(st.distance(col("geometry"), q) <= 1.5)
+    val plan = viaDist.queryExecution.optimizedPlan.toString()
+    assert(plan.contains("minx"), s"no expanded-envelope conjunct:\n$plan")
+    // env(point) expanded by 1.5 -> [3.5,6.5]x[0.5,3.5]; planar distance <= 1.5
+    val expected = (1 to 100).filter { i =>
+      val x = (i % 20).toDouble; val y = (i / 20).toDouble
+      math.hypot(x - 5.0, y - 2.0) <= 1.5
+    }.map(_.toString).toSet
+    assert(viaDist.select("id").as[String].collect().toSet == expected)
+  }
+
   // ------------------------------- recall invariants for probabilistic ops
   // dd_minhash_pairs / sim_srp_topk stay rows-only at the driver (candidate
   // sets are probabilistic); these tests pin their recall against the exact

@@ -813,6 +813,25 @@ object SparkEntry {
 
     "dd_simhash_pairs" -> SimhashSql,
 
+    // production 64-bit simhash replayed end-to-end: FNV per token (HUGEINT
+    // wrap multiply), 64 majority votes, then ALL-PAIRS Hamming — legitimate
+    // as the oracle because the Spark side's pigeonhole banding has
+    // guaranteed recall at maxHamming=3, so banded pairs ≡ all pairs
+    "dd_simhash64_pairs" -> {
+      val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+      s"""WITH hs AS (
+         |  SELECT doc_id, list_transform($toks, t -> ${Dedup.fnv64DuckSql("t")}) AS hl
+         |  FROM documents
+         |), sigs AS (
+         |  SELECT doc_id, ${Dedup.simhash64FromHashesDuckSql("hl")} AS sh FROM hs
+         |)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
     "tx_langid" ->
       s"""SELECT doc_id, ${TextAnalysis.languageIdDuckSql("text")} AS lang_guess,
          |       ${TextAnalysis.polyFingerprintDuckSql("text")} AS fingerprint

@@ -210,6 +210,25 @@ object Dedup {
       }
     }).apply(text)
 
+  /** DuckDB replay of [[TextAnalysis.fnv1a64]] over one token expression:
+    * seed-prepended char-code fold with the 64-bit wrap-around multiply done
+    * in HUGEINT (ASCII ⇒ ord ≡ Java char code).
+    */
+  def fnv64DuckSql(tokExpr: String): String =
+    s"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), " +
+      s"list_transform(range(1, len($tokExpr) + 1), i -> CAST(ord(substr($tokExpr, i, 1)) AS UBIGINT))), " +
+      "(acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT))"
+
+  /** DuckDB equivalent of [[simhash64]] given a column `hs` holding the
+    * token FNV hash list (UBIGINT[]): 64 per-bit majority votes summed into
+    * the signature. Empty lists yield 0 on both sides (list_sum(NULL-safe)).
+    */
+  def simhash64FromHashesDuckSql(hsCol: String): String =
+    (0 until 64).map { j =>
+      val p = BigInt(1) << j
+      s"(CASE WHEN list_sum(list_transform($hsCol, h -> CASE WHEN (h // CAST($p AS UBIGINT)) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN CAST($p AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   /** DuckDB equivalent of [[polySimhash]] over `textExpr`. */
   def polySimhashDuckSql(textExpr: String, bits: Int = 24): String = {
     val toks = s"list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> t <> '')"

@@ -1086,6 +1086,22 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // SRP multi-probe replayed: plane matrix as literals, explicit
+    // left-to-right dot sums (bit-identical signs), probe set = buckets
+    // within Hamming 1 of the query's bucket
+    "sim_srp_topk" -> {
+      val bucket = graft.pipeline.Similarity.srpBucketDuckSql("v", dim = 64, bits = 12)
+      val qbucket = graft.pipeline.Similarity.srpBucketDuckSql("qv", dim = 64, bits = 12)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qs AS (SELECT $qbucket AS qb FROM q),
+         |sigs AS (SELECT vec_id, v, $bucket AS bucket FROM e)
+         |SELECT s.vec_id AS id, round(list_cosine_similarity(s.v, q.qv), 6) AS cosine
+         |FROM sigs s, q, qs
+         |WHERE bit_count(xor(s.bucket, qs.qb)) <= 1
+         |ORDER BY cosine DESC, id LIMIT 20""".stripMargin
+    },
+
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

@@ -73,6 +73,19 @@ object Similarity {
   private val planesCache =
     scala.collection.concurrent.TrieMap.empty[(Int, Int), Array[Array[Double]]]
 
+  /** DuckDB replay of [[srpBucket]]: the deterministic plane matrix embedded
+    * as double literals, each dot product written as an explicit
+    * left-to-right sum (bit-identical to the Scala loop), sign bits summed
+    * into the bucket id. `vExpr` must be a DOUBLE[] column expression.
+    */
+  def srpBucketDuckSql(vExpr: String, dim: Int, bits: Int): String = {
+    val ps = planesCache.getOrElseUpdate((dim, bits), planes(dim, bits))
+    (0 until bits).map { b =>
+      val dot = (0 until dim).map(i => s"(${ps(b)(i)}) * $vExpr[${i + 1}]").mkString(" + ")
+      s"(CASE WHEN ($dot) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+  }
+
   /** ANN top-k: probe the query's SRP bucket plus all buckets within
     * `probeHamming` bit flips (multi-probe), exact cosine re-rank inside.
     * At scale the table is written partitioned by `bucket`, so the probe is

@@ -1102,6 +1102,49 @@ object SparkEntry {
          |ORDER BY cosine DESC, id LIMIT 20""".stripMargin
     },
 
+    // k-means IVF replayed: 3 Lloyd iterations in chained CTEs — assignment
+    // by argmax cosine (ties -> lowest cid, same as the Scala loop),
+    // centroids as element-wise per-cluster means (dims unrolled via a
+    // range cross join), empty clusters keep the previous centroid.
+    // fp summation-order noise (~1e-16) cannot flip an argmax at real
+    // decision margins, so the discrete assignments agree with Spark's.
+    "sim_ivf_kmeans" -> {
+      def assign(cents: String, out: String) =
+        s"""$out AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT e.vec_id, e.v, c.cid,
+           |           row_number() OVER (PARTITION BY e.vec_id
+           |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+           |    FROM e CROSS JOIN $cents c) WHERE rn = 1
+           |)""".stripMargin
+      def recenter(assigned: String, prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+           |      SELECT a.cid, t.dim, avg(a.v[t.dim]) AS mv
+           |      FROM $assigned a CROSS JOIN range(1, 65) t(dim)
+           |      GROUP BY a.cid, t.dim) GROUP BY cid
+           |  ) m ON m.cid = p.cid
+           |)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |${assign("c0", "a1")}, ${recenter("a1", "c0", "c1")},
+         |${assign("c1", "a2")}, ${recenter("a2", "c1", "c2")},
+         |${assign("c2", "a3")}, ${recenter("a3", "c2", "c3")},
+         |${assign("c3", "af")},
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT cid FROM (
+         |    SELECT c.cid, row_number() OVER (
+         |      ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+         |    FROM c3 c CROSS JOIN q) WHERE rn <= 2
+         |)
+         |SELECT a.vec_id AS id, round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+         |FROM af a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+         |ORDER BY cosine DESC, id LIMIT 20""".stripMargin
+    },
+
     "sim_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),

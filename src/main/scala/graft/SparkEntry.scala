@@ -813,6 +813,12 @@ object SparkEntry {
 
     "dd_simhash_pairs" -> SimhashSql,
 
+    // full MinHash-LSH replay: 128 seeded permutation literals, Mersenne
+    // mulmod in HUGEINT, the same FNV band fold and banded self-join — the
+    // probabilistic RECALL is a deterministic function of the seeds, so even
+    // the deliberately-missed pairs match
+    "dd_minhash_pairs" -> Dedup.minhashPairsDuckSql(threshold = 0.2, shingleK = 3),
+
     // production 64-bit simhash replayed end-to-end: FNV per token (HUGEINT
     // wrap multiply), 64 majority votes, then ALL-PAIRS Hamming — legitimate
     // as the oracle because the Spark side's pigeonhole banding has

@@ -215,9 +215,12 @@ object Dedup {
     * in HUGEINT (ASCII ⇒ ord ≡ Java char code).
     */
   def fnv64DuckSql(tokExpr: String): String =
+    // lambda vars carry a __fnv prefix so callers can nest this inside their
+    // own list_transform lambdas without variable capture (DuckDB lambda
+    // scoping shadows outer variables by name)
     s"list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT), " +
-      s"list_transform(range(1, len($tokExpr) + 1), i -> CAST(ord(substr($tokExpr, i, 1)) AS UBIGINT))), " +
-      "(acc, c) -> CAST((CAST(xor(acc, c) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT))"
+      s"list_transform(range(1, len($tokExpr) + 1), __fnvi -> CAST(ord(substr($tokExpr, __fnvi, 1)) AS UBIGINT))), " +
+      "(__fnva, __fnvc) -> CAST((CAST(xor(__fnva, __fnvc) AS HUGEINT) * 1099511628211) % 18446744073709551616 AS UBIGINT))"
 
   /** DuckDB equivalent of [[simhash64]] given a column `hs` holding the
     * token FNV hash list (UBIGINT[]): 64 per-bit majority votes summed into
@@ -237,6 +240,57 @@ object Dedup {
       val p = 1L << j
       s"(CASE WHEN list_sum(list_transform($hashes, h -> CASE WHEN (h // $p) % 2 = 1 THEN 1 ELSE -1 END)) > 0 THEN $p ELSE 0 END)"
     }.mkString("(", " + ", ")")
+  }
+
+  /** DuckDB replay of the ENTIRE [[minhashNearDupPairs]] pipeline: the 128
+    * seeded permutation constants are embedded as literals, the 61-bit
+    * Mersenne-prime mulmod runs in HUGEINT, band keys are the same FNV fold
+    * over 8-signature slices, and candidates come from the identical banded
+    * self-join — so the deliberately-probabilistic RECALL is reproduced
+    * exactly (the output is a deterministic function of the seeds), followed
+    * by the exact hashed-set Jaccard verify.
+    */
+  def minhashPairsDuckSql(threshold: Double, shingleK: Int = 3): String = {
+    val P = MersennePrime
+    val sigExprs = perms.map { case (a, b) =>
+      s"(CASE WHEN len(xs) = 0 THEN CAST(9223372036854775807 AS UBIGINT) ELSE " +
+        s"list_min(list_transform(xs, x -> CAST((CAST($a AS HUGEINT) * x + $b) % $P AS UBIGINT))) END)"
+    }.mkString("[", ",\n      ", "]")
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(ts) = 0 THEN CAST([] AS UBIGINT[])
+       |         WHEN len(ts) < $shingleK THEN [${fnv64DuckSql("array_to_string(ts, ' ')")}]
+       |         ELSE list_transform(range(1, len(ts) - ${shingleK - 2}),
+       |                i -> ${fnv64DuckSql(s"array_to_string(ts[i:i+${shingleK - 1}], ' ')")})
+       |    END) AS ss
+       |  FROM toks
+       |), xsets AS (
+       |  SELECT doc_id, ss,
+       |         list_transform(ss, h -> (h % 9223372036854775808) % $P) AS xs
+       |  FROM sh
+       |), sigs AS (
+       |  SELECT doc_id, ss, $sigExprs AS sig FROM xsets
+       |), bands AS (
+       |  SELECT doc_id, b,
+       |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+       |      sig[8 * b + 1 : 8 * b + 8]),
+       |      (acc, s) -> CAST((CAST(xor(acc, s) AS HUGEINT) * 1099511628211)
+       |                       % 18446744073709551616 AS UBIGINT)) AS bh
+       |  FROM sigs, range(0, $NumBands) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b,
+       |  round(len(list_intersect(x.ss, y.ss))::DOUBLE
+       |        / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))), 6) AS jaccard
+       |FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b
+       |WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+       |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   /** Pigeonhole-banded Hamming-≤maxHamming self-join over a (id, sh) frame:

@@ -73,12 +73,27 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     */
   def windowViaCurve(minx: Double, miny: Double, maxx: Double, maxy: Double): GeoFrame = {
     require(df.columns.contains("__sfc"),
-      "layer has no stored __sfc key — write it with indexType=hilbert")
-    require(meta.forall(_.indexType == "hilbert"),
-      s"windowViaCurve supports hilbert layouts, layer has ${meta.map(_.indexType)}")
-    val ranges = graft.plans.SpatialLayout.hilbertRangesForWindow(minx, miny, maxx, maxy)
-    val rangePred = ranges.map { case (lo, hi) => col("__sfc").between(lo, hi) }
-      .reduceOption(_ || _).getOrElse(lit(false))
+      "layer has no stored __sfc key — write it with a curve indexType (hilbert/zorder/geohash)")
+    val idx = meta.map(_.indexType).getOrElse("hilbert")
+    val rangePred = idx match {
+      case "hilbert" =>
+        graft.plans.SpatialLayout.hilbertRangesForWindow(minx, miny, maxx, maxy)
+          .map { case (lo, hi) => col("__sfc").between(lo, hi) }
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case "zorder" =>
+        graft.plans.SpatialLayout.zorderRangesForWindow(minx, miny, maxx, maxy)
+          .map { case (lo, hi) => col("__sfc").between(lo, hi) }
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case "geohash" =>
+        // prefix predicates push to parquet as StringStartsWith over the
+        // sorted string key (reference: LayerGeohashPointIndex.java:86-107)
+        graft.plans.SpatialLayout.geohashPrefixesForWindow(minx, miny, maxx, maxy)
+          .map(p => col("__sfc").startsWith(p))
+          .reduceOption(_ || _).getOrElse(lit(false))
+      case other =>
+        throw new IllegalArgumentException(
+          s"windowViaCurve requires a curve layout (hilbert/zorder/geohash), layer has $other")
+    }
     lift(df.filter(rangePred)).intersectsWindow(minx, miny, maxx, maxy)
   }
 

@@ -76,7 +76,7 @@ object SpatialLayout {
     sb.toString
   }
 
-  private def toCell(v: Double, min: Double, max: Double, level: Int): Long = {
+  private[graft] def toCell(v: Double, min: Double, max: Double, level: Int): Long = {
     val n = (1L << level) - 1
     val frac = if (max > min) (v - min) / (max - min) else 0.0
     math.min(n, math.max(0L, (frac * n).toLong))
@@ -149,22 +149,43 @@ object SpatialLayout {
     * ranges whose cells intersect the window; the exact bbox/geometry filter
     * still applies after (identical post-filter to the reference's
     * FilteredIndexIterator).
+    *
+    * Correctness subtlety: stored `__sfc` keys quantize by `frac*(2^level-1)`
+    * (toCell), so a coarse-grid quantization of the window corners does NOT
+    * nest with the fine grid — a corner's fine cell right-shifted can land
+    * one past its coarse cell, and keys near the window's max edge would fall
+    * outside every range. The covering rectangle is therefore derived from
+    * the FINE cells of the corners (`toCell(·, level) >> shift`), which by
+    * monotonicity of toCell bounds the fine cell of every in-window point.
+    * Both curves are hierarchical (all fine cells under one coarse cell form
+    * one contiguous index range of size 4^shift), so the emitted ranges are a
+    * true superset of the window's stored keys.
+    *
+    * Driver cost is capped: the walk adaptively coarsens until the covering
+    * rectangle has ≤ `maxCells` cells, so a whole-earth window at any level
+    * enumerates a bounded cell count (wider ranges, never dropped rows).
     */
-  def hilbertRangesForWindow(qMinx: Double, qMiny: Double, qMaxx: Double, qMaxy: Double,
+  def curveRangesForWindow(curve: (Long, Long, Int) => Long,
+      qMinx: Double, qMiny: Double, qMaxx: Double, qMaxy: Double,
       minx: Double = -180, miny: Double = -90, maxx: Double = 180, maxy: Double = 90,
-      level: Int = DefaultLevel, coarse: Int = 8): Seq[(Long, Long)] = {
+      level: Int = DefaultLevel, coarse: Int = 8, maxCells: Int = 4096): Seq[(Long, Long)] = {
+    val fx0 = toCell(qMinx, minx, maxx, level); val fx1 = toCell(qMaxx, minx, maxx, level)
+    val fy0 = toCell(qMiny, miny, maxy, level); val fy1 = toCell(qMaxy, miny, maxy, level)
+    def cellCount(c: Int): Long = {
+      val sh = level - c
+      ((fx1 >> sh) - (fx0 >> sh) + 1) * ((fy1 >> sh) - (fy0 >> sh) + 1)
+    }
+    var c = math.min(coarse, level)
+    while (c > 0 && cellCount(c) > maxCells) c -= 1
+    val shift = level - c
+    val x0 = fx0 >> shift; val x1 = fx1 >> shift
+    val y0 = fy0 >> shift; val y1 = fy1 >> shift
     val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val n = 1L << coarse
-    val shift = level - coarse
-    val x0 = toCell(qMinx, minx, maxx, coarse)
-    val x1 = toCell(qMaxx, minx, maxx, coarse)
-    val y0 = toCell(qMiny, miny, maxy, coarse)
-    val y1 = toCell(qMaxy, miny, maxy, coarse)
     var cx = x0
-    while (cx <= x1 && cx < n) {
+    while (cx <= x1) {
       var cy = y0
-      while (cy <= y1 && cy < n) {
-        cells += hilbert(cx, cy, coarse)
+      while (cy <= y1) {
+        cells += curve(cx, cy, c)
         cy += 1
       }
       cx += 1
@@ -182,5 +203,71 @@ object SpatialLayout {
       else ranges += ((lo, hi))
     }
     ranges.toSeq
+  }
+
+  def hilbertRangesForWindow(qMinx: Double, qMiny: Double, qMaxx: Double, qMaxy: Double,
+      minx: Double = -180, miny: Double = -90, maxx: Double = 180, maxy: Double = 90,
+      level: Int = DefaultLevel, coarse: Int = 8): Seq[(Long, Long)] =
+    curveRangesForWindow(hilbert, qMinx, qMiny, qMaxx, qMaxy, minx, miny, maxx, maxy, level, coarse)
+
+  /** Z-order shares the same hierarchical-containment property as Hilbert
+    * (fine morton = coarse morton * 4^shift + low-bit interleave), so the
+    * identical quadtree walk serves zorder layouts
+    * (reference: LayerSpaceFillingCurvePointIndex.java:110-124 serves both
+    * curves through one getTilesIntersectingEnvelope API).
+    */
+  def zorderRangesForWindow(qMinx: Double, qMiny: Double, qMaxx: Double, qMaxy: Double,
+      minx: Double = -180, miny: Double = -90, maxx: Double = 180, maxy: Double = 90,
+      level: Int = DefaultLevel, coarse: Int = 8): Seq[(Long, Long)] =
+    curveRangesForWindow(zOrder, qMinx, qMiny, qMaxx, qMaxy, minx, miny, maxx, maxy, level, coarse)
+
+  /** The base32 geohash string of the grid cell (cellLon, cellLat) at the
+    * given precision — the inverse-free form of [[geohash]]: midpoint binary
+    * subdivision IS floor quantization on a 2^bits grid, so prefixes nest
+    * exactly with the stored full-precision keys.
+    */
+  def geohashCell(cellLon: Long, cellLat: Long, precision: Int): String = {
+    val lonBits = (5 * precision + 1) / 2
+    val latBits = (5 * precision) / 2
+    val sb = new StringBuilder
+    var ch = 0; var bit = 0; var even = true
+    var li = lonBits - 1; var bi = latBits - 1
+    while (sb.length < precision) {
+      val b = if (even) { val v = (cellLon >> li) & 1L; li -= 1; v }
+              else { val v = (cellLat >> bi) & 1L; bi -= 1; v }
+      ch = (ch << 1) | b.toInt
+      even = !even
+      bit += 1
+      if (bit == 5) { sb.append(GeohashBase32(ch)); bit = 0; ch = 0 }
+    }
+    sb.toString
+  }
+
+  /** Geohash prefixes covering a query window — the prefix-search analog of
+    * the curve ranges (reference: LayerGeohashPointIndex.java:86-107,
+    * prefix searcher over the bit-interleaved hash). Every point inside the
+    * window has a stored precision-9 key starting with one of the returned
+    * prefixes (geohash truncation = coarser cell containment, exact nesting).
+    * Precision adapts downward until the covering grid has ≤ maxCells cells.
+    */
+  def geohashPrefixesForWindow(qMinx: Double, qMiny: Double, qMaxx: Double, qMaxy: Double,
+      maxPrecision: Int = 4, maxCells: Int = 128): Seq[String] = {
+    def cellIdx(v: Double, min: Double, max: Double, bits: Int): Long = {
+      val n = 1L << bits
+      val frac = (v - min) / (max - min)
+      math.min(n - 1, math.max(0L, (frac * n).toLong))
+    }
+    def corners(p: Int): (Long, Long, Long, Long) = {
+      val lonBits = (5 * p + 1) / 2; val latBits = (5 * p) / 2
+      (cellIdx(qMinx, -180, 180, lonBits), cellIdx(qMaxx, -180, 180, lonBits),
+       cellIdx(qMiny, -90, 90, latBits), cellIdx(qMaxy, -90, 90, latBits))
+    }
+    var p = math.max(1, maxPrecision)
+    var (x0, x1, y0, y1) = corners(p)
+    while (p > 1 && (x1 - x0 + 1) * (y1 - y0 + 1) > maxCells) {
+      p -= 1
+      val c = corners(p); x0 = c._1; x1 = c._2; y0 = c._3; y1 = c._4
+    }
+    (for (cx <- x0 to x1; cy <- y0 to y1) yield geohashCell(cx, cy, p)).distinct.sorted
   }
 }

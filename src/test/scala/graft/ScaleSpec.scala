@@ -41,23 +41,10 @@ class ScaleSpec extends SparkSpec {
     assert(results.values.toSet.size == 1, "layouts disagree on query results")
   }
 
-  test("windowViaCurve returns intersectsWindow results and actually prunes the scan") {
+  test("windowViaCurve returns intersectsWindow results and actually prunes the scan (all curve layouts)") {
     val wh = Files.createTempDirectory("graft-curve-read").toString
     val cat = new SpatialCatalog(spark, wh)
     val src = randomPoints(50000)
-    cat.createPointLayer("pts_curve_read", src, "k", "x", "y", indexType = "hilbert")
-    val layer = cat.getLayer("pts_curve_read")
-    assert(layer.df.columns.contains("__sfc"), "__sfc key must be stored")
-
-    val viaCurve = layer.windowViaCurve(20.0, 30.0, 45.0, 55.0)
-    val plain = layer.intersectsWindow(20.0, 30.0, 45.0, 55.0)
-    val a = viaCurve.df.select("id").as[String].collect().sorted.toSeq
-    val b = plain.df.select("id").as[String].collect().sorted.toSeq
-    assert(a.nonEmpty && a == b, "curve-range read must equal the plain window read")
-
-    // pruning evidence: the scan behind the curve-range plan must emit far
-    // fewer rows than the table holds (row groups outside the __sfc ranges
-    // are skipped via parquet min/max stats on the sorted key)
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     def scannedRows(d: org.apache.spark.sql.DataFrame): Long = {
@@ -68,8 +55,69 @@ class ScaleSpec extends SparkSpec {
       }
       plan.collect { case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
     }
-    val rows = scannedRows(viaCurve.df)
-    assert(rows > 0 && rows < 50000 / 2, s"expected pruned scan, read $rows of 50000 rows")
+    // write at 64 files so scan granularity resembles a real table's many
+    // row groups (at 4 files a single file IS 25% of the table and pruning
+    // evidence is unmeasurable)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "64")
+    try {
+      for (idx <- Seq("hilbert", "zorder", "geohash")) {
+        cat.createPointLayer(s"pts_cr_$idx", src, "k", "x", "y", indexType = idx)
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    for (idx <- Seq("hilbert", "zorder", "geohash")) {
+      val layer = cat.getLayer(s"pts_cr_$idx")
+      assert(layer.df.columns.contains("__sfc"), s"$idx: __sfc key must be stored")
+
+      val viaCurve = layer.windowViaCurve(20.0, 30.0, 45.0, 55.0)
+      val plain = layer.intersectsWindow(20.0, 30.0, 45.0, 55.0)
+      val a = viaCurve.df.select("id").as[String].collect().sorted.toSeq
+      val b = plain.df.select("id").as[String].collect().sorted.toSeq
+      assert(a.nonEmpty && a == b, s"$idx: curve-range read must equal the plain window read")
+
+      // pruning evidence: the scan behind the curve-range plan must emit far
+      // fewer rows than the table holds (row groups outside the __sfc ranges
+      // are skipped via parquet min/max stats on the sorted key)
+      val rows = scannedRows(viaCurve.df)
+      assert(rows > 0 && rows < 50000 / 2, s"$idx: expected pruned scan, read $rows of 50000 rows")
+    }
+  }
+
+  test("curve ranges cover every in-window stored key (coarse/fine quantization nests)") {
+    // pure-math regression for the coarse-rectangle bug: toCell scales by
+    // 2^level-1, so a window-corner cell computed at the coarse level can be
+    // one LESS than the fine cell >> shift of an in-window point; ranges must
+    // derive from the fine quantization or keys near the max edge get dropped
+    val rnd = new scala.util.Random(20260812)
+    val level = SpatialLayout.DefaultLevel
+    for (_ <- 1 to 500) {
+      val x = rnd.nextDouble() * 360 - 180
+      val y = rnd.nextDouble() * 180 - 90
+      val wMinx = x - rnd.nextDouble() * 30; val wMaxx = x + rnd.nextDouble() * 30
+      val wMiny = y - rnd.nextDouble() * 30; val wMaxy = y + rnd.nextDouble() * 30
+      val cx = SpatialLayout.toCell(x, -180, 180, level)
+      val cy = SpatialLayout.toCell(y, -90, 90, level)
+      val hKey = SpatialLayout.hilbert(cx, cy, level)
+      val zKey = SpatialLayout.zOrder(cx, cy, level)
+      val hRanges = SpatialLayout.hilbertRangesForWindow(wMinx, wMiny, wMaxx, wMaxy)
+      val zRanges = SpatialLayout.zorderRangesForWindow(wMinx, wMiny, wMaxx, wMaxy)
+      assert(hRanges.exists { case (lo, hi) => hKey >= lo && hKey <= hi },
+        s"hilbert key of ($x,$y) not covered by window ($wMinx,$wMiny,$wMaxx,$wMaxy)")
+      assert(zRanges.exists { case (lo, hi) => zKey >= lo && zKey <= hi },
+        s"zorder key of ($x,$y) not covered by window ($wMinx,$wMiny,$wMaxx,$wMaxy)")
+      val gKey = SpatialLayout.geohash(x, y, 9)
+      val prefixes = SpatialLayout.geohashPrefixesForWindow(wMinx, wMiny, wMaxx, wMaxy)
+      assert(prefixes.exists(gKey.startsWith),
+        s"geohash of ($x,$y) not covered by window ($wMinx,$wMiny,$wMaxx,$wMaxy)")
+    }
+  }
+
+  test("whole-earth window enumerates a bounded cell count and full key span") {
+    val ranges = SpatialLayout.hilbertRangesForWindow(-180, -90, 180, 90,
+      level = 20, coarse = 20)   // naively 2^40 cells — must adaptively coarsen
+    assert(ranges.size <= 4096, s"driver-side enumeration not capped: ${ranges.size} ranges")
+    assert(ranges.head._1 == 0 && ranges.map(r => r._2 - r._1 + 1).sum == (1L << 40),
+      "whole-earth ranges must cover the entire key space")
   }
 
   test("hilbert curve is a bijective space-filling walk") {

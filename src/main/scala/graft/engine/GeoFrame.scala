@@ -222,8 +222,22 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     var iters = 0
     while (result.isEmpty) {
       val half = side / 2
-      val pruned = df.filter(
-        st.bboxIntersects(col("bbox"), lon - half, lat - half, lon + half, lat + half))
+      // the candidate interval must be an interval of longitude MOD 360:
+      // near the antimeridian a stored x just across ±180 is geodesically
+      // inside the window though its raw coordinate is far outside, and the
+      // outside-window bound below assumes Δλ is the wrapped difference —
+      // without these extra disjuncts a true neighbor could be pruned while
+      // verification still passes
+      val rawWindow =
+        st.bboxIntersects(col("bbox"), lon - half, lat - half, lon + half, lat + half)
+      val wraps = Seq(
+        if (lon + half > 180)
+          Some(st.bboxIntersects(col("bbox"), -180.0, lat - half, lon + half - 360, lat + half))
+        else None,
+        if (lon - half < -180)
+          Some(st.bboxIntersects(col("bbox"), lon - half + 360, lat - half, 180.0, lat + half))
+        else None).flatten
+      val pruned = df.filter(wraps.foldLeft(rawWindow)(_ || _))
       val withDist =
         if (df.columns.contains("x"))
           pruned.withColumn("distance", st.orthodromicKm(lit(lon), lit(lat), col("x"), col("y")))

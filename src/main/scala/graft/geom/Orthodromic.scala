@@ -42,27 +42,31 @@ object Orthodromic {
   }
 
   /** Conservative LOWER bound on the orthodromic distance from (lon,lat) to
-    * ANY point outside the degree window [lon±half, lat±half]. An outside
-    * point has |Δlat| ≥ half (central angle ≥ Δlat ⇒ d ≥ R·half_rad) or
-    * |Δlon| ≥ half with its latitude inside the band (θ grows with |Δλ|, so
-    * the minimum sits on the Δλ = half edge — minimized numerically over
-    * the band, then shrunk 0.1% to absorb grid error). Used by the exact
-    * k-NN window verification (GeoFrame.knnCandidates).
+    * ANY point whose effective angular offsets satisfy |Δlat| ≥ half OR
+    * |Δλ| ≥ half, where Δλ is longitude difference MOD 360 (so callers must
+    * prune with wrapped intervals when the window crosses the antimeridian —
+    * see GeoFrame.knnCandidates). Both arms are analytic, not sampled:
+    *
+    *  - |Δlat| ≥ half: central angle ≥ |Δlat| ⇒ d ≥ R·half_rad.
+    *  - |Δλ| ≥ half: cos θ = sin φ₁ sin φ₂ + cos φ₁ cos φ₂ cos Δλ is, for
+    *    fixed φ₁ and Δλ, a sinusoid A sin φ₂ + B cos φ₂ with A = sin φ₁,
+    *    B = cos φ₁ cos Δλ, whose maximum over ALL φ₂ is √(A²+B²); and it is
+    *    non-increasing in |Δλ| ∈ [0,π], so every such point has
+    *    d ≥ R·acos(√(sin²φ₁ + cos²φ₁ cos²half)). (Unconstrained in φ₂ ⇒ a
+    *    valid lower bound for the lat-band subset too.)
+    *
+    * The 1−1e−9 factor absorbs floating-point rounding between this closed
+    * form and the per-row law-of-cosines evaluation; distance-scale slack is
+    * the caller's `slackKm`. Used by the exact k-NN window verification.
     */
   def minDistanceOutsideWindowKm(lon: Double, lat: Double, halfDeg: Double): Double = {
-    val latBound = EarthRadiusKm * math.toRadians(halfDeg)
-    var lonBound = Double.MaxValue
-    val n = 2048
-    var i = 0
-    while (i <= n) {
-      val lat2 = lat - halfDeg + (2.0 * halfDeg * i) / n
-      if (lat2 >= -90 && lat2 <= 90) {
-        val d = distanceKm(lon, lat, lon + halfDeg, lat2)
-        if (d < lonBound) lonBound = d
-      }
-      i += 1
-    }
-    0.999 * math.min(latBound, lonBound)
+    val h = math.toRadians(math.min(halfDeg, 180.0))
+    val phi = math.toRadians(lat)
+    val latBound = EarthRadiusKm * h
+    val a = math.sin(phi)
+    val b = math.cos(phi) * math.cos(h)
+    val lonBound = EarthRadiusKm * math.acos(math.min(1.0, math.sqrt(a * a + b * b)))
+    (1.0 - 1e-9) * math.min(latBound, lonBound)
   }
 
   /** Sum of orthodromic segment lengths along a geometry's coordinates.

@@ -100,6 +100,23 @@ object SparkEntry {
       .withinDistanceKm(10.5, 20.5, 3000.0)
       .df.select(col("ck").as("id"), col("x"), col("y"), col("distance"))
 
+  // one reusable temp path per JVM for each ingest fixture (overwritten per
+  // invocation, cleaned at exit) — repeated bench/verify runs must not leak
+  // a new driver temp file per query invocation
+  private lazy val osmIngestTmp: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("graft-osm-ingest", ".osm")
+    p.toFile.deleteOnExit()
+    p
+  }
+  private lazy val shpIngestBase: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-shp-ingest")
+    val base = d.resolve("nations")
+    for (ext <- Seq(".shp", ".shx", ".dbf"))
+      d.resolve("nations" + ext).toFile.deleteOnExit()
+    d.toFile.deleteOnExit()   // registered after children: deletion runs LIFO
+    base.toString
+  }
+
   // =====================================================================
   // queries + oracleSql — the driver's correctness gate (sf0.01 vs DuckDB)
   // =====================================================================
@@ -555,7 +572,7 @@ object SparkEntry {
         sb ++= s"    <tag k='highway' v='residential'/>\n    <tag k='name' v='way-$nk'/>\n  </way>\n"
       }
       sb ++= "</osm>\n"
-      val tmp = java.nio.file.Files.createTempFile("graft-osm-ingest", ".osm")
+      val tmp = osmIngestTmp
       java.nio.file.Files.writeString(tmp, sb.toString)
       graft.osm.OsmImport.importOsm(s, tmp.toString).df
         .select((col("way_id") - 1000).cast("int").as("c_nationkey"),
@@ -575,8 +592,7 @@ object SparkEntry {
       val lines = linesLayer(s, dir).df
         .withColumn("props", map(lit("name"), concat(lit("ln-"), col("c_nationkey"))))
         .orderBy(col("c_nationkey"))
-      val base = java.nio.file.Files.createTempDirectory("graft-shp-ingest")
-        .resolve("nations").toString
+      val base = shpIngestBase
       graft.sources.Shapefile.exportShapefile(lines, base)
       graft.sources.Shapefile.importShapefile(s, base + ".shp").df
         .select(col("id").cast("long").as("rec"),

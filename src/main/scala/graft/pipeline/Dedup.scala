@@ -57,6 +57,42 @@ object Dedup {
     else toks.sliding(k).map(w => TextAnalysis.fnv1a64(w.mkString(" ")))
   }
 
+  /** Distinct hashed shingle set with the minhash pipeline's short-text
+    * fallback: ZERO tokens ⇒ empty set (so vacuous documents never pair —
+    * matching the DuckDB replay, which maps len(ts)=0 to an empty list);
+    * 1..k-1 tokens ⇒ the single hash of the joined tokens.
+    */
+  private def minhashShingleSet(s: String, k: Int): Array[Long] = {
+    if (s == null) return Array.empty[Long]
+    val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    if (toks.isEmpty) Array.empty[Long]
+    else if (toks.length < k) Array(TextAnalysis.fnv1a64(toks.mkString(" ")))
+    else {
+      val set = scala.collection.mutable.HashSet.empty[Long]
+      toks.sliding(k).foreach(w => set += TextAnalysis.fnv1a64(w.mkString(" ")))
+      set.toArray
+    }
+  }
+
+  /** 128-long minhash signature from a hashed shingle set (empty ⇒ all
+    * Long.MaxValue, same as the all-sentinel signature of an empty text).
+    */
+  private def signatureOfSet(ss: Seq[Long]): Array[Long] = {
+    val sig = Array.fill(NumPerms)(Long.MaxValue)
+    ss.foreach { sh =>
+      val x = (sh & Long.MaxValue) % MersennePrime
+      var i = 0
+      while (i < NumPerms) {
+        val (a, b) = perms(i)
+        val v = mulmod(a, x) + b
+        val h = if (v >= MersennePrime) v - MersennePrime else v
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
   /** 128-long minhash signature over k-word shingles. */
   def minhashSignature(text: Column, shingleK: Int = 3): Column =
     udf((s: String) => {
@@ -108,8 +144,14 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sig", minhashSignature(col("text"), shingleK))
+    // tokenize/hash ONCE per document; the hashed sets feed the signature
+    // AND both verify joins (same persist treatment as shingleJaccardPairs —
+    // ~8 bytes/shingle, spills cleanly)
+    val shSet = udf((s: String) => minhashShingleSet(s, shingleK))
+    val sets = df.select(col(idCol).as("id"), shSet(col(textCol)).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigOf = udf((ss: Seq[Long]) => signatureOfSet(ss))
+    val sigs = sets.select(col("id"), sigOf(col("ss")).as("sig"))
     val bandHash = udf((sig: Seq[Long], band: Int) => {
       var h = 0xcbf29ce484222325L
       var i = band * RowsPerBand
@@ -125,15 +167,12 @@ object Dedup {
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
-    // same shingle universe as minhashSignature/jaccardShingles (incl. the
-    // short-text single-hash fallback), so jaccard values are identical to
-    // the old text-shipping verify
-    val shSet = udf((s: String) =>
-      shingles(if (s == null) "" else s, shingleK).toSet.toArray)
-    val sets = df.select(col(idCol).as("id"), shSet(col(textCol)).as("ss"))
+    // two zero-token documents share the all-sentinel signature (candidate
+    // pair) but have EMPTY sets: jaccard 0 here and NULL-filtered in the
+    // DuckDB replay — vacuous documents never pair on either side
     val jac = udf((a: Seq[Long], b: Seq[Long]) => {
       val sa = a.toSet; val sb = b.toSet
-      if (sa.isEmpty && sb.isEmpty) 1.0
+      if (sa.isEmpty || sb.isEmpty) 0.0
       else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
     })
     cand
@@ -312,13 +351,14 @@ object Dedup {
             shiftrightunsigned(col("sh"), start).bitwiseAND(lit(mask)).as("cv"))
         }: _*)).as("c"))
       .select(col("id"), col("sh"), col("c.ci").as("ci"), col("c.cv").as("cv"))
-    val hamming = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     chunked.as("l").join(chunked.as("r"),
         col("l.ci") === col("r.ci") && col("l.cv") === col("r.cv") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.sh").as("sh_a"), col("r.sh").as("sh_b"))
       .distinct()
-      .withColumn("hamming", hamming(col("sh_a"), col("sh_b")))
+      // built-in bit_count keeps the hot verify step inside codegen (a Scala
+      // UDF here would break the whole-stage pipeline on every candidate)
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
@@ -426,22 +466,29 @@ object Dedup {
       .distinct()
   }
 
-  /** Character-n-gram Jaccard for candidate pairs (pairs from any LSH stage;
-    * here reuses the minhash banding to stay sub-quadratic).
+  /** Character-n-gram Jaccard pairs with GUARANTEED recall: candidates come
+    * from the same df-ordered PREFIX FILTER as [[shingleJaccardPairs]], run
+    * over the hashed char-gram sets themselves — any pair with gram-Jaccard
+    * ≥ t shares a prefix gram (prefix length |S| − ⌈t·|S|⌉ + 1), so unlike
+    * the earlier word-minhash candidate stage no qualifying pair can be
+    * missed, and the hot-gram Σf² blow-up is filtered the same way. Exact
+    * set-Jaccard verify on candidates. Documents shorter than n characters
+    * have an empty gram set and never pair.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, n: Int = 3): DataFrame = {
-    val cand = minhashNearDupPairs(df, idCol, textCol, threshold = 0.0, shingleK = 1)
-      .select("id_a", "id_b")
-    val grams = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("grams"))
+    require(threshold > 0, "threshold must be > 0 for prefix-filter recall to hold")
+    val grams = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = shingleJaccardCandidates(grams, threshold)
     val jac = udf((a: Seq[Long], b: Seq[Long]) => {
       val sa = a.toSet; val sb = b.toSet
-      if (sa.isEmpty && sb.isEmpty) 1.0
+      if (sa.isEmpty || sb.isEmpty) 0.0
       else sa.intersect(sb).size.toDouble / sa.union(sb).size
     })
     cand
-      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
-      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+      .join(grams.select(col("id").as("id_a"), col("ss").as("g_a")), "id_a")
+      .join(grams.select(col("id").as("id_b"), col("ss").as("g_b")), "id_b")
       .withColumn("jaccard", jac(col("g_a"), col("g_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")

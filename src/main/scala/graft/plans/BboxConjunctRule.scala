@@ -49,16 +49,22 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      child.output.find(a => a.name == "bbox" && a.dataType.isInstanceOf[StructType]) match {
-        case Some(bbox) =>
+      val bboxOpt = child.output.find(a => a.name == "bbox" && a.dataType.isInstanceOf[StructType])
+      // the stored bbox struct describes exactly the canonical `geometry`
+      // column — a predicate over any DERIVED geometry (st_buffer(geometry,r),
+      // a `snapped` column, …) can extend beyond the row bbox, so injecting
+      // the envelope conjunct for it would wrongly prune matching rows
+      val geomOpt = child.output.find(a => a.name == "geometry" && a.dataType == BinaryType)
+      (bboxOpt, geomOpt) match {
+        case (Some(bbox), Some(geomAttr)) =>
           // compare ATOMIC comparisons on both sides — the injected set from a
           // previous fix-point pass is split back into atoms by splitConjuncts,
           // so matching whole And-chains would re-inject forever
           val existing = splitConjuncts(cond)
-          val extra = existing.flatMap(conjunctFor(_, bbox)).flatten
+          val extra = existing.flatMap(conjunctFor(_, bbox, geomAttr)).flatten
             .filterNot(e => existing.exists(_.semanticEquals(e)))
           if (extra.isEmpty) f else Filter(extra.foldLeft(cond)(And), child)
-        case None => f
+        case _ => f
       }
   }
 
@@ -72,42 +78,53 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
     * the (named) Column-API UDFs of graft.functions.st, and the native
     * [[graft.functions.STPredicate]] prepared-geometry expression.
     */
-  private def conjunctFor(c: Expression, bbox: Attribute): Option[Seq[Expression]] = c match {
-    case u: ScalaUDF if u.udfName.exists(n => isSpatialPred(n.toLowerCase))
-        && u.children.length == 2 =>
-      val name = u.udfName.get.toLowerCase
-      (u.children.head, u.children(1)) match {
-        case (_, Literal(b: Array[Byte], BinaryType)) =>
-          envConjunct(name, bbox, envOf(b), litIsSecond = true)
-        case (Literal(b: Array[Byte], BinaryType), _) =>
-          envConjunct(name, bbox, envOf(b), litIsSecond = false)
-        case _ => None
-      }
-    // STPredicate relates the ROW geometry (child) to its constant query —
-    // exactly the litIsSecond convention
-    case p: graft.functions.STPredicate if isSpatialPred("st_" + p.predicate) =>
-      envConjunct("st_" + p.predicate, bbox, envOf(p.queryWkb), litIsSecond = true)
-    // distance range: st_distance(geom, lit) <= d ⟹ bbox intersects the
-    // literal's envelope EXPANDED by d — the reference's withinDistance
-    // window prune (OrthodromicDistance.suggestSearchWindow:74-90), derived
-    // automatically for SQL users
-    case cmp @ (_: LessThanOrEqual | _: LessThan) =>
-      val (l, r) = (cmp.asInstanceOf[BinaryComparison].left,
-        cmp.asInstanceOf[BinaryComparison].right)
-      (l, r) match {
-        case (u: ScalaUDF, Literal(d: Double, DoubleType))
-            if u.udfName.exists(_.equalsIgnoreCase("st_distance")) && u.children.length == 2 =>
-          val env = u.children.collectFirst {
-            case Literal(b: Array[Byte], BinaryType) => envOf(b)
-          }
-          env.flatMap { e =>
-            val expanded = new Envelope(e)
-            expanded.expandBy(d)
-            envConjunct("st_intersects", bbox, expanded, litIsSecond = true)
-          }
-        case _ => None
-      }
-    case _ => None
+  private def conjunctFor(c: Expression, bbox: Attribute,
+      geomAttr: Attribute): Option[Seq[Expression]] = {
+    // the non-literal side must BE the canonical geometry attribute (same
+    // exprId) — bail for derived geometries, other columns, or wrapped exprs
+    def isLayerGeom(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.exprId == geomAttr.exprId
+      case _ => false
+    }
+    c match {
+      case u: ScalaUDF if u.udfName.exists(n => isSpatialPred(n.toLowerCase))
+          && u.children.length == 2 =>
+        val name = u.udfName.get.toLowerCase
+        (u.children.head, u.children(1)) match {
+          case (g, Literal(b: Array[Byte], BinaryType)) if isLayerGeom(g) =>
+            envConjunct(name, bbox, envOf(b), litIsSecond = true)
+          case (Literal(b: Array[Byte], BinaryType), g) if isLayerGeom(g) =>
+            envConjunct(name, bbox, envOf(b), litIsSecond = false)
+          case _ => None
+        }
+      // STPredicate relates the ROW geometry (child) to its constant query —
+      // exactly the litIsSecond convention
+      case p: graft.functions.STPredicate
+          if isSpatialPred("st_" + p.predicate) && isLayerGeom(p.child) =>
+        envConjunct("st_" + p.predicate, bbox, envOf(p.queryWkb), litIsSecond = true)
+      // distance range: st_distance(geom, lit) <= d ⟹ bbox intersects the
+      // literal's envelope EXPANDED by d — the reference's withinDistance
+      // window prune (OrthodromicDistance.suggestSearchWindow:74-90), derived
+      // automatically for SQL users
+      case cmp @ (_: LessThanOrEqual | _: LessThan) =>
+        val (l, r) = (cmp.asInstanceOf[BinaryComparison].left,
+          cmp.asInstanceOf[BinaryComparison].right)
+        (l, r) match {
+          case (u: ScalaUDF, Literal(d: Double, DoubleType))
+              if u.udfName.exists(_.equalsIgnoreCase("st_distance")) && u.children.length == 2
+                && u.children.exists(isLayerGeom) =>
+            val env = u.children.collectFirst {
+              case Literal(b: Array[Byte], BinaryType) => envOf(b)
+            }
+            env.flatMap { e =>
+              val expanded = new Envelope(e)
+              expanded.expandBy(d)
+              envConjunct("st_intersects", bbox, expanded, litIsSecond = true)
+            }
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   private def isSpatialPred(n: String): Boolean =

@@ -34,6 +34,82 @@ class Round4Spec extends SparkSpec {
     }
   }
 
+  test("BboxConjunctRule does not inject for derived geometries") {
+    import java.nio.file.Files
+    import graft.geom.GeomCodec
+    graft.plans.GraftOptimizations.install(spark)
+    val dir = Files.createTempDirectory("bboxrule-derived").toString
+    (1 to 100).map { i =>
+      val x = (i % 20).toDouble; val y = (i / 20).toDouble
+      (i.toString, GeomCodec.toWkb(GeomCodec.point(x, y)), x, y)
+    }.toDF("id", "geometry", "x", "y")
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+      .write.mode("overwrite").parquet(dir)
+    val pts = spark.read.parquet(dir)
+    val rectG = GeomCodec.fromWkt("POLYGON ((0.5 0.5, 10.5 0.5, 10.5 3.5, 0.5 3.5, 0.5 0.5))")
+    val rect = GeomCodec.toWkb(rectG)
+
+    // buffered geometry reaches OUTSIDE the row bbox: rows whose point sits
+    // just outside the rect still intersect after buffering — an injected
+    // bbox-vs-envelope conjunct would wrongly prune them
+    val viaBuffer = pts.filter(st.intersects(st.buffer(col("geometry"), lit(1.0)), lit(rect)))
+    val plan = viaBuffer.queryExecution.optimizedPlan.toString()
+    assert(!plan.contains("minx"), s"conjunct wrongly injected for derived geometry:\n$plan")
+    val expected = (1 to 100).filter { i =>
+      val x = (i % 20).toDouble; val y = (i / 20).toDouble
+      GeomCodec.point(x, y).buffer(1.0).intersects(rectG)
+    }.map(_.toString).toSet
+    assert(viaBuffer.select("id").as[String].collect().toSet == expected)
+
+    // sanity: the plain-attribute form still gets the conjunct
+    val viaAttr = pts.filter(st.intersects(col("geometry"), lit(rect)))
+    assert(viaAttr.queryExecution.optimizedPlan.toString().contains("minx"))
+  }
+
+  test("ngramJaccardPairs recall matches brute force on a mixed corpus") {
+    import graft.pipeline.Dedup
+    // mixed corpus: exact dups, char-level near-dups (word-minhash-hostile:
+    // different word boundaries, same character stream), unrelated docs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "thequick brownfox jumpsover thelazy dog"),     // same chars, words differ
+      (4L, "the quick brown fox jumped over the lazy dogs"),
+      (5L, "completely unrelated content about spark engines"),
+      (6L, "spark engines and completely unrelated content about"),
+      (7L, "xyzzy"), (8L, "qq")                            // shorter than n ⇒ empty gram set
+    ).toDF("doc_id", "text")
+    val n = 3; val t = 0.5
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t, n = n)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force over all pairs with the same gram definition
+    def gramSet(s: String): Set[String] = {
+      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+      if (norm.length < n) Set.empty
+      else (0 to norm.length - n).map(i => norm.substring(i, i + n)).toSet
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys; if a < b
+      sa = gramSet(texts(a)); sb = gramSet(texts(b))
+      if sa.nonEmpty && sb.nonEmpty
+      if sa.intersect(sb).size.toDouble / sa.union(sb).size >= t
+    } yield (a, b)).toSet
+    assert(got == brute, s"got $got expected $brute")
+    assert(brute.exists(p => p._1 == 3L || p._2 == 3L),
+      "fixture broken: the word-boundary near-dup must qualify (it is the case word-level candidates miss)")
+  }
+
+  test("minhash pairs: zero-token documents never pair (matches the oracle's empty-list arm)") {
+    import graft.pipeline.Dedup
+    val docs = Seq(
+      (1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, ""), (4L, "   "), (5L, "\t \n")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("knnCandidates is exact across the antimeridian") {
     // cluster on BOTH sides of ±180: the true nearest neighbors of a query
     // at lon 179.8 include points at lon -179.9 (wrapped Δλ = 0.3°), which a

@@ -126,7 +126,9 @@ object OsmImport {
     else if (coords.length >= 4 && coords.head.equals2D(coords.last))
       GeomCodec.factory.createPolygon(coords)
     else if (coords.length >= 2) GeomCodec.factory.createLineString(coords)
-    else GeomCodec.factory.createPoint(new Coordinate(0, 0))
+    else null // unresolvable way — caller drops it, mirroring the reference's
+              // decode-verify (reference: OSMLayer.java:97-124), rather than
+              // fabricating a geometry at Null Island
   }
 
   /** Ring repair for relation members, mirroring the reference's heuristics
@@ -151,20 +153,28 @@ object OsmImport {
   }
 
   /** Assemble the ways layer: one shuffle on way_id (collect ordered coords),
-    * tags pivoted to a map column.
+    * tags pivoted to a map column. Decode-verify semantics: a way whose nd
+    * refs do not ALL resolve against the node table is dropped, like the
+    * reference's vertex-count sanity check on decode (reference:
+    * OSMGeometryEncoder.java:368-376, OSMLayer.java:97-124) — a partially
+    * resolved linestring or a silent POINT(0 0) would be corrupt data.
     */
   def assembleWays(st8: Staging): DataFrame = {
-    val ordered = st8.wayNds.join(st8.nodes, "node_id")
+    val ordered = st8.wayNds.join(st8.nodes, Seq("node_id"), "left")
       .groupBy(col("way_id"))
-      .agg(sort_array(collect_list(struct(col("seq"), col("lon"), col("lat")))).as("cs"))
+      .agg(sort_array(collect_list(struct(col("seq"), col("lon"), col("lat")))).as("cs"),
+        count(lit(1)).as("n_nds"), count(col("lon")).as("n_resolved"))
+      .filter(col("n_resolved") === col("n_nds"))
+      .drop("n_nds", "n_resolved")
     val mkWay = udf((xs: Seq[Double], ys: Seq[Double]) =>
-      GeomCodec.toWkb(buildWayGeometry(xs, ys)))
+      Option(buildWayGeometry(xs, ys)).map(GeomCodec.toWkb).orNull)
     val wayTags = st8.tags.filter(col("elem_type") === "way")
       .groupBy(col("elem_id").as("way_id"))
       .agg(map_from_arrays(collect_list(col("k")), collect_list(col("v"))).as("props"))
     ordered
       .withColumn("geometry", mkWay(expr("transform(cs, c -> c.lon)"), expr("transform(cs, c -> c.lat)")))
       .drop("cs")
+      .filter(col("geometry").isNotNull)
       .join(wayTags, Seq("way_id"), "left")
       .withColumn("props", coalesce(col("props"), map()))
       .withColumn("id", col("way_id").cast("string"))
@@ -283,6 +293,28 @@ object OsmImport {
       .withColumn("gtype", st.gtype(col("geometry")))
       .withColumn("bbox", st.bboxOf(col("geometry")))
       .select("id", "geometry", "gtype", "bbox", "props", "relation_id")
+  }
+
+  /** Changesets layer — the staged changeset/uid/user columns exposed as a
+    * queryable aggregate, the dataflow analog of the reference's changeset
+    * sub-graph (OSMChangeset/OSMUser node labels with USER/CHANGESET edges,
+    * reference: OSMImporter.java:90-99; reIndex-by-changeset :252-357): one
+    * row per changeset with element counts, the contributing user, and the
+    * bbox of its nodes. One shuffle on the changeset key.
+    */
+  def assembleChangesets(st8: Staging): DataFrame = {
+    val fromNodes = st8.nodes.groupBy(col("changeset"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("lon")).as("minx"), min(col("lat")).as("miny"),
+        max(col("lon")).as("maxx"), max(col("lat")).as("maxy"),
+        max(col("uid")).as("uid"), max(col("user")).as("user"))
+    val fromWays = st8.ways.groupBy(col("changeset"))
+      .agg(count(lit(1)).as("n_ways"))
+    fromNodes.join(fromWays, Seq("changeset"), "full")
+      .select(col("changeset"), col("uid"), col("user"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("n_ways"), lit(0L)).as("n_ways"),
+        st.bboxStruct(col("minx"), col("miny"), col("maxx"), col("maxy")).as("bbox"))
   }
 
   /** Full import: parse + assemble ways into a layer GeoFrame (the

@@ -60,6 +60,69 @@ class IngestSpec extends SparkSpec {
     assert(poly.getGeometryType == "Polygon")
     val line = OsmImport.buildWayGeometry(Seq(0, 1, 2), Seq(0, 0, 0))
     assert(line.getGeometryType == "LineString")
+    assert(OsmImport.buildWayGeometry(Seq.empty, Seq.empty) == null)
+  }
+
+  test("OSM golden import: reference model-integrity invariants on example.osm") {
+    // mirrors the reference's checkOSMLayer assertions (reference:
+    // TestOSMImportBase.checkOSMLayer:79 — index count == feature count;
+    // TestSpatial.java:96-130 — specific way geometries by node order)
+    val st8 = OsmImport.parse(spark, osmFixture)
+    val ways = OsmImport.assembleWays(st8)
+    // index count == feature count: every parsed way whose nds all resolve
+    // is exactly one indexed feature
+    assert(ways.count() == st8.ways.count())
+    // the single way's linestring follows the nd order EXACTLY: first nd is
+    // node 371662020 (lon 12.9639158, lat 56.0709040), last is node
+    // 857081523 (lon 12.9680173, lat 56.0704885)
+    val g = GeomCodec.fromWkb(ways.head().getAs[Array[Byte]]("geometry"))
+    val cs = g.getCoordinates
+    assert(cs.length == 8)
+    assert(math.abs(cs.head.x - 12.9639158) < 1e-9 && math.abs(cs.head.y - 56.0709040) < 1e-9)
+    assert(math.abs(cs.last.x - 12.9680173) < 1e-9 && math.abs(cs.last.y - 56.0704885) < 1e-9)
+    // road enrichment: residential way with no oneway tag ⇒ BOTH
+    val dir = OsmImport.withRoadDirection(ways).select("road_direction").head().getString(0)
+    assert(dir == "BOTH")
+    // all 8 nodes become point features with matching coordinates
+    val pts = OsmImport.assemblePoints(st8)
+    assert(pts.count() == 8)
+    val p0 = pts.filter(col("node_id") === 371662020L).select("x", "y").head()
+    assert(math.abs(p0.getDouble(0) - 12.9639158) < 1e-9 && math.abs(p0.getDouble(1) - 56.0709040) < 1e-9)
+  }
+
+  test("OSM changesets layer aggregates counts, user and bbox per changeset") {
+    val st8 = OsmImport.parse(spark, osmFixture)
+    val cs = OsmImport.assembleChangesets(st8)
+      .orderBy("changeset")
+      .collect()
+    assert(cs.length == 2)
+    val grillo = cs(0)
+    assert(grillo.getAs[Long]("changeset") == 5465617L)
+    assert(grillo.getAs[String]("user") == "Grillo")
+    assert(grillo.getAs[Long]("n_nodes") == 1L && grillo.getAs[Long]("n_ways") == 0L)
+    val craig = cs(1)
+    assert(craig.getAs[Long]("changeset") == 5474347L)
+    assert(craig.getAs[String]("user") == "Craig Taverner")
+    assert(craig.getAs[Long]("n_nodes") == 7L && craig.getAs[Long]("n_ways") == 1L)
+    val bb = craig.getAs[org.apache.spark.sql.Row]("bbox")
+    assert(bb.getDouble(0) >= 12.96 && bb.getDouble(2) <= 12.97)  // lon span of the 7 nodes
+  }
+
+  test("ways with unresolvable nd refs are dropped, not fabricated") {
+    val sb = new StringBuilder
+    sb ++= "<?xml version=\"1.0\"?>\n<osm version=\"0.6\">\n"
+    sb ++= " <node id=\"1\" lat=\"1.0\" lon=\"1.0\" version=\"1\"/>\n"
+    sb ++= " <node id=\"2\" lat=\"2.0\" lon=\"2.0\" version=\"1\"/>\n"
+    // way 10: all refs resolve; way 11: ref 99 missing (partial); way 12: all missing
+    sb ++= " <way id=\"10\" version=\"1\"><nd ref=\"1\"/><nd ref=\"2\"/></way>\n"
+    sb ++= " <way id=\"11\" version=\"1\"><nd ref=\"1\"/><nd ref=\"99\"/></way>\n"
+    sb ++= " <way id=\"12\" version=\"1\"><nd ref=\"98\"/><nd ref=\"99\"/></way>\n"
+    sb ++= "</osm>\n"
+    val p = Files.createTempFile("graft-badrefs", ".osm")
+    Files.writeString(p, sb.toString)
+    val ways = OsmImport.assembleWays(OsmImport.parse(spark, p.toString))
+    val ids = ways.select("way_id").as[Long].collect().toSet
+    assert(ids == Set(10L), s"expected only the fully-resolved way, got $ids")
   }
 
   test("shapefile reader parses highway.shp geometry + dbf attributes") {

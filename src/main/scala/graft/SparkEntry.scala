@@ -437,6 +437,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), max(col("c_acctbal")).as("max_bal"))
         .orderBy(col("c_nationkey"))),
 
+    // FilterPropertyNull / FilterPropertyNotNull pipes (reference:
+    // FilterPropertyNull.java:28, FilterPropertyNotNull.java:29) — a
+    // nullable derived property filtered both ways through the layer's
+    // filterExpr surface; balances summed as exact integer cents
+    "sp_prop_null" -> ((s, dir) => {
+      val layer = new GeoFrame(pointsDf(s, dir)
+        .withColumn("nbal", when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal"))))
+      val nulls = layer.filterExpr("nbal IS NULL").df
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_null"))
+      val notNulls = layer.filterExpr("nbal IS NOT NULL").df
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_notnull"),
+          sum(round(col("nbal") * 100).cast("long")).as("cents"))
+      nulls.join(notNulls, Seq("c_nationkey"), "full")
+        .select(col("c_nationkey"),
+          coalesce(col("n_null"), lit(0L)).as("n_null"),
+          coalesce(col("n_notnull"), lit(0L)).as("n_notnull"),
+          col("cents"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Densify pipe (Densify.java:31): JTS splits each segment into
     // floor(len/tol)+1 pieces — closed-form point count per nation line
     "sp_densify_npoints" -> ((s, dir) =>
@@ -910,6 +931,19 @@ object SparkEntry {
         |SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
         |FROM pts WHERE c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_prop_null" -> (PtsCte +
+      """
+        |, np AS (
+        |  SELECT c_nationkey,
+        |         CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS nbal
+        |  FROM pts
+        |)
+        |SELECT c_nationkey,
+        |       CAST(sum(CASE WHEN nbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |       CAST(sum(CASE WHEN nbal IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notnull,
+        |       CAST(sum(CASE WHEN nbal IS NOT NULL THEN round(nbal * 100) END) AS BIGINT) AS cents
+        |FROM np GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "sp_ortho_length" -> (PtsCte +
       """

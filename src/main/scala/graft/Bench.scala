@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Spark 4 defaults, pinned explicitly: AQE re-plans at runtime and its
+      // skew-join splitter keeps one hot grid cell (sp_join_grid) or one hot
+      // shuffle key from serializing a stage on a single straggler task
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer reads) so the first timed

@@ -179,6 +179,31 @@ class ScaleSpec extends SparkSpec {
     assert(viaBroadcast.filter(p => sampleIds.contains(p._1)) == brute)
   }
 
+  test("grid join stays correct when every row lands in one hot cell") {
+    // adversarial skew: cellSize far larger than the data span, so BOTH
+    // sides replicate into a single grid cell — the equi-shuffle has exactly
+    // one key. Correctness must hold (reference-point dedup degenerates to a
+    // no-op); at scale AQE's skew-join splitter (enabled in the bench
+    // session) re-splits the hot partition so no single straggler dominates.
+    val left = randomPoints(4000)
+      .withColumn("id", col("k").cast("string"))
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    val boxes = (0 until 16).map { i =>
+      val minx = (i % 4) * 25.0; val miny = (i / 4) * 25.0
+      (i.toString, s"POLYGON (($minx $miny, ${minx + 30} $miny, ${minx + 30} ${miny + 30}, $minx ${miny + 30}, $minx $miny))")
+    }.toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry"))).drop("wkt")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("l_id"), col("r_id")).as[(String, String)].collect().toSet
+    // cellSize 1000 ⇒ all bboxes map to cell (0,0): the single-hot-cell plan
+    val hot = pairs(SpatialJoin.gridJoin(left, boxes, cellSize = 1000.0, "intersects"))
+    val truth = pairs(SpatialJoin.broadcastJoin(left, boxes, "intersects"))
+    assert(hot.nonEmpty && hot == truth,
+      s"hot-cell grid join diverged: ${hot.size} vs ${truth.size}")
+  }
+
   test("auto cell sizing picks a usable grid and matches broadcast results") {
     val left = randomPoints(600)
       .withColumn("id", col("k").cast("string"))

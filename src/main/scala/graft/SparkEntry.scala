@@ -117,6 +117,19 @@ object SparkEntry {
     base.toString
   }
 
+  // hilbert-clustered copy of the point layer, written once per JVM per SF
+  // dir — the stored-__sfc read path (windowViaCurve) must be exercised
+  // against the SAME durable layout a real layer write produces
+  private val curveLayerCache = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def curveLayerPath(s: SparkSession, dir: String): String =
+    curveLayerCache.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft-curve-layer")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("pts").toString
+      graft.plans.SpatialLayout.writeClustered(pointsDf(s, dir), p, "hilbert")
+      p
+    })
+
   // =====================================================================
   // queries + oracleSql — the driver's correctness gate (sf0.01 vs DuckDB)
   // =====================================================================
@@ -185,6 +198,18 @@ object SparkEntry {
     // window INTERSECTS semantics incl. boundary lattice points
     "sp_bbox_intersects" -> ((s, dir) =>
       pointsLayer(s, dir).intersectsWindow(0.5, -10.5, 30.5, 40.5)
+        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
+
+    // the space-filling-curve READ path under the oracle: window → __sfc
+    // range predicates over a hilbert-clustered stored layer (the driver's
+    // analog of the reference's curve-index range scan,
+    // LayerSpaceFillingCurvePointIndex.java:110-124); results must equal the
+    // plain window filter the oracle replays
+    "sp_window_curve" -> ((s, dir) =>
+      new GeoFrame(s.read.parquet(curveLayerPath(s, dir)),
+          Some(graft.engine.LayerMeta("curve_pts", GeomCodec.GTYPE_POINT,
+            encoder = "point-xy", indexType = "hilbert")))
+        .windowViaCurve(0.5, -10.5, 30.5, 40.5)
         .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
 
     "sp_within_distance" -> ((s, dir) =>
@@ -748,6 +773,14 @@ object SparkEntry {
         |ORDER BY id""".stripMargin),
 
     "sp_bbox_intersects" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5
+        |ORDER BY id""".stripMargin),
+
+    // identical window semantics: the curve ranges only PRUNE the scan, the
+    // exact window filter decides membership
+    "sp_window_curve" -> (PtsCte +
       """
         |SELECT ck AS id, x, y FROM pts
         |WHERE x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5

@@ -117,17 +117,65 @@ object SparkEntry {
     base.toString
   }
 
-  // hilbert-clustered copy of the point layer, written once per JVM per SF
-  // dir — the stored-__sfc read path (windowViaCurve) must be exercised
-  // against the SAME durable layout a real layer write produces
-  private val curveLayerCache = scala.collection.concurrent.TrieMap.empty[String, String]
-  private def curveLayerPath(s: SparkSession, dir: String): String =
-    curveLayerCache.getOrElseUpdate(dir, {
+  // curve-clustered copy of the point layer, written once per JVM per
+  // (SF dir, layout) — the stored-__sfc read path (windowViaCurve) must be
+  // exercised against the SAME durable layout a real layer write produces
+  private val curveLayerCache = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def curveLayerPath(s: SparkSession, dir: String, indexType: String): String =
+    curveLayerCache.getOrElseUpdate((dir, indexType), {
       val d = java.nio.file.Files.createTempDirectory("graft-curve-layer")
       d.toFile.deleteOnExit()
       val p = d.resolve("pts").toString
-      graft.plans.SpatialLayout.writeClustered(pointsDf(s, dir), p, "hilbert")
+      graft.plans.SpatialLayout.writeClustered(pointsDf(s, dir), p, indexType)
       p
+    })
+
+  /** Window query through the stored curve key of the given layout; the
+    * range/prefix predicates only PRUNE the scan — the exact window filter
+    * decides membership, so results equal the plain window filter for every
+    * layout (the property each sp_window_* oracle asserts).
+    */
+  private def curveWindowQuery(s: SparkSession, dir: String, indexType: String,
+      minx: Double, miny: Double, maxx: Double, maxy: Double): DataFrame =
+    new GeoFrame(s.read.parquet(curveLayerPath(s, dir, indexType)),
+        Some(graft.engine.LayerMeta("curve_pts", GeomCodec.GTYPE_POINT,
+          encoder = "point-xy", indexType = indexType)))
+      .windowViaCurve(minx, miny, maxx, maxy)
+      .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))
+
+  // per-JVM per-SF-dir procedures facade over a temp warehouse: the catalog
+  // surface (create/append/remove/list + count/bbox metadata) under the
+  // oracle; layers are created exactly once, stats are re-derived per call
+  private val catalogCache = scala.collection.concurrent.TrieMap.empty[String, graft.engine.SpatialProcedures]
+  private def catalogProcs(s: SparkSession, dir: String): graft.engine.SpatialProcedures =
+    catalogCache.getOrElseUpdate(dir, {
+      val wh = java.nio.file.Files.createTempDirectory("graft-warehouse")
+      wh.toFile.deleteOnExit()
+      val procs = new graft.engine.SpatialProcedures(s, wh.toString)
+      val src = pointsDf(s, dir).select(col("ck"), col("x"), col("y"))
+      // addPointLayerXY (bbox layout) + preset path (hilbert layout)
+      procs.addPointLayerXY("cust_pts", src, "ck", "x", "y")
+      procs.addLayer("cust_hilbert", "Hilbert", src, "ck", "x:y")
+      // WKT layer from per-nation lattice boxes (exact integer+0.5 corners)
+      val natBoxes = T(s, dir, "nation").select(col("n_nationkey"),
+        concat(lit("POLYGON (("),
+          col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(29.5), lit(", "),
+          col("n_nationkey") * 3 - lit(34.5), lit(" "), col("n_nationkey") * 2 - lit(29.5), lit(", "),
+          col("n_nationkey") * 3 - lit(34.5), lit(" "), col("n_nationkey") * 2 - lit(25.5), lit(", "),
+          col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(25.5), lit(", "),
+          col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(29.5),
+          lit("))")).as("wkt"))
+      procs.addWKTLayer("nation_boxes", natBoxes, "n_nationkey", "wkt")
+      // mutation path: three literal boxes extend the layer bbox on all sides
+      procs.addWKTs("nation_boxes", Seq(
+        "POLYGON ((200 40, 202 40, 202 42, 200 42, 200 40))",
+        "POLYGON ((-220 -85, -218 -85, -218 -83, -220 -83, -220 -85))",
+        "POLYGON ((10 88, 12 88, 12 89.5, 10 89.5, 10 88))"))
+      // removeLayer: a scratch layer must vanish from the listing (the
+      // 3-row oracle result implicitly asserts it)
+      procs.addWKTLayer("scratch", natBoxes, "n_nationkey", "wkt")
+      procs.removeLayer("scratch")
+      procs
     })
 
   // =====================================================================
@@ -200,17 +248,34 @@ object SparkEntry {
       pointsLayer(s, dir).intersectsWindow(0.5, -10.5, 30.5, 40.5)
         .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
 
-    // the space-filling-curve READ path under the oracle: window → __sfc
-    // range predicates over a hilbert-clustered stored layer (the driver's
-    // analog of the reference's curve-index range scan,
-    // LayerSpaceFillingCurvePointIndex.java:110-124); results must equal the
-    // plain window filter the oracle replays
+    // the space-filling-curve READ paths under the oracle: window → __sfc
+    // range/prefix predicates over a curve-clustered stored layer (the
+    // driver's analog of the reference's curve-index range scan,
+    // LayerSpaceFillingCurvePointIndex.java:110-124 and geohash prefix
+    // search, LayerGeohashPointIndex.java:86-107); results must equal the
+    // plain window filter the oracle replays — one query per layout
     "sp_window_curve" -> ((s, dir) =>
-      new GeoFrame(s.read.parquet(curveLayerPath(s, dir)),
-          Some(graft.engine.LayerMeta("curve_pts", GeomCodec.GTYPE_POINT,
-            encoder = "point-xy", indexType = "hilbert")))
-        .windowViaCurve(0.5, -10.5, 30.5, 40.5)
-        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))),
+      curveWindowQuery(s, dir, "hilbert", 0.5, -10.5, 30.5, 40.5)),
+    "sp_window_zorder" -> ((s, dir) =>
+      curveWindowQuery(s, dir, "zorder", -60.5, -30.5, -10.5, 20.5)),
+    "sp_window_geohash" -> ((s, dir) =>
+      curveWindowQuery(s, dir, "geohash", 100.5, 10.5, 150.5, 60.5)),
+
+    // catalog/procedure surface under the oracle: per-layer feature count +
+    // bounding box after create (XY + preset + WKT), addWKTs append, and a
+    // removeLayer (the 3-row listing asserts the dropped layer is gone) —
+    // reference: SpatialProcedures.java:303,509,537,767,589,598,625
+    "sp_catalog_stats" -> ((s, dir) => {
+      val procs = catalogProcs(s, dir)
+      val parts = procs.catalog.listLayers().map { name =>
+        procs.getLayerBoundingBox(name)
+          .withColumn("n", lit(procs.getFeatureCount(name)))
+          .withColumn("layer", lit(name))
+      }
+      parts.reduce(_ unionByName _)
+        .select(col("layer"), col("n"), col("minx"), col("miny"), col("maxx"), col("maxy"))
+        .orderBy(col("layer"))
+    }),
 
     "sp_within_distance" -> ((s, dir) =>
       pointsLayer(s, dir).withinDistanceKm(10.5, 20.5, 1500.0)
@@ -778,13 +843,50 @@ object SparkEntry {
         |WHERE x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5
         |ORDER BY id""".stripMargin),
 
-    // identical window semantics: the curve ranges only PRUNE the scan, the
-    // exact window filter decides membership
+    // identical window semantics: the curve ranges/prefixes only PRUNE the
+    // scan, the exact window filter decides membership — per layout
     "sp_window_curve" -> (PtsCte +
       """
         |SELECT ck AS id, x, y FROM pts
         |WHERE x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5
         |ORDER BY id""".stripMargin),
+
+    "sp_window_zorder" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x >= -60.5 AND x <= -10.5 AND y >= -30.5 AND y <= 20.5
+        |ORDER BY id""".stripMargin),
+
+    "sp_window_geohash" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x >= 100.5 AND x <= 150.5 AND y >= 10.5 AND y <= 60.5
+        |ORDER BY id""".stripMargin),
+
+    // layer listing replay: cust_pts/cust_hilbert mirror the point lattice;
+    // nation_boxes = 25 lattice boxes + the 3 appended literal boxes (the
+    // dropped `scratch` layer must NOT appear — exactly 3 rows)
+    "sp_catalog_stats" -> (PtsCte +
+      """, nba AS (
+        |  SELECT CAST(n_nationkey*3 - 39.5 AS DOUBLE) AS x0,
+        |         CAST(n_nationkey*2 - 29.5 AS DOUBLE) AS y0,
+        |         CAST(n_nationkey*3 - 34.5 AS DOUBLE) AS x1,
+        |         CAST(n_nationkey*2 - 25.5 AS DOUBLE) AS y1
+        |  FROM nation
+        |  UNION ALL SELECT 200, 40, 202, 42
+        |  UNION ALL SELECT -220, -85, -218, -83
+        |  UNION ALL SELECT 10, 88, 12, 89.5
+        |)
+        |SELECT * FROM (
+        |  SELECT 'cust_hilbert' AS layer, count(*) AS n,
+        |         min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+        |  FROM pts
+        |  UNION ALL
+        |  SELECT 'cust_pts', count(*), min(x), min(y), max(x), max(y) FROM pts
+        |  UNION ALL
+        |  SELECT 'nation_boxes', count(*), min(x0), min(y0), max(x1), max(y1) FROM nba
+        |)
+        |ORDER BY layer""".stripMargin),
 
     "sp_within_distance" -> (PtsCte +
       """

@@ -156,25 +156,50 @@ object SparkEntry {
       // addPointLayerXY (bbox layout) + preset path (hilbert layout)
       procs.addPointLayerXY("cust_pts", src, "ck", "x", "y")
       procs.addLayer("cust_hilbert", "Hilbert", src, "ck", "x:y")
-      // WKT layer from per-nation lattice boxes (exact integer+0.5 corners)
-      val natBoxes = T(s, dir, "nation").select(col("n_nationkey"),
-        concat(lit("POLYGON (("),
-          col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(29.5), lit(", "),
-          col("n_nationkey") * 3 - lit(34.5), lit(" "), col("n_nationkey") * 2 - lit(29.5), lit(", "),
-          col("n_nationkey") * 3 - lit(34.5), lit(" "), col("n_nationkey") * 2 - lit(25.5), lit(", "),
-          col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(25.5), lit(", "),
-          col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(29.5),
-          lit("))")).as("wkt"))
-      procs.addWKTLayer("nation_boxes", natBoxes, "n_nationkey", "wkt")
+      procs.addWKTLayer("nation_boxes", natBoxesDf(s, dir), "n_nationkey", "wkt")
       // mutation path: three literal boxes extend the layer bbox on all sides
-      procs.addWKTs("nation_boxes", Seq(
-        "POLYGON ((200 40, 202 40, 202 42, 200 42, 200 40))",
-        "POLYGON ((-220 -85, -218 -85, -218 -83, -220 -83, -220 -85))",
-        "POLYGON ((10 88, 12 88, 12 89.5, 10 89.5, 10 88))"))
+      procs.addWKTs("nation_boxes", AppendedBoxes)
       // removeLayer: a scratch layer must vanish from the listing (the
       // 3-row oracle result implicitly asserts it)
-      procs.addWKTLayer("scratch", natBoxes, "n_nationkey", "wkt")
+      procs.addWKTLayer("scratch", natBoxesDf(s, dir), "n_nationkey", "wkt")
       procs.removeLayer("scratch")
+      procs
+    })
+
+  /** Per-nation lattice boxes as WKT (exact integer+0.5 corners):
+    * [3k−39.5, 3k−34.5] × [2k−29.5, 2k−25.5].
+    */
+  private def natBoxesDf(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "nation").select(col("n_nationkey"),
+      concat(lit("POLYGON (("),
+        col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(29.5), lit(", "),
+        col("n_nationkey") * 3 - lit(34.5), lit(" "), col("n_nationkey") * 2 - lit(29.5), lit(", "),
+        col("n_nationkey") * 3 - lit(34.5), lit(" "), col("n_nationkey") * 2 - lit(25.5), lit(", "),
+        col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(25.5), lit(", "),
+        col("n_nationkey") * 3 - lit(39.5), lit(" "), col("n_nationkey") * 2 - lit(29.5),
+        lit("))")).as("wkt"))
+
+  private val AppendedBoxes = Seq(
+    "POLYGON ((200 40, 202 40, 202 42, 200 42, 200 40))",
+    "POLYGON ((-220 -85, -218 -85, -218 -83, -220 -83, -220 -85))",
+    "POLYGON ((10 88, 12 88, 12 89.5, 10 89.5, 10 88))")
+
+  // separate warehouse for the edit-sequence fixture so the catalog-stats
+  // listing stays at exactly 3 layers; the sequence (append → updateWKT →
+  // removeNodes) runs once per JVM, the query reads the final state
+  private val editsCache = scala.collection.concurrent.TrieMap.empty[String, graft.engine.SpatialProcedures]
+  private def editsProcs(s: SparkSession, dir: String): graft.engine.SpatialProcedures =
+    editsCache.getOrElseUpdate(dir, {
+      val wh = java.nio.file.Files.createTempDirectory("graft-edits-wh")
+      wh.toFile.deleteOnExit()
+      val procs = new graft.engine.SpatialProcedures(s, wh.toString)
+      procs.addWKTLayer("edits", natBoxesDf(s, dir), "n_nationkey", "wkt")
+      // ids continue from the existing count: the three boxes get 25,26,27
+      procs.addWKTs("edits", AppendedBoxes)
+      // copy-on-write geometry replacement by id
+      procs.updateWKT("edits", "3", "POLYGON ((50 50, 54 50, 54 53, 50 53, 50 50))")
+      // anti-join delete: one original row, one appended row
+      procs.removeNodes("edits", Seq("7", "26"))
       procs
     })
 
@@ -276,6 +301,17 @@ object SparkEntry {
         .select(col("layer"), col("n"), col("minx"), col("miny"), col("maxx"), col("maxy"))
         .orderBy(col("layer"))
     }),
+
+    // the full edit sequence (addWKTLayer → addWKTs → updateWKT →
+    // removeNodes) under the oracle: the final layer state replays the edit
+    // history in SQL — reference: SpatialProcedures.java:747 (updateWKT
+    // copy-on-write), :690-718 (removeNodes anti-join delete)
+    "sp_layer_edits" -> ((s, dir) =>
+      editsProcs(s, dir).layer("edits").df
+        .select(col("id").cast("int").as("id"),
+          col("bbox")("minx").as("minx"), col("bbox")("miny").as("miny"),
+          col("bbox")("maxx").as("maxx"), col("bbox")("maxy").as("maxy"))
+        .orderBy(col("id"))),
 
     "sp_within_distance" -> ((s, dir) =>
       pointsLayer(s, dir).withinDistanceKm(10.5, 20.5, 1500.0)
@@ -862,6 +898,28 @@ object SparkEntry {
         |SELECT ck AS id, x, y FROM pts
         |WHERE x >= 100.5 AND x <= 150.5 AND y >= 10.5 AND y <= 60.5
         |ORDER BY id""".stripMargin),
+
+    // edit-history replay: lattice boxes minus removed ids, id 3's box
+    // replaced by the updateWKT literal, the two surviving appended boxes
+    "sp_layer_edits" ->
+      """WITH eb AS (
+        |  SELECT n_nationkey AS id,
+        |         CAST(n_nationkey*3 - 39.5 AS DOUBLE) AS minx,
+        |         CAST(n_nationkey*2 - 29.5 AS DOUBLE) AS miny,
+        |         CAST(n_nationkey*3 - 34.5 AS DOUBLE) AS maxx,
+        |         CAST(n_nationkey*2 - 25.5 AS DOUBLE) AS maxy
+        |  FROM nation
+        |), edited AS (
+        |  SELECT id,
+        |    CASE WHEN id = 3 THEN 50.0 ELSE minx END AS minx,
+        |    CASE WHEN id = 3 THEN 50.0 ELSE miny END AS miny,
+        |    CASE WHEN id = 3 THEN 54.0 ELSE maxx END AS maxx,
+        |    CASE WHEN id = 3 THEN 53.0 ELSE maxy END AS maxy
+        |  FROM eb WHERE id <> 7
+        |  UNION ALL SELECT 25, 200, 40, 202, 42
+        |  UNION ALL SELECT 27, 10, 88, 12, 89.5
+        |)
+        |SELECT id, minx, miny, maxx, maxy FROM edited ORDER BY id""".stripMargin,
 
     // layer listing replay: cust_pts/cust_hilbert mirror the point lattice;
     // nation_boxes = 25 lattice boxes + the 3 appended literal boxes (the

@@ -302,6 +302,36 @@ object SparkEntry {
         .orderBy(col("layer"))
     }),
 
+    // SearchEqualEnvelopes under the oracle: rows whose envelope EQUALS the
+    // query point's degenerate envelope — exact double equality on the bbox
+    // struct, no JTS (reference: rtree/filter/SearchEqualEnvelopes.java:28-38).
+    // Lattice coords collide iff ck ≡ 42 (mod 360), so the result is the
+    // deterministic stride {42, 402, 762, ...}
+    "sp_equal_env" -> ((s, dir) => {
+      val qx = (42 % 360) - 180 + 0.5
+      val qy = ((42 * 7) % 180) - 90 + 0.5
+      pointsLayer(s, dir)
+        .equalEnvelopes(GeomCodec.factory.createPoint(
+          new org.locationtech.jts.geom.Coordinate(qx, qy)))
+        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))
+    }),
+
+    // z coordinates through the WKB codec under the oracle: st_pointz packs
+    // (x, y, z), st_z unpacks the identical double (reference carries z via
+    // the point encoder's zMask, Neo4jPointEncoder)
+    "sp_pointz" -> ((s, dir) => {
+      graft.functions.SpatialFunctions.register(s)
+      pointsDf(s, dir)
+        .selectExpr("ck AS id", "st_z(st_pointz(x, y, c_acctbal)) AS z",
+          "st_x(st_pointz(x, y, c_acctbal)) AS px")
+        .orderBy(col("id"))
+    }),
+
+    // spatial.layerTypes listing (the preset table IS the contract —
+    // reference: SpatialLayerTypePresets.java:39-73)
+    "sp_layer_types" -> ((s, dir) =>
+      catalogProcs(s, dir).layerTypesDf().orderBy(col("name"))),
+
     // the full edit sequence (addWKTLayer → addWKTs → updateWKT →
     // removeNodes) under the oracle: the final layer state replays the edit
     // history in SQL — reference: SpatialProcedures.java:747 (updateWKT
@@ -898,6 +928,30 @@ object SparkEntry {
         |SELECT ck AS id, x, y FROM pts
         |WHERE x >= 100.5 AND x <= 150.5 AND y >= 10.5 AND y <= 60.5
         |ORDER BY id""".stripMargin),
+
+    // exact coordinate equality on the lattice stride ck ≡ 42 (mod 360)
+    "sp_equal_env" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE x = CAST((42 % 360) - 180 + 0.5 AS DOUBLE)
+        |  AND y = CAST(((42 * 7) % 180) - 90 + 0.5 AS DOUBLE)
+        |ORDER BY id""".stripMargin),
+
+    // the z round trip is the identity on the acctbal double; x survives too
+    "sp_pointz" -> (PtsCte +
+      """
+        |SELECT ck AS id, c_acctbal AS z, x AS px FROM pts
+        |ORDER BY id""".stripMargin),
+
+    "sp_layer_types" ->
+      """SELECT * FROM (VALUES
+        |  ('Geohash','point-xy','geohash'), ('Hilbert','point-xy','hilbert'),
+        |  ('NativeGeohash','point-xy','geohash'), ('NativeHilbert','point-xy','hilbert'),
+        |  ('NativePoint','point-xy','bbox'), ('NativePoints','point-xy','bbox'),
+        |  ('NativeZOrder','point-xy','zorder'), ('SimplePoint','point-xy','bbox'),
+        |  ('WKB','wkb','bbox'), ('WKT','wkt','bbox'), ('ZOrder','point-xy','zorder')
+        |) AS t(name, encoder, "index")
+        |ORDER BY name""".stripMargin,
 
     // edit-history replay: lattice boxes minus removed ids, id 3's box
     // replaced by the updateWKT literal, the two surviving appended boxes

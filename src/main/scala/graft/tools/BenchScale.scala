@@ -121,6 +121,21 @@ object BenchScale {
     val emb10 = spark.read.parquet(emb10Path)
     val pts1 = spark.read.parquet(pts1Path)
     val pts10 = spark.read.parquet(pts10Path)
+
+    // hilbert-clustered copies of both point layers — the stored curve-index
+    // read path at both scales (matched rows grow ~10×, the __sfc range
+    // prune keeps the scan proportional to MATCHES, not corpus size)
+    val curve1Path = s"$scaleDir/curve1x"
+    val curve10Path = s"$scaleDir/curve10x"
+    if (!new java.io.File(curve10Path).exists()) {
+      graft.plans.SpatialLayout.writeClustered(pts1, curve1Path, "hilbert")
+      graft.plans.SpatialLayout.writeClustered(pts10, curve10Path, "hilbert")
+    }
+    def curveWindow(path: String): DataFrame =
+      new graft.engine.GeoFrame(spark.read.parquet(path),
+          Some(graft.engine.LayerMeta("pts", graft.geom.GeomCodec.GTYPE_POINT,
+            encoder = "point-xy", indexType = "hilbert")))
+        .windowViaCurve(0.5, -10.5, 30.5, 40.5).df
     val q0 = emb1.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
 
@@ -152,7 +167,10 @@ object BenchScale {
         () => Similarity.ivfTopKKMeans(emb10, "vec_id", "embedding", q0, 20, 16, 2, 3)),
       fam("sp_join_grid",
         () => SpatialJoin.gridJoin(pts1, supPolys, 30.0, "intersects"),
-        () => SpatialJoin.gridJoin(pts10, supPolys, 30.0, "intersects")))
+        () => SpatialJoin.gridJoin(pts10, supPolys, 30.0, "intersects")),
+      fam("sp_window_curve",
+        () => curveWindow(curve1Path),
+        () => curveWindow(curve10Path)))
 
     val json = results.map { case (k, (t1, n1, t10, n10)) =>
       f"""  "$k": {"t1_sec": $t1%.3f, "rows1": $n1, "t10_sec": $t10%.3f, "rows10": $n10, "time_growth": ${t10 / t1}%.2f, "linear_multiple": ${t10 / t1 / copies}%.3f}"""

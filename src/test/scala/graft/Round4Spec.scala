@@ -138,4 +138,53 @@ class Round4Spec extends SparkSpec {
     val wrapped = full.count(id => pts.exists(p => p._1.toString == id && p._2 < 0))
     assert(wrapped > 0, "fixture broken: no wrapped neighbor in the true top-k")
   }
+
+  test("predicate verbs match driver-side JTS on a random geometry soup") {
+    // differential parity beyond the lattice fixtures: every pruneThenExact
+    // verb (bbox prune && prepared-geometry exact predicate) must agree with
+    // plain JTS row.op(query) on seeded random points/boxes/linestrings
+    import org.locationtech.jts.geom.{Coordinate, Envelope, Geometry}
+    import graft.geom.GeomCodec
+    val gf = GeomCodec.factory
+    val rnd = new scala.util.Random(20260812)
+    def rndGeom(i: Int): Geometry = (i % 3) match {
+      case 0 =>
+        gf.createPoint(new Coordinate(rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10))
+      case 1 =>
+        val x = rnd.nextDouble() * 17 - 10; val y = rnd.nextDouble() * 17 - 10
+        gf.toGeometry(new Envelope(x, x + 0.2 + rnd.nextDouble() * 3, y, y + 0.2 + rnd.nextDouble() * 3))
+      case _ =>
+        gf.createLineString(Array.fill(3)(
+          new Coordinate(rnd.nextDouble() * 20 - 10, rnd.nextDouble() * 20 - 10)))
+    }
+    val geoms = (0 until 150).map(i => i.toString -> rndGeom(i))
+    val df = geoms.map { case (id, g) => (id, GeomCodec.toWkb(g)) }.toDF("id", "geometry")
+      .withColumn("gtype", st.gtype(col("geometry")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val layer = new GeoFrame(df)
+
+    val queries: Seq[Geometry] = Seq(
+      gf.toGeometry(new Envelope(-3.0, 4.0, -2.0, 5.0)),            // mid box
+      geoms(7)._2,                                                   // a soup member (self-equality arm)
+      gf.createLineString(Array(new Coordinate(-9, -9), new Coordinate(9, 9))), // diagonal (crosses arm)
+      gf.createPoint(geoms(4)._2.getCoordinate))                     // exact member point
+    val checks: Seq[(String, Geometry => GeoFrame, (Geometry, Geometry) => Boolean)] = Seq(
+      ("intersects", q => layer.intersects(q), (g, q) => g.intersects(q)),
+      ("within", q => layer.within(q), (g, q) => g.within(q)),
+      ("contains", q => layer.containing(q), (g, q) => g.contains(q)),
+      ("covers", q => layer.covering(q), (g, q) => g.covers(q)),
+      ("coveredBy", q => layer.coveredBy(q), (g, q) => g.coveredBy(q)),
+      ("crosses", q => layer.crossing(q), (g, q) => g.crosses(q)),
+      ("overlaps", q => layer.overlapping(q), (g, q) => g.overlaps(q)),
+      ("touches", q => layer.touching(q), (g, q) => g.touches(q)))
+    var nonEmpty = 0
+    for (q <- queries; (name, verb, p) <- checks) {
+      val got = verb(q).df.select("id").as[String].collect().toSet
+      val want = geoms.collect { case (id, g) if p(g, q) => id }.toSet
+      assert(got == want,
+        s"$name mismatch vs JTS for query ${q.getGeometryType}: got ${got.size}, want ${want.size}")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty >= 10, s"fixture too vacuous: only $nonEmpty non-empty verb results")
+  }
 }

@@ -155,7 +155,9 @@ object SparkEntry {
       val src = pointsDf(s, dir).select(col("ck"), col("x"), col("y"))
       // addPointLayerXY (bbox layout) + preset path (hilbert layout)
       procs.addPointLayerXY("cust_pts", src, "ck", "x", "y")
-      procs.addLayer("cust_hilbert", "Hilbert", src, "ck", "x:y")
+      // the preset path on a ck%5 subset: cheaper clustered write AND a
+      // distinct stats row (not a duplicate of cust_pts)
+      procs.addLayer("cust_hilbert", "Hilbert", src.filter(col("ck") % 5 === 0), "ck", "x:y")
       procs.addWKTLayer("nation_boxes", natBoxesDf(s, dir), "n_nationkey", "wkt")
       // mutation path: three literal boxes extend the layer bbox on all sides
       procs.addWKTs("nation_boxes", AppendedBoxes)
@@ -992,7 +994,7 @@ object SparkEntry {
         |SELECT * FROM (
         |  SELECT 'cust_hilbert' AS layer, count(*) AS n,
         |         min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
-        |  FROM pts
+        |  FROM pts WHERE ck % 5 = 0
         |  UNION ALL
         |  SELECT 'cust_pts', count(*), min(x), min(y), max(x), max(y) FROM pts
         |  UNION ALL

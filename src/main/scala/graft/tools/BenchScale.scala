@@ -139,6 +139,10 @@ object BenchScale {
     val q0 = emb1.filter(col("vec_id") === 0)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
 
+    def geo(df: DataFrame) = new graft.engine.GeoFrame(df,
+      Some(graft.engine.LayerMeta("pts", graft.geom.GeomCodec.GTYPE_POINT,
+        encoder = "point-xy")))
+
     // --------------------------------------------------------- the families
     def fam(name: String, at1: () => DataFrame, at10: () => DataFrame):
         (String, (Double, Long, Double, Long)) = {
@@ -170,7 +174,20 @@ object BenchScale {
         () => SpatialJoin.gridJoin(pts10, supPolys, 30.0, "intersects")),
       fam("sp_window_curve",
         () => curveWindow(curve1Path),
-        () => curveWindow(curve10Path)))
+        () => curveWindow(curve10Path)),
+      // the reference's signature point-layer queries (SimplePointLayer.java:
+      // 61-77): k stays fixed while density grows 10×, so the window-pruned
+      // candidate scan must keep wall time well under linear growth
+      fam("sp_knn",
+        () => geo(pts1).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
+          .df.orderBy(col("distance")).limit(25),
+        () => geo(pts10).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
+          .df.orderBy(col("distance")).limit(25)),
+      // fixed search radius, 10× denser points: matches grow ~10×, wall time
+      // must track the match count (window prune + codegen'd distance)
+      fam("sp_within_distance",
+        () => geo(pts1).withinDistanceKm(10.5, 20.5, 1500.0).df,
+        () => geo(pts10).withinDistanceKm(10.5, 20.5, 1500.0).df))
 
     val json = results.map { case (k, (t1, n1, t10, n10)) =>
       f"""  "$k": {"t1_sec": $t1%.3f, "rows1": $n1, "t10_sec": $t10%.3f, "rows10": $n10, "time_growth": ${t10 / t1}%.2f, "linear_multiple": ${t10 / t1 / copies}%.3f}"""

@@ -173,6 +173,8 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     */
   def closestPoints(lon: Double, lat: Double, k: Int = 100): GeoFrame = {
     val bb = boundingBox().head()
+    if (bb.isNullAt(0))   // empty layer: no extent, no neighbors
+      return lift(df.limit(0).withColumn("distance", lit(0.0)))
     val (minx, miny, maxx, maxy) =
       (bb.getDouble(0), bb.getDouble(1), bb.getDouble(2), bb.getDouble(3))
     val total = math.max(df.count(), 1L)
@@ -208,11 +210,14 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     // `initialSide` > 0 skips the size-estimation job entirely — the
     // estimate only affects how many doubling rounds run, never correctness
     // (the verification bound does that), so a rough caller hint is safe.
+    require(k >= 1, s"k must be >= 1 (got $k)")
     var side = if (initialSide > 0) initialSide else {
       val s = df.agg(
         min(col("bbox")("minx")), min(col("bbox")("miny")),
         max(col("bbox")("maxx")), max(col("bbox")("maxy")),
         org.apache.spark.sql.functions.count(lit(1))).head()
+      if (s.isNullAt(0))   // empty layer: no extent, no neighbors
+        return lift(df.limit(0).withColumn("distance", lit(0.0)))
       val area = math.max(
         (s.getDouble(2) - s.getDouble(0)) * (s.getDouble(3) - s.getDouble(1)), 1e-12)
       val total = math.max(s.getLong(4), 1L)

@@ -213,7 +213,8 @@ object SpatialAggs {
             .groupBy("id").agg(min("label").as("label"))
             .localCheckpoint(true)
           // xor-fold checksum: order-independent, no ANSI long-overflow like sum
-          val nextSum = next.agg(bit_xor(xxhash64(col("id"), col("label")))).head().getLong(0)
+          val nextSum = next.agg(coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L)))
+            .head().getLong(0)
           ls = next
           converged = nextSum == checksum
           checksum = nextSum

@@ -152,6 +152,7 @@ object SpatialJoin {
       avg(col("bbox")("maxy") - col("bbox")("miny")),
       min(col("bbox")("minx")), max(col("bbox")("maxx")),
       min(col("bbox")("miny")), max(col("bbox")("maxy"))).head()
+    if (s.isNullAt(0)) return 1.0   // empty right side: any cell size joins 0 rows
     val meanExtent = math.max(s.getDouble(0), s.getDouble(1))
     val span = math.max(s.getDouble(3) - s.getDouble(2), s.getDouble(5) - s.getDouble(4))
     val parallelism = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

@@ -8,19 +8,22 @@ import graft.functions.st
 import graft.pipeline.{Dedup, Similarity}
 
 /** Growth-curve harness: runs the dedup / ANN / spatial-join families on the
-  * base corpus and on a synthesized 10× corpus, and records wall-time growth.
-  * This is the analog of the reference's bulk-insert size ladder
-  * (reference: RTreeBulkInsertTest.java:269-278 runs 10k→562k points with
-  * per-size expected counts): sub-quadratic operators must show wall-time
-  * growth ≈ linear (≤ ~1.3× linear), and output row counts ~10× — proving
-  * the banding / prefix-filter / partition-prune plans hold as data scales.
+  * base corpus and on synthesized 3× and 10× corpora, and records wall-time
+  * growth at each rung. This is the analog of the reference's bulk-insert
+  * size ladder (reference: RTreeBulkInsertTest.java:269-278 runs 10k→562k
+  * points with per-size expected counts): sub-quadratic operators must show
+  * wall-time growth ≈ linear (≤ ~1.3× linear), and output row counts ~N× —
+  * proving the banding / prefix-filter / partition-prune plans hold as data
+  * scales. Three rungs pin the curve SHAPE: for a linear operator
+  * t10/t3 ≈ 3.3, for a quadratic one ≈ 11 — two points cannot tell those
+  * apart once constant overheads are in the mix.
   *
-  * The 10× corpus repeats each source row 10 times UNDER A PER-COPY
+  * The N× corpus repeats each source row N times UNDER A PER-COPY
   * CONTENT TRANSFORM chosen so copies never match across copies:
   *  - documents: an injective per-copy letter substitution (rotated
   *    alphabet) — token equality structure inside a copy is preserved, so
   *    each copy contributes exactly the original's pair set, while shingles
-  *    differ across copies (a naive 10× replication would pair copies with
+  *    differ across copies (a naive N× replication would pair copies with
   *    each other and grow the OUTPUT quadratically, measuring nothing).
   *  - embeddings: a per-copy diagonal ±1 sign flip (orthogonal transform) —
   *    within-copy cosines are bit-identical, cross-copy cosines scatter.
@@ -53,9 +56,13 @@ object BenchScale {
 
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft_scale10x_" + new java.io.File(sfDir).getName)
-    val copies = 10
+    val rungs = Seq(3, 10)   // 1× is the source corpus itself
 
-    // ------------------------------------------------ 10× corpus synthesis
+    def synth(path: String)(build: => DataFrame): Unit =
+      if (!new java.io.File(path).exists())
+        build.write.mode("overwrite").parquet(path)
+
+    // ------------------------------------------------ N× corpus synthesis
     // letters AND digits rotate, so numeric/short documents also differ
     // across copies (identical cross-copy docs would pair with each other
     // and inflate the output superlinearly)
@@ -65,28 +72,32 @@ object BenchScale {
       alpha.drop(26).drop(c % 10) + alpha.drop(26).take(c % 10)
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
-    val docs10Path = s"$scaleDir/documents10x.parquet"
-    if (!new java.io.File(docs10Path).exists()) {
-      (0 until copies).map { c =>
-        docs1.select((col("doc_id") + lit(c.toLong * 10_000_000L)).as("doc_id"),
-          translate(col("text"), alpha, rotated(c)).as("text"))
-      }.reduce(_ unionByName _).write.mode("overwrite").parquet(docs10Path)
+    def docsPath(n: Int) = s"$scaleDir/documents${n}x.parquet"
+    rungs.foreach { n =>
+      synth(docsPath(n)) {
+        (0 until n).map { c =>
+          docs1.select((col("doc_id") + lit(c.toLong * 10_000_000L)).as("doc_id"),
+            translate(col("text"), alpha, rotated(c)).as("text"))
+        }.reduce(_ unionByName _)
+      }
     }
 
     val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
-    val emb10Path = s"$scaleDir/embeddings10x.parquet"
-    if (!new java.io.File(emb10Path).exists()) {
-      val flip = udf((v: Seq[Float], c: Int) =>
-        if (c == 0) v.toArray
-        else v.indices.map { d =>
-          val h = (d * 2654435761L + c * 1099511628211L) >>> 13
-          if ((h & 1L) == 1L) -v(d) else v(d)
-        }.toArray)
-      (0 until copies).map { c =>
-        emb1.select((col("vec_id") + lit(c.toLong * 10_000_000L)).as("vec_id"),
-          flip(col("embedding"), lit(c)).as("embedding"))
-      }.reduce(_ unionByName _).write.mode("overwrite").parquet(emb10Path)
+    val flip = udf((v: Seq[Float], c: Int) =>
+      if (c == 0) v.toArray
+      else v.indices.map { d =>
+        val h = (d * 2654435761L + c * 1099511628211L) >>> 13
+        if ((h & 1L) == 1L) -v(d) else v(d)
+      }.toArray)
+    def embPath(n: Int) = s"$scaleDir/embeddings${n}x.parquet"
+    rungs.foreach { n =>
+      synth(embPath(n)) {
+        (0 until n).map { c =>
+          emb1.select((col("vec_id") + lit(c.toLong * 10_000_000L)).as("vec_id"),
+            flip(col("embedding"), lit(c)).as("embedding"))
+        }.reduce(_ unionByName _)
+      }
     }
 
     def pointsOf(cust: DataFrame, shift: Int): DataFrame = cust
@@ -97,13 +108,11 @@ object BenchScale {
       .withColumn("geometry", st.makePoint(col("x"), col("y")))
       .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
     val cust = spark.read.parquet(s"$sfDir/customer.parquet")
-    val pts10Path = s"$scaleDir/points10x.parquet"
-    val pts1Path = s"$scaleDir/points1x.parquet"
-    if (!new java.io.File(pts10Path).exists()) {
-      (0 until copies).map(pointsOf(cust, _)).reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(pts10Path)
-      // copy 0 alone, so both scales read the same storage format
-      pointsOf(cust, 0).write.mode("overwrite").parquet(pts1Path)
+    def ptsPath(n: Int) = s"$scaleDir/points${n}x.parquet"
+    (1 +: rungs).foreach { n =>
+      synth(ptsPath(n)) {
+        (0 until n).map(pointsOf(cust, _)).reduce(_ unionByName _)
+      }
     }
 
     // supplier envelope polygons — the fixed dimension side of the join
@@ -117,22 +126,20 @@ object BenchScale {
       .select(col("id"), st.envelope(col("g")).as("geometry"))
       .withColumn("bbox", st.bboxOf(col("geometry")))
 
-    val docs10 = spark.read.parquet(docs10Path)
-    val emb10 = spark.read.parquet(emb10Path)
-    val pts1 = spark.read.parquet(pts1Path)
-    val pts10 = spark.read.parquet(pts10Path)
+    def docsAt(n: Int) = if (n == 1) docs1 else spark.read.parquet(docsPath(n))
+    def embAt(n: Int) = if (n == 1) emb1 else spark.read.parquet(embPath(n))
+    def ptsAt(n: Int) = spark.read.parquet(ptsPath(n))
 
-    // hilbert-clustered copies of both point layers — the stored curve-index
-    // read path at both scales (matched rows grow ~10×, the __sfc range
-    // prune keeps the scan proportional to MATCHES, not corpus size)
-    val curve1Path = s"$scaleDir/curve1x"
-    val curve10Path = s"$scaleDir/curve10x"
-    if (!new java.io.File(curve10Path).exists()) {
-      graft.plans.SpatialLayout.writeClustered(pts1, curve1Path, "hilbert")
-      graft.plans.SpatialLayout.writeClustered(pts10, curve10Path, "hilbert")
+    // hilbert-clustered copies of the point layers — the stored curve-index
+    // read path at every rung (matched rows grow ~N×, the __sfc range prune
+    // keeps the scan proportional to MATCHES, not corpus size)
+    def curvePath(n: Int) = s"$scaleDir/curve${n}x"
+    (1 +: rungs).foreach { n =>
+      if (!new java.io.File(curvePath(n)).exists())
+        graft.plans.SpatialLayout.writeClustered(ptsAt(n), curvePath(n), "hilbert")
     }
-    def curveWindow(path: String): DataFrame =
-      new graft.engine.GeoFrame(spark.read.parquet(path),
+    def curveWindow(n: Int): DataFrame =
+      new graft.engine.GeoFrame(spark.read.parquet(curvePath(n)),
           Some(graft.engine.LayerMeta("pts", graft.geom.GeomCodec.GTYPE_POINT,
             encoder = "point-xy", indexType = "hilbert")))
         .windowViaCurve(0.5, -10.5, 30.5, 40.5).df
@@ -144,54 +151,50 @@ object BenchScale {
         encoder = "point-xy")))
 
     // --------------------------------------------------------- the families
-    def fam(name: String, at1: () => DataFrame, at10: () => DataFrame):
-        (String, (Double, Long, Double, Long)) = {
+    // each family is a query builder per scale rung; rung 1 gets one warm-up
+    // run (codegen + parquet footers) before its timed run
+    def fam(name: String, at: Int => DataFrame): (String, Seq[(Int, Double, Long)]) = {
       spark.catalog.clearCache()
-      val (warm, _) = time(at1().count())          // warm: codegen + footers
-      val (t1, n1) = time(at1().count())
-      spark.catalog.clearCache()
-      val (t10, n10) = time(at10().count())
-      println(f"[scale] $name%-14s t1=$t1%7.2fs ($n1 rows)  t10=$t10%7.2fs ($n10 rows)  " +
-        f"growth=${t10 / t1}%5.2fx (warm1 $warm%5.2fs)")
-      name -> (t1, n1, t10, n10)
+      val (warm, _) = time(at(1).count())
+      val rows = (1 +: rungs).map { n =>
+        spark.catalog.clearCache()
+        val (t, c) = time(at(n).count())
+        (n, t, c)
+      }
+      val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows
+      println(f"[scale] $name%-18s t1=$t1%6.2fs ($n1)  t3=$t3%6.2fs ($n3)  " +
+        f"t10=$t10%6.2fs ($n10)  g10=${t10 / t1}%5.2fx  t10/t3=${t10 / t3}%4.2f " +
+        f"(linear 3.33, quadratic 11.1; warm1 $warm%4.2fs)")
+      name -> rows
     }
 
     val results = Seq(
       fam("dd_jaccard",
-        () => Dedup.shingleJaccardPairs(docs1, "doc_id", "text", 0.2, 4),
-        () => Dedup.shingleJaccardPairs(docs10, "doc_id", "text", 0.2, 4)),
+        n => Dedup.shingleJaccardPairs(docsAt(n), "doc_id", "text", 0.2, 4)),
       fam("dd_minhash",
-        () => Dedup.minhashNearDupPairs(docs1, "doc_id", "text", 0.2),
-        () => Dedup.minhashNearDupPairs(docs10, "doc_id", "text", 0.2)),
+        n => Dedup.minhashNearDupPairs(docsAt(n), "doc_id", "text", 0.2)),
       fam("dd_simhash64",
-        () => Dedup.simhashNearDupPairs(docs1, "doc_id", "text", 3),
-        () => Dedup.simhashNearDupPairs(docs10, "doc_id", "text", 3)),
+        n => Dedup.simhashNearDupPairs(docsAt(n), "doc_id", "text", 3)),
       fam("sim_ivf_kmeans",
-        () => Similarity.ivfTopKKMeans(emb1, "vec_id", "embedding", q0, 20, 16, 2, 3),
-        () => Similarity.ivfTopKKMeans(emb10, "vec_id", "embedding", q0, 20, 16, 2, 3)),
+        n => Similarity.ivfTopKKMeans(embAt(n), "vec_id", "embedding", q0, 20, 16, 2, 3)),
       fam("sp_join_grid",
-        () => SpatialJoin.gridJoin(pts1, supPolys, 30.0, "intersects"),
-        () => SpatialJoin.gridJoin(pts10, supPolys, 30.0, "intersects")),
-      fam("sp_window_curve",
-        () => curveWindow(curve1Path),
-        () => curveWindow(curve10Path)),
+        n => SpatialJoin.gridJoin(ptsAt(n), supPolys, 30.0, "intersects")),
+      fam("sp_window_curve", curveWindow),
       // the reference's signature point-layer queries (SimplePointLayer.java:
       // 61-77): k stays fixed while density grows 10×, so the window-pruned
       // candidate scan must keep wall time well under linear growth
       fam("sp_knn",
-        () => geo(pts1).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
-          .df.orderBy(col("distance")).limit(25),
-        () => geo(pts10).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
+        n => geo(ptsAt(n)).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
           .df.orderBy(col("distance")).limit(25)),
-      // fixed search radius, 10× denser points: matches grow ~10×, wall time
+      // fixed search radius, N× denser points: matches grow ~N×, wall time
       // must track the match count (window prune + codegen'd distance)
       fam("sp_within_distance",
-        () => geo(pts1).withinDistanceKm(10.5, 20.5, 1500.0).df,
-        () => geo(pts10).withinDistanceKm(10.5, 20.5, 1500.0).df))
+        n => geo(ptsAt(n)).withinDistanceKm(10.5, 20.5, 1500.0).df))
 
-    val json = results.map { case (k, (t1, n1, t10, n10)) =>
-      f"""  "$k": {"t1_sec": $t1%.3f, "rows1": $n1, "t10_sec": $t10%.3f, "rows10": $n10, "time_growth": ${t10 / t1}%.2f, "linear_multiple": ${t10 / t1 / copies}%.3f}"""
-    }.mkString("{\n" + s"""  "base": "$sfDir", "copies": $copies,\n""", ",\n", "\n}")
+    val json = results.map { case (k, rows) =>
+      val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows
+      f"""  "$k": {"t1_sec": $t1%.3f, "rows1": $n1, "t3_sec": $t3%.3f, "rows3": $n3, "t10_sec": $t10%.3f, "rows10": $n10, "time_growth": ${t10 / t1}%.2f, "linear_multiple": ${t10 / t1 / 10}%.3f, "t10_over_t3": ${t10 / t3}%.2f}"""
+    }.mkString("{\n" + s"""  "base": "$sfDir", "rungs": [1, 3, 10], "shape_note": "t10_over_t3: linear=3.33, quadratic=11.1, constant=1",\n""", ",\n", "\n}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     println(json)
     spark.stop()

@@ -790,6 +790,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // char-3-gram Jaccard pairs over the full documents table — the last of
+    // the five dedup families under the oracle. Same df-ordered prefix
+    // filter as dd_jaccard (guaranteed recall at any threshold); the oracle
+    // replays the prefix logic so its candidate stage stays tractable, and
+    // since ANY consistent total shingle order preserves recall, the SQL
+    // side may tie-break by gram string where Spark tie-breaks by hash —
+    // the verified pair set is identical
+    "dd_ngram_pairs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, n = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // the full curation chain as ONE plan: quality gate -> exact dedup ->
     // per-language stats (the composition the pipeline operators exist for)
     "tx_curation" -> ((s, dir) =>
@@ -1382,6 +1395,36 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "dd_ngram_pairs" ->
+      """WITH norm AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), i -> t[i+1:i+3])) AS ss
+        |  FROM norm WHERE len(t) >= 3
+        |), inv AS (SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS s FROM grams),
+        |dfreq AS (SELECT s, count(*) AS df FROM inv GROUP BY s),
+        |ordered AS (
+        |  SELECT doc_id, n_sh, i.s,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY df, i.s) AS rn
+        |  FROM inv i JOIN dfreq USING (s)
+        |), prefix AS (
+        |  SELECT doc_id, n_sh, rn, s FROM ordered WHERE rn <= n_sh - ceil(0.9 * n_sh) + 1
+        |), cand AS (
+        |  -- PPJoin length + positional filters (both sound for J >= t)
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+        |   AND least(a.n_sh, b.n_sh) >= ceil(0.9 * greatest(a.n_sh, b.n_sh))
+        |   AND 1 + least(a.n_sh - a.rn, b.n_sh - b.rn)
+        |       >= ceil(0.9 / 1.9 * (a.n_sh + b.n_sh) - 1e-9)
+        |), j AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.ss, y.ss))::DOUBLE
+        |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) AS jac
+        |  FROM cand JOIN grams x ON x.doc_id = id_a JOIN grams y ON y.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "dd_embed_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -175,9 +175,7 @@ object Dedup {
       if (sa.isEmpty || sb.isEmpty) 0.0
       else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
     })
-    cand
-      .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+    joinSets(cand, sets)
       .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -402,10 +400,46 @@ object Dedup {
       else {
         val set = scala.collection.mutable.HashSet.empty[Long]
         toks.sliding(shingleK).foreach(w => set += TextAnalysis.fnv1a64(w.mkString(" ")))
-        set.toArray
+        // ascending, so the verify step can merge-count instead of building
+        // a hash set per candidate pair
+        set.toArray.sorted
       }
     }
   })
+
+  /** Attach each candidate pair's hashed sets for the exact-Jaccard verify.
+    * On a dense-candidate corpus (candidates >> documents — e.g. char grams
+    * over same-vocabulary text) the naive plan shuffles one array copy PER
+    * CANDIDATE; broadcasting the (tiny) sets table instead streams the
+    * candidates map-side with zero array shuffle. The broadcast is gated on
+    * corpus size: past ~200k documents the sets side stops fitting an
+    * executor and the plan falls back to the shuffle join, which is the
+    * right shape there because real corpora at that scale are
+    * candidate-sparse.
+    */
+  private def joinSets(cand: DataFrame, sets: DataFrame): DataFrame = {
+    val a = sets.select(col("id").as("id_a"), col("ss").as("ss_a"))
+    val b = sets.select(col("id").as("id_b"), col("ss").as("ss_b"))
+    val (ja, jb) =
+      if (sets.count() <= 200000) (broadcast(a), broadcast(b)) else (a, b)
+    cand.join(ja, "id_a").join(jb, "id_b")
+  }
+
+  /** Exact Jaccard over two ASCENDING hash arrays: single merge pass, no
+    * per-pair allocation — the verify step runs once per candidate, so this
+    * is the hot loop of both shingle pipelines.
+    */
+  private def mergeJaccard(a: Array[Long], b: Array[Long]): Double = {
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      val x = a(i); val y = b(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
 
   /** Exact word-k-gram Jaccard pairs with GUARANTEED recall for any
     * threshold > 0, via PREFIX FILTERING (Chaudhuri et al., ICDE'06 /
@@ -431,14 +465,8 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"), shingleHashSet(shingleK)(col(textCol)).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = shingleJaccardCandidates(sets, threshold)
-    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
-      val sa = a.toSet; val sb = b.toSet
-      if (sa.isEmpty && sb.isEmpty) 1.0
-      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
-    })
-    cand
-      .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+    val jac = udf((a: Array[Long], b: Array[Long]) => mergeJaccard(a, b))
+    joinSets(cand, sets)
       .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
@@ -447,7 +475,12 @@ object Dedup {
   /** Prefix-filtered candidate pairs over an (id, ss: array<long>) frame —
     * exposed for the skew ScaleSpec test. Shuffles carry (long, long) keys
     * only: df count on the shingle hash, one window on id, self-join on the
-    * prefix shingle hash.
+    * prefix shingle hash. The join also applies PPJoin's LENGTH filter:
+    * J ≥ t ⟹ |A∩B| ≥ t·max(|A|,|B|) and |A∩B| ≤ min(|A|,|B|), so
+    * min ≥ t·max — a pair of very different set sizes can never qualify.
+    * On corpora where rare-shingle collisions are still dense (e.g. char
+    * grams over same-language text) this is the filter that keeps the
+    * candidate count near the true pair count.
     */
   private[graft] def shingleJaccardCandidates(sets: DataFrame, threshold: Double): DataFrame = {
     require(threshold > 0, "threshold must be > 0 for prefix-filter recall to hold")
@@ -459,9 +492,19 @@ object Dedup {
     val prefix = inv.join(dfreq, "s")
       .withColumn("rn", row_number().over(ordered))
       .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col("id"), col("s"))
+      .select(col("id"), col("n_sh"), col("rn"), col("s"))
+    // PPJoin positional filter (sound): J ≥ t ⟺ |A∩B| ≥ ⌈t/(1+t)·(|A|+|B|)⌉,
+    // and a match on A's i-th / B's j-th ordered token bounds the overlap by
+    // 1 + min(|A|−i, |B|−j). For the FIRST common token in the global order
+    // that bound holds with |A∩B| on the left, so a qualifying pair always
+    // keeps at least one matching row (the 1e-9 guards fp ceil round-up)
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("l.n_sh") + col("r.n_sh")) - lit(1e-9))
     prefix.as("l").join(prefix.as("r"),
-        col("l.s") === col("r.s") && col("l.id") < col("r.id"))
+        col("l.s") === col("r.s") && col("l.id") < col("r.id") &&
+        least(col("l.n_sh"), col("r.n_sh")) >=
+          ceil(lit(threshold) * greatest(col("l.n_sh"), col("r.n_sh"))) &&
+        lit(1) + least(col("l.n_sh") - col("l.rn"), col("r.n_sh") - col("r.rn")) >= alpha)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .distinct()
   }
@@ -481,15 +524,11 @@ object Dedup {
     val grams = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = shingleJaccardCandidates(grams, threshold)
-    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
-      val sa = a.toSet; val sb = b.toSet
-      if (sa.isEmpty || sb.isEmpty) 0.0
-      else sa.intersect(sb).size.toDouble / sa.union(sb).size
-    })
-    cand
-      .join(grams.select(col("id").as("id_a"), col("ss").as("g_a")), "id_a")
-      .join(grams.select(col("id").as("id_b"), col("ss").as("g_b")), "id_b")
-      .withColumn("jaccard", jac(col("g_a"), col("g_b")))
+    // candidates always share a gram, so both sets are non-empty here and
+    // the empty/empty convention difference vs word shingles cannot surface
+    val jac = udf((a: Array[Long], b: Array[Long]) => mergeJaccard(a, b))
+    joinSets(cand, grams)
+      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -83,6 +83,17 @@ object StreamDedup {
       }
   }
 
+  /** Global survivors from the per-band admissions [[simhashDedupStream]]
+    * emits: a doc survives iff admitted in ALL (maxHamming+1) of its bands.
+    * Batch helper over the sink the stream wrote (a grouped count — no
+    * state, runs on any engine reading the admissions).
+    */
+  def globalSurvivors(admitted: DataFrame, maxHamming: Int): DataFrame =
+    admitted.groupBy("id")
+      .agg(count(lit(1)).as("__bands"))
+      .filter(col("__bands") === (maxHamming + 1))
+      .select("id")
+
   /** Band a (id, text) stream for [[simhashDedupStream]]: 64-bit simhash,
     * (maxHamming+1) pigeonhole chunks, one BandedDoc per chunk with the
     * chunk index folded into the band key.

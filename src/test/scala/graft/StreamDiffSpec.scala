@@ -167,9 +167,7 @@ class StreamDiffSpec extends SparkSpec {
 
     val allIds = docs.select(col("doc_id").cast("long")).as[Long].collect().toSet
     // global survivor = admitted in all (maxH+1) bands
-    val survivors = spark.read.parquet(outDir)
-      .groupBy("id").agg(count(lit(1)).as("n"))
-      .filter(col("n") === (maxH + 1))
+    val survivors = StreamDedup.globalSurvivors(spark.read.parquet(outDir), maxH)
       .select(col("id")).as[Long].collect().toSet
     val suppressed = allIds -- survivors
 

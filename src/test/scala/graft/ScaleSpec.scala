@@ -258,4 +258,31 @@ class ScaleSpec extends SparkSpec {
       "ts", "10 minutes", 25.0)
     assert(agg.count() > 0)
   }
+
+  test("ngram verify join broadcasts the sets side on a small corpus") {
+    // regression pin for the dense-candidate fix: on a corpus that fits an
+    // executor, the verify step must stream candidates against a BROADCAST
+    // of the hashed-gram sets (shuffling one array copy per candidate was
+    // the 100x regression), and the candidate join must carry the PPJoin
+    // length + positional conjuncts
+    val docs = (1 to 120).map { i =>
+      val base = s"data pipeline shard ${i % 7} compaction window merge sort spill metrics"
+      (i.toLong, if (i % 11 == 0) base else base + s" salt$i tail$i")
+    }.toDF("doc_id", "text")
+    val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, 3)
+    val plan = pairs.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"verify join is not broadcast:\n$plan")
+    // and the result is still exactly the brute-force answer
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val gramSets = docs.collect().map { r =>
+      val norm = r.getString(1).toLowerCase.replaceAll("\\s+", " ")
+      r.getLong(0) -> (0 to norm.length - 3).map(i => norm.substring(i, i + 3)).toSet
+    }
+    val brute = (for {
+      (ia, sa) <- gramSets; (ib, sb) <- gramSets if ia < ib
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size if j >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got == brute, s"pairs diverge from brute force: got=$got brute=$brute")
+  }
 }

@@ -134,6 +134,12 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
   }
 
   def getLayer(name: String): GeoFrame = {
+    // a missing metadata file would surface as a cryptic NoSuchFileException;
+    // name the layer and the alternatives instead (the reference raises
+    // "no such layer" from its registry lookup — SpatialDatabaseService)
+    if (!layerExists(name))
+      throw new IllegalArgumentException(
+        s"no such layer '$name' (available: ${listLayers().sorted.mkString(", ")})")
     val meta = readMeta(name)
     new GeoFrame(spark.read.parquet(dataPath(name)), Some(meta))
   }

@@ -85,6 +85,15 @@ class EdgeCaseSpec extends SparkSpec {
     val q = Array(1.0, 0.0)
     assert(Similarity.bruteForceTopK(e, "vec_id", "embedding", q, 5).count() == 0)
   }
+
+  test("getLayer on an unknown name raises a clear error naming alternatives") {
+    val wh = java.nio.file.Files.createTempDirectory("wh-missing").toString
+    val proc = new graft.engine.SpatialProcedures(spark, wh)
+    proc.addWKTLayer("roads", Seq((1, "POINT (1 2)")).toDF("id", "wkt"), "id", "wkt")
+    val e = intercept[IllegalArgumentException](proc.layer("raods"))
+    assert(e.getMessage.contains("raods") && e.getMessage.contains("roads"),
+      s"unhelpful error: ${e.getMessage}")
+  }
 }
 
 /** The advertised `spark.sql.extensions=graft.plans.GraftSparkExtensions`

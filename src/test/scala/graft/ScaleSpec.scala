@@ -285,4 +285,43 @@ class ScaleSpec extends SparkSpec {
     } yield (ia, ib)).toSet
     assert(got == brute, s"pairs diverge from brute force: got=$got brute=$brute")
   }
+
+  test("curve-window selectivity holds at every query position (no positional degradation)") {
+    // the reference encodes two structural contracts the ladder alone cannot
+    // see: geometries touched <= 100x matched (RTreeBulkInsertTest.java:
+    // 1461-1469, maxNodeReferences = 100) and no positional degradation
+    // (GeoPipesPerformanceTest.java:47,146 asserts per-chunk latency < 2x
+    // overall). Timing is nondeterministic under CI load, so we pin the
+    // deterministic quantity BEHIND both: rows scanned per query position.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scannedRows(d: org.apache.spark.sql.DataFrame): Long = {
+      d.collect()
+      val plan = d.queryExecution.executedPlan match {
+        case ad: AdaptiveSparkPlanExec => ad.executedPlan
+        case p => p
+      }
+      plan.collect { case sc: FileSourceScanExec => sc.metrics("numOutputRows").value }.sum
+    }
+    val wh = Files.createTempDirectory("graft-posuni").toString
+    val cat = new SpatialCatalog(spark, wh)
+    cat.createPointLayer("uni", randomPoints(50000).repartition(64),
+      "k", "x", "y", indexType = "hilbert")
+    val ratios = (0 until 10).map { p =>
+      val base = p * 9.0   // 10 same-size windows marching along the diagonal
+      val q = cat.getLayer("uni").windowViaCurve(base, base, base + 8.0, base + 8.0)
+      val matched = q.count()
+      val scanned = scannedRows(q.df)
+      assert(matched > 0, s"position $p matched nothing — fixture broken")
+      assert(scanned <= 100L * matched,
+        s"position $p: scanned $scanned > 100x matched $matched")
+      scanned.toDouble / matched
+    }
+    // uniformity: no position may scan disproportionately vs the mean ratio
+    val mean = ratios.sum / ratios.size
+    ratios.zipWithIndex.foreach { case (r, p) =>
+      assert(r < 2.0 * mean + 1e-9,
+        s"position $p degrades: scan/match ratio $r vs mean $mean")
+    }
+  }
 }

@@ -295,8 +295,12 @@ object SparkEntry {
     "sp_catalog_stats" -> ((s, dir) => {
       val procs = catalogProcs(s, dir)
       val parts = procs.catalog.listLayers().map { name =>
-        procs.getLayerBoundingBox(name)
-          .withColumn("n", lit(procs.getFeatureCount(name)))
+        // count + extent in ONE aggregate per layer (getFeatureCount +
+        // getLayerBoundingBox would run two jobs over the same scan)
+        procs.layer(name).df.agg(
+            count(lit(1)).as("n"),
+            min(col("bbox")("minx")).as("minx"), min(col("bbox")("miny")).as("miny"),
+            max(col("bbox")("maxx")).as("maxx"), max(col("bbox")("maxy")).as("maxy"))
           .withColumn("layer", lit(name))
       }
       parts.reduce(_ unionByName _)

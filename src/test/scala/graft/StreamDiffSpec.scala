@@ -187,4 +187,71 @@ class StreamDiffSpec extends SparkSpec {
     assert(suppressed.exists(_ >= 100000),
       s"no injected near-dup was suppressed (suppressed=$suppressed)")
   }
+
+  test("checkpointed restart processes only new files, no duplicates or loss") {
+    val dir = Files.createTempDirectory("graft-sdiff-restart").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/layer"; val ckpt = s"$dir/ckpt"
+
+    val batch1 = spark.read.parquet(s"$sfDir/customer.parquet")
+      .select(col("c_custkey").as("pid"),
+        (col("c_acctbal") % 90.0).as("px"), (col("c_custkey") % 80).cast("double").as("py"))
+    batch1.write.parquet(srcDir)
+
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val q = PointStream.writeToLayer(
+        PointStream.canonicalize(stream, "pid", "px", "py"), outDir, ckpt,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    runOnce()
+    val n1 = spark.read.parquet(outDir).count()
+    assert(n1 == batch1.count())
+
+    // second wave of files into the same source dir, then RESTART from the
+    // same checkpoint: exactly the new rows are appended, none re-processed
+    batch1.select((col("pid") + 10000).as("pid"), col("px"), col("py"))
+      .write.mode("append").parquet(srcDir)
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2 * n1, s"expected ${2 * n1} rows, got ${out.count()}")
+    assert(out.select("id").distinct().count() == 2 * n1, "duplicate ids after restart")
+  }
+
+  test("simhash dedup state survives a checkpointed restart") {
+    val dir = Files.createTempDirectory("graft-sdiff-state").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    val maxH = 6
+    val textA = "the quick brown fox jumps over the lazy dog again and again today"
+
+    def runOnce(): Unit = {
+      val schema = spark.read.parquet(srcDir).schema
+      val stream = spark.readStream.schema(schema).parquet(srcDir)
+      val banded = StreamDedup.bandedDocs(stream, "doc_id", "text", maxHamming = maxH)
+      val q = StreamDedup.simhashDedupStream(banded, maxHamming = maxH)
+        .toDF.writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .outputMode("append").start()
+      q.awaitTermination(120000)
+    }
+
+    // wave 1: the original doc is admitted everywhere
+    Seq((1L, textA)).toDF("doc_id", "text").write.parquet(srcDir)
+    runOnce()
+    assert(StreamDedup.globalSurvivors(spark.read.parquet(outDir), maxH)
+      .count() == 1)
+
+    // wave 2 AFTER RESTART: an exact dup of wave 1's doc plus a fresh doc —
+    // suppression of the dup requires the band state RESTORED from the
+    // checkpoint, not state built within this run
+    Seq((2L, textA), (3L, "completely different content about catalyst optimizer rules"))
+      .toDF("doc_id", "text").write.mode("append").parquet(srcDir)
+    runOnce()
+    val survivors = StreamDedup.globalSurvivors(spark.read.parquet(outDir), maxH)
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(1L, 3L),
+      s"restart lost dedup state: survivors=$survivors (2 must be suppressed by 1's restored state)")
+  }
 }

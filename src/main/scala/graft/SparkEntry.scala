@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -851,8 +851,72 @@ object SparkEntry {
       Similarity.ivfTopK(emb, "vec_id", "embedding", q, k = 20, nlist = 16, nprobe = 2)
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("cosine").desc, col("id"))
-    })
+    }),
+
+    // ---------------------------------------------- corpus governance ops
+    // benchmark decontamination: training docs sharing a word 3-gram with
+    // the eval slice (doc_id % 97 == 0), eval side hashed + broadcast
+    "tx_decontam" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Corpus.decontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
+        .orderBy(col("id"))
+    }),
+
+    // Gopher-style repetition signals: token histogram shuffle + per-row
+    // 3-gram array stats
+    "tx_repetition" -> ((s, dir) =>
+      Corpus.repetitionSignals(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))),
+
+    // BM25 top-20 for a 3-term query; postings pruned before the shuffle,
+    // df/corpus stats broadcast, TakeOrdered top-k, fold-ordered float sum
+    "tx_bm25" -> ((s, dir) =>
+      Corpus.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("spark", "hash", "window"), topK = 20)),
+
+    // PII scan + redaction over deterministically-injected PII (the corpus
+    // itself is synthetic bag-of-words; the injection IS part of the query
+    // on both sides, so counts and redacted text are fully oracle-checked)
+    "tx_pii" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("text",
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" contact user"), col("doc_id").cast("string"),
+              lit("@mail.example.com now")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" server 10."), (col("doc_id") % 256).cast("string"),
+              lit(".0."), (col("doc_id") % 100).cast("string"), lit(" up")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" call +1-555-"),
+              lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))))
+      Corpus.piiScan(docs, "doc_id", "text").orderBy(col("id"))
+    }),
+
+    // reproducible stratified sampling: keep-decision is a pure hash of
+    // (salt, doc_id) against per-language rates — a codegen'd scan filter
+    "tx_sample" -> ((s, dir) =>
+      Corpus.stratifiedSample(T(s, dir, "documents"), "doc_id", "lang",
+          rates = SampleRates, defaultRate = 1.0, salt = "s42:")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))),
+
+    // cross-corpus near-dedup: even doc_ids (the "new crawl") deduped
+    // against odd doc_ids (the "reference corpus") via bipartite MinHash-LSH
+    "dd_cross_pairs" -> ((s, dir) =>
+      Dedup.minhashCrossCorpusPairs(T(s, dir, "documents"), "doc_id", "text",
+          isRef = col("doc_id") % 2 === 1, threshold = 0.2)
+        .select(col("id_new"), col("id_ref"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_new"), col("id_ref")))
   )
+
+  /** Per-language sampling rates for tx_sample (rate·10000 must be integral
+    * so the hash cut is exact on both engines).
+    */
+  private val SampleRates = Map(
+    "en" -> 0.55, "de" -> 0.75, "es" -> 0.65, "fr" -> 0.85, "zh" -> 0.45)
 
   /** Query rectangle shared by sp_intersects_poly / sp_relate_within /
     * sp_set_ops — off-lattice bounds so no point ever sits on the boundary.
@@ -1515,7 +1579,31 @@ object SparkEntry {
         |)
         |SELECT a.id, round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
         |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
-        |ORDER BY cosine DESC, id LIMIT 20""".stripMargin
+        |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
+
+    // ---------------------------------------------- corpus governance ops
+    "tx_decontam" ->
+      Corpus.decontaminateDuckSql("doc_id % 97 <> 0", "doc_id % 97 = 0", k = 3),
+
+    "tx_repetition" -> Corpus.repetitionDuckSql,
+
+    "tx_bm25" -> Corpus.bm25DuckSql(Seq("spark", "hash", "window"), topK = 20),
+
+    "tx_pii" -> Corpus.piiDuckSql(
+      """(text || CASE
+        |  WHEN doc_id % 4 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com now'
+        |  WHEN doc_id % 4 = 1 THEN ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' up'
+        |  WHEN doc_id % 4 = 2 THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |  ELSE '' END)""".stripMargin.replace("\n", " ")),
+
+    "tx_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${Corpus.stratifiedSampleDuckSql("doc_id", "lang", SampleRates, 1.0, "s42:")}
+         |ORDER BY doc_id""".stripMargin,
+
+    "dd_cross_pairs" ->
+      Dedup.minhashBipartiteDuckSql(threshold = 0.2, shingleK = 3,
+        newPred = "% 2 = 0", refPred = "% 2 = 1")
   )
 
   // ------------------------------------------------- generated oracle SQL

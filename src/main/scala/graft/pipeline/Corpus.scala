@@ -1,0 +1,288 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators for a large-scale training-data pipeline:
+  * benchmark decontamination, repetition-quality signals, BM25 retrieval,
+  * PII detection/redaction, and reproducible stratified sampling.
+  *
+  * Every operator here is deterministic and has an exact DuckDB-SQL replay
+  * (the *DuckSql generators below), so the driver's correctness gate can
+  * hash-match them end-to-end. Plan shapes are chosen for the 100 TB case:
+  * the only shuffles are on compact keys ((id, token) or an 8-byte shingle
+  * hash), eval/benchmark sides are broadcast, and per-document array work is
+  * linear in document length.
+  */
+object Corpus {
+
+  private def toks(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  private val toksDuck =
+    """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+
+  // ===================================================== decontamination
+
+  /** Per-document benchmark contamination report: for each training document
+    * sharing at least one word k-gram with the eval corpus, the number of
+    * distinct shared k-grams and the number of distinct eval documents hit.
+    *
+    * Plan: both sides hash their k-grams to int64 (FNV-1a — 8-byte join
+    * keys); the eval side (benchmark suites are small by construction) is
+    * broadcast, so the training corpus streams map-side with no shuffle
+    * until the final per-document aggregate on (id, hash).
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    val grams = Dedup.shingleHashSet(k)
+    val evalIdx = eval
+      .select(col(idCol).as("eval_id"), explode(grams(col(textCol))).as("s"))
+    val trainIdx = train
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("s"))
+    trainIdx.join(broadcast(evalIdx), "s")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("s")).as("n_overlap"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+  }
+
+  /** The decontaminated corpus: training rows with NO k-gram overlap. */
+  def decontaminatedCorpus(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    val flagged = decontaminate(train, eval, idCol, textCol, k)
+      .select(col("id").as(idCol))
+    train.join(broadcast(flagged), Seq(idCol), "left_anti")
+  }
+
+  /** DuckDB replay of [[decontaminate]] over `documents` split by the two
+    * doc_id predicates (train side / eval side).
+    */
+  def decontaminateDuckSql(trainPred: String, evalPred: String, k: Int): String = {
+    val g = Dedup.fnv64DuckSql(s"array_to_string(ts[i:i+${k - 1}], ' ')")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksDuck AS ts FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ts) < $k THEN CAST([] AS UBIGINT[])
+       |              ELSE list_distinct(list_transform(range(1, len(ts) - ${k - 2}), i -> $g))
+       |         END AS ss
+       |  FROM tk
+       |), ev AS (
+       |  SELECT doc_id AS eval_id, unnest(ss) AS s FROM sh WHERE $evalPred
+       |), tr AS (
+       |  SELECT doc_id AS id, unnest(ss) AS s FROM sh WHERE $trainPred
+       |)
+       |SELECT tr.id, count(DISTINCT tr.s) AS n_overlap,
+       |       count(DISTINCT ev.eval_id) AS n_eval_docs
+       |FROM tr JOIN ev ON tr.s = ev.s
+       |GROUP BY tr.id ORDER BY tr.id""".stripMargin
+  }
+
+  // ================================================= repetition signals
+
+  /** Gopher-style repetition-quality signals per document: token count,
+    * distinct-token ratio, most-frequent-token fraction, and the fraction of
+    * word 3-gram occurrences that are repeats. High top-token / dup-gram
+    * fractions flag boilerplate and degenerate machine text.
+    *
+    * Plan: one (id, token) shuffle with map-side combine for the token
+    * histogram (the aggregate state per document is its distinct-token set —
+    * bounded by vocabulary, not document length); the 3-gram stats are pure
+    * per-row array expressions (no shuffle). Zero-token documents survive
+    * with all-zero ratios via the left join from the base table.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val k = 3
+    val ts = toks(col(textCol))
+    val grams = when(size(ts) < k, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - k),
+        i => array_join(slice(ts, i + 1, lit(k)), " ")))
+    val base = df.select(col(idCol).as("id"),
+      size(grams).as("n_grams"),
+      size(array_distinct(grams)).as("nd_grams"))
+    val hist = df.select(col(idCol).as("id"), explode(ts).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("nd_tokens"),
+        max(col("c")).as("top_c"))
+    base.join(hist, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        round(coalesce(col("nd_tokens") / col("n_tokens"), lit(0.0)), 6).as("distinct_ratio"),
+        round(coalesce(col("top_c") / col("n_tokens"), lit(0.0)), 6).as("top_token_frac"),
+        round(when(col("n_grams") > 0,
+          lit(1.0) - col("nd_grams") / col("n_grams")).otherwise(lit(0.0)), 6)
+          .as("dup_gram_frac"))
+  }
+
+  def repetitionDuckSql: String =
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, $toksDuck AS ts FROM documents
+       |), gr AS (
+       |  SELECT id,
+       |         CASE WHEN len(ts) < 3 THEN CAST([] AS VARCHAR[])
+       |              ELSE list_transform(range(1, len(ts) - 1), i -> array_to_string(ts[i:i+2], ' '))
+       |         END AS gs
+       |  FROM tk
+       |), t AS (
+       |  SELECT id, unnest(ts) AS t FROM tk
+       |), ht AS (
+       |  SELECT id, t, count(*) AS c FROM t GROUP BY 1, 2
+       |), hist AS (
+       |  SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS nd_tokens,
+       |         max(c) AS top_c
+       |  FROM ht GROUP BY 1
+       |)
+       |SELECT gr.id,
+       |       coalesce(hist.n_tokens, 0) AS n_tokens,
+       |       round(coalesce(nd_tokens / CAST(n_tokens AS DOUBLE), 0.0), 6) AS distinct_ratio,
+       |       round(coalesce(top_c / CAST(n_tokens AS DOUBLE), 0.0), 6) AS top_token_frac,
+       |       round(CASE WHEN len(gs) > 0
+       |                  THEN 1.0 - len(list_distinct(gs)) / CAST(len(gs) AS DOUBLE)
+       |                  ELSE 0.0 END, 6) AS dup_gram_frac
+       |FROM gr LEFT JOIN hist ON gr.id = hist.id
+       |ORDER BY gr.id""".stripMargin
+
+  // ============================================================== BM25
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones; k1=1.2, b=0.75) for a
+    * bag-of-terms query. idf = ln(1 + (N − df + ½)/(df + ½)).
+    *
+    * Plan: one (id, dl, term) aggregate over the exploded+filtered token
+    * stream (the filter prunes to query terms BEFORE the shuffle, so the
+    * shuffle carries only matching postings); document frequencies and the
+    * corpus stats are broadcast scalars; the top-k is a TakeOrdered, never a
+    * global sort. Per-document term contributions are summed in sorted term
+    * order via an explicit fold so the float addition order is pinned —
+    * byte-identical across engines and across Spark retries.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], topK: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withDl = df.select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .select(col("id"), col("ts"), size(col("ts")).cast("double").as("dl"))
+    val tf = withDl.select(col("id"), col("dl"), explode(col("ts")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col("id"), col("dl"), col("t")).agg(count(lit(1)).cast("double").as("tf"))
+    val stats = withDl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).cast("double").as("dft"))
+    val scored = tf.join(broadcast(dft), "t").crossJoin(broadcast(stats))
+      .withColumn("w",
+        log(lit(1.0) + (col("n_docs") - col("dft") + 0.5) / (col("dft") + 0.5)) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("t"), col("w")))).as("ws"))
+      .select(col("id"), size(col("ws")).as("n_terms"),
+        aggregate(col("ws"), lit(0.0), (acc, x) => acc + x.getField("w")).as("score"))
+    scored.orderBy(col("score").desc, col("id")).limit(topK)
+      .select(col("id"), col("n_terms"), round(col("score"), 6).as("score"))
+  }
+
+  /** DuckDB replay of [[bm25TopK]]: identical expression tree, identical
+    * fold order (list_reduce over the term-sorted contribution list).
+    */
+  def bm25DuckSql(terms: Seq[String], topK: Int, k1: Double = 1.2, b: Double = 0.75): String = {
+    val inList = terms.sorted.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, $toksDuck AS ts FROM documents
+       |), dl AS (
+       |  SELECT id, ts, CAST(len(ts) AS DOUBLE) AS dl FROM tk
+       |), tf AS (
+       |  SELECT id, dl, t, CAST(count(*) AS DOUBLE) AS tf
+       |  FROM (SELECT id, dl, unnest(ts) AS t FROM dl)
+       |  WHERE t IN ($inList)
+       |  GROUP BY 1, 2, 3
+       |), stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+       |), dft AS (
+       |  SELECT t, CAST(count(*) AS DOUBLE) AS dft FROM tf GROUP BY 1
+       |), contrib AS (
+       |  SELECT id,
+       |         ln(1.0 + (n_docs - dft + 0.5) / (dft + 0.5)) *
+       |           (tf * ${k1 + 1.0}) /
+       |           (tf + $k1 * (${1.0 - b} + $b * dl / avgdl)) AS w,
+       |         t
+       |  FROM tf JOIN dft USING (t), stats
+       |), scored AS (
+       |  SELECT id, count(*) AS n_terms,
+       |         list_reduce(list_prepend(0.0, list(w ORDER BY t)), (a, x) -> a + x) AS score
+       |  FROM contrib GROUP BY id
+       |)
+       |SELECT id, n_terms, round(score, 6) AS score
+       |FROM scored ORDER BY score DESC, id LIMIT $topK""".stripMargin
+  }
+
+  // =============================================================== PII
+
+  // patterns restricted to syntax with identical semantics in Java regex and
+  // RE2 (no backrefs, no lookaround): literal classes, +, {m,n}
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+  /** PII scan + redaction: counts of email / IPv4 / phone matches per
+    * document and the redacted text (emails, then IPs, then phones replaced
+    * with type tags — a fixed order, so overlapping matches resolve
+    * identically everywhere). Pure regexp column expressions: codegen'd,
+    * no shuffle, linear scan.
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val red = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+    df.select(col(idCol).as("id"),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_email"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).cast("long").as("n_ip"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phone"),
+      red.as("redacted"))
+  }
+
+  /** DuckDB replay of [[piiScan]] over the text expression `e`. DuckDB
+    * single-quoted literals pass backslashes through verbatim, so only
+    * quotes need escaping.
+    */
+  def piiDuckSql(e: String): String = {
+    def q(re: String) = re.replace("'", "''")
+    s"""SELECT doc_id AS id,
+       |  CAST(len(regexp_extract_all($e, '${q(EmailRe)}')) AS BIGINT) AS n_email,
+       |  CAST(len(regexp_extract_all($e, '${q(Ipv4Re)}')) AS BIGINT) AS n_ip,
+       |  CAST(len(regexp_extract_all($e, '${q(PhoneRe)}')) AS BIGINT) AS n_phone,
+       |  regexp_replace(regexp_replace(regexp_replace($e,
+       |    '${q(EmailRe)}', '<EMAIL>', 'g'), '${q(Ipv4Re)}', '<IP>', 'g'),
+       |    '${q(PhoneRe)}', '<PHONE>', 'g') AS redacted
+       |FROM documents ORDER BY id""".stripMargin
+  }
+
+  // ======================================== reproducible stratified sample
+
+  /** Deterministic stratified sampling: a row is kept iff
+    * polyHash(salt ‖ id) mod 10000 < rate(stratum)·10000. The decision is a
+    * pure function of (salt, id) — reruns, retries, and re-partitioning all
+    * keep the same rows, and downsampling rates can be tuned per stratum
+    * (language, source, quality band) without a shuffle: the filter is a
+    * codegen'd scan predicate.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double, salt: String): DataFrame = {
+    val h = pmod(TextAnalysis.polyHash(
+      concat(lit(salt), col(idCol).cast("string"))), lit(10000L))
+    val cut = rates.toSeq.sortBy(_._1).foldRight(lit((defaultRate * 10000).toLong)) {
+      case ((k, r), els) => when(col(stratumCol) === k, lit((r * 10000).toLong)).otherwise(els)
+    }
+    df.filter(h < cut)
+  }
+
+  /** DuckDB WHERE clause matching [[stratifiedSample]]. */
+  def stratifiedSampleDuckSql(idExpr: String, stratumExpr: String,
+      rates: Map[String, Double], defaultRate: Double, salt: String): String = {
+    val h = TextAnalysis.polyHashDuckSql(s"('$salt' || CAST($idExpr AS VARCHAR))")
+    val branches = rates.toSeq.sortBy(_._1)
+      .map { case (k, r) => s"WHEN $stratumExpr = '$k' THEN ${(r * 10000).toLong}" }
+      .mkString(" ")
+    s"($h % 10000) < (CASE $branches ELSE ${(defaultRate * 10000).toLong} END)"
+  }
+}

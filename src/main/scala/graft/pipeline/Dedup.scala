@@ -181,6 +181,55 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Cross-corpus near-dedup: MinHash-LSH pairs between a NEW corpus slice
+    * and a REFERENCE corpus slice of the same frame (the "dedupe this crawl
+    * against what we already trained on" operator). Identical signature/band
+    * machinery to [[minhashNearDupPairs]], but the candidate join is
+    * BIPARTITE — new-side bands against ref-side bands — so the pair space
+    * is |new|×|ref| bucketed, never |corpus|² ; at 100 TB the reference side
+    * is typically the smaller (curated) corpus and its banded frame shuffles
+    * once on the compact (band, hash) key.
+    */
+  def minhashCrossCorpusPairs(df: DataFrame, idCol: String, textCol: String,
+      isRef: Column, threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
+    val shSet = udf((s: String) => minhashShingleSet(s, shingleK))
+    val sets = df.select(col(idCol).as("id"), isRef.as("is_ref"), shSet(col(textCol)).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigOf = udf((ss: Seq[Long]) => signatureOfSet(ss))
+    val sigs = sets.select(col("id"), col("is_ref"), sigOf(col("ss")).as("sig"))
+    val bandHash = udf((sig: Seq[Long], band: Int) => {
+      var h = 0xcbf29ce484222325L
+      var i = band * RowsPerBand
+      val end = i + RowsPerBand
+      while (i < end) { h ^= sig(i); h *= 0x100000001b3L; i += 1 }
+      h
+    })
+    val banded = sigs
+      .select(col("id"), col("is_ref"), col("sig"),
+        explode(array((0 until NumBands).map(lit): _*)).as("band"))
+      .select(col("id"), col("is_ref"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
+    val cand = banded.filter(!col("is_ref")).as("l")
+      .join(banded.filter(col("is_ref")).as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(col("l.id").as("id_new"), col("r.id").as("id_ref"))
+      .distinct()
+    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
+      val sa = a.toSet; val sb = b.toSet
+      if (sa.isEmpty || sb.isEmpty) 0.0
+      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
+    })
+    // same broadcast gate as joinSets: small corpora stream the candidates
+    // map-side; past ~200k docs fall back to the shuffle join
+    val a = sets.select(col("id").as("id_new"), col("ss").as("ss_a"))
+    val b = sets.select(col("id").as("id_ref"), col("ss").as("ss_b"))
+    val (ja, jb) =
+      if (sets.count() <= 200000) (broadcast(a), broadcast(b)) else (a, b)
+    cand.join(ja, "id_new").join(jb, "id_ref")
+      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_new", "id_ref", "jaccard")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word unigrams (Charikar 2002). */
@@ -287,7 +336,44 @@ object Dedup {
     * exactly (the output is a deterministic function of the seeds), followed
     * by the exact hashed-set Jaccard verify.
     */
-  def minhashPairsDuckSql(threshold: Double, shingleK: Int = 3): String = {
+  def minhashPairsDuckSql(threshold: Double, shingleK: Int = 3): String =
+    minhashDuckCtes(shingleK) +
+      s""", cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(x.ss, y.ss))::DOUBLE
+         |        / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))), 6) AS jaccard
+         |FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b
+         |WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+         |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
+
+  /** DuckDB replay of [[minhashCrossCorpusPairs]]: the same seeded CTEs, but
+    * candidates come from the BIPARTITE band join — new side (rows matching
+    * `newPred`) × reference side (rows matching `refPred`).
+    */
+  def minhashBipartiteDuckSql(threshold: Double, shingleK: Int,
+      newPred: String, refPred: String): String =
+    minhashDuckCtes(shingleK) +
+      s""", cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_ref
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh
+         |  WHERE (a.doc_id ${newPred}) AND (b.doc_id ${refPred})
+         |)
+         |SELECT id_new, id_ref,
+         |  round(len(list_intersect(x.ss, y.ss))::DOUBLE
+         |        / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))), 6) AS jaccard
+         |FROM cand JOIN sigs x ON x.doc_id = id_new JOIN sigs y ON y.doc_id = id_ref
+         |WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+         |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= $threshold
+         |ORDER BY id_new, id_ref""".stripMargin
+
+  /** Shared CTE prefix (toks → hashed shingle sets → 128-perm signatures →
+    * band keys) for the minhash oracle generators.
+    */
+  private def minhashDuckCtes(shingleK: Int): String = {
     val P = MersennePrime
     val sigExprs = perms.map { case (a, b) =>
       s"(CASE WHEN len(xs) = 0 THEN CAST(9223372036854775807 AS UBIGINT) ELSE " +
@@ -317,17 +403,7 @@ object Dedup {
        |      (acc, s) -> CAST((CAST(xor(acc, s) AS HUGEINT) * 1099511628211)
        |                       % 18446744073709551616 AS UBIGINT)) AS bh
        |  FROM sigs, range(0, $NumBands) t(b)
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-       |)
-       |SELECT id_a, id_b,
-       |  round(len(list_intersect(x.ss, y.ss))::DOUBLE
-       |        / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))), 6) AS jaccard
-       |FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b
-       |WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
-       |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |)""".stripMargin
   }
 
   /** Pigeonhole-banded Hamming-≤maxHamming self-join over a (id, sh) frame:
@@ -392,7 +468,7 @@ object Dedup {
     * distinct shingles before a collision is even likely, and a collision
     * only perturbs one set's cardinality by 1.
     */
-  private def shingleHashSet(shingleK: Int) = udf((s: String) => {
+  private[pipeline] def shingleHashSet(shingleK: Int) = udf((s: String) => {
     if (s == null) Array.empty[Long]
     else {
       val toks = s.toLowerCase.split("\\s+").filter(_.nonEmpty)

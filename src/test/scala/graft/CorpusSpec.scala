@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Corpus, Dedup, TextAnalysis}
+
+/** Corpus-governance operators: each checked against a driver-side
+  * brute-force reimplementation on a mixed corpus (the oracle gate then
+  * hash-matches the same operators against DuckDB at sf0.01).
+  */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "en", "the quick brown fox jumps over the lazy dog"),
+    (1L, "en", "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "de", "der schnelle braune fuchs springt gern"),
+    (3L, "en", "spark shuffles hash joins and window functions"),
+    (4L, "fr", "spark spark spark spark spark spark spark spark"),
+    (5L, "en", ""),
+    (6L, "zh", "a b"),
+    (7L, "en", "completely unrelated content about storage engines"))
+    .toDF("doc_id", "lang", "text")
+
+  private def wordGrams(s: String, k: Int): Set[Seq[String]] = {
+    val ts = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (ts.length < k) Set.empty else ts.sliding(k).map(_.toSeq).toSet
+  }
+
+  test("decontaminate matches brute-force k-gram overlap") {
+    val eval = docs.filter(col("doc_id").isin(0L, 3L))
+    val train = docs.filter(!col("doc_id").isin(0L, 3L))
+    val out = Corpus.decontaminate(train, eval, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val evalGrams = Map(0L -> wordGrams("the quick brown fox jumps over the lazy dog", 3),
+      3L -> wordGrams("spark shuffles hash joins and window functions", 3))
+    val allEval = evalGrams.values.flatten.toSet
+    for (id <- Seq(1L, 2L, 4L, 5L, 6L, 7L)) {
+      val g = wordGrams(docs.filter(col("doc_id") === id).select("text").as[String].head(), 3)
+      val shared = g.intersect(allEval)
+      val hits = evalGrams.count { case (_, eg) => eg.intersect(g).nonEmpty }
+      if (shared.isEmpty) assert(!out.contains(id), s"doc $id should be clean")
+      else assert(out(id) == ((shared.size.toLong, hits.toLong)), s"doc $id")
+    }
+    // doc 1 shares the full 9-token prefix with eval doc 0 → 7 shared 3-grams
+    assert(out(1L) == ((7L, 1L)))
+    // the decontaminated corpus is exactly the unflagged training rows
+    val clean = Corpus.decontaminatedCorpus(train, eval, "doc_id", "text", 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L, 5L, 6L, 7L).diff(out.keySet))
+  }
+
+  test("repetitionSignals matches brute force, including empty docs") {
+    val out = Corpus.repetitionSignals(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(out.size == docs.count())
+    for ((id, _, text) <- docs.as[(Long, String, String)].collect()) {
+      val ts = text.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val grams = if (ts.length < 3) Seq.empty else ts.sliding(3).map(_.mkString(" ")).toSeq
+      val (n, nd, top) = (ts.length, ts.distinct.length,
+        if (ts.isEmpty) 0 else ts.groupBy(identity).values.map(_.size).max)
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      val exp = (n.toLong,
+        if (n == 0) 0.0 else r6(nd.toDouble / n),
+        if (n == 0) 0.0 else r6(top.toDouble / n),
+        if (grams.isEmpty) 0.0 else r6(1.0 - grams.distinct.size.toDouble / grams.size))
+      assert(out(id) == exp, s"doc $id: got ${out(id)} expected $exp")
+    }
+    // the degenerate all-same-token doc: top-token fraction 1, and its six
+    // identical 3-grams leave one distinct → dup fraction 5/6
+    assert(out(4L)._3 == 1.0 && out(4L)._4 == 0.833333)
+  }
+
+  test("bm25TopK ranks the all-term doc first and matches brute force") {
+    val terms = Seq("spark", "hash", "window")
+    val out = Corpus.bm25TopK(docs, "doc_id", "text", terms, topK = 5)
+      .as[(Long, Long, Double)].collect()
+    // doc 3 contains all three query terms; doc 4 only "spark" (×8)
+    assert(out.head._1 == 3L && out.head._2 == 3L)
+    assert(out.map(_._1).contains(4L))
+    // brute-force BM25 with the same formula
+    val corpus = docs.as[(Long, String, String)].collect()
+      .map { case (id, _, t) => id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }
+    val nDocs = corpus.length.toDouble
+    val avgdl = corpus.map(_._2.length).sum / nDocs
+    val dft = terms.map(t => t -> corpus.count(_._2.contains(t)).toDouble).toMap
+    val expect = corpus.flatMap { case (id, ts) =>
+      val ws = terms.sorted.flatMap { t =>
+        val tf = ts.count(_ == t).toDouble
+        if (tf == 0) None
+        else Some(math.log(1.0 + (nDocs - dft(t) + 0.5) / (dft(t) + 0.5)) *
+          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * ts.length / avgdl)))
+      }
+      if (ws.isEmpty) None else Some((id, ws.length.toLong, ws.foldLeft(0.0)(_ + _)))
+    }.sortBy(r => (-r._3, r._1)).take(5)
+      .map(r => (r._1, r._2, math.rint(r._3 * 1e6) / 1e6))
+    assert(out.toSeq == expect.toSeq)
+  }
+
+  test("piiScan counts and redacts emails, ips, phones") {
+    val pii = Seq(
+      (1L, "reach me at a.b+c@example.org or admin@x.io thanks"),
+      (2L, "host 192.168.0.1 and 10.0.0.255 port"),
+      (3L, "call +1-555-0134 or +44-555-9999"),
+      (4L, "nothing here")).toDF("doc_id", "text")
+    val out = Corpus.piiScan(pii, "doc_id", "text")
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 2 && out(1L)._5 == "reach me at <EMAIL> or <EMAIL> thanks")
+    assert(out(2L)._3 == 2 && out(2L)._5 == "host <IP> and <IP> port")
+    assert(out(3L)._4 == 2 && out(3L)._5 == "call <PHONE> or <PHONE>")
+    assert(out(4L) == ((4L, 0L, 0L, 0L, "nothing here")))
+  }
+
+  test("stratifiedSample is deterministic, stratum-scoped, and rate-shaped") {
+    val n = 2000
+    val big = spark.range(n).select(col("id").as("doc_id"),
+      when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val rates = Map("en" -> 0.25, "de" -> 0.75)
+    val kept = Corpus.stratifiedSample(big, "doc_id", "lang", rates, 1.0, "t:")
+    val again = Corpus.stratifiedSample(big, "doc_id", "lang", rates, 1.0, "t:")
+    assert(kept.select("doc_id").as[Long].collect().toSet ==
+      again.select("doc_id").as[Long].collect().toSet)
+    val byLang = kept.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // binomial bounds: ±5σ of n·p (n=1000 per stratum)
+    assert(math.abs(byLang("en") - 250.0) < 5 * math.sqrt(1000 * 0.25 * 0.75))
+    assert(math.abs(byLang("de") - 750.0) < 5 * math.sqrt(1000 * 0.75 * 0.25))
+    // decision is a pure per-row hash: kept set under a different salt differs
+    val other = Corpus.stratifiedSample(big, "doc_id", "lang", rates, 1.0, "u:")
+    assert(other.select("doc_id").as[Long].collect().toSet !=
+      kept.select("doc_id").as[Long].collect().toSet)
+  }
+
+  test("cross-corpus minhash pairs are bipartite and Jaccard-exact") {
+    val out = Dedup.minhashCrossCorpusPairs(docs, "doc_id", "text",
+        isRef = col("doc_id") % 2 === 1, threshold = 0.2)
+      .as[(Long, Long, Double)].collect()
+    // every pair is (even new, odd ref)
+    assert(out.forall { case (a, b, _) => a % 2 == 0 && b % 2 == 1 })
+    // docs 0/1 share the 9-token prefix: 7 shared 3-grams of 7 and 10
+    // distinct → Jaccard 7/(7+10−7) = 0.7
+    val p01 = out.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.isDefined && math.abs(p01.get._3 - 0.7) < 1e-12)
+    // verify values equal brute-force shingle Jaccard for every emitted pair
+    val texts = docs.as[(Long, String, String)].collect().map(t => t._1 -> t._3).toMap
+    def sh(s: String) = {
+      val ts = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ts.isEmpty) Set.empty[String]
+      else if (ts.length < 3) Set(ts.mkString(" "))
+      else ts.sliding(3).map(_.mkString(" ")).toSet
+    }
+    out.foreach { case (a, b, j) =>
+      val (sa, sb) = (sh(texts(a)), sh(texts(b)))
+      val exp = sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
+      assert(math.abs(j - exp) < 1e-12, s"pair ($a,$b)")
+    }
+  }
+}

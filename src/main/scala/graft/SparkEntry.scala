@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Corpus, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -909,8 +909,33 @@ object SparkEntry {
       Dedup.minhashCrossCorpusPairs(T(s, dir, "documents"), "doc_id", "text",
           isRef = col("doc_id") % 2 === 1, threshold = 0.2)
         .select(col("id_new"), col("id_ref"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_new"), col("id_ref")))
+        .orderBy(col("id_new"), col("id_ref"))),
+
+    // GPT-style concat-and-chunk sequence packing: hash-sharded
+    // pseudo-shuffle + per-shard running sum; per-doc (shard, seq, offset,
+    // boundary-split) placement
+    "tx_pack" -> ((s, dir) =>
+      Packing.packPlacements(T(s, dir, "documents"), "doc_id", "text",
+        capacity = 512L, numShards = 8)),
+
+    // weighted corpus mixing against a token budget: integer-only targets
+    // and parts-per-million hash cuts per source
+    "tx_mix" -> ((s, dir) =>
+      Packing.mixReport(T(s, dir, "documents"), "doc_id", "text", "source",
+        weights = MixWeights, tokenBudget = 8000L, salt = "mix1:")),
+
+    // per-domain document cap (source = domain): window rank by tokens,
+    // per-domain kept/total/floor stats
+    "tx_domain_cap" -> ((s, dir) =>
+      Packing.domainCapReport(T(s, dir, "documents"), "doc_id", "text",
+        "source", maxPerDomain = 15))
   )
+
+  /** Integer mixture weights for tx_mix — derived from the source suffix so
+    * both engines build the identical literal table.
+    */
+  private val MixWeights: Map[String, Long] =
+    (0 until 20).map(i => s"src$i" -> ((i % 4) + 1).toLong).toMap
 
   /** Per-language sampling rates for tx_sample (rate·10000 must be integral
     * so the hash cut is exact on both engines).
@@ -1603,7 +1628,14 @@ object SparkEntry {
 
     "dd_cross_pairs" ->
       Dedup.minhashBipartiteDuckSql(threshold = 0.2, shingleK = 3,
-        newPred = "% 2 = 0", refPred = "% 2 = 1")
+        newPred = "% 2 = 0", refPred = "% 2 = 1"),
+
+    "tx_pack" -> Packing.packDuckSql(capacity = 512L, numShards = 8),
+
+    "tx_mix" -> Packing.mixDuckSql(MixWeights, tokenBudget = 8000L,
+      salt = "mix1:"),
+
+    "tx_domain_cap" -> Packing.domainCapDuckSql(maxPerDomain = 15)
   )
 
   // ------------------------------------------------- generated oracle SQL

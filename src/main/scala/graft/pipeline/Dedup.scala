@@ -585,21 +585,127 @@ object Dedup {
       .distinct()
   }
 
-  /** Character-n-gram Jaccard pairs with GUARANTEED recall: candidates come
-    * from the same df-ordered PREFIX FILTER as [[shingleJaccardPairs]], run
-    * over the hashed char-gram sets themselves — any pair with gram-Jaccard
-    * ≥ t shares a prefix gram (prefix length |S| − ⌈t·|S|⌉ + 1), so unlike
-    * the earlier word-minhash candidate stage no qualifying pair can be
-    * missed, and the hot-gram Σf² blow-up is filtered the same way. Exact
+  // --------------------------------------- partition-based candidates
+
+  /** Geometric size ladder B(0)=1, B(k+1)=⌊B(k)/t⌋+1 — integer boundaries,
+    * so group assignment has no floating-point edge cases. Key property
+    * (used in the recall proof below): nb ≤ na/t ⟹ group(nb) ≤ group(na)+1,
+    * because nb ≤ na/t < B(g+1)/t < B(g+2) whenever na < B(g+1).
+    */
+  private def sizeLadder(t: Double): Array[Long] = {
+    val buf = scala.collection.mutable.ArrayBuffer(1L)
+    while (buf.last < (1L << 40)) buf += (buf.last / t).toLong + 1
+    buf.toArray
+  }
+
+  /** Candidate pairs for set-Jaccard ≥ t via PARTITION-BASED pigeonholing
+    * (Deng et al., VLDB'15): split each document's hashed gram set into P
+    * buckets by `gram mod P`; a pair can qualify only if some bucket's
+    * content is IDENTICAL on both sides, so the join key is the bucket's
+    * content hash rather than a single shared gram. This is the high-
+    * threshold complement to [[shingleJaccardCandidates]]: prefix filtering
+    * degenerates to ~all-pairs on corpora where every document shares its
+    * rare grams (e.g. char n-grams over one vocabulary), while an identical-
+    * bucket match stays rare unless the pair really is a near-duplicate.
+    *
+    * RECALL PROOF. For J(A,B) ≥ t with |A| ≤ |B|: |AΔB| = u−i and i ≥ t·u
+    * give |AΔB| ≤ (1−t)/(1+t)·(|A|+|B|). Documents are grouped on the
+    * integer ladder g(n) = max{k : B(k) ≤ n}; each doc is indexed in its
+    * own group and as a guest in g−1. Since |B| ≤ |A|/t forces
+    * g(B) ≤ g(A)+1, the pair always co-occurs in group g = g(A) with at
+    * least one home copy. Every size in group g's join is < B(g+2), so
+    * |AΔB| < (1−t)/(1+t)·2·B(g+2) ≤ P(g) − 1 (P has +2 slack to absorb the
+    * float product). With fewer than P differing grams across P buckets,
+    * some bucket holds none of them — identical content, equal content
+    * hash — so the pair survives the join. Hash collisions only ever ADD
+    * candidates; the exact verify removes them.
+    *
+    * Scale shape: ~0.5·|S| index rows per document ((home+guest) × P sigs,
+    * P ≈ 0.26·|S| at t=0.9), a self-join on the compact
+    * (group, bucket, contentHash) key, and the same length filter as the
+    * prefix path. No term is quadratic in corpus size unless the TRUE
+    * near-dup pair count is.
+    */
+  private[graft] def partitionBucketCandidates(sets: DataFrame,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.5 && threshold < 1.0,
+      "partition candidates need 0.5 < t < 1 (pigeonhole width explodes below)")
+    val ladder = sizeLadder(threshold)
+    val c = (1 - threshold) / (1 + threshold)
+    def groupOf(n: Int): Int = {
+      var lo = 0; var hi = ladder.length - 1
+      while (lo < hi) { // last k with B(k) <= n
+        val mid = (lo + hi + 1) >>> 1
+        if (ladder(mid) <= n) lo = mid else hi = mid - 1
+      }
+      lo
+    }
+    def pFor(grp: Int): Int =
+      (math.floor(c * 2 * ladder(math.min(grp + 2, ladder.length - 1))) + 2)
+        .toInt
+    // per (doc, group): one FNV content hash per bucket; empty buckets keep
+    // the FNV basis, so "both docs lack bucket b" is itself an identical
+    // bucket — required, since the pigeonhole witness may be empty-empty
+    val sigs = udf((ss: Seq[Long], grp: Int) => {
+      val p = pFor(grp)
+      val sig = Array.fill(p)(0xcbf29ce484222325L)
+      ss.foreach { s => // ss ascending ⇒ per-bucket fold order deterministic
+        val b = (((s % p) + p) % p).toInt
+        var h = sig(b)
+        var i = 0
+        var v = s
+        while (i < 8) { h ^= (v & 0xff); h *= 0x100000001b3L; v >>>= 8; i += 1 }
+        sig(b) = h
+      }
+      sig.zipWithIndex.map { case (h, b) => (b, h) }
+    })
+    val grpOf = udf((n: Int) => groupOf(n))
+    val base = sets.filter(size(col("ss")) > 0)
+      .select(col("id"), size(col("ss")).as("n_sh"), col("ss"))
+      .withColumn("g", grpOf(col("n_sh")))
+    val homes = base.select(col("id"), col("n_sh"), col("ss"),
+      col("g").as("grp"), lit(true).as("home"))
+    val guests = base.filter(col("g") > 0).select(col("id"), col("n_sh"),
+      col("ss"), (col("g") - 1).as("grp"), lit(false).as("home"))
+    val idx = homes.unionByName(guests)
+      .select(col("id"), col("n_sh"), col("grp"), col("home"),
+        explode(sigs(col("ss"), col("grp"))).as("bs"))
+      .select(col("id"), col("n_sh"), col("grp"), col("home"),
+        col("bs._1").as("b"), col("bs._2").as("bh"))
+    // home∨home or home∨guest meet every qualifying pair (see proof);
+    // guest∧guest rows would only duplicate the home∧home match in g−1
+    idx.as("l").join(idx.as("r"),
+        col("l.grp") === col("r.grp") && col("l.b") === col("r.b") &&
+        col("l.bh") === col("r.bh") && col("l.id") < col("r.id") &&
+        (col("l.home") || col("r.home")) &&
+        least(col("l.n_sh"), col("r.n_sh")) >=
+          ceil(lit(threshold) * greatest(col("l.n_sh"), col("r.n_sh"))))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Threshold-adaptive candidate stage: partition-based pigeonholing once
+    * t is high enough for its bucket width to be selective, df-ordered
+    * prefix filtering below. Both have exact recall; the output pair set is
+    * identical either way.
+    */
+  private def candidatesFor(sets: DataFrame, threshold: Double): DataFrame =
+    if (threshold >= 0.6) partitionBucketCandidates(sets, threshold)
+    else shingleJaccardCandidates(sets, threshold)
+
+  /** Character-n-gram Jaccard pairs with GUARANTEED recall: candidates from
+    * the threshold-adaptive exact stage ([[partitionBucketCandidates]] at
+    * high t — prefix filtering collapses to ~all-pairs on char grams over a
+    * shared vocabulary — else [[shingleJaccardCandidates]]); exact
     * set-Jaccard verify on candidates. Documents shorter than n characters
     * have an empty gram set and never pair.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.5, n: Int = 3): DataFrame = {
-    require(threshold > 0, "threshold must be > 0 for prefix-filter recall to hold")
+    require(threshold > 0, "threshold must be > 0 for candidate recall to hold")
     val grams = df.select(col(idCol).as("id"), charNgrams(col(textCol), n).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = shingleJaccardCandidates(grams, threshold)
+    val cand = candidatesFor(grams, threshold)
     // candidates always share a gram, so both sets are non-empty here and
     // the empty/empty convention difference vs word shingles cannot surface
     val jac = udf((a: Array[Long], b: Array[Long]) => mergeJaccard(a, b))

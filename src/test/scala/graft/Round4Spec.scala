@@ -187,4 +187,75 @@ class Round4Spec extends SparkSpec {
     }
     assert(nonEmpty >= 10, s"fixture too vacuous: only $nonEmpty non-empty verb results")
   }
+
+  test("partition-based ngram candidates: exact recall at t=0.9 vs brute force") {
+    import graft.pipeline.Dedup
+    // near-dup clusters right at the threshold boundary plus unrelated docs;
+    // includes a cross-size pair (one doc ~10% longer) to exercise the
+    // guest-group arm of the pigeonhole ladder
+    val base = "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                                       // exact dup
+      (3L, base + " x"),                                // tiny char edit
+      (4L, base + " and extra trailing words here"),    // ~10% longer (cross group)
+      (5L, base.replace("quick", "quik")),              // small internal edit
+      (6L, "completely different content about spark engines and shuffles"),
+      (7L, "spark engines and shuffles in completely different content order"),
+      (8L, "zz")
+    ).toDF("doc_id", "text")
+    val n = 3; val t = 0.9
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = t, n = n)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def gramSet(s: String): Set[String] = {
+      val norm = s.toLowerCase.replaceAll("\\s+", " ")
+      if (norm.length < n) Set.empty
+      else (0 to norm.length - n).map(i => norm.substring(i, i + n)).toSet
+    }
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val brute = (for {
+      a <- texts.keys; b <- texts.keys; if a < b
+      sa = gramSet(texts(a)); sb = gramSet(texts(b))
+      if sa.nonEmpty && sb.nonEmpty
+      j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+      if j >= t
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+    assert(got == brute, s"got $got want $brute")
+  }
+
+  test("partition candidates beat prefix filtering on a self-similar corpus") {
+    import graft.pipeline.Dedup
+    // worst case for candidate generation: 400 docs drawn from ONE 30-word
+    // vocabulary, so char-gram sets overlap heavily (random-pair gram
+    // Jaccard ~0.7 vs t=0.9) and ANY exact-recall scheme passes many pairs.
+    // The contract: identical-bucket pigeonholing must stay well below both
+    // all-pairs and the prefix filter's candidate count, with exact recall.
+    val vocab = Seq("key", "agg", "row", "scan", "slow", "fast", "table",
+      "value", "part", "hash", "merge", "batch", "window", "spark", "order",
+      "data", "column", "join", "line", "sort", "the", "a", "filter", "group",
+      "shuffle", "stage", "task", "core", "disk", "net")
+    def text(id: Int): String = {
+      var x = id * 2654435761L
+      (0 until 40).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        vocab((math.abs(x >>> 33) % vocab.length).toInt)
+      }.mkString(" ")
+    }
+    val rows = (0 until 400).map(i => (i.toLong, text(i))) ++
+      Seq((1000L, text(7)), (1001L, text(7) + " x"))     // two planted near-dups of doc 7
+    val docs = rows.toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id").as("id"),
+      Dedup.charNgrams(col("text"), 3).as("ss"))
+    val allPairs = 402L * 401 / 2
+    val nPart = Dedup.partitionBucketCandidates(grams, 0.9).count()
+    val nPrefix = Dedup.shingleJaccardCandidates(grams, 0.9).count()
+    assert(nPart < allPairs / 8, s"partition candidates ~all-pairs: $nPart")
+    assert(nPart < nPrefix / 2,
+      s"partition ($nPart) should beat prefix ($nPrefix) on self-similar text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((7L, 1000L)) && pairs.contains((1000L, 1001L)),
+      s"planted near-dups missing from $pairs")
+  }
 }

@@ -27,7 +27,13 @@ object Bench {
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // queries are independent; drop their persisted blocks so cached
+        // frames from 70+ queries don't accumulate into storage-eviction /
+        // GC thrash that taxes every query after them (cleanup is outside
+        // the timed window)
+        spark.catalog.clearCache()
+        name -> dt
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

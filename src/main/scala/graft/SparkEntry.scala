@@ -928,7 +928,13 @@ object SparkEntry {
     // per-domain kept/total/floor stats
     "tx_domain_cap" -> ((s, dir) =>
       Packing.domainCapReport(T(s, dir, "documents"), "doc_id", "text",
-        "source", maxPerDomain = 15))
+        "source", maxPerDomain = 15)),
+
+    // next-fit no-split bin packing (SFT-style): one shuffle + in-shard
+    // sequential scan; the DuckDB oracle replays the fold as a recursive CTE
+    "tx_pack_bins" -> ((s, dir) =>
+      Packing.packBinsNextFit(T(s, dir, "documents"), "doc_id", "text",
+        capacity = 256L, numShards = 8))
   )
 
   /** Integer mixture weights for tx_mix — derived from the source suffix so
@@ -1635,7 +1641,9 @@ object SparkEntry {
     "tx_mix" -> Packing.mixDuckSql(MixWeights, tokenBudget = 8000L,
       salt = "mix1:"),
 
-    "tx_domain_cap" -> Packing.domainCapDuckSql(maxPerDomain = 15)
+    "tx_domain_cap" -> Packing.domainCapDuckSql(maxPerDomain = 15),
+
+    "tx_pack_bins" -> Packing.packBinsDuckSql(capacity = 256L, numShards = 8)
   )
 
   // ------------------------------------------------- generated oracle SQL

@@ -70,7 +70,9 @@ object Dedup {
     else {
       val set = scala.collection.mutable.HashSet.empty[Long]
       toks.sliding(k).foreach(w => set += TextAnalysis.fnv1a64(w.mkString(" ")))
-      set.toArray
+      // ascending, so the verify step can merge-count (signatureOfSet is
+      // order-independent, so sorting here changes nothing else)
+      set.toArray.sorted
     }
   }
 
@@ -170,15 +172,7 @@ object Dedup {
     // two zero-token documents share the all-sentinel signature (candidate
     // pair) but have EMPTY sets: jaccard 0 here and NULL-filtered in the
     // DuckDB replay — vacuous documents never pair on either side
-    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
-      val sa = a.toSet; val sb = b.toSet
-      if (sa.isEmpty || sb.isEmpty) 0.0
-      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
-    })
-    joinSets(cand, sets)
-      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifiedPairs(cand, sets, threshold, "id_a", "id_b")
   }
 
   /** Cross-corpus near-dedup: MinHash-LSH pairs between a NEW corpus slice
@@ -213,21 +207,8 @@ object Dedup {
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
       .select(col("l.id").as("id_new"), col("r.id").as("id_ref"))
       .distinct()
-    val jac = udf((a: Seq[Long], b: Seq[Long]) => {
-      val sa = a.toSet; val sb = b.toSet
-      if (sa.isEmpty || sb.isEmpty) 0.0
-      else sa.intersect(sb).size.toDouble / (sa.size + sb.size - sa.intersect(sb).size)
-    })
-    // same broadcast gate as joinSets: small corpora stream the candidates
-    // map-side; past ~200k docs fall back to the shuffle join
-    val a = sets.select(col("id").as("id_new"), col("ss").as("ss_a"))
-    val b = sets.select(col("id").as("id_ref"), col("ss").as("ss_b"))
-    val (ja, jb) =
-      if (sets.count() <= 200000) (broadcast(a), broadcast(b)) else (a, b)
-    cand.join(ja, "id_new").join(jb, "id_ref")
-      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_new", "id_ref", "jaccard")
+    verifiedPairs(cand, sets.select(col("id"), col("ss")), threshold,
+      "id_new", "id_ref")
   }
 
   // -------------------------------------------------------------- simhash
@@ -483,22 +464,53 @@ object Dedup {
     }
   })
 
-  /** Attach each candidate pair's hashed sets for the exact-Jaccard verify.
-    * On a dense-candidate corpus (candidates >> documents — e.g. char grams
-    * over same-vocabulary text) the naive plan shuffles one array copy PER
-    * CANDIDATE; broadcasting the (tiny) sets table instead streams the
-    * candidates map-side with zero array shuffle. The broadcast is gated on
-    * corpus size: past ~200k documents the sets side stops fitting an
-    * executor and the plan falls back to the shuffle join, which is the
-    * right shape there because real corpora at that scale are
-    * candidate-sparse.
+  /** Exact-Jaccard verify of candidate pairs against the hashed-set table
+    * (sets MUST hold ascending arrays — every producer in this file sorts).
+    *
+    * Small corpora (≤ ~200k docs): the sets collapse to ONE broadcast
+    * id→array map and candidates stream through mapPartitions. A
+    * broadcast-JOIN verify would instead copy both arrays into every
+    * candidate row before the UDF sees them — on a dense-candidate corpus
+    * (5M candidates × 2×2 KB sets) that is ~20 GB of row materialization
+    * for data the executor already holds once in the broadcast. Past the
+    * gate the plan falls back to the shuffle join, the right shape there
+    * because huge corpora are candidate-sparse per document.
+    *
+    * Empty sets verify to jaccard 0 (vacuous documents never pair — the
+    * minhash pipelines' convention, unreachable from the shingle/ngram
+    * pipelines whose candidates always share a gram).
     */
-  private def joinSets(cand: DataFrame, sets: DataFrame): DataFrame = {
-    val a = sets.select(col("id").as("id_a"), col("ss").as("ss_a"))
-    val b = sets.select(col("id").as("id_b"), col("ss").as("ss_b"))
-    val (ja, jb) =
-      if (sets.count() <= 200000) (broadcast(a), broadcast(b)) else (a, b)
-    cand.join(ja, "id_a").join(jb, "id_b")
+  private def verifiedPairs(cand: DataFrame, sets: DataFrame,
+      threshold: Double, outA: String, outB: String): DataFrame = {
+    val spark = sets.sparkSession
+    import spark.implicits._
+    val idIsLong = sets.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType
+    if (idIsLong && sets.count() <= 200000) {
+      val m = sets.select(col("id"), col("ss")).as[(Long, Array[Long])]
+        .collect().toMap
+      val bc = spark.sparkContext.broadcast(m)
+      cand.select(col(outA).cast("long"), col(outB).cast("long"))
+        .as[(Long, Long)]
+        .mapPartitions { it =>
+          val mm = bc.value
+          it.flatMap { case (x, y) =>
+            val sa = mm.getOrElse(x, Array.empty[Long])
+            val sb = mm.getOrElse(y, Array.empty[Long])
+            val j = if (sa.isEmpty || sb.isEmpty) 0.0 else mergeJaccard(sa, sb)
+            if (j >= threshold) Some((x, y, j)) else None
+          }
+        }.toDF(outA, outB, "jaccard")
+    } else {
+      val a = sets.select(col("id").as(outA), col("ss").as("ss_a"))
+      val b = sets.select(col("id").as(outB), col("ss").as("ss_b"))
+      val jac = udf((p: Array[Long], q: Array[Long]) =>
+        if (p.isEmpty || q.isEmpty) 0.0 else mergeJaccard(p, q))
+      cand.join(a, outA).join(b, outB)
+        .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(outA, outB, "jaccard")
+    }
   }
 
   /** Exact Jaccard over two ASCENDING hash arrays: single merge pass, no
@@ -541,11 +553,7 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"), shingleHashSet(shingleK)(col(textCol)).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = shingleJaccardCandidates(sets, threshold)
-    val jac = udf((a: Array[Long], b: Array[Long]) => mergeJaccard(a, b))
-    joinSets(cand, sets)
-      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifiedPairs(cand, sets, threshold, "id_a", "id_b")
   }
 
   /** Prefix-filtered candidate pairs over an (id, ss: array<long>) frame —
@@ -708,10 +716,6 @@ object Dedup {
     val cand = candidatesFor(grams, threshold)
     // candidates always share a gram, so both sets are non-empty here and
     // the empty/empty convention difference vs word shingles cannot surface
-    val jac = udf((a: Array[Long], b: Array[Long]) => mergeJaccard(a, b))
-    joinSets(cand, grams)
-      .withColumn("jaccard", jac(col("ss_a"), col("ss_b")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    verifiedPairs(cand, grams, threshold, "id_a", "id_b")
   }
 }

@@ -100,6 +100,83 @@ object Packing {
        |       END AS split
        |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Next-fit BIN packing placements — the no-split variant (SFT-style:
+    * documents are never cut; a document that would overflow the open bin
+    * closes it and starts the next one; a document longer than `capacity`
+    * sits alone in an oversize bin). Same shard deal and pseudo-shuffle
+    * order as [[packPlacements]].
+    *
+    * Next-fit's running (bin, fill) state is inherently sequential, so the
+    * plan is the scalable sequential-scan shape: ONE hash shuffle to
+    * shards, an external sort within partitions, then a single linear pass
+    * whose state resets at each shard boundary — no window, no driver
+    * state, byte-stable on any cluster layout. Emits one row per document:
+    * (doc_id, shard, bin, bin_offset, n_tokens, oversize).
+    */
+  def packBinsNextFit(df: DataFrame, idCol: String, textCol: String,
+      capacity: Long, numShards: Int): DataFrame = {
+    require(capacity > 0 && numShards > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      pmod(col(idCol), lit(numShards.toLong)).cast("int").as("shard"),
+      pmod(col(idCol) * lit(2654435761L), lit(1000003L)).as("rnd"),
+      ntokCol(textCol).as("n_tokens"))
+    base.repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("rnd"), col("id"))
+      .as[(Long, Int, Long, Long)]
+      .mapPartitions { it =>
+        // a partition holds whole shards (hash-partitioned on shard), in
+        // (shard, rnd, id) order; state resets at each shard boundary
+        var shard = -1
+        var bin = 0L
+        var fill = 0L
+        it.map { case (id, sh, _, n) =>
+          if (sh != shard) { shard = sh; bin = 0L; fill = 0L }
+          if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
+          val offset = fill
+          fill += n
+          (id, sh, bin, offset, n, n > capacity)
+        }
+      }
+      .toDF("doc_id", "shard", "bin", "bin_offset", "n_tokens", "oversize")
+      .orderBy(col("doc_id"))
+  }
+
+  /** DuckDB replay of [[packBinsNextFit]] over `documents`: the sequential
+    * fold becomes a recursive CTE stepping row-rank by row-rank within each
+    * shard (depth = max docs per shard).
+    */
+  def packBinsDuckSql(capacity: Long, numShards: Int): String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id,
+       |         CAST(doc_id % $numShards AS INTEGER) AS shard,
+       |         (doc_id * 2654435761) % 1000003 AS rnd,
+       |         CAST($ntokDuck AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), o AS (
+       |  SELECT *, row_number() OVER (
+       |           PARTITION BY shard ORDER BY rnd, doc_id) AS rn
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, shard, rn, n_tokens,
+       |         CAST(0 AS BIGINT) AS bin, CAST(0 AS BIGINT) AS bin_offset,
+       |         n_tokens AS fill
+       |  FROM o WHERE rn = 1
+       |  UNION ALL
+       |  SELECT o.doc_id, o.shard, o.rn, o.n_tokens,
+       |         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > $capacity
+       |              THEN s.bin + 1 ELSE s.bin END,
+       |         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > $capacity
+       |              THEN 0 ELSE s.fill END,
+       |         CASE WHEN s.fill > 0 AND s.fill + o.n_tokens > $capacity
+       |              THEN o.n_tokens ELSE s.fill + o.n_tokens END
+       |  FROM s JOIN o ON o.shard = s.shard AND o.rn = s.rn + 1
+       |)
+       |SELECT doc_id, shard, bin, bin_offset, n_tokens,
+       |       n_tokens > $capacity AS oversize
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ==================================================== corpus mixing
 
   /** Weighted corpus mixing: given integer mixture weights per source and a

@@ -189,7 +189,17 @@ object BenchScale {
       // fixed search radius, N× denser points: matches grow ~N×, wall time
       // must track the match count (window prune + codegen'd distance)
       fam("sp_within_distance",
-        n => geo(ptsAt(n)).withinDistanceKm(10.5, 20.5, 1500.0).df))
+        n => geo(ptsAt(n)).withinDistanceKm(10.5, 20.5, 1500.0).df),
+      // partition-bucket candidates (the high-threshold exact path): the
+      // rotated-alphabet copies share no char grams, so true pairs grow ~N×
+      // and the identical-bucket join must keep candidates in that regime
+      fam("dd_ngram_part",
+        n => Dedup.ngramJaccardPairs(docsAt(n), "doc_id", "text", 0.9, 3)),
+      // concat-and-chunk packing: one hash shuffle + per-shard running sum;
+      // rows grow N×, wall time must stay ~linear (shards sort independently)
+      fam("tx_pack",
+        n => graft.pipeline.Packing.packPlacements(docsAt(n), "doc_id", "text",
+          512L, 8)))
 
     val json = results.map { case (k, rows) =>
       val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows

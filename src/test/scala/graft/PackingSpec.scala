@@ -67,6 +67,44 @@ class PackingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("packBinsNextFit matches brute-force next-fit per shard") {
+    val cap = 6L
+    val shards = 3
+    val out = Packing.packBinsNextFit(docs, "doc_id", "text", cap, shards)
+      .as[(Long, Int, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6))).toMap
+    val rows = docs.as[(Long, String, String)].collect()
+      .map { case (id, _, t) => (id, (id % shards).toInt,
+        (id * 2654435761L) % 1000003L, ntok(t)) }
+    for (sh <- 0 until shards) {
+      var bin = 0L; var fill = 0L
+      for ((id, _, _, n) <- rows.filter(_._2 == sh).sortBy(r => (r._3, r._1))) {
+        if (fill > 0 && fill + n > cap) { bin += 1; fill = 0 }
+        assert(out(id) == ((sh, bin, fill, n, n > cap)), s"doc $id")
+        fill += n
+      }
+    }
+    // no-split invariant: every bin fills to <= cap, except a bin holding
+    // an oversize doc (which may also carry zero-token docs that landed
+    // before it — they occupy no budget)
+    val byBin = out.toSeq.groupBy { case (_, (sh, bin, _, _, _)) => (sh, bin) }
+    for (((sh, bin), ds) <- byBin) {
+      val fills = ds.map(_._2._4).sum
+      val oversize = ds.exists(_._2._5)
+      val nonOversizeTokens = ds.filter(!_._2._5).map(_._2._4).sum
+      assert(fills <= cap || (oversize && nonOversizeTokens == 0),
+        s"bin ($sh,$bin): fills=$fills oversize=$oversize")
+    }
+  }
+
+  test("packBinsNextFit is invariant to input partitioning") {
+    val a = Packing.packBinsNextFit(docs.repartition(7), "doc_id", "text", 6L, 3)
+      .collect().toSeq
+    val b = Packing.packBinsNextFit(docs.coalesce(1), "doc_id", "text", 6L, 3)
+      .collect().toSeq
+    assert(a == b)
+  }
+
   test("mixReport: integer targets, ppm cuts, and kept stats match brute force") {
     val weights = Map("a" -> 3L, "b" -> 1L, "c" -> 2L)
     val budget = 20L

@@ -259,20 +259,23 @@ class ScaleSpec extends SparkSpec {
     assert(agg.count() > 0)
   }
 
-  test("ngram verify join broadcasts the sets side on a small corpus") {
+  test("ngram verify streams candidates against a broadcast set map") {
     // regression pin for the dense-candidate fix: on a corpus that fits an
-    // executor, the verify step must stream candidates against a BROADCAST
-    // of the hashed-gram sets (shuffling one array copy per candidate was
-    // the 100x regression), and the candidate join must carry the PPJoin
-    // length + positional conjuncts
+    // executor, the verify step must stream the (id_a, id_b) candidates
+    // through mapPartitions against ONE broadcast id→set map — there must
+    // be NO join that materializes a gram array per candidate row (the
+    // broadcast-join verify copied both ~2 KB arrays into every candidate
+    // row; the shuffle-join verify before it was the 100x regression)
     val docs = (1 to 120).map { i =>
       val base = s"data pipeline shard ${i % 7} compaction window merge sort spill metrics"
       (i.toLong, if (i % 11 == 0) base else base + s" salt$i tail$i")
     }.toDF("doc_id", "text")
     val pairs = graft.pipeline.Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9, 3)
     val plan = pairs.queryExecution.executedPlan.toString()
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      s"verify join is not broadcast:\n$plan")
+    assert(plan.contains("MapPartitions"),
+      s"verify is not the streaming mapPartitions shape:\n$plan")
+    assert(!plan.contains("ss_a"),
+      s"verify still materializes gram arrays into candidate rows:\n$plan")
     // and the result is still exactly the brute-force answer
     val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
     val gramSets = docs.collect().map { r =>

@@ -152,13 +152,31 @@ object BenchScale {
 
     // --------------------------------------------------------- the families
     // each family is a query builder per scale rung; rung 1 gets one warm-up
-    // run (codegen + parquet footers) before its timed run
+    // run (codegen + parquet footers) before its timed run. The host VM
+    // shows multi-second starvation bursts at random points, so each rung
+    // is measured up to 4 times — stopping as soon as the best two agree
+    // within 50% — and the MINIMUM is recorded (the bursts only ever
+    // inflate; the min is the machine-limited time).
+    def timedRung(at: Int => DataFrame, n: Int): (Double, Long) = {
+      var best = Double.MaxValue
+      var second = Double.MaxValue
+      var rows = 0L
+      var tries = 0
+      while (tries < 4 && (tries < 2 || second > best * 1.5)) {
+        spark.catalog.clearCache()
+        val (t, c) = time(at(n).count())
+        rows = c
+        if (t < best) { second = best; best = t }
+        else if (t < second) second = t
+        tries += 1
+      }
+      (best, rows)
+    }
     def fam(name: String, at: Int => DataFrame): (String, Seq[(Int, Double, Long)]) = {
       spark.catalog.clearCache()
       val (warm, _) = time(at(1).count())
       val rows = (1 +: rungs).map { n =>
-        spark.catalog.clearCache()
-        val (t, c) = time(at(n).count())
+        val (t, c) = timedRung(at, n)
         (n, t, c)
       }
       val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows
@@ -168,38 +186,46 @@ object BenchScale {
       name -> rows
     }
 
-    val results = Seq(
-      fam("dd_jaccard",
-        n => Dedup.shingleJaccardPairs(docsAt(n), "doc_id", "text", 0.2, 4)),
-      fam("dd_minhash",
-        n => Dedup.minhashNearDupPairs(docsAt(n), "doc_id", "text", 0.2)),
-      fam("dd_simhash64",
-        n => Dedup.simhashNearDupPairs(docsAt(n), "doc_id", "text", 3)),
-      fam("sim_ivf_kmeans",
-        n => Similarity.ivfTopKKMeans(embAt(n), "vec_id", "embedding", q0, 20, 16, 2, 3)),
-      fam("sp_join_grid",
-        n => SpatialJoin.gridJoin(ptsAt(n), supPolys, 30.0, "intersects")),
-      fam("sp_window_curve", curveWindow),
+    val families: Seq[(String, Int => DataFrame)] = Seq(
+      "dd_jaccard" ->
+        (n => Dedup.shingleJaccardPairs(docsAt(n), "doc_id", "text", 0.2, 4)),
+      "dd_minhash" ->
+        (n => Dedup.minhashNearDupPairs(docsAt(n), "doc_id", "text", 0.2)),
+      "dd_simhash64" ->
+        (n => Dedup.simhashNearDupPairs(docsAt(n), "doc_id", "text", 3)),
+      "sim_ivf_kmeans" ->
+        (n => Similarity.ivfTopKKMeans(embAt(n), "vec_id", "embedding", q0, 20, 16, 2, 3)),
+      "sp_join_grid" ->
+        (n => SpatialJoin.gridJoin(ptsAt(n), supPolys, 30.0, "intersects")),
+      "sp_window_curve" -> (curveWindow _),
       // the reference's signature point-layer queries (SimplePointLayer.java:
       // 61-77): k stays fixed while density grows 10×, so the window-pruned
       // candidate scan must keep wall time well under linear growth
-      fam("sp_knn",
-        n => geo(ptsAt(n)).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
+      "sp_knn" ->
+        (n => geo(ptsAt(n)).knnCandidates(-100.5, 30.5, 25, initialSide = 60.0)
           .df.orderBy(col("distance")).limit(25)),
       // fixed search radius, N× denser points: matches grow ~N×, wall time
       // must track the match count (window prune + codegen'd distance)
-      fam("sp_within_distance",
-        n => geo(ptsAt(n)).withinDistanceKm(10.5, 20.5, 1500.0).df),
+      "sp_within_distance" ->
+        (n => geo(ptsAt(n)).withinDistanceKm(10.5, 20.5, 1500.0).df),
       // partition-bucket candidates (the high-threshold exact path): the
       // rotated-alphabet copies share no char grams, so true pairs grow ~N×
       // and the identical-bucket join must keep candidates in that regime
-      fam("dd_ngram_part",
-        n => Dedup.ngramJaccardPairs(docsAt(n), "doc_id", "text", 0.9, 3)),
+      "dd_ngram_part" ->
+        (n => Dedup.ngramJaccardPairs(docsAt(n), "doc_id", "text", 0.9, 3)),
       // concat-and-chunk packing: one hash shuffle + per-shard running sum;
       // rows grow N×, wall time must stay ~linear (shards sort independently)
-      fam("tx_pack",
-        n => graft.pipeline.Packing.packPlacements(docsAt(n), "doc_id", "text",
+      "tx_pack" ->
+        (n => graft.pipeline.Packing.packPlacements(docsAt(n), "doc_id", "text",
           512L, 8)))
+
+    // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
+    // sustained load, so the stitching script runs one family per (short)
+    // JVM with cool-down gaps and merges the JSON fragments
+    val famFilter = sys.env.get("SPARK_GRAFT_FAMILIES").map(_.split(",").toSet)
+    val results = families
+      .filter { case (name, _) => famFilter.forall(_.contains(name)) }
+      .map { case (name, at) => fam(name, at) }
 
     val json = results.map { case (k, rows) =>
       val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows

@@ -146,6 +146,21 @@ class PackingSpec extends SparkSpec {
     assert(out.keySet == Set("a", "b", "c"))
   }
 
+  test("plan shapes: packing shuffles once on shard; mix cut join broadcasts") {
+    val pack = Packing.packPlacements(docs, "doc_id", "text", 4L, 3)
+    val packPlan = pack.queryExecution.executedPlan.toString()
+    // the running sum must partition by shard — no global-order window
+    assert(packPlan.contains("hashpartitioning(shard"),
+      s"pack window not sharded:\n$packPlan")
+    val mix = Packing.mixReport(docs, "doc_id", "text", "source",
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L), 20L, "t:")
+    val mixPlan = mix.queryExecution.executedPlan.toString()
+    // the per-source cut table is tiny and must reach the corpus as a
+    // broadcast, not a shuffle join
+    assert(mixPlan.contains("BroadcastHashJoin"),
+      s"mix cut join is not broadcast:\n$mixPlan")
+  }
+
   test("domainCapped keeps the top-N by tokens per domain, ties by id") {
     val capped = Packing.domainCapped(docs, "doc_id", "text", "source", 2)
       .select("doc_id").as[Long].collect().toSet

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Corpus, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Corpus, Dedup, Groups, LanguageModel, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -934,7 +934,41 @@ object SparkEntry {
     // sequential scan; the DuckDB oracle replays the fold as a recursive CTE
     "tx_pack_bins" -> ((s, dir) =>
       Packing.packBinsNextFit(T(s, dir, "documents"), "doc_id", "text",
-        capacity = 256L, numShards = 8))
+        capacity = 256L, numShards = 8)),
+
+    // near-dup CLUSTERS: MinHash-LSH pairs transitively closed into
+    // connected components; group_id = min member = the dedup survivor
+    "dd_neardup_groups" -> ((s, dir) =>
+      Groups.nearDupGroups(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2)
+        // the driver compare hashes scalar cells — ship the member list as
+        // a canonical CSV string on both engines
+        .withColumn("members",
+          array_join(col("members").cast("array<string>"), ","))),
+
+    // exact shared-substring contamination (share any verbatim ≥32-char
+    // run): boilerplate injected BY THE QUERY on both engines (same
+    // pattern as tx_pii) so long verbatim overlaps exist in the synthetic
+    // bag-of-words corpus
+    "dd_substring_pairs" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("text",
+        when(col("doc_id") % 29 === 0,
+          concat(col("text"), lit(" shared boilerplate license header variant "),
+            (col("doc_id") % 3).cast("string"),
+            lit(" retained verbatim across documents")))
+          .otherwise(col("text")))
+      Dedup.sharedSubstringPairs(docs, "doc_id", "text", minLen = 32)
+    }),
+
+    // bigram-LM perplexity filter: add-one-smoothed model trained on
+    // doc_id % 5 != 0, scoring the held-out % 5 == 0 slice (unseen bigrams
+    // exercise the smoothing path)
+    "tx_lm_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      LanguageModel.bigramScore(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    })
   )
 
   /** Integer mixture weights for tx_mix — derived from the source suffix so
@@ -1643,7 +1677,17 @@ object SparkEntry {
 
     "tx_domain_cap" -> Packing.domainCapDuckSql(maxPerDomain = 15),
 
-    "tx_pack_bins" -> Packing.packBinsDuckSql(capacity = 256L, numShards = 8)
+    "tx_pack_bins" -> Packing.packBinsDuckSql(capacity = 256L, numShards = 8),
+
+    "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
+
+    "dd_substring_pairs" -> Dedup.sharedSubstringDuckSql(
+      "CASE WHEN doc_id % 29 = 0 THEN text || ' shared boilerplate license header variant ' " +
+        "|| CAST(doc_id % 3 AS VARCHAR) || ' retained verbatim across documents' " +
+        "ELSE text END", minLen = 32),
+
+    "tx_lm_score" ->
+      LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0")
   )
 
   // ------------------------------------------------- generated oracle SQL

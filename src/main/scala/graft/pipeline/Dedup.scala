@@ -354,7 +354,7 @@ object Dedup {
   /** Shared CTE prefix (toks → hashed shingle sets → 128-perm signatures →
     * band keys) for the minhash oracle generators.
     */
-  private def minhashDuckCtes(shingleK: Int): String = {
+  private[pipeline] def minhashDuckCtes(shingleK: Int): String = {
     val P = MersennePrime
     val sigExprs = perms.map { case (a, b) =>
       s"(CASE WHEN len(xs) = 0 THEN CAST(9223372036854775807 AS UBIGINT) ELSE " +
@@ -718,4 +718,51 @@ object Dedup {
     // the empty/empty convention difference vs word shingles cannot surface
     verifiedPairs(cand, grams, threshold, "id_a", "id_b")
   }
+
+  /** EXACT shared-substring pairs: documents sharing any verbatim substring
+    * of ≥ `minLen` characters, with the count of distinct shared
+    * `minLen`-grams per pair (the contamination / boilerplate-detection
+    * operator of Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"). Two documents share a substring of length ≥ L iff
+    * they share an aligned L-gram, so the all-positions L-gram equi-join is
+    * exact — no hashing, no probabilistic recall.
+    *
+    * Plan: filter → explode positions (`sequence`) → `substr` → per-doc
+    * distinct → self-join on the raw gram → count. Every step is a codegen
+    * built-in; the join shuffles on the L-byte gram key. At 100 TB the
+    * documented production variant fingerprints first — robust winnowing
+    * (window w = L − gram + 1) guarantees any ≥L-char match shares a
+    * winnowed fingerprint, shrinking the exploded volume by ~w× before an
+    * identical exact verify; the all-positions form here IS the verify
+    * kernel of that plan.
+    */
+  def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    val grams = df.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(minLen - 1))).as("i"))
+      .select(col("id"), col("t").substr(col("i"), lit(minLen)).as("gram"))
+      .distinct()
+    grams.as("a").join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB replay of [[sharedSubstringPairs]] over `textExpr` (so callers
+    * can inject query-side text transforms identically on both engines).
+    */
+  def sharedSubstringDuckSql(textExpr: String, minLen: Int): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, $textExpr AS t FROM documents
+       |), g AS (
+       |  SELECT DISTINCT doc_id AS id, substr(t, i, $minLen) AS gram
+       |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - ${minLen - 2})) AS i
+       |        FROM d WHERE length(t) >= $minLen)
+       |)
+       |SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+       |FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

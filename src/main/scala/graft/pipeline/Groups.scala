@@ -1,0 +1,155 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate GROUP assembly: pairs → connected components → one
+  * canonical survivor per component. Production dedup pipelines consume
+  * groups (pick one survivor per cluster, drop the rest), not raw pairs —
+  * this closes the gap between the pair-producing operators in [[Dedup]]
+  * and the "give me the deduplicated corpus" contract.
+  *
+  * Reference analog: the reference clusters spatial features the same way
+  * (transitive single-link merge; reference:
+  * server-plugin/src/main/java/org/neo4j/gis/spatial/pipes/processing/
+  * DensityIslands.java:40-74); here the merge relation is "near-duplicate
+  * of" instead of "within density of".
+  */
+object Groups {
+
+  /** Connected-component labels over an undirected long-id edge list.
+    * Returns one (id, label) row per vertex of `vertices`; `label` is the
+    * MINIMUM id in the component (stable, order-independent canonical id).
+    *
+    * Scale split (same policy as the spatial density islands,
+    * engine/SpatialAggs.scala): the edge list of a near-dup graph is a
+    * small derived artifact (O(dup clusters), overwhelmingly smaller than
+    * the corpus), so below `smallEdgeLimit` edges a single collect feeds a
+    * driver union-find and one broadcast join — collapsing ~40 tiny
+    * label-propagation jobs into two. Past the limit, distributed
+    * hash-to-min with pointer jumping converges in O(log diameter) rounds;
+    * each round is one shuffle on the id key and lineage is truncated per
+    * round via localCheckpoint.
+    */
+  def ccLabels(vertices: DataFrame, edges: DataFrame,
+      smallEdgeLimit: Long = 500000L, maxIterations: Int = 25): DataFrame = {
+    val spark = vertices.sparkSession
+    import spark.implicits._
+    val edgeRows = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .localCheckpoint(true)
+    if (edgeRows.count() <= smallEdgeLimit) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgeRows.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // union by MIN id keeps the canonical label stable
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val resolved = parent.keys.map(k => (k, find(k))).toSeq
+      val lookup = broadcast(resolved.toDF("id", "__cc"))
+      vertices.select(col("id").cast("long").as("id"))
+        .join(lookup, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__cc"), col("id")).as("label"))
+    } else {
+      val sym = edgeRows
+        .union(edgeRows.select(col("dst").as("src"), col("src").as("dst")))
+        .localCheckpoint(true)
+      var ls = vertices.select(col("id").cast("long").as("id"),
+        col("id").cast("long").as("label")).localCheckpoint(true)
+      var checksum = -1L
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIterations) {
+        val viaEdges = sym.join(ls, sym("dst") === ls("id"))
+          .select(sym("src").as("id"), col("label"))
+        val l1 = ls.select(col("id"), col("label"))
+        val l2 = ls.select(col("id").as("jid"), col("label").as("jlabel"))
+        val viaJump = l1.join(l2, l1("label") === l2("jid"))
+          .select(col("id"), col("jlabel").as("label"))
+        val next = l1.union(viaEdges).union(viaJump)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint(true)
+        // xor-fold checksum: order-independent, no ANSI overflow like sum
+        val nextSum = next.agg(coalesce(bit_xor(xxhash64(col("id"), col("label"))), lit(0L)))
+          .head().getLong(0)
+        ls = next
+        converged = nextSum == checksum
+        checksum = nextSum
+        iter += 1
+      }
+      ls
+    }
+  }
+
+  /** Near-duplicate CLUSTERS of a corpus: MinHash-LSH pairs (identical
+    * machinery to [[Dedup.minhashNearDupPairs]]) closed transitively into
+    * components. One row per cluster of ≥ 2 documents: `group_id` (the min
+    * member id — also the survivor a dedup pass would keep), the sorted
+    * member list, and the member count.
+    */
+  def nearDupGroups(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3,
+      smallEdgeLimit: Long = 500000L): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold, shingleK)
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val verts = df.select(col(idCol).cast("long").as("id"))
+    ccLabels(verts, pairs, smallEdgeLimit)
+      .groupBy(col("label").as("group_id"))
+      .agg(sort_array(collect_list(col("id"))).as("members"),
+        count(lit(1)).as("n_members"))
+      .filter(col("n_members") >= 2)
+      .orderBy("group_id")
+  }
+
+  /** The deduplicated corpus: every row of `df` except non-survivor cluster
+    * members (survivor = min id per component). Anti-join against the label
+    * frame — at scale one broadcast of the (tiny) non-survivor id set.
+    */
+  def nearDupDeduped(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold, shingleK)
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val verts = df.select(col(idCol).cast("long").as("id"))
+    val drop = ccLabels(verts, pairs).filter(col("id") =!= col("label"))
+      .select(col("id").as("__drop_id"))
+    df.join(broadcast(drop), df(idCol) === col("__drop_id"), "left_anti")
+  }
+
+  /** DuckDB replay of [[nearDupGroups]]: the full seeded MinHash pipeline
+    * (identical permutation literals and band folds via
+    * [[Dedup.minhashDuckCtes]]) producing the same pair set, then the
+    * transitive closure as a recursive CTE — label(v) = min id reachable,
+    * which for a symmetric edge set is exactly the component minimum.
+    */
+  def nearDupGroupsDuckSql(threshold: Double, shingleK: Int = 3): String =
+    Dedup.minhashDuckCtes(shingleK).replaceFirst("WITH ", "WITH RECURSIVE ") +
+      s""", cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |), prs AS (
+         |  SELECT id_a, id_b
+         |  FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b
+         |  WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+         |        / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= $threshold
+         |), e AS (
+         |  SELECT id_a AS s, id_b AS d FROM prs
+         |  UNION ALL SELECT id_b, id_a FROM prs
+         |), reach AS (
+         |  SELECT s AS id, s AS lab FROM e
+         |  UNION
+         |  SELECT eg.d, r.lab FROM reach r JOIN e eg ON eg.s = r.id
+         |), lbl AS (
+         |  SELECT id, min(lab) AS lab FROM reach GROUP BY id
+         |)
+         |SELECT lab AS group_id, array_to_string(list_sort(list(id)), ',') AS members,
+         |       count(*) AS n_members
+         |FROM lbl GROUP BY lab HAVING count(*) >= 2 ORDER BY group_id""".stripMargin
+}

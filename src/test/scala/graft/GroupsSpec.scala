@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Groups, LanguageModel}
+
+/** Near-dup group assembly, shared-substring pairs, and bigram-LM scoring. */
+class GroupsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // chain 1-2-3, triangle 10-11-12 (one redundant edge), singleton 99
+  private def fixtureEdges =
+    Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+  private def fixtureVerts = Seq(1L, 2L, 3L, 10L, 11L, 12L, 99L).toDF("id")
+
+  test("ccLabels: driver union-find and distributed hash-to-min agree") {
+    val fast = Groups.ccLabels(fixtureVerts, fixtureEdges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Groups.ccLabels(fixtureVerts, fixtureEdges, smallEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L)
+    assert(fast == expected)
+    assert(dist == expected)
+  }
+
+  private def dupDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),
+    (4L, "completely different words about spark shuffles and parquet footers"),
+    (5L, "completely different words about spark shuffles and parquet footers"),
+    (6L, "nothing in common with anything else in this corpus at all whatsoever")
+  ).toDF("doc_id", "text")
+
+  test("nearDupGroups equals the transitive closure of the pair operator") {
+    val pairs = Dedup.minhashNearDupPairs(dupDocs, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // brute-force closure
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = if (parent.getOrElse(x, x) == x) x else find(parent(x))
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = (1L to 6L).groupBy(find).collect {
+      case (root, ms) if ms.size >= 2 => root -> ms.sorted.toSeq
+    }
+    val got = Groups.nearDupGroups(dupDocs, "doc_id", "text", 0.5)
+      .select("group_id", "members")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got == want)
+    assert(got.keySet.contains(1L) && got(1L).contains(2L)) // exact dups cluster
+  }
+
+  test("nearDupDeduped keeps min-id survivors; re-running finds no pairs") {
+    val kept = Groups.nearDupDeduped(dupDocs, "doc_id", "text", 0.5)
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(1L) && !ids.contains(2L)) // 2 is a non-survivor dup of 1
+    assert(ids.contains(6L)) // singleton untouched
+    assert(Dedup.minhashNearDupPairs(kept, "doc_id", "text", 0.5).count() == 0)
+  }
+
+  test("sharedSubstringPairs matches brute force and skips short docs") {
+    val docs = Seq(
+      (1L, "AAAA shared boilerplate sentence here BBBB"),
+      (2L, "CCCC shared boilerplate sentence here DDDD"),
+      (3L, "totally unrelated content that matches nothing else at all"),
+      (4L, "short doc") // below minLen — never pairs
+    ).toDF("doc_id", "text")
+    val L = 20
+    val got = Dedup.sharedSubstringPairs(docs, "doc_id", "text", L)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force: distinct L-grams per doc, pairwise intersection
+    val raw = docs.as[(Long, String)].collect()
+    val gramSets = raw.collect { case (id, t) if t.length >= L =>
+      id -> (0 to t.length - L).map(i => t.substring(i, i + L)).toSet
+    }
+    val want = (for {
+      (a, sa) <- gramSets; (b, sb) <- gramSets if a < b
+      n = sa.intersect(sb).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    assert(got == want)
+    assert(got.exists { case (a, b, _) => a == 1L && b == 2L })
+    assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
+  }
+
+  test("bigramScore matches a hand-computed add-one-smoothed model") {
+    val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b x"), (11L, "c")).toDF("doc_id", "text")
+    val got = LanguageModel.bigramScore(train, score, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+    // train: unigrams a:2 b:2 c:1 (V=3); bigrams (a,b):2 (b,a):1 (b,c):1
+    // doc 10 bigrams: (a,b) known cb=2 cu=2 → nll = ln((2+3)/(2+1)) = ln(5/3)
+    //                 (b,x) unseen cb=0 cu=2 → nll = ln((2+3)/1) = ln(5)
+    val expect = BigDecimal((math.log(5.0 / 3) + math.log(5.0)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((10L, 2L, 1L, expect))) // doc 11 has no bigram → absent
+  }
+}

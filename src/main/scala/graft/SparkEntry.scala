@@ -950,15 +950,16 @@ object SparkEntry {
     // run): boilerplate injected BY THE QUERY on both engines (same
     // pattern as tx_pii) so long verbatim overlaps exist in the synthetic
     // bag-of-words corpus
-    "dd_substring_pairs" -> ((s, dir) => {
-      val docs = T(s, dir, "documents").withColumn("text",
-        when(col("doc_id") % 29 === 0,
-          concat(col("text"), lit(" shared boilerplate license header variant "),
-            (col("doc_id") % 3).cast("string"),
-            lit(" retained verbatim across documents")))
-          .otherwise(col("text")))
-      Dedup.sharedSubstringPairs(docs, "doc_id", "text", minLen = 32)
-    }),
+    "dd_substring_pairs" -> ((s, dir) =>
+      Dedup.sharedSubstringPairs(boilerplateDocs(s, dir), "doc_id", "text",
+        minLen = 32)),
+
+    // the SAME contamination contract through the winnowed-fingerprint
+    // scale path — hash-matches the identical oracle, proving the ~25×
+    // cheaper plan exact
+    "dd_substring_winnow" -> ((s, dir) =>
+      Dedup.winnowedSubstringPairs(boilerplateDocs(s, dir), "doc_id", "text",
+        minLen = 32, gram = 8)),
 
     // bigram-LM perplexity filter: add-one-smoothed model trained on
     // doc_id % 5 != 0, scoring the held-out % 5 == 0 slice (unseen bigrams
@@ -970,6 +971,24 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
     })
   )
+
+  /** Documents with query-side boilerplate injected into every 29th row
+    * (three variants), so ≥32-char verbatim overlaps exist in the synthetic
+    * bag-of-words corpus — shared by both dd_substring_* queries.
+    */
+  private def boilerplateDocs(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "documents").withColumn("text",
+      when(col("doc_id") % 29 === 0,
+        concat(col("text"), lit(" shared boilerplate license header variant "),
+          (col("doc_id") % 3).cast("string"),
+          lit(" retained verbatim across documents")))
+        .otherwise(col("text")))
+
+  /** DuckDB text expression matching [[boilerplateDocs]]. */
+  private val BoilerplateSqlExpr: String =
+    "CASE WHEN doc_id % 29 = 0 THEN text || ' shared boilerplate license header variant ' " +
+      "|| CAST(doc_id % 3 AS VARCHAR) || ' retained verbatim across documents' " +
+      "ELSE text END"
 
   /** Integer mixture weights for tx_mix — derived from the source suffix so
     * both engines build the identical literal table.
@@ -1681,10 +1700,9 @@ object SparkEntry {
 
     "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
 
-    "dd_substring_pairs" -> Dedup.sharedSubstringDuckSql(
-      "CASE WHEN doc_id % 29 = 0 THEN text || ' shared boilerplate license header variant ' " +
-        "|| CAST(doc_id % 3 AS VARCHAR) || ' retained verbatim across documents' " +
-        "ELSE text END", minLen = 32),
+    "dd_substring_pairs" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
+
+    "dd_substring_winnow" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
 
     "tx_lm_score" ->
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0")

@@ -751,8 +751,74 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** The 100 TB path for [[sharedSubstringPairs]] — IDENTICAL output,
+    * ~(minLen−gram)× less exploded volume. Robust winnowing (Schleimer,
+    * Wilkerson & Aiken, SIGMOD'03): hash every `gram`-char window
+    * (polynomial mod 1e9+7), keep the MINIMUM hash of every sliding window
+    * of w = minLen − gram + 1 consecutive gram hashes. Any two documents
+    * sharing a verbatim run of ≥ minLen chars share a full hash window, and
+    * the window's minimum VALUE is equal on both sides — so the fingerprint
+    * equi-join has guaranteed recall. Candidates are then verified exactly
+    * (distinct shared minLen-gram count, same join as the all-positions
+    * plan but restricted to candidate pairs), which also clears the rare
+    * polynomial-hash collision. Fingerprinting is one O(n·gram) compiled
+    * pass per document (monotonic-deque sliding min), emitting ~n/w
+    * distinct fingerprints instead of n grams.
+    */
+  def winnowedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int, gram: Int = 8): DataFrame = {
+    require(gram >= 2 && gram < minLen, "need 2 <= gram < minLen")
+    val w = minLen - gram + 1
+    val fpUdf = udf((s: String) => {
+      if (s == null || s.length < minLen) Array.empty[Long]
+      else {
+        val n = s.length - gram + 1
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          var h = 7L
+          var j = i
+          while (j < i + gram) { h = (h * 31 + s.charAt(j)) % 1000000007L; j += 1 }
+          hs(i) = h
+          i += 1
+        }
+        val deque = new java.util.ArrayDeque[Int]()
+        val out = scala.collection.mutable.HashSet.empty[Long]
+        var k = 0
+        while (k < n) {
+          while (!deque.isEmpty && hs(deque.peekLast()) >= hs(k)) deque.pollLast()
+          deque.addLast(k)
+          if (deque.peekFirst() <= k - w) deque.pollFirst()
+          if (k >= w - 1) out += hs(deque.peekFirst())
+          k += 1
+        }
+        out.toArray.sorted
+      }
+    })
+    val fps = df.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+    val cand = fps.as("a").join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val grams = df.filter(length(col(textCol)) >= minLen)
+      .select(col(idCol).as("id"),
+        col(textCol).as("t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(minLen - 1))).as("i"))
+      .select(col("id"), col("t").substr(col("i"), lit(minLen)).as("gram"))
+      .distinct()
+    cand.join(grams.as("ga"), col("id_a") === col("ga.id"))
+      .join(grams.as("gb"),
+        col("id_b") === col("gb.id") && col("ga.gram") === col("gb.gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** DuckDB replay of [[sharedSubstringPairs]] over `textExpr` (so callers
     * can inject query-side text transforms identically on both engines).
+    * Also the oracle of [[winnowedSubstringPairs]], whose output is
+    * identical by the winnowing recall guarantee + exact verify.
     */
   def sharedSubstringDuckSql(textExpr: String, minLen: Int): String =
     s"""WITH d AS (

@@ -85,6 +85,26 @@ class GroupsSpec extends SparkSpec {
     assert(!got.exists { case (a, b, _) => a == 4L || b == 4L })
   }
 
+  test("winnowedSubstringPairs equals the all-positions plan exactly") {
+    // mixed corpus: verbatim boilerplate clusters + unrelated noise docs;
+    // ids chosen so sort order exercises ties
+    val base = "abcdefghij klmnopqrst uvwxyz0123 456789ABCD EFGHIJKLMN"
+    val docs = (1L to 30L).map { i =>
+      val noise = s"doc$i " + (1 to 12).map(j => ((i * 31 + j * 7) % 97).toString).mkString(" ")
+      val t =
+        if (i % 5 == 0) s"$noise $base tail$i" // cluster sharing `base`
+        else if (i % 7 == 0) s"$noise ${base.reverse} t$i" // second cluster
+        else noise + " filler content that never reaches thirty-two shared chars with others " + i
+      (i, t)
+    }.toDF("doc_id", "text")
+    val exact = Dedup.sharedSubstringPairs(docs, "doc_id", "text", 32)
+      .as[(Long, Long, Long)].collect().toSeq
+    val winnowed = Dedup.winnowedSubstringPairs(docs, "doc_id", "text", 32, gram = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(winnowed == exact)
+    assert(exact.nonEmpty) // the fixture really has shared-substring pairs
+  }
+
   test("bigramScore matches a hand-computed add-one-smoothed model") {
     val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
     val score = Seq((10L, "a b x"), (11L, "c")).toDF("doc_id", "text")

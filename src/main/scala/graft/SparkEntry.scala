@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Corpus, Dedup, Groups, LanguageModel, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Corpus, Dedup, Groups, LanguageModel, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -961,6 +961,12 @@ object SparkEntry {
       Dedup.winnowedSubstringPairs(boilerplateDocs(s, dir), "doc_id", "text",
         minLen = 32, gram = 8)),
 
+    // BPE tokenizer training: first 6 merges learned over the corpus —
+    // per-round pair counting runs on the (word, freq) vocabulary table,
+    // never the corpus; deterministic argmax tie-break (count DESC, lhs, rhs)
+    "tx_bpe_merges" -> ((s, dir) =>
+      Bpe.bpeMerges(T(s, dir, "documents"), "text", numMerges = 6)),
+
     // bigram-LM perplexity filter: add-one-smoothed model trained on
     // doc_id % 5 != 0, scoring the held-out % 5 == 0 slice (unseen bigrams
     // exercise the smoothing path)
@@ -1703,6 +1709,8 @@ object SparkEntry {
     "dd_substring_pairs" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
 
     "dd_substring_winnow" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
+
+    "tx_bpe_merges" -> Bpe.bpeMergesDuckSql(numMerges = 6),
 
     "tx_lm_score" ->
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0")

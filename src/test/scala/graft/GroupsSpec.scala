@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Groups, LanguageModel}
+import graft.pipeline.{Bpe, Dedup, Groups, LanguageModel}
 
 /** Near-dup group assembly, shared-substring pairs, and bigram-LM scoring. */
 class GroupsSpec extends SparkSpec {
@@ -103,6 +103,27 @@ class GroupsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(winnowed == exact)
     assert(exact.nonEmpty) // the fixture really has shared-substring pairs
+  }
+
+  test("bpeMerges replays classic BPE by hand on a tiny corpus") {
+    // corpus: "low low low lower lowest" — freq low:3 lower:1 lowest:1
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    val got = Bpe.bpeMerges(docs, "text", numMerges = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // step 1 pairs: (l,o):5 (o,w):5 (w,e):2 (e,r):1 (e,s):1 (s,t):1
+    //   tie 5/5 → lex (l,o) wins → symbols: lo w ...
+    // step 2: (lo,w):5 (w,e):2 ... → (lo,w) → low ...
+    // step 3: (low,e):2 (e,r):1 (e,s):1 (s,t):1 → (low,e)
+    assert(got == Seq((1, "l", "o", 5L), (2, "lo", "w", 5L), (3, "low", "e", 2L)))
+  }
+
+  test("bpeMerges greedy merge is leftmost non-overlapping (aaa case)") {
+    val docs = Seq((1L, "aaa aaa")).toDF("doc_id", "text")
+    val got = Bpe.bpeMerges(docs, "text", numMerges = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    // "aaa" freq 2: pairs (a,a) count 2·2=4 → merge → [aa, a] per word
+    // round 2 pairs: (aa,a) count 2 → merge → [aaa]
+    assert(got == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
   test("bigramScore matches a hand-computed add-one-smoothed model") {

@@ -967,6 +967,12 @@ object SparkEntry {
     "tx_bpe_merges" -> ((s, dir) =>
       Bpe.bpeMerges(T(s, dir, "documents"), "text", numMerges = 6)),
 
+    // the ENCODE side: tokenize the corpus with the 6 learned merges —
+    // per-doc word count and BPE token count via the vocabulary join
+    "tx_bpe_encode" -> ((s, dir) =>
+      Bpe.bpeTokenCounts(T(s, dir, "documents"), "doc_id", "text",
+        numMerges = 6)),
+
     // bigram-LM perplexity filter: add-one-smoothed model trained on
     // doc_id % 5 != 0, scoring the held-out % 5 == 0 slice (unseen bigrams
     // exercise the smoothing path)
@@ -1711,6 +1717,8 @@ object SparkEntry {
     "dd_substring_winnow" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
 
     "tx_bpe_merges" -> Bpe.bpeMergesDuckSql(numMerges = 6),
+
+    "tx_bpe_encode" -> Bpe.bpeTokenCountsDuckSql(numMerges = 6),
 
     "tx_lm_score" ->
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0")

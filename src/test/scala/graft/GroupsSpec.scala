@@ -126,6 +126,16 @@ class GroupsSpec extends SparkSpec {
     assert(got == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L)))
   }
 
+  test("bpeTokenCounts encodes with the learned merges") {
+    // after 3 merges on "low low low lower lowest": l+o, lo+w, low+e
+    // low → [low] (1), lower → [lowe, r] (2), lowest → [lowe, s, t] (3)
+    val docs = Seq((1L, "low low low lower lowest"), (2L, "low lowest"))
+      .toDF("doc_id", "text")
+    val got = Bpe.bpeTokenCounts(docs, "doc_id", "text", numMerges = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 3 * 1 + 2 + 3L), (2L, 2L, 1 + 3L)))
+  }
+
   test("bigramScore matches a hand-computed add-one-smoothed model") {
     val train = Seq((1L, "a b a b c")).toDF("doc_id", "text")
     val score = Seq((10L, "a b x"), (11L, "c")).toDF("doc_id", "text")

@@ -957,9 +957,13 @@ object SparkEntry {
     // the SAME contamination contract through the winnowed-fingerprint
     // scale path — hash-matches the identical oracle, proving the ~25×
     // cheaper plan exact
+    // gram = 24: on a small-vocabulary corpus short grams recur across
+    // most documents, so window-min fingerprints must be built over grams
+    // long enough to be selective (≈4-word runs) — recall for ≥32-char
+    // matches is guaranteed for ANY gram < minLen
     "dd_substring_winnow" -> ((s, dir) =>
       Dedup.winnowedSubstringPairs(boilerplateDocs(s, dir), "doc_id", "text",
-        minLen = 32, gram = 8)),
+        minLen = 32, gram = 24)),
 
     // BPE tokenizer training: first 6 merges learned over the corpus —
     // per-round pair counting runs on the (word, freq) vocabulary table,

@@ -764,21 +764,30 @@ object Dedup {
     * polynomial-hash collision. Fingerprinting is one O(n·gram) compiled
     * pass per document (monotonic-deque sliding min), emitting ~n/w
     * distinct fingerprints instead of n grams.
+    *
+    * Gram-size rule: recall is guaranteed for ANY gram < minLen, but
+    * SELECTIVITY is the gram's job — on a small-vocabulary corpus an
+    * 8-char gram recurs across most documents and its window minima become
+    * corpus-wide shared fingerprints, exploding the candidate pair set
+    * quadratically (measured: 277 s vs 7 s for the all-positions plan at
+    * sf0.1). Default gram = 3/4·minLen keeps fingerprints as-rare-as
+    * near-full-length runs while still winnowing ~4× of the volume.
     */
   def winnowedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
-      minLen: Int, gram: Int = 8): DataFrame = {
-    require(gram >= 2 && gram < minLen, "need 2 <= gram < minLen")
-    val w = minLen - gram + 1
+      minLen: Int, gram: Int = -1): DataFrame = {
+    val g = if (gram > 0) gram else math.max(2, minLen * 3 / 4)
+    require(g >= 2 && g < minLen, "need 2 <= gram < minLen")
+    val w = minLen - g + 1
     val fpUdf = udf((s: String) => {
       if (s == null || s.length < minLen) Array.empty[Long]
       else {
-        val n = s.length - gram + 1
+        val n = s.length - g + 1
         val hs = new Array[Long](n)
         var i = 0
         while (i < n) {
           var h = 7L
           var j = i
-          while (j < i + gram) { h = (h * 31 + s.charAt(j)) % 1000000007L; j += 1 }
+          while (j < i + g) { h = (h * 31 + s.charAt(j)) % 1000000007L; j += 1 }
           hs(i) = h
           i += 1
         }
@@ -801,12 +810,20 @@ object Dedup {
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the exact verify only needs grams of documents that appear in a
+    // candidate pair — semi-join the corpus down FIRST, so verify cost
+    // follows the candidate volume, never the corpus volume
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
     val grams = df.filter(length(col(textCol)) >= minLen)
-      .select(col(idCol).as("id"),
-        col(textCol).as("t"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(minLen - 1))).as("i"))
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .join(candIds, Seq("id"), "left_semi")
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - lit(minLen - 1))).as("i"))
       .select(col("id"), col("t").substr(col("i"), lit(minLen)).as("gram"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand.join(grams.as("ga"), col("id_a") === col("ga.id"))
       .join(grams.as("gb"),
         col("id_b") === col("gb.id") && col("ga.gram") === col("gb.gram"))

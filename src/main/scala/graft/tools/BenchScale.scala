@@ -217,7 +217,19 @@ object BenchScale {
       // rows grow N×, wall time must stay ~linear (shards sort independently)
       "tx_pack" ->
         (n => graft.pipeline.Packing.packPlacements(docsAt(n), "doc_id", "text",
-          512L, 8)))
+          512L, 8)),
+      // bigram-LM scoring: rotated alphabets give each copy its OWN
+      // vocabulary, so the model tables (uni/bi counts) and the scoring
+      // joins all grow N× — wall time must stay ~linear
+      "tx_lm" ->
+        (n => graft.pipeline.LanguageModel.bigramScore(
+          docsAt(n).filter(col("doc_id") % 5 =!= 0),
+          docsAt(n).filter(col("doc_id") % 5 === 0), "doc_id", "text")),
+      // winnowed substring contamination: per-copy rotation means grams
+      // never match across copies, so fingerprints, candidates, and the
+      // exact verify all grow ~N×
+      "dd_substr_winnow" ->
+        (n => Dedup.winnowedSubstringPairs(docsAt(n), "doc_id", "text", 32, 24)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Bpe, Corpus, Dedup, Groups, LanguageModel, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classify, Corpus, Dedup, Events, Groups, LanguageModel, Multimodal, Packing, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -262,6 +262,49 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           min(col("event_id")).as("min_ev"), max(col("event_id")).as("max_ev"))
         .orderBy(col("hour_idx"), col("event_type"))
+    }),
+
+    // gap sessionization (4 h): one shuffle on user_id, windows + session
+    // aggregate all inside that partitioning — see Events.sessionize
+    "ev_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs granularity (`div 1000`): DuckDB truncates the NANOS timestamp
+      // to TIMESTAMP (µs) on read, so the oracle can only see epoch_us
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("value"))
+      Events.sessionize(ev, 4L * 3600L * 1000000L)
+        .orderBy(col("user_id"), col("sess_seq"))
+    }),
+
+    // as-of join: each purchase ← latest strictly-prior click of the same
+    // user, as ONE window over the union (no join) — see Events.asofJoin
+    "ev_asof" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // µs granularity — see ev_sessions
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"), col("value"))
+      Events.asofJoin(ev, "purchase", "click").orderBy(col("event_id"))
+    }),
+
+    // deterministic HyperLogLog distinct sketch (p=8) per event_type, both
+    // grains (150 distinct users → linear-counting branch; ~2k event ids →
+    // raw-estimate branch), exact counts beside for the error story
+    "ev_hll" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fnv = udf((x: Long) => TextAnalysis.fnv1a64(x.toString))
+      val ev = T(s, dir, "events")
+      def sketch(c: String, metric: String) =
+        Events.hllEstimate(ev.select(col("event_type").as("g"), fnv(col(c)).as("h")))
+          .withColumn("metric", lit(metric))
+      def exact(c: String, metric: String) =
+        ev.groupBy(col("event_type").as("g"))
+          .agg(countDistinct(col(c)).as("n_exact")).withColumn("metric", lit(metric))
+      sketch("user_id", "users").unionByName(sketch("event_id", "events"))
+        .join(exact("user_id", "users").unionByName(exact("event_id", "events")),
+          Seq("g", "metric"))
+        .select(col("g").as("event_type"), col("metric"), col("n_exact"),
+          col("v_zero"), col("est"))
+        .orderBy(col("event_type"), col("metric"))
     }),
 
     // --------------------------------------------------- spatial searches
@@ -819,6 +862,14 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // SemDeDup: near-dup search restricted to coarse-quantizer clusters —
+    // Σ|cluster|² work instead of n², co-located by one shuffle on cid
+    "dd_semantic" -> ((s, dir) =>
+      Similarity.semanticNearDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding", 0.42, 16)
+        .select(col("cid").cast("long").as("cid"), col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // PRODUCTION simhash variant beside the 24-bit oracle gate: full 64-bit
     // FNV-token signature, pigeonhole banding (maxHamming+1 chunks ⇒ 16-bit
     // keys at r=3, selective at any corpus size). Rows-only at the driver
@@ -985,6 +1036,15 @@ object SparkEntry {
       LanguageModel.bigramScore(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    }),
+
+    // multinomial Naive Bayes lang classifier: train on the 4/5 slice,
+    // score the held-out 1/5 — model stays sharded on word keys
+    "tx_classify" -> ((s, dir) => {
+      val d = T(s, dir, "documents").select(col("doc_id").as("id"),
+        col("lang").as("label"), col("text"))
+      Classify.naiveBayes(
+        d.filter(col("id") % 5 =!= 0), d.filter(col("id") % 5 === 0))
     })
   )
 
@@ -1079,6 +1139,59 @@ object SparkEntry {
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type,
         |       count(*) AS n, min(event_id) AS min_ev, max(event_id) AS max_ev
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, value FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+        |                 OR tsn - lag(tsn) OVER w > 14400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+        |  FROM g
+        |)
+        |SELECT user_id, sess_seq, count(*) AS n_events,
+        |       min(tsn) AS t_start, max(tsn) AS t_end,
+        |       min(event_id) AS first_ev, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_asof" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events)
+        |SELECT x.event_id, x.user_id, x.tsn,
+        |  (SELECT y.event_id FROM e y
+        |   WHERE y.user_id = x.user_id AND y.event_type = 'click'
+        |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
+        |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1) AS r_ev,
+        |  round((SELECT y.value FROM e y
+        |   WHERE y.user_id = x.user_id AND y.event_type = 'click'
+        |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
+        |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1), 4) AS r_val
+        |FROM e x WHERE x.event_type = 'purchase' ORDER BY x.event_id""".stripMargin,
+
+    "ev_hll" -> {
+      def part(keyExpr: String, metric: String) =
+        s"""SELECT * FROM (
+           |  WITH hashed AS (SELECT event_type AS g,
+           |         ${Dedup.fnv64DuckSql(keyExpr)} AS h FROM events),
+           |  ${Events.hllDuckSql}
+           |  SELECT g AS event_type, '$metric' AS metric,
+           |         CAST(v_zero AS BIGINT) AS v_zero, est FROM hll_est)""".stripMargin
+      s"""WITH sk AS (
+         |  ${part("CAST(user_id AS VARCHAR)", "users")}
+         |  UNION ALL
+         |  ${part("CAST(event_id AS VARCHAR)", "events")}
+         |), ex AS (
+         |  SELECT event_type, 'users' AS metric, count(DISTINCT user_id) AS n_exact
+         |  FROM events GROUP BY 1
+         |  UNION ALL
+         |  SELECT event_type, 'events' AS metric, count(DISTINCT event_id) AS n_exact
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT sk.event_type, sk.metric, ex.n_exact, sk.v_zero, sk.est
+         |FROM sk JOIN ex ON sk.event_type = ex.event_type AND sk.metric = ex.metric
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     "sp_bbox_within" -> (PtsCte +
       """
@@ -1602,6 +1715,24 @@ object SparkEntry {
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // same quantizer CTEs as sim_ivf_topk, pair join within cluster
+    "dd_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id AS id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+        |  FROM e CROSS JOIN c
+        |), assign AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1
+        |)
+        |SELECT a.cid, a.id AS id_a, b.id AS id_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM assign a JOIN assign b ON a.cid = b.cid AND a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+        |ORDER BY id_a, id_b""".stripMargin,
+
     // SRP multi-probe replayed: plane matrix as literals, explicit
     // left-to-right dot sums (bit-identical signs), probe set = buckets
     // within Hamming 1 of the query's bucket
@@ -1725,7 +1856,10 @@ object SparkEntry {
     "tx_bpe_encode" -> Bpe.bpeTokenCountsDuckSql(numMerges = 6),
 
     "tx_lm_score" ->
-      LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0")
+      LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    "tx_classify" ->
+      Classify.naiveBayesDuckSql("id % 5 <> 0", "id % 5 = 0")
   )
 
   // ------------------------------------------------- generated oracle SQL

@@ -1,0 +1,157 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream batch analytics for a large-scale log/telemetry corpus:
+  * gap sessionization, as-of joins, and a deterministic HyperLogLog distinct
+  * sketch. All three are the batch siblings of the streaming operators in
+  * [[graft.streaming]] and scale the same way: one shuffle on the entity
+  * key, then per-partition window/aggregate work.
+  */
+object Events {
+
+  /** Gap-based sessionization: events more than `gapNs` apart (per user)
+    * start a new session. The classic two-window plan — `lag` marks breaks,
+    * a running sum numbers sessions — then one aggregate per session.
+    *
+    * Scale shape: ONE shuffle on `user_id`; both windows and the final
+    * `groupBy(user_id, sess_seq)` reuse that partitioning (no second
+    * exchange — the aggregate keys are a superset of the window partition
+    * key), so a 100 TB event log sessionizes in a single pass per key.
+    * Ordering is (tsn, event_id) so simultaneous events are deterministic.
+    */
+  def sessionize(events: DataFrame, gapNs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsn"), col("event_id"))
+    val brk = when(lag(col("tsn"), 1).over(w).isNull
+        || col("tsn") - lag(col("tsn"), 1).over(w) > gapNs, 1L).otherwise(0L)
+    events
+      .withColumn("brk", brk)
+      .withColumn("sess_seq",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsn")).as("t_start"), max(col("tsn")).as("t_end"),
+        min(col("event_id")).as("first_ev"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** As-of join without a join: attach to every `leftType` event the most
+    * recent strictly-prior `rightType` event of the same user. Both sides
+    * ride ONE window over the union — `last(..., ignoreNulls)` over
+    * `(-∞, -1)` in (tsn, event_id) order is exactly "latest prior" — so the
+    * plan is a single shuffle on `user_id` and no join at all. (The usual
+    * formulation — range join + per-row argmax — shuffles both sides AND
+    * sorts per pair; this piggyback shape is the one that survives 100 TB.)
+    */
+  def asofJoin(events: DataFrame, leftType: String, rightType: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsn"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val rightRow = when(col("event_type") === rightType,
+      struct(col("event_id").as("r_ev"), col("value").as("r_val")))
+    events
+      .filter(col("event_type").isin(leftType, rightType))
+      .withColumn("prior", last(rightRow, ignoreNulls = true).over(w))
+      .filter(col("event_type") === leftType)
+      .select(col("event_id"), col("user_id"), col("tsn"),
+        col("prior.r_ev").as("r_ev"),
+        round(col("prior.r_val"), 4).as("r_val"))
+  }
+
+  // ------------------------------------------------------------------ HLL
+
+  /** Register count (2^P) for [[hllEstimate]]. */
+  val HllP = 8
+  val HllM = 1 << HllP
+  /** alpha_m * m * m for m = 256 (Flajolet et al. 2007), as the exact double
+    * literal both engines multiply with.
+    */
+  val HllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / HllM) * HllM * HllM
+
+  /** Per-group HyperLogLog distinct estimate over a 64-bit hash column —
+    * fully deterministic (and therefore oracle-replayable): register = low
+    * P bits, rank = trailing-zero count of the remaining 56 bits + 1 (the
+    * least-significant-run variant of Flajolet-Martin; `bit_count((r & -r)
+    * - 1)` keeps it pure integer arithmetic — no log2, no UDF, identical
+    * bit-for-bit in any engine).
+    *
+    * The sketch is the 100 TB story: per (group, register) `max(rank)` is a
+    * map-side-combinable aggregate — 256 longs per group cross the wire
+    * regardless of input size, the same reason HLL is the industry sketch
+    * for distinct counts at scale. The harmonic sum is computed in
+    * DECIMAL(38,0) as Σ 2^(57-M) (every term exact, max 256·2^57 < 10^20),
+    * so the only floating-point steps are one division and the small-range
+    * linear-counting correction, both rounded to 4 decimals.
+    *
+    * `df` must have columns `g` (group) and `h` (long hash). Returns
+    * (g, v_zero, est) where est is the bias-corrected estimate.
+    */
+  def hllEstimate(df: DataFrame): DataFrame = {
+    val reg = col("h").bitwiseAND(lit((HllM - 1).toLong))
+    val rest = shiftrightunsigned(col("h"), HllP).bitwiseAND(lit((1L << 56) - 1))
+    val rank = when(rest === 0L, lit(57L))
+      .otherwise(expr(s"bit_count((($restSql) & -($restSql)) - 1)") + 1L)
+    // max-rank per materialized register; empty registers (M=0) come back
+    // via the dense 0..m-1 frame so V (zero count) and the 2^57 terms exist
+    val maxr = df.select(col("g"), reg.as("reg"), rank.as("rank"))
+      .groupBy("g", "reg").agg(max(col("rank")).as("m"))
+    val groups = df.select(col("g")).distinct()
+    val frame = groups.crossJoin(spark_range(HllM))
+    val dense = frame.join(maxr, Seq("g", "reg"), "left")
+      .select(col("g"), coalesce(col("m"), lit(0L)).as("m"))
+    dense.groupBy("g")
+      .agg(sum(when(col("m") === 0L, 1L).otherwise(0L)).as("v_zero"),
+        sum(expr("cast(shiftleft(cast(1 as bigint), cast(57 - m as int)) as decimal(38,0))")).as("s"))
+      .select(col("g"), col("v_zero"),
+        round(
+          when(col("v_zero") > 0 && rawEst(col("s")) <= lit(2.5 * HllM),
+            lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+            .otherwise(rawEst(col("s"))), 4).as("est"))
+  }
+
+  /** alpha·m²·2^57 / S — S's terms are exact powers of two so the cast and
+    * single division are the only rounding steps.
+    */
+  private def rawEst(s: Column): Column =
+    lit(HllAlphaM2 * math.pow(2.0, 57)) / s.cast("double")
+
+  private val restSql = s"shiftrightunsigned(h, $HllP) & ${(1L << 56) - 1}"
+
+  /** 0..m-1 register frame as a single-column DataFrame named `reg`. */
+  private def spark_range(m: Int): DataFrame = {
+    val cols = sequence(lit(0L), lit(m.toLong - 1))
+    // explode of a literal sequence avoids needing the SparkSession here
+    org.apache.spark.sql.SparkSession.active.range(1).select(explode(cols).as("reg"))
+  }
+
+  /** DuckDB replay of [[hllEstimate]] given a CTE `hashed(g, h)` with h
+    * UBIGINT: emits CTEs `hll_regs`, `hll_dense`, `hll_est(g, v_zero, est)`.
+    * Mirrors the Scala arithmetic exactly (integer rank, decimal harmonic
+    * sum, one double division, linear-counting branch, round 4).
+    */
+  def hllDuckSql: String = {
+    val m = HllM
+    val rest = s"CAST((h // ${1L << HllP}) & ${(1L << 56) - 1} AS BIGINT)"
+    s"""hll_regs AS (
+       |  SELECT g, CAST(h % $m AS BIGINT) AS reg,
+       |         max(CASE WHEN ($rest) = 0 THEN 57
+       |                  ELSE bit_count((($rest) & -($rest)) - 1) + 1 END) AS mrank
+       |  FROM hashed GROUP BY 1, 2
+       |), hll_dense AS (
+       |  SELECT gg.g, r.reg, coalesce(hr.mrank, 0) AS m
+       |  FROM (SELECT DISTINCT g FROM hashed) gg
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS reg) r
+       |  LEFT JOIN hll_regs hr ON hr.g = gg.g AND hr.reg = r.reg
+       |), hll_est AS (
+       |  SELECT g, v_zero,
+       |    round(CASE WHEN v_zero > 0 AND ($HllAlphaM2 * ${math.pow(2.0, 57)} / s) <= ${2.5 * m}
+       |          THEN ${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE)
+       |          ELSE $HllAlphaM2 * ${math.pow(2.0, 57)} / s END, 4) AS est
+       |  FROM (
+       |    SELECT g, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero,
+       |           sum(CAST(power(2, 57 - m) AS HUGEINT))::DOUBLE AS s
+       |    FROM hll_dense GROUP BY g)
+       |)""".stripMargin
+  }
+}

@@ -225,12 +225,38 @@ object Similarity {
     */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    val cents: Array[(Int, Array[Double])] =
-      df.orderBy(col(idCol)).limit(nlist)
-        .select(col(vecCol)).collect()
-        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
-    ivfTopKWith(df, idCol, vecCol, query, k, cents, nprobe)
+    ivfTopKWith(df, idCol, vecCol, query, k,
+      deterministicCentroids(df, idCol, vecCol, nlist), nprobe)
   }
+
+  private def centCos(a: Array[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** nearest-centroid-by-cosine assignment (strict > keeps the lowest
+    * centroid id on ties) — shared by the IVF probes and SemDeDup.
+    */
+  private def nearestCentroidUdf(cents: Array[(Int, Array[Double])]) =
+    udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble)
+      var best = 0; var bestS = Double.NegativeInfinity
+      cents.foreach { case (ci, cv) =>
+        val s = centCos(cv, vd)
+        if (s > bestS) { bestS = s; best = ci }
+      }
+      best
+    })
+
+  /** first `nlist` vectors by id — the reproducible coarse quantizer. */
+  private def deterministicCentroids(df: DataFrame, idCol: String,
+      vecCol: String, nlist: Int): Array[(Int, Array[Double])] =
+    df.orderBy(col(idCol)).limit(nlist)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).map(_.toDouble).toArray) }
 
   /** assign-to-nearest-list / probe / exact-re-rank dataflow shared by the
     * deterministic-centroid and k-means IVF variants.
@@ -238,23 +264,8 @@ object Similarity {
   private def ivfTopKWith(df: DataFrame, idCol: String, vecCol: String,
       query: Array[Double], k: Int, cents: Array[(Int, Array[Double])],
       nprobe: Int): DataFrame = {
-    def cos(a: Array[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      val n = math.min(a.length, b.length)
-      var i = 0
-      while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val assign = udf((v: Seq[Float]) => {
-      val vd = v.map(_.toDouble)
-      var best = 0; var bestS = Double.NegativeInfinity
-      cents.foreach { case (ci, cv) =>
-        val s = cos(cv, vd)
-        if (s > bestS) { bestS = s; best = ci } // strict > keeps lowest id on ties
-      }
-      best
-    })
-    val probes = cents.map { case (ci, cv) => (ci, cos(cv, query.toSeq)) }
+    val assign = nearestCentroidUdf(cents)
+    val probes = cents.map { case (ci, cv) => (ci, centCos(cv, query.toSeq)) }
       .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
     val qlit = array(query.map(lit): _*)
     df.withColumn("list_id", assign(col(vecCol)))
@@ -353,6 +364,29 @@ object Similarity {
     cand.withColumn("cosine", cosine(asDouble(col("v_a")), asDouble(col("v_b"))))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540): cluster the embedding space
+    * coarsely, then search for near-duplicate pairs ONLY within a cluster —
+    * the semantic-dedup recall/cost trade that makes embedding dedup
+    * tractable at corpus scale. Work drops from O(n²) to Σ|cluster|²; on a
+    * cluster the per-cid groups co-locate through one shuffle on `cid`, and
+    * a table written PARTITIONED BY cid dedups each partition independently.
+    * Centroids are the deterministic first-`nlist` vectors by id (same
+    * quantizer as [[ivfTopK]], so the assignment is oracle-replayable; swap
+    * in [[kmeansCentroids]] in production — identical dataflow).
+    */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nlist: Int = 16): DataFrame = {
+    val assign = nearestCentroidUdf(deterministicCentroids(df, idCol, vecCol, nlist))
+    val a = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("cid", assign(col("vec")))
+    val l = a.select(col("cid"), col("id").as("id_a"), col("vec").as("v_a"))
+    val r = a.select(col("cid"), col("id").as("id_b"), col("vec").as("v_b"))
+    l.join(r, "cid").filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", cosine(asDouble(col("v_a")), asDouble(col("v_b"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("cid"), col("id_a"), col("id_b"), col("cosine"))
   }
 
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =

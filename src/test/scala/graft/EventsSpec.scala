@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Classify, Events, Similarity, TextAnalysis}
+
+/** Unit coverage for the event-analytics + classifier operators added in
+  * round 4: sessionization boundaries, as-of strict-prior semantics, HLL
+  * estimator accuracy on both correction branches, SemDeDup subset/recall
+  * properties, and Naive Bayes accuracy on a separable corpus.
+  */
+class EventsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ sessionize
+
+  private def ev(user: Long, id: Long, t: Long, v: Double = 1.0,
+      typ: String = "view") = (user, id, t, typ, v)
+
+  test("sessionize splits on gap, aggregates per session") {
+    // user 1: events at t=0,10,20 (one session), t=1000 (new session)
+    // user 2: single event
+    val events = Seq(
+      ev(1, 1, 0), ev(1, 2, 10), ev(1, 3, 20), ev(1, 4, 1000),
+      ev(2, 5, 500)
+    ).toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val out = Events.sessionize(events, gapNs = 100)
+      .orderBy("user_id", "sess_seq")
+      .select("user_id", "sess_seq", "n_events", "t_start", "t_end", "first_ev")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 0L, 20L, 1L),
+      (1L, 2L, 1L, 1000L, 1000L, 4L),
+      (2L, 1L, 1L, 500L, 500L, 5L)))
+  }
+
+  test("sessionize boundary: a gap of exactly gapNs does NOT split") {
+    val events = Seq(ev(1, 1, 0), ev(1, 2, 100), ev(1, 3, 201))
+      .toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val out = Events.sessionize(events, gapNs = 100)
+    // 0→100 = gap 100 (kept), 100→201 = gap 101 (split)
+    assert(out.count() == 2)
+  }
+
+  // -------------------------------------------------------------- asofJoin
+
+  test("asofJoin attaches latest strictly-prior right event per user") {
+    val events = Seq(
+      ev(1, 1, 10, 5.0, "click"),
+      ev(1, 2, 20, 6.0, "click"),
+      ev(1, 3, 30, 0.0, "purchase"),   // sees click 2
+      ev(1, 4, 40, 7.0, "click"),
+      ev(1, 5, 40, 0.0, "purchase"),   // same ts as click 4, click id smaller → sees 4
+      ev(2, 6, 99, 0.0, "purchase")    // no click for user 2 → null
+    ).toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val out = Events.asofJoin(events, "purchase", "click")
+      .select("event_id", "r_ev").as[(Long, Option[Long])].collect().toMap
+    assert(out(3L) == Some(2L))
+    assert(out(5L) == Some(4L))
+    assert(out(6L) == None)
+  }
+
+  test("asofJoin equal-ts right event with LARGER id is not prior") {
+    val events = Seq(
+      ev(1, 2, 40, 0.0, "purchase"),
+      ev(1, 9, 40, 7.0, "click")  // same ts, larger event_id → not visible
+    ).toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val out = Events.asofJoin(events, "purchase", "click")
+      .select("r_ev").as[Option[Long]].head()
+    assert(out.isEmpty)
+  }
+
+  // ------------------------------------------------------------------- HLL
+
+  test("HLL estimate within 3 sigma on the raw branch (n=5000)") {
+    val df = spark.range(5000)
+      .select(lit("g").as("g"),
+        udf((x: Long) => TextAnalysis.fnv1a64(x.toString)).apply(col("id")).as("h"))
+    val (vZero, est) = Events.hllEstimate(df)
+      .select("v_zero", "est").as[(Long, Double)].head()
+    // sigma ≈ 1.04/sqrt(256) ≈ 6.5%; 3 sigma ≈ 20%
+    assert(math.abs(est - 5000) / 5000.0 < 0.20, s"est=$est vZero=$vZero")
+  }
+
+  test("HLL linear-counting branch is near-exact for small n (n=40)") {
+    val df = spark.range(40)
+      .select(lit("g").as("g"),
+        udf((x: Long) => TextAnalysis.fnv1a64(x.toString)).apply(col("id")).as("h"))
+    val est = Events.hllEstimate(df).select("est").as[Double].head()
+    // m·ln(m/V) with V ≥ 216: relative error ≲ 8% at this occupancy
+    assert(math.abs(est - 40) / 40.0 < 0.10, s"est=$est")
+  }
+
+  test("HLL register math: known hash lands in the right register/rank") {
+    // h = 0b...1_00000000: reg 0, rest = 1 → rank 1... construct directly
+    val df = Seq(("g", 256L), ("g", 512L)).toDF("g", "h")
+    // 256 >> 8 = 1 → trailing zeros 0 → rank 1; 512 >> 8 = 2 → rank 2
+    // both land in register 0; max rank = 2; V = 255
+    val (vZero, est) = Events.hllEstimate(df)
+      .select("v_zero", "est").as[(Long, Double)].head()
+    assert(vZero == 255L)
+    assert(est == math.rint(256.0 * math.log(256.0 / 255.0) * 10000) / 10000)
+  }
+
+  // -------------------------------------------------------------- SemDeDup
+
+  test("semantic pairs are a subset of exact pairs; within-cluster recall is total") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(8)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    // 40 vectors: small perturbations of 8 bases → plenty of near-dups
+    val vecs = (0 until 40).map { i =>
+      val b = base(i % 8)
+      (i.toLong, b.map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.exactNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding", 0.9, nlist = 4)
+    val semPairs = sem.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(semPairs.subsetOf(exact), "semantic pair not in exact set")
+    // recall contract: any exact pair whose two members share a cluster is found
+    val assign = Similarity.semanticNearDupPairs(vecs, "vec_id", "embedding", -2.0, nlist = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet // all same-cluster pairs
+    val sameCluster = exact.intersect(assign)
+    assert(sameCluster.subsetOf(semPairs), "missed a same-cluster exact pair")
+    assert(semPairs.nonEmpty)
+  }
+
+  // ----------------------------------------------------------- Naive Bayes
+
+  test("Naive Bayes separable corpus: perfect held-out accuracy") {
+    val mk = (id: Long, label: String, words: String) => (id, label, words)
+    val rows = (0L until 40L).map { i =>
+      if (i % 2 == 0) mk(i, "aa", "alpha beta gamma alpha " + s"w${i % 5}")
+      else mk(i, "bb", "delta epsilon zeta delta " + s"v${i % 5}")
+    }
+    val df = rows.toDF("id", "label", "text")
+    val out = Classify.naiveBayes(
+      df.filter(col("id") % 5 =!= 0), df.filter(col("id") % 5 === 0))
+    val res = out.select("id", "predicted", "correct").as[(Long, String, Boolean)].collect()
+    assert(res.length == 8)
+    assert(res.forall(_._3), s"misclassified: ${res.filterNot(_._3).mkString(",")}")
+    // margins strictly positive on a separable corpus
+    val margins = out.select("margin").as[Double].collect()
+    assert(margins.forall(_ > 0))
+  }
+
+  test("Naive Bayes doc with only OOV words falls back to priors") {
+    val train = Seq((1L, "aa", "alpha beta"), (2L, "aa", "alpha"), (3L, "bb", "delta"))
+      .toDF("id", "label", "text")
+    val score = Seq((10L, "aa", "unseen tokens here")).toDF("id", "label", "text")
+    val out = Classify.naiveBayes(train, score)
+      .select("predicted").as[String].head()
+    // all-OOV doc scores l as ln P(l) − 3·ln(n_l + V): aa = ln(2/3) − 3·ln 6
+    // ≈ −5.78, bb = ln(1/3) − 3·ln 4 ≈ −5.26 — bb's smaller token mass wins
+    assert(out == "bb")
+  }
+}

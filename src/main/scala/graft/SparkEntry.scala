@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Bpe, Classify, Corpus, Dedup, Events, Groups, LanguageModel, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classify, Corpus, Dedup, Events, Groups, LanguageModel, Multimodal, Packing, PageRank, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -305,6 +305,32 @@ object SparkEntry {
         .select(col("g").as("event_type"), col("metric"), col("n_exact"),
           col("v_zero"), col("est"))
         .orderBy(col("event_type"), col("metric"))
+    }),
+
+    // exact interpolated percentiles of the event value per type — the
+    // oracle-checkable variant; at 100 TB swap in approx_percentile (KLL
+    // sketch, same call shape) since exact percentile buffers each group
+    "ev_quantiles" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      T(s, dir, "events").groupBy(col("event_type"))
+        .agg(expr("percentile(value, array(0.5D, 0.9D, 0.99D))").as("q"))
+        .select(col("event_type"),
+          round(col("q")(0), 6).as("p50"), round(col("q")(1), 6).as("p90"),
+          round(col("q")(2), 6).as("p99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // PageRank over the customer↔supplier trade graph (distinct pairs from
+    // lineitem⋈orders, both directions, parity-disambiguated node ids) —
+    // see pipeline/PageRank.scala for the per-iteration plan shape
+    "gr_pagerank" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      PageRank.pageRank(edges, iters = 3, damping = 0.85)
+        .orderBy(col("rank").desc, col("node")).limit(25)
     }),
 
     // --------------------------------------------------- spatial searches
@@ -1192,6 +1218,17 @@ object SparkEntry {
          |FROM sk JOIN ex ON sk.event_type = ex.event_type AND sk.metric = ex.metric
          |ORDER BY 1, 2""".stripMargin
     },
+
+    // quantile_cont and Spark's `percentile` share the same rank = p·(n−1)
+    // linear interpolation on the sorted values
+    "ev_quantiles" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90,
+        |       round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "gr_pagerank" -> PageRank.pageRankDuckSql(iters = 3, damping = 0.85, topK = 25),
 
     "sp_bbox_within" -> (PtsCte +
       """

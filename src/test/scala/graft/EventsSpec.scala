@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Classify, Events, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Events, PageRank, Similarity, TextAnalysis}
 
 /** Unit coverage for the event-analytics + classifier operators added in
   * round 4: sessionization boundaries, as-of strict-prior semantics, HLL
@@ -122,6 +122,23 @@ class EventsSpec extends SparkSpec {
     val sameCluster = exact.intersect(assign)
     assert(sameCluster.subsetOf(semPairs), "missed a same-cluster exact pair")
     assert(semPairs.nonEmpty)
+  }
+
+  // -------------------------------------------------------------- PageRank
+
+  test("pageRank on a symmetric star: mass conserved, hub dominates") {
+    val spokes = (1L to 5L)
+    val edges = spokes.flatMap(s => Seq((0L, s), (s, 0L))).toDF("src", "dst")
+    val ranks = PageRank.pageRank(edges, iters = 10)
+      .select("node", "rank").as[(Long, Double)].collect().toMap
+    // symmetric graph, no dangling nodes → total rank mass stays 1
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-9)
+    val hub = ranks(0L)
+    spokes.foreach { s =>
+      assert(hub > ranks(s), s"hub $hub should outrank spoke ${ranks(s)}")
+    }
+    // spokes are symmetric → identical ranks
+    assert(spokes.map(ranks).toSet.size == 1)
   }
 
   // ----------------------------------------------------------- Naive Bayes

@@ -605,6 +605,16 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // image near-dup dedup via pHash banding; every 9th id reuses the bytes
+    // of id−3, so exact-dup images exist under distinct ids (with the FNV
+    // stub decode only byte-identical media collide — see phash64 scaladoc)
+    "mm_phash" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300,
+        i => if (i % 9 == 3) i - 3 else i)
+      Multimodal.phashNearDupPairs(media, maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ====================================== §2 operator-coverage additions
     // ApplyAffineTransformation (ApplyAffineTransformation.java:30-55):
     // scale+translate on exact lattice coords — exact double arithmetic
@@ -1462,6 +1472,8 @@ object SparkEntry {
 
     "mm_decode" -> MmDecodeSql,
 
+    "mm_phash" -> MmPhashSql,
+
     "sp_density_islands" -> DensityIslandsSql,
 
     // ------------------------------------------------ §2 coverage oracles
@@ -2003,6 +2015,52 @@ object SparkEntry {
       |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
       |FROM chain WHERE step > 64
       |GROUP BY media_id ORDER BY media_id""".stripMargin
+
+  /** mm_phash oracle: the 8×8 stub decode replayed (same FNV chain as
+    * MmDecodeSql, 64 byte steps + 64 pixel steps) with the seed remapped to
+    * id−3 for every 9th id, then the mean-threshold signature and an
+    * all-pairs Hamming join — valid against the Spark banded plan because
+    * pigeonhole banding at (maxHamming+1) chunks has total recall. The
+    * 64-pixel mean is EXACT in any summation order (float values cast to
+    * double need < 40 mantissa bits), so the `px > mean` bits agree.
+    */
+  private val MmPhashSql: String =
+    """WITH RECURSIVE chain(media_id, step, state) AS (
+      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i) WHERE i % 3 = 0
+      |  UNION ALL
+      |  SELECT media_id, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64
+      |        THEN CASE WHEN ((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                        * 31 + step * 7) % 251 >= 128
+      |             THEN 18446744073709551360
+      |                  + ((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                     * 31 + step * 7) % 251
+      |             ELSE ((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                   * 31 + step * 7) % 251 END
+      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 128
+      |), px AS (
+      |  SELECT media_id, step - 65 AS j,
+      |         CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |              / CAST(255 AS FLOAT) AS DOUBLE) AS px
+      |  FROM chain WHERE step > 64
+      |), mn AS (
+      |  SELECT media_id, avg(px) AS mean FROM px GROUP BY 1
+      |), sigs AS (
+      |  SELECT p.media_id,
+      |         CAST(sum(CASE WHEN p.px > m.mean
+      |                       THEN CAST(power(2, p.j) AS HUGEINT) ELSE 0 END) AS UBIGINT) AS sig
+      |  FROM px p JOIN mn m ON p.media_id = m.media_id
+      |  GROUP BY 1
+      |)
+      |SELECT a.media_id AS id_a, b.media_id AS id_b,
+      |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      |FROM sigs a JOIN sigs b ON a.media_id < b.media_id
+      |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** mm_audio oracle: sampleWaveform's stub decode replayed for audio-kind
     * rows (i % 3 = 1) — the SAME chain as MmDecodeSql; sample index

@@ -113,14 +113,70 @@ object Multimodal {
       .toDF("media_id", "window_idx", "sample_sum", "peak")
   }
 
-  /** Synthesize a deterministic media table from any source table (for tests
-    * and benchmarks — the container has no real media files).
+  /** Perceptual-hash signature per image row: decode to an 8×8 pseudo-pixel
+    * grid, bit j = pixel j above the image mean — the mean-threshold aHash
+    * variant of pHash. With a REAL decoder visually-similar images map to
+    * nearby signatures; with the FNV stub only byte-identical media collide
+    * (FNV avalanches) — the dedup machinery downstream is what's exercised.
+    * The mean is exact in both engines: 64 pixel values are floats cast to
+    * double (24-bit mantissas, ≤ 8 bits of exponent spread), so the sum
+    * needs < 40 mantissa bits — no rounding in any summation order.
     */
-  def syntheticMedia(spark: SparkSession, n: Int): DataFrame = {
+  def phash64(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    decodeAndFeaturize(df.filter(col("kind") === "image"), 8, 8)
+      .select(col("media_id"), col("pixels")).as[(Long, Seq[Float])]
+      .map { case (id, px) =>
+        var sum = 0.0
+        px.foreach(v => sum += v.toDouble)
+        val mean = sum / px.length
+        var sig = 0L
+        var j = 0
+        while (j < px.length) { if (px(j) > mean) sig |= (1L << j); j += 1 }
+        (id, sig)
+      }.toDF("media_id", "sig")
+  }
+
+  /** Image near-dup pairs by pHash Hamming distance ≤ `maxHamming`:
+    * pigeonhole banding ((maxHamming+1) chunks — any qualifying pair shares
+    * at least one chunk, total recall) + codegen `bit_count(a ^ b)` verify.
+    * The banded self-join keys are (chunk_idx, chunk_value) — selective at
+    * any corpus size, same scale shape as the simhash text path
+    * (Dedup.scala pigeonhole banding).
+    */
+  def phashNearDupPairs(df: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sigs = phash64(df)
+    val chunks = maxHamming + 1
+    val bits = 64 / chunks
+    val exploded = sigs.select(col("media_id"), col("sig"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"), shiftrightunsigned(col("sig"), c * bits)
+          .bitwiseAND(lit((1L << bits) - 1)).as("v"))): _*)).as("ch"))
+      .select(col("media_id"), col("sig"), col("ch.c").as("c"), col("ch.v").as("v"))
+    exploded.as("l").join(exploded.as("r"),
+        col("l.c") === col("r.c") && col("l.v") === col("r.v") &&
+        col("l.media_id") < col("r.media_id"))
+      .select(col("l.media_id").as("id_a"), col("r.media_id").as("id_b"),
+        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** Synthesize a deterministic media table from any source table (for tests
+    * and benchmarks — the container has no real media files). `seedOf`
+    * remaps the byte-content seed so callers can inject exact-duplicate
+    * media under distinct ids (the dedup fixtures).
+    */
+  def syntheticMedia(spark: SparkSession, n: Int,
+      seedOf: Long => Long = identity): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-      val bytes = Array.tabulate[Byte](64)(j => ((i * 31 + j * 7) % 251).toByte)
+      val s = seedOf(i)
+      val bytes = Array.tabulate[Byte](64)(j => ((s * 31 + j * 7) % 251).toByte)
       (i, kind, bytes)
     }.toDF("media_id", "kind", "bytes")
       .withColumn("meta", struct(

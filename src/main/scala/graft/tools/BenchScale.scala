@@ -126,6 +126,43 @@ object BenchScale {
       .select(col("id"), st.envelope(col("g")).as("geometry"))
       .withColumn("bbox", st.bboxOf(col("geometry")))
 
+    // events at N×: copies offset user/event ids, keep timestamps — each
+    // copy's session structure repeats, so sessions grow exactly N×
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("tsn"), col("value"))
+    def evPath(n: Int) = s"$scaleDir/events${n}x.parquet"
+    rungs.foreach { n =>
+      synth(evPath(n)) {
+        (0 until n).map { c =>
+          ev1.select((col("user_id") + lit(c.toLong * 10_000_000L)).as("user_id"),
+            (col("event_id") + lit(c.toLong * 1_000_000_000L)).as("event_id"),
+            col("tsn"), col("value"))
+        }.reduce(_ unionByName _)
+      }
+    }
+    def evAt(n: Int) = if (n == 1) ev1 else spark.read.parquet(evPath(n))
+
+    // trade-graph edges at N×: node-id offsets per copy → N disjoint graph
+    // copies; ranks per copy identical, work grows with the edge count
+    val eraw1 = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+    }
+    def edgesPath(n: Int) = s"$scaleDir/edges${n}x.parquet"
+    (1 +: rungs).foreach { n =>
+      synth(edgesPath(n)) {
+        (0 until n).map { c =>
+          val off = lit(c.toLong * 100_000_000L)
+          val e = eraw1.select((col("src") + off).as("src"), (col("dst") + off).as("dst"))
+          e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        }.reduce(_ unionByName _)
+      }
+    }
+    def edgesAt(n: Int) = spark.read.parquet(edgesPath(n))
+
     def docsAt(n: Int) = if (n == 1) docs1 else spark.read.parquet(docsPath(n))
     def embAt(n: Int) = if (n == 1) emb1 else spark.read.parquet(embPath(n))
     def ptsAt(n: Int) = spark.read.parquet(ptsPath(n))
@@ -229,7 +266,15 @@ object BenchScale {
       // never match across copies, so fingerprints, candidates, and the
       // exact verify all grow ~N×
       "dd_substr_winnow" ->
-        (n => Dedup.winnowedSubstringPairs(docsAt(n), "doc_id", "text", 32, 24)))
+        (n => Dedup.winnowedSubstringPairs(docsAt(n), "doc_id", "text", 32, 24)),
+      // gap sessionization: one shuffle on user_id, windows + session agg
+      // inside it — sessions grow exactly N× (disjoint per-copy users)
+      "ev_sessions" ->
+        (n => graft.pipeline.Events.sessionize(evAt(n), 4L * 3600L * 1000000L)),
+      // 3 PageRank rounds over N disjoint graph copies: per-iteration
+      // edges⋈ranks + dst-sum, work ∝ edges
+      "gr_pagerank" ->
+        (n => graft.pipeline.PageRank.pageRank(edgesAt(n), iters = 3)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

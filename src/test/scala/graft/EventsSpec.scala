@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Classify, Events, PageRank, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, Events, Multimodal, PageRank, Similarity, TextAnalysis}
 
 /** Unit coverage for the event-analytics + classifier operators added in
   * round 4: sessionization boundaries, as-of strict-prior semantics, HLL
@@ -139,6 +139,24 @@ class EventsSpec extends SparkSpec {
     }
     // spokes are symmetric → identical ranks
     assert(spokes.map(ranks).toSet.size == 1)
+  }
+
+  // ----------------------------------------------------------------- pHash
+
+  test("phash near-dup finds byte-identical images, nothing else (stub decode)") {
+    // every 9th id reuses the bytes of id−3 → image pairs (0,3),(9,12),(18,21)
+    val media = Multimodal.syntheticMedia(spark, 30, i => if (i % 9 == 3) i - 3 else i)
+    val pairs = Multimodal.phashNearDupPairs(media, maxHamming = 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((0L, 3L, 0), (9L, 12L, 0), (18L, 21L, 0)))
+  }
+
+  test("phash signature is stable and 64-bit distributed") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val sigs = Multimodal.phash64(media).select("sig").as[Long].collect()
+    assert(sigs.distinct.length == sigs.length) // FNV avalanche: all distinct
+    // mean-threshold: each signature has 1..63 bits set (never none/all)
+    sigs.foreach(s => assert(java.lang.Long.bitCount(s) > 0 && java.lang.Long.bitCount(s) < 64))
   }
 
   // ----------------------------------------------------------- Naive Bayes

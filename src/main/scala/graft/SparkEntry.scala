@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{GeoFrame, SpatialAggs}
 import graft.functions.st
 import graft.geom.GeomCodec
-import graft.pipeline.{Bpe, Classify, Corpus, Dedup, Events, Groups, LanguageModel, Multimodal, Packing, PageRank, Similarity, TextAnalysis}
+import graft.pipeline.{Bpe, Classify, Corpus, CountMin, Dedup, Events, Graphs, Groups, LanguageModel, Multimodal, Packing, PageRank, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -331,6 +331,51 @@ object SparkEntry {
       val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
       PageRank.pageRank(edges, iters = 3, damping = 0.85)
         .orderBy(col("rank").desc, col("node")).limit(25)
+    }),
+
+    // ordered funnel view → click → purchase within 48 h of the first
+    // view — chained running-min windows, one shuffle (Events.funnel)
+    "ev_funnel" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"))
+      Events.funnel(ev, Seq("view", "click", "purchase"), 48L * 3600L * 1000000L)
+        .orderBy(col("stage"))
+    }),
+
+    // cohort retention: first-active-day cohorts × day offset — the
+    // user-growth matrix every analytics stack reports (Events.retention)
+    "ev_retention" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"),
+        expr("ts div 1000").as("tsn"))
+      Events.retention(ev).orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Count-Min frequency sketch vs exact counts: per-user event counts
+    // estimated from a fixed 4×512 counter grid (est ≥ exact always; the
+    // sketch build is map-side combinable — the 100 TB frequency story)
+    "ev_cms" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events")
+      val sk = CountMin.sketch(ev, "user_id")
+      val exact = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      CountMin.estimate(exact.select("user_id"), "user_id", sk)
+        .join(exact, "user_id")
+        .select(col("user_id"), col("n_exact"), col("cms_est"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(20)
+    }),
+
+    // triangle counts over the part co-order graph (parts appearing in the
+    // same order) via degree-ordered orientation — see pipeline/Graphs
+    "gr_triangles" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graphs.triangleCounts(edges)
+        .orderBy(col("n_tri").desc, col("node")).limit(25)
     }),
 
     // --------------------------------------------------- spatial searches
@@ -1239,6 +1284,80 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "gr_pagerank" -> PageRank.pageRankDuckSql(iters = 3, damping = 0.85, topK = 25),
+
+    // stage-k time = min event of that type strictly after stage k−1 and
+    // within the horizon of stage 1 — the join formulation is equivalent to
+    // the Spark chained-running-min windows (proof sketch at Events.funnel:
+    // in (tsn, event_id) order the earliest qualifying predecessor is
+    // always ordered before any row it can qualify)
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type FROM events),
+        |c1 AS (SELECT user_id, min(tsn) AS ts0 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c2 AS (SELECT e.user_id, min(e.tsn) AS ts1
+        |       FROM e JOIN c1 ON e.user_id = c1.user_id
+        |       WHERE e.event_type = 'click' AND e.tsn > c1.ts0
+        |         AND e.tsn <= c1.ts0 + 172800000000 GROUP BY 1),
+        |c3 AS (SELECT e.user_id, min(e.tsn) AS ts2
+        |       FROM e JOIN c2 ON e.user_id = c2.user_id
+        |            JOIN c1 ON e.user_id = c1.user_id
+        |       WHERE e.event_type = 'purchase' AND e.tsn > c2.ts1
+        |         AND e.tsn <= c1.ts0 + 172800000000 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS event_type,
+        |       (SELECT count(*) FROM c1) AS n_users,
+        |       round((SELECT count(*) FROM c1)::DOUBLE / (SELECT count(*) FROM c1), 6) AS conv
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT count(*) FROM c2),
+        |       round((SELECT count(*) FROM c2)::DOUBLE / (SELECT count(*) FROM c1), 6)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT count(*) FROM c3),
+        |       round((SELECT count(*) FROM c3)::DOUBLE / (SELECT count(*) FROM c1), 6)
+        |ORDER BY stage""".stripMargin,
+
+    "ev_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |       count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "ev_cms" -> {
+      def cases(k: String) = (0 until CountMin.Depth)
+        .map(r => s"WHEN $r THEN ${CountMin.bucketDuckSql(k, r)}").mkString(" ")
+      s"""WITH ex AS (SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1),
+         |rr AS (SELECT unnest(range(${CountMin.Depth})) AS r),
+         |cells AS (
+         |  SELECT rr.r, CASE rr.r ${cases("user_id")} END AS b, count(*) AS cnt
+         |  FROM events CROSS JOIN rr GROUP BY 1, 2
+         |), est AS (
+         |  SELECT ex.user_id, min(c.cnt) AS cms_est
+         |  FROM ex CROSS JOIN rr
+         |  JOIN cells c ON c.r = rr.r AND c.b = (CASE rr.r ${cases("ex.user_id")} END)
+         |  GROUP BY 1
+         |)
+         |SELECT ex.user_id, ex.n_exact, est.cms_est
+         |FROM ex JOIN est ON ex.user_id = est.user_id
+         |ORDER BY ex.n_exact DESC, ex.user_id LIMIT 20""".stripMargin
+    },
+
+    // triangles enumerated once as u<v<w over the distinct undirected edge
+    // set — equivalent to the Spark degree-ordered orientation (both count
+    // each triangle exactly once; orientation only changes the JOIN ORDER)
+    "gr_triangles" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT u AS node FROM tri
+        |  UNION ALL SELECT v FROM tri
+        |  UNION ALL SELECT w FROM tri
+        |) GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 25""".stripMargin,
 
     "sp_bbox_within" -> (PtsCte +
       """

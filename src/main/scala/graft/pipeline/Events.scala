@@ -59,6 +59,73 @@ object Events {
         round(col("prior.r_val"), 4).as("r_val"))
   }
 
+  /** Ordered funnel: how many users progress through `stages` in order,
+    * each step strictly after the previous one and within `horizonUs` of
+    * the FIRST stage's first occurrence. Returns one row per stage with the
+    * user count and conversion rate vs stage 1.
+    *
+    * Plan shape: ONE shuffle on `user_id`, then a chain of running-min
+    * window projections (one per stage) inside that partitioning — stage
+    * i's qualifying timestamp at each row references stage i−1's running
+    * min, which is already final for every row ordered after the true
+    * step-(i−1) event (events are scanned in (tsn, event_id) order, so the
+    * earliest qualifying predecessor is always in the frame). The per-user
+    * aggregate and the final stage rollup reuse the same partitioning; the
+    * stage rollup is a constant-width single row per user, so the second
+    * exchange carries |users| rows, not |events|.
+    */
+  def funnel(events: DataFrame, stages: Seq[String], horizonUs: Long): DataFrame = {
+    require(stages.size >= 2, "funnel needs at least 2 stages")
+    val w = Window.partitionBy("user_id").orderBy(col("tsn"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var df = events.select(col("user_id"), col("event_id"), col("tsn"), col("event_type"))
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val cand =
+        if (i == 0) when(col("event_type") === st, col("tsn"))
+        else when(col("event_type") === st && col(s"t${i - 1}").isNotNull
+          && col("tsn") > col(s"t${i - 1}")
+          && col("tsn") <= col("t0") + horizonUs, col("tsn"))
+      df = df.withColumn(s"t$i", min(cand).over(w))
+    }
+    // min of a running min is the final running min — one aggregate row per
+    // user, then a tiny rollup
+    val perUser = df.groupBy("user_id")
+      .agg(min(col("t0")).as("t0"),
+        stages.indices.tail.map(i => min(col(s"t$i")).as(s"t$i")): _*)
+    val counts = perUser.agg(
+      sum(when(col("t0").isNotNull, 1L).otherwise(0L)).as("n0"),
+      stages.indices.tail.map(i =>
+        sum(when(col(s"t$i").isNotNull, 1L).otherwise(0L)).as(s"n$i")): _*)
+    counts.select(explode(array(stages.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("stage"), lit(st).as("event_type"),
+          col(s"n$i").as("n_users"),
+          round(col(s"n$i").cast("double") / col("n0"), 6).as("conv"))
+      }: _*)).as("r"))
+      .select(col("r.stage"), col("r.event_type"), col("r.n_users"), col("r.conv"))
+  }
+
+  /** Cohort retention: cohort = a user's first active day; one output row
+    * per (cohort_day, day_offset) with the distinct users from that cohort
+    * active `day_offset` days later. `dayUs` is the bucket width (a day in
+    * µs by default).
+    *
+    * Plan shape: the (user, day) dedup and the per-user cohort min share
+    * one shuffle on `user_id` (the join is co-partitioned); the final
+    * count-distinct groups on (cohort_day, day_offset) whose input is
+    * already one row per (user, day) — at 100 TB that second exchange
+    * carries ~|users|·|active days| rows, the log volume never re-shuffles.
+    */
+  def retention(events: DataFrame, dayUs: Long = 86400000000L): DataFrame = {
+    // integer `div` keeps day buckets exact at epoch-µs magnitudes
+    val days = events
+      .select(col("user_id"), expr(s"tsn div ${dayUs}L").as("day"))
+      .distinct()
+    val cohort = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    days.join(cohort, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   // ------------------------------------------------------------------ HLL
 
   /** Register count (2^P) for [[hllEstimate]]. */

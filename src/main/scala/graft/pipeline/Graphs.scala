@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting — the clustering-coefficient /
+  * community-density signal over co-occurrence graphs (here: parts
+  * co-ordered in the same order; in a crawl pipeline: domains co-linked,
+  * entities co-mentioned).
+  *
+  * The plan is the degree-ordered orientation algorithm (Suri & Vassilvitskii
+  * WWW'11 / "MapReduce triangle enumeration"): orient every undirected edge
+  * from its lower-(degree, id) endpoint to its higher one, then a triangle
+  * is exactly one wedge u→v, u→w whose closing edge v→w is also oriented —
+  * each triangle is produced ONCE, and the wedge join's fan-out per node is
+  * its OUT-degree, which orientation caps at O(√m): total wedge volume is
+  * O(m^{3/2}) instead of Σdeg² (a hub with degree d contributes C(d,2)
+  * wedges unoriented, but ~C(√m,2) oriented — the difference between a
+  * broadcast-killing blowup and a bounded shuffle at web scale).
+  */
+object Graphs {
+
+  /** Per-node triangle counts over an undirected edge list `edges(src,
+    * dst)` (self-loops and duplicate/reversed edges are normalized away).
+    * Node ids must be < 2³¹ (they are packed beside the degree into one
+    * long ordering key). Returns (node, n_tri) for every node on ≥1
+    * triangle.
+    *
+    * Shuffle count: degree aggregate, two co-partitioned joins to attach
+    * endpoint degrees, the wedge self-join on the apex, the closing-edge
+    * semi-join on (v, w), and the final explode+count — each keyed on a
+    * node or node pair; nothing is ever broadcast or collected, so the
+    * plan holds on graphs whose edge list is itself cluster-scale.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // total order: key = deg·2³¹ + id — orientation by key comparison
+    val key = (c: String) => (col(s"deg_$c") * lit(1L << 31) + col(c)).as(s"k$c")
+    val keyed = und
+      .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
+      .select(key("a"), key("b"))
+    val dirE = keyed.select(
+      least(col("ka"), col("kb")).as("u"), greatest(col("ka"), col("kb")).as("w"))
+    // wedges u→v, u→w with v < w close iff oriented edge (v, w) exists
+    val wedges = dirE.as("x").join(dirE.as("y"),
+        col("x.u") === col("y.u") && col("x.w") < col("y.w"))
+      .select(col("x.u").as("u"), col("x.w").as("v"), col("y.w").as("w"))
+    val tris = wedges.join(dirE.select(col("u").as("v"), col("w")), Seq("v", "w"))
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_tri"))
+      .select((col("k") % lit(1L << 31)).as("node"), col("n_tri"))
+  }
+}

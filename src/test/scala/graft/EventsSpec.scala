@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Classify, Events, Multimodal, PageRank, Similarity, TextAnalysis}
+import graft.pipeline.{Classify, CountMin, Events, Graphs, Multimodal, PageRank, Similarity, TextAnalysis}
 
 /** Unit coverage for the event-analytics + classifier operators added in
   * round 4: sessionization boundaries, as-of strict-prior semantics, HLL
@@ -139,6 +139,77 @@ class EventsSpec extends SparkSpec {
     }
     // spokes are symmetric → identical ranks
     assert(spokes.map(ranks).toSet.size == 1)
+  }
+
+  // ---------------------------------------------------------------- funnel
+
+  test("funnel: strictly-after ordering, horizon from stage 1, per-stage counts") {
+    val events = Seq(
+      // user 1 converts fully: view@0 → click@5 → purchase@9
+      ev(1, 1, 0, 0, "view"), ev(1, 2, 5, 0, "click"), ev(1, 3, 9, 0, "purchase"),
+      // user 2: click BEFORE the first view never counts; purchase without
+      // a qualifying click never counts
+      ev(2, 4, 5, 0, "click"), ev(2, 5, 6, 0, "view"), ev(2, 6, 9, 0, "purchase"),
+      // user 3: click at the SAME tsn as the first view fails the strict >
+      ev(3, 7, 4, 0, "view"), ev(3, 8, 4, 0, "click"),
+      // user 4: click exactly AT the horizon boundary qualifies (<=),
+      // purchase one past it does not
+      ev(4, 9, 0, 0, "view"), ev(4, 10, 10, 0, "click"), ev(4, 11, 11, 0, "purchase"),
+      // user 5: no view at all — in no stage
+      ev(5, 12, 1, 0, "click"), ev(5, 13, 2, 0, "purchase")
+    ).map { case (u, id, t, ty, _) => (u, id, t, ty) }
+      .toDF("user_id", "event_id", "tsn", "event_type")
+    val out = Events.funnel(events, Seq("view", "click", "purchase"), horizonUs = 10)
+      .orderBy("stage").select("stage", "n_users").as[(Int, Long)].collect().toSeq
+    assert(out == Seq((1, 4L), (2, 2L), (3, 1L)))
+  }
+
+  // ------------------------------------------------------------- retention
+
+  test("retention: cohorts by first day, distinct users per offset") {
+    val d = 86400000000L
+    val events = Seq(
+      (1L, 0L), (1L, 10L), (1L, d + 5),          // user 1: day0 cohort, active d0+d1
+      (2L, d * 2), (2L, d * 2 + 7), (2L, d * 4), // user 2: day2 cohort, d0+d2
+      (3L, 5L)                                   // user 3: day0 cohort, d0 only
+    ).toDF("user_id", "tsn")
+    val out = Events.retention(events)
+      .orderBy("cohort_day", "day_offset")
+      .select("cohort_day", "day_offset", "n_users")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 0L, 2L), (0L, 1L, 1L), (2L, 0L, 1L), (2L, 2L, 1L)))
+  }
+
+  // ------------------------------------------------------------- Count-Min
+
+  test("CMS estimate is never below exact, and exact when no collisions") {
+    val keys = (1L to 60L).flatMap(k => Seq.fill((k % 7 + 1).toInt)(k))
+    val df = keys.toDF("user_id")
+    val sk = CountMin.sketch(df, "user_id")
+    val exact = df.groupBy("user_id").agg(count(lit(1)).as("n")).as[(Long, Long)]
+      .collect().toMap
+    val est = CountMin.estimate(df.select("user_id").distinct(), "user_id", sk)
+      .as[(Long, Long)].collect().toMap
+    est.foreach { case (k, e) => assert(e >= exact(k), s"under-estimate for $k") }
+    // 60 keys into 4 independent rows of 512 buckets: the min over rows is
+    // almost surely collision-free — require ≥ 90% of keys exact
+    val nExact = est.count { case (k, e) => e == exact(k) }
+    assert(nExact >= 54, s"only $nExact/60 exact")
+  }
+
+  // ------------------------------------------------------------- triangles
+
+  test("triangle counts match brute force on a known graph") {
+    // K4 on {1,2,3,4} (4 triangles, 3 per node) + pendant 5-1 + isolated
+    // triangle {6,7,8}; duplicates/reversed/self edges must be normalized
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (2L, 1L), (3L, 3L), (1L, 5L), (6L, 7L), (7L, 8L), (8L, 6L)
+    ).toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges)
+      .select("node", "n_tri").as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L))
   }
 
   // ----------------------------------------------------------------- pHash

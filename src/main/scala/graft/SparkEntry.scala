@@ -1027,6 +1027,30 @@ object SparkEntry {
       Corpus.piiScan(docs, "doc_id", "text").orderBy(col("id"))
     }),
 
+    // C4/RefinedWeb-style corpus-wide exact line dedup: docs chunked into
+    // 8-word lines, boilerplate lines injected query-side (the tx_pii
+    // pattern — 1 in 4 docs gets a header, 1 in 7 a footer) so real
+    // cross-doc duplicates exist; every occurrence but the globally-first
+    // (by (doc_id, pos)) is removed and the text reassembled
+    "tx_line_dedup" -> ((s, dir) => {
+      val lined = T(s, dir, "documents")
+        .withColumn("ws", split(col("text"), " "))
+        .withColumn("nch", expr("(size(ws) + 7) div 8"))
+        .select(col("doc_id"), concat(
+            when(col("doc_id") % 4 === 1, array(lit(LineDedupHeader)))
+              .otherwise(array().cast("array<string>")),
+            transform(sequence(lit(0), col("nch") - 1),
+              i => array_join(slice(col("ws"), i * 8 + 1, lit(8)), " ")),
+            when(col("doc_id") % 7 === 2, array(lit(LineDedupFooter)))
+              .otherwise(array().cast("array<string>"))
+          ).as("ls"))
+        .select(col("doc_id"), posexplode(col("ls")).as(Seq("pos", "line")))
+      Corpus.reassemble(Corpus.lineDedup(lined))
+        .join(lined.groupBy("doc_id").agg(count(lit(1)).as("n_lines")), "doc_id")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"), col("text_clean"))
+        .orderBy(col("doc_id"))
+    }),
+
     // reproducible stratified sampling: keep-decision is a pure hash of
     // (salt, doc_id) against per-language rates — a codegen'd scan filter
     "tx_sample" -> ((s, dir) =>
@@ -1158,6 +1182,12 @@ object SparkEntry {
     */
   private val SampleRates = Map(
     "en" -> 0.55, "de" -> 0.75, "es" -> 0.65, "fr" -> 0.85, "zh" -> 0.45)
+
+  /** Boilerplate lines injected for tx_line_dedup (the C4 "subscribe…"
+    * fixture) — plain lowercase words so tokenization is trivial.
+    */
+  private val LineDedupHeader = "subscribe to our newsletter for updates today"
+  private val LineDedupFooter = "all rights reserved contact site admin here"
 
   /** Query rectangle shared by sp_intersects_poly / sp_relate_within /
     * sp_set_ops — off-lattice bounds so no point ever sits on the boundary.
@@ -1999,6 +2029,38 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${Corpus.stratifiedSampleDuckSql("doc_id", "lang", SampleRates, 1.0, "s42:")}
          |ORDER BY doc_id""".stripMargin,
+
+    // same chunking (8-word lines, 1-based clamped slices), same injected
+    // boilerplate, min packed (doc_id·2²⁰ + pos) keeper, reassembly in pos
+    // order — byte-identical to Corpus.lineDedup + reassemble
+    "tx_line_dedup" ->
+      s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |ch AS (SELECT doc_id, ws, unnest(range((len(ws) + 7) // 8)) AS cpos FROM words),
+         |chunks AS (
+         |  SELECT doc_id, cpos,
+         |         array_to_string(ws[cpos*8+1 : cpos*8+8], ' ') AS line
+         |  FROM ch
+         |), lines AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 4 = 1 THEN cpos + 1 ELSE cpos END AS pos, line
+         |  FROM chunks
+         |  UNION ALL
+         |  SELECT doc_id, 0 AS pos, '$LineDedupHeader' FROM documents WHERE doc_id % 4 = 1
+         |  UNION ALL
+         |  SELECT w.doc_id,
+         |         (CASE WHEN w.doc_id % 4 = 1 THEN 1 ELSE 0 END) + (len(w.ws) + 7) // 8,
+         |         '$LineDedupFooter'
+         |  FROM words w WHERE w.doc_id % 7 = 2
+         |), k AS (
+         |  SELECT line, min(doc_id * 1048576 + pos) AS keep FROM lines GROUP BY 1
+         |), surv AS (
+         |  SELECT l.doc_id, l.pos, l.line FROM lines l
+         |  JOIN k ON l.line = k.line AND l.doc_id * 1048576 + l.pos = k.keep
+         |), nl AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY 1)
+         |SELECT s.doc_id, nl.n_lines, count(*) AS n_kept,
+         |       string_agg(s.line, ' ' ORDER BY s.pos) AS text_clean
+         |FROM surv s JOIN nl ON s.doc_id = nl.doc_id
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "dd_cross_pairs" ->
       Dedup.minhashBipartiteDuckSql(threshold = 0.2, shingleK = 3,

@@ -285,4 +285,43 @@ object Corpus {
       .mkString(" ")
     s"($h % 10000) < (CASE $branches ELSE ${(defaultRate * 10000).toLong} END)"
   }
+
+  // ============================================= corpus-level line dedup
+
+  /** C4/RefinedWeb-style exact line dedup: across the WHOLE corpus, every
+    * occurrence of a line except the globally-first one (by (doc_id, pos))
+    * is removed — the stage that strips boilerplate ("subscribe to our
+    * newsletter…") repeated across millions of pages. Input is the exploded
+    * line table (doc_id, pos, line); output is the surviving lines.
+    *
+    * Plan shape: one shuffle on `line` for the map-side-combinable
+    * min-occurrence aggregate, then the keeper join back is co-partitioned
+    * on the same key (no extra exchange); nothing is broadcast, so the
+    * line-frequency skew of real crawls (one boilerplate line in 10⁸ docs)
+    * lands on AQE's skew-join split rather than a driver OOM.
+    *
+    * `pos` must be < 2²⁰ per document (occurrences are packed as
+    * doc_id·2²⁰ + pos so the aggregate is a plain integer min — replayable
+    * in any engine without struct-ordering semantics).
+    */
+  def lineDedup(lines: DataFrame): DataFrame = {
+    val keep = lines
+      .select(col("line").as("k_line"),
+        (col("doc_id") * lit(1L << 20) + col("pos")).as("occ"))
+      .groupBy("k_line").agg(min(col("occ")).as("keep"))
+    lines.join(keep,
+        col("line") === col("k_line") &&
+        col("doc_id") * lit(1L << 20) + col("pos") === col("keep"))
+      .select(col("doc_id"), col("pos"), col("line"))
+  }
+
+  /** Reassemble per-doc text from surviving lines: lines back in `pos`
+    * order joined with a space, plus the kept-line count. One shuffle on
+    * doc_id; the sort is per-group inside `array_sort` (no global sort).
+    */
+  def reassemble(survivors: DataFrame): DataFrame =
+    survivors.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x.getField("line")), " ").as("text_clean"))
 }

@@ -44,6 +44,24 @@ object ExplainAudit {
     layer.df.filter(call_udf("st_intersects", col("geometry"), lit(rect)))
       .explain("formatted")
 
+    println("========== funnel: one exchange on user_id ==========")
+    val ev = spark.range(10000).select((col("id") % 100).as("user_id"),
+      col("id").as("event_id"), (col("id") * 131 % 100000).as("tsn"),
+      element_at(array(lit("view"), lit("click"), lit("purchase")),
+        (col("id") % 3 + 1).cast("int")).as("event_type"))
+    graft.pipeline.Events.funnel(ev, Seq("view", "click", "purchase"), 50000)
+      .explain("formatted")
+
+    println("========== CMS estimate: sketch must broadcast ==========")
+    val sk = graft.pipeline.CountMin.sketch(ev, "user_id")
+    graft.pipeline.CountMin.estimate(ev.select("user_id").distinct(), "user_id", sk)
+      .explain("formatted")
+
+    println("========== triangles: wedge join shapes ==========")
+    val edges = spark.range(20000).select((col("id") % 600).as("src"),
+      (col("id") * 7919 % 600).as("dst"))
+    graft.pipeline.Graphs.triangleCounts(edges).explain("formatted")
+
     spark.stop()
   }
 }

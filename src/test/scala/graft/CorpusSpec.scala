@@ -155,4 +155,22 @@ class CorpusSpec extends SparkSpec {
       assert(math.abs(j - exp) < 1e-12, s"pair ($a,$b)")
     }
   }
+
+  test("lineDedup keeps exactly the globally-first occurrence of each line") {
+    // the boilerplate line appears in docs 1, 2, 3 — only doc 1 pos 0
+    // survives; within-doc repeats (doc 2) also collapse to first
+    val lines = Seq(
+      (1L, 0, "subscribe now"), (1L, 1, "unique alpha"),
+      (2L, 0, "subscribe now"), (2L, 1, "unique beta"), (2L, 2, "unique beta"),
+      (3L, 0, "unique gamma"), (3L, 1, "subscribe now")
+    ).toDF("doc_id", "pos", "line")
+    val surv = Corpus.lineDedup(lines)
+      .select("doc_id", "pos").as[(Long, Int)].collect().toSet
+    assert(surv == Set((1L, 0), (1L, 1), (2L, 1), (3L, 0)))
+    val out = Corpus.reassemble(Corpus.lineDedup(lines))
+      .select("doc_id", "n_kept", "text_clean").as[(Long, Long, String)]
+      .collect().map { case (d, k, t) => d -> ((k, t)) }.toMap
+    assert(out(2L) == ((1L, "unique beta")))
+    assert(out(1L) == ((2L, "subscribe now unique alpha")))
+  }
 }

@@ -154,16 +154,32 @@ object Events {
     * `df` must have columns `g` (group) and `h` (long hash). Returns
     * (g, v_zero, est) where est is the bias-corrected estimate.
     */
-  def hllEstimate(df: DataFrame): DataFrame = {
-    val reg = col("h").bitwiseAND(lit((HllM - 1).toLong))
+  /** Register index of a long-hash column named `h` (low P bits). */
+  def hllRegCol: Column = col("h").bitwiseAND(lit((HllM - 1).toLong))
+
+  /** Rank of a long-hash column named `h` (trailing-zero count of the
+    * remaining 56 bits, + 1; 57 for an all-zero remainder).
+    */
+  def hllRankCol: Column = {
     val rest = shiftrightunsigned(col("h"), HllP).bitwiseAND(lit((1L << 56) - 1))
-    val rank = when(rest === 0L, lit(57L))
+    when(rest === 0L, lit(57L))
       .otherwise(expr(s"bit_count((($restSql) & -($restSql)) - 1)") + 1L)
+  }
+
+  def hllEstimate(df: DataFrame): DataFrame = {
     // max-rank per materialized register; empty registers (M=0) come back
     // via the dense 0..m-1 frame so V (zero count) and the 2^57 terms exist
-    val maxr = df.select(col("g"), reg.as("reg"), rank.as("rank"))
+    val maxr = df.select(col("g"), hllRegCol.as("reg"), hllRankCol.as("rank"))
       .groupBy("g", "reg").agg(max(col("rank")).as("m"))
-    val groups = df.select(col("g")).distinct()
+    hllFinalize(maxr, df.select(col("g")).distinct())
+  }
+
+  /** Finalize (g, reg, m) register maxima into per-group estimates — the
+    * second half of [[hllEstimate]], shared with the streaming sketch
+    * ([[graft.streaming.StreamSketch]]) whose state-store emits exactly
+    * these register rows at window close.
+    */
+  def hllFinalize(maxr: DataFrame, groups: DataFrame): DataFrame = {
     val frame = groups.crossJoin(spark_range(HllM))
     val dense = frame.join(maxr, Seq("g", "reg"), "left")
       .select(col("g"), coalesce(col("m"), lit(0L)).as("m"))

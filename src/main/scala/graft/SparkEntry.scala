@@ -985,6 +985,15 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // PQ/ADC compressed-domain search: 8 subspaces × 16 codes (64-dim →
+    // 8 small ints, 32×), query LUT broadcast, distance = 8 table lookups
+    "sim_pq_adc" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.pqAdcTopK(emb, "vec_id", "embedding", q, kTop = 20)
+    }),
+
     // ---------------------------------------------- corpus governance ops
     // benchmark decontamination: training docs sharing a word 3-gram with
     // the eval slice (doc_id % 97 == 0), eval side hashed + broadcast
@@ -2009,6 +2018,37 @@ object SparkEntry {
         |SELECT a.id, round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
         |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
         |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
+
+    // full PQ replay: codebook = subvectors of vec_id < 16, encode = argmin
+    // of the 9-rounded subspace L2², ADC = sum of LUT lookups — the rounding
+    // before argmin/sum is what makes the float path engine-reproducible
+    "sim_pq_adc" ->
+      """WITH cb AS (
+        |  SELECT ms.mi, e.vec_id AS j,
+        |         list_transform(range(8), i -> e.embedding[ms.mi*8 + i + 1]::DOUBLE) AS c
+        |  FROM (SELECT unnest(range(8)) AS mi) ms CROSS JOIN embeddings e
+        |  WHERE e.vec_id < 16
+        |), enc AS (
+        |  SELECT e.vec_id AS id, cb.mi, cb.j,
+        |         round(list_sum(list_transform(range(8),
+        |           i -> (e.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1])
+        |              * (e.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1]))), 9) AS d2
+        |  FROM embeddings e CROSS JOIN cb
+        |), codes AS (
+        |  SELECT id, mi, j AS code FROM (
+        |    SELECT id, mi, j, row_number() OVER (PARTITION BY id, mi ORDER BY d2, j) AS rn
+        |    FROM enc) WHERE rn = 1
+        |), lut AS (
+        |  SELECT cb.mi, cb.j,
+        |         round(list_sum(list_transform(range(8),
+        |           i -> (q.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1])
+        |              * (q.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1]))), 9) AS qd2
+        |  FROM cb CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        |)
+        |SELECT c.id, round(sum(l.qd2), 6) AS adc
+        |FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.code
+        |GROUP BY c.id
+        |ORDER BY adc, id LIMIT 20""".stripMargin,
 
     // ---------------------------------------------- corpus governance ops
     "tx_decontam" ->

@@ -389,6 +389,81 @@ object Similarity {
       .select(col("cid"), col("id_a"), col("id_b"), col("cosine"))
   }
 
+  // ----------------------------------------------- product quantization
+
+  /** Squared L2 distance between the `mi`-th subspace slice of `vec` and a
+    * codebook subvector `c` — sequential left-to-right accumulation, rounded
+    * to 9 decimals so encode/ADC replay bit-identically in any engine.
+    */
+  private def subDist2(vec: Column, off: Column, c: Column, subDim: Int): Column =
+    round(aggregate(sequence(lit(0), lit(subDim - 1)), lit(0.0), (acc, i) => {
+      val d = element_at(vec, (i + off + lit(1)).cast("int")).cast("double") -
+        element_at(c, (i + lit(1)).cast("int"))
+      acc + d * d
+    }), 9)
+
+  /** PQ codebook (Jégou et al., PAMI'11): for each of `m` subspaces, `codeK`
+    * centroids = the subvectors of the first `codeK` vectors by id (the
+    * deterministicCentroids pattern — reproducible in any engine; swap in a
+    * per-subspace [[kmeansCentroids]] for trained codebooks, identical
+    * dataflow). Returned as an (mi, j, c) DataFrame of m·codeK tiny rows,
+    * meant to be broadcast.
+    */
+  def pqCodebook(df: DataFrame, idCol: String, vecCol: String,
+      m: Int, codeK: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val firstK = df.orderBy(col(idCol)).limit(codeK)
+      .select(col(vecCol)).collect()
+      .zipWithIndex.map { case (r, j) => (j, r.getSeq[Float](0).map(_.toDouble).toArray) }
+    val sd = firstK.head._2.length / m
+    val rows = for { (j, v) <- firstK.toSeq; mi <- 0 until m }
+      yield (mi, j, v.slice(mi * sd, (mi + 1) * sd).toSeq)
+    rows.toDF("mi", "j", "c")
+  }
+
+  /** PQ encode: each vector × the broadcast codebook (m·codeK rows, a
+    * broadcast nested-loop — no shuffle), then per (id, mi) the code
+    * minimizing the rounded subspace distance. `min(struct(d2, j))` is
+    * map-side combinable, so the one shuffle carries exactly m rows per
+    * vector (the compressed representation itself) no matter the corpus
+    * size — a d-dim float vector becomes m small ints, here 32× smaller.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      cb: DataFrame, m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cb))
+      .select(col("id"), col("mi"), col("j"),
+        subDist2(col("v"), col("mi") * subDim, col("c"), subDim).as("d2"))
+      .groupBy(col("id"), col("mi"))
+      .agg(min(struct(col("d2"), col("j"))).as("s"))
+      .select(col("id"), col("mi"), col("s.j").as("code"))
+
+  /** Asymmetric-distance top-k over PQ codes: the query precomputes an
+    * m×codeK lookup table of subspace squared distances (m·codeK doubles,
+    * broadcast — constant size whatever the corpus), and each stored
+    * vector's approximate distance is m table lookups summed — no float
+    * math against raw vectors at all. This is the compressed-domain ANN
+    * scan: at 100 TB the code table fits where raw embeddings cannot, and
+    * the scan reads m bytes per vector. Exact re-rank of the ADC top-k'
+    * (k' > k) against raw vectors is the standard refinement; IVF
+    * partition pruning composes in front (assign codes within lists).
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], kTop: Int, m: Int = 8, codeK: Int = 16): DataFrame = {
+    val sd = query.length / m
+    val cb = pqCodebook(df, idCol, vecCol, m, codeK)
+    val qlit = array(query.map(lit): _*)
+    val lut = cb.select(col("mi").as("lmi"), col("j"),
+      subDist2(qlit, col("mi") * sd, col("c"), sd).as("qd2"))
+    pqCodes(df, idCol, vecCol, cb, m, sd)
+      .join(broadcast(lut), col("mi") === col("lmi") && col("code") === col("j"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("qd2")), 6).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(kTop)
+  }
+
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =
     udf((v: Seq[Float]) => {
       if (v == null) 0L

@@ -83,6 +83,26 @@ class PipelineSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("PQ encode + ADC: codebook members reconstruct exactly, ADC is the LUT sum") {
+    // m=2 subspaces of dim 2, codebook = subvectors of ids 0 and 1
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Array(0.0f, 1.0f, 1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cb = Similarity.pqCodebook(vecs, "vec_id", "embedding", m = 2, codeK = 2)
+    val codes = Similarity.pqCodes(vecs, "vec_id", "embedding", cb, m = 2, subDim = 2)
+      .as[(Long, Int, Int)].collect().map { case (id, mi, c) => ((id, mi), c) }.toMap
+    assert(codes == Map((0L, 0) -> 0, (0L, 1) -> 0, (1L, 0) -> 1, (1L, 1) -> 1,
+      (2L, 0) -> 0, (2L, 1) -> 1, (3L, 0) -> 1, (3L, 1) -> 0))
+    // ADC vs query = vec 0: its own codes give 0; ids 2/3 flip one subspace
+    // (LUT entry = squared L2 of the two unit axes = 2); id 1 flips both
+    val adc = Similarity.pqAdcTopK(vecs, "vec_id", "embedding",
+        Array(1.0, 0.0, 0.0, 1.0), kTop = 4, m = 2, codeK = 2)
+      .as[(Long, Double)].collect().toSeq
+    assert(adc == Seq((0L, 0.0), (2L, 2.0), (3L, 2.0), (1L, 4.0)))
+  }
+
   test("token counting: whitespace vs BPE-ish") {
     val df = Seq(("hello world, 42 times!")).toDF("text")
     val ws = df.select(TextAnalysis.tokenCountWs(col("text"))).as[Int].head()

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.engine.{GeoFrame, SpatialAggs}
+import graft.engine.{GeoFrame, SpatialAggs, SpatialJoin}
 import graft.functions.st
 import graft.geom.GeomCodec
 import graft.pipeline.{Bpe, Classify, Corpus, CountMin, Dedup, Events, Graphs, Groups, LanguageModel, Multimodal, Packing, PageRank, Similarity, TextAnalysis}
@@ -477,6 +477,20 @@ object SparkEntry {
         .select(col("ck").as("id"), col("dist_km"))
         .orderBy(col("dist_km"), col("id"))
         .limit(25)),
+
+    // distributed EXACT kNN join (grid + ring expansion): every nation-0
+    // customer's 5 nearest other customers by planar distance. Lattice
+    // spacing 1 makes every d2 integer-valued — exact in any engine; the
+    // oracle is the all-pairs formulation (valid because knnJoin is exact).
+    // cellSize 8 ≈ sqrt(2k·area/n) at sf0.01 — a 3×3 block holds ≳ 2k pts
+    "sp_knn_join" -> ((s, dir) => {
+      val base = pointsDf(s, dir)
+      val pts = base.select(col("ck").as("id"), col("x"), col("y"))
+      SpatialJoin.knnJoin(
+          base.filter(col("c_nationkey") === 0).select(col("ck").as("id"), col("x"), col("y")),
+          pts, k = 5, cellSize = 8.0, excludeSelf = true)
+        .orderBy(col("qid"), col("rk"))
+    }),
 
     "sp_layer_bbox" -> ((s, dir) => pointsLayer(s, dir).boundingBox()),
 
@@ -1520,6 +1534,20 @@ object SparkEntry {
         |             + cos(radians(30.5)) * cos(radians(y))
         |             * cos(radians(x) - radians(-100.5)), 1.0)) * 6371, 3) AS dist_km
         |FROM pts ORDER BY dist_km, id LIMIT 25""".stripMargin),
+
+    // all-pairs kNN — a valid oracle for the grid+ring plan because knnJoin
+    // is provably exact; lattice arithmetic keeps every d2 an exact double
+    "sp_knn_join" -> (PtsCte +
+      """
+        |SELECT qid, pid, d2, rk FROM (
+        |  SELECT q.ck AS qid, p.ck AS pid,
+        |         (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y) AS d2,
+        |         row_number() OVER (PARTITION BY q.ck
+        |           ORDER BY (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y), p.ck) AS rk
+        |  FROM (SELECT * FROM pts WHERE c_nationkey = 0) q
+        |  CROSS JOIN pts p
+        |  WHERE p.ck <> q.ck
+        |) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
 
     "sp_layer_bbox" -> (PtsCte +
       """

@@ -161,6 +161,97 @@ object SpatialJoin {
     if (cell > 0 && !cell.isNaN && !cell.isInfinite) cell else 1.0
   }
 
+  /** Distributed EXACT k-nearest-neighbor join (grid + ring expansion —
+    * the PGBJ shape): for every query point, the `k` nearest points by
+    * planar distance, rank ties broken by point id. Both inputs must
+    * expose (id, x, y).
+    *
+    * Exactness argument: phase 1 searches each query's 3×3 cell
+    * neighborhood. A query inside its cell is at distance ≥ `margin` (its
+    * distance to the 3×3 block boundary) from every point OUTSIDE the
+    * block, so when ≥ k candidates exist and the kth candidate distance is
+    * ≤ margin, those k are globally exact. Every other query expands to
+    * the (2r+1)² cell square with r·cellSize ≥ its kth-candidate upper
+    * bound — any globally closer point lies within that bound, and a point
+    * within r·cellSize of the query sits at most r cells away, so the
+    * square contains every true neighbor. Queries with < k phase-1
+    * candidates, or whose ring would exceed MaxCellsPerRow cells, fall
+    * back to a cross join — the sparse tail by construction when cellSize
+    * is sized so a typical 3×3 block holds ≳ 2k points.
+    *
+    * Scale shape: one equi-shuffle on cell + one window shuffle on query
+    * id in each phase; per-(query, point) candidates appear exactly once
+    * (a point lives in exactly one cell), so no dedup pass; the window's
+    * per-query top-k never materializes more than a block's candidates.
+    */
+  def knnJoin(queries: DataFrame, points: DataFrame, k: Int, cellSize: Double,
+      excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = cellSize
+    val q = queries.select(col("id").as("qid"), col("x").as("qx"), col("y").as("qy"))
+      .withColumn("qcx", floor(col("qx") / s))
+      .withColumn("qcy", floor(col("qy") / s))
+      .withColumn("__margin", least(
+        col("qx") - (col("qcx") - 1) * s, (col("qcx") + 2) * s - col("qx"),
+        col("qy") - (col("qcy") - 1) * s, (col("qcy") + 2) * s - col("qy")))
+    val p = points.select(col("id").as("pid"), col("x").as("px"), col("y").as("py"))
+      .withColumn("__cell",
+        struct(floor(col("px") / s).as("cx"), floor(col("py") / s).as("cy")))
+
+    val d2 = (col("qx") - col("px")) * (col("qx") - col("px")) +
+      (col("qy") - col("py")) * (col("qy") - col("py"))
+    val selfF = if (excludeSelf) col("pid") =!= col("qid") else lit(true)
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("pid"))
+    val out = Seq("qid", "pid", "d2", "rk").map(col)
+
+    // phase 1: 3×3 neighborhood candidates, per-query top-k + upper bound
+    val nbr = explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct((col("qcx") + dx).as("cx"), (col("qcy") + dy).as("cy"))): _*))
+    val topk1 = q.withColumn("__cell", nbr)
+      .join(p, "__cell")
+      .filter(selfF)
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val stats = topk1.groupBy(col("qid"))
+      .agg(max(col("d2")).as("ub2"), count(lit(1)).as("nc"))
+    val statsJ = q.join(stats, Seq("qid"), "left")
+    val exactIds = statsJ
+      .filter(col("nc") === k && col("ub2") <= col("__margin") * col("__margin"))
+      .select("qid")
+    val res1 = topk1.join(exactIds, Seq("qid"), "left_semi")
+
+    // phase 2: ring expansion for queries whose bound exceeds the block
+    val rest = statsJ.join(exactIds, Seq("qid"), "left_anti")
+    val withR = rest.filter(col("nc") === k)
+      .withColumn("r", greatest(lit(1L), ceil(sqrt(col("ub2")) / s)))
+    val ringable = withR.filter((col("r") * 2 + 1) * (col("r") * 2 + 1) <= MaxCellsPerRow)
+    val ringCells = explode(flatten(
+      transform(sequence(col("qcx") - col("r"), col("qcx") + col("r")), cx =>
+        transform(sequence(col("qcy") - col("r"), col("qcy") + col("r")), cy =>
+          struct(cx.as("cx"), cy.as("cy"))))))
+    val res2 = ringable.withColumn("__cell", ringCells)
+      .join(p, "__cell")
+      .filter(selfF)
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+
+    // fallback: < k candidates in the block, or an oversized ring — the
+    // sparse tail scans all points
+    val fallQ = rest.join(ringable.select("qid"), Seq("qid"), "left_anti")
+      .select("qid", "qx", "qy")
+    val res3 = fallQ.crossJoin(p.drop("__cell"))
+      .filter(selfF)
+      .withColumn("d2", d2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+
+    res1.select(out: _*)
+      .unionByName(res2.select(out: _*))
+      .unionByName(res3.select(out: _*))
+  }
+
   /** Byte thresholds for the stats-based strategy pick. */
   private val BroadcastBytes = BigInt(10L << 20)   // mirror Catalyst's default
   private val DefinitelyBigBytes = BigInt(1L << 30)

@@ -204,6 +204,33 @@ class ScaleSpec extends SparkSpec {
       s"hot-cell grid join diverged: ${hot.size} vs ${truth.size}")
   }
 
+  test("knnJoin matches brute force across exact, ring, and fallback branches") {
+    // dense cluster → exact branch; the 20-group has k candidates in the
+    // 3×3 block but a closer point OUTSIDE it (17.2 < block min 19) → the
+    // ring expansion must find it; the 10-group and isolated outliers have
+    // < k block candidates → cross-join fallback
+    val pts: Seq[(Long, Double, Double)] =
+      (1 to 60).map(i => (i.toLong, (i % 8) * 0.3, (i / 8) * 0.3)) ++
+      Seq((100L, 10.0, 10.0), (101L, 10.4, 10.0), (102L, 10.0, 10.6), (103L, 12.0, 11.0),
+        (300L, 20.1, 20.1), (301L, 21.8, 20.1), (302L, 20.1, 21.9), (303L, 22.5, 22.5),
+        (304L, 17.2, 20.1),
+        (200L, 50.0, -40.0), (201L, 80.0, 70.0))
+    val df = pts.toDF("id", "x", "y")
+    val got = SpatialJoin.knnJoin(df, df, k = 3, cellSize = 1.0, excludeSelf = true)
+      .select(col("qid"), col("pid"), col("d2"), col("rk"))
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val brute = pts.flatMap { case (qi, qx, qy) =>
+      pts.filter(_._1 != qi)
+        .map { case (pi, px, py) => (pi, (qx - px) * (qx - px) + (qy - py) * (qy - py)) }
+        .sortBy { case (pi, d) => (d, pi) }
+        .take(3).zipWithIndex.map { case ((pi, d), r) => (qi, pi, d, r + 1) }
+    }.toSet
+    assert(got == brute)
+    // the out-of-block closer point must have displaced the block's 3rd
+    assert(got.contains((300L, 304L,
+      (20.1 - 17.2) * (20.1 - 17.2), 3)))
+  }
+
   test("auto cell sizing picks a usable grid and matches broadcast results") {
     val left = randomPoints(600)
       .withColumn("id", col("k").cast("string"))

@@ -1050,6 +1050,10 @@ object SparkEntry {
       Corpus.piiScan(docs, "doc_id", "text").orderBy(col("id"))
     }),
 
+    // inverted-index build: top-100 terms by df with CSV postings heads
+    "tx_inverted" -> ((s, dir) =>
+      Corpus.invertedIndex(T(s, dir, "documents"), "doc_id", "text")),
+
     // C4/RefinedWeb-style corpus-wide exact line dedup: docs chunked into
     // 8-word lines, boilerplate lines injected query-side (the tx_pii
     // pattern — 1 in 4 docs gets a header, 1 in 7 a footer) so real
@@ -2097,6 +2101,8 @@ object SparkEntry {
       s"""SELECT doc_id, lang, source FROM documents
          |WHERE ${Corpus.stratifiedSampleDuckSql("doc_id", "lang", SampleRates, 1.0, "s42:")}
          |ORDER BY doc_id""".stripMargin,
+
+    "tx_inverted" -> Corpus.invertedIndexDuckSql(),
 
     // same chunking (8-word lines, 1-based clamped slices), same injected
     // boilerplate, min packed (doc_id·2²⁰ + pos) keeper, reassembly in pos

@@ -286,6 +286,54 @@ object Corpus {
     s"($h % 10000) < (CASE $branches ELSE ${(defaultRate * 10000).toLong} END)"
   }
 
+  // ==================================================== inverted index
+
+  /** Search-index construction: per term, its document frequency, corpus
+    * frequency, and the postings head (first `postingsCap` (doc_id, tf)
+    * entries by doc_id, CSV-encoded so any engine can hash-compare). Top
+    * `topTerms` terms by (df desc, term).
+    *
+    * Plan: per-(term, doc) tf pre-aggregate (map-side combinable), then one
+    * shuffle on term. At corpus scale a full postings list is not a row (a
+    * stopword's list IS the corpus) — production writes postings sharded by
+    * (term, doc-id range); the head cap here bounds the row while keeping
+    * the build dataflow identical.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+      topTerms: Int = 100, postingsCap: Int = 20): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("doc_id"), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        array_join(transform(
+          slice(array_sort(collect_list(struct(col("doc_id"), col("tf")))), 1, postingsCap),
+          x => concat_ws(":", x.getField("doc_id"), x.getField("tf"))), ",").as("postings"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topTerms)
+  }
+
+  /** DuckDB replay of [[invertedIndex]] (same tokenizer, cap, ordering). */
+  def invertedIndexDuckSql(topTerms: Int = 100, postingsCap: Int = 20): String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest($toksDuck) AS term FROM documents
+       |), tf AS (
+       |  SELECT term, doc_id, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT term, doc_id, tf,
+       |         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+       |  FROM tf
+       |), agg AS (
+       |  SELECT term, count(*)::BIGINT AS df, sum(tf)::BIGINT AS cf
+       |  FROM tf GROUP BY 1
+       |), posts AS (
+       |  SELECT term, string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+       |  FROM ranked WHERE rn <= $postingsCap GROUP BY 1
+       |)
+       |SELECT a.term, a.df, a.cf, p.postings
+       |FROM agg a JOIN posts p USING (term)
+       |ORDER BY df DESC, term LIMIT $topTerms""".stripMargin
+
   // ============================================= corpus-level line dedup
 
   /** C4/RefinedWeb-style exact line dedup: across the WHOLE corpus, every

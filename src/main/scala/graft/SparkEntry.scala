@@ -1078,6 +1078,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ExactSubstr-style repeated-span removal: tokens inside any non-first
+    // occurrence of a corpus-duplicated 5-gram are cut; boilerplate tails
+    // injected every 29th doc provide real cross-doc duplicated passages
+    "tx_span_rm" -> ((s, dir) =>
+      Corpus.spanDedup(boilerplateDocs(s, dir), "doc_id", "text", k = 5)
+        .orderBy(col("doc_id"))),
+
     // reproducible stratified sampling: keep-decision is a pure hash of
     // (salt, doc_id) against per-language rates — a codegen'd scan filter
     "tx_sample" -> ((s, dir) =>
@@ -2135,6 +2142,8 @@ object SparkEntry {
          |       string_agg(s.line, ' ' ORDER BY s.pos) AS text_clean
          |FROM surv s JOIN nl ON s.doc_id = nl.doc_id
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "tx_span_rm" -> Corpus.spanDedupDuckSql(BoilerplateSqlExpr, k = 5),
 
     "dd_cross_pairs" ->
       Dedup.minhashBipartiteDuckSql(threshold = 0.2, shingleK = 3,

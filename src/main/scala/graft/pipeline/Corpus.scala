@@ -372,4 +372,104 @@ object Corpus {
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), " ").as("text_clean"))
+
+  // ============================================ repeated-span removal
+
+  /** Per-position word-k-gram FNV hashes (NOT deduped — position matters
+    * here, unlike [[Dedup.shingleHashSet]]): hashes(p) covers tokens
+    * p..p+k−1.
+    */
+  private def posGramHashes(k: Int) = udf((ts: Seq[String]) =>
+    if (ts == null || ts.length < k) Array.empty[Long]
+    else ts.iterator.sliding(k).withPartial(false)
+      .map(w => TextAnalysis.fnv1a64(w.mkString(" "))).toArray)
+
+  /** ExactSubstr-style corpus-level repeated-span removal (the pass of Lee
+    * et al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): a token is cut iff it lies inside a word k-gram whose exact
+    * text occurs elsewhere in the corpus (or earlier in the same document),
+    * except that the globally-first occurrence of each gram — ordered by
+    * (doc_id, pos) — is always kept. Any verbatim duplicated passage of
+    * ≥ k tokens is a union of duplicated k-grams, so every non-first copy
+    * of such a passage is removed in full while the first survives.
+    *
+    * Plan shape: the only data-sized shuffles are (1) the 8-byte gram-hash
+    * key for the count/min-occurrence aggregate (map-side combinable), with
+    * the marker join back co-partitioned on that same key, and (2) doc_id
+    * for removed-position dedup, the kept-token anti join, and reassembly —
+    * which all share one partitioning. Nothing is broadcast or collected;
+    * gram-frequency skew (one license header in 10⁸ docs) is a skewed
+    * aggregate key, which AQE splits. `pos` must be < 2²⁰ per document
+    * (occurrences pack as doc_id·2²⁰ + pos, as in [[lineDedup]]); FNV-64
+    * gram collisions can over-remove, the standard trade of hashed
+    * ExactSubstr at corpus scale.
+    *
+    * Output: (doc_id, n_tokens, n_removed, text_clean), one row per input
+    * document — fully-removed and sub-k documents keep an empty / verbatim
+    * text_clean respectively.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val docs = df.select(col(idCol).as("doc_id"), toks(col(textCol)).as("ts"))
+    val occ = col("doc_id") * lit(1L << 20) + col("pos")
+    val grams = docs.select(col("doc_id"),
+      posexplode(posGramHashes(k)(col("ts"))).as(Seq("pos", "s")))
+    val keep = grams.groupBy("s")
+      .agg(count(lit(1)).as("cnt"), min(occ).as("keep"))
+    val removed = grams.join(keep, "s")
+      .filter(col("cnt") >= 2 && occ =!= col("keep"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("rp"))
+      .distinct()
+    // tokens and removed share the `docs` lineage — alias both sides so the
+    // doc_id equality binds one attribute per side, not trivially true
+    val tokens = docs.select(col("doc_id"), posexplode(col("ts")).as(Seq("tp", "tok")))
+      .alias("t")
+    val kept = tokens.join(removed.alias("r"),
+      col("t.doc_id") === col("r.doc_id") && col("t.tp") === col("r.rp"), "left_anti")
+    docs.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(array_sort(collect_list(struct(col("tp"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_clean")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** DuckDB replay of [[spanDedup]] over the text expression `textExpr`:
+    * same tokenizer, same FNV gram hash, same packed-min keeper, same
+    * coverage expansion and pos-ordered reassembly.
+    */
+  def spanDedupDuckSql(textExpr: String, k: Int = 5): String = {
+    val fnv = Dedup.fnv64DuckSql(s"array_to_string(ts[i:i+${k - 1}], ' ')")
+    s"""WITH tk AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower($textExpr), '\\s+'), t -> t <> '') AS ts
+       |  FROM documents
+       |), g0 AS (
+       |  SELECT doc_id, ts, unnest(range(1, len(ts) - ${k - 2})) AS i FROM tk
+       |), gr AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, $fnv AS s FROM g0
+       |), kp AS (
+       |  SELECT s, count(*) AS cnt, min(doc_id * 1048576 + pos) AS keep
+       |  FROM gr GROUP BY 1
+       |), rm AS (
+       |  SELECT DISTINCT doc_id, rp FROM (
+       |    SELECT gr.doc_id, gr.pos + unnest(range($k)) AS rp
+       |    FROM gr JOIN kp USING (s)
+       |    WHERE cnt >= 2 AND gr.doc_id * 1048576 + gr.pos <> kp.keep)
+       |), tok AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS tp, ts[i] AS t
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM tk)
+       |), ka AS (
+       |  SELECT tok.doc_id, count(*) AS n_kept,
+       |         string_agg(t, ' ' ORDER BY tp) AS text_clean
+       |  FROM tok LEFT JOIN rm ON tok.doc_id = rm.doc_id AND tok.tp = rm.rp
+       |  WHERE rm.doc_id IS NULL GROUP BY 1
+       |)
+       |SELECT tk.doc_id, CAST(len(tk.ts) AS BIGINT) AS n_tokens,
+       |       CAST(len(tk.ts) AS BIGINT) - coalesce(ka.n_kept, 0) AS n_removed,
+       |       coalesce(ka.text_clean, '') AS text_clean
+       |FROM tk LEFT JOIN ka ON tk.doc_id = ka.doc_id
+       |ORDER BY tk.doc_id""".stripMargin
+  }
 }

@@ -173,4 +173,36 @@ class CorpusSpec extends SparkSpec {
     assert(out(2L) == ((1L, "unique beta")))
     assert(out(1L) == ((2L, "subscribe now unique alpha")))
   }
+
+  test("spanDedup removes non-first copies of duplicated k-gram passages") {
+    val corpus = Seq(
+      // doc 10 holds the first occurrence of the shared 6-token passage
+      (10L, "intro words here license header text retained verbatim tail ten"),
+      // doc 11 repeats it verbatim mid-document → those 6 tokens are cut
+      (11L, "other opening license header text retained verbatim tail closing words"),
+      // doc 12: intra-doc repeat — the second copy of its own 5-token
+      // passage is cut, the first kept
+      (12L, "aa bb cc dd ee aa bb cc dd ee"),
+      (13L, "un related short"),  // exactly k tokens, unique → untouched
+      (14L, "x y"),               // sub-k → no grams, survives verbatim
+      (15L, ""))                  // empty
+      .toDF("doc_id", "text")
+    val out = Corpus.spanDedup(corpus, "doc_id", "text", k = 3)
+      .select("doc_id", "n_tokens", "n_removed", "text_clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+    assert(out.size == 6)
+    // first occurrence keeps everything
+    assert(out(10L) == ((10L, 0L,
+      "intro words here license header text retained verbatim tail ten")))
+    // doc 11 loses exactly the 6 shared tokens: duplicated 3-grams are the
+    // 4 inside "license … verbatim tail", covering those 6 positions
+    assert(out(11L) == ((10L, 6L, "other opening closing words")))
+    // doc 12: positions 5..9 repeat positions 0..4 → all 5 repeat tokens cut
+    assert(out(12L) == ((10L, 5L, "aa bb cc dd ee")))
+    assert(out(13L) == ((3L, 0L, "un related short")))
+    assert(out(14L) == ((2L, 0L, "x y")))
+    assert(out(15L) == ((0L, 0L, "")))
+  }
 }

@@ -1078,6 +1078,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR data selection: hashed unigram+bigram log-likelihood-ratio
+    // scores for the raw pool against the doc_id%11 "curated seed" —
+    // broadcast weight table, bucket-ordered float fold
+    "tx_dsir" -> ((s, dir) =>
+      Corpus.dsirTopK(T(s, dir, "documents"), "doc_id", "text",
+        targetPred = col("doc_id") % 11 === 0, buckets = 512, topK = 100)),
+
     // ExactSubstr-style repeated-span removal: tokens inside any non-first
     // occurrence of a corpus-duplicated 5-gram are cut; boilerplate tails
     // injected every 29th doc provide real cross-doc duplicated passages
@@ -2142,6 +2149,8 @@ object SparkEntry {
          |       string_agg(s.line, ' ' ORDER BY s.pos) AS text_clean
          |FROM surv s JOIN nl ON s.doc_id = nl.doc_id
          |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+
+    "tx_dsir" -> Corpus.dsirDuckSql("doc_id % 11 = 0", buckets = 512, topK = 100),
 
     "tx_span_rm" -> Corpus.spanDedupDuckSql(BoilerplateSqlExpr, k = 5),
 

@@ -373,6 +373,89 @@ object Corpus {
         array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
           x => x.getField("line")), " ").as("text_clean"))
 
+  // ======================================= DSIR importance reweighting
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): hashed-n-gram importance
+    * scores for raw-pool documents against a small curated target set. Each
+    * document's word unigrams+bigrams hash into `buckets` feature buckets;
+    * bucket distributions are estimated for target and raw with add-one
+    * smoothing, and a raw document scores Σ_b c_b(doc)·ln(p̂_t(b)/p̂_r(b)) —
+    * the log-likelihood ratio under the two hashed n-gram models. The top
+    * scorers are the raw documents that look most like the target domain.
+    *
+    * Plan: one (id, is_target, bucket) exploded-feature pass feeds BOTH
+    * distribution estimates and the per-doc bucket counts (map-side
+    * combinable aggregates on an int bucket key); the 2·`buckets`-row
+    * weight table and the scalar totals are broadcast, so scoring adds no
+    * shuffle beyond the per-doc aggregate. The per-doc float sum folds in
+    * bucket order (the BM25 trick) so the score is byte-identical across
+    * engines and retries. Top-k is a TakeOrdered, never a global sort.
+    */
+  def dsirTopK(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 512, topK: Int = 100): DataFrame = {
+    val ts = toks(col(textCol))
+    val bi = when(size(ts) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(ts) - 2),
+        i => array_join(slice(ts, i + 1, lit(2)), " ")))
+    val fb = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(concat(ts, bi)).as("f"))
+      .select(col("id"), col("is_t"),
+        pmod(TextAnalysis.polyHash(col("f")), lit(buckets.toLong)).as("b"))
+    val dist = fb.groupBy("b").agg(
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
+    val tot = dist.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val w = dist.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + buckets).cast("double")) -
+         log((col("cr") + 1).cast("double") / (col("nr") + buckets).cast("double"))).as("w"))
+    fb.filter(!col("is_t"))
+      .groupBy(col("id"), col("b")).agg(count(lit(1)).as("c"))
+      .join(broadcast(w), "b")
+      .groupBy(col("id"))
+      .agg(sum(col("c")).as("n_feats"),
+        sort_array(collect_list(struct(col("b"), (col("c") * col("w")).as("x")))).as("xs"))
+      .select(col("id"), col("n_feats"),
+        aggregate(col("xs"), lit(0.0), (acc, x) => acc + x.getField("x")).as("score"))
+      .orderBy(col("score").desc, col("id")).limit(topK)
+      .select(col("id"), col("n_feats"), round(col("score"), 6).as("score"))
+  }
+
+  /** DuckDB replay of [[dsirTopK]]: identical feature set, hash, smoothing,
+    * and bucket-ordered fold.
+    */
+  def dsirDuckSql(targetPredSql: String, buckets: Int = 512, topK: Int = 100): String = {
+    val h = TextAnalysis.polyHashDuckSql("f")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, ($targetPredSql) AS is_t, $toksDuck AS ts FROM documents
+       |), ft AS (
+       |  SELECT id, is_t, unnest(ts || CASE WHEN len(ts) < 2 THEN CAST([] AS VARCHAR[])
+       |    ELSE list_transform(range(1, len(ts)), i -> array_to_string(ts[i:i+1], ' ')) END) AS f
+       |  FROM tk
+       |), fb AS (
+       |  SELECT id, is_t, $h % $buckets AS b FROM ft
+       |), dist AS (
+       |  SELECT b, sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+       |         sum(CASE WHEN NOT is_t THEN 1 ELSE 0 END) AS cr
+       |  FROM fb GROUP BY 1
+       |), tot AS (
+       |  SELECT sum(ct) AS nt, sum(cr) AS nr FROM dist
+       |), w AS (
+       |  SELECT b, ln((ct + 1) / CAST(nt + $buckets AS DOUBLE)) -
+       |            ln((cr + 1) / CAST(nr + $buckets AS DOUBLE)) AS w
+       |  FROM dist, tot
+       |), pd AS (
+       |  SELECT id, b, count(*) AS c FROM fb WHERE NOT is_t GROUP BY 1, 2
+       |), sc AS (
+       |  SELECT id, CAST(sum(c) AS BIGINT) AS n_feats,
+       |         list_reduce(list_prepend(0.0, list(c * w ORDER BY b)), (a, x) -> a + x) AS score
+       |  FROM pd JOIN w USING (b) GROUP BY 1
+       |)
+       |SELECT id, n_feats, round(score, 6) AS score
+       |FROM sc ORDER BY score DESC, id LIMIT $topK""".stripMargin
+  }
+
   // ============================================ repeated-span removal
 
   /** Per-position word-k-gram FNV hashes (NOT deduped — position matters

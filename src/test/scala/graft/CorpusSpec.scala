@@ -174,6 +174,45 @@ class CorpusSpec extends SparkSpec {
     assert(out(1L) == ((2L, "subscribe now unique alpha")))
   }
 
+  test("dsirTopK matches brute-force hashed-ngram log-likelihood ratios") {
+    val B = 64
+    val target = docs.filter(col("doc_id").isin(0L, 3L))
+    val out = Corpus.dsirTopK(docs, "doc_id", "text",
+        targetPred = col("doc_id").isin(0L, 3L), buckets = B, topK = 10)
+      .as[(Long, Long, Double)].collect()
+
+    def feats(s: String): Seq[String] = {
+      val ts = s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      ts ++ (if (ts.length < 2) Seq.empty else ts.sliding(2).map(_.mkString(" ")).toSeq)
+    }
+    def bucket(f: String): Long = {
+      val h = f.foldLeft(7L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+      ((h % B) + B) % B
+    }
+    val all = docs.as[(Long, String, String)].collect().map(r => r._1 -> feats(r._3)).toMap
+    val tIds = Set(0L, 3L)
+    val ct = all.filter(t => tIds(t._1)).values.flatten.groupBy(bucket).map(t => t._1 -> t._2.size)
+    val cr = all.filter(t => !tIds(t._1)).values.flatten.groupBy(bucket).map(t => t._1 -> t._2.size)
+    val (nt, nr) = (ct.values.sum.toDouble, cr.values.sum.toDouble)
+    def weight(b: Long) = math.log((ct.getOrElse(b, 0) + 1) / (nt + B)) -
+      math.log((cr.getOrElse(b, 0) + 1) / (nr + B))
+    val expected = all.filter(t => !tIds(t._1)).collect { case (id, fs) if fs.nonEmpty =>
+      val byB = fs.groupBy(bucket).toSeq.sortBy(_._1)
+      (id, fs.size.toLong, byB.foldLeft(0.0)((a, t) => a + t._2.size * weight(t._1)))
+    }.toSeq
+
+    assert(out.map(_._1).toSet == expected.map(_._1).toSet) // empty doc 5 excluded
+    val expMap = expected.map(t => t._1 -> ((t._2, t._3))).toMap
+    for ((id, nf, sc) <- out) {
+      assert(nf == expMap(id)._1, s"n_feats doc $id")
+      assert(math.abs(sc - expMap(id)._2) < 1e-6, s"score doc $id")
+    }
+    // doc 1 shares the target doc 0's 9-token prefix → it must outrank the
+    // unrelated doc 7
+    val rank = out.sortBy(t => (-t._3, t._1)).map(_._1)
+    assert(rank.indexOf(1L) < rank.indexOf(7L))
+  }
+
   test("spanDedup removes non-first copies of duplicated k-gram passages") {
     val corpus = Seq(
       // doc 10 holds the first occurrence of the shared 6-token passage

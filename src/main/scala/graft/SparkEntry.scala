@@ -251,6 +251,23 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // multi-dimensional OLAP cube over (event_type, JSON-extracted k band):
+    // one shuffle produces all 4 grouping sets (Spark expands cube in the
+    // aggregate, partial-aggregated map-side); grouping_id() disambiguates
+    // subtotal NULLs; DuckDB replays with GROUP BY CUBE + GROUPING()
+    "ev_cube" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("band", (get_json_object(col("props"), "$.k").cast("long") / 10)
+          .cast("long"))
+        .cube(col("event_type"), col("band"))
+        // value is 2-decimal: summing exact cents keeps the aggregate
+        // integer (merge-order-independent), unlike a raw double sum
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+        .orderBy(col("gid"), coalesce(col("event_type"), lit("")),
+          coalesce(col("band"), lit(-1L)))
+        .select(col("gid"), col("event_type"), col("band"), col("n"), col("sum_cents"))),
+
     "ev_hourly" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // ts arrives as long nanos (see ev_top_users); integer `div` keeps the
@@ -1286,6 +1303,18 @@ object SparkEntry {
 
     "ev_top_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20",
+
+    "ev_cube" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS band,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |)
+        |SELECT GROUPING(event_type, band) AS gid, event_type, band,
+        |       count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM e GROUP BY CUBE (event_type, band)
+        |ORDER BY gid, coalesce(event_type, ''), coalesce(band, -1)""".stripMargin,
 
     "ev_hourly" ->
       """SELECT epoch_ns(ts) // 3600000000000 AS hour_idx, event_type,

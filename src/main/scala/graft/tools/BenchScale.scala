@@ -274,7 +274,30 @@ object BenchScale {
       // 3 PageRank rounds over N disjoint graph copies: per-iteration
       // edges⋈ranks + dst-sum, work ∝ edges
       "gr_pagerank" ->
-        (n => graft.pipeline.PageRank.pageRank(edgesAt(n), iters = 3)))
+        (n => graft.pipeline.PageRank.pageRank(edgesAt(n), iters = 3)),
+      // ExactSubstr span removal: rotated copies share no grams, so the
+      // gram-key aggregate, coverage expansion, and reassembly all grow ~N×
+      // (the n_removed filter keeps count() from eliminating the left join
+      // and with it the whole computation)
+      "tx_span_rm" ->
+        (n => graft.pipeline.Corpus.spanDedup(docsAt(n), "doc_id", "text", 5)
+          .filter(col("n_removed") >= 0)),
+      // DSIR scoring: output is a fixed top-100, but the feature explode,
+      // bucket distributions, and per-doc folds grow N× — the broadcast
+      // weight table stays 512 rows at every rung
+      "tx_dsir" ->
+        (n => graft.pipeline.Corpus.dsirTopK(docsAt(n), "doc_id", "text",
+          col("doc_id") % 11 === 0, 512, 100)),
+      // exact kNN join, every 37th point querying: density grows N×, so the
+      // cell is resized ∝ 1/√N to keep ~constant points per 3×3 block —
+      // the production tuning rule; per-query work then stays ~flat and
+      // total work ~N×
+      "sp_knn_join" ->
+        (n => SpatialJoin.knnJoin(
+          ptsAt(n).filter(col("id").cast("long") % 37 === 0)
+            .select(col("id"), col("x"), col("y")),
+          ptsAt(n).select(col("id"), col("x"), col("y")),
+          k = 5, cellSize = 8.0 / math.sqrt(n.toDouble), excludeSelf = true)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

@@ -1036,6 +1036,45 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // Bloom-filter decontamination — constant-memory scale sibling of
+    // tx_decontam: eval k-grams folded into a 1024-long bitset (bit_or),
+    // train side broadcast-joins the 8 KiB filter; no false negatives,
+    // deterministic false positives (same split as tx_decontam so the two
+    // reports are directly comparable)
+    "tx_decontam_bloom" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Corpus.bloomDecontaminate(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)
+        .orderBy(col("id"))
+    }),
+
+    // RAG-prep sliding-window chunking: 64-token windows, stride 48 —
+    // generator inside the projection, zero shuffles
+    "tx_chunks" -> ((s, dir) =>
+      Corpus.chunkDocs(T(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, stride = 48).orderBy(col("id"), col("chunk_id"))),
+
+    // Shannon entropy quality signals (char + token, fixed-order sums so
+    // the doubles are reproducible); compiled per-row loop, no shuffle
+    "tx_entropy" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id").as("id"),
+          TextAnalysis.entropySignals(col("text")).as("e"))
+        .select(col("id"), col("e.char_entropy").as("char_entropy"),
+          col("e.n_distinct_chars").as("n_distinct_chars"),
+          col("e.token_entropy").as("token_entropy"),
+          col("e.n_distinct_tokens").as("n_distinct_tokens"))
+        .orderBy(col("id"))),
+
+    // z-score anomalies over hourly per-type counts: integer-exact moment
+    // sums -> bit-reproducible mean/std, per-type stats broadcast
+    "ev_anomaly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.anomalies(T(s, dir, "events"), z = 2.0)
+        .orderBy(col("event_type"), col("hour_idx"))
+    }),
+
     // Gopher-style repetition signals: token histogram shuffle + per-row
     // 3-gram array stats
     "tx_repetition" -> ((s, dir) =>
@@ -2128,6 +2167,18 @@ object SparkEntry {
     // ---------------------------------------------- corpus governance ops
     "tx_decontam" ->
       Corpus.decontaminateDuckSql("doc_id % 97 <> 0", "doc_id % 97 = 0", k = 3),
+
+    "tx_decontam_bloom" ->
+      Corpus.bloomDecontaminateDuckSql("doc_id % 97 <> 0", "doc_id % 97 = 0", k = 3),
+
+    "tx_chunks" -> Corpus.chunkDocsDuckSql(chunkSize = 64, stride = 48),
+
+    "tx_entropy" ->
+      s"""SELECT doc_id AS id,
+         |${TextAnalysis.entropySignalsDuckSql("text")}
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ev_anomaly" -> Events.anomaliesDuckSql(z = 2.0),
 
     "tx_repetition" -> Corpus.repetitionDuckSql,
 

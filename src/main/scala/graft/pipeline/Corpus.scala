@@ -555,4 +555,133 @@ object Corpus {
        |FROM tk LEFT JOIN ka ON tk.doc_id = ka.doc_id
        |ORDER BY tk.doc_id""".stripMargin
   }
+
+  // ============================================ Bloom-filter decontamination
+
+  /** Bloom geometry: m = 2^16 bits packed into 1024 longs, 4 probe positions
+    * sliced from the 64-bit FNV gram hash (shifts 0/13/26/39, low 16 bits).
+    * At benchmark-suite sizes (≤ ~100k distinct k-grams) the false-positive
+    * rate is ≤ (1-e^{-4n/m})^4 ≈ 1% at n=16k; the filter itself is 8 KiB.
+    */
+  private val BloomProbes = 4
+  private def bloomPos(s: Column, i: Int): Column =
+    shiftrightunsigned(s, 13 * i).bitwiseAND(lit(0xFFFFL))
+
+  /** Bloom-filter benchmark decontamination — the constant-memory scale
+    * sibling of [[decontaminate]]. The exact-join variant ships every eval
+    * k-gram hash into a broadcast join; this one folds the eval side into a
+    * fixed 8 KiB bitset (1024 longs via `bit_or`), so the train-side
+    * membership test is a broadcast join against 1024 rows regardless of
+    * benchmark size — at 100 TB the per-executor cost is O(train grams) with
+    * no shuffle on the eval side at all. No false negatives (every true
+    * overlap is flagged); false positives are bounded by the bitset load and
+    * are deterministic given the hash slicing, so the result is exactly
+    * reproducible and oracle-checkable.
+    *
+    * Output: one row per train document with ≥1 k-gram, (id, n_grams,
+    * n_flagged) where n_flagged counts distinct k-grams whose 4 Bloom
+    * positions are all set.
+    */
+  def bloomDecontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int = 3): DataFrame = {
+    val grams = Dedup.shingleHashSet(k)
+    val bloom = eval
+      .select(explode(grams(col(textCol))).as("s")).distinct()
+      .select(explode(array((0 until BloomProbes).map(i => bloomPos(col("s"), i)): _*)).as("p"))
+      .groupBy(shiftrightunsigned(col("p"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p & 63 AS INT)))").as("bits"))
+    train
+      .select(col(idCol).as("id"), explode(grams(col(textCol))).as("s"))
+      .select(col("id"), col("s"),
+        explode(array((0 until BloomProbes).map(i => bloomPos(col("s"), i)): _*)).as("p"))
+      .withColumn("w", shiftrightunsigned(col("p"), 6))
+      .join(broadcast(bloom), Seq("w"), "left")
+      // sign extension is irrelevant under & 1, so plain shiftright is fine
+      .withColumn("hit", expr("coalesce(shiftright(bits, CAST(p & 63 AS INT)) & 1, 0L)"))
+      .groupBy(col("id"), col("s"))
+      .agg(sum(col("hit")).as("nhit"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nhit") === BloomProbes, 1L).otherwise(0L)).as("n_flagged"))
+  }
+
+  /** DuckDB replay of [[bloomDecontaminate]] over `documents` split by the
+    * two doc_id predicates: same FNV gram hashes, same position slicing,
+    * same 1024-word `bit_or` bitset, same 4-of-4 membership rule.
+    */
+  def bloomDecontaminateDuckSql(trainPred: String, evalPred: String, k: Int): String = {
+    val g = Dedup.fnv64DuckSql(s"array_to_string(ts[i:i+${k - 1}], ' ')")
+    val probes = (0 until BloomProbes)
+      .map(i => s"(s >> ${13 * i}) & 65535").mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id, $toksDuck AS ts FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(ts) < $k THEN CAST([] AS UBIGINT[])
+       |              ELSE list_distinct(list_transform(range(1, len(ts) - ${k - 2}), i -> $g))
+       |         END AS ss
+       |  FROM tk
+       |), ev AS (
+       |  SELECT DISTINCT unnest(ss) AS s FROM sh WHERE $evalPred
+       |), pp AS (
+       |  SELECT unnest($probes) AS p FROM ev
+       |), bloom AS (
+       |  SELECT p >> 6 AS w, bit_or(1::UBIGINT << CAST(p & 63 AS INT)) AS bits
+       |  FROM pp GROUP BY 1
+       |), tr AS (
+       |  SELECT doc_id AS id, unnest(ss) AS s FROM sh WHERE $trainPred
+       |), pr AS (
+       |  SELECT id, s, unnest($probes) AS p FROM tr
+       |), ht AS (
+       |  SELECT id, s,
+       |         sum(coalesce(CAST((bits >> CAST(p & 63 AS INT)) & 1 AS BIGINT), 0)) AS nhit
+       |  FROM pr LEFT JOIN bloom ON (p >> 6) = bloom.w GROUP BY 1, 2
+       |)
+       |SELECT id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN nhit = $BloomProbes THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+       |FROM ht GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ===================================================== sliding-window chunking
+
+  /** RAG/retrieval-prep chunking: split each document into token windows of
+    * `chunkSize` tokens advancing by `stride` (overlap = chunkSize − stride).
+    * Chunk i covers token positions [i·stride, i·stride + chunkSize); the
+    * last window may be short. Pure per-row array expressions — the chunk
+    * fan-out is a generator inside the scan projection, so at 100 TB this is
+    * an embarrassingly-parallel single pass with no shuffle; the output is
+    * written partitioned as read.
+    *
+    * Output: (id, chunk_id, n_tokens, chunk_text), empty documents dropped.
+    */
+  def chunkDocs(df: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize >= stride,
+      "chunkSize must be >= stride > 0 (windows must cover every token)")
+    df.select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .filter(size(col("ts")) > 0)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L), floor((size(col("ts")) - 1) / lit(stride)))))
+      .withColumn("chunk",
+        slice(col("ts"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize)))
+      .select(col("id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+
+  /** DuckDB replay of [[chunkDocs]]: same tokenizer, same window arithmetic
+    * (integer floor-div on the last-chunk index, clamped list slice).
+    */
+  def chunkDocsDuckSql(chunkSize: Int = 64, stride: Int = 48): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, $toksDuck AS ts FROM documents
+       |), nz AS (
+       |  SELECT id, ts, len(ts) AS l FROM tk WHERE len(ts) > 0
+       |), ch AS (
+       |  SELECT id, ts, unnest(range(0, ((l - 1) // $stride) + 1)) AS chunk_id FROM nz
+       |)
+       |SELECT id, chunk_id,
+       |       CAST(len(ts[chunk_id * $stride + 1 : chunk_id * $stride + $chunkSize]) AS BIGINT) AS n_tokens,
+       |       array_to_string(ts[chunk_id * $stride + 1 : chunk_id * $stride + $chunkSize], ' ') AS chunk_text
+       |FROM ch ORDER BY id, chunk_id""".stripMargin
 }

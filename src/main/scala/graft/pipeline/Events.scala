@@ -237,4 +237,55 @@ object Events {
        |    FROM hll_dense GROUP BY g)
        |)""".stripMargin
   }
+
+  // ======================================================= anomaly detection
+
+  /** Z-score anomaly detection over hourly event-type counts: an (hour,
+    * type) bucket is anomalous when its count deviates from the type's mean
+    * by more than `z` population standard deviations. The mean/std are
+    * derived from integer-exact sums (Σn, Σn²) rather than a streaming
+    * moment aggregate, so the doubles are bit-reproducible regardless of
+    * aggregation order — the property the hash oracle needs — and the
+    * per-type stats table is tiny (one row per event type), so it
+    * broadcasts; the only data-sized shuffle is the hourly count itself.
+    * Expects `ts` as long nanos (the parquet nanosAsLong read path).
+    */
+  def anomalies(events: DataFrame, z: Double = 2.0): DataFrame = {
+    val hourly = events
+      .withColumn("hour_idx", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("nh"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+    val mean = col("s1").cast("double") / col("nh")
+    val sd = sqrt(col("s2").cast("double") / col("nh") - mean * mean)
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("mean", mean).withColumn("sd", sd)
+      .filter(col("sd") > 0 && abs(col("n") - col("mean")) > lit(z) * col("sd"))
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        round((col("n") - col("mean")) / col("sd"), 6).as("zscore"))
+  }
+
+  /** DuckDB replay of [[anomalies]] — identical IEEE op order on the
+    * integer-exact sums, so the doubles match bit-for-bit before rounding.
+    */
+  def anomaliesDuckSql(z: Double = 2.0): String =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), st AS (
+       |  SELECT event_type, count(*) AS nh,
+       |         CAST(sum(n) AS BIGINT) AS s1, CAST(sum(n * n) AS BIGINT) AS s2
+       |  FROM h GROUP BY 1
+       |), j AS (
+       |  SELECT h.event_type, hour_idx, n,
+       |         CAST(s1 AS DOUBLE) / nh AS mean,
+       |         sqrt(CAST(s2 AS DOUBLE) / nh
+       |              - (CAST(s1 AS DOUBLE) / nh) * (CAST(s1 AS DOUBLE) / nh)) AS sd
+       |  FROM h JOIN st ON h.event_type = st.event_type
+       |)
+       |SELECT event_type, hour_idx, n, round((n - mean) / sd, 6) AS zscore
+       |FROM j WHERE sd > 0 AND abs(n - mean) > $z * sd
+       |ORDER BY 1, 2""".stripMargin
 }

@@ -215,4 +215,61 @@ object TextAnalysis {
         out.toArray
       }
     }).apply(text)
+
+  /** Shannon-entropy quality signals per document: character entropy and
+    * whitespace-token entropy (both in nats), plus the distinct counts.
+    * Low character entropy flags degenerate/repeated text; token entropy
+    * near log(n_tokens) flags no-repetition (likely random) bags of words.
+    *
+    * Both sums run over the DISTINCT symbols in ascending order so the
+    * floating-point accumulation order is fixed and the DuckDB replay can
+    * reproduce it; a compiled per-row loop, no shuffle — the same
+    * scale-shape as [[textQuality]]. ASCII corpus assumption: entropy is
+    * computed over UTF-16 code units, which coincide with code points for
+    * the BMP (the oracle splits per character).
+    */
+  def entropySignals(text: Column): Column = {
+    val f = udf((s: String) => {
+      def entropy[T: Ordering](xs: Seq[T]): (Double, Int) = {
+        if (xs.isEmpty) (0.0, 0)
+        else {
+          val n = xs.length.toDouble
+          val counts = xs.groupBy(identity).map { case (k, v) => (k, v.size) }
+            .toSeq.sortBy(_._1)
+          var h = 0.0
+          counts.foreach { case (_, k) =>
+            val p = k / n
+            h += p * math.log(p)
+          }
+          (BigDecimal(-h).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            counts.length)
+        }
+      }
+      val t = if (s == null) "" else s
+      val (ce, cd) = entropy(t.toSeq)
+      val (te, td) = entropy(t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq)
+      (ce, cd, te, td)
+    })
+    f(text).cast("struct<char_entropy:double,n_distinct_chars:int," +
+      "token_entropy:double,n_distinct_tokens:int>")
+  }
+
+  /** DuckDB fragment replaying [[entropySignals]] for the text expression
+    * `e`: per-symbol histograms via list ops, summed over the sorted
+    * distinct-symbol list (same accumulation order as the Scala loop, same
+    * `-round(Σ p·ln p, 6)` finish). Yields 4 select-list items.
+    */
+  def entropySignalsDuckSql(e: String): String = {
+    def ent(listExpr: String, alias: String, dAlias: String): String =
+      s"""CASE WHEN len($listExpr) = 0 THEN 0.0 ELSE
+         |  round(-list_sum(list_transform(list_sort(list_distinct($listExpr)),
+         |    __c -> (len(list_filter($listExpr, __x -> __x = __c)) / CAST(len($listExpr) AS DOUBLE))
+         |           * ln(len(list_filter($listExpr, __x -> __x = __c)) / CAST(len($listExpr) AS DOUBLE)))), 6)
+         |END AS $alias,
+         |CAST(len(list_distinct($listExpr)) AS INT) AS $dAlias""".stripMargin
+    val chars = s"string_split(coalesce($e, ''), '')"
+    val toks = s"list_filter(string_split_regex(lower(coalesce($e, '')), '\\s+'), __t -> __t <> '')"
+    ent(chars, "char_entropy", "n_distinct_chars") + ",\n" +
+      ent(toks, "token_entropy", "n_distinct_tokens")
+  }
 }

@@ -213,6 +213,58 @@ class CorpusSpec extends SparkSpec {
     assert(rank.indexOf(1L) < rank.indexOf(7L))
   }
 
+  test("bloomDecontaminate never misses a true overlap and counts every gram") {
+    val eval = docs.filter(col("doc_id").isin(0L, 3L))
+    val train = docs.filter(!col("doc_id").isin(0L, 3L))
+    val bloom = Corpus.bloomDecontaminate(train, eval, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = Corpus.decontaminate(train, eval, "doc_id", "text", k = 3)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+
+    // every doc with >= 1 gram appears, n_grams == its distinct gram count
+    for (id <- Seq(1L, 2L, 4L, 7L))
+      assert(bloom(id)._1 ==
+        wordGrams(docs.filter(col("doc_id") === id).select("text").as[String].head(), 3).size)
+    assert(!bloom.contains(5L) && !bloom.contains(6L)) // sub-k docs: no grams
+    // Bloom membership has no false negatives: flagged >= exact overlap count
+    for ((id, nOverlap) <- exact) assert(bloom(id)._2 >= nOverlap)
+    // and a doc sharing nothing textually stays clean unless a (deterministic)
+    // collision occurs — on this corpus there is none
+    assert(bloom(7L)._2 == 0L)
+  }
+
+  test("chunkDocs covers every token, overlaps by chunkSize-stride, clamps the tail") {
+    val out = Corpus.chunkDocs(docs, "doc_id", "text", chunkSize = 5, stride = 3)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1 has 12 tokens -> chunks start at 0,3,6,9: sizes 5,5,5,3
+    assert(out(1L).map(_._3).toSeq == Seq(5L, 5L, 5L, 3L))
+    val toks1 = "the quick brown fox jumps over the lazy dog again and again".split(" ")
+    assert(out(1L)(1)._4 == toks1.slice(3, 8).mkString(" "))
+    // reconstruction: stride-aligned prefixes of each chunk reassemble the doc
+    val rebuilt = out(1L).map(_._4.split(" ").take(3)).flatten.take(12) ++
+      out(1L).last._4.split(" ").drop(3)
+    assert(rebuilt.take(12).toSeq == toks1.toSeq)
+    // empty and sub-chunk docs
+    assert(!out.contains(5L))           // zero tokens -> dropped
+    assert(out(6L).map(_._3).toSeq == Seq(2L)) // "a b": one short chunk
+  }
+
+  test("entropySignals matches closed forms on degenerate and uniform text") {
+    val e = docs.select(col("doc_id"),
+        TextAnalysis.entropySignals(col("text")).as("e"))
+      .select(col("doc_id"), col("e.char_entropy"), col("e.n_distinct_chars"),
+        col("e.token_entropy"), col("e.n_distinct_tokens"))
+      .as[(Long, Double, Int, Double, Int)].collect().map(r => r._1 -> r).toMap
+    // doc 4: 8x the same token -> token entropy 0, 6 distinct chars (s,p,a,r,k,' ')
+    assert(e(4L)._4 == 0.0 && e(4L)._5 == 1 && e(4L)._3 == 6)
+    // doc 5: empty -> all zeros
+    assert(e(5L) == ((5L, 0.0, 0, 0.0, 0)))
+    // doc 6: "a b" -> uniform 2-token entropy = ln 2; chars a,b,' ' uniform = ln 3
+    assert(math.abs(e(6L)._4 - math.log(2)) < 1e-6)
+    assert(math.abs(e(6L)._2 - math.log(3)) < 1e-6)
+  }
+
   test("spanDedup removes non-first copies of duplicated k-gram passages") {
     val corpus = Seq(
       // doc 10 holds the first occurrence of the shared 6-token passage

@@ -259,4 +259,19 @@ class EventsSpec extends SparkSpec {
     // ≈ −5.78, bb = ln(1/3) − 3·ln 4 ≈ −5.26 — bb's smaller token mass wins
     assert(out == "bb")
   }
+
+  test("anomalies flags exactly the spiked hour with the closed-form z-score") {
+    val hourNs = 3600000000000L
+    // type "a": hours 0..9 at 10 events each, except hour 5 spikes to 100;
+    // type "b": flat 5 events over hours 0..3 (sd = 0 -> never flagged)
+    val rows =
+      (for (h <- 0 until 10; i <- 0 until (if (h == 5) 100 else 10))
+        yield (h * hourNs + i, "a")) ++
+      (for (h <- 0 until 4; i <- 0 until 5) yield (h * hourNs + i, "b"))
+    val events = rows.toDF("ts", "event_type")
+    val out = Events.anomalies(events, z = 2.0)
+      .as[(String, Long, Long, Double)].collect()
+    // mean = 19, var = (9*100 + 10000)/10 - 361 = 729, z = 81/27 = 3 exactly
+    assert(out.toSeq == Seq(("a", 5L, 100L, 3.0)))
+  }
 }

@@ -1075,6 +1075,21 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_idx"))
     }),
 
+    // blocklist filter: per-row array scan against a literal/broadcast term
+    // list, no shuffle
+    "tx_badwords" -> ((s, dir) =>
+      Corpus.bannedTermScan(T(s, dir, "documents"), "doc_id", "text",
+        terms = Seq("hash", "scan", "batch")).orderBy(col("id"))),
+
+    // retry-storm duplicate suppression (batch sibling of the streaming
+    // exact dedup): lag rule on (user, type), one shuffle reused by window
+    // and aggregate
+    "ev_dedup_window" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.dedupWindow(T(s, dir, "events"), windowNs = 6L * 3600 * 1000000000L)
+        .orderBy(col("user_id"), col("event_type"))
+    }),
+
     // Gopher-style repetition signals: token histogram shuffle + per-row
     // 3-gram array stats
     "tx_repetition" -> ((s, dir) =>
@@ -2179,6 +2194,10 @@ object SparkEntry {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ev_anomaly" -> Events.anomaliesDuckSql(z = 2.0),
+
+    "ev_dedup_window" -> Events.dedupWindowDuckSql(6L * 3600 * 1000000000L),
+
+    "tx_badwords" -> Corpus.bannedTermScanDuckSql(Seq("hash", "scan", "batch")),
 
     "tx_repetition" -> Corpus.repetitionDuckSql,
 

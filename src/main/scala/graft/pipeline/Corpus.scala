@@ -642,6 +642,40 @@ object Corpus {
        |FROM ht GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ======================================================= blocklist filtering
+
+  /** Banned-term scan: per document, the total occurrence count of any
+    * blocklist term and the banned-token fraction. The blocklist rides into
+    * the plan as an array literal (at production size, a broadcast join on
+    * token works identically) — a pure per-row array filter, no shuffle.
+    * Output: documents with ≥1 banned occurrence.
+    */
+  def bannedTermScan(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    val banned = array(terms.map(t => lit(t.toLowerCase)): _*)
+    df.select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .select(col("id"), size(col("ts")).cast("long").as("n_tokens"),
+        size(filter(col("ts"), t => array_contains(banned, t))).cast("long").as("n_banned"))
+      .filter(col("n_banned") > 0)
+      .withColumn("banned_frac",
+        round(col("n_banned") / greatest(col("n_tokens"), lit(1L)), 6))
+  }
+
+  /** DuckDB replay of [[bannedTermScan]]. */
+  def bannedTermScanDuckSql(terms: Seq[String]): String = {
+    val list = terms.map(t => s"'${t.toLowerCase.replace("'", "''")}'").mkString("[", ", ", "]")
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, $toksDuck AS ts FROM documents
+       |), sc AS (
+       |  SELECT id, CAST(len(ts) AS BIGINT) AS n_tokens,
+       |         CAST(len(list_filter(ts, t -> list_contains($list, t))) AS BIGINT) AS n_banned
+       |  FROM tk
+       |)
+       |SELECT id, n_tokens, n_banned,
+       |       round(n_banned / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS banned_frac
+       |FROM sc WHERE n_banned > 0 ORDER BY id""".stripMargin
+  }
+
   // ===================================================== sliding-window chunking
 
   /** RAG/retrieval-prep chunking: split each document into token windows of

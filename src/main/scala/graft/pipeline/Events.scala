@@ -267,6 +267,46 @@ object Events {
         round((col("n") - col("mean")) / col("sd"), 6).as("zscore"))
   }
 
+  // ================================================= window duplicate drop
+
+  /** Batch sibling of streaming exact dedup: an event is a duplicate when
+    * it lands within `windowNs` of the PREVIOUS event of the same
+    * (user_id, event_type) — the lag formulation (retry storms collapse to
+    * ~1 kept per window-spaced chain, matching the at-least-once delivery
+    * model). ONE shuffle on the pair key; the lag window and the summary
+    * aggregate reuse the same partitioning, so no second exchange.
+    * Expects `ts` as long nanos. Output: per-key totals (n_events, n_kept,
+    * first_ev) for keys that actually contain duplicates.
+    */
+  def dedupWindow(events: DataFrame, windowNs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("dup",
+        when(col("ts") - lag(col("ts"), 1).over(w) <= windowNs, 1L).otherwise(0L))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(lit(1L) - col("dup")).as("n_kept"),
+        min(col("event_id")).as("first_ev"))
+      .filter(col("n_kept") < col("n_events"))
+  }
+
+  /** DuckDB replay of [[dedupWindow]]: same lag-vs-window rule, same
+    * (ts, event_id) tie order. */
+  def dedupWindowDuckSql(windowNs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id, epoch_ns(ts) AS tsn FROM events
+       |), d AS (
+       |  SELECT user_id, event_type, event_id,
+       |         CASE WHEN tsn - lag(tsn) OVER (PARTITION BY user_id, event_type
+       |                ORDER BY tsn, event_id) <= $windowNs THEN 1 ELSE 0 END AS dup
+       |  FROM e
+       |)
+       |SELECT user_id, event_type, count(*) AS n_events,
+       |       CAST(sum(1 - dup) AS BIGINT) AS n_kept, min(event_id) AS first_ev
+       |FROM d GROUP BY 1, 2 HAVING sum(1 - dup) < count(*)
+       |ORDER BY 1, 2""".stripMargin
+
   /** DuckDB replay of [[anomalies]] — identical IEEE op order on the
     * integer-exact sums, so the doubles match bit-for-bit before rounding.
     */

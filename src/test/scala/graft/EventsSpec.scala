@@ -274,4 +274,18 @@ class EventsSpec extends SparkSpec {
     // mean = 19, var = (9*100 + 10000)/10 - 361 = 729, z = 81/27 = 3 exactly
     assert(out.toSeq == Seq(("a", 5L, 100L, 3.0)))
   }
+
+  test("dedupWindow drops lag-rule duplicates and hides clean keys") {
+    // user 1 "c": events at t=0,3,4,10 with window 5 -> 3 and 4 are dups of
+    // their predecessors (lag rule, NOT anchor rule: 4-3=1 <= 5 counts even
+    // though 4-0 > ... both within here), 10-4=6 kept -> n_kept=2
+    // user 2 "c": 0, 100 -> clean key, filtered out of the report
+    val events = Seq(
+      (1L, "c", 0L, 10L), (1L, "c", 3L, 11L), (1L, "c", 4L, 12L), (1L, "c", 10L, 13L),
+      (2L, "c", 0L, 20L), (2L, "c", 100L, 21L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = Events.dedupWindow(events, windowNs = 5L)
+      .as[(Long, String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, "c", 4L, 2L, 10L)))
+  }
 }

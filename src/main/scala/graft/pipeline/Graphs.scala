@@ -46,8 +46,11 @@ object Graphs {
       .join(deg.select(col("v").as("a"), col("deg").as("deg_a")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("deg_b")), "b")
       .select(key("a"), key("b"))
+    // dirE feeds three joins (both wedge sides + the closing probe); persist
+    // so the dedup + degree-attach chain runs once, not three times
     val dirE = keyed.select(
       least(col("ka"), col("kb")).as("u"), greatest(col("ka"), col("kb")).as("w"))
+      .persist()
     // wedges u→v, u→w with v < w close iff oriented edge (v, w) exists
     val wedges = dirE.as("x").join(dirE.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))

@@ -297,7 +297,22 @@ object BenchScale {
           ptsAt(n).filter(col("id").cast("long") % 37 === 0)
             .select(col("id"), col("x"), col("y")),
           ptsAt(n).select(col("id"), col("x"), col("y")),
-          k = 5, cellSize = 8.0 / math.sqrt(n.toDouble), excludeSelf = true)))
+          k = 5, cellSize = 8.0 / math.sqrt(n.toDouble), excludeSelf = true)),
+      // Bloom decontamination with the benchmark FIXED (the production
+      // shape: corpus grows, eval suite doesn't) — the 8 KiB bitset is
+      // constant at every rung, so work is the train-side gram scan ∝ N
+      "tx_bloom" ->
+        (n => graft.pipeline.Corpus.bloomDecontaminate(
+          docsAt(n).filter(col("doc_id") % 97 =!= 0),
+          docsAt(1).filter(col("doc_id") % 97 === 0), "doc_id", "text", k = 3)),
+      // windowed event dedup: per-copy session structure repeats, one
+      // (user, type) shuffle reused by the lag window and the aggregate
+      "ev_dedup_win" ->
+        (n => graft.pipeline.Events.dedupWindow(
+          evAt(n).select(col("user_id"), col("event_id"),
+            (col("tsn") * 1000).as("ts"),
+            concat(lit("t"), (col("event_id") % 5).cast("string")).as("event_type")),
+          windowNs = 6L * 3600 * 1000000000L)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

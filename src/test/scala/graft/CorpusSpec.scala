@@ -265,6 +265,24 @@ class CorpusSpec extends SparkSpec {
     assert(math.abs(e(6L)._2 - math.log(3)) < 1e-6)
   }
 
+  test("plan shapes: chunk/blocklist scans have no exchange; bloom filter broadcasts") {
+    val chunkPlan = Corpus.chunkDocs(docs, "doc_id", "text", 8, 6)
+      .queryExecution.executedPlan.toString()
+    assert(!chunkPlan.contains("Exchange"),
+      s"chunkDocs must be a shuffle-free projection:\n$chunkPlan")
+    val banPlan = Corpus.bannedTermScan(docs, "doc_id", "text", Seq("spark"))
+      .queryExecution.executedPlan.toString()
+    assert(!banPlan.contains("Exchange"),
+      s"bannedTermScan must be a shuffle-free scan:\n$banPlan")
+    val bloomPlan = Corpus.bloomDecontaminate(
+        docs.filter(col("doc_id") > 1), docs.filter(col("doc_id") <= 1),
+        "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString()
+    // the 1024-row bitset must reach the train side as a broadcast
+    assert(bloomPlan.contains("BroadcastHashJoin"),
+      s"bloom membership join is not broadcast:\n$bloomPlan")
+  }
+
   test("spanDedup removes non-first copies of duplicated k-gram passages") {
     val corpus = Seq(
       // doc 10 holds the first occurrence of the shared 6-token passage

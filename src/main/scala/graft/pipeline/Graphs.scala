@@ -29,9 +29,16 @@ object Graphs {
     * Shuffle count: degree aggregate, two co-partitioned joins to attach
     * endpoint degrees, the wedge self-join on the apex, the closing-edge
     * semi-join on (v, w), and the final explode+count — each keyed on a
-    * node or node pair; nothing is ever broadcast or collected, so the
-    * plan holds on graphs whose edge list is itself cluster-scale.
+    * node or node pair, so the plan holds on graphs whose edge list is
+    * itself cluster-scale. When the oriented edge list is SMALL (the
+    * stats-first pick [[graft.engine.SpatialJoin.join]] also makes), the
+    * wedge and closing probes broadcast it instead: the wedge stream —
+    * O(m^{3/2}) rows, the dominant volume — then never shuffles at all,
+    * it probes the edge map map-side. Above the threshold the pure-shuffle
+    * shape kicks in unchanged.
     */
+  private val BroadcastEdges = 2_000_000L
+
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
@@ -51,11 +58,14 @@ object Graphs {
     val dirE = keyed.select(
       least(col("ka"), col("kb")).as("u"), greatest(col("ka"), col("kb")).as("w"))
       .persist()
+    // the persisted count is a cache scan — the same cheap signal
+    // SpatialJoin.join pays only in its in-between band
+    val dirEb = if (dirE.count() <= BroadcastEdges) broadcast(dirE) else dirE
     // wedges u→v, u→w with v < w close iff oriented edge (v, w) exists
-    val wedges = dirE.as("x").join(dirE.as("y"),
+    val wedges = dirE.as("x").join(dirEb.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))
       .select(col("x.u").as("u"), col("x.w").as("v"), col("y.w").as("w"))
-    val tris = wedges.join(dirE.select(col("u").as("v"), col("w")), Seq("v", "w"))
+    val tris = wedges.join(dirEb.select(col("u").as("v"), col("w")), Seq("v", "w"))
     tris.select(explode(array(col("u"), col("v"), col("w"))).as("k"))
       .groupBy("k").agg(count(lit(1)).as("n_tri"))
       .select((col("k") % lit(1L << 31)).as("node"), col("n_tri"))

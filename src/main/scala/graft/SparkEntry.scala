@@ -20,8 +20,29 @@ import graft.pipeline.{Bpe, Classify, Corpus, CountMin, Dedup, Events, Graphs, G
   */
 object SparkEntry {
 
-  private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  private def T(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") normalizeEventTs(df) else df
+  }
+
+  /** Normalize `events.ts` to LONG NANOS — the contract every event operator
+    * downstream assumes. Driver generations have shipped the column both as
+    * parquet TIMESTAMP(NANOS) (readable only as long via the legacy
+    * `nanosAsLong` conf, already long here) and as TIMESTAMP(MICROS)
+    * (arriving as TIMESTAMP_NTZ). The NTZ micros are extracted with
+    * `timestampdiff` against the epoch — pure integer arithmetic on the
+    * stored micros, no session-timezone math — so Spark's ns and the DuckDB
+    * oracle's `epoch_ns(ts)` see the identical naive instant.
+    */
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case _ => // TIMESTAMP (tz-adjusted read path): micros since epoch UTC
+        df.withColumn("ts", expr("unix_micros(ts) * 1000"))
+    }
 
   /** Deterministic customer point layer in canonical schema (SURVEY §1.3). */
   private def pointsDf(s: SparkSession, dir: String): DataFrame =
@@ -1262,6 +1283,37 @@ object SparkEntry {
         col("lang").as("label"), col("text"))
       Classify.naiveBayes(
         d.filter(col("id") % 5 =!= 0), d.filter(col("id") % 5 === 0))
+    }),
+
+    // per-doc top-3 TF-IDF keyword terms: tf + df aggregates, vocab-KEYED
+    // join (df table is vocabulary-sized — never broadcast), per-doc window
+    // top-k ranking on the rounded score
+    "tx_tfidf" -> ((s, dir) =>
+      Corpus.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text",
+        topPerDoc = 3).orderBy(col("id"), col("rank"))),
+
+    // PMI bigram collocations (phrase mining): bigram fan-out as a generator
+    // in the scan projection, two count aggregates, TakeOrdered top-20
+    "tx_colloc" -> ((s, dir) =>
+      Corpus.collocations(T(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, topK = 20)),
+
+    // heatmap tile aggregation over the point layer: ONE partial-aggregated
+    // shuffle to per-cell counts + decimal-exact value mass, TakeOrdered
+    // top-20 tiles
+    "sp_grid_heat" -> ((s, dir) =>
+      SpatialAggs.gridHeatmap(pointsDf(s, dir), "c_acctbal", cellDeg = 15.0)
+        .orderBy(col("n_points").desc, col("cell_x"), col("cell_y"))
+        .limit(20)),
+
+    // shot-boundary scene segmentation over sampled video frames: the lag
+    // cut rule, running-sum scene ids, and the per-scene aggregate all share
+    // ONE media_id shuffle
+    "mm_scenes" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+      Multimodal.sceneSegments(Multimodal.sampleFrames(media, n = 12),
+          threshold = 5.5)
+        .orderBy(col("media_id"), col("scene_id"))
     })
   )
 
@@ -2280,7 +2332,22 @@ object SparkEntry {
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
     "tx_classify" ->
-      Classify.naiveBayesDuckSql("id % 5 <> 0", "id % 5 = 0")
+      Classify.naiveBayesDuckSql("id % 5 <> 0", "id % 5 = 0"),
+
+    "tx_tfidf" -> Corpus.tfidfDuckSql(topPerDoc = 3),
+
+    "tx_colloc" -> Corpus.collocationsDuckSql(minCount = 5, topK = 20),
+
+    "sp_grid_heat" -> (PtsCte +
+      """
+        |SELECT CAST(floor((x + 180.0) / 15.0) AS BIGINT) AS cell_x,
+        |       CAST(floor((y + 90.0) / 15.0) AS BIGINT) AS cell_y,
+        |       count(*) AS n_points,
+        |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+        |FROM pts GROUP BY 1, 2
+        |ORDER BY n_points DESC, cell_x, cell_y LIMIT 20""".stripMargin),
+
+    "mm_scenes" -> MmScenesSql
   )
 
   // ------------------------------------------------- generated oracle SQL
@@ -2488,6 +2555,51 @@ object SparkEntry {
       |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
       |FROM chain WHERE step > 65
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** mm_scenes oracle: the mm_frames stub-decode chain at 12 frames/video
+    * (same FNV recurrence, range(12) frame fan-out), then the identical
+    * lag/threshold/running-sum scene assembly in window SQL.
+    */
+  private val MmScenesSql: String =
+    """WITH RECURSIVE chain(media_id, frame_idx, step, state) AS (
+      |  SELECT i AS media_id, f AS frame_idx, 0 AS step,
+      |         CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i), range(12) u(f) WHERE i % 3 = 2
+      |  UNION ALL
+      |  SELECT media_id, frame_idx, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64 THEN
+      |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
+      |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
+      |             ELSE (media_id * 31 + step * 7) % 251 END
+      |      WHEN step = 64 THEN frame_idx
+      |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 321
+      |), feat AS (
+      |  SELECT media_id, frame_idx,
+      |         round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |                        / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
+      |  FROM chain WHERE step > 65
+      |  GROUP BY 1, 2
+      |), cuts AS (
+      |  SELECT media_id, frame_idx, feat,
+      |         lag(feat) OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev
+      |  FROM feat
+      |), flagged AS (
+      |  SELECT media_id, frame_idx,
+      |         CASE WHEN prev IS NOT NULL AND abs(feat - prev) > 5.5
+      |              THEN 1 ELSE 0 END AS is_cut
+      |  FROM cuts
+      |), scenes AS (
+      |  SELECT media_id, frame_idx,
+      |         CAST(sum(is_cut) OVER (PARTITION BY media_id ORDER BY frame_idx
+      |                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS scene_id
+      |  FROM flagged
+      |)
+      |SELECT media_id, scene_id, count(*) AS n_frames,
+      |       min(frame_idx) AS start_frame, max(frame_idx) AS end_frame
+      |FROM scenes GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** sp_density_islands oracle: single-link connected components over the
     * nation-0 point graph (edges = pairs within density 25) via a recursive

@@ -229,4 +229,20 @@ object SpatialAggs {
         sort_array(collect_list(col("id"))).as("members"),
         count(lit(1)).as("n_members"))
   }
+
+  /** Fixed-grid heatmap tiles over a point layer: per-cell point count and
+    * exact value mass — the tile-aggregation pass behind density heatmaps /
+    * choropleth serving (the raster analog of the reference's density
+    * islands, but grid-keyed so it is ONE partial-aggregated shuffle at any
+    * scale: map-side combine reduces each partition to ≤ |cells| rows before
+    * the exchange). The value sum runs in decimal so the per-cell mass is
+    * exact and reproducible regardless of partitioning/accumulation order.
+    */
+  def gridHeatmap(pts: DataFrame, valueCol: String, cellDeg: Double,
+      minx: Double = -180.0, miny: Double = -90.0): DataFrame =
+    pts.groupBy(
+        floor((col("x") - minx) / cellDeg).cast("long").as("cell_x"),
+        floor((col("y") - miny) / cellDeg).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_val"))
 }

@@ -718,4 +718,128 @@ object Corpus {
        |       CAST(len(ts[chunk_id * $stride + 1 : chunk_id * $stride + $chunkSize]) AS BIGINT) AS n_tokens,
        |       array_to_string(ts[chunk_id * $stride + 1 : chunk_id * $stride + $chunkSize], ' ') AS chunk_text
        |FROM ch ORDER BY id, chunk_id""".stripMargin
+
+  // ============================================================ TF-IDF
+
+  /** Per-document top-k TF-IDF terms (smooth idf = ln((N+1)/(df+1)) + 1 —
+    * the scikit-learn smoothing, always positive). Keyword extraction /
+    * feature selection over the corpus; the per-doc complement of
+    * [[bm25TopK]] (which ranks documents for one query).
+    *
+    * Plan: one (id, term) aggregate for tf, one (term) aggregate for df,
+    * then a term-keyed join and a per-doc window top-k. The df table is
+    * vocabulary-sized: joined by key, NOT broadcast, so the plan holds when
+    * the vocabulary outgrows any single executor (at 100 TB natural-language
+    * vocab is 10⁷–10⁸ rows — broadcastable only after heavy pruning); the
+    * corpus-size scalar IS broadcast. Ranking on the ROUNDED score (both
+    * engines rank the same 6-decimal value, so rank order is reproducible).
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+      topPerDoc: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol).as("id"), explode(toks(col(textCol))).as("t"))
+      .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("t")).agg(count(lit(1)).as("dft"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dft, "t").crossJoin(broadcast(nDocs))
+      .withColumn("score", round(
+        col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + lit(1.0)) /
+               (col("dft").cast("double") + lit(1.0))) + lit(1.0)), 6))
+    val w = Window.partitionBy(col("id")).orderBy(col("score").desc, col("t"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topPerDoc)
+      .select(col("id"), col("rank"), col("t").as("term"), col("score"))
+  }
+
+  /** DuckDB replay of [[tfidfTopTerms]]: identical expression tree and the
+    * same rank-on-rounded-score rule.
+    */
+  def tfidfDuckSql(topPerDoc: Int = 3): String =
+    s"""WITH tk AS (
+       |  SELECT doc_id AS id, $toksDuck AS ts FROM documents
+       |), tf AS (
+       |  SELECT id, t, count(*) AS tf
+       |  FROM (SELECT id, unnest(ts) AS t FROM tk) GROUP BY 1, 2
+       |), dft AS (
+       |  SELECT t, count(*) AS dft FROM tf GROUP BY 1
+       |), nd AS (
+       |  SELECT count(*) AS n_docs FROM tk
+       |), scored AS (
+       |  SELECT id, t,
+       |         round(CAST(tf AS DOUBLE) *
+       |               (ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(dft AS DOUBLE) + 1.0)) + 1.0),
+       |               6) AS score
+       |  FROM tf JOIN dft USING (t), nd
+       |), ranked AS (
+       |  SELECT id, t, score,
+       |         CAST(row_number() OVER (PARTITION BY id ORDER BY score DESC, t) AS BIGINT) AS rank
+       |  FROM scored
+       |)
+       |SELECT id, rank, t AS term, score
+       |FROM ranked WHERE rank <= $topPerDoc ORDER BY id, rank""".stripMargin
+
+  // ====================================================== collocations
+
+  /** PMI-scored bigram collocations over the corpus (Church & Hanks 1990):
+    * pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) ) with p from corpus counts
+    * (bigram mass B, unigram mass T), reported for bigrams seen ≥ `minCount`
+    * times. The standard phrase-mining pass a tokenizer-training pipeline
+    * runs before merging multi-word units.
+    *
+    * Plan: the bigram fan-out is a generator in the scan projection (no
+    * shuffle); one (w1,w2) aggregate + one (w) aggregate; unigram counts are
+    * joined back by key twice — vocabulary-sized, so key-joined rather than
+    * broadcast (same scale reasoning as [[tfidfTopTerms]]); the two scalar
+    * masses broadcast. Top-k is a TakeOrdered, never a global sort. All
+    * inputs to the double math are exact integers < 2⁵³, so the pmi doubles
+    * are bit-reproducible.
+    */
+  def collocations(df: DataFrame, idCol: String, textCol: String,
+      minCount: Long = 5, topK: Int = 20): DataFrame = {
+    val tk = df.select(toks(col(textCol)).as("ts"))
+    val bg = tk.filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ts) - 2), i -> struct(ts[i] AS w1, ts[i + 1] AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val ug = tk.select(explode(col("ts")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cx"))
+    val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cxy"))
+    val totals = ug.agg(sum(col("cx")).as("t_total"))
+      .crossJoin(bgc.agg(sum(col("cxy")).as("b_total")))
+    val scored = bgc.filter(col("cxy") >= minCount)
+      .join(ug.select(col("w").as("w1"), col("cx").as("c1")), "w1")
+      .join(ug.select(col("w").as("w2"), col("cx").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi", round(log(
+        (col("cxy").cast("double") * col("t_total") * col("t_total")) /
+          (col("b_total").cast("double") * col("c1") * col("c2"))), 6))
+    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(topK)
+      .select(col("w1"), col("w2"), col("cxy"), col("pmi"))
+  }
+
+  /** DuckDB replay of [[collocations]]: same generator, same count CTEs,
+    * same left-associated double products inside the ln.
+    */
+  def collocationsDuckSql(minCount: Long = 5, topK: Int = 20): String =
+    s"""WITH tk AS (
+       |  SELECT $toksDuck AS ts FROM documents
+       |), bg AS (
+       |  SELECT unnest(list_transform(range(1, len(ts)),
+       |                i -> {'w1': ts[i], 'w2': ts[i + 1]})) AS p
+       |  FROM tk WHERE len(ts) >= 2
+       |), bgc AS (
+       |  SELECT p.w1 AS w1, p.w2 AS w2, count(*) AS cxy FROM bg GROUP BY 1, 2
+       |), ug AS (
+       |  SELECT w, count(*) AS cx FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST((SELECT sum(cx) FROM ug) AS BIGINT) AS t_total,
+       |         CAST((SELECT sum(cxy) FROM bgc) AS BIGINT) AS b_total
+       |)
+       |SELECT w1, w2, cxy,
+       |       round(ln((CAST(cxy AS DOUBLE) * t_total * t_total) /
+       |                (CAST(b_total AS DOUBLE) * c1.cx * c2.cx)), 6) AS pmi
+       |FROM bgc JOIN ug c1 ON bgc.w1 = c1.w JOIN ug c2 ON bgc.w2 = c2.w, tot
+       |WHERE cxy >= $minCount
+       |ORDER BY pmi DESC, w1, w2 LIMIT $topK""".stripMargin
 }

@@ -165,6 +165,40 @@ object Multimodal {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Scene segmentation over sampled video frames: a cut opens a new scene
+    * wherever the per-frame feature (pixel sum, the stub stand-in for a real
+    * frame histogram/embedding) jumps by more than `threshold` vs the
+    * previous frame — the standard shot-boundary detector shape. Emits one
+    * row per (video, scene) with frame extent.
+    *
+    * Plan: frame features come out of the decode batch pass; the cut rule is
+    * a lag window and the scene id a running sum over the SAME
+    * (media_id, frame_idx) window — one shuffle on media_id serves both
+    * window passes and the final per-scene aggregate. Frames of one video
+    * are never split across partitions, so this scales per-video, not
+    * per-corpus. Features are rounded to 4 decimals BEFORE the diff so the
+    * cut decisions compare identical doubles in both engines.
+    */
+  def sceneSegments(frames: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val feat = frames.select(col("media_id"),
+      col("frame_idx").cast("long").as("frame_idx"),
+      round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4)
+        .as("feat"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val cuts = feat
+      .withColumn("prev", lag(col("feat"), 1).over(w))
+      .withColumn("is_cut",
+        when(col("prev").isNotNull && abs(col("feat") - col("prev")) > threshold, 1L)
+          .otherwise(0L))
+      .withColumn("scene_id",
+        sum(col("is_cut")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    cuts.groupBy(col("media_id"), col("scene_id"))
+      .agg(count(lit(1)).as("n_frames"),
+        min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"))
+  }
+
   /** Synthesize a deterministic media table from any source table (for tests
     * and benchmarks — the container has no real media files). `seedOf`
     * remaps the byte-content seed so callers can inject exact-duplicate

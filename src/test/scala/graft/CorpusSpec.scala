@@ -314,4 +314,48 @@ class CorpusSpec extends SparkSpec {
     assert(out(14L) == ((2L, 0L, "x y")))
     assert(out(15L) == ((0L, 0L, "")))
   }
+
+  test("tfidfTopTerms matches a brute-force replay on the mixed corpus") {
+    val out = Corpus.tfidfTopTerms(docs, "doc_id", "text", topPerDoc = 3)
+      .as[(Long, Long, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+
+    // brute force
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    val tok: String => Seq[String] = s => s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val n = texts.size
+    val dfCounts = texts.values.toSeq.flatMap(t => tok(t).distinct).groupBy(identity)
+      .view.mapValues(_.size).toMap
+    val expected = texts.map { case (id, t) =>
+      val tf = tok(t).groupBy(identity).view.mapValues(_.size).toMap
+      val scored = tf.toSeq.map { case (w, f) =>
+        val raw = f * (math.log((n + 1.0) / (dfCounts(w) + 1.0)) + 1.0)
+        (w, BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy { case (w, sc) => (-sc, w) }.take(3)
+      id -> scored
+    }
+    for ((id, exp) <- expected if exp.nonEmpty)
+      assert(out(id) == exp, s"doc $id: got ${out.get(id)} expected $exp")
+    assert(!out.contains(5L)) // empty doc has no terms
+  }
+
+  test("collocations matches a brute-force PMI replay") {
+    val out = Corpus.collocations(docs, "doc_id", "text", minCount = 2, topK = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+
+    val tok: String => Seq[String] = s => s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    val texts = docs.select("text").as[String].collect().toSeq
+    val uni = texts.flatMap(tok).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bis = texts.map(tok).filter(_.length >= 2)
+      .flatMap(ts => ts.zip(ts.tail)).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tTot = uni.values.sum.toDouble
+    val bTot = bis.values.sum.toDouble
+    val expected = bis.filter(_._2 >= 2).toSeq.map { case ((w1, w2), cxy) =>
+      val raw = math.log((cxy.toDouble * tTot * tTot) / (bTot * uni(w1) * uni(w2)))
+      (w1, w2, cxy, BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (w1, w2, _, pmi) => (-pmi, w1, w2) }.take(10)
+    assert(out == expected)
+    // the "again and again" / repeated-spark corpus guarantees candidates
+    assert(out.nonEmpty && out.exists(r => r._1 == "spark" && r._2 == "spark"))
+  }
 }

@@ -151,4 +151,19 @@ class GeoFrameSpec extends SparkSpec {
       .select("snap_distance").as[Double].head()
     assert(math.abs(r - 2.0) < 1e-9) // snapped point is (5,0)
   }
+
+  test("gridHeatmap bins points exactly and sums values in decimal") {
+    val pts = Seq(
+      (-179.5, -89.5, 10.10), (-170.1, -85.0, 0.01), // both in cell (0,0) @15°
+      (0.5, 0.5, 1.11),                              // cell (12,6)
+      (14.9, 14.9, 2.22), (0.1, 14.0, 3.33),         // also cell (12,6)
+      (179.5, 89.5, 5.05))                           // cell (23,11)
+      .toDF("x", "y", "v")
+    val out = SpatialAggs.gridHeatmap(pts, "v", cellDeg = 15.0)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 10.11),
+      (12L, 6L, 3L, 6.66),
+      (23L, 11L, 1L, 5.05)))
+  }
 }

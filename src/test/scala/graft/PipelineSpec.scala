@@ -162,4 +162,40 @@ class PipelineSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, n = 3, 4, 4)
     assert(frames.count() == 9) // 3 videos × 3 frames
   }
+
+  test("sceneSegments cuts exactly where the frame feature jumps past the threshold") {
+    // hand-built single-pixel frames: feature == the pixel value
+    val frames = Seq(
+      (0L, 0, Seq(1.0f)), (0L, 1, Seq(1.2f)), (0L, 2, Seq(9.0f)), // cut at 2
+      (0L, 3, Seq(9.1f)), (0L, 4, Seq(1.0f)),                     // cut at 4
+      (1L, 0, Seq(5.0f)), (1L, 1, Seq(5.0f)))                     // no cuts
+      .toDF("media_id", "frame_idx", "pixels")
+    val out = Multimodal.sceneSegments(frames, threshold = 5.0)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L, 0L, 1L),                            // scene 0: frames 0-1
+      (0L, 1L, 2L, 2L, 3L),                            // scene 1: frames 2-3
+      (0L, 2L, 1L, 4L, 4L),                            // scene 2: frame 4
+      (1L, 0L, 2L, 0L, 1L)))
+  }
+
+  test("sceneSegments partitions every sampled frame into contiguous scenes") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, n = 12)
+    val scenes = Multimodal.sceneSegments(frames, threshold = 5.5)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val videos = scenes.groupBy(_._1)
+    assert(videos.keySet == (0 until 30).filter(_ % 3 == 2).map(_.toLong).toSet)
+    for ((_, ss) <- videos) {
+      val sorted = ss.sortBy(_._2)
+      assert(sorted.map(_._3).sum == 12)                       // all frames covered
+      assert(sorted.head._4 == 0 && sorted.last._5 == 11)      // full extent
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5 + 1 == b._4 && b._2 == a._2 + 1)         // contiguous, dense ids
+        case _ =>
+      }
+      sorted.foreach(s => assert(s._5 - s._4 + 1 == s._3))     // extent == count
+    }
+  }
 }

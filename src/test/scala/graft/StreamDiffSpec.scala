@@ -69,7 +69,8 @@ class StreamDiffSpec extends SparkSpec {
     val srcDir = s"$dir/in"
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val events = SparkEntry.normalizeEventTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
       .select(col("event_id"),
         timestamp_seconds(expr("ts div 1000000000")).as("ets"),
         (col("value") % 1000.0).as("ex"),

@@ -1314,7 +1314,14 @@ object SparkEntry {
       Multimodal.sceneSegments(Multimodal.sampleFrames(media, n = 12),
           threshold = 5.5)
         .orderBy(col("media_id"), col("scene_id"))
-    })
+    }),
+
+    // content-defined chunking (FastCDC-style anchors) + chunk-level dedup
+    // stats: boundary scan and chunk fan-out stay in the scan projection,
+    // one hash-keyed aggregate, TakeOrdered top-20 most-shared chunks
+    "tx_cdc" -> ((s, dir) =>
+      Corpus.cdcChunkStats(T(s, dir, "documents"), "doc_id", "text",
+        k = 8, divisor = 64, topK = 20))
   )
 
   /** Documents with query-side boilerplate injected into every 29th row
@@ -2347,7 +2354,9 @@ object SparkEntry {
         |FROM pts GROUP BY 1, 2
         |ORDER BY n_points DESC, cell_x, cell_y LIMIT 20""".stripMargin),
 
-    "mm_scenes" -> MmScenesSql
+    "mm_scenes" -> MmScenesSql,
+
+    "tx_cdc" -> Corpus.cdcChunkStatsDuckSql(k = 8, divisor = 64, topK = 20)
   )
 
   // ------------------------------------------------- generated oracle SQL

@@ -842,4 +842,88 @@ object Corpus {
        |FROM bgc JOIN ug c1 ON bgc.w1 = c1.w JOIN ug c2 ON bgc.w2 = c2.w, tot
        |WHERE cxy >= $minCount
        |ORDER BY pmi DESC, w1, w2 LIMIT $topK""".stripMargin
+
+  // ========================================== content-defined chunking
+
+  /** Spark-SQL fragment computing [[TextAnalysis.polyHash]] over the SQL
+    * expression `e` — for use INSIDE higher-order-function lambdas where the
+    * Column API can't reach (substr with a lambda-bound position).
+    */
+  private def polyHashSparkSql(e: String): String =
+    s"aggregate(transform(filter(split($e, ''), c -> c <> ''), " +
+      s"c -> cast(ascii(c) as bigint)), cast(7 as bigint), " +
+      s"(acc, c) -> (acc * 31 + c) % 1000000007)"
+
+  /** Content-defined chunking + chunk-level dedup stats (the FastCDC/rsync
+    * family, minus the min/max-size clamps, which would make boundary
+    * selection sequential): a chunk boundary is CUT BEFORE every position
+    * whose k-char gram hashes to 0 mod `divisor` — boundaries move with the
+    * content, so an insertion early in a document only reshuffles chunks
+    * near the edit and shared passages still produce identical chunks.
+    * Reports the `topK` most-shared chunks (by distinct docs, then
+    * occurrences) — the dedup-storage savings signal.
+    *
+    * Plan: boundary scan + chunk fan-out are per-row array expressions in
+    * the scan projection (no shuffle, O(len·k) per row); ONE aggregate on
+    * the chunk hash (map-side combined); TakeOrdered top-k. Chunk texts
+    * never cross the shuffle — only (hash, id) pairs do.
+    */
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64, topK: Int = 20): DataFrame = {
+    val bs = s"CASE WHEN length(__t) >= $k THEN " +
+      s"filter(sequence(1, length(__t) - ${k - 1}), " +
+      s"i -> ${polyHashSparkSql(s"substr(__t, i, $k)")} % $divisor = 0) " +
+      s"ELSE array() END"
+    // span j of len(b)+1: [prev boundary (or 1), next boundary - 1 (or len)]
+    val chunks =
+      s"""filter(transform(sequence(1, size(__b) + 1),
+         |  j -> substr(__t,
+         |    CASE WHEN j = 1 THEN 1 ELSE element_at(__b, j - 1) END,
+         |    (CASE WHEN j = size(__b) + 1 THEN length(__t)
+         |          ELSE element_at(__b, j) - 1 END)
+         |      - (CASE WHEN j = 1 THEN 1 ELSE element_at(__b, j - 1) END) + 1)),
+         |  c -> c <> '')""".stripMargin
+    df.select(col(idCol).as("id"), col(textCol).as("__t"))
+      .withColumn("__b", expr(bs))
+      .select(col("id"), explode(expr(chunks)).as("chunk"))
+      .select(col("id"), TextAnalysis.polyHash(col("chunk")).as("chunk_hash"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+      .groupBy(col("chunk_hash"))
+      .agg(max(col("chunk_len")).as("chunk_len"),
+        count(lit(1)).as("n_occ"),
+        countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_hash"))
+      .limit(topK)
+      .select(col("chunk_hash"), col("chunk_len"), col("n_occ"), col("n_docs"))
+  }
+
+  /** DuckDB replay of [[cdcChunkStats]]: same boundary rule, same
+    * cut-before-anchor chunk spans, same hash/aggregate/tie-break.
+    */
+  def cdcChunkStatsDuckSql(k: Int = 8, divisor: Int = 64, topK: Int = 20): String = {
+    def ph(e: String) = TextAnalysis.polyHashDuckSql(e)
+    s"""WITH bs AS (
+       |  SELECT doc_id AS id, text,
+       |         CASE WHEN length(text) >= $k THEN
+       |           list_filter(range(1, length(text) - ${k - 1} + 1),
+       |                       __p -> ${ph(s"substr(text, __p, $k)")} % $divisor = 0)
+       |         ELSE [] END AS b
+       |  FROM documents
+       |), ch AS (
+       |  SELECT id, unnest(list_filter(
+       |    list_transform(range(1, len(b) + 2),
+       |      j -> substr(text,
+       |                  CASE WHEN j = 1 THEN 1 ELSE b[j - 1] END,
+       |                  (CASE WHEN j = len(b) + 1 THEN length(text) ELSE b[j] - 1 END)
+       |                    - (CASE WHEN j = 1 THEN 1 ELSE b[j - 1] END) + 1)),
+       |    c -> c <> '')) AS chunk
+       |  FROM bs
+       |)
+       |SELECT ${ph("chunk")} AS chunk_hash,
+       |       CAST(max(length(chunk)) AS BIGINT) AS chunk_len,
+       |       count(*) AS n_occ,
+       |       count(DISTINCT id) AS n_docs
+       |FROM ch GROUP BY 1
+       |ORDER BY n_docs DESC, n_occ DESC, chunk_hash LIMIT $topK""".stripMargin
+  }
 }

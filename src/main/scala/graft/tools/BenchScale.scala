@@ -312,7 +312,16 @@ object BenchScale {
           evAt(n).select(col("user_id"), col("event_id"),
             (col("tsn") * 1000).as("ts"),
             concat(lit("t"), (col("event_id") % 5).cast("string")).as("event_type")),
-          windowNs = 6L * 3600 * 1000000000L)))
+          windowNs = 6L * 3600 * 1000000000L)),
+      // TF-IDF keyword extraction: rotated copies have disjoint vocabularies,
+      // so the tf/df tables and the vocab-KEYED join (never broadcast) grow
+      // N× — wall time must stay ~linear as the vocabulary scales with data
+      "tx_tfidf" ->
+        (n => graft.pipeline.Corpus.tfidfTopTerms(docsAt(n), "doc_id", "text", 3)),
+      // PMI collocations: top-20 output is fixed but the bigram/unigram
+      // aggregates and both vocab-keyed count joins grow N×
+      "tx_colloc" ->
+        (n => graft.pipeline.Corpus.collocations(docsAt(n), "doc_id", "text", 5, 20)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

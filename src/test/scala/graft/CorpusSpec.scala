@@ -358,4 +358,37 @@ class CorpusSpec extends SparkSpec {
     // the "again and again" / repeated-spark corpus guarantees candidates
     assert(out.nonEmpty && out.exists(r => r._1 == "spark" && r._2 == "spark"))
   }
+
+  test("cdcChunkStats matches a brute-force CDC replay and reconstructs documents") {
+    // shared passage across docs 0/1 must produce at least one shared chunk
+    val out = Corpus.cdcChunkStats(docs, "doc_id", "text", k = 4, divisor = 8, topK = 100)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+
+    def polyHash(s: String): Long = {
+      var h = 7L
+      s.foreach { c => h = (h * 31 + c.toLong) % 1000000007L }
+      h
+    }
+    def cdcChunks(text: String): Seq[String] = {
+      if (text.isEmpty) return Seq.empty
+      val bounds = (1 to math.max(text.length - 3, 0))
+        .filter(i => polyHash(text.substring(i - 1, i + 3)) % 8 == 0)
+      val starts = 1 +: bounds
+      val ends = bounds.map(_ - 1) :+ text.length
+      starts.zip(ends).map { case (s, e) => text.substring(s - 1, e) }.filter(_.nonEmpty)
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // chunks reassemble each document exactly (no content lost at cuts)
+    texts.foreach { case (_, t) => assert(cdcChunks(t).mkString == t) }
+    val all = texts.flatMap { case (id, t) => cdcChunks(t).map(c => (id, c)) }
+    val expected = all.groupBy(c => polyHash(c._2)).map { case (h, cs) =>
+      (h, cs.head._2.length.toLong, cs.size.toLong, cs.map(_._1).distinct.size.toLong)
+    }.toSeq.sortBy { case (h, _, occ, nd) => (-nd, -occ, h) }.take(100)
+    assert(out == expected)
+    // insertion robustness: a prefix edit only changes chunks near the edit
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val edited = "XX " + base
+    val cb = cdcChunks(base); val ce = cdcChunks(edited)
+    assert(cb.intersect(ce).nonEmpty || cb.size <= 1) // shared tail chunks survive
+  }
 }

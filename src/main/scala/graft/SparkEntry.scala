@@ -1321,7 +1321,29 @@ object SparkEntry {
     // one hash-keyed aggregate, TakeOrdered top-20 most-shared chunks
     "tx_cdc" -> ((s, dir) =>
       Corpus.cdcChunkStats(T(s, dir, "documents"), "doc_id", "text",
-        k = 8, divisor = 64, topK = 20))
+        k = 8, divisor = 64, topK = 20)),
+
+    // tile pyramid (5°→15°→45°): each coarser level rolls up FROM the finer
+    // AGGREGATE, never from base rows — at 100 TB the base scan happens once
+    // and every later exchange is tile-count-sized. Value mass stays decimal
+    // through every level (double only at the output), so rollup order
+    // can't perturb the sums. Nested 3× levels ⟹ coarse cell = fine div 3.
+    "sp_tile_pyramid" -> ((s, dir) => {
+      val fine = pointsDf(s, dir).groupBy(
+          floor((col("x") + 180.0) / 5.0).cast("long").as("cell_x"),
+          floor((col("y") + 90.0) / 5.0).cast("long").as("cell_y"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal").cast("decimal(18,2)")).as("s"))
+      def up(df: DataFrame) = df.groupBy(
+          expr("cell_x div 3").as("cell_x"), expr("cell_y div 3").as("cell_y"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      val mid = up(fine); val coarse = up(mid)
+      Seq((fine, 5.0), (mid, 15.0), (coarse, 45.0))
+        .map { case (df, deg) => df.select(lit(deg).as("cell_deg"),
+          col("cell_x"), col("cell_y"), col("n").as("n_points"),
+          col("s").cast("double").as("sum_val")) }
+        .reduce(_ unionByName _)
+        .orderBy(col("cell_deg"), col("cell_x"), col("cell_y"))
+    })
   )
 
   /** Documents with query-side boilerplate injected into every 29th row
@@ -2356,7 +2378,31 @@ object SparkEntry {
 
     "mm_scenes" -> MmScenesSql,
 
-    "tx_cdc" -> Corpus.cdcChunkStatsDuckSql(k = 8, divisor = 64, topK = 20)
+    "tx_cdc" -> Corpus.cdcChunkStatsDuckSql(k = 8, divisor = 64, topK = 20),
+
+    "sp_tile_pyramid" -> (PtsCte +
+      """
+        |, fine AS (
+        |  SELECT CAST(floor((x + 180.0) / 5.0) AS BIGINT) AS cell_x,
+        |         CAST(floor((y + 90.0) / 5.0) AS BIGINT) AS cell_y,
+        |         count(*) AS n, sum(CAST(c_acctbal AS DECIMAL(18,2))) AS s
+        |  FROM pts GROUP BY 1, 2
+        |), mid AS (
+        |  SELECT cell_x // 3 AS cell_x, cell_y // 3 AS cell_y,
+        |         CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+        |  FROM fine GROUP BY 1, 2
+        |), coarse AS (
+        |  SELECT cell_x // 3 AS cell_x, cell_y // 3 AS cell_y,
+        |         CAST(sum(n) AS BIGINT) AS n, sum(s) AS s
+        |  FROM mid GROUP BY 1, 2
+        |)
+        |SELECT cell_deg, cell_x, cell_y, n AS n_points, CAST(s AS DOUBLE) AS sum_val
+        |FROM (
+        |  SELECT CAST(5.0 AS DOUBLE) AS cell_deg, * FROM fine
+        |  UNION ALL SELECT CAST(15.0 AS DOUBLE), * FROM mid
+        |  UNION ALL SELECT CAST(45.0 AS DOUBLE), * FROM coarse
+        |)
+        |ORDER BY cell_deg, cell_x, cell_y""".stripMargin)
   )
 
   // ------------------------------------------------- generated oracle SQL

@@ -35,4 +35,22 @@ object StreamJoin {
         col(rtsCol) > col(ltsCol) - expr(s"INTERVAL $horizon"))
       .drop(r(key))
   }
+
+  /** Stream–static enrichment: a live stream joined to a slowly-changing
+    * dimension table, then a watermarked per-window/per-dimension rollup —
+    * the canonical "attach the user's segment, aggregate by segment" shape.
+    * The static side is broadcast to every microbatch (re-resolved per
+    * batch, so a dimension refresh is picked up without restarting the
+    * query); the stream side never shuffles before the windowed aggregate.
+    * State is bounded by the watermark exactly as in a plain windowed agg —
+    * the stream-static join itself is STATELESS.
+    */
+  def enrichAndRollup(stream: DataFrame, dim: DataFrame, key: String,
+      tsCol: String, dimCol: String, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .join(broadcast(dim), key)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col(dimCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 }

@@ -72,4 +72,46 @@ class StreamJoinSpec extends SparkSpec {
         ts("2026-01-01 00:20:00"), "b")))
     } finally q.stop()
   }
+
+  test("stream-static enrichment rollup equals the batch join+aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = MemoryStream[(Long, Timestamp, Double)]
+    val edf = events.toDF.toDF("user_id", "ets", "value")
+    val dim = Seq((1L, "gold"), (2L, "silver"), (3L, "gold"))
+      .toDF("user_id", "segment")
+    val out = StreamJoin.enrichAndRollup(edf, dim, "user_id", "ets", "segment",
+      window = "1 hour", watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Complete()).start()
+
+    val rows = Seq(
+      (1L, ts("2026-01-01 00:05:00"), 1.0),
+      (2L, ts("2026-01-01 00:10:00"), 2.0),
+      (3L, ts("2026-01-01 00:55:00"), 4.0),  // same window+segment as user 1
+      (1L, ts("2026-01-01 01:05:00"), 8.0),  // next window
+      (4L, ts("2026-01-01 00:20:00"), 16.0)) // no dimension row → dropped
+    try {
+      events.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      events.addData(rows.drop(2): _*)   // late-window + cross-batch merge
+      q.processAllAvailable()
+
+      val got = spark.table("enrich_out")
+        .select(col("window.start").cast("long").as("ws"), col("segment"),
+          col("n"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      val batch = rows.toDF("user_id", "ets", "value")
+        .join(dim, "user_id")
+        .groupBy(window(col("ets"), "1 hour"), col("segment"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("long").as("ws"), col("segment"),
+          col("n"), col("sum_value"))
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(got == batch, s"got=$got batch=$batch")
+      // gold window 0 merged across microbatches: users 1+3 → n=2, 5.0
+      assert(got.exists { case (_, s, n, v) => s == "gold" && n == 2L && v == 5.0 })
+      // the un-enriched user is absent everywhere
+      assert(batch.toSeq.map(_._3).sum == 4)
+    } finally q.stop()
+  }
 }

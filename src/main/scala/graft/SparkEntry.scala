@@ -1323,6 +1323,23 @@ object SparkEntry {
       Corpus.cdcChunkStats(T(s, dir, "documents"), "doc_id", "text",
         k = 8, divisor = 64, topK = 20)),
 
+    // batch ANN kNN join: every 25th vector queries the IVF index at once —
+    // corpus assigned once, probe lists exploded per query, list-keyed join
+    // (partition pruning when the corpus is written by list_id), window
+    // top-k on the rounded exact cosine
+    "sim_knn_join" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfKnnJoin(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // per-language percentile length gate: relative quality threshold per
+    // stratum; ONE stratum shuffle serves window + summary aggregate
+    "tx_quality_gate" -> ((s, dir) =>
+      Corpus.lengthPercentileGate(T(s, dir, "documents"), "doc_id", "text",
+        "lang", minPct = 0.2)),
+
     // tile pyramid (5°→15°→45°): each coarser level rolls up FROM the finer
     // AGGREGATE, never from base rows — at 100 TB the base scan happens once
     // and every later exchange is tile-count-sized. Value mass stays decimal
@@ -2379,6 +2396,40 @@ object SparkEntry {
     "mm_scenes" -> MmScenesSql,
 
     "tx_cdc" -> Corpus.cdcChunkStatsDuckSql(k = 8, divisor = 64, topK = 20),
+
+    "tx_quality_gate" -> Corpus.lengthPercentileGateDuckSql(minPct = 0.2),
+
+    // same assignment/probe/re-rank replay as sim_ivf_topk, generalized to
+    // the query SET with per-query windows
+    "sim_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id AS id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+        |  FROM e CROSS JOIN c
+        |), assign AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0
+        |), probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+        |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid
+        |  WHERE a.id <> q.qid
+        |), ranked AS (
+        |  SELECT qid, nid, cosine,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rank
+        |  FROM cand
+        |)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "sp_tile_pyramid" -> (PtsCte +
       """

@@ -843,6 +843,49 @@ object Corpus {
        |WHERE cxy >= $minCount
        |ORDER BY pmi DESC, w1, w2 LIMIT $topK""".stripMargin
 
+  // ==================================== percentile quality gating
+
+  /** Per-stratum percentile length gate: drop every document below the
+    * `minPct` percent-rank of token count WITHIN its stratum (language,
+    * source, …) — the relative-threshold cousin of an absolute length
+    * filter, robust to strata with different natural document lengths.
+    * Emits a per-stratum summary (docs, kept, the realized minimum kept
+    * length).
+    *
+    * Plan: one shuffle on the stratum key serves the percent_rank window
+    * AND the summary aggregate. percent_rank = (rank−1)/(n−1) is an exact
+    * integer ratio in both engines; the window orders by (n_tokens, id) so
+    * the rank — and therefore the kept set — is totally determined.
+    */
+  def lengthPercentileGate(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: String, minPct: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(stratumCol).as("stratum"),
+      size(toks(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("n_tokens"), col("id"))
+    base.withColumn("pr", percent_rank().over(w))
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pr") >= minPct, 1L).otherwise(0L)).as("n_kept"),
+        min(when(col("pr") >= minPct, col("n_tokens"))).as("min_tokens_kept"))
+      .orderBy(col("stratum"))
+  }
+
+  /** DuckDB replay of [[lengthPercentileGate]]. */
+  def lengthPercentileGateDuckSql(minPct: Double = 0.2): String =
+    s"""WITH b AS (
+       |  SELECT doc_id AS id, lang AS stratum,
+       |         CAST(len($toksDuck) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), p AS (
+       |  SELECT *, percent_rank() OVER (PARTITION BY stratum ORDER BY n_tokens, id) AS pr
+       |  FROM b
+       |)
+       |SELECT stratum, count(*) AS n_docs,
+       |       CAST(sum(CASE WHEN pr >= $minPct THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |       min(CASE WHEN pr >= $minPct THEN n_tokens END) AS min_tokens_kept
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================== content-defined chunking
 
   /** Spark-SQL fragment computing [[TextAnalysis.polyHash]] over the SQL

@@ -341,6 +341,42 @@ object Similarity {
     ivfTopKWith(df, idCol, vecCol, query, k, cents, nprobe)
   }
 
+  /** Batch ANN (kNN join): EVERY query vector finds its top-k corpus
+    * neighbors through the IVF index — the retrieval/dedup shape pipelines
+    * actually run (N queries at once, not one). Corpus vectors are assigned
+    * to their nearest list ONCE; each query expands to its `nprobe` probe
+    * lists; the probe is a LIST-KEYED join (when the corpus is written
+    * partitioned by `list_id`, this is partition pruning — each query block
+    * reads nprobe/nlist of the data); exact cosine re-ranks per query via a
+    * window top-k. Ranking runs on the ROUNDED cosine so both engines rank
+    * identical doubles. Self-matches are excluded.
+    */
+  def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = deterministicCentroids(corpus, idCol, vecCol, nlist)
+    val assign = nearestCentroidUdf(cents)
+    val probesUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble)
+      cents.map { case (ci, cv) => (ci, centCos(cv, vd)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
+    })
+    val corpusAssigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list_id", assign(col("nvec")))
+    val queriesProbed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("list_id", explode(probesUdf(col("qvec"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    queriesProbed.join(corpusAssigned, "list_id")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("nvec"))), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   /** All pairs with cosine ≥ threshold — SRP-bucket self-join (candidates
     * share a bucket in at least one of `tables` independent hashings) +
     * exact cosine verification.

@@ -321,7 +321,15 @@ object BenchScale {
       // PMI collocations: top-20 output is fixed but the bigram/unigram
       // aggregates and both vocab-keyed count joins grow N×
       "tx_colloc" ->
-        (n => graft.pipeline.Corpus.collocations(docsAt(n), "doc_id", "text", 5, 20)))
+        (n => graft.pipeline.Corpus.collocations(docsAt(n), "doc_id", "text", 5, 20)),
+      // batch ANN kNN join: queries AND corpus grow N×; the IVF index is
+      // RESIZED with the corpus (nlist ∝ N keeps per-list size constant —
+      // the same production tuning rule as sp_knn_join's cell resize), so
+      // per-query probe work stays ~flat and total work ~N×
+      "sim_knn_join" ->
+        (n => Similarity.ivfKnnJoin(embAt(n),
+          embAt(n).filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          k = 5, nlist = 16 * n, nprobe = 2)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

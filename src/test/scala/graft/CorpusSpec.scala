@@ -359,6 +359,19 @@ class CorpusSpec extends SparkSpec {
     assert(out.nonEmpty && out.exists(r => r._1 == "spark" && r._2 == "spark"))
   }
 
+  test("lengthPercentileGate keeps exactly the docs at or above the stratum percentile") {
+    // stratum a: token counts 1..5 → percent_rank 0, .25, .5, .75, 1
+    // stratum b: counts 2,2 (tie broken by id) → pr 0, 1
+    val d = Seq(
+      (0L, "a", "w"), (1L, "a", "w w"), (2L, "a", "w w w"),
+      (3L, "a", "w w w w"), (4L, "a", "w w w w w"),
+      (10L, "b", "x y"), (11L, "b", "x y"))
+      .toDF("doc_id", "lang", "text")
+    val out = Corpus.lengthPercentileGate(d, "doc_id", "text", "lang", minPct = 0.2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 5L, 4L, 2L), ("b", 2L, 1L, 2L)))
+  }
+
   test("cdcChunkStats matches a brute-force CDC replay and reconstructs documents") {
     // shared passage across docs 0/1 must produce at least one shared chunk
     val out = Corpus.cdcChunkStats(docs, "doc_id", "text", k = 4, divisor = 8, topK = 100)

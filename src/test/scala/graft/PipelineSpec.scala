@@ -163,6 +163,32 @@ class PipelineSpec extends SparkSpec {
     assert(frames.count() == 9) // 3 videos × 3 frames
   }
 
+  test("ivfKnnJoin finds exact duplicates at rank 1 and keeps ranks dense/ordered") {
+    // two tight clusters around orthogonal axes + an exact duplicate pair
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = new Array[Float](4); v(axis) = 1.0f; v((axis + 1) % 4) = jitter; v
+    }
+    val rows = (0 until 20).map { i =>
+      val axis = if (i % 2 == 0) 0 else 2
+      (i.toLong, vec(axis, 0.01f * (i / 2)))
+    } :+ (100L, vec(0, 0.03f)) // exact duplicate of id 6's vector
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfKnnJoin(df, df.filter(col("vec_id") === 6 || col("vec_id") === 7),
+        "vec_id", "embedding", k = 3, nlist = 4, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(6L, 7L))
+    for ((q, ns) <- byQ) {
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.size.toLong)) // dense ranks
+      assert(sorted.map(_._4).reverse.sorted.reverse == sorted.map(_._4)) // cosine desc
+      assert(!sorted.exists(_._3 == q)) // no self
+    }
+    // id 100 duplicates id 6's vector exactly → rank-1 neighbor, cosine 1.0
+    assert(byQ(6L).find(_._2 == 1L).get._3 == 100L)
+    assert(byQ(6L).find(_._2 == 1L).get._4 == 1.0)
+  }
+
   test("sceneSegments cuts exactly where the frame feature jumps past the threshold") {
     // hand-built single-pixel frames: feature == the pixel value
     val frames = Seq(

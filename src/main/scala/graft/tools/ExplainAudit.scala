@@ -62,6 +62,32 @@ object ExplainAudit {
       (col("id") * 7919 % 600).as("dst"))
     graft.pipeline.Graphs.triangleCounts(edges).explain("formatted")
 
+    println("========== tfidf: vocab-keyed df join + per-doc window ==========")
+    val docs = spark.range(5000).select(col("id").as("doc_id"),
+      concat_ws(" ", array((0 until 20).map(i =>
+        concat(lit("w"), ((col("id") + i) % 500).cast("string"))): _*)).as("text"))
+    graft.pipeline.Corpus.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .explain("formatted")
+
+    println("========== tile pyramid: coarse levels reuse finer AGGREGATE ==========")
+    val tilePts = pts.select(col("id"), col("x"), col("y"),
+      (col("id") % 1000).cast("double").as("c_acctbal"))
+    val fine = tilePts.groupBy(
+        floor((col("x") + 180.0) / 5.0).cast("long").as("cell_x"),
+        floor((col("y") + 90.0) / 5.0).cast("long").as("cell_y"))
+      .agg(count(lit(1)).as("n"), sum(col("c_acctbal").cast("decimal(18,2)")).as("s"))
+    fine.groupBy(expr("cell_x div 3").as("cell_x"), expr("cell_y div 3").as("cell_y"))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+      .explain("formatted")
+
+    println("========== ANN kNN join: list-keyed probe join + window top-k ==========")
+    val vecs = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (((col("id") * 31 + i * 7) % 97) / lit(97.0)).cast("float")).as("embedding"))
+    graft.pipeline.Similarity.ivfKnnJoin(vecs,
+        vecs.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", 5, 8, 2)
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -1207,6 +1207,33 @@ object SparkEntry {
       Packing.packPlacements(T(s, dir, "documents"), "doc_id", "text",
         capacity = 512L, numShards = 8)),
 
+    // deterministic global shuffle into training shards: scrambled-hash
+    // permutation, ONE shard exchange + per-shard sort (no global sort)
+    "tx_shard" -> ((s, dir) =>
+      Packing.shardAssign(T(s, dir, "documents"), "doc_id", "text",
+        numShards = 16, salt = "shard1:")),
+
+    // first-order Markov transitions over per-user event sequences: one
+    // user_id exchange for the lag window, pair counts + exact-ratio probs
+    "ev_markov" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.transitions(T(s, dir, "events"))
+    }),
+
+    // explicitly SALTED fact-to-dim enrichment join (dim replicated ×salts,
+    // fact never inflates) — same result as unsalted, pinned by EventsSpec
+    "ev_salted_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.saltedUserMaxHits(T(s, dir, "events"), salts = 8)
+    }),
+
+    // bucketed CO-LOCATED join: both fact tables written bucketBy(orderkey)
+    // + sortBy, joined with zero Exchange/Sort on either input (plan shape
+    // pinned by Round4Spec) — the pay-once storage layout for repeated
+    // fact-to-fact joins
+    "q4_colocated_join" -> ((s, dir) =>
+      graft.plans.Bucketing.colocatedPriorityVolume(s, dir, buckets = 8)),
+
     // weighted corpus mixing against a token budget: integer-only targets
     // and parts-per-million hash cuts per source
     "tx_mix" -> ((s, dir) =>
@@ -2356,6 +2383,14 @@ object SparkEntry {
         newPred = "% 2 = 0", refPred = "% 2 = 1"),
 
     "tx_pack" -> Packing.packDuckSql(capacity = 512L, numShards = 8),
+
+    "tx_shard" -> Packing.shardAssignDuckSql(numShards = 16, salt = "shard1:"),
+
+    "ev_markov" -> Events.transitionsDuckSql,
+
+    "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
+
+    "q4_colocated_join" -> graft.plans.Bucketing.colocatedPriorityVolumeDuckSql,
 
     "tx_mix" -> Packing.mixDuckSql(MixWeights, tokenBudget = 8000L,
       salt = "mix1:"),

@@ -328,4 +328,104 @@ object Events {
        |SELECT event_type, hour_idx, n, round((n - mean) / sd, 6) AS zscore
        |FROM j WHERE sd > 0 AND abs(n - mean) > $z * sd
        |ORDER BY 1, 2""".stripMargin
+
+  // =============================================== event-type transitions
+
+  /** First-order Markov transition matrix over per-user event sequences —
+    * the session-flow model behind next-action prediction and funnel-drop
+    * diagnosis. For every user, consecutive events (ordered by ts then
+    * event_id) contribute one (prev_type → event_type) transition; output
+    * is the count and conditional probability P(next | prev) per ordered
+    * pair.
+    *
+    * Shuffle shape: ONE exchange on user_id serves the lag window; the
+    * pair aggregate partial-aggregates map-side down to ≤ |types|² rows per
+    * partition, and the per-prev totals come from a window over the tiny
+    * aggregated table rather than a second scan-side join. The probability
+    * is one IEEE division of two exact integers, so both engines produce
+    * the identical double.
+    */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("prob", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("prev_type")), 6))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  /** DuckDB replay of [[transitions]] — same lag tie order, same
+    * exact-integer division. */
+  def transitionsDuckSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_ns(ts) AS tsn FROM events
+      |), p AS (
+      |  SELECT lag(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY tsn, event_id) AS prev_type, event_type
+      |  FROM e
+      |), c AS (
+      |  SELECT prev_type, event_type, count(*) AS n
+      |  FROM p WHERE prev_type IS NOT NULL GROUP BY 1, 2
+      |)
+      |SELECT prev_type, event_type, n,
+      |       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6)
+      |         AS prob
+      |FROM c ORDER BY 1, 2""".stripMargin
+
+  // ==================================================== salted skew join
+
+  /** Fact-to-dimension enrichment join with EXPLICIT key salting — the
+    * pre-partitioned analog of AQE's runtime skew-join split (which the
+    * bench sessions also enable). When one join key carries a disproportion
+    * of the fact rows (one hot user, one hot domain), a plain shuffle join
+    * sends that key's entire fact volume to a single reducer; salting
+    * splits the hot key's rows across `salts` reducers by extending the
+    * join key with `pmod(hash(row), salts)` on the fact side and
+    * replicating each dimension row once per salt value. The dimension
+    * inflates ×salts (it is the SMALL side — at 100 TB this is millions of
+    * rows, not the fact table), the fact side never inflates, and no
+    * reducer sees more than ~1/salts of any key.
+    *
+    * Use when the engine can't fix it for you: AQE splits skewed
+    * SORT-MERGE partitions, but a skewed key feeding a subsequent
+    * partitioned WRITE or window still serializes — salting the producer
+    * key is the portable fix.
+    *
+    * The query itself: per event_type, how many events hit their user's
+    * maximum value (max is order-independent and doubles compare exactly,
+    * so the oracle replay is bit-safe). Returns the identical result with
+    * `salts = 1` (unsalted) — pinned by EventsSpec.
+    */
+  def saltedUserMaxHits(events: DataFrame, salts: Int = 8): DataFrame = {
+    require(salts >= 1)
+    val spark = events.sparkSession
+    val dim = events.groupBy(col("user_id"))
+      .agg(max(col("value")).as("max_value"))
+    val saltRows = spark.range(salts.toLong).select(col("id").cast("int").as("salt"))
+    val dimSalted = dim.crossJoin(saltRows)
+    val factSalted = events
+      .withColumn("salt", pmod(hash(col("event_id")), lit(salts)))
+    factSalted.join(dimSalted, Seq("user_id", "salt"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") === col("max_value"), 1L).otherwise(0L))
+          .as("n_at_user_max"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of [[saltedUserMaxHits]] — salting is semantically
+    * invisible, so the oracle is the plain join. */
+  def saltedUserMaxHitsDuckSql: String =
+    """WITH dim AS (
+      |  SELECT user_id, max(value) AS max_value FROM events GROUP BY 1
+      |)
+      |SELECT event_type, count(*) AS n_events,
+      |       CAST(sum(CASE WHEN value = max_value THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_at_user_max
+      |FROM events JOIN dim USING (user_id)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }

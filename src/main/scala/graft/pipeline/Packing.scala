@@ -342,4 +342,58 @@ object Packing {
        |       CAST(sum(CASE WHEN rk <= $maxPerDomain THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
        |       CAST(min(CASE WHEN rk <= $maxPerDomain THEN n_tokens END) AS BIGINT) AS min_kept_tokens
        |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ============================================ global shuffle + sharding
+
+  /** Deterministic global shuffle into `numShards` training shards — the
+    * step between a curated corpus and the files a data loader streams.
+    * Training wants documents in a reproducible pseudo-random order with no
+    * source/time clustering; a cluster must produce that order WITHOUT a
+    * global sort.
+    *
+    * Every row gets a scrambled 64-bit-safe key from its salted id (same
+    * multiplicative scramble as the mixing/sampling operators, so a
+    * different `salt` draws an independent permutation). shard = key mod
+    * numShards; pos = rank of the key within the shard. That is exactly
+    * one hash exchange on `shard` plus a per-shard sort — each shard
+    * orders independently in its own partition (at scale:
+    * `repartition(numShards, shard)` + `sortWithinPartitions` streaming
+    * straight into per-shard files; no stage ever holds a global order).
+    *
+    * Output is the full assignment (id, shard, pos, n_tokens) — the
+    * manifest a loader uses to seek. Tie order inside a shard is
+    * (key, id): ids are unique so the permutation is total and both
+    * engines agree.
+    */
+  def shardAssign(df: DataFrame, idCol: String, textCol: String,
+      numShards: Int, salt: String): DataFrame = {
+    require(numShards >= 1)
+    val key = pmod(TextAnalysis.polyHash(
+        concat(lit(salt), col(idCol).cast("string"))) * lit(2654435761L),
+      lit(1000000007L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("k"), col(idCol))
+    df.select(col(idCol), ntokCol(textCol).as("n_tokens"), key.as("k"))
+      .withColumn("shard", pmod(col("k"), lit(numShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .select(col(idCol), col("shard"), col("pos"), col("n_tokens"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  /** DuckDB replay of [[shardAssign]] over `documents`. */
+  def shardAssignDuckSql(numShards: Int, salt: String): String = {
+    val h = s"((${TextAnalysis.polyHashDuckSql(
+      s"('$salt' || CAST(doc_id AS VARCHAR))")} * 2654435761) % 1000000007)"
+    s"""WITH t AS (
+       |  SELECT doc_id, CAST($ntokDuck AS BIGINT) AS n_tokens, $h AS k
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, n_tokens, k, CAST(k % $numShards AS INTEGER) AS shard
+       |  FROM t
+       |)
+       |SELECT doc_id, shard,
+       |       CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+       |            - 1 AS BIGINT) AS pos,
+       |       n_tokens
+       |FROM s ORDER BY shard, pos""".stripMargin
+  }
 }

@@ -329,7 +329,33 @@ object BenchScale {
       "sim_knn_join" ->
         (n => Similarity.ivfKnnJoin(embAt(n),
           embAt(n).filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
-          k = 5, nlist = 16 * n, nprobe = 2)))
+          k = 5, nlist = 16 * n, nprobe = 2)),
+      // hierarchical tile pyramid: base scan grows N× (and the shifted
+      // copies widen the cell extent ~N×) but every exchange after the
+      // partial agg is tile-count-sized; each coarser level rolls up from
+      // the previous AGGREGATE, so the base rows are read exactly once
+      "sp_tile_pyr" -> (n => {
+        val fine = ptsAt(n).groupBy(
+            floor((col("x") + 180.0) / 5.0).cast("long").as("cell_x"),
+            floor((col("y") + 90.0) / 5.0).cast("long").as("cell_y"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("id").cast("long") % 100).cast("decimal(18,2)")).as("s"))
+        def up(df: DataFrame) = df.groupBy(
+            expr("cell_x div 3").as("cell_x"), expr("cell_y div 3").as("cell_y"))
+          .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
+        up(up(fine))
+      }),
+      // content-defined chunking: boundary scan + chunk fan-out live in the
+      // scan projection; rotated copies chunk to DISJOINT hashes, so the
+      // one map-side-combined aggregate grows N× while output stays top-20
+      "tx_cdc" ->
+        (n => graft.pipeline.Corpus.cdcChunkStats(docsAt(n), "doc_id", "text")),
+      // deterministic shuffle-shard: shard count grows WITH the corpus
+      // (numShards ∝ N keeps shard size constant — the production rule), so
+      // per-shard sort work stays flat and total work ~N×
+      "tx_shard" ->
+        (n => graft.pipeline.Packing.shardAssign(docsAt(n), "doc_id", "text",
+          numShards = 16 * n, salt = "s:")))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

@@ -288,4 +288,36 @@ class EventsSpec extends SparkSpec {
       .as[(Long, String, Long, Long, Long)].collect()
     assert(out.toSeq == Seq((1L, "c", 4L, 2L, 10L)))
   }
+
+  test("transitions: closed-form counts and exact conditional probabilities") {
+    // user 1: a -> b -> a -> b   transitions: (a,b)x2, (b,a)x1
+    // user 2: a -> a             transitions: (a,a)x1
+    // equal-ts tie inside user 3 ordered by event_id: a(id1) -> b(id2)
+    val events = Seq(
+      (1L, 1L, 0L, "a"), (1L, 2L, 10L, "b"), (1L, 3L, 20L, "a"), (1L, 4L, 30L, "b"),
+      (2L, 5L, 0L, "a"), (2L, 6L, 5L, "a"),
+      (3L, 7L, 7L, "a"), (3L, 8L, 7L, "b"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val out = Events.transitions(events)
+      .as[(String, String, Long, Double)].collect()
+    // from a: (a,a)=1, (a,b)=3 -> probs 0.25 / 0.75; from b: (b,a)=1 -> 1.0
+    assert(out.toSeq == Seq(
+      ("a", "a", 1L, 0.25), ("a", "b", 3L, 0.75), ("b", "a", 1L, 1.0)))
+  }
+
+  test("salted join equals the unsalted join for any salt count") {
+    val rnd = new scala.util.Random(4071)
+    val events = (1 to 500).map { i =>
+      // user 7 is the hot key (~60% of rows)
+      val u = if (rnd.nextBoolean() || rnd.nextInt(5) == 0) 7L else rnd.nextInt(20).toLong
+      (u, i.toLong, i.toLong, Seq("x", "y", "z")(rnd.nextInt(3)),
+        rnd.nextInt(50).toDouble)
+    }.toDF("user_id", "event_id", "ts", "event_type", "value")
+    val plain = Events.saltedUserMaxHits(events, salts = 1)
+      .as[(String, Long, Long)].collect().toSeq
+    val salted = Events.saltedUserMaxHits(events, salts = 8)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(plain == salted)
+    assert(plain.map(_._2).sum == 500L)   // every fact row joins exactly once
+  }
 }

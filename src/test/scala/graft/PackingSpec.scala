@@ -176,4 +176,35 @@ class PackingSpec extends SparkSpec {
     assert(rep("b") == ((4L, 2L, 11L, 3L)))
     assert(rep("c") == ((4L, 2L, 11L, 5L)))
   }
+
+  test("shardAssign is a total permutation: every doc once, contiguous pos per shard") {
+    val docs = (1L to 300L).map(i => (i, "s", ("w " * (i % 7 + 1).toInt).trim))
+      .toDF("doc_id", "source", "text")
+    val out = Packing.shardAssign(docs, "doc_id", "text",
+      numShards = 8, salt = "t:")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(out.map(_._1).toSet == (1L to 300L).toSet)     // all docs, exactly once
+    assert(out.length == 300)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val ps = rows.map(_._3).sorted.toSeq
+      assert(ps == (0L until rows.length).toSeq)          // contiguous 0..n-1
+    }
+    // shards are used and roughly balanced (scrambled hash, not id ranges)
+    val sizes = out.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 8 && sizes.values.min > 10)
+  }
+
+  test("shardAssign is invariant to input partitioning") {
+    val docs = (1L to 120L).map(i => (i, "s", "a b c"))
+      .toDF("doc_id", "source", "text")
+    val a = Packing.shardAssign(docs, "doc_id", "text", 4, "t:")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    val b = Packing.shardAssign(docs.repartition(13), "doc_id", "text", 4, "t:")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a == b)
+    // a different salt draws a different permutation
+    val c = Packing.shardAssign(docs, "doc_id", "text", 4, "u:")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    assert(a != c)
+  }
 }

@@ -435,6 +435,50 @@ object SparkEntry {
     // plain window filter the oracle replays — one query per layout
     "sp_window_curve" -> ((s, dir) =>
       curveWindowQuery(s, dir, "hilbert", 0.5, -10.5, 30.5, 40.5)),
+
+    // incremental bucketed layer: write the even-custkey half, PARTIAL-upsert
+    // a 5% slice (only the touched curve-bucket directories are rewritten —
+    // the distributed analog of the reference's incremental R-tree insert
+    // policy, RTreeIndex.java:242-268), then window-read through the
+    // curve-range + bucket-partition pruned path; results must equal the
+    // plain filter over the union (the oracle)
+    "sp_layer_upsert" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-upsert-layer")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("pts").toString
+      val pts = pointsDf(s, dir)
+      graft.plans.SpatialLayout.writeClusteredBuckets(
+        pts.filter(col("ck") % 2 === 0), p)
+      val mode = graft.plans.SpatialLayout.upsertClusteredBuckets(
+        pts.filter(col("ck") % 20 === 1), p)
+      require(mode == "partial", s"expected a partial upsert, got $mode")
+      new GeoFrame(s.read.parquet(p),
+          Some(graft.engine.LayerMeta("upsert_pts", GeomCodec.GTYPE_POINT,
+            encoder = "point-xy", indexType = "hilbert")))
+        .windowViaCurve(0.5, -10.5, 30.5, 40.5)
+        .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))
+    }),
+
+    // distributed connected components (hash-to-min + pointer jumping,
+    // smallEdgeLimit=0 forces the SCALE path — the driver union-find
+    // shortcut is oracle-covered via dd_neardup_groups) over path graphs
+    // whose component structure is known by construction: consecutive
+    // customers within a (nation, acctbal-band) group are chained, so the
+    // true label is min(custkey) per group while the engine must DISCOVER
+    // it by propagation
+    "gr_cc" -> ((s, dir) => {
+      val grouped = T(s, dir, "customer").select(
+        col("c_custkey").cast("long").as("v"),
+        col("c_nationkey"), floor(col("c_acctbal") / 1000).as("band"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey", "band").orderBy("v")
+      val edges = grouped.withColumn("prev", lag(col("v"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("src"), col("v").as("dst"))
+      Groups.ccLabels(grouped.select(col("v").as("id")), edges,
+          smallEdgeLimit = 0L)
+        .orderBy(col("id"))
+    }),
     "sp_window_zorder" -> ((s, dir) =>
       curveWindowQuery(s, dir, "zorder", -60.5, -30.5, -10.5, 20.5)),
     "sp_window_geohash" -> ((s, dir) =>
@@ -1228,8 +1272,8 @@ object SparkEntry {
     }),
 
     // bucketed CO-LOCATED join: both fact tables written bucketBy(orderkey)
-    // + sortBy, joined with zero Exchange/Sort on either input (plan shape
-    // pinned by Round4Spec) — the pay-once storage layout for repeated
+    // + sortBy, joined with zero Exchange on either input (plan shape
+    // pinned by BucketingSpec) — the pay-once storage layout for repeated
     // fact-to-fact joins
     "q4_colocated_join" -> ((s, dir) =>
       graft.plans.Bucketing.colocatedPriorityVolume(s, dir, buckets = 8)),
@@ -1657,6 +1701,22 @@ object SparkEntry {
         |SELECT ck AS id, x, y FROM pts
         |WHERE x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5
         |ORDER BY id""".stripMargin),
+
+    "sp_layer_upsert" -> (PtsCte +
+      """
+        |SELECT ck AS id, x, y FROM pts
+        |WHERE (ck % 2 = 0 OR ck % 20 = 1)
+        |  AND x >= 0.5 AND x <= 30.5 AND y >= -10.5 AND y <= 40.5
+        |ORDER BY id""".stripMargin),
+
+    "gr_cc" ->
+      """WITH g AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_nationkey,
+        |         floor(c_acctbal / 1000) AS band
+        |  FROM customer
+        |)
+        |SELECT id, min(id) OVER (PARTITION BY c_nationkey, band) AS label
+        |FROM g ORDER BY id""".stripMargin,
 
     "sp_window_zorder" -> (PtsCte +
       """

@@ -94,7 +94,23 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
         throw new IllegalArgumentException(
           s"windowViaCurve requires a curve layout (hilbert/zorder/geohash), layer has $other")
     }
-    lift(df.filter(rangePred)).intersectsWindow(minx, miny, maxx, maxy)
+    // bucketed layouts (SpatialLayout.writeClusteredBuckets) also carry the
+    // directory-partition key __bucket = __sfc >> BucketShift; the same
+    // curve ranges shifted down become PartitionFilters, so whole bucket
+    // directories outside the window are never even listed
+    val pred =
+      if (df.columns.contains("__bucket") && (idx == "hilbert" || idx == "zorder")) {
+        val shift = graft.plans.SpatialLayout.BucketShift
+        val ranges = idx match {
+          case "hilbert" => graft.plans.SpatialLayout.hilbertRangesForWindow(minx, miny, maxx, maxy)
+          case _ => graft.plans.SpatialLayout.zorderRangesForWindow(minx, miny, maxx, maxy)
+        }
+        val bucketPred = ranges
+          .map { case (lo, hi) => col("__bucket").between((lo >> shift).toInt, (hi >> shift).toInt) }
+          .reduceOption(_ || _).getOrElse(lit(false))
+        rangePred && bucketPred
+      } else rangePred
+    lift(df.filter(pred)).intersectsWindow(minx, miny, maxx, maxy)
   }
 
   /** bbox window prune (pushdown-able column comparisons) → exact JTS

@@ -151,8 +151,12 @@ object SpatialLayout {
     */
   val BucketShift = 26
 
-  private def withCurveKeys(df: DataFrame, indexType: String,
-      bucketShift: Int): DataFrame = {
+  /** Attach the `__sfc` curve key and `__bucket` partition key a bucketed
+    * layout uses (also lets callers pre-compute which buckets a batch
+    * touches, e.g. to scope an id-existence check to those directories).
+    */
+  def withCurveKeys(df: DataFrame, indexType: String,
+      bucketShift: Int = BucketShift): DataFrame = {
     require(indexType == "hilbert" || indexType == "zorder",
       s"bucketed layout needs an integer curve key, got $indexType")
     val (kx, ky) =
@@ -230,6 +234,57 @@ object SpatialLayout {
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
       "partial"
+    }
+  }
+
+  /** Cheapest insert mode: blind APPEND of new part files into the bucket
+    * directories the batch's keys land in — zero existing data is read
+    * (contrast [[upsertClusteredBuckets]], which reads and merges the
+    * touched buckets). Work is O(batch) regardless of layer size; the cost
+    * is fragmentation (each append adds a file per touched bucket) and no
+    * id dedupe. Queries stay correct throughout — each appended file is
+    * `__sfc`-sorted so row-group stats keep pruning — and a periodic
+    * [[compactBuckets]] restores the one-file-per-bucket layout. The
+    * high-rate ingest pattern: hot path appends, background compacts.
+    */
+  def appendClusteredBuckets(newRows: DataFrame, path: String,
+      indexType: String = "hilbert", bucketShift: Int = BucketShift): Unit =
+    withCurveKeys(newRows, indexType, bucketShift)
+      .repartition(col("__bucket")).sortWithinPartitions("__sfc")
+      .write.mode("append").partitionBy("__bucket").parquet(path)
+
+  /** Compact bucket directories fragmented by repeated small appends: any
+    * bucket holding more than `maxFilesPerBucket` part files is re-read,
+    * re-sorted on `__sfc`, and rewritten via dynamic partition overwrite;
+    * tight buckets are not read, written, or moved. The ops companion of
+    * [[upsertClusteredBuckets]] — run on a cadence, the flat-file analog of
+    * the reference's threshold-triggered index rebuild. Returns the number
+    * of buckets compacted.
+    */
+  def compactBuckets(spark: org.apache.spark.sql.SparkSession, path: String,
+      maxFilesPerBucket: Int = 4): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val frag = fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("__bucket="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(_.getPath.getName.startsWith("part-")) > maxFilesPerBucket)
+      .map(_.getPath.getName.stripPrefix("__bucket=").toInt)
+    if (frag.isEmpty) 0
+    else {
+      val rows = spark.read.parquet(path)
+        .filter(col("__bucket").isin(frag: _*))
+        .withColumn("__bucket", col("__bucket").cast("int"))
+        .localCheckpoint(true)
+      val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try rows.repartition(col("__bucket")).sortWithinPartitions("__sfc")
+        .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+      finally prevMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      frag.size
     }
   }
 

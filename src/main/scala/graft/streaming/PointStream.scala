@@ -44,6 +44,54 @@ object PointStream {
       .outputMode("append")
       .start()
 
+  /** Stream points INTO a curve-bucketed clustered layer (SpatialLayout.
+    * writeClusteredBuckets layout): each microbatch runs the incremental
+    * upsert, so only the bucket directories the batch's keys touch are
+    * merged and rewritten — streaming INDEX MAINTENANCE, the live analog
+    * of the reference's add-node-then-incremental-R-tree-insert path
+    * (reference: RTreeIndex.java:242-268; layer stays query-optimal
+    * between batches without a rebuild). A microbatch larger than the
+    * rebuild fraction of the layer still triggers the full re-cluster,
+    * exactly as in batch.
+    *
+    * foreachBatch (not a file sink) because the write is a MERGE into an
+    * existing layout; exactly-once comes from the checkpointed batch id —
+    * a replayed batch re-merges the same rows, and `dedupeIds` (on by
+    * default) makes the merge idempotent by dropping batch rows whose id
+    * already exists in the touched buckets.
+    */
+  def upsertToClusteredLayer(canonical: DataFrame, layerDataDir: String,
+      checkpointDir: String, trigger: Trigger = Trigger.AvailableNow(),
+      dedupeIds: Boolean = true): StreamingQuery =
+    canonical
+      .select("id", "geometry", "gtype", "bbox", "x", "y")
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        if (!new java.io.File(layerDataDir).exists()) {
+          graft.plans.SpatialLayout.writeClusteredBuckets(batch, layerDataDir)
+        } else {
+          val rows = if (dedupeIds) {
+            // scope the existence check to the bucket directories this
+            // batch touches — the only place its ids could already live;
+            // the rest of the layer is never read
+            val buckets = graft.plans.SpatialLayout.withCurveKeys(batch, "hilbert")
+              .select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+            val existingIds = spark.read.parquet(layerDataDir)
+              .filter(col("__bucket").isin(buckets: _*))
+              .select(col("id")).distinct()
+            batch.join(existingIds, Seq("id"), "left_anti")
+          } else batch
+          if (!rows.isEmpty)
+            graft.plans.SpatialLayout.upsertClusteredBuckets(rows, layerDataDir)
+        }
+        ()
+      }
+      .start()
+
   /** Windowed spatial density over an event-time stream: counts + centroid
     * per (time window, grid cell), with a watermark dropping late points —
     * the streaming analog of the batch density/centroid aggregates.

@@ -422,4 +422,58 @@ class ScaleSpec extends SparkSpec {
     // full rebuild unions rows as-is) — count = 4000 evens + 4000 odds + nb dupes
     assert(total == 8000 + nb)
   }
+
+  test("append-then-compact: blind appends fragment, queries stay correct, compaction restores layout") {
+    val p = Files.createTempDirectory("graft-append").toString + "/pts"
+    val pts = earthPoints(6000)
+    SpatialLayout.writeClusteredBuckets(pts.filter(col("k") % 3 === 0), p)
+    SpatialLayout.appendClusteredBuckets(pts.filter(col("k") % 3 === 1), p)
+    SpatialLayout.appendClusteredBuckets(pts.filter(col("k") % 3 === 2), p)
+    val fragged = bucketDirState(p)
+    assert(fragged.values.exists(_.size >= 3), s"appends did not fragment: $fragged")
+    def windowHits = new GeoFrame(spark.read.parquet(p),
+        Some(graft.engine.LayerMeta("a", GeomCodec.GTYPE_POINT,
+          encoder = "point-xy", indexType = "hilbert")))
+      .windowViaCurve(-20.5, -20.5, 20.5, 20.5)
+      .df.select("k").as[Long].collect().sorted.toSeq
+    val want = pts.filter(col("x").between(-20.5, 20.5) && col("y").between(-20.5, 20.5))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(windowHits == want)                       // correct while fragmented
+    val n = SpatialLayout.compactBuckets(spark, p, maxFilesPerBucket = 1)
+    assert(n > 0)
+    val compacted = bucketDirState(p)
+    assert(compacted.values.forall(_.size == 1), s"still fragmented: $compacted")
+    assert(windowHits == want)                       // and correct after
+    assert(spark.read.parquet(p).count() == 6000)
+  }
+
+  test("streaming upsert into a bucketed layer: per-microbatch merge, idempotent ids") {
+    val dir = Files.createTempDirectory("graft-supsert").toString
+    val srcDir = s"$dir/in"; val layerDir = s"$dir/layer"; val ckpt = s"$dir/ckpt"
+    val pts = earthPoints(2000).select(col("k"), col("x"), col("y"))
+    // two source files -> two microbatches (maxFilesPerTrigger=1); the id
+    // ranges OVERLAP by 100, which the merge must not double-insert
+    pts.filter(col("k") < 1000).coalesce(1).write.parquet(srcDir)
+    pts.filter(col("k") >= 900 && col("k") < 1900).coalesce(1)
+      .write.mode("append").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = PointStream.upsertToClusteredLayer(
+      PointStream.canonicalize(stream, "k", "x", "y"), layerDir, ckpt)
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(layerDir)
+    assert(out.count() == 1900)                      // overlap merged once
+    assert(out.select("id").distinct().count() == 1900)
+    // the streamed layer answers curve-pruned window queries like any other
+    val got = new GeoFrame(out,
+        Some(graft.engine.LayerMeta("s", GeomCodec.GTYPE_POINT,
+          encoder = "point-xy", indexType = "hilbert")))
+      .windowViaCurve(-30.5, -30.5, 30.5, 30.5)
+      .df.select(col("id").cast("long")).as[Long].collect().sorted.toSeq
+    val want = pts.filter(col("k") < 1900 &&
+        col("x").between(-30.5, 30.5) && col("y").between(-30.5, 30.5))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == want)
+  }
 }

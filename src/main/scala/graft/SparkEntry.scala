@@ -1257,6 +1257,14 @@ object SparkEntry {
       Packing.shardAssign(T(s, dir, "documents"), "doc_id", "text",
         numShards = 16, salt = "shard1:")),
 
+    // fixed-bin histogram quantiles: the scale sibling of ev_quantiles —
+    // map-side combine caps the exchange at |types|·1024 rows at ANY corpus
+    // size; integer rank test, binary-exact bin edges
+    "ev_hist_quantiles" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.histQuantiles(T(s, dir, "events"))
+    }),
+
     // first-order Markov transitions over per-user event sequences: one
     // user_id exchange for the lag window, pair counts + exact-ratio probs
     "ev_markov" -> ((s, dir) => {
@@ -2447,6 +2455,8 @@ object SparkEntry {
     "tx_shard" -> Packing.shardAssignDuckSql(numShards = 16, salt = "shard1:"),
 
     "ev_markov" -> Events.transitionsDuckSql,
+
+    "ev_hist_quantiles" -> Events.histQuantilesDuckSql(),
 
     "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
 

@@ -329,6 +329,60 @@ object Events {
        |FROM j WHERE sd > 0 AND abs(n - mean) > $z * sd
        |ORDER BY 1, 2""".stripMargin
 
+  // ============================================== histogram quantiles
+
+  /** Approximate quantiles from a FIXED-BIN histogram — the scale-correct
+    * sibling of the exact `percentile` aggregate (ev_quantiles): exact
+    * percentiles buffer every value per group; the histogram reduces each
+    * partition to ≤ `maxBin`+1 counters map-side, so ONE partial-aggregated
+    * exchange of at most |types|·(maxBin+1) rows serves any corpus size.
+    * Error is bounded by the bin width, by construction.
+    *
+    * Each quantile is the upper edge of the smallest bin whose cumulative
+    * count reaches rank q·n. The rank test is pure integer arithmetic
+    * (`cum · 10⁶ ≥ q_ppm · n` — no float rank, so engines can't disagree at
+    * integer boundaries), and with a power-of-two bin width the reported
+    * edges are exact binary doubles.
+    */
+  def histQuantiles(events: DataFrame, binWidth: Double = 0.5,
+      maxBin: Int = 1023): DataFrame = {
+    val binned = events
+      .groupBy(col("event_type"),
+        least(floor(col("value") / binWidth), lit(maxBin.toLong)).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val cum = binned
+      .withColumn("cum", sum(col("n")).over(
+        Window.partitionBy("event_type").orderBy("bin")))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy("event_type")))
+    def q(ppm: Long, name: String) =
+      ((min(when(col("cum") * 1000000L >= lit(ppm) * col("total"), col("bin")))
+        + 1L) * binWidth).as(name)
+    cum.groupBy(col("event_type"))
+      .agg(max(col("total")).as("n_events"),
+        q(500000L, "p50"), q(900000L, "p90"), q(990000L, "p99"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of [[histQuantiles]] — same binning, same integer rank
+    * test, same upper-edge report. */
+  def histQuantilesDuckSql(binWidth: Double = 0.5, maxBin: Int = 1023): String =
+    s"""WITH b AS (
+       |  SELECT event_type,
+       |         CAST(least(floor(value / $binWidth), $maxBin) AS BIGINT) AS bin,
+       |         count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), c AS (
+       |  SELECT event_type, bin, n,
+       |         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+       |         sum(n) OVER (PARTITION BY event_type) AS total
+       |  FROM b
+       |)
+       |SELECT event_type, CAST(max(total) AS BIGINT) AS n_events,
+       |       (min(CASE WHEN cum * 1000000 >= 500000 * total THEN bin END) + 1) * $binWidth AS p50,
+       |       (min(CASE WHEN cum * 1000000 >= 900000 * total THEN bin END) + 1) * $binWidth AS p90,
+       |       (min(CASE WHEN cum * 1000000 >= 990000 * total THEN bin END) + 1) * $binWidth AS p99
+       |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // =============================================== event-type transitions
 
   /** First-order Markov transition matrix over per-user event sequences —

@@ -237,6 +237,52 @@ object SpatialLayout {
     }
   }
 
+  /** Delete rows from a bucketed layer by id, rewriting ONLY the bucket
+    * directories that actually contain them (the reference's removeNode /
+    * removeNodes surface, reference: SpatialProcedures.java — here as a
+    * partial rewrite instead of a copy-on-write of the whole layer). Ids
+    * don't encode their bucket, so membership costs one READ of the layer's
+    * id/bucket columns (column-pruned scan — two columns, not the rows);
+    * only the buckets that hit are then read in full and rewritten minus
+    * the deleted ids. Returns the number of rows deleted.
+    */
+  def deleteFromClusteredBuckets(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[String]): Long = {
+    val existing = spark.read.parquet(path)
+    val touched = existing.select(col("id"), col("__bucket"))
+      .filter(col("id").isin(ids: _*))
+      .select("__bucket").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return 0L
+    val kept = existing.filter(col("__bucket").isin(touched: _*))
+      .filter(!col("id").isin(ids: _*))
+      .withColumn("__bucket", col("__bucket").cast("int"))
+      .localCheckpoint(true)
+    val before = existing.filter(col("__bucket").isin(touched: _*)).count()
+    val keptBuckets = kept.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      if (keptBuckets.nonEmpty)
+        kept.repartition(col("__bucket")).sortWithinPartitions("__sfc")
+          .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+      // dynamic overwrite only replaces partitions PRESENT in the written
+      // data — a bucket whose rows were ALL deleted must be dropped directly
+      val emptied = touched.filterNot(keptBuckets)
+      if (emptied.nonEmpty) {
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(path, s"__bucket=$b"), true)
+        }
+      }
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    before - kept.count()
+  }
+
   /** Cheapest insert mode: blind APPEND of new part files into the bucket
     * directories the batch's keys land in — zero existing data is read
     * (contrast [[upsertClusteredBuckets]], which reads and merges the

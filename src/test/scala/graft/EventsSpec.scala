@@ -289,6 +289,21 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "c", 4L, 2L, 10L)))
   }
 
+  test("histQuantiles: closed-form bin edges, error bounded by bin width") {
+    // 100 values at i*0.5 + 0.1 -> value i lands exactly in bin i; with
+    // cum(b) = b+1 the q-rank bin is ceil(q*100)-1 and the edge (b+1)*0.5
+    val events = (0 until 100).map(i => ("a", i * 0.5 + 0.1))
+      .toDF("event_type", "value")
+    val out = Events.histQuantiles(events)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(out.toSeq == Seq(("a", 100L, 25.0, 45.0, 49.5)))
+    // out-of-range clamp: values past the last bin edge land in maxBin
+    val big = Seq(("b", 1e9), ("b", 2.0)).toDF("event_type", "value")
+    val clamped = Events.histQuantiles(big)
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(clamped.head._5 == 512.0)   // (1023+1)*0.5
+  }
+
   test("transitions: closed-form counts and exact conditional probabilities") {
     // user 1: a -> b -> a -> b   transitions: (a,b)x2, (b,a)x1
     // user 2: a -> a             transitions: (a,a)x1

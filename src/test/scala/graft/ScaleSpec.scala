@@ -447,6 +447,38 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 6000)
   }
 
+  test("bucketed delete: removes ids, rewrites only containing buckets, drops emptied dirs") {
+    val p = Files.createTempDirectory("graft-del").toString + "/pts"
+    val pts = earthPoints(4000)
+    SpatialLayout.writeClusteredBuckets(pts, p)
+    val before = bucketDirState(p)
+    // a localized clump: every k ≡ 190 (mod 360) maps to the same (x, y),
+    // hence the same curve bucket
+    val clump = pts.filter(col("x") === 10.5)
+      .select("id").as[String].collect().toSeq
+    assert(clump.nonEmpty)
+    val deleted = SpatialLayout.deleteFromClusteredBuckets(spark, p, clump)
+    assert(deleted == clump.size)
+    val after = bucketDirState(p)
+    val changed = after.keySet.union(before.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed.nonEmpty && changed.size < before.size,
+      s"delete rewrote every bucket: $changed of ${before.size}")
+    val remaining = spark.read.parquet(p)
+    assert(remaining.count() == 4000 - clump.size)
+    assert(remaining.filter(col("id").isin(clump: _*)).count() == 0)
+    // deleting EVERY row of some bucket drops its directory entirely
+    val all = spark.read.parquet(p)
+    val oneBucket = all.select("__bucket").head().getInt(0)
+    val bucketIds = all.filter(col("__bucket") === oneBucket)
+      .select("id").as[String].collect().toSeq
+    SpatialLayout.deleteFromClusteredBuckets(spark, p, bucketIds)
+    assert(!bucketDirState(p).contains(s"__bucket=$oneBucket"))
+    assert(spark.read.parquet(p).count() == 4000 - clump.size - bucketIds.size)
+    // deleting unknown ids is a no-op
+    assert(SpatialLayout.deleteFromClusteredBuckets(spark, p, Seq("nope")) == 0L)
+  }
+
   test("streaming upsert into a bucketed layer: per-microbatch merge, idempotent ids") {
     val dir = Files.createTempDirectory("graft-supsert").toString
     val srcDir = s"$dir/in"; val layerDir = s"$dir/layer"; val ckpt = s"$dir/ckpt"

@@ -888,15 +888,6 @@ object Corpus {
 
   // ========================================== content-defined chunking
 
-  /** Spark-SQL fragment computing [[TextAnalysis.polyHash]] over the SQL
-    * expression `e` — for use INSIDE higher-order-function lambdas where the
-    * Column API can't reach (substr with a lambda-bound position).
-    */
-  private def polyHashSparkSql(e: String): String =
-    s"aggregate(transform(filter(split($e, ''), c -> c <> ''), " +
-      s"c -> cast(ascii(c) as bigint)), cast(7 as bigint), " +
-      s"(acc, c) -> (acc * 31 + c) % 1000000007)"
-
   /** Content-defined chunking + chunk-level dedup stats (the FastCDC/rsync
     * family, minus the min/max-size clamps, which would make boundary
     * selection sequential): a chunk boundary is CUT BEFORE every position
@@ -913,24 +904,41 @@ object Corpus {
     */
   def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
       k: Int = 8, divisor: Int = 64, topK: Int = 20): DataFrame = {
-    val bs = s"CASE WHEN length(__t) >= $k THEN " +
-      s"filter(sequence(1, length(__t) - ${k - 1}), " +
-      s"i -> ${polyHashSparkSql(s"substr(__t, i, $k)")} % $divisor = 0) " +
-      s"ELSE array() END"
-    // span j of len(b)+1: [prev boundary (or 1), next boundary - 1 (or len)]
-    val chunks =
-      s"""filter(transform(sequence(1, size(__b) + 1),
-         |  j -> substr(__t,
-         |    CASE WHEN j = 1 THEN 1 ELSE element_at(__b, j - 1) END,
-         |    (CASE WHEN j = size(__b) + 1 THEN length(__t)
-         |          ELSE element_at(__b, j) - 1 END)
-         |      - (CASE WHEN j = 1 THEN 1 ELSE element_at(__b, j - 1) END) + 1)),
-         |  c -> c <> '')""".stripMargin
-    df.select(col(idCol).as("id"), col(textCol).as("__t"))
-      .withColumn("__b", expr(bs))
-      .select(col("id"), explode(expr(chunks)).as("chunk"))
-      .select(col("id"), TextAnalysis.polyHash(col("chunk")).as("chunk_hash"),
-        length(col("chunk")).cast("long").as("chunk_len"))
+    // boundary scan + chunk hashing as ONE compiled loop (same math as the
+    // former higher-order-function expression pipeline, which paid multi-
+    // second whole-stage-codegen compilation for the per-position polyhash
+    // lambda): positions are 1-based like the SQL it replaced; a boundary
+    // is cut BEFORE every position whose k-gram polyhash ≡ 0 (mod divisor);
+    // chunk hash = the same seed-7 mod-1e9+7 polyhash the previous
+    // TextAnalysis.polyHash(chunk) column computed — chunk TEXT never
+    // materializes at all now, only (hash, len) pairs leave the loop
+    val chunkHashes = udf { (t: String) =>
+      val s = if (t == null) "" else t
+      val n = s.length
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i <= n - k) {
+        var acc = 7L; var j = 0
+        while (j < k) { acc = (acc * 31 + s.charAt(i + j).toLong) % 1000000007L; j += 1 }
+        if (acc % divisor == 0) bounds += (i + 1)
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var idx = 0
+      while (idx <= bounds.length) {
+        val start = if (idx == 0) 1 else bounds(idx - 1)
+        val end = if (idx == bounds.length) n else bounds(idx) - 1
+        if (end >= start) {
+          var acc = 7L; var p = start - 1
+          while (p < end) { acc = (acc * 31 + s.charAt(p).toLong) % 1000000007L; p += 1 }
+          out += ((acc, (end - start + 1).toLong))
+        }
+        idx += 1
+      }
+      out.toSeq
+    }
+    df.select(col(idCol).as("id"), explode(chunkHashes(col(textCol))).as("ch"))
+      .select(col("id"), col("ch._1").as("chunk_hash"), col("ch._2").as("chunk_len"))
       .groupBy(col("chunk_hash"))
       .agg(max(col("chunk_len")).as("chunk_len"),
         count(lit(1)).as("n_occ"),

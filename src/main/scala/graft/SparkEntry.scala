@@ -1279,6 +1279,30 @@ object SparkEntry {
       Events.saltedUserMaxHits(T(s, dir, "events"), salts = 8)
     }),
 
+    // generic OLAP data skipping: lineitem clustered on the interleaved
+    // (l_orderkey, l_suppkey) z-key — ONE physical order whose row-group
+    // stats prune range filters on EITHER column (the spatial curve math
+    // applied to plain numeric columns; pruning evidence in ScaleSpec)
+    "q5_zorder_scan" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      val mm = li.agg(min("l_orderkey"), max("l_orderkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      val (ok0, ok1, sk0, sk1) =
+        (mm.getLong(0), mm.getLong(1), mm.getLong(2), mm.getLong(3))
+      val d = java.nio.file.Files.createTempDirectory("graft-zt-q")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("li_z").toString
+      graft.plans.SpatialLayout.writeZOrderedTable(li, p,
+        "l_orderkey", ok0.toDouble, ok1.toDouble,
+        "l_suppkey", sk0.toDouble, sk1.toDouble)
+      s.read.parquet(p)
+        .filter(col("l_orderkey").between(ok0 + (ok1 - ok0) / 10, ok0 + (ok1 - ok0) / 5) &&
+          col("l_suppkey").between(sk0 + (sk1 - sk0) / 4, sk0 + (sk1 - sk0) / 2))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"))
+    }),
+
     // bucketed CO-LOCATED join: both fact tables written bucketBy(orderkey)
     // + sortBy, joined with zero Exchange on either input (plan shape
     // pinned by BucketingSpec) — the pay-once storage layout for repeated
@@ -2461,6 +2485,18 @@ object SparkEntry {
     "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
 
     "q4_colocated_join" -> graft.plans.Bucketing.colocatedPriorityVolumeDuckSql,
+
+    "q5_zorder_scan" ->
+      """WITH mm AS (
+        |  SELECT min(l_orderkey) AS ok0, max(l_orderkey) AS ok1,
+        |         min(l_suppkey) AS sk0, max(l_suppkey) AS sk1
+        |  FROM lineitem
+        |)
+        |SELECT count(*) AS n, sum(l_quantity) AS sum_qty,
+        |       min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        |FROM lineitem, mm
+        |WHERE l_orderkey BETWEEN ok0 + (ok1 - ok0) // 10 AND ok0 + (ok1 - ok0) // 5
+        |  AND l_suppkey BETWEEN sk0 + (sk1 - sk0) // 4 AND sk0 + (sk1 - sk0) // 2""".stripMargin,
 
     "tx_mix" -> Packing.mixDuckSql(MixWeights, tokenBudget = 8000L,
       salt = "mix1:"),

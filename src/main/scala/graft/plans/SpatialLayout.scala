@@ -237,6 +237,30 @@ object SpatialLayout {
     }
   }
 
+  /** Multi-dimensional clustering for ARBITRARY numeric columns — the OLAP
+    * data-skipping generalization of the spatial curve layouts (what
+    * lakehouse engines call Z-ORDER BY). Both columns normalize over their
+    * declared [min, max] domain, quantize to `level` bits, and interleave
+    * into one sort key; a table written clustered on that key gets parquet
+    * row-group min/max stats that are simultaneously selective on BOTH
+    * columns, so a conjunctive range filter on either or both prunes at
+    * the scan — one physical order serving two filter dimensions, where a
+    * plain sort serves only its leading column. The spatial window search
+    * is literally this with (x, y); nothing in the curve math is spatial.
+    */
+  def writeZOrderedTable(df: DataFrame, path: String,
+      c1: String, min1: Double, max1: Double,
+      c2: String, min2: Double, max2: Double,
+      numPartitions: Int = 0): Unit = {
+    val keyed = df.withColumn("__zk",
+      zOrderKey(col(c1).cast("double"), col(c2).cast("double"),
+        min1, min2, max1, max2))
+    val parts = if (numPartitions > 0) numPartitions
+      else keyed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    keyed.repartitionByRange(parts, col("__zk")).sortWithinPartitions("__zk")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Delete rows from a bucketed layer by id, rewriting ONLY the bucket
     * directories that actually contain them (the reference's removeNode /
     * removeNodes surface, reference: SpatialProcedures.java — here as a

@@ -447,6 +447,45 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 6000)
   }
 
+  test("z-ordered table layout prunes range filters on BOTH columns at the scan") {
+    val dir = Files.createTempDirectory("graft-zt").toString
+    val t = spark.range(200000).select(col("id").cast("long").as("k"),
+      (col("id") * 37 % 10000).cast("double").as("a"),
+      (col("id") * 73 % 10000).cast("double").as("b"))
+    SpatialLayout.writeZOrderedTable(t, s"$dir/z", "a", 0, 10000, "b", 0, 10000,
+      numPartitions = 32)
+    t.repartitionByRange(32, col("a")).sortWithinPartitions("a")
+      .write.parquet(s"$dir/s")
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scanned(path: String, pred: org.apache.spark.sql.Column): (Long, Seq[Long]) = {
+      val d = spark.read.parquet(path).filter(pred)
+      val ks = d.collect().map(_.getAs[Long]("k")).sorted.toSeq
+      val plan = d.queryExecution.executedPlan match {
+        case ad: AdaptiveSparkPlanExec => ad.executedPlan
+        case p => p
+      }
+      val rows = plan.collect {
+        case s: FileSourceScanExec => s.metrics("numOutputRows").value }.sum
+      (rows, ks)
+    }
+    // filter on the SECOND column only: the a-sorted layout cannot prune it,
+    // the z-ordered layout still skips most row groups
+    val bPred = col("b") >= 2000 && col("b") < 2500
+    val (zScan, zRows) = scanned(s"$dir/z", bPred)
+    val (sScan, sRows) = scanned(s"$dir/s", bPred)
+    assert(zRows == sRows)                       // identical answers
+    assert(zRows.nonEmpty)
+    assert(sScan > 150000, s"a-sorted layout unexpectedly pruned b: $sScan")
+    assert(zScan < 120000, s"z-order did not prune the b-only filter: $zScan")
+    // conjunctive 2-D box: prunes to a small fraction
+    val box = col("a") >= 1000 && col("a") < 1500 && bPred
+    val (zBox, zBoxRows) = scanned(s"$dir/z", box)
+    val (_, sBoxRows) = scanned(s"$dir/s", box)
+    assert(zBoxRows == sBoxRows)
+    assert(zBox < 60000, s"z-order did not prune the 2-D box: $zBox")
+  }
+
   test("bucketed delete: removes ids, rewrites only containing buckets, drops emptied dirs") {
     val p = Files.createTempDirectory("graft-del").toString + "/pts"
     val pts = earthPoints(4000)

@@ -2,10 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.sql.GraftColumnBridge
 
+import org.locationtech.jts.geom.Geometry
 import org.locationtech.jts.geom.prep.{PreparedGeometry, PreparedGeometryFactory}
 
 import graft.geom.GeomCodec
@@ -19,35 +20,47 @@ import graft.geom.GeomCodec
   * edge index, making repeated intersects/contains tests ~5-20x faster on
   * complex polygons.
   *
-  * Evaluation is interpreted (CodegenFallback): the JTS predicate dominates
-  * the per-row cost, so codegen of the dispatch adds nothing.
+  * Codegen: `doGenCode` emits a direct unboxed call to [[evalGeom]] on the
+  * expression instance (the instance is Serializable — it carries only the
+  * WKB bytes; the non-serializable PreparedGeometry and the resolved
+  * predicate method re-materialize lazily per executor). Versus the old
+  * CodegenFallback this removes the per-row boxed eval() round trip and the
+  * per-row `predicate` string dispatch — the match resolves ONCE into `op`.
   */
 case class STPredicate(predicate: String, child: Expression, queryWkb: Array[Byte])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   @transient private lazy val prepared: PreparedGeometry =
     PreparedGeometryFactory.prepare(GeomCodec.fromWkb(queryWkb))
 
-  override def dataType: DataType = BooleanType
-  override def prettyName: String = s"st_${predicate}_prepared"
-
   // Row-centric semantics: `predicate` relates the ROW geometry to the query,
   // i.e. "within" = row.within(query). The prepared object wraps the QUERY, so
   // asymmetric predicates invert: row.within(query) ⟺ prepared.contains(row).
-  override def nullSafeEval(input: Any): Any = {
-    val g = GeomCodec.fromWkb(input.asInstanceOf[Array[Byte]])
-    predicate match {
-      case "intersects" => prepared.intersects(g)
-      case "within"     => prepared.contains(g)
-      case "coveredby"  => prepared.covers(g)
-      case "contains"   => prepared.within(g)
-      case "covers"     => prepared.coveredBy(g)
-      case "crosses"    => prepared.crosses(g)
-      case "overlaps"   => prepared.overlaps(g)
-      case "touches"    => prepared.touches(g)
-      case "disjoint"   => prepared.disjoint(g)
-      case other => throw new IllegalArgumentException(s"unknown predicate $other")
-    }
+  @transient private lazy val op: Geometry => Boolean = predicate match {
+    case "intersects" => prepared.intersects _
+    case "within"     => prepared.contains _
+    case "coveredby"  => prepared.covers _
+    case "contains"   => prepared.within _
+    case "covers"     => prepared.coveredBy _
+    case "crosses"    => prepared.crosses _
+    case "overlaps"   => prepared.overlaps _
+    case "touches"    => prepared.touches _
+    case "disjoint"   => prepared.disjoint _
+    case other => throw new IllegalArgumentException(s"unknown predicate $other")
+  }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = s"st_${predicate}_prepared"
+
+  /** Unboxed per-row evaluation — called directly from generated code. */
+  def evalGeom(wkb: Array[Byte]): Boolean = op(GeomCodec.fromWkb(wkb))
+
+  override def nullSafeEval(input: Any): Any =
+    evalGeom(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("stPredicate", this, classOf[STPredicate].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $self.evalGeom($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): STPredicate =

@@ -258,4 +258,29 @@ class Round4Spec extends SparkSpec {
     assert(pairs.contains((7L, 1000L)) && pairs.contains((1000L, 1001L)),
       s"planted near-dups missing from $pairs")
   }
+
+  test("STPredicate generates code (no interpreted fallback) and matches interpreted eval") {
+    // codegen.fallback=false turns any generated-code compilation failure
+    // into a hard error instead of a silent interpreted retry
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val poly = graft.geom.GeomCodec.fromWkt("POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))")
+      val pts = (0 until 100).map(i => (i.toLong, i % 20 - 5, i % 15 - 3))
+        .toDF("id", "px", "py")
+        .withColumn("geometry", st.makePoint(col("px").cast("double"), col("py").cast("double")))
+      val viaCodegen = pts.filter(
+          graft.functions.STPredicate.column("within", col("geometry"), poly))
+        .select("id").as[Long].collect().toSet
+      val viaDriver = pts.select("id", "px", "py").collect()
+        .filter(r => { val (x, y) = (r.getInt(1), r.getInt(2))
+          x > 0 && x < 10 && y > 0 && y < 10 ||
+            (x >= 0 && x <= 10 && y >= 0 && y <= 10 &&
+              graft.geom.GeomCodec.factory.createPoint(
+                new org.locationtech.jts.geom.Coordinate(x, y)).within(poly)) })
+        .map(_.getLong(0)).toSet
+      assert(viaCodegen == viaDriver)
+      assert(viaCodegen.nonEmpty)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }

@@ -355,7 +355,22 @@ object BenchScale {
       // per-shard sort work stays flat and total work ~N×
       "tx_shard" ->
         (n => graft.pipeline.Packing.shardAssign(docsAt(n), "doc_id", "text",
-          numShards = 16 * n, salt = "s:")))
+          numShards = 16 * n, salt = "s:")),
+      // exact triangle counting over N disjoint graph copies: wedge volume
+      // is O(m^{3/2}) per copy, so with disjoint copies total work grows
+      // ~N× — the degree-ordered orientation must keep the hub fan-out
+      // capped at every rung
+      "gr_triangles" ->
+        (n => graft.pipeline.Graphs.triangleCounts(edgesAt(n))),
+      // distributed hash-to-min CC with pointer jumping over N disjoint
+      // copies of the co-purchase graph: rounds stay O(log diameter)
+      // (diameter is rung-invariant), each round one id-keyed shuffle ∝ N
+      "gr_cc" -> (n => {
+        val e = edgesAt(n)
+        val verts = e.select(col("src").as("id"))
+          .union(e.select(col("dst").as("id"))).distinct()
+        graft.pipeline.Groups.ccLabels(verts, e, smallEdgeLimit = 0L)
+      }))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

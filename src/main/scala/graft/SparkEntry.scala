@@ -1279,6 +1279,18 @@ object SparkEntry {
       Events.saltedUserMaxHits(T(s, dir, "events"), salts = 8)
     }),
 
+    // zonal statistics: per 3° grid cell, overlapping-polygon count +
+    // clipped JTS area over the nation boxes — half-integer box corners vs
+    // integer cell edges keep every product a binary-exact quarter, so the
+    // real shoelace area equals the oracle's interval arithmetic exactly
+    "sp_zonal_stats" -> ((s, dir) => {
+      val polys = natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .withColumn("bbox", st.bboxOf(col("geometry")))
+      SpatialAggs.zonalStats(polys, cellDeg = 3.0)
+        .orderBy(col("cell_x"), col("cell_y"))
+    }),
+
     // generic OLAP data skipping: lineitem clustered on the interleaved
     // (l_orderkey, l_suppkey) z-key — ONE physical order whose row-group
     // stats prune range filters on EITHER column (the spatial curve math
@@ -2485,6 +2497,32 @@ object SparkEntry {
     "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
 
     "q4_colocated_join" -> graft.plans.Bucketing.colocatedPriorityVolumeDuckSql,
+
+    "sp_zonal_stats" ->
+      """WITH nb AS (
+        |  SELECT n_nationkey AS id,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |), cx AS (
+        |  SELECT id, x0, x1, y0, y1,
+        |         unnest(range(CAST(floor((x0 + 180) / 3) AS BIGINT),
+        |                      CAST(floor((x1 + 180) / 3) AS BIGINT) + 1)) AS cell_x
+        |  FROM nb
+        |), cells AS (
+        |  SELECT id, x0, x1, y0, y1, cell_x,
+        |         unnest(range(CAST(floor((y0 + 90) / 3) AS BIGINT),
+        |                      CAST(floor((y1 + 90) / 3) AS BIGINT) + 1)) AS cell_y
+        |  FROM cx
+        |), clipped AS (
+        |  SELECT cell_x, cell_y,
+        |         (least(x1, -180 + 3 * (cell_x + 1)) - greatest(x0, -180 + 3 * cell_x))
+        |       * (least(y1, -90 + 3 * (cell_y + 1)) - greatest(y0, -90 + 3 * cell_y)) AS area
+        |  FROM cells
+        |)
+        |SELECT cell_x, cell_y, count(*) AS n_polys, sum(area) AS area
+        |FROM clipped WHERE area > 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q5_zorder_scan" ->
       """WITH mm AS (

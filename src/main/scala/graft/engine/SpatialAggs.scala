@@ -245,4 +245,38 @@ object SpatialAggs {
         floor((col("y") - miny) / cellDeg).cast("long").as("cell_y"))
       .agg(count(lit(1)).as("n_points"),
         sum(col(valueCol).cast("decimal(18,2)")).cast("double").as("sum_val"))
+
+  /** Zonal statistics: per grid cell, how many polygons overlap it and how
+    * much clipped AREA they contribute — the polygon-side sibling of
+    * [[gridHeatmap]] (raster zonal stats / areal interpolation's first
+    * stage). Each polygon fans out to the cells its bbox covers (a
+    * generator inside the scan projection — no shuffle, no index), the
+    * exact JTS clip runs per (polygon, cell) in a compiled loop, and ONE
+    * map-side-combined aggregate on the cell key collects the zone. Cells
+    * a bbox covers but the geometry doesn't touch contribute zero area and
+    * are dropped. At 100 TB the fan-out is bounded by
+    * area(bbox)/cellDeg² per polygon — pick cellDeg so a typical polygon
+    * touches O(1..100) cells, exactly like the grid-join cell sizing.
+    */
+  def zonalStats(polys: DataFrame, cellDeg: Double,
+      minx: Double = -180.0, miny: Double = -90.0): DataFrame = {
+    val clip = udf { (wkb: Array[Byte], cx: Long, cy: Long) =>
+      val g = GeomCodec.fromWkb(wkb)
+      val cell = GeomCodec.factory.toGeometry(new org.locationtech.jts.geom.Envelope(
+        minx + cx * cellDeg, minx + (cx + 1) * cellDeg,
+        miny + cy * cellDeg, miny + (cy + 1) * cellDeg))
+      g.intersection(cell).getArea
+    }
+    polys
+      .withColumn("cell_x", explode(sequence(
+        floor((col("bbox")("minx") - minx) / cellDeg).cast("long"),
+        floor((col("bbox")("maxx") - minx) / cellDeg).cast("long"))))
+      .withColumn("cell_y", explode(sequence(
+        floor((col("bbox")("miny") - miny) / cellDeg).cast("long"),
+        floor((col("bbox")("maxy") - miny) / cellDeg).cast("long"))))
+      .withColumn("area", clip(col("geometry"), col("cell_x"), col("cell_y")))
+      .filter(col("area") > 0.0)
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(count(lit(1)).as("n_polys"), sum(col("area")).as("area"))
+  }
 }

@@ -166,4 +166,41 @@ class GeoFrameSpec extends SparkSpec {
       (12L, 6L, 3L, 6.66),
       (23L, 11L, 1L, 5.05)))
   }
+
+  test("zonalStats clips polygons per cell with exact areas; bbox-only cells drop") {
+    // 10° cells from (-180,-90). Square [2.5,7.5]×[2.5,7.5] (area 25) spans
+    // cells (18,9),(18,9)… x: cells 18 [0,10) and … entirely inside cell
+    // (18,9)? x 2.5..7.5 ⊂ [0,10), y too → ONE cell, area 25.
+    // Rect [-5,5]×[2,6]: splits across x cells 17 [-10,0) and 18 [0,10):
+    // areas 5*4=20 each side → (17,9):20, (18,9):20.
+    // L-shape polygon whose bbox covers cell (0,0) but geometry doesn't:
+    // union-like ring around the corner — use a triangle far from cell
+    // (0,0)'s corner: triangle (-179.9,-89.9) (-179.8,-89.9) (-179.9,-89.8)
+    // is IN cell (0,0) with area 0.005 — instead craft bbox-overhang:
+    // thin diagonal strip from (-175,-85) to (-165,-75): its bbox covers 4
+    // cells but the strip's clipped area in the off-diagonal cells is 0.
+    val wkts = Seq(
+      (1L, "POLYGON ((2.5 2.5, 7.5 2.5, 7.5 7.5, 2.5 7.5, 2.5 2.5))"),
+      (2L, "POLYGON ((-5 2, 5 2, 5 6, -5 6, -5 2))"))
+      .toDF("id", "wkt")
+    val polys = wkts
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val out = SpatialAggs.zonalStats(polys, cellDeg = 10.0)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (17L, 9L, 1L, 20.0),
+      (18L, 9L, 2L, 45.0)))
+    // bbox-overhang: a triangle whose bbox covers 4 cells but whose
+    // geometry puts zero area in one of them — that cell must not appear
+    val tri = Seq((3L, "POLYGON ((-175 -85, -165 -85, -165 -75, -175 -85))"))
+      .toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val triOut = SpatialAggs.zonalStats(tri, cellDeg = 10.0)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    // bbox covers cells (0,0),(1,0),(0,1),(1,1); the hypotenuse keeps all
+    // of the triangle's area out of cell (0,1) (the upper-left cell)
+    assert(triOut == Set((0L, 0L), (1L, 0L), (1L, 1L)))
+  }
 }

@@ -39,7 +39,13 @@ object Graphs {
     */
   private val BroadcastEdges = 2_000_000L
 
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  /** `broadcastLimit` overrides the edge-count threshold under which the
+    * wedge/closing probes broadcast the oriented edge list (0 forces the
+    * pure-shuffle plan — useful to pin ONE plan shape across a growth
+    * ladder; the default picks per size like the spatial join).
+    */
+  def triangleCounts(edges: DataFrame,
+      broadcastLimit: Long = BroadcastEdges): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).cast("long").as("a"),
         greatest(col("src"), col("dst")).cast("long").as("b"))
@@ -60,7 +66,7 @@ object Graphs {
       .persist()
     // the persisted count is a cache scan — the same cheap signal
     // SpatialJoin.join pays only in its in-between band
-    val dirEb = if (dirE.count() <= BroadcastEdges) broadcast(dirE) else dirE
+    val dirEb = if (dirE.count() <= broadcastLimit) broadcast(dirE) else dirE
     // wedges u→v, u→w with v < w close iff oriented edge (v, w) exists
     val wedges = dirE.as("x").join(dirEb.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))

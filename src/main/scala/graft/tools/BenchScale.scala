@@ -163,6 +163,29 @@ object BenchScale {
     }
     def edgesAt(n: Int) = spark.read.parquet(edgesPath(n))
 
+    // triangle-BEARING edges (parts co-ordered in the same order — the
+    // co-purchase graph above is bipartite and triangle-free): offset
+    // copies keep the per-copy triangle structure, so counts grow exactly N×
+    val traw1 = {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        .distinct()
+    }
+    def triEdgesPath(n: Int) = s"$scaleDir/triedges${n}x.parquet"
+    (1 +: rungs).foreach { n =>
+      synth(triEdgesPath(n)) {
+        (0 until n).map { c =>
+          val off = lit(c.toLong * 100_000_000L)
+          traw1.select((col("src") + off).as("src"), (col("dst") + off).as("dst"))
+        }.reduce(_ unionByName _)
+      }
+    }
+    def triEdgesAt(n: Int) = spark.read.parquet(triEdgesPath(n))
+
     def docsAt(n: Int) = if (n == 1) docs1 else spark.read.parquet(docsPath(n))
     def embAt(n: Int) = if (n == 1) emb1 else spark.read.parquet(embPath(n))
     def ptsAt(n: Int) = spark.read.parquet(ptsPath(n))
@@ -356,12 +379,13 @@ object BenchScale {
       "tx_shard" ->
         (n => graft.pipeline.Packing.shardAssign(docsAt(n), "doc_id", "text",
           numShards = 16 * n, salt = "s:")),
-      // exact triangle counting over N disjoint graph copies: wedge volume
-      // is O(m^{3/2}) per copy, so with disjoint copies total work grows
-      // ~N× — the degree-ordered orientation must keep the hub fan-out
-      // capped at every rung
+      // exact triangle counting over N disjoint copies of the co-order part
+      // graph: wedge volume is O(m^{3/2}) per copy, disjoint copies → total
+      // work ~N×. broadcastLimit=0 pins the pure-shuffle plan at every rung
+      // (the default strategy pick would broadcast the small rungs and
+      // shuffle the big one — a strategy SWITCH, not a growth curve)
       "gr_triangles" ->
-        (n => graft.pipeline.Graphs.triangleCounts(edgesAt(n))),
+        (n => graft.pipeline.Graphs.triangleCounts(triEdgesAt(n), broadcastLimit = 0L)),
       // distributed hash-to-min CC with pointer jumping over N disjoint
       // copies of the co-purchase graph: rounds stay O(log diameter)
       // (diameter is rung-invariant), each round one id-keyed shuffle ∝ N

@@ -14,6 +14,14 @@ object Bench {
       // shuffle key from serializing a stage on a single straggler task
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // NOTE deliberately NOT setting adaptive.coalescePartitions.
+      // initialPartitionNum globally: it cuts the heavy wedge shuffle
+      // (gr_triangles 3×-rung 63→23 s by avoiding spill at 16 partitions)
+      // but costs iterative queries dearly in local mode — every PageRank /
+      // label-propagation round localCheckpoints 256 near-empty partitions
+      // (measured: gr_pagerank 6.7→41 s). Raise it per heavy one-shot
+      // query, not per session; on a real cluster the executor count, not
+      // this constant, sets the floor
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the session (codegen, parquet footer reads) so the first timed

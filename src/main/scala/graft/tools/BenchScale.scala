@@ -50,6 +50,8 @@ object BenchScale {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // see Bench.scala: initialPartitionNum stays unset — it fixes the
+      // wedge-shuffle spill but regresses every iterative family
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()   // session warm-up

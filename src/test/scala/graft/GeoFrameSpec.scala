@@ -203,4 +203,25 @@ class GeoFrameSpec extends SparkSpec {
     // of the triangle's area out of cell (0,1) (the upper-left cell)
     assert(triOut == Set((0L, 0L), (1L, 0L), (1L, 1L)))
   }
+
+  test("zonalStats partitions total polygon area exactly across cells (random hulls)") {
+    // cells tile the plane, so clipping must PARTITION each polygon:
+    // sum of per-cell clipped areas == sum of polygon areas
+    val rnd = new scala.util.Random(1147)
+    val rows = (1 to 40).map { i =>
+      val cx = rnd.nextDouble() * 300 - 150
+      val cy = rnd.nextDouble() * 140 - 70
+      val pts = Array.fill(8)(new org.locationtech.jts.geom.Coordinate(
+        cx + rnd.nextDouble() * 20 - 10, cy + rnd.nextDouble() * 16 - 8))
+      val hull = GeomCodec.factory.createMultiPointFromCoords(pts).convexHull()
+      (i.toLong, GeomCodec.toWkb(hull), hull.getArea)
+    }
+    val polys = rows.map(r => (r._1, r._2)).toDF("id", "geometry")
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    val cellTotal = SpatialAggs.zonalStats(polys, cellDeg = 7.0)
+      .agg(sum(col("area"))).head().getDouble(0)
+    val polyTotal = rows.map(_._3).sum
+    assert(math.abs(cellTotal - polyTotal) < 1e-6 * polyTotal,
+      s"clip does not partition: cells=$cellTotal polys=$polyTotal")
+  }
 }

@@ -1257,6 +1257,21 @@ object SparkEntry {
       Packing.shardAssign(T(s, dir, "documents"), "doc_id", "text",
         numShards = 16, salt = "shard1:")),
 
+    // two-level HLL rollup: daily register sketches merged by max — the
+    // mergeable-sketch storage pattern; the oracle replays a SINGLE-pass
+    // HLL, so the hash match proves the daily-merge path is lossless
+    "ev_hll_rollup" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fnv = udf((x: Long) => TextAnalysis.fnv1a64(x.toString))
+      Events.hllRollup(T(s, dir, "events").select(
+          col("event_type").as("g"),
+          expr("ts div 86400000000000").as("day"),
+          fnv(col("user_id")).as("h")))
+        .select(col("g").as("event_type"), col("v_zero"), col("est"),
+          col("n_days"))
+        .orderBy(col("event_type"))
+    }),
+
     // fixed-bin histogram quantiles: the scale sibling of ev_quantiles —
     // map-side combine caps the exchange at |types|·1024 rows at ANY corpus
     // size; integer rank test, binary-exact bin edges
@@ -2493,6 +2508,20 @@ object SparkEntry {
     "ev_markov" -> Events.transitionsDuckSql,
 
     "ev_hist_quantiles" -> Events.histQuantilesDuckSql(),
+
+    "ev_hll_rollup" ->
+      s"""WITH hashed AS (
+         |  SELECT event_type AS g, ${Dedup.fnv64DuckSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), ${Events.hllDuckSql},
+         |days AS (
+         |  SELECT event_type AS g,
+         |         count(DISTINCT epoch_ns(ts) // 86400000000000) AS n_days
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT g AS event_type, CAST(v_zero AS BIGINT) AS v_zero, est,
+         |       CAST(n_days AS BIGINT) AS n_days
+         |FROM hll_est JOIN days USING (g) ORDER BY 1""".stripMargin,
 
     "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
 

@@ -208,6 +208,29 @@ object Events {
     org.apache.spark.sql.SparkSession.active.range(1).select(explode(cols).as("reg"))
   }
 
+  /** Two-level mergeable-sketch rollup — the PRODUCTION shape for distinct
+    * counting over time: per (group, day) register maxima form a small
+    * stored sketch table (what each daily batch job writes — HllM rows per
+    * group-day, regardless of event volume), and period totals come from
+    * merging the DAILY sketches (max per register — associative), never
+    * from re-reading raw events. Because register-max is associative, the
+    * merged estimate is IDENTICAL to a single-pass estimate over all raw
+    * data — which is exactly what the oracle replays, so the hash match
+    * proves the two-level path loses nothing.
+    *
+    * `df` needs columns `g`, `day`, `h` (long hash). Returns
+    * (g, v_zero, est, n_days).
+    */
+  def hllRollup(df: DataFrame): DataFrame = {
+    val daily = df.select(col("g"), col("day"), hllRegCol.as("reg"), hllRankCol.as("rank"))
+      .groupBy("g", "day", "reg").agg(max(col("rank")).as("m"))
+      .persist()   // the sketch table feeds both the merge and n_days
+    val merged = daily.groupBy("g", "reg").agg(max(col("m")).as("m"))
+    val days = daily.select("g", "day").distinct()
+      .groupBy("g").agg(countDistinct(col("day")).as("n_days"))
+    hllFinalize(merged, df.select("g").distinct()).join(days, "g")
+  }
+
   /** DuckDB replay of [[hllEstimate]] given a CTE `hashed(g, h)` with h
     * UBIGINT: emits CTEs `hll_regs`, `hll_dense`, `hll_est(g, v_zero, est)`.
     * Mirrors the Scala arithmetic exactly (integer rank, decimal harmonic

@@ -1294,6 +1294,15 @@ object SparkEntry {
       Events.saltedUserMaxHits(T(s, dir, "events"), salts = 8)
     }),
 
+    // table profiling: per-column n/null/distinct/heavy-hitter/skew in ONE
+    // unpivot pass + one (column, value) exchange — not C countDistinct
+    // expand branches; the audit that decides where salting is needed
+    "q6_profile" -> ((s, dir) =>
+      graft.pipeline.Profiling.columnProfile(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_returnflag", "l_linestatus", "l_shipdate"))),
+
     // zonal statistics: per 3° grid cell, overlapping-polygon count +
     // clipped JTS area over the nation boxes — half-integer box corners vs
     // integer cell edges keep every product a binary-exact quarter, so the
@@ -2526,6 +2535,11 @@ object SparkEntry {
     "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
 
     "q4_colocated_join" -> graft.plans.Bucketing.colocatedPriorityVolumeDuckSql,
+
+    "q6_profile" -> graft.pipeline.Profiling.columnProfileDuckSql("lineitem",
+      Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")),
 
     "sp_zonal_stats" ->
       """WITH nb AS (

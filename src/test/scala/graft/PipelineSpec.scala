@@ -224,4 +224,18 @@ class PipelineSpec extends SparkSpec {
       sorted.foreach(s => assert(s._5 - s._4 + 1 == s._3))     // extent == count
     }
   }
+
+  test("columnProfile: nulls, distincts, heavy hitter, and skew are closed-form exact") {
+    val df = Seq(
+      (Some(1L), "x"), (Some(1L), "x"), (Some(1L), "x"), (Some(2L), "x"),
+      (None: Option[Long], "x"))
+      .toDF("a", "b")
+    val out = graft.pipeline.Profiling.columnProfile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // a: n=5, 1 null, 2 distinct, heavy=3, skew = 3 / (4/2) = 1.5
+    // b: n=5, 0 null, 1 distinct, heavy=5, skew = 5 / (5/1) = 1.0
+    assert(out == Seq(
+      ("a", 5L, 1L, 2L, 3L, 1.5),
+      ("b", 5L, 0L, 1L, 5L, 1.0)))
+  }
 }

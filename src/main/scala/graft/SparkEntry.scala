@@ -1473,6 +1473,15 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // ANN quality gate: recall@5 of the IVF index vs the exact top-5 over
+    // a sampled query set — retrieval evaluation as an operator; both
+    // sides share the (rounded cosine, id) tie order so recall is exact
+    "sim_recall" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfRecallAtK(emb, emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
+    }),
+
     // per-language percentile length gate: relative quality threshold per
     // stratum; ONE stratum shuffle serves window + summary aggregate
     "tx_quality_gate" -> ((s, dir) =>
@@ -2652,6 +2661,52 @@ object SparkEntry {
         |)
         |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
+
+    "sim_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |sims AS (
+        |  SELECT e.vec_id AS id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+        |  FROM e CROSS JOIN c
+        |), assign AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+        |    FROM sims) WHERE rn = 1
+        |), q AS (
+        |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+        |), probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q.qid, c.cid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM q CROSS JOIN c) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+        |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid
+        |  WHERE a.id <> q.qid
+        |), approx AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |    FROM cand) WHERE rank <= 5
+        |), exact AS (
+        |  SELECT qid, nid FROM (
+        |    SELECT q.qid, e.vec_id AS nid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rank
+        |    FROM q CROSS JOIN e WHERE e.vec_id <> q.qid) WHERE rank <= 5
+        |), hits AS (
+        |  SELECT exact.qid, count(*) AS h
+        |  FROM exact JOIN approx ON exact.qid = approx.qid AND exact.nid = approx.nid
+        |  GROUP BY 1
+        |), perq AS (
+        |  SELECT qq.qid, coalesce(h, 0) AS h
+        |  FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN hits ON qq.qid = hits.qid
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |       round(CAST(sum(h) AS DOUBLE) / (5 * count(*)), 6) AS avg_recall,
+        |       round(CAST(min(h) AS DOUBLE) / 5, 6) AS min_recall
+        |FROM perq""".stripMargin,
 
     "sp_tile_pyramid" -> (PtsCte +
       """

@@ -377,6 +377,43 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** Retrieval evaluation as a first-class operator: recall@k of the IVF
+    * index against the exact per-query top-k — the number every ANN
+    * deployment tracks (probe budget vs recall). The exact side is a
+    * |queries|·|corpus| cross join: that is the EVAL protocol, run on a
+    * sampled query set (queries are the sampled side; the approx side is
+    * the production path being graded). Both sides rank by the identical
+    * (rounded cosine desc, id) order, so the hit sets — and therefore the
+    * recall numbers — are fully deterministic.
+    *
+    * Returns ONE row: (n_queries, avg_recall, min_recall).
+    */
+  def ivfRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val approx = ivfKnnJoin(corpus, queries, idCol, vecCol, k, nlist, nprobe)
+      .select(col("qid"), col("nid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    val exact = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(transform(col("qvec"), _.cast("double")),
+          transform(col("nvec"), _.cast("double"))), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"))
+    val hits = exact.join(approx, Seq("qid", "nid"))
+      .groupBy(col("qid")).agg(count(lit(1)).as("h"))
+    queries.select(col(idCol).as("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(coalesce(col("h"), lit(0L)).as("h"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(sum(col("h")).cast("double") / (lit(k.toLong) * count(lit(1))), 6)
+          .as("avg_recall"),
+        round(min(col("h")).cast("double") / k, 6).as("min_recall"))
+  }
+
   /** All pairs with cosine ≥ threshold — SRP-bucket self-join (candidates
     * share a bucket in at least one of `tables` independent hashings) +
     * exact cosine verification.

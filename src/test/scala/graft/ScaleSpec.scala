@@ -447,6 +447,42 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(p).count() == 6000)
   }
 
+  test("runtime Bloom filter from a selective dim side reaches the fact side") {
+    // Spark's runtime row-filtering: a selective filter on one join side
+    // builds a bloom filter at runtime and injects might_contain() on the
+    // OTHER side — at 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~0.1% that can possibly match.
+    // Thresholds are sized for clusters, so force them down to observe it.
+    val dir = Files.createTempDirectory("graft-bloom").toString
+    spark.range(300000).select(col("id").cast("long").as("k"),
+        (col("id") % 97).as("v"))
+      .write.parquet(s"$dir/fact")
+    spark.range(3000).select((col("id") * 100).cast("long").as("k2"),
+        (col("id") % 10).as("grp"))
+      .write.parquet(s"$dir/dim")
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("grp") === 3)
+      val joined = fact.join(dim, col("k") === col("k2"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      // and it is semantically invisible
+      assert(rows.length == 300)   // k2 = 100*id, id%10==3, 100*id < 300000
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("z-ordered table layout prunes range filters on BOTH columns at the scan") {
     val dir = Files.createTempDirectory("graft-zt").toString
     val t = spark.range(200000).select(col("id").cast("long").as("k"),

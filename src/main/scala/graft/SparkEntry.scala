@@ -749,6 +749,18 @@ object SparkEntry {
     // image near-dup dedup via pHash banding; every 9th id reuses the bytes
     // of id−3, so exact-dup images exist under distinct ids (with the FNV
     // stub decode only byte-identical media collide — see phash64 scaladoc)
+    // video-level near-dup: frame-feature SET Jaccard; seedOf plants
+    // video-kind duplicates (i ≡ 8 mod 9 shares the seed of i-6, both
+    // video-kind since 8 ≡ 2 ≡ (8-6) mod 3)
+    "mm_video_dedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300,
+        i => if (i % 9 == 8) i - 6 else i)
+      Multimodal.videoNearDupPairs(
+          Multimodal.sampleFrames(media, n = 8, w = 16, h = 16),
+          threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "mm_phash" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 300,
         i => if (i % 9 == 3) i - 3 else i)
@@ -2100,6 +2112,49 @@ object SparkEntry {
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "mm_frames" -> MmFramesSql,
+
+    // same stub-decode chain as mm_frames at 8 frames, with the byte seed
+    // remapped (i ≡ 8 mod 9 → i-6) to plant video duplicates, then the
+    // set-Jaccard assembled relationally (feature-join candidates)
+    "mm_video_dedup" ->
+      """WITH RECURSIVE chain(media_id, seed, frame_idx, step, state) AS (
+        |  SELECT i AS media_id,
+        |         CASE WHEN i % 9 = 8 THEN i - 6 ELSE i END AS seed,
+        |         f AS frame_idx, 0 AS step,
+        |         CAST(14695981039346656037 AS UBIGINT) AS state
+        |  FROM range(300) t(i), range(8) u(f) WHERE i % 3 = 2
+        |  UNION ALL
+        |  SELECT media_id, seed, frame_idx, step + 1,
+        |    CAST((CAST(xor(state, CAST(
+        |      CASE WHEN step < 64 THEN
+        |        CASE WHEN (seed * 31 + step * 7) % 251 >= 128
+        |             THEN 18446744073709551360 + (seed * 31 + step * 7) % 251
+        |             ELSE (seed * 31 + step * 7) % 251 END
+        |      WHEN step = 64 THEN frame_idx
+        |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+        |      % 18446744073709551616 AS UBIGINT)
+        |  FROM chain WHERE step < 321
+        |), feat0 AS (
+        |  SELECT media_id, frame_idx,
+        |         round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+        |                        / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
+        |  FROM chain WHERE step > 65 GROUP BY 1, 2
+        |), feats AS (
+        |  SELECT DISTINCT media_id, feat FROM feat0
+        |), sizes AS (
+        |  SELECT media_id, count(*) AS n FROM feats GROUP BY 1
+        |), shared AS (
+        |  SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared
+        |  FROM feats a JOIN feats b ON a.feat = b.feat AND a.media_id < b.media_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+        |       round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) AS jaccard
+        |FROM shared
+        |JOIN sizes na ON id_a = na.media_id
+        |JOIN sizes nb ON id_b = nb.media_id
+        |WHERE round(CAST(shared AS DOUBLE) / (na.n + nb.n - shared), 6) >= 0.5
+        |ORDER BY 1, 2""".stripMargin,
 
     "mm_audio" -> MmAudioSql,
 

@@ -199,6 +199,35 @@ object Multimodal {
         max(col("frame_idx")).as("end_frame"))
   }
 
+  /** Video-level near-duplicate pairs: Jaccard over each video's SET of
+    * per-frame features — re-encoded/re-uploaded copies of a video decode
+    * to the same frame features, so their sets coincide while unrelated
+    * videos share features only by chance. Candidates come from the
+    * identical-feature inverted join (the corpus line-dedup shape: join on
+    * the feature value, never all-pairs), then the exact Jaccard verifies —
+    * shared / (|A| + |B| − shared) from three exact integers. At scale the
+    * feature join's fan-out is bounded by how many videos share a frame —
+    * the same hot-key profile as line dedup, and AQE's skew split applies.
+    */
+  def videoNearDupPairs(frames: DataFrame, threshold: Double): DataFrame = {
+    val feats = frames.select(col("media_id"),
+        round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4)
+          .as("feat"))
+      .distinct().persist()
+    val sizes = feats.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val shared = feats.as("a").join(feats.as("b"),
+        col("a.feat") === col("b.feat") && col("a.media_id") < col("b.media_id"))
+      .groupBy(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("media_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("media_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("jaccard", round(col("shared").cast("double") /
+        (col("n_a") + col("n_b") - col("shared")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("jaccard"))
+  }
+
   /** Synthesize a deterministic media table from any source table (for tests
     * and benchmarks — the container has no real media files). `seedOf`
     * remaps the byte-content seed so callers can inject exact-duplicate

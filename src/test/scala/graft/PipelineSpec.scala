@@ -225,6 +225,23 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("videoNearDupPairs: set Jaccard over frame features, closed form") {
+    // media 1 frames sum to {1,2,3,4}; media 2 to {3,4,5,6}; media 3 == 1
+    val frames = (
+      Seq(1L -> 1f, 1L -> 2f, 1L -> 3f, 1L -> 4f,
+        2L -> 3f, 2L -> 4f, 2L -> 5f, 2L -> 6f,
+        3L -> 1f, 3L -> 2f, 3L -> 3f, 3L -> 4f)
+      ).zipWithIndex.map { case ((m, v), i) => (m, i, Seq(v)) }
+      .toDF("media_id", "frame_idx", "pixels")
+    val out = graft.pipeline.Multimodal.videoNearDupPairs(frames, 0.3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 0.333333),   // 2 shared of 6 distinct
+      (1L, 3L, 4L, 1.0),
+      (2L, 3L, 2L, 0.333333)))
+  }
+
   test("columnProfile: nulls, distincts, heavy hitter, and skew are closed-form exact") {
     val df = Seq(
       (Some(1L), "x"), (Some(1L), "x"), (Some(1L), "x"), (Some(2L), "x"),

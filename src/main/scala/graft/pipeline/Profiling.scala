@@ -36,8 +36,10 @@ object Profiling {
         sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
         sum(when(col("v").isNotNull, 1L).otherwise(0L)).as("n_distinct"),
         max(when(col("v").isNotNull, col("cnt")).otherwise(0L)).as("max_freq"))
-      .withColumn("skew", round(col("max_freq").cast("double") * col("n_distinct")
-        / (col("n") - col("n_null")), 4))
+      .withColumn("skew",
+        when(col("n") > col("n_null"),
+          round(col("max_freq").cast("double") * col("n_distinct")
+            / (col("n") - col("n_null")), 4)))   // NULL for an all-null column
       .orderBy(col("column"))
   }
 
@@ -51,9 +53,11 @@ object Profiling {
          |  CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT) AS n_distinct,
          |  CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM $table
          |        WHERE $c IS NOT NULL GROUP BY CAST($c AS VARCHAR))) AS BIGINT) AS max_freq,
-         |  round(CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM $table
-         |        WHERE $c IS NOT NULL GROUP BY CAST($c AS VARCHAR)))
-         |      * count(DISTINCT CAST($c AS VARCHAR)) AS DOUBLE) / count($c), 4) AS skew
+         |  CASE WHEN count($c) = 0 THEN NULL ELSE
+         |    round(CAST((SELECT max(cnt) FROM (SELECT count(*) AS cnt FROM $table
+         |          WHERE $c IS NOT NULL GROUP BY CAST($c AS VARCHAR)))
+         |        * count(DISTINCT CAST($c AS VARCHAR)) AS DOUBLE) / count($c), 4)
+         |  END AS skew
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
 }

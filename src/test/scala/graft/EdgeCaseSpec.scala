@@ -135,4 +135,28 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("eleventh-session operators are empty/degenerate-input safe") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.pipeline.Packing.shardAssign(emptyDocs, "doc_id", "text", 4, "s:")
+      .count() == 0)
+    val emptyEvents = Seq.empty[(Long, Long, Long, String, Double)]
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    assert(graft.pipeline.Events.transitions(emptyEvents).count() == 0)
+    assert(graft.pipeline.Events.saltedUserMaxHits(emptyEvents, 4).count() == 0)
+    assert(graft.pipeline.Events.histQuantiles(emptyEvents).count() == 0)
+    assert(graft.pipeline.Events.hllRollup(
+      Seq.empty[(String, Long, Long)].toDF("g", "day", "h")).count() == 0)
+    val emptyPolys = Seq.empty[(Long, Array[Byte])].toDF("id", "geometry")
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    assert(SpatialAggs.zonalStats(emptyPolys, 10.0).count() == 0)
+    // profile on an all-null column: n counted, distinct 0, max_freq 0
+    val nulls = Seq((None: Option[Long]), None, None).toDF("a")
+    val prof = graft.pipeline.Profiling.columnProfile(nulls, Seq("a"))
+      .as[(String, Long, Long, Long, Long, Option[Double])].head()
+    assert(prof._2 == 3 && prof._3 == 3 && prof._4 == 0 && prof._5 == 0)
+    // single-doc / single-frame corner: no pairs, no crash
+    val oneFrame = Seq((1L, 0, Seq(1f))).toDF("media_id", "frame_idx", "pixels")
+    assert(graft.pipeline.Multimodal.videoNearDupPairs(oneFrame, 0.5).count() == 0)
+  }
 }

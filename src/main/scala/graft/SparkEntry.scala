@@ -1269,6 +1269,27 @@ object SparkEntry {
       Packing.shardAssign(T(s, dir, "documents"), "doc_id", "text",
         numShards = 16, salt = "shard1:")),
 
+    // incrementally-maintained daily metrics mart: bootstrap the first 70%
+    // of days, then MERGE the rest as the "nightly batch" — only its day
+    // partitions rewrite (dynamic overwrite); the read-back table must
+    // equal the oracle's full recompute
+    "ev_daily_mv" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events")
+      val dayNs = 86400000000000L
+      val mm = ev.agg(min(expr(s"ts div $dayNs")), max(expr(s"ts div $dayNs"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 7 / 10
+      val d = java.nio.file.Files.createTempDirectory("graft-mv")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("daily").toString
+      Events.dailyAggMerge(ev.filter(expr(s"ts div $dayNs") < cut), p)
+      Events.dailyAggMerge(ev.filter(expr(s"ts div $dayNs") >= cut), p)
+      s.read.parquet(p)
+        .select(col("day").cast("long").as("day"), col("event_type"),
+          col("n"), col("sum_cents"), col("n_users"))
+        .orderBy(col("day"), col("event_type"))
+    }),
+
     // two-level HLL rollup: daily register sketches merged by max — the
     // mergeable-sketch storage pattern; the oracle replays a SINGLE-pass
     // HLL, so the hash match proves the daily-merge path is lossless
@@ -1304,6 +1325,24 @@ object SparkEntry {
     "ev_salted_join" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       Events.saltedUserMaxHits(T(s, dir, "events"), salts = 8)
+    }),
+
+    // join-CONSISTENT sampling: both tables sampled by hashing the JOIN
+    // key, so the sampled child table has ZERO orphans (n_orphan is
+    // computed by a real anti-join, not assumed) — independent row
+    // sampling would orphan ~(1-p) of line items
+    "q7_consistent_sample" -> ((s, dir) => {
+      import graft.pipeline.Profiling.consistentSampleKeep
+      val keep = (c: org.apache.spark.sql.Column) =>
+        consistentSampleKeep(c, "cs1:", ppm = 200000)
+      val ord = T(s, dir, "orders").filter(keep(col("o_orderkey")))
+      val li = T(s, dir, "lineitem").filter(keep(col("l_orderkey")))
+      val orphans = li.join(ord, li("l_orderkey") === ord("o_orderkey"),
+        "left_anti")
+      val nOrd = ord.agg(count(lit(1)).as("n_orders"))
+      val nLi = li.agg(count(lit(1)).as("n_lineitems"))
+      val nOrph = orphans.agg(count(lit(1)).as("n_orphan"))
+      nOrd.crossJoin(nLi).crossJoin(nOrph)
     }),
 
     // table profiling: per-column n/null/distinct/heavy-hitter/skew in ONE
@@ -2582,6 +2621,13 @@ object SparkEntry {
 
     "ev_hist_quantiles" -> Events.histQuantilesDuckSql(),
 
+    "ev_daily_mv" ->
+      """SELECT epoch_ns(ts) // 86400000000000 AS day, event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "ev_hll_rollup" ->
       s"""WITH hashed AS (
          |  SELECT event_type AS g, ${Dedup.fnv64DuckSql("CAST(user_id AS VARCHAR)")} AS h
@@ -2599,6 +2645,21 @@ object SparkEntry {
     "ev_salted_join" -> Events.saltedUserMaxHitsDuckSql,
 
     "q4_colocated_join" -> graft.plans.Bucketing.colocatedPriorityVolumeDuckSql,
+
+    "q7_consistent_sample" -> {
+      import graft.pipeline.Profiling.consistentSampleKeepDuckSql
+      s"""WITH so AS (
+         |  SELECT o_orderkey FROM orders
+         |  WHERE ${consistentSampleKeepDuckSql("o_orderkey", "cs1:", 200000)}
+         |), sl AS (
+         |  SELECT l_orderkey FROM lineitem
+         |  WHERE ${consistentSampleKeepDuckSql("l_orderkey", "cs1:", 200000)}
+         |)
+         |SELECT (SELECT count(*) FROM so) AS n_orders,
+         |       (SELECT count(*) FROM sl) AS n_lineitems,
+         |       (SELECT count(*) FROM sl
+         |        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM so)) AS n_orphan""".stripMargin
+    },
 
     "q6_profile" -> graft.pipeline.Profiling.columnProfileDuckSql("lineitem",
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",

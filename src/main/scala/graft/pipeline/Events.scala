@@ -352,6 +352,42 @@ object Events {
        |FROM j WHERE sd > 0 AND abs(n - mean) > $z * sd
        |ORDER BY 1, 2""".stripMargin
 
+  // ==================================== incremental materialized aggregate
+
+  /** Incrementally-maintained daily aggregate table — the ETL pattern
+    * behind every "metrics mart": the aggregate lives partitioned by day;
+    * when a new batch arrives, ONLY the day partitions present in the
+    * batch are recomputed and swapped in via dynamic partition overwrite.
+    * Untouched days are not read, not written, not moved — at 100 TB the
+    * nightly job touches one day, not the archive. (The aggregate-table
+    * sibling of the bucketed-layer upsert in
+    * [[graft.plans.SpatialLayout.upsertClusteredBuckets]].)
+    *
+    * `batch` must contain FULL days (the day partition is the atomicity
+    * unit — partial-day merges would double-count; callers deliver
+    * day-complete batches exactly like any partition-overwrite ETL).
+    * Expects `ts` long nanos. Returns the affected day count.
+    */
+  def dailyAggMerge(batch: DataFrame, path: String): Long = {
+    val spark = batch.sparkSession
+    val dayUs = 86400000000000L
+    val agg = batch
+      .withColumn("day", expr(s"ts div $dayUs"))
+      .groupBy(col("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .localCheckpoint(true)
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try agg.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    agg.select("day").distinct().count()
+  }
+
   // ============================================== histogram quantiles
 
   /** Approximate quantiles from a FIXED-BIN histogram — the scale-correct

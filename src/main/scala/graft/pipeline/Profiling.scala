@@ -43,6 +43,25 @@ object Profiling {
       .orderBy(col("column"))
   }
 
+  /** Join-consistent sampling predicate: keep a row iff the scrambled hash
+    * of its JOIN KEY lands under `ppm` parts-per-million. Sampling every
+    * table of a star schema with the same key and salt keeps exactly the
+    * matching rows — referential integrity survives the sample (independent
+    * row sampling at rate p orphans ≈ (1−p) of each parent's children,
+    * poisoning any join-based analysis of the sample). Membership is a
+    * pure function of the key: reproducible across runs, cluster layouts,
+    * and tables.
+    */
+  def consistentSampleKeep(keyCol: org.apache.spark.sql.Column, salt: String,
+      ppm: Int): org.apache.spark.sql.Column =
+    pmod(pmod(TextAnalysis.polyHash(concat(lit(salt), keyCol.cast("string")))
+      * lit(2654435761L), lit(1000000007L)), lit(1000000L)) < ppm
+
+  /** DuckDB SQL for the same predicate over expression `e`. */
+  def consistentSampleKeepDuckSql(e: String, salt: String, ppm: Int): String =
+    s"(((${TextAnalysis.polyHashDuckSql(s"('$salt' || CAST($e AS VARCHAR))")}" +
+      s" * 2654435761) % 1000000007) % 1000000) < $ppm"
+
   /** DuckDB replay of [[columnProfile]] over table `table` for `cols` —
     * one UNION ALL arm per column, same string-cast distinct semantics.
     */

@@ -289,6 +289,38 @@ class EventsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "c", 4L, 2L, 10L)))
   }
 
+  test("dailyAggMerge rewrites only the batch's day partitions") {
+    val dayNs = 86400000000000L
+    val rows = for (d <- 0L until 5L; i <- 0 until 50) yield
+      (d * dayNs + i * 1000L, (i % 7).toLong, i.toLong + d * 100, s"t${i % 3}",
+        (i % 10).toDouble)
+    val ev = rows.toDF("ts", "user_id", "event_id", "event_type", "value")
+    val p = java.nio.file.Files.createTempDirectory("graft-mvspec").toString + "/mv"
+    assert(Events.dailyAggMerge(ev.filter(expr(s"ts div $dayNs") < 3), p) == 3)
+    def state = new java.io.File(p).listFiles
+      .filter(_.getName.startsWith("day="))
+      .map(d => d.getName -> d.listFiles.filter(_.getName.startsWith("part-"))
+        .map(f => (f.getName, f.length)).toSet).toMap
+    val before = state
+    assert(Events.dailyAggMerge(ev.filter(expr(s"ts div $dayNs") >= 3), p) == 2)
+    val after = state
+    (0 to 2).foreach(d => assert(before(s"day=$d") == after(s"day=$d"),
+      s"bootstrap day $d was rewritten"))
+    assert(after.keySet == (0 to 4).map(d => s"day=$d").toSet)
+    // read-back equals a full recompute
+    val got = spark.read.parquet(p)
+      .select(col("day").cast("long"), col("event_type"), col("n"),
+        col("sum_cents"), col("n_users"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val want = ev.withColumn("day", expr(s"ts div $dayNs"))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+        countDistinct(col("user_id")).as("n_users"))
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("hllRollup: merging daily sketches equals the single-pass estimate") {
     val rows = (1 to 3000).map(i =>
       ("a", (i % 7).toLong, TextAnalysis.fnv1a64((i % 800).toString)))

@@ -88,6 +88,39 @@ object ExplainAudit {
         vecs.filter(col("vec_id") % 25 === 0), "vec_id", "embedding", 5, 8, 2)
       .explain("formatted")
 
+    println("========== bucketed co-located join: zero Exchange on inputs ==========")
+    val bdir = java.nio.file.Files.createTempDirectory("audit-bucketed").toString
+    val left = spark.range(20000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    val right = spark.range(5000).select((col("id") * 4).as("k2"), (col("id") % 3).as("g"))
+    graft.plans.Bucketing.writeBucketed(left, "audit_l", s"$bdir/l", 4, "k")
+    graft.plans.Bucketing.writeBucketed(right, "audit_r", s"$bdir/r", 4, "k2")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.table("audit_l").join(spark.table("audit_r"), col("k") === col("k2"))
+      .explain("formatted")
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    println("========== column profile: ONE (column, value) exchange, no expand ==========")
+    graft.pipeline.Profiling.columnProfile(left.toDF("k", "v"), Seq("k", "v"))
+      .explain("formatted")
+
+    println("========== zonal stats: cell fan-out in the scan projection ==========")
+    val polys = spark.range(50).select(col("id"),
+        graft.functions.st.geomFromText(concat(lit("POLYGON (("),
+          col("id") * 3 - 39.5, lit(" "), col("id") * 2 - 29.5, lit(", "),
+          col("id") * 3 - 34.5, lit(" "), col("id") * 2 - 29.5, lit(", "),
+          col("id") * 3 - 34.5, lit(" "), col("id") * 2 - 25.5, lit(", "),
+          col("id") * 3 - 39.5, lit(" "), col("id") * 2 - 25.5, lit(", "),
+          col("id") * 3 - 39.5, lit(" "), col("id") * 2 - 29.5, lit("))")))
+          .as("geometry"))
+      .withColumn("bbox", graft.functions.st.bboxOf(col("geometry")))
+    graft.engine.SpatialAggs.zonalStats(polys, 3.0).explain("formatted")
+
+    println("========== shard assign: ONE shard exchange + in-shard sort ==========")
+    val shardDocs = spark.range(5000).select(col("id").as("doc_id"),
+      lit("a b c d").as("text"))
+    graft.pipeline.Packing.shardAssign(shardDocs, "doc_id", "text", 16, "s:")
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -1003,6 +1003,26 @@ object SparkEntry {
     // round-trip are replayed by the oracle from `customer`.
     // (reference: ShapefileExporter.java:37, ShapefileImporter via
     // SpatialProcedures.java:788-820)
+    // GeoJSON ingest under the oracle: real export → GeoJSONSeq files →
+    // real line-distributed re-import (sources/GeoJsonSource.scala); same
+    // per-nation line stats contract as the shapefile round trip
+    "geojson_ingest_stats" -> ((s, dir) => {
+      val lines = linesLayer(s, dir).df
+        .withColumn("props", map(
+          lit("fid"), col("c_nationkey").cast("string"),
+          lit("name"), concat(lit("ln-"), col("c_nationkey"))))
+      val d = java.nio.file.Files.createTempDirectory("graft-geojson")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("lines_seq").toString
+      graft.sources.GeoJsonSource.exportGeoJsonSeq(lines, p)
+      graft.sources.GeoJsonSource.readGeoJsonSeq(s, p, idProp = "fid")
+        .select(col("id").cast("long").as("nk"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          round(st.length(col("geometry")), 6).as("len"),
+          col("props").getItem("name").as("name"))
+        .orderBy(col("nk"))
+    }),
+
     "shp_ingest_stats" -> ((s, dir) => {
       val lines = linesLayer(s, dir).df
         .withColumn("props", map(lit("name"), concat(lit("ln-"), col("c_nationkey"))))
@@ -2308,6 +2328,19 @@ object SparkEntry {
         |       round(coalesce(sum(seg), 0), 6) AS len,
         |       'way-' || c_nationkey AS name
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "geojson_ingest_stats" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |)
+        |SELECT c_nationkey::BIGINT AS nk, count(*)::BIGINT AS n_pts,
+        |       round(coalesce(sum(seg), 0), 6) AS len,
+        |       'ln-' || c_nationkey AS name
+        |FROM segs GROUP BY c_nationkey ORDER BY nk""".stripMargin),
 
     "shp_ingest_stats" -> (PtsCte +
       """

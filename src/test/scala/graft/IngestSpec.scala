@@ -196,4 +196,38 @@ class IngestSpec extends SparkSpec {
     assert(proc.getFeatureCount("osm_ways") == 1)
     assert(proc.layers().as[String].collect().toSet == Set("highway", "osm_ways"))
   }
+
+  test("GeoJSON: FeatureCollection and GeoJSONSeq layouts parse to identical layers") {
+    val dir = Files.createTempDirectory("graft-gjspec").toString
+    // polygon WITH hole + a point + a linestring, heterogeneous in one set
+    val features = Seq(
+      """{"type": "Feature", "geometry": {"type": "Polygon", "coordinates": [[[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], [[2, 2], [4, 2], [4, 4], [2, 4], [2, 2]]]}, "properties": {"fid": "1", "kind": "poly"}}""",
+      """{"type": "Feature", "geometry": {"type": "Point", "coordinates": [5.5, -3.25]}, "properties": {"fid": "2", "kind": "pt"}}""",
+      """{"type": "Feature", "geometry": {"type": "LineString", "coordinates": [[0, 0], [3, 4]]}, "properties": {"fid": "3", "kind": "ln"}}""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.geojsonl"),
+      features.mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/f.geojson"),
+      features.mkString("""{"type": "FeatureCollection", "features": [""", ",\n", "]}"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("gtype"),
+        graft.functions.st.asText(col("geometry")).as("wkt"),
+        col("props").getItem("kind").as("kind"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)))
+      .sortBy(_._1).toSeq
+    val seq = canon(graft.sources.GeoJsonSource.readGeoJsonSeq(spark,
+      s"$dir/f.geojsonl", "fid"))
+    val coll = canon(graft.sources.GeoJsonSource.readFeatureCollection(spark,
+      s"$dir/f.geojson", "fid"))
+    assert(seq == coll)
+    assert(seq.map(_._1) == Seq("1", "2", "3"))
+    assert(seq.map(_._2) == Seq(GeomCodec.GTYPE_POLYGON, GeomCodec.GTYPE_POINT,
+      GeomCodec.GTYPE_LINESTRING))
+    assert(seq.head._3.contains("2 2"), "polygon hole lost")   // interior ring survives
+    // export → re-import round trip preserves everything
+    val layer = graft.sources.GeoJsonSource.readGeoJsonSeq(spark,
+      s"$dir/f.geojsonl", "fid")
+    graft.sources.GeoJsonSource.exportGeoJsonSeq(layer, s"$dir/rt")
+    val rt = canon(graft.sources.GeoJsonSource.readGeoJsonSeq(spark, s"$dir/rt", "fid"))
+    assert(rt == seq)
+  }
 }

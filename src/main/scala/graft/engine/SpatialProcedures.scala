@@ -219,6 +219,19 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
     catalog.createLayer(name, ways.df, LayerMeta(name, 0, encoder = "wkb"))
   }
 
+  /** GeoJSON ingest into a named layer (no reference procedure — the modern
+    * source format beside shapefile/OSM; GeoJSONSeq reads distributed,
+    * a FeatureCollection document via a whole-file explode).
+    */
+  def importGeoJson(name: String, path: String, idProp: String = "id",
+      featureCollection: Boolean = false): GeoFrame = {
+    val layer =
+      if (featureCollection)
+        graft.sources.GeoJsonSource.readFeatureCollection(spark, path, idProp)
+      else graft.sources.GeoJsonSource.readGeoJsonSeq(spark, path, idProp)
+    catalog.createLayer(name, layer, LayerMeta(name, 0, encoder = "wkb"))
+  }
+
   // --------------------------------------------------------------- export
 
   /** OSM tag-filtered layer → shapefile, the cli-tools export helper

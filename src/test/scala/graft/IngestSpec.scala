@@ -229,5 +229,11 @@ class IngestSpec extends SparkSpec {
     graft.sources.GeoJsonSource.exportGeoJsonSeq(layer, s"$dir/rt")
     val rt = canon(graft.sources.GeoJsonSource.readGeoJsonSeq(spark, s"$dir/rt", "fid"))
     assert(rt == seq)
+    // facade parity: importGeoJson lands a queryable catalog layer
+    val proc = new SpatialProcedures(spark,
+      Files.createTempDirectory("graft-gjwh").toString)
+    proc.importGeoJson("gj", s"$dir/f.geojsonl", idProp = "fid")
+    assert(proc.getFeatureCount("gj") == 3)
+    assert(proc.layer("gj").intersectsWindow(-10, -10, 20, 20).count() == 3)
   }
 }

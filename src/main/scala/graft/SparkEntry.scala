@@ -1437,6 +1437,12 @@ object SparkEntry {
 
     // near-dup CLUSTERS: MinHash-LSH pairs transitively closed into
     // connected components; group_id = min member = the dedup survivor
+    // dedup-savings report: cluster-size histogram (+ singleton line) over
+    // the minhash near-dup components
+    "dd_cluster_hist" -> ((s, dir) =>
+      Groups.clusterSizeHistogram(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2)),
+
     "dd_neardup_groups" -> ((s, dir) =>
       Groups.nearDupGroups(T(s, dir, "documents"), "doc_id", "text",
         threshold = 0.2)
@@ -2745,6 +2751,8 @@ object SparkEntry {
     "tx_pack_bins" -> Packing.packBinsDuckSql(capacity = 256L, numShards = 8),
 
     "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
+
+    "dd_cluster_hist" -> Groups.clusterHistDuckSql(threshold = 0.2),
 
     "dd_substring_pairs" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
 

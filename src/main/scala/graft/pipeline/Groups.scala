@@ -129,7 +129,26 @@ object Groups {
     * transitive closure as a recursive CTE — label(v) = min id reachable,
     * which for a symmetric edge set is exactly the component minimum.
     */
-  def nearDupGroupsDuckSql(threshold: Double, shingleK: Int = 3): String =
+  /** Cluster-size histogram — the dedup-savings report (how much of the
+    * corpus sits in duplicate clusters of what size; the size-1 row counts
+    * documents in no cluster). Two driver-side scalars over the tiny group
+    * table; the heavy lifting is the pair + CC machinery above.
+    */
+  def clusterSizeHistogram(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val groups = nearDupGroups(df, idCol, textCol, threshold, shingleK)
+      .select(col("n_members")).localCheckpoint(true)
+    val hist = groups.groupBy(col("n_members").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = df.count() -
+      groups.agg(coalesce(sum(col("n_members")), lit(0L))).head().getLong(0)
+    hist.unionByName(Seq((1L, singles)).toDF("cluster_size", "n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  private def groupsDuckCtes(threshold: Double, shingleK: Int): String =
     Dedup.minhashDuckCtes(shingleK).replaceFirst("WITH ", "WITH RECURSIVE ") +
       s""", cand AS (
          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -148,8 +167,27 @@ object Groups {
          |  SELECT eg.d, r.lab FROM reach r JOIN e eg ON eg.s = r.id
          |), lbl AS (
          |  SELECT id, min(lab) AS lab FROM reach GROUP BY id
-         |)
-         |SELECT lab AS group_id, array_to_string(list_sort(list(id)), ',') AS members,
-         |       count(*) AS n_members
-         |FROM lbl GROUP BY lab HAVING count(*) >= 2 ORDER BY group_id""".stripMargin
+         |), grp AS (
+         |  SELECT lab, count(*) AS n_members FROM lbl GROUP BY lab HAVING count(*) >= 2
+         |)""".stripMargin
+
+  def nearDupGroupsDuckSql(threshold: Double, shingleK: Int = 3): String =
+    groupsDuckCtes(threshold, shingleK) +
+      """
+        |SELECT lab AS group_id, array_to_string(list_sort(list(id)), ',') AS members,
+        |       count(*) AS n_members
+        |FROM lbl GROUP BY lab HAVING count(*) >= 2 ORDER BY group_id""".stripMargin
+
+  /** DuckDB replay of the cluster-size histogram over `documents`:
+    * singletons = documents in no ≥2 cluster. */
+  def clusterHistDuckSql(threshold: Double, shingleK: Int = 3): String =
+    groupsDuckCtes(threshold, shingleK) +
+      """
+        |SELECT cluster_size, n_clusters FROM (
+        |  SELECT n_members AS cluster_size, count(*) AS n_clusters
+        |  FROM grp GROUP BY 1
+        |  UNION ALL
+        |  SELECT 1, (SELECT count(*) FROM documents)
+        |            - coalesce((SELECT CAST(sum(n_members) AS BIGINT) FROM grp), 0)
+        |) ORDER BY cluster_size""".stripMargin
 }

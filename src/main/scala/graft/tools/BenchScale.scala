@@ -388,6 +388,11 @@ object BenchScale {
       // shuffle the big one — a strategy SWITCH, not a growth curve)
       "gr_triangles" ->
         (n => graft.pipeline.Graphs.triangleCounts(triEdgesAt(n), broadcastLimit = 0L)),
+      // NOTE: no mm_video growth family — the stub byte generator has only
+      // 251 distinct contents (s*31+j*7 mod 251 depends on s mod 251), so
+      // any rung beyond ~250 videos gains REAL accidental exact-dups and
+      // the pair count grows quadratically by construction, which would
+      // measure the generator, not the operator
       // distributed hash-to-min CC with pointer jumping over N disjoint
       // copies of the co-purchase graph: rounds stay O(log diameter)
       // (diameter is rung-invariant), each round one id-keyed shuffle ∝ N

@@ -1374,6 +1374,25 @@ object SparkEntry {
           "l_quantity", "l_extendedprice", "l_discount", "l_tax",
           "l_returnflag", "l_linestatus", "l_shipdate"))),
 
+    // declarative SQL spatial join: plain `JOIN ON st_intersects(...)`
+    // (which vanilla Spark plans as a cartesian product) — StJoinRule
+    // rewrites it to the grid equi-join; results must equal the oracle's
+    // interval containment (plan shape pinned by StJoinRuleSpec)
+    "sp_sql_join" -> ((s, dir) => {
+      graft.functions.SpatialFunctions.register(s)
+      graft.plans.GraftOptimizations.install(s)
+      pointsDf(s, dir).select(col("ck"), col("geometry"))
+        .createOrReplaceTempView("sqlj_pts")
+      natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .select(col("n_nationkey"), col("geometry"))
+        .createOrReplaceTempView("sqlj_boxes")
+      s.sql("""SELECT p.ck AS id, b.n_nationkey AS nk
+              |FROM sqlj_pts p JOIN sqlj_boxes b
+              |ON st_intersects(p.geometry, b.geometry)
+              |ORDER BY id, nk""".stripMargin)
+    }),
+
     // zonal statistics: per 3° grid cell, overlapping-polygon count +
     // clipped JTS area over the nation boxes — half-integer box corners vs
     // integer cell edges keep every product a binary-exact quarter, so the
@@ -2704,6 +2723,19 @@ object SparkEntry {
       Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax",
         "l_returnflag", "l_linestatus", "l_shipdate")),
+
+    "sp_sql_join" -> (PtsCte +
+      """
+        |, nb AS (
+        |  SELECT n_nationkey,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |)
+        |SELECT ck AS id, n_nationkey AS nk
+        |FROM pts, nb
+        |WHERE x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
+        |ORDER BY 1, 2""".stripMargin),
 
     "sp_zonal_stats" ->
       """WITH nb AS (

@@ -167,16 +167,22 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
 
 /** `spark.sql.extensions=graft.plans.GraftSparkExtensions` entry point. */
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BboxConjunctRule)
+    ext.injectOptimizerRule(_ => StJoinRule)
+  }
 }
 
 /** Installer for already-built sessions (tests, notebooks):
   * appends the rule to `spark.experimental.extraOptimizations`.
   */
 object GraftOptimizations {
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.contains(BboxConjunctRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BboxConjunctRule
+    if (!spark.experimental.extraOptimizations.contains(StJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ StJoinRule
+  }
 }

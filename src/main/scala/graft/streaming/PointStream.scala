@@ -92,6 +92,36 @@ object PointStream {
       }
       .start()
 
+  /** Stream-static SPATIAL enrichment: tag each streamed point with the
+    * region polygon containing it, then a watermarked windowed rollup per
+    * region — the live market-share / geofence-alert shape. The region
+    * table is small and static (thousands of polygons at most), so the
+    * join BROADCASTS it and stays STATELESS: an envelope prefilter (pure
+    * column arithmetic) guards the exact JTS containment per pair, state
+    * is bounded by the watermark exactly as in a plain windowed aggregate,
+    * and a region-table refresh needs no restart (re-resolved every
+    * microbatch). Points in no region drop (inner semantics — geofencing;
+    * use a sentinel region for "elsewhere" if needed).
+    *
+    * `regions` needs (region_id, geometry, bbox); the stream is the
+    * canonical point schema plus an event-time column `tsCol`.
+    */
+  def enrichWithRegions(canonical: DataFrame, regions: DataFrame,
+      tsCol: String, windowDuration: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val tagged = canonical.join(
+      broadcast(regions.select(col("region_id"),
+        col("geometry").as("__rgeom"), col("bbox").as("__rbox"))),
+      col("__rbox")("minx") <= col("x") && col("x") <= col("__rbox")("maxx") &&
+        col("__rbox")("miny") <= col("y") && col("y") <= col("__rbox")("maxy") &&
+        st.contains(col("__rgeom"), col("geometry")))
+    tagged
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration), col("region_id"))
+      .agg(count(lit(1)).as("n"),
+        avg(col("x")).as("cx"), avg(col("y")).as("cy"))
+  }
+
   /** Windowed spatial density over an event-time stream: counts + centroid
     * per (time window, grid cell), with a watermark dropping late points —
     * the streaming analog of the batch density/centroid aggregates.

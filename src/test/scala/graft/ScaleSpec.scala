@@ -355,6 +355,45 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("streaming spatial enrichment: region tag + windowed rollup matches batch") {
+    val dir = Files.createTempDirectory("graft-enrich").toString
+    val regions = Seq(
+      (1L, "POLYGON ((0 0, 50 0, 50 50, 0 50, 0 0))"),
+      (2L, "POLYGON ((50 0, 100 0, 100 50, 50 50, 50 0))"))
+      .toDF("region_id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+    randomPoints(400)
+      .withColumn("ts", expr("timestamp'2026-01-01 00:00:00' + make_interval(0, 0, 0, 0, 0, cast(k % 30 AS int), 0)"))
+      .write.parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val q = PointStream.enrichWithRegions(
+        PointStream.canonicalize(stream, "k", "x", "y").withColumn("ts", col("ts")),
+        regions, "ts", "10 minutes")
+      .writeStream.format("memory").queryName("enr").outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val got = spark.table("enr")
+      .select(col("window.start").cast("long"), col("region_id"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    val want = PointStream.enrichWithRegions(
+        PointStream.canonicalize(spark.read.parquet(s"$dir/in"), "k", "x", "y")
+          .withColumn("ts", col("ts")),
+        regions, "ts", "10 minutes")
+      .select(col("window.start").cast("long"), col("region_id"), col("n"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // geofence semantics: a point on neither region (x>=... none, since the
+    // region pair tiles [0,100)x[0,50)) — points with y >= 50 must be absent
+    val tagged = spark.table("enr").agg(sum(col("n"))).head().getLong(0)
+    val inRegion = spark.read.parquet(s"$dir/in")
+      .filter(col("y") <= 50 && col("x") <= 100).count()
+    assert(tagged <= inRegion)
+  }
+
   // ---------------------------------------------- incremental bucketed layer
 
   private def earthPoints(n: Int) =

@@ -63,7 +63,9 @@ object GeoJsonSource {
     val geomJson = udf((wkb: Array[Byte]) =>
       if (wkb == null) null
       else graft.geom.GeoOutput.toGeoJson(graft.geom.GeomCodec.fromWkb(wkb)))
-    val propsJson = to_json(coalesce(col("props"),
+    val propsJson = to_json(coalesce(
+      if (layer.columns.contains("props")) col("props")
+      else map().cast(MapType(StringType, StringType)),
       map().cast(MapType(StringType, StringType))))
     layer
       .select(concat(lit("""{"type": "Feature", "geometry": """),

@@ -388,6 +388,16 @@ object BenchScale {
       // shuffle the big one — a strategy SWITCH, not a growth curve)
       "gr_triangles" ->
         (n => graft.pipeline.Graphs.triangleCounts(triEdgesAt(n), broadcastLimit = 0L)),
+      // zonal stats over N× polygons (translated copies; cells fixed):
+      // the bbox→cell fan-out and per-pair clip grow N×, the exchange
+      // stays cell-count-sized via map-side combine
+      "sp_zonal" -> (n => {
+        val polys = (0 until n).map { c =>
+          supPolys.select(st.affine(col("geometry"), 1.0, 0.0, (c % 7) * 0.5,
+            0.0, 1.0, (c % 5) * 0.5).as("geometry"))
+        }.reduce(_ unionByName _).withColumn("bbox", st.bboxOf(col("geometry")))
+        SpatialAggs.zonalStats(polys, 3.0)
+      }),
       // NOTE: no mm_video growth family — the stub byte generator has only
       // 251 distinct contents (s*31+j*7 mod 251 depends on s mod 251), so
       // any rung beyond ~250 videos gains REAL accidental exact-dups and

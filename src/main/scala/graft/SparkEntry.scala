@@ -997,6 +997,49 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // OSM multipolygon RELATION assembly under the oracle (was unit-only):
+    // per nation, an outer-ring way + an inner-hole way + a multipolygon
+    // relation; hole size varies by nation so areas aren't constant, and
+    // half-integer corners make every shoelace term binary-exact — the
+    // real importer's relation path (ring orientation repair, hole
+    // attachment) must reproduce the closed-form areas
+    "osm_relation_stats" -> ((s, dir) => {
+      val nks = T(s, dir, "nation").select(col("n_nationkey"))
+        .orderBy(col("n_nationkey")).collect().map(_.getInt(0))
+      val sb = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
+      def node(id: Long, x: Double, y: Double): Unit =
+        sb ++= s"  <node id='$id' lat='$y' lon='$x' version='1'/>\n"
+      nks.foreach { n =>
+        val (x0, x1, y0, y1) = (3.0 * n - 39.5, 3.0 * n - 34.5, 2.0 * n - 29.5, 2.0 * n - 25.5)
+        val (hx0, hy0) = (x0 + 1, y0 + 1)
+        val (hx1, hy1) = (hx0 + 1 + (n % 3), hy0 + 1 + (n % 2))
+        val b = n.toLong * 100
+        node(b + 1, x0, y0); node(b + 2, x1, y0); node(b + 3, x1, y1); node(b + 4, x0, y1)
+        node(b + 5, hx0, hy0); node(b + 6, hx1, hy0); node(b + 7, hx1, hy1); node(b + 8, hx0, hy1)
+        sb ++= s"  <way id='${2000 + n}' version='1'>\n"
+        Seq(1, 2, 3, 4, 1).foreach(i => sb ++= s"    <nd ref='${b + i}'/>\n")
+        sb ++= "  </way>\n"
+        sb ++= s"  <way id='${3000 + n}' version='1'>\n"
+        Seq(5, 6, 7, 8, 5).foreach(i => sb ++= s"    <nd ref='${b + i}'/>\n")
+        sb ++= "  </way>\n"
+        sb ++= s"  <relation id='${4000 + n}' version='1'>\n"
+        sb ++= s"    <member type='way' ref='${2000 + n}' role='outer'/>\n"
+        sb ++= s"    <member type='way' ref='${3000 + n}' role='inner'/>\n"
+        sb ++= s"    <tag k='type' v='multipolygon'/>\n    <tag k='name' v='rel-$n'/>\n  </relation>\n"
+      }
+      sb ++= "</osm>\n"
+      val tmp = java.nio.file.Files.createTempFile("graft-osm-rel", ".osm")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      graft.osm.OsmImport.assembleRelations(
+          graft.osm.OsmImport.parse(s, tmp.toString))
+        .select((col("relation_id") - 4000).cast("int").as("nk"),
+          st.area(col("geometry")).as("area"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          col("props").getItem("name").as("name"))
+        .orderBy(col("nk"))
+    }),
+
     // Shapefile writer AND reader under the oracle: per-nation polylines
     // (with a dbf attribute) are exported through the real ESRI encoder and
     // re-imported; record numbers, point counts, lengths and the attribute
@@ -2353,6 +2396,13 @@ object SparkEntry {
         |       round(coalesce(sum(seg), 0), 6) AS len,
         |       'way-' || c_nationkey AS name
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "osm_relation_stats" ->
+      """SELECT n_nationkey AS nk,
+        |       5.0 * 4.0 - (1 + n_nationkey % 3) * (1 + n_nationkey % 2) AS area,
+        |       CAST(10 AS BIGINT) AS n_pts,
+        |       'rel-' || n_nationkey AS name
+        |FROM nation ORDER BY nk""".stripMargin,
 
     "geojson_ingest_stats" -> (PtsCte +
       """

@@ -997,6 +997,38 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // OSM changesets layer under the oracle (was parsed-then-unit-only):
+    // per-changeset element counts, contributing user, and node bbox —
+    // the reference's changeset sub-graph as one aggregate (fixture maps
+    // changesets to nations, so the oracle replays from `customer`)
+    "osm_changeset_stats" -> ((s, dir) => {
+      val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
+      val sb = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
+      rows.foreach { r =>
+        val nk = r.getInt(1)
+        sb ++= s"  <node id='${r.getLong(0)}' lat='${r.getDouble(3)}' lon='${r.getDouble(2)}'" +
+          s" version='1' changeset='$nk' uid='${nk + 100}' user='u-$nk'/>\n"
+      }
+      rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).foreach { case (nk, rs) =>
+        sb ++= s"  <way id='${1000 + nk}' version='1' changeset='$nk'>\n"
+        rs.sortBy(_.getLong(0)).foreach(r => sb ++= s"    <nd ref='${r.getLong(0)}'/>\n")
+        sb ++= "  </way>\n"
+      }
+      sb ++= "</osm>\n"
+      val tmp = java.nio.file.Files.createTempFile("graft-osm-cs", ".osm")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      graft.osm.OsmImport.assembleChangesets(
+          graft.osm.OsmImport.parse(s, tmp.toString))
+        .select(col("changeset").cast("int").as("changeset"),
+          col("uid").cast("long").as("uid"), col("user"),
+          col("n_nodes"), col("n_ways"),
+          col("bbox")("minx").as("minx"), col("bbox")("miny").as("miny"),
+          col("bbox")("maxx").as("maxx"), col("bbox")("maxy").as("maxy"))
+        .orderBy(col("changeset"))
+    }),
+
     // OSM multipolygon RELATION assembly under the oracle (was unit-only):
     // per nation, an outer-ring way + an inner-hole way + a multipolygon
     // relation; hole size varies by nation so areas aren't constant, and
@@ -2396,6 +2428,15 @@ object SparkEntry {
         |       round(coalesce(sum(seg), 0), 6) AS len,
         |       'way-' || c_nationkey AS name
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "osm_changeset_stats" -> (PtsCte +
+      """
+        |SELECT c_nationkey AS changeset,
+        |       CAST(c_nationkey + 100 AS BIGINT) AS uid,
+        |       'u-' || c_nationkey AS "user",
+        |       count(*) AS n_nodes, CAST(1 AS BIGINT) AS n_ways,
+        |       min(x) AS minx, min(y) AS miny, max(x) AS maxx, max(y) AS maxy
+        |FROM pts GROUP BY c_nationkey ORDER BY changeset""".stripMargin),
 
     "osm_relation_stats" ->
       """SELECT n_nationkey AS nk,

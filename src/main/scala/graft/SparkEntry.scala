@@ -997,6 +997,39 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // OSM road-direction decode under the oracle (was unit-only): ways
+    // carry every `oneway` variant the reference decodes
+    // (OSMImporter.getRoadDirection:1607-1618) keyed by nationkey % 6, and
+    // the tag-filtered dynamic layer + decode must reproduce the
+    // closed-form per-direction counts
+    "osm_road_stats" -> ((s, dir) => {
+      val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
+      val oneway = Map(0 -> Some("-1"), 1 -> Some("1"), 2 -> Some("yes"),
+        3 -> Some("TRUE"), 4 -> Some("no"), 5 -> None)
+      val sb = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
+      rows.foreach { r =>
+        sb ++= s"  <node id='${r.getLong(0)}' lat='${r.getDouble(3)}' lon='${r.getDouble(2)}' version='1'/>\n"
+      }
+      rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).foreach { case (nk, rs) =>
+        sb ++= s"  <way id='${1000 + nk}' version='1'>\n"
+        rs.sortBy(_.getLong(0)).foreach(r => sb ++= s"    <nd ref='${r.getLong(0)}'/>\n")
+        sb ++= "    <tag k='highway' v='residential'/>\n"
+        oneway(nk % 6).foreach(v => sb ++= s"    <tag k='oneway' v='$v'/>\n")
+        sb ++= "  </way>\n"
+      }
+      sb ++= "</osm>\n"
+      val tmp = java.nio.file.Files.createTempFile("graft-osm-road", ".osm")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      val ways = graft.osm.OsmImport.importOsm(s, tmp.toString).df
+      graft.osm.OsmImport.withRoadDirection(
+          graft.osm.OsmImport.tagFilteredLayer(ways, "highway", "residential"))
+        .groupBy(col("road_direction"))
+        .agg(count(lit(1)).as("n_ways"))
+        .orderBy(col("road_direction"))
+    }),
+
     // OSM changesets layer under the oracle (was parsed-then-unit-only):
     // per-changeset element counts, contributing user, and node bbox —
     // the reference's changeset sub-graph as one aggregate (fixture maps
@@ -2428,6 +2461,17 @@ object SparkEntry {
         |       round(coalesce(sum(seg), 0), 6) AS len,
         |       'way-' || c_nationkey AS name
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "osm_road_stats" ->
+      """WITH nk AS (SELECT DISTINCT c_nationkey AS n FROM customer),
+        |d AS (
+        |  SELECT n, CASE n % 6 WHEN 0 THEN 'BACKWARD'
+        |                       WHEN 1 THEN 'FORWARD' WHEN 2 THEN 'FORWARD'
+        |                       WHEN 3 THEN 'FORWARD' ELSE 'BOTH' END AS road_direction
+        |  FROM nk
+        |)
+        |SELECT road_direction, count(*) AS n_ways
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "osm_changeset_stats" -> (PtsCte +
       """

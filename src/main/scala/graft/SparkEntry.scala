@@ -416,6 +416,18 @@ object SparkEntry {
         .orderBy(col("n_tri").desc, col("node")).limit(25)
     }),
 
+    // local clustering coefficients over the same co-order graph: exact
+    // triangles + degrees, one IEEE division of exact ints per node
+    "gr_clustering" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graphs.clusteringCoefficients(edges)
+        .orderBy(col("coeff").desc, col("node")).limit(25)
+    }),
+
     // --------------------------------------------------- spatial searches
     // spatial.bbox quirk: WITHIN semantics (SpatialProcedures.java:822-836)
     "sp_bbox_within" -> ((s, dir) =>
@@ -1962,6 +1974,32 @@ object SparkEntry {
         |  UNION ALL SELECT v FROM tri
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 25""".stripMargin,
+
+    "gr_clustering" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+        |  ) GROUP BY 1
+        |), tri AS (
+        |  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), tcount AS (
+        |  SELECT node, count(*) AS n_tri FROM (
+        |    SELECT u AS node FROM tri
+        |    UNION ALL SELECT v FROM tri
+        |    UNION ALL SELECT w FROM tri
+        |  ) GROUP BY 1
+        |)
+        |SELECT d.node, d.deg, coalesce(t.n_tri, 0) AS n_tri,
+        |       round(2.0 * coalesce(t.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS coeff
+        |FROM deg d LEFT JOIN tcount t ON d.node = t.node
+        |WHERE d.deg >= 2
+        |ORDER BY coeff DESC, d.node LIMIT 25""".stripMargin,
 
     "sp_bbox_within" -> (PtsCte +
       """

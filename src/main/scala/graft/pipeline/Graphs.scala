@@ -76,4 +76,26 @@ object Graphs {
       .groupBy("k").agg(count(lit(1)).as("n_tri"))
       .select((col("k") % lit(1L << 31)).as("node"), col("n_tri"))
   }
+
+  /** Local clustering coefficients — c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * the per-node community-density signal on top of [[triangleCounts]].
+    * Nodes on no triangle still appear (coefficient 0) as long as they have
+    * degree ≥ 2; the ratio is one IEEE division of exact integers.
+    */
+  def clusteringCoefficients(edges: DataFrame,
+      broadcastLimit: Long = BroadcastEdges): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(triangleCounts(edges, broadcastLimit), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("coeff",
+        round(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1L)), 6))
+  }
 }

@@ -45,12 +45,18 @@ object Graphs {
     * ladder; the default picks per size like the spatial join).
     */
   def triangleCounts(edges: DataFrame,
-      broadcastLimit: Long = BroadcastEdges): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+      broadcastLimit: Long = BroadcastEdges): DataFrame =
+    trianglesFromUnd(normalized(edges), broadcastLimit)
+
+  /** Dedup'd undirected edge list (a < b). */
+  private def normalized(edges: DataFrame): DataFrame = edges
+    .select(least(col("src"), col("dst")).cast("long").as("a"),
+      greatest(col("src"), col("dst")).cast("long").as("b"))
+    .filter(col("a") =!= col("b"))
+    .distinct()
+
+  private def trianglesFromUnd(und: DataFrame,
+      broadcastLimit: Long): DataFrame = {
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
     // total order: key = deg·2³¹ + id — orientation by key comparison
@@ -84,15 +90,14 @@ object Graphs {
     */
   def clusteringCoefficients(edges: DataFrame,
       broadcastLimit: Long = BroadcastEdges): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).cast("long").as("a"),
-        greatest(col("src"), col("dst")).cast("long").as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+    // the normalized edge list feeds the degree table AND the triangle
+    // pipeline (which scans it three more times internally) — persist so
+    // the upstream edge derivation (often itself a join) runs once
+    val und = normalized(edges).persist()
     val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
     deg.filter(col("deg") >= 2)
-      .join(triangleCounts(edges, broadcastLimit), Seq("node"), "left")
+      .join(trianglesFromUnd(und, broadcastLimit), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("coeff",

@@ -1576,6 +1576,11 @@ object SparkEntry {
 
     // near-dup CLUSTERS: MinHash-LSH pairs transitively closed into
     // connected components; group_id = min member = the dedup survivor
+    // CDC storage-savings: bytes as-is vs bytes stored once per distinct
+    // chunk — the number a dedup-backed store reports
+    "tx_cdc_savings" -> ((s, dir) =>
+      Corpus.cdcSavings(T(s, dir, "documents"), "doc_id", "text")),
+
     // dedup-savings report: cluster-size histogram (+ singleton line) over
     // the minhash near-dup components
     "dd_cluster_hist" -> ((s, dir) =>
@@ -2958,6 +2963,8 @@ object SparkEntry {
     "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
 
     "dd_cluster_hist" -> Groups.clusterHistDuckSql(threshold = 0.2),
+
+    "tx_cdc_savings" -> Corpus.cdcSavingsDuckSql(),
 
     "dd_substring_pairs" -> Dedup.sharedSubstringDuckSql(BoilerplateSqlExpr, minLen = 32),
 

@@ -902,16 +902,17 @@ object Corpus {
     * the chunk hash (map-side combined); TakeOrdered top-k. Chunk texts
     * never cross the shuffle — only (hash, id) pairs do.
     */
-  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
-      k: Int = 8, divisor: Int = 64, topK: Int = 20): DataFrame = {
-    // boundary scan + chunk hashing as ONE compiled loop (same math as the
-    // former higher-order-function expression pipeline, which paid multi-
-    // second whole-stage-codegen compilation for the per-position polyhash
-    // lambda): positions are 1-based like the SQL it replaced; a boundary
-    // is cut BEFORE every position whose k-gram polyhash ≡ 0 (mod divisor);
-    // chunk hash = the same seed-7 mod-1e9+7 polyhash the previous
-    // TextAnalysis.polyHash(chunk) column computed — chunk TEXT never
-    // materializes at all now, only (hash, len) pairs leave the loop
+  /** Per-document CDC chunk (hash, len) pairs — boundary scan + chunk
+    * hashing as ONE compiled loop (same math as the former
+    * higher-order-function expression pipeline, which paid multi-second
+    * whole-stage-codegen compilation for the per-position polyhash
+    * lambda): positions are 1-based like the SQL it replaced; a boundary
+    * is cut BEFORE every position whose k-gram polyhash ≡ 0 (mod divisor);
+    * chunk hash = the same seed-7 mod-1e9+7 polyhash — chunk TEXT never
+    * materializes, only (hash, len) pairs leave the loop.
+    */
+  private def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      k: Int, divisor: Int): DataFrame = {
     val chunkHashes = udf { (t: String) =>
       val s = if (t == null) "" else t
       val n = s.length
@@ -939,6 +940,11 @@ object Corpus {
     }
     df.select(col(idCol).as("id"), explode(chunkHashes(col(textCol))).as("ch"))
       .select(col("id"), col("ch._1").as("chunk_hash"), col("ch._2").as("chunk_len"))
+  }
+
+  def cdcChunkStats(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64, topK: Int = 20): DataFrame = {
+    cdcChunks(df, idCol, textCol, k, divisor)
       .groupBy(col("chunk_hash"))
       .agg(max(col("chunk_len")).as("chunk_len"),
         count(lit(1)).as("n_occ"),
@@ -976,5 +982,54 @@ object Corpus {
        |       count(DISTINCT id) AS n_docs
        |FROM ch GROUP BY 1
        |ORDER BY n_docs DESC, n_occ DESC, chunk_hash LIMIT $topK""".stripMargin
+  }
+
+  /** Dedup-storage savings from content-defined chunks: bytes stored as-is
+    * vs bytes stored once per distinct chunk — the number a CDC-backed
+    * store (rsync, backup dedup, CAS blob store) reports. Same chunk
+    * pipeline as [[cdcChunkStats]], one map-side-combined aggregate on the
+    * chunk hash, then a scalar fold; the ratio is one IEEE division of
+    * exact integers.
+    */
+  def cdcSavings(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, divisor: Int = 64): DataFrame =
+    cdcChunks(df, idCol, textCol, k, divisor)
+      .groupBy(col("chunk_hash"))
+      .agg(max(col("chunk_len")).as("len"), count(lit(1)).as("occ"))
+      .agg(count(lit(1)).as("n_unique_chunks"),
+        sum(col("len") * col("occ")).as("total_bytes"),
+        sum(col("len")).as("unique_bytes"))
+      .withColumn("dedup_ratio",
+        round(col("unique_bytes").cast("double") / col("total_bytes"), 6))
+
+  /** DuckDB replay of [[cdcSavings]] — same chain as the chunk stats with
+    * a savings tail. */
+  def cdcSavingsDuckSql(k: Int = 8, divisor: Int = 64): String = {
+    def ph(e: String) = TextAnalysis.polyHashDuckSql(e)
+    s"""WITH bs AS (
+       |  SELECT doc_id AS id, text,
+       |         CASE WHEN length(text) >= $k THEN
+       |           list_filter(range(1, length(text) - ${k - 1} + 1),
+       |                       __p -> ${ph(s"substr(text, __p, $k)")} % $divisor = 0)
+       |         ELSE [] END AS b
+       |  FROM documents
+       |), ch AS (
+       |  SELECT id, unnest(list_filter(
+       |    list_transform(range(1, len(b) + 2),
+       |      j -> substr(text,
+       |                  CASE WHEN j = 1 THEN 1 ELSE b[j - 1] END,
+       |                  (CASE WHEN j = len(b) + 1 THEN length(text) ELSE b[j] - 1 END)
+       |                    - (CASE WHEN j = 1 THEN 1 ELSE b[j - 1] END) + 1)),
+       |    c -> c <> '')) AS chunk
+       |  FROM bs
+       |), g AS (
+       |  SELECT ${ph("chunk")} AS h, max(length(chunk)) AS len, count(*) AS occ
+       |  FROM ch GROUP BY 1
+       |)
+       |SELECT count(*) AS n_unique_chunks,
+       |       CAST(sum(len * occ) AS BIGINT) AS total_bytes,
+       |       CAST(sum(len) AS BIGINT) AS unique_bytes,
+       |       round(CAST(sum(len) AS DOUBLE) / sum(len * occ), 6) AS dedup_ratio
+       |FROM g""".stripMargin
   }
 }

@@ -464,9 +464,9 @@ object SparkEntry {
       val mode = graft.plans.SpatialLayout.upsertClusteredBuckets(
         pts.filter(col("ck") % 20 === 1), p)
       require(mode == "partial", s"expected a partial upsert, got $mode")
-      new GeoFrame(s.read.parquet(p),
-          Some(graft.engine.LayerMeta("upsert_pts", GeomCodec.GTYPE_POINT,
-            encoder = "point-xy", indexType = "hilbert")))
+      // open through the layout sidecar: indexType + bucketShift come from
+      // what the writer recorded, never a caller guess
+      GeoFrame.openClustered(s, p, "upsert_pts", GeomCodec.GTYPE_POINT)
         .windowViaCurve(0.5, -10.5, 30.5, 40.5)
         .df.select(col("ck").as("id"), col("x"), col("y")).orderBy(col("id"))
     }),

@@ -100,7 +100,11 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     // directories outside the window are never even listed
     val pred =
       if (df.columns.contains("__bucket") && (idx == "hilbert" || idx == "zorder")) {
-        val shift = graft.plans.SpatialLayout.BucketShift
+        // the shift MUST be the write-time value ([[LayerMeta.bucketShift]],
+        // recorded by the layout sidecar / catalog) — a guessed shift makes
+        // the partition filter prune directories the window touches
+        val shift = meta.map(_.bucketShift)
+          .getOrElse(graft.plans.SpatialLayout.BucketShift)
         val ranges = idx match {
           case "hilbert" => graft.plans.SpatialLayout.hilbertRangesForWindow(minx, miny, maxx, maxy)
           case _ => graft.plans.SpatialLayout.zorderRangesForWindow(minx, miny, maxx, maxy)
@@ -416,4 +420,24 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
   /** RangeFilterPipe positional slice (reference: RangeFilterPipe.java:32-69). */
   def range(low: Int, high: Int): GeoFrame =
     lift(df.limit(high + 1).offset(low))
+}
+
+object GeoFrame {
+
+  /** Open a curve-clustered layer written by [[graft.plans.SpatialLayout]]
+    * directly from its path, taking indexType AND bucketShift from the
+    * layout sidecar the writer stamped — so [[GeoFrame.windowViaCurve]]
+    * always prunes with the write-time parameters, by construction. Layers
+    * predating the sidecar fall back to the given defaults.
+    */
+  def openClustered(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String = "layer", gtype: Int = 0,
+      encoder: String = "point-xy"): GeoFrame = {
+    val layout = graft.plans.SpatialLayout.readLayoutMeta(spark, path)
+    val meta = LayerMeta(name, gtype, encoder = encoder,
+      indexType = layout.map(_.indexType).getOrElse("hilbert"),
+      bucketShift = layout.map(_.bucketShift).filter(_ >= 0)
+        .getOrElse(graft.plans.SpatialLayout.BucketShift))
+    new GeoFrame(spark.read.parquet(path), Some(meta))
+  }
 }

@@ -19,7 +19,11 @@ case class LayerMeta(
     crs: String = "EPSG:4326",       // WGS84-only, like the procedure surface
     encoder: String = "wkb",         // wkb | wkt | point-xy
     indexType: String = "bbox",      // bbox | hilbert (layout strategy, §4)
-    attributes: Seq[String] = Nil)   // discovered extra property columns
+    attributes: Seq[String] = Nil,   // discovered extra property columns
+    // directory-bucket split width of a bucketed clustered layout
+    // (__bucket = __sfc >> bucketShift); queries MUST use the write-time
+    // value or bucket partition pruning silently drops rows
+    bucketShift: Int = graft.plans.SpatialLayout.BucketShift)
 
 /** File-backed layer catalog: one parquet table + one JSON metadata file per
   * layer under `warehouseDir`. The Spark analog of the reference's
@@ -47,6 +51,7 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     val node = om.createObjectNode()
     node.put("name", m.name); node.put("gtype", m.gtype); node.put("crs", m.crs)
     node.put("encoder", m.encoder); node.put("indexType", m.indexType)
+    node.put("bucketShift", m.bucketShift)
     val arr = node.putArray("attributes")
     m.attributes.foreach(arr.add)
     Files.writeString(metaPath(m.name), om.writeValueAsString(node))
@@ -59,7 +64,9 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     val attrs = Option(n.get("attributes")).toSeq
       .flatMap(_.elements.asScala.map(_.asText).toSeq)
     LayerMeta(s("name"), Option(n.get("gtype")).map(_.asInt).getOrElse(0),
-      s("crs"), s("encoder"), s("indexType"), attrs)
+      s("crs"), s("encoder"), s("indexType"), attrs,
+      Option(n.get("bucketShift")).map(_.asInt)
+        .getOrElse(graft.plans.SpatialLayout.BucketShift))
   }
 
   // ---------------------------------------------------------------- layers

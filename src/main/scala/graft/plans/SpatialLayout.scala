@@ -140,6 +140,8 @@ object SpatialLayout {
       keyed.repartitionByRange(parts, col("__sfc")).sortWithinPartitions("__sfc")
     else keyed.repartition(parts)
     out.write.mode("overwrite").parquet(path)
+    if (keyed.columns.contains("__sfc"))
+      writeLayoutMeta(df.sparkSession, path, LayoutMeta(indexType, -1))
   }
 
   // ------------------------------------------- incremental bucketed layout
@@ -150,6 +152,60 @@ object SpatialLayout {
     * identical.
     */
   val BucketShift = 26
+
+  // ------------------------------------------------------- layout sidecar
+
+  /** Sidecar file recording the physical layout parameters of a clustered
+    * layer next to its parquet files, so READERS never have to guess them:
+    * `__bucket = __sfc >> bucketShift` is only invertible if the shift used
+    * at write time is known, and a wrong guess silently drops rows from
+    * window queries (the partition filter prunes directories the window
+    * actually touches). Writers stamp it, readers/maintainers load it —
+    * the invariant holds by construction, like parquet's own `_metadata`.
+    */
+  private val LayoutSidecar = "_graft_layout.json"
+
+  /** Physical layout of a clustered layer: curve + bucket split width.
+    * `bucketShift == -1` means the layer is range-clustered but NOT
+    * directory-bucketed ([[writeClustered]]).
+    */
+  case class LayoutMeta(indexType: String, bucketShift: Int)
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  def writeLayoutMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      m: LayoutMeta): Unit = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, LayoutSidecar)
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"indexType":"${m.indexType}","bucketShift":${m.bucketShift}}"""
+        .getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readLayoutMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[LayoutMeta] = {
+    val fs = fsFor(spark, path)
+    val p = new org.apache.hadoop.fs.Path(path, LayoutSidecar)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val bytes = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toByteArray
+      } finally in.close()
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(bytes, "UTF-8"))
+      Some(LayoutMeta(node.get("indexType").asText,
+        Option(node.get("bucketShift")).map(_.asInt).getOrElse(-1)))
+    }
+  }
 
   /** Attach the `__sfc` curve key and `__bucket` partition key a bucketed
     * layout uses (also lets callers pre-compute which buckets a batch
@@ -175,10 +231,12 @@ object SpatialLayout {
     * directories their keys land in ([[upsertClusteredBuckets]]).
     */
   def writeClusteredBuckets(df: DataFrame, path: String,
-      indexType: String = "hilbert", bucketShift: Int = BucketShift): Unit =
+      indexType: String = "hilbert", bucketShift: Int = BucketShift): Unit = {
     withCurveKeys(df, indexType, bucketShift)
       .repartition(col("__bucket")).sortWithinPartitions("__sfc")
       .write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    writeLayoutMeta(df.sparkSession, path, LayoutMeta(indexType, bucketShift))
+  }
 
   /** Incremental insert into a bucketed clustered layer, with the
     * reference's bulk-load policy (reference: server-plugin/src/main/java/
@@ -187,40 +245,67 @@ object SpatialLayout {
     * otherwise geometries are inserted into the existing structure):
     *
     *  - batch > `rebuildFraction` × existing ⇒ full re-cluster of the
-    *    union (returns "full"); written via a temp dir + atomic swap so the
-    *    source files are never overwritten while being read.
+    *    union (returns "full"); written via a temp dir + backup-rename swap
+    *    so the source files are never overwritten while being read and a
+    *    crash mid-swap leaves a live layer at the path.
     *  - else ⇒ key the new rows, find the (few) bucket partitions they
     *    touch, merge ONLY those partitions with the new rows and rewrite
     *    them in place via dynamic partition overwrite (returns "partial").
     *    Untouched bucket directories are not read, not written, not moved —
     *    at 100 TB a 0.1% insert batch rewrites ~0.1% of the layer instead
     *    of all of it.
+    *
+    * Id-idempotent: a batch row replaces any existing row with the same
+    * `id`, so re-running the same upsert is a no-op. In the partial path
+    * the replacement is scoped to the touched buckets — a row whose
+    * geometry MOVED to a different bucket since it was written must be
+    * [[deleteFromClusteredBuckets deleted]] first (same contract as the
+    * reference: update-in-place keeps the node, a moved geometry is a
+    * remove + re-add).
     */
   def upsertClusteredBuckets(newRows: DataFrame, path: String,
       indexType: String = "hilbert", bucketShift: Int = BucketShift,
       rebuildFraction: Double = 0.4): String = {
     val spark = newRows.sparkSession
+    // the layer's recorded layout wins over the arguments (same reasoning
+    // as appendClusteredBuckets: one directory tree, one keyspace)
+    val m = readLayoutMeta(spark, path).getOrElse(LayoutMeta(indexType, bucketShift))
     val existing = spark.read.parquet(path)
+    // UPSERT semantics: a batch row REPLACES any existing row with the same
+    // `id` (the reference's rebuild path set-unions by node identity,
+    // RTreeIndex.java:242-268 via LinkedHashSet), so re-upserting a batch is
+    // idempotent. Layers without an `id` column degrade to insert-only.
+    val hasId = existing.columns.contains("id") && newRows.columns.contains("id")
+    def minusBatchIds(df: DataFrame): DataFrame =
+      if (hasId) df.join(newRows.select("id").distinct(), Seq("id"), "left_anti")
+      else df
     val nExisting = existing.count()
     val nNew = newRows.count()
     if (nNew > rebuildFraction * nExisting) {
       val base = existing.drop("__sfc", "__bucket")
-      val union = base.unionByName(newRows.select(base.columns.map(col).toIndexedSeq: _*))
+      val union = minusBatchIds(base)
+        .unionByName(newRows.select(base.columns.map(col).toIndexedSeq: _*))
       val tmp = path + "__rebuild_tmp"
-      writeClusteredBuckets(union, tmp, indexType, bucketShift)
-      val fs = org.apache.hadoop.fs.FileSystem.get(
-        new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+      writeClusteredBuckets(union, tmp, m.indexType, m.bucketShift)
+      // swap via a backup rename, not delete-then-rename: a crash between
+      // the two steps leaves either the old layer or the new one in place,
+      // never a missing path (object stores without atomic rename need a
+      // manifest-style commit instead — documented limitation)
+      val fs = fsFor(spark, tmp)
       val target = new org.apache.hadoop.fs.Path(path)
-      fs.delete(target, true)
+      val backup = new org.apache.hadoop.fs.Path(path + "__rebuild_old")
+      fs.delete(backup, true)
+      fs.rename(target, backup)
       fs.rename(new org.apache.hadoop.fs.Path(tmp), target)
+      fs.delete(backup, true)
       "full"
     } else {
-      val keyedNew = withCurveKeys(newRows, indexType, bucketShift)
+      val keyedNew = withCurveKeys(newRows, m.indexType, m.bucketShift)
       val touched = keyedNew.select("__bucket").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val merged = existing
-        .filter(col("__bucket").isin(touched: _*))
-        .withColumn("__bucket", col("__bucket").cast("int"))
+      val merged = minusBatchIds(existing
+          .filter(col("__bucket").isin(touched: _*))
+          .withColumn("__bucket", col("__bucket").cast("int")))
         .unionByName(keyedNew.select(existing.columns.map(col).toIndexedSeq: _*))
         // materialize before the write: the dynamic overwrite deletes the
         // very partitions this plan reads at commit time
@@ -318,10 +403,17 @@ object SpatialLayout {
     * high-rate ingest pattern: hot path appends, background compacts.
     */
   def appendClusteredBuckets(newRows: DataFrame, path: String,
-      indexType: String = "hilbert", bucketShift: Int = BucketShift): Unit =
-    withCurveKeys(newRows, indexType, bucketShift)
+      indexType: String = "hilbert", bucketShift: Int = BucketShift): Unit = {
+    // an existing layer's recorded layout WINS over the arguments: appending
+    // with a different shift/curve than the layer was written with would mix
+    // incompatible __bucket keyspaces in one directory tree
+    val m = readLayoutMeta(newRows.sparkSession, path)
+      .getOrElse(LayoutMeta(indexType, bucketShift))
+    withCurveKeys(newRows, m.indexType, m.bucketShift)
       .repartition(col("__bucket")).sortWithinPartitions("__sfc")
       .write.mode("append").partitionBy("__bucket").parquet(path)
+    writeLayoutMeta(newRows.sparkSession, path, m)
+  }
 
   /** Compact bucket directories fragmented by repeated small appends: any
     * bucket holding more than `maxFilesPerBucket` part files is re-read,

@@ -453,13 +453,46 @@ class ScaleSpec extends SparkSpec {
     val scans = plan.collect { case s: FileSourceScanExec => s }
     assert(scans.exists(_.partitionFilters.exists(_.references.exists(_.name == "__bucket"))),
       s"no __bucket partition filter in:\n$plan")
-    // rebuild policy: a batch over the fraction triggers a full re-cluster
+    // id-idempotency: re-upserting the SAME batch replaces rows in place —
+    // count unchanged, window results unchanged
+    val countAfterFirst = spark.read.parquet(p).count()
+    assert(SpatialLayout.upsertClusteredBuckets(batch, p) == "partial")
+    assert(spark.read.parquet(p).count() == countAfterFirst,
+      "re-upserting an identical batch must not duplicate rows")
+    // rebuild policy: a batch over the fraction triggers a full re-cluster;
+    // the rebuild also merges by id, so the nb odds already inserted are
+    // REPLACED, not duplicated — count = 4000 evens + 4000 odds exactly
     val big = pts.filter(col("k") % 2 === 1)
     assert(SpatialLayout.upsertClusteredBuckets(big, p) == "full")
     val total = spark.read.parquet(p).count()
-    // evens + localized odds (inserted twice is fine for layout, but the
-    // full rebuild unions rows as-is) — count = 4000 evens + 4000 odds + nb dupes
-    assert(total == 8000 + nb)
+    assert(total == 8000, s"full rebuild must dedupe by id, got $total")
+  }
+
+  test("bucketed layout records its bucketShift: non-default-shift layers window-read correctly") {
+    val p = Files.createTempDirectory("graft-shift").toString + "/pts"
+    val pts = earthPoints(4000)
+    // a much finer split than the default 26 — with the old hardcoded shift
+    // the bucket partition filter would prune away in-window directories
+    SpatialLayout.writeClusteredBuckets(pts, p, bucketShift = 22)
+    val recorded = SpatialLayout.readLayoutMeta(spark, p)
+    assert(recorded.contains(SpatialLayout.LayoutMeta("hilbert", 22)))
+    val layer = GeoFrame.openClustered(spark, p)
+    assert(layer.meta.get.bucketShift == 22)
+    val got = layer.windowViaCurve(0.5, -10.5, 30.5, 40.5)
+      .df.select("k").as[Long].collect().sorted.toSeq
+    val want = pts.filter(col("x").between(0.5, 30.5) && col("y").between(-10.5, 40.5))
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == want, "window through a shift-22 layer must equal the plain filter")
+    // the upsert path must also pick the recorded shift up from the sidecar
+    // (passing nothing), and append must refuse to fork the keyspace
+    val batch = pts.filter(col("k") % 17 === 3 && col("x").between(5, 25))
+    assert(SpatialLayout.upsertClusteredBuckets(batch, p) == "partial")
+    val again = GeoFrame.openClustered(spark, p)
+      .windowViaCurve(0.5, -10.5, 30.5, 40.5)
+      .df.select("k").as[Long].collect().sorted.toSeq
+    assert(again == want, "post-upsert window must still equal the plain filter")
+    assert(SpatialLayout.readLayoutMeta(spark, p)
+      .contains(SpatialLayout.LayoutMeta("hilbert", 22)), "upsert must preserve the recorded layout")
   }
 
   test("append-then-compact: blind appends fragment, queries stay correct, compaction restores layout") {

@@ -1513,6 +1513,47 @@ object SparkEntry {
               |ORDER BY id, nk""".stripMargin)
     }),
 
+    // declarative LEFT OUTER spatial join through the same grid rewrite:
+    // every point keeps its row, unmatched ones with a null nation key
+    // (COALESCEd to -1 on both sides so the sort order is engine-agnostic).
+    // The left-preserving rewrite is the reference's tag-then-keep workflow
+    // shape (SpatialProcedures.java:679-718) expressed in SQL.
+    "sp_sql_left_join" -> ((s, dir) => {
+      graft.functions.SpatialFunctions.register(s)
+      graft.plans.GraftOptimizations.install(s)
+      pointsDf(s, dir).select(col("ck"), col("geometry"))
+        .createOrReplaceTempView("sqlj_pts")
+      natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .select(col("n_nationkey"), col("geometry"))
+        .createOrReplaceTempView("sqlj_boxes")
+      s.sql("""SELECT p.ck AS id, coalesce(b.n_nationkey, -1) AS nk
+              |FROM sqlj_pts p LEFT JOIN sqlj_boxes b
+              |ON st_intersects(p.geometry, b.geometry)
+              |ORDER BY id, nk""".stripMargin)
+    }),
+
+    // declarative LEFT SEMI + LEFT ANTI spatial joins (one result: each
+    // point labeled in/out) — the spatial anti-join is the removeNodes
+    // workflow shape; counts pin both sides of the partition
+    "sp_sql_anti_join" -> ((s, dir) => {
+      graft.functions.SpatialFunctions.register(s)
+      graft.plans.GraftOptimizations.install(s)
+      pointsDf(s, dir).select(col("ck"), col("geometry"))
+        .createOrReplaceTempView("sqlj_pts")
+      natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .select(col("n_nationkey"), col("geometry"))
+        .createOrReplaceTempView("sqlj_boxes")
+      val semi = s.sql(
+        """SELECT p.ck AS id, 1 AS covered FROM sqlj_pts p LEFT SEMI JOIN sqlj_boxes b
+          |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+      val anti = s.sql(
+        """SELECT p.ck AS id, 0 AS covered FROM sqlj_pts p LEFT ANTI JOIN sqlj_boxes b
+          |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+      semi.unionByName(anti).orderBy(col("id"))
+    }),
+
     // zonal statistics: per 3° grid cell, overlapping-polygon count +
     // clipped JTS area over the nation boxes — half-integer box corners vs
     // integer cell edges keep every product a binary-exact quarter, so the
@@ -2914,6 +2955,34 @@ object SparkEntry {
         |FROM pts, nb
         |WHERE x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
         |ORDER BY 1, 2""".stripMargin),
+
+    "sp_sql_left_join" -> (PtsCte +
+      """
+        |, nb AS (
+        |  SELECT n_nationkey,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |)
+        |SELECT ck AS id, coalesce(n_nationkey, -1) AS nk
+        |FROM pts LEFT JOIN nb
+        |ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
+        |ORDER BY 1, 2""".stripMargin),
+
+    "sp_sql_anti_join" -> (PtsCte +
+      """
+        |, nb AS (
+        |  SELECT n_nationkey,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |)
+        |SELECT ck AS id,
+        |       CASE WHEN EXISTS (SELECT 1 FROM nb
+        |                         WHERE x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1)
+        |            THEN 1 ELSE 0 END AS covered
+        |FROM pts
+        |ORDER BY 1""".stripMargin),
 
     "sp_zonal_stats" ->
       """WITH nb AS (

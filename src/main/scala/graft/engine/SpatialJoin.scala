@@ -48,17 +48,26 @@ object SpatialJoin {
   private def prefixed(df: DataFrame, prefix: String): DataFrame =
     df.columns.foldLeft(df)((d, c) => d.withColumnRenamed(c, prefix + c))
 
-  /** Broadcast strategy: right side collected small (dimension-table shape). */
+  /** Broadcast strategy: right side collected small (dimension-table shape).
+    * `joinType` may be any left-preserving type too — with a broadcast
+    * right, Spark's nested-loop handles outer/semi/anti natively and the
+    * loop is over the small side only. Semi/anti results drop the l_
+    * prefix (they are just filtered left rows).
+    */
   def broadcastJoin(left: DataFrame, right: DataFrame,
-      predicate: String = "intersects"): DataFrame = {
+      predicate: String = "intersects", joinType: String = "inner"): DataFrame = {
     val l = prefixed(left, "l_")
     val r = prefixed(right, "r_")
-    l.join(broadcast(r),
+    val out = l.join(broadcast(r),
       col("l_bbox")("minx") <= col("r_bbox")("maxx") &&
       col("l_bbox")("maxx") >= col("r_bbox")("minx") &&
       col("l_bbox")("miny") <= col("r_bbox")("maxy") &&
       col("l_bbox")("maxy") >= col("r_bbox")("miny") &&
-      exactPred(predicate)(col("l_geometry"), col("r_geometry")))
+      exactPred(predicate)(col("l_geometry"), col("r_geometry")),
+      joinType)
+    if (joinType == "left_semi" || joinType == "left_anti")
+      out.select(left.columns.map(c => col("l_" + c).as(c)).toIndexedSeq: _*)
+    else out
   }
 
   /** Cells (cx, cy) overlapped by a bbox at the given cell size. Callers must
@@ -252,6 +261,52 @@ object SpatialJoin {
       .unionByName(res3.select(out: _*))
   }
 
+  /** Left-preserving spatial joins over the same grid plan: matched pairs
+    * come from [[gridJoin]], then the unmatched left rows are recovered /
+    * intersected / subtracted via an EQUI-join on a per-row tag (the
+    * reference workflow analog: every removeNodes-style flow,
+    * SpatialProcedures.java:679-718, is a spatial anti-join).
+    *
+    *  - `left_semi`: left rows with ≥1 spatial match — plain left schema.
+    *  - `left_anti`: left rows with NO spatial match — plain left schema.
+    *  - `left_outer`: every matched pair (l_/r_ prefixed, like gridJoin)
+    *    plus each unmatched left row once with null r_ columns.
+    *
+    * `leftIdCol` names a UNIQUE left row id (canonical layers have `id`) —
+    * the scale path: nothing materializes. Without one, rows are tagged
+    * with `monotonically_increasing_id` and the tagged left is
+    * localCheckpoint'ed so both uses (match + recover) see identical tags
+    * (a recomputed shuffle can reorder rows, so an unmaterialized tag is
+    * not replay-stable).
+    */
+  def gridJoinTyped(left: DataFrame, right: DataFrame, cellSize: Double,
+      predicate: String = "intersects", joinType: String = "left_outer",
+      leftIdCol: Option[String] = None): DataFrame = {
+    require(Set("left_outer", "left_semi", "left_anti")(joinType),
+      s"gridJoinTyped handles left-preserving types, got $joinType (use gridJoin for inner)")
+    val tagged = leftIdCol match {
+      case Some(c) => left.withColumn("__g_lid", col(c))
+      case None => left.withColumn("__g_lid", monotonically_increasing_id())
+        .localCheckpoint(true)
+    }
+    val pairs = gridJoin(tagged, right, cellSize, predicate)
+    val matchedIds = pairs.select(col("l___g_lid").as("__g_lid")).distinct()
+    joinType match {
+      case "left_semi" =>
+        tagged.join(matchedIds, Seq("__g_lid"), "left_semi").drop("__g_lid")
+      case "left_anti" =>
+        tagged.join(matchedIds, Seq("__g_lid"), "left_anti").drop("__g_lid")
+      case "left_outer" =>
+        val nullRight = right.schema.map(f =>
+          lit(null).cast(f.dataType).as("r_" + f.name))
+        val unmatched = tagged.join(matchedIds, Seq("__g_lid"), "left_anti")
+        val unmatchedShaped = unmatched.select(
+          left.columns.map(c => col(c).as("l_" + c)).toIndexedSeq ++
+          Seq(col("__g_lid").as("l___g_lid")) ++ nullRight: _*)
+        pairs.unionByName(unmatchedShaped).drop("l___g_lid")
+    }
+  }
+
   /** Byte thresholds for the stats-based strategy pick. */
   private val BroadcastBytes = BigInt(10L << 20)   // mirror Catalyst's default
   private val DefinitelyBigBytes = BigInt(1L << 30)
@@ -263,14 +318,16 @@ object SpatialJoin {
     * sizing decision. `cellSize <= 0` auto-sizes the grid from bbox stats.
     */
   def join(left: DataFrame, right: DataFrame, predicate: String = "intersects",
-      cellSize: Double = 0.0, broadcastThreshold: Long = 10000L): DataFrame = {
+      cellSize: Double = 0.0, broadcastThreshold: Long = 10000L,
+      joinType: String = "inner", leftIdCol: Option[String] = None): DataFrame = {
     val sizeInBytes = right.queryExecution.optimizedPlan.stats.sizeInBytes
     val small = sizeInBytes <= BroadcastBytes ||
       (sizeInBytes < DefinitelyBigBytes && right.count() <= broadcastThreshold)
-    if (small) broadcastJoin(left, right, predicate)
+    if (small) broadcastJoin(left, right, predicate, joinType)
     else {
       val cs = if (cellSize > 0) cellSize else suggestCellSize(left, right)
-      gridJoin(left, right, cs, predicate)
+      if (joinType == "inner") gridJoin(left, right, cs, predicate)
+      else gridJoinTyped(left, right, cs, predicate, joinType, leftIdCol)
     }
   }
 }

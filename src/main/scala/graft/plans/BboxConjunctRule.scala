@@ -169,7 +169,9 @@ object BboxConjunctRule extends Rule[LogicalPlan] {
 class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => BboxConjunctRule)
-    ext.injectOptimizerRule(_ => StJoinRule)
+    // session-bound instance: a multi-session JVM must not resolve
+    // SparkSession.active inside the rewrite
+    ext.injectOptimizerRule(s => new StJoinRule(Some(s)))
   }
 }
 
@@ -181,8 +183,8 @@ object GraftOptimizations {
     if (!spark.experimental.extraOptimizations.contains(BboxConjunctRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ BboxConjunctRule
-    if (!spark.experimental.extraOptimizations.contains(StJoinRule))
+    if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[StJoinRule]))
       spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ StJoinRule
+        spark.experimental.extraOptimizations :+ new StJoinRule(Some(spark))
   }
 }

@@ -1,33 +1,45 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
-import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
 
 /** Declarative SQL spatial joins, made scalable: Spark plans
   * `FROM a JOIN b ON st_intersects(a.geom, b.geom)` as a CARTESIAN product
   * (BroadcastNestedLoop at best) because the condition has no equi-join
-  * key. This optimizer rule recognizes an inner join whose condition
-  * carries a cross-side `st_*` predicate and NO equi-conjunct, and
-  * rewrites it into the PBSM grid join: both sides explode to the grid
-  * cells their envelopes cover, the join becomes an EQUI-join on the cell,
+  * key. This optimizer rule recognizes a join whose condition carries a
+  * cross-side `st_*` predicate and NO equi-conjunct, and rewrites it into
+  * the PBSM grid join: both sides explode to the grid cells their
+  * envelopes cover, the join becomes an EQUI-join on the cell,
   * reference-point dedup collapses replicated candidates without a
   * distinct, and the exact JTS predicate decides membership — the same
   * plan [[graft.engine.SpatialJoin.gridJoin]] builds through the API, but
   * reached from plain SQL. O(cells + candidate pairs) instead of O(|a|·|b|).
   *
-  * Scope (documented, not silently wrong): INNER joins; the ST conjunct's
-  * arguments must be bare geometry columns, one from each side; remaining
-  * conjuncts are re-applied as a post-join filter. Joins that already have
-  * an equi-key are left alone (Spark hashes those fine). Cell size comes
-  * from `spark.graft.sqlJoin.cellSize` (degrees, default 10.0) — at 100 TB
-  * set it from bbox stats exactly like the API path's suggestCellSize.
+  * Join types: INNER, LEFT OUTER, LEFT SEMI, LEFT ANTI. The three
+  * left-preserving shapes (reference workflow analog: every
+  * removeNodes-style flow, SpatialProcedures.java:679-718, is an
+  * anti-join) run the same grid plan as a LEFT OUTER cell join inside ONE
+  * dataflow: a window over a per-row tag classifies each left row as
+  * matched/unmatched and picks a representative copy, so the left side is
+  * evaluated exactly once. RIGHT/FULL OUTER are left to Spark (still
+  * BroadcastNestedLoop — documented, rewrite them as LEFT from the other
+  * side).
+  *
+  * Scope (documented, not silently wrong): the ST conjunct's arguments
+  * must be bare geometry columns, one from each side; remaining conjuncts
+  * are re-applied as a post-join filter (INNER) or folded into the match
+  * condition (left-preserving types, where ON-clause semantics differ
+  * from a post-filter). Joins that already have an equi-key are left
+  * alone (Spark hashes those fine). Cell size comes from
+  * `spark.graft.sqlJoin.cellSize` (degrees, default 10.0) — at 100 TB set
+  * it from bbox stats exactly like the API path's suggestCellSize.
   */
-object StJoinRule extends Rule[LogicalPlan] {
+class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
 
   /** predicate → its transpose when the arguments arrive (right, left) */
   private val Transpose = Map(
@@ -35,6 +47,8 @@ object StJoinRule extends Rule[LogicalPlan] {
     "st_overlaps" -> "st_overlaps",
     "st_within" -> "st_contains", "st_contains" -> "st_within",
     "st_covers" -> "st_coveredby", "st_coveredby" -> "st_covers")
+
+  private val Supported: Set[JoinType] = Set(Inner, LeftOuter, LeftSemi, LeftAnti)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -50,7 +64,7 @@ object StJoinRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case j @ Join(left, right, Inner, Some(cond), _) =>
+    case j @ Join(left, right, jt, Some(cond), _) if Supported(jt) =>
       val cs = conjuncts(cond)
       val stMatch = cs.zipWithIndex.collectFirst {
         case (u: ScalaUDF, i) if u.udfName.exists(Transpose.contains) &&
@@ -65,31 +79,50 @@ object StJoinRule extends Rule[LogicalPlan] {
       }.flatten
       stMatch match {
         case Some((i, pred, lGeom, rGeom)) if !cs.exists(crossEqui(_, left, right)) =>
-          rewrite(j, left, right, cs.patch(i, Nil, 1), pred, lGeom, rGeom)
+          rewrite(j, jt, left, right, cs.patch(i, Nil, 1), pred, lGeom, rGeom)
         case _ => j
       }
   }
 
-  private def rewrite(j: Join, left: LogicalPlan, right: LogicalPlan,
+  private def rewrite(j: Join, jt: JoinType, left: LogicalPlan, right: LogicalPlan,
       rest: Seq[Expression], pred: String,
       lGeom: AttributeReference, rGeom: AttributeReference): LogicalPlan = {
-    val spark = SparkSession.active
-    val cell = spark.conf.getOption("spark.graft.sqlJoin.cellSize")
-      .map(_.toDouble).getOrElse(10.0)
-    val lDf = GraftColumnBridge.ofRows(spark, left)
+    // session threaded from the injection point; conf read through the
+    // rule's SQLConf (the session planning this query), so a multi-session
+    // JVM never crosses sessions
+    val spark = sessionOpt.getOrElse(SparkSession.active)
+    val cell = conf.getConfString("spark.graft.sqlJoin.cellSize", "10.0").toDouble
+    val lDf0 = GraftColumnBridge.ofRows(spark, left)
     val rDf = GraftColumnBridge.ofRows(spark, right)
+    // Left-preserving types tag each left row so ONE dataflow can decide
+    // matched vs unmatched per row. The tag is used only WITHIN that single
+    // evaluation (explode → join → window over the tag), never joined back
+    // against a second evaluation of the left side — so it only needs
+    // uniqueness, which monotonically_increasing_id guarantees, not
+    // replay-stability, which it does not (e.g. ConvertToLocalRelation can
+    // constant-fold the tag in one plan copy but not another).
+    val lDf =
+      if (jt == Inner) lDf0
+      else lDf0.withColumn("__g_lid", monotonically_increasing_id())
     val lg = GraftColumnBridge.column(lGeom)
     val rg = GraftColumnBridge.column(rGeom)
-    def cellsX(b: org.apache.spark.sql.Column) = explode(sequence(
-      floor(b("minx") / cell).cast("long"), floor(b("maxx") / cell).cast("long")))
-    def cellsY(b: org.apache.spark.sql.Column) = explode(sequence(
-      floor(b("miny") / cell).cast("long"), floor(b("maxy") / cell).cast("long")))
+    // the LEFT side uses outer explodes for left-preserving joins: a null
+    // geometry yields null cells, and the row must still surface as
+    // unmatched rather than vanish at the explode
+    def cellsL(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      if (jt == Inner) explode(f(b)) else explode_outer(f(b))
+    def seqX(b: org.apache.spark.sql.Column) = sequence(
+      floor(b("minx") / cell).cast("long"), floor(b("maxx") / cell).cast("long"))
+    def seqY(b: org.apache.spark.sql.Column) = sequence(
+      floor(b("miny") / cell).cast("long"), floor(b("maxy") / cell).cast("long"))
     val lb = lDf.withColumn("__g_lb", graft.functions.st.bboxOf(lg))
-      .withColumn("__g_lcx", cellsX(col("__g_lb")))
-      .withColumn("__g_lcy", cellsY(col("__g_lb")))
+      .withColumn("__g_lcx", cellsL(seqX, col("__g_lb")))
+      .withColumn("__g_lcy", cellsL(seqY, col("__g_lb")))
     val rb = rDf.withColumn("__g_rb", graft.functions.st.bboxOf(rg))
-      .withColumn("__g_rcx", cellsX(col("__g_rb")))
-      .withColumn("__g_rcy", cellsY(col("__g_rb")))
+      .withColumn("__g_rcx", explode(seqX(col("__g_rb"))))
+      .withColumn("__g_rcy", explode(seqY(col("__g_rb"))))
+      .withColumn("__g_rhit", lit(1))
     val glb = col("__g_lb"); val grb = col("__g_rb")
     val overlap =
       glb("minx") <= grb("maxx") && grb("minx") <= glb("maxx") &&
@@ -99,14 +132,50 @@ object StJoinRule extends Rule[LogicalPlan] {
     val refPoint =
       floor(greatest(glb("minx"), grb("minx")) / cell).cast("long") === col("__g_lcx") &&
       floor(greatest(glb("miny"), grb("miny")) / cell).cast("long") === col("__g_lcy")
-    val joined = lb.join(rb,
-        col("__g_lcx") === col("__g_rcx") && col("__g_lcy") === col("__g_rcy") &&
-        overlap && refPoint && call_udf(pred, lg, rg))
-      .select((j.output).map(a => GraftColumnBridge.column(a)): _*)
-    val withRest =
-      if (rest.isEmpty) joined
-      else joined.filter(GraftColumnBridge.column(rest.reduce(And)))
-    val newPlan = withRest.queryExecution.analyzed
+    val restCond = rest.reduceOption(And).map(GraftColumnBridge.column)
+    val matchCond = {
+      val base = col("__g_lcx") === col("__g_rcx") && col("__g_lcy") === col("__g_rcy") &&
+        overlap && refPoint && call_udf(pred, lg, rg)
+      // for left-preserving joins every ON conjunct decides MATCHING (an
+      // unmatched left row survives regardless), so rest folds in here;
+      // for inner a post-filter is equivalent and keeps the join cheap
+      if (jt != Inner) restCond.map(base && _).getOrElse(base) else base
+    }
+
+    val result: DataFrame = jt match {
+      case Inner =>
+        val joined = lb.join(rb, matchCond)
+          .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
+        restCond.map(joined.filter).getOrElse(joined)
+      case _ =>
+        // single-dataflow left-preserving grid join: LEFT OUTER on the cell
+        // equi-key keeps every left cell-copy; a window over the per-row tag
+        // then classifies rows (any copy matched?) and picks one
+        // representative copy for the unmatched/semi outputs. One shuffle on
+        // the tag, no second evaluation of the left side, nothing
+        // materialized.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("__g_lid"))
+        val wOrd = Window.partitionBy(col("__g_lid"))
+          .orderBy(col("__g_rhit").desc_nulls_last)
+        val j0 = lb.join(rb, matchCond, "left_outer")
+          .withColumn("__g_hit", max(col("__g_rhit")).over(w))
+          .withColumn("__g_rn", row_number().over(wOrd))
+        jt match {
+          case LeftSemi =>
+            j0.filter(col("__g_hit") === 1 && col("__g_rn") === 1)
+              .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
+          case LeftAnti =>
+            j0.filter(col("__g_hit").isNull && col("__g_rn") === 1)
+              .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
+          case LeftOuter =>
+            j0.filter(col("__g_rhit").isNotNull ||
+                (col("__g_hit").isNull && col("__g_rn") === 1))
+              .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
+          case other => throw new IllegalStateException(s"unreachable join type $other")
+        }
+    }
+    val newPlan = result.queryExecution.analyzed
     // output attributes are pass-through (no aliasing), so ExprIds already
     // line up; a defensive projection restores them if an analyzer step
     // re-aliased anything
@@ -116,3 +185,9 @@ object StJoinRule extends Rule[LogicalPlan] {
     }, newPlan)
   }
 }
+
+/** Default instance for `extraOptimizations` installs (resolves the active
+  * session at rewrite time); [[GraftSparkExtensions]] builds a
+  * session-bound instance instead.
+  */
+object StJoinRule extends StJoinRule(None)

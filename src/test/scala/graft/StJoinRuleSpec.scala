@@ -68,4 +68,98 @@ class StJoinRuleSpec extends SparkSpec {
         |ON p.pid = b.bid AND st_intersects(p.geometry, b.geometry)""".stripMargin)
     assert(equi.count() <= 15)
   }
+
+  // driver-side JTS ground truth over the fixture
+  private def truth: (Set[(Long, Long)], Set[Long]) = {
+    val ps = ptsDf.select("pid", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val bs = boxesDf.select("bid", "wkt").collect()
+      .map(r => (r.getLong(0), graft.geom.GeomCodec.fromWkt(r.getString(1))))
+    val pairs = (for {
+      (pid, x, y) <- ps
+      (bid, g) <- bs
+      if g.intersects(graft.geom.GeomCodec.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(x, y)))
+    } yield (pid, bid)).toSet
+    (pairs, ps.map(_._1).toSet)
+  }
+
+  private def assertNoProduct(q: org.apache.spark.sql.DataFrame): Unit = {
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"spatial join still plans as a product:\n$plan")
+  }
+
+  test("LEFT OUTER st join: unmatched left rows kept with nulls, grid plan") {
+    GraftOptimizations.install(spark)
+    ptsDf.createOrReplaceTempView("sj_pts")
+    boxesDf.createOrReplaceTempView("sj_boxes")
+    val q = spark.sql(
+      """SELECT p.pid, b.bid FROM sj_pts p LEFT JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+    assertNoProduct(q)
+    val got = q.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val (pairs, allPids) = truth
+    val matchedPids = pairs.map(_._1)
+    val want = pairs.map { case (p, b) => (p, b) } ++
+      (allPids -- matchedPids).map(p => (p, -1L))
+    assert(got == want)
+    assert(got.exists(_._2 == -1L), "fixture should leave some points unmatched")
+    assert(got.exists(_._2 != -1L))
+  }
+
+  test("LEFT SEMI / LEFT ANTI st joins: membership filters, grid plan, multiplicity kept") {
+    GraftOptimizations.install(spark)
+    ptsDf.createOrReplaceTempView("sj_pts")
+    boxesDf.createOrReplaceTempView("sj_boxes")
+    val (pairs, allPids) = truth
+    val matchedPids = pairs.map(_._1)
+    val semi = spark.sql(
+      """SELECT p.pid FROM sj_pts p LEFT SEMI JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+    assertNoProduct(semi)
+    val semiRows = semi.as[Long].collect().toSeq
+    assert(semiRows.toSet == matchedPids)
+    assert(semiRows.size == semiRows.toSet.size, "semi join must emit each left row once")
+    val anti = spark.sql(
+      """SELECT p.pid FROM sj_pts p LEFT ANTI JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+    assertNoProduct(anti)
+    assert(anti.as[Long].collect().toSet == (allPids -- matchedPids))
+    // ON-clause extra conjunct participates in MATCHING for left joins:
+    // a row failing it still appears (as unmatched) in the outer result
+    val outerRest = spark.sql(
+      """SELECT p.pid, b.bid FROM sj_pts p LEFT JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry) AND b.bid % 2 = 0
+        |WHERE p.pid <= 50""".stripMargin)
+    assertNoProduct(outerRest)
+    val gotRest = outerRest.collect().map(r =>
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val restPairs = pairs.filter { case (p, b) => p <= 50 && b % 2 == 0 }
+    val wantRest = restPairs ++
+      (allPids.filter(_ <= 50) -- restPairs.map(_._1)).map(p => (p, -1L))
+    assert(gotRest == wantRest)
+  }
+
+  test("API gridJoinTyped: outer/semi/anti against the inner grid join, with and without id column") {
+    val (pairs, allPids) = truth
+    val matchedPids = pairs.map(_._1)
+    val l = ptsDf.withColumn("bbox", st.bboxOf(col("geometry")))
+      .withColumn("id", col("pid").cast("string"))
+    val r = boxesDf.withColumn("bbox", st.bboxOf(col("geometry")))
+    for (idCol <- Seq(Some("id"), None)) {
+      val semi = graft.engine.SpatialJoin.gridJoinTyped(l, r, 30.0, "intersects", "left_semi", idCol)
+      assert(semi.select("pid").as[Long].collect().toSet == matchedPids)
+      assert(semi.columns.toSeq == l.columns.toSeq, "semi keeps the plain left schema")
+      val anti = graft.engine.SpatialJoin.gridJoinTyped(l, r, 30.0, "intersects", "left_anti", idCol)
+      assert(anti.select("pid").as[Long].collect().toSet == (allPids -- matchedPids))
+      val outer = graft.engine.SpatialJoin.gridJoinTyped(l, r, 30.0, "intersects", "left_outer", idCol)
+      val gotOuter = outer.select(col("l_pid"), col("r_bid")).collect()
+        .map(x => (x.getLong(0), if (x.isNullAt(1)) -1L else x.getLong(1))).toSet
+      val want = pairs ++ (allPids -- matchedPids).map(p => (p, -1L))
+      assert(gotOuter == want)
+    }
+  }
 }

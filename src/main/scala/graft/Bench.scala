@@ -43,10 +43,18 @@ object Bench {
         spark.catalog.clearCache()
         name -> dt
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // stop FIRST, emit the result JSON as the very last stdout line: the
+    // driver captures only the output tail, and Spark's shutdown logging
+    // after the JSON used to push it out of the captured window
+    // (BENCH_r04.json lost its total). Values rounded to ms to keep the
+    // line compact at 137+ queries.
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val total = BigDecimal(results.map(_._2).sum)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 }

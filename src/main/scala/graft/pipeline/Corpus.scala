@@ -398,10 +398,15 @@ object Corpus {
     val bi = when(size(ts) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(ts) - 2),
         i => array_join(slice(ts, i + 1, lit(2)), " ")))
+    // ONE tokenize+explode pass of the corpus feeds both the bucket
+    // distributions and the scoring aggregate (it is consumed twice below) —
+    // persisted so the second consumer re-reads hashed (id, is_t, b) triples
+    // instead of re-tokenizing 100 TB of text
     val fb = df.select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(concat(ts, bi)).as("f"))
       .select(col("id"), col("is_t"),
         pmod(TextAnalysis.polyHash(col("f")), lit(buckets.toLong)).as("b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dist = fb.groupBy("b").agg(
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("is_t"), 1L).otherwise(0L)).as("cr"))
@@ -915,12 +920,16 @@ object Corpus {
       k: Int, divisor: Int): DataFrame = {
     val chunkHashes = udf { (t: String) =>
       val s = if (t == null) "" else t
-      val n = s.length
+      // hash per CODEPOINT, not UTF-16 code unit: the DuckDB oracle (and the
+      // retired HOF path) hash characters via split/ascii, so a surrogate
+      // pair (emoji etc.) must contribute one term, not two
+      val cps = s.codePoints().toArray
+      val n = cps.length
       val bounds = scala.collection.mutable.ArrayBuffer.empty[Int]
       var i = 0
       while (i <= n - k) {
         var acc = 7L; var j = 0
-        while (j < k) { acc = (acc * 31 + s.charAt(i + j).toLong) % 1000000007L; j += 1 }
+        while (j < k) { acc = (acc * 31 + cps(i + j).toLong) % 1000000007L; j += 1 }
         if (acc % divisor == 0) bounds += (i + 1)
         i += 1
       }
@@ -931,7 +940,7 @@ object Corpus {
         val end = if (idx == bounds.length) n else bounds(idx) - 1
         if (end >= start) {
           var acc = 7L; var p = start - 1
-          while (p < end) { acc = (acc * 31 + s.charAt(p).toLong) % 1000000007L; p += 1 }
+          while (p < end) { acc = (acc * 31 + cps(p).toLong) % 1000000007L; p += 1 }
           out += ((acc, (end - start + 1).toLong))
         }
         idx += 1

@@ -486,7 +486,15 @@ object Dedup {
     import spark.implicits._
     val idIsLong = sets.schema("id").dataType ==
       org.apache.spark.sql.types.LongType
-    if (idIsLong && sets.count() <= 200000) {
+    // gate on Catalyst's size-in-bytes estimate, not a row count: per-doc
+    // set size is unbounded (∝ document length), so 200k of LONG documents
+    // could be gigabytes of driver/executor heap; the byte estimate is also
+    // free (plan stats) where the count() was an extra job
+    val bcBytesCap = BigInt(spark.conf
+      .getOption("spark.graft.dedup.broadcastBytes").map(_.toLong)
+      .getOrElse(64L << 20))
+    val setsBytes = sets.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (idIsLong && setsBytes <= bcBytesCap) {
       val m = sets.select(col("id"), col("ss")).as[(Long, Array[Long])]
         .collect().toMap
       val bc = spark.sparkContext.broadcast(m)

@@ -426,7 +426,9 @@ object BenchScale {
       f"""  "$k": {"t1_sec": $t1%.3f, "rows1": $n1, "t3_sec": $t3%.3f, "rows3": $n3, "t10_sec": $t10%.3f, "rows10": $n10, "time_growth": ${t10 / t1}%.2f, "linear_multiple": ${t10 / t1 / 10}%.3f, "t10_over_t3": ${t10 / t3}%.2f}"""
     }.mkString("{\n" + s"""  "base": "$sfDir", "rungs": [1, 3, 10], "shape_note": "t10_over_t3: linear=3.33, quadratic=11.1, constant=1",\n""", ",\n", "\n}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
-    println(json)
+    // stop first: the JSON must be the LAST stdout line (tail-captured)
     spark.stop()
+    println(json)
+    System.out.flush()
   }
 }

@@ -71,6 +71,25 @@ class EdgeCaseSpec extends SparkSpec {
     Dedup.exactGroups(docs, "doc_id", "text").collect()
   }
 
+  test("verify broadcast gate is byte-based: join fallback returns identical pairs") {
+    // few-but-huge documents are the hazard the byte gate exists for: a row
+    // COUNT gate would broadcast them; here a tiny byte cap forces the
+    // shuffle-join verify, which must agree with the broadcast verify
+    val docs = (1L to 12L).map { i =>
+      val base = (1 to 400).map(w => s"tok${(w + i / 7) % 37}").mkString(" ")
+      (i, base)
+    }.toDF("doc_id", "text")
+    def run() = Dedup.shingleJaccardPairs(docs, "doc_id", "text", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val viaBroadcast = run()
+    spark.conf.set("spark.graft.dedup.broadcastBytes", "1")
+    try {
+      val viaJoin = run()
+      assert(viaJoin == viaBroadcast)
+      assert(viaJoin.nonEmpty, "fixture should produce near-dup pairs")
+    } finally spark.conf.unset("spark.graft.dedup.broadcastBytes")
+  }
+
   test("text analysis is null-safe") {
     val docs = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "hello world"))
       .toDF("doc_id", "text")

@@ -843,6 +843,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), max(col("c_acctbal")).as("max_bal"))
         .orderBy(col("c_nationkey"))),
 
+    // ECQL front-end leg: a stored-ECQL-style string (the reference feeds
+    // these verbatim to GeoTools, SearchCQL.java:27-60) parsed by the
+    // graft.functions.Ecql translator — BBOX + BETWEEN + geometryType +
+    // NOT over the point layer, aggregated under the oracle
+    "sp_ecql" -> ((s, dir) =>
+      new GeoFrame(pointsDf(s, dir))
+        .filterEcql("BBOX(the_geom, -60.5, -40.5, 60.5, 40.5) AND " +
+          "c_acctbal BETWEEN 1000.0 AND 8000.0 AND " +
+          "geometryType(the_geom) = 'Point' AND NOT c_nationkey = 7")
+        .df.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .orderBy(col("c_nationkey"))),
+
     // FilterPropertyNull / FilterPropertyNotNull pipes (reference:
     // FilterPropertyNull.java:28, FilterPropertyNotNull.java:29) — a
     // nullable derived property filtered both ways through the layer's
@@ -2359,6 +2373,15 @@ object SparkEntry {
       """
         |SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
         |FROM pts WHERE c_acctbal > 5000.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_ecql" -> (PtsCte +
+      """
+        |SELECT c_nationkey, count(*) AS n,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
+        |FROM pts
+        |WHERE x BETWEEN -60.5 AND 60.5 AND y BETWEEN -40.5 AND 40.5
+        |  AND c_acctbal BETWEEN 1000.0 AND 8000.0 AND c_nationkey <> 7
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "sp_prop_null" -> (PtsCte +

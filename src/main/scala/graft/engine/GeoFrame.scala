@@ -310,6 +310,14 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
     */
   def filterExpr(sqlExpr: String): GeoFrame = lift(df.filter(expr(sqlExpr)))
 
+  /** FilterCQL with a true ECQL front-end: the reference's stored ECQL
+    * strings (SearchCQL.java:27-60, DynamicLayer.java:106-137) run
+    * verbatim; spatial predicates carry their bbox-prune conjunct so the
+    * envelope reaches the scan like `needsToVisit` pruned the tree walk.
+    */
+  def filterEcql(ecql: String): GeoFrame =
+    lift(df.filter(graft.functions.Ecql.toColumn(ecql, df.columns.toSet)))
+
   /** Dynamic layer = named filtered view with pushed-down predicate
     * (reference: DynamicLayer.java:56-217, CQLIndexReader.java:54).
     */

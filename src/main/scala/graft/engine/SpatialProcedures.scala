@@ -174,9 +174,18 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
   def bbox(name: String, minx: Double, miny: Double, maxx: Double, maxy: Double): DataFrame =
     catalog.getLayer(name).bboxSearch(minx, miny, maxx, maxy).df
 
-  /** spatial.cql — Spark SQL expression (superset of ECQL; reference: :838-848). */
-  def cql(name: String, expression: String): DataFrame =
-    catalog.getLayer(name).filterExpr(expression).df
+  /** spatial.cql — accepts ECQL verbatim (the reference's stored CQL
+    * strings, SearchCQL.java:27-60, run unchanged through
+    * [[graft.functions.Ecql]]) and falls back to Spark SQL expressions,
+    * the documented superset (reference: :838-848).
+    */
+  def cql(name: String, expression: String): DataFrame = {
+    val layer = catalog.getLayer(name)
+    val top = layer.df.columns.toSet
+    if (graft.functions.Ecql.parses(expression, top))
+      layer.filterEcql(expression).df
+    else layer.filterExpr(expression).df
+  }
 
   /** spatial.withinDistance (reference: :864-880). */
   def withinDistance(name: String, lon: Double, lat: Double, km: Double): DataFrame =

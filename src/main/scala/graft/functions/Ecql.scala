@@ -1,0 +1,342 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.geom.GeomCodec
+
+/** ECQL → Column translator for the subset the reference's CQL surface
+  * actually exercises (reference: filter/SearchCQL.java:27-60 feeds any
+  * ECQL string to GeoTools `ECQL.toFilter`; the strings the reference's
+  * own code and tests generate are attribute comparisons, IS [NOT] NULL,
+  * AND/OR/NOT, `geometryType(the_geom) = 'X'` — DynamicLayer.java:106-137 —
+  * and the spatial operators BBOX / INTERSECTS / …, whose envelope the
+  * engine extracts for index pruning, Utilities.java:65-119).
+  *
+  * A stored ECQL string from the reference therefore runs verbatim:
+  * `spatial.cql` tries this parser first and falls back to Spark SQL
+  * (the documented superset) when the string is not ECQL.
+  *
+  * Mapping onto the canonical layer schema:
+  *  - `the_geom` (or `geometry`) → the WKB `geometry` column
+  *  - a bare identifier resolves to a top-level column when one exists,
+  *    else to `props[name]` (the reference's dynamic property lookup);
+  *    props comparisons against numeric literals cast to double
+  *  - spatial predicates emit the same bbox-prune && exact-JTS conjunct
+  *    pair as the API searches, so Catalyst pushes the envelope to the
+  *    scan exactly like `needsToVisit` pruned the R-tree walk
+  *  - DWITHIN distance is in layer CRS units (degrees); the units token is
+  *    parsed and ignored, like GeoTools on a geographic CRS
+  */
+object Ecql {
+
+  // ------------------------------------------------------------- tokenizer
+
+  private sealed trait Tok
+  private case class TIdent(s: String) extends Tok   // uppercased for keywords
+  private case class TStr(s: String) extends Tok
+  private case class TNum(s: String) extends Tok
+  private case class TSym(s: String) extends Tok
+
+  private val WktTypes = Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
+    "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
+
+  private def tokenize(s: String): Vector[Tok] = {
+    val out = Vector.newBuilder[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c.isWhitespace) i += 1
+      else if (c == '\'') {
+        val sb = new StringBuilder
+        i += 1
+        var done = false
+        while (!done) {
+          if (i >= n) throw new IllegalArgumentException("unterminated string literal")
+          val ch = s.charAt(i)
+          if (ch == '\'') {
+            if (i + 1 < n && s.charAt(i + 1) == '\'') { sb.append('\''); i += 2 }
+            else { done = true; i += 1 }
+          } else { sb.append(ch); i += 1 }
+        }
+        out += TStr(sb.toString)
+      } else if (c.isDigit || (c == '-' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        val start = i
+        i += 1
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+          s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
+          ((s.charAt(i) == '-' || s.charAt(i) == '+') &&
+            (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
+        out += TNum(s.substring(start, i))
+      } else if (c.isLetter || c == '_') {
+        val start = i
+        while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
+        out += TIdent(s.substring(start, i))
+      } else if (c == '<' && i + 1 < n && (s.charAt(i + 1) == '>' || s.charAt(i + 1) == '=')) {
+        out += TSym(s.substring(i, i + 2)); i += 2
+      } else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '=') {
+        out += TSym(">="); i += 2
+      } else if ("()=<>,".indexOf(c) >= 0) {
+        out += TSym(c.toString); i += 1
+      } else throw new IllegalArgumentException(s"unexpected character '$c' in ECQL")
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------- parser
+
+  /** Operand: a resolved column plus enough shape info to coerce props. */
+  private sealed trait Operand
+  private case class PropOp(name: String) extends Operand
+  private case class GeomOp(dummy: Boolean = true) extends Operand
+  private case class GeomTypeOp(dummy: Boolean = true) extends Operand
+  private case class StrOp(v: String) extends Operand
+  private case class NumOp(v: Double) extends Operand
+  private case class BoolOp(v: Boolean) extends Operand
+
+  private class Parser(toks: Vector[Tok], topCols: Set[String]) {
+    private var pos = 0
+    private def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private def next(): Tok = { val t = toks(pos); pos += 1; t }
+    private def isKw(t: Tok, kw: String): Boolean = t match {
+      case TIdent(s) => s.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    private def takeKw(kw: String): Boolean =
+      peek.exists(isKw(_, kw)) && { pos += 1; true }
+    private def expectSym(sym: String): Unit = next() match {
+      case TSym(`sym`) =>
+      case other => throw new IllegalArgumentException(s"expected '$sym', got $other")
+    }
+    def atEnd: Boolean = pos >= toks.length
+
+    def parseExpr(): Column = {
+      var l = parseAnd()
+      while (takeKw("OR")) l = l || parseAnd()
+      l
+    }
+    private def parseAnd(): Column = {
+      var l = parseNot()
+      while (takeKw("AND")) l = l && parseNot()
+      l
+    }
+    private def parseNot(): Column =
+      if (takeKw("NOT")) !parseNot()
+      else parsePrimary()
+
+    private val SpatialPreds = Map(
+      "INTERSECTS" -> "intersects", "WITHIN" -> "within",
+      "CONTAINS" -> "contains", "TOUCHES" -> "touches",
+      "CROSSES" -> "crosses", "OVERLAPS" -> "overlaps",
+      "DISJOINT" -> "disjoint")
+
+    private def parsePrimary(): Column = peek match {
+      case Some(TSym("(")) =>
+        next(); val e = parseExpr(); expectSym(")"); e
+      case Some(TIdent(id)) if id.equalsIgnoreCase("BBOX") =>
+        next(); expectSym("(")
+        parseOperand() match {
+          case GeomOp(_) =>
+          case other => throw new IllegalArgumentException(s"BBOX needs the geometry property, got $other")
+        }
+        expectSym(",")
+        val nums = (1 to 4).map { k =>
+          val v = parseNum(); if (k < 4) expectSym(",") ; v
+        }
+        // optional trailing CRS literal, ignored (WGS84-only surface)
+        if (peek.contains(TSym(","))) { next(); next() }
+        expectSym(")")
+        st.bboxIntersects(col("bbox"), nums(0), nums(1), nums(2), nums(3))
+      case Some(TIdent(id))
+          if SpatialPreds.contains(id.toUpperCase) || id.equalsIgnoreCase("EQUALS") =>
+        val kw = next().asInstanceOf[TIdent].s.toUpperCase
+        expectSym("(")
+        val a = parseOperand(); expectSym(","); val b = parseOperand(); expectSym(")")
+        val wkt = (a, b) match {
+          case (GeomOp(_), StrOp(w)) => w
+          case (StrOp(w), GeomOp(_)) => w
+          case other => throw new IllegalArgumentException(
+            s"$kw needs (geometry property, geometry literal), got $other")
+        }
+        val g = GeomCodec.fromWkt(wkt)
+        val e = g.getEnvelopeInternal
+        if (kw == "EQUALS")
+          st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
+            st.equalsTopo(col("geometry"), lit(GeomCodec.toWkb(g)))
+        else if (kw == "DISJOINT")
+          // disjoint has no envelope prune (its matches are everywhere)
+          !(st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
+            STPredicate.column("intersects", col("geometry"), g))
+        else
+          st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
+            STPredicate.column(SpatialPreds(kw), col("geometry"), g)
+      case Some(TIdent(id)) if id.equalsIgnoreCase("DWITHIN") =>
+        next(); expectSym("(")
+        parseOperand() match {
+          case GeomOp(_) =>
+          case other => throw new IllegalArgumentException(s"DWITHIN needs the geometry property, got $other")
+        }
+        expectSym(",")
+        val wkt = parseOperand() match {
+          case StrOp(w) => w
+          case other => throw new IllegalArgumentException(s"DWITHIN needs a geometry literal, got $other")
+        }
+        expectSym(",")
+        val d = parseNum()
+        expectSym(",")
+        next() // units token, ignored (distance in layer CRS units)
+        expectSym(")")
+        val g = GeomCodec.fromWkt(wkt)
+        val e = g.getEnvelopeInternal
+        st.bboxIntersects(col("bbox"),
+          e.getMinX - d, e.getMinY - d, e.getMaxX + d, e.getMaxY + d) &&
+          st.distance(col("geometry"), lit(GeomCodec.toWkb(g))) <= d
+      case _ => parseComparison()
+    }
+
+    private def parseNum(): Double = next() match {
+      case TNum(v) => v.toDouble
+      case other => throw new IllegalArgumentException(s"expected number, got $other")
+    }
+
+    private def parseOperand(): Operand = peek match {
+      case Some(TIdent(id)) if WktTypes.contains(id.toUpperCase) =>
+        // inline WKT literal: consume ident + balanced parens verbatim
+        next()
+        val sb = new StringBuilder(id.toUpperCase)
+        expectSym("(")
+        sb.append(" (")
+        var depth = 1
+        while (depth > 0) {
+          next() match {
+            case TSym("(") => depth += 1; sb.append("(")
+            case TSym(")") => depth -= 1; sb.append(")")
+            case TSym(",") => sb.append(", ")
+            case TNum(v) => if (sb.last.isDigit) sb.append(" "); sb.append(v)
+            case other => throw new IllegalArgumentException(s"bad WKT literal token $other")
+          }
+        }
+        StrOp(sb.toString)
+      case Some(TIdent(id)) if id.equalsIgnoreCase("geometryType") =>
+        next(); expectSym("(")
+        parseOperand() match {
+          case GeomOp(_) =>
+          case other => throw new IllegalArgumentException(s"geometryType needs the geometry property, got $other")
+        }
+        expectSym(")")
+        GeomTypeOp()
+      case Some(TIdent(id)) if id.equalsIgnoreCase("TRUE") => next(); BoolOp(true)
+      case Some(TIdent(id)) if id.equalsIgnoreCase("FALSE") => next(); BoolOp(false)
+      case Some(TIdent(id)) =>
+        next()
+        if (id.equalsIgnoreCase("the_geom") || id.equalsIgnoreCase("geometry")) GeomOp()
+        else PropOp(id)
+      case Some(TStr(v)) => next(); StrOp(v)
+      case Some(TNum(v)) => next(); NumOp(v.toDouble)
+      case other => throw new IllegalArgumentException(s"expected operand, got $other")
+    }
+
+    private def propCol(name: String): Column =
+      if (topCols.contains(name)) col(name)
+      else if (topCols.contains("props")) col("props")(name)
+      else throw new IllegalArgumentException(
+        s"unknown property $name (no props map on this layer)")
+
+    /** props values are strings; comparisons against numeric literals
+      * compare numerically (the reference's feature attributes are typed —
+      * our map-backed dynamic props need the cast).
+      */
+    private def sides(a: Operand, b: Operand): (Column, Column) = (a, b) match {
+      case (PropOp(p), NumOp(v)) if !topCols.contains(p) =>
+        (propCol(p).cast("double"), lit(v))
+      case (NumOp(v), PropOp(p)) if !topCols.contains(p) =>
+        (lit(v), propCol(p).cast("double"))
+      case _ => (operandCol(a), operandCol(b))
+    }
+
+    private def operandCol(o: Operand): Column = o match {
+      case PropOp(p) => propCol(p)
+      case GeomOp(_) => col("geometry")
+      case GeomTypeOp(_) => st.geometryType(col("geometry"))
+      case StrOp(v) => lit(v)
+      case NumOp(v) => lit(v)
+      case BoolOp(v) => lit(v)
+    }
+
+    private def parseComparison(): Column = {
+      val a = parseOperand()
+      peek match {
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("IS") =>
+          next()
+          val notNull = takeKw("NOT")
+          if (!takeKw("NULL"))
+            throw new IllegalArgumentException("expected NULL after IS [NOT]")
+          if (notNull) operandCol(a).isNotNull else operandCol(a).isNull
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("LIKE") =>
+          next()
+          next() match {
+            case TStr(p) => operandCol(a).like(p)
+            case other => throw new IllegalArgumentException(s"LIKE needs a string pattern, got $other")
+          }
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("NOT") =>
+          next()
+          if (takeKw("LIKE")) next() match {
+            case TStr(p) => !operandCol(a).like(p)
+            case other => throw new IllegalArgumentException(s"NOT LIKE needs a string pattern, got $other")
+          }
+          else if (takeKw("BETWEEN")) {
+            val lo = parseOperand()
+            if (!takeKw("AND")) throw new IllegalArgumentException("BETWEEN needs AND")
+            val hi = parseOperand()
+            val (ca, cl) = sides(a, lo); val (_, ch) = sides(a, hi)
+            !(ca >= cl && ca <= ch)
+          }
+          else throw new IllegalArgumentException("expected LIKE or BETWEEN after NOT")
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("BETWEEN") =>
+          next()
+          val lo = parseOperand()
+          if (!takeKw("AND")) throw new IllegalArgumentException("BETWEEN needs AND")
+          val hi = parseOperand()
+          val (ca, cl) = sides(a, lo); val (_, ch) = sides(a, hi)
+          ca >= cl && ca <= ch
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("IN") =>
+          next(); expectSym("(")
+          val vals = scala.collection.mutable.ArrayBuffer[Operand](parseOperand())
+          while (peek.contains(TSym(","))) { next(); vals += parseOperand() }
+          expectSym(")")
+          vals.map(v => { val (ca, cv) = sides(a, v); ca === cv }).reduce(_ || _)
+        case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
+          next()
+          val b = parseOperand()
+          val (ca, cb) = sides(a, b)
+          op match {
+            case "=" => ca === cb
+            case "<>" => ca =!= cb
+            case "<" => ca < cb
+            case "<=" => ca <= cb
+            case ">" => ca > cb
+            case ">=" => ca >= cb
+          }
+        case other => throw new IllegalArgumentException(s"expected comparison after operand, got $other")
+      }
+    }
+  }
+
+  /** Parse an ECQL filter into a Column over the canonical layer schema.
+    * `topCols` are the layer's top-level columns (anything else resolves
+    * through the props map). Throws IllegalArgumentException on anything
+    * outside the supported subset — callers fall back to Spark SQL.
+    */
+  def toColumn(ecql: String, topCols: Set[String]): Column = {
+    val p = new Parser(tokenize(ecql), topCols)
+    val c = p.parseExpr()
+    if (!p.atEnd) throw new IllegalArgumentException("trailing tokens in ECQL")
+    c
+  }
+
+  /** True if the string parses as the supported ECQL subset. */
+  def parses(ecql: String, topCols: Set[String]): Boolean =
+    try { toColumn(ecql, topCols); true } catch { case _: Exception => false }
+}

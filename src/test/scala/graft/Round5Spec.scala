@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GeoFrame, SpatialProcedures}
+import graft.functions.{Ecql, st}
+import graft.geom.GeomCodec
+
+/** Round-5 surface: the ECQL front-end (reference strings verbatim,
+  * SearchCQL.java:27-60, DynamicLayer.java:106-137) and the spatial.cql
+  * ECQL-or-SQL dispatch.
+  */
+class Round5Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def mixedLayer = {
+    val rows = Seq(
+      ("p1", "POINT (1 1)", "residential", "50"),
+      ("p2", "POINT (5 5)", "path", "30"),
+      ("p3", "POINT (40 40)", "residential", "90"),
+      ("l1", "LINESTRING (0 0, 10 10)", "track", null),
+      ("g1", "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))", null, "70"))
+      .toDF("id", "wkt", "highway", "speed")
+    val df = rows
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+      .withColumn("bbox", st.bboxOf(col("geometry")))
+      .withColumn("props", map(
+        lit("highway"), col("highway"), lit("speed"), col("speed")))
+      .drop("highway", "speed")
+    new GeoFrame(df)
+  }
+
+  private def ids(g: GeoFrame): Set[String] =
+    g.df.select("id").as[String].collect().toSet
+
+  test("reference-shape ECQL strings run verbatim") {
+    val layer = mixedLayer
+    // DynamicLayer.addCQLDynamicLayerOnAttribute shape (value + gtype)
+    assert(ids(layer.filterEcql(
+      "highway = 'residential' AND geometryType(the_geom) = 'Point'")) == Set("p1", "p3"))
+    // the null-value variant: key IS NOT NULL AND geometryType(...)
+    assert(ids(layer.filterEcql(
+      "highway IS NOT NULL AND geometryType(the_geom) = 'LineString'")) == Set("l1"))
+    // SpatialProceduresTest.testCQLQuery shape
+    assert(ids(layer.filterEcql("id = 'p2'")) == Set("p2"))
+    // geometry-type-only dynamic layer
+    assert(ids(layer.filterEcql("geometryType(the_geom) = 'Polygon'")) == Set("g1"))
+  }
+
+  test("ECQL comparisons, BETWEEN, IN, LIKE, NOT, parentheses, props numeric coercion") {
+    val layer = mixedLayer
+    // props values are strings; numeric literal comparison casts
+    assert(ids(layer.filterEcql("speed > 40")) == Set("p1", "p3", "g1"))
+    assert(ids(layer.filterEcql("speed BETWEEN 30 AND 70")) == Set("p1", "p2", "g1"))
+    assert(ids(layer.filterEcql("highway IN ('path', 'track')")) == Set("p2", "l1"))
+    assert(ids(layer.filterEcql("id LIKE 'p%'")) == Set("p1", "p2", "p3"))
+    assert(ids(layer.filterEcql("NOT (speed > 40 OR highway = 'path')")) == Set())
+    assert(ids(layer.filterEcql("speed <= 50 AND highway <> 'path'")) == Set("p1"))
+    assert(ids(layer.filterEcql("highway IS NULL")) == Set("g1"))
+  }
+
+  test("ECQL spatial predicates match the API searches and keep the bbox prune") {
+    val layer = mixedLayer
+    assert(ids(layer.filterEcql("BBOX(the_geom, 0, 0, 6, 6)")) ==
+      Set("p1", "p2", "l1", "g1"))
+    val poly = "POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0))"
+    assert(ids(layer.filterEcql(s"INTERSECTS(the_geom, $poly)")) ==
+      ids(layer.intersects(poly)))
+    assert(ids(layer.filterEcql(s"WITHIN(the_geom, $poly)")) ==
+      ids(layer.within(GeomCodec.fromWkt(poly))))
+    assert(ids(layer.filterEcql("DISJOINT(the_geom, POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0)))")) ==
+      Set("p3"))
+    assert(ids(layer.filterEcql("DWITHIN(the_geom, POINT (0 0), 2, meters)")) ==
+      Set("p1", "l1", "g1"))
+    // negative WKT coordinates survive the literal re-assembly
+    assert(ids(layer.filterEcql("INTERSECTS(the_geom, POLYGON ((-2 -2, 2 -2, 2 2, -2 2, -2 -2)))")) ==
+      Set("p1", "l1", "g1"))
+  }
+
+  test("spatial.cql dispatches ECQL first, Spark SQL as fallback") {
+    val wh = Files.createTempDirectory("graft-ecql-wh").toString
+    val procs = new SpatialProcedures(spark, wh)
+    val pts = Seq(("a", 1.0, 1.0), ("b", 5.0, 5.0), ("c", 9.0, 9.0))
+      .toDF("name", "lon", "lat")
+    procs.addPointLayerXY("cqlpts", pts, "name", "lon", "lat")
+    // ECQL (would also parse as Spark SQL — must give identical results;
+    // the attribute column became the layer id, the reference's node name)
+    assert(procs.cql("cqlpts", "id = 'b'").count() == 1)
+    // ECQL-only shape (geometryType is not a Spark function)
+    assert(procs.cql("cqlpts", "geometryType(the_geom) = 'Point'").count() == 3)
+    // Spark-SQL-only shape (ECQL parse fails → fallback); only c (9+9)
+    assert(procs.cql("cqlpts", "x + y > 10").count() == 1)
+  }
+
+  test("malformed ECQL does not parse (fallback signal), good ECQL does") {
+    assert(!Ecql.parses("SELECT * FROM x", Set("id")))
+    assert(!Ecql.parses("name = ", Set("name")))
+    assert(Ecql.parses("name = 'x' AND (a < 3 OR b IS NULL)", Set("name", "a", "b")))
+  }
+}

@@ -26,19 +26,75 @@ import graft.geom.GeomCodec
   *   osm_relations(relation_id, version, changeset, ts)
   *   osm_members(relation_id, seq, member_type, member_ref, role)
   *
-  * The XML parse itself is sequential (inherent to XML) but single-pass and
-  * constant-memory; at 100 TB the input would arrive pre-staged (PBF shards
-  * or these exact staging tables), and everything downstream of staging is
-  * fully distributed: grouped collect_list assemblies shuffle once on
-  * way_id/relation_id.
+  * The XML parse of ONE file is sequential (inherent to the format) but
+  * single-pass and constant-memory; a DIRECTORY of .osm shards parses with
+  * one executor task per file ([[OsmImport.parseShards]]) — the planet-file
+  * staging shape. Everything downstream of staging is fully distributed:
+  * grouped collect_list assemblies shuffle once on way_id/relation_id.
   */
 object OsmImport {
 
   case class Staging(nodes: DataFrame, ways: DataFrame, wayNds: DataFrame,
       tags: DataFrame, relations: DataFrame, members: DataFrame)
 
-  /** Parse an .osm XML file into the staging DataFrames. */
+  /** One file's parsed staging rows — the Spark-free product of
+    * [[parseRaw]], serializable so the parse can run ON EXECUTORS (one
+    * task per .osm shard, [[parseShards]]).
+    */
+  case class RawFile(
+      nodes: Seq[(Long, Double, Double, Int, Long, Long, String, String)],
+      ways: Seq[(Long, Int, Long, String)],
+      wayNds: Seq[(Long, Int, Long)],
+      tags: Seq[(String, Long, String, String)],
+      relations: Seq[(Long, Int, Long, String)],
+      members: Seq[(Long, Int, String, Long, String)])
+
+  /** Parse an .osm XML file into the staging DataFrames (driver-side
+    * convenience over [[parseRaw]]).
+    */
   def parse(spark: SparkSession, path: String): Staging = {
+    import spark.implicits._
+    val raw = parseRaw(path)
+    Staging(
+      raw.nodes.toDF("node_id", "lat", "lon", "version", "changeset", "uid", "user", "ts"),
+      raw.ways.toDF("way_id", "version", "changeset", "ts"),
+      raw.wayNds.toDF("way_id", "seq", "node_id"),
+      raw.tags.toDF("elem_type", "elem_id", "k", "v"),
+      raw.relations.toDF("relation_id", "version", "changeset", "ts"),
+      raw.members.toDF("relation_id", "seq", "member_type", "member_ref", "role"))
+  }
+
+  /** Parallel multi-shard staging: a DIRECTORY of .osm files parses with
+    * one executor task per file (each file's XML is still sequential —
+    * inherent to the format — but shards parse concurrently), then the
+    * per-file rows union into one staging set. Elements duplicated across
+    * shards (area-split OSM extracts repeat boundary nodes) collapse via
+    * exact-row dedup, so overlapping shards stage identically to their
+    * concatenation. Files must be reachable from executors (shared FS) —
+    * the 100 TB staging shape the single-file path's header note promises.
+    */
+  def parseShards(spark: SparkSession, dir: String): Staging = {
+    val files = Option(new java.io.File(dir).listFiles).map(_.toSeq).getOrElse(Nil)
+      .filter(f => f.isFile && f.getName.endsWith(".osm"))
+      .map(_.getAbsolutePath).sorted
+    require(files.nonEmpty, s"no .osm files under $dir")
+    import spark.implicits._
+    val raw = spark.sparkContext.parallelize(files, files.length)
+      .map(parseRaw)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    Staging(
+      raw.flatMap(_.nodes).toDF("node_id", "lat", "lon", "version", "changeset", "uid", "user", "ts").dropDuplicates(),
+      raw.flatMap(_.ways).toDF("way_id", "version", "changeset", "ts").dropDuplicates(),
+      raw.flatMap(_.wayNds).toDF("way_id", "seq", "node_id").dropDuplicates(),
+      raw.flatMap(_.tags).toDF("elem_type", "elem_id", "k", "v").dropDuplicates(),
+      raw.flatMap(_.relations).toDF("relation_id", "version", "changeset", "ts").dropDuplicates(),
+      raw.flatMap(_.members).toDF("relation_id", "seq", "member_type", "member_ref", "role").dropDuplicates())
+  }
+
+  /** The StAX parse loop: one pass, constant memory, no Spark — callable
+    * from executor tasks.
+    */
+  def parseRaw(path: String): RawFile = {
     val nodes = ArrayBuffer.empty[(Long, Double, Double, Int, Long, Long, String, String)]
     val ways = ArrayBuffer.empty[(Long, Int, Long, String)]
     val wayNds = ArrayBuffer.empty[(Long, Int, Long)]
@@ -104,14 +160,8 @@ object OsmImport {
       }
     } finally { r.close(); in.close() }
 
-    import spark.implicits._
-    Staging(
-      nodes.toSeq.toDF("node_id", "lat", "lon", "version", "changeset", "uid", "user", "ts"),
-      ways.toSeq.toDF("way_id", "version", "changeset", "ts"),
-      wayNds.toSeq.toDF("way_id", "seq", "node_id"),
-      tags.toSeq.toDF("elem_type", "elem_id", "k", "v"),
-      relations.toSeq.toDF("relation_id", "version", "changeset", "ts"),
-      members.toSeq.toDF("relation_id", "seq", "member_type", "member_ref", "role"))
+    RawFile(nodes.toSeq, ways.toSeq, wayNds.toSeq, tags.toSeq,
+      relations.toSeq, members.toSeq)
   }
 
   /** Geometry construction from an ordered coordinate list, reproducing the

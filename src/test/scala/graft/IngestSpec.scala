@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import graft.functions.st
 import graft.osm.OsmImport
 import graft.sources.Shapefile
 import graft.engine.{GeoFrame, SpatialProcedures}
@@ -25,6 +26,48 @@ class IngestSpec extends SparkSpec {
     val tags = st8.tags.as[(String, Long, String, String)].collect()
     assert(tags.contains(("way", 72090582L, "highway", "residential")))
     assert(tags.contains(("way", 72090582L, "name", "Nybrodalsvägen")))
+  }
+
+  test("multi-shard OSM staging equals the single-file parse (overlapping boundary nodes dedup)") {
+    val hdr = """<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
+      """<osm version="0.6" generator="graft-test">""" + "\n"
+    def node(id: Int, lat: Double, lon: Double) =
+      s"""  <node id="$id" lat="$lat" lon="$lon" version="1" changeset="9" uid="3" user="u" timestamp="2020-01-01T00:00:00Z"/>""" + "\n"
+    def way(id: Int, nds: Seq[Int], tag: (String, String)) =
+      s"""  <way id="$id" version="1" changeset="9" timestamp="2020-01-01T00:00:00Z">""" + "\n" +
+        nds.map(n => s"""    <nd ref="$n"/>""").mkString("\n") + "\n" +
+        s"""    <tag k="${tag._1}" v="${tag._2}"/>""" + "\n  </way>\n"
+    val n = (1 to 9).map(i => node(i, 10.0 + i * 0.1, 20.0 + i * 0.1))
+    val w1 = way(101, Seq(1, 2, 3), "highway" -> "residential")
+    val w2 = way(102, Seq(3, 4, 5), "highway" -> "path")
+    val w3 = way(103, Seq(5, 6, 7, 8, 9), "highway" -> "track")
+    // shards overlap on boundary nodes 3 and 5, like area-split extracts
+    val shards = Seq(
+      hdr + n.slice(0, 3).mkString + w1 + "</osm>\n",
+      hdr + n.slice(2, 5).mkString + w2 + "</osm>\n",
+      hdr + n.slice(4, 9).mkString + w3 + "</osm>\n")
+    val single = hdr + n.mkString + w1 + w2 + w3 + "</osm>\n"
+    val dir = Files.createTempDirectory("graft-osm-shards")
+    shards.zipWithIndex.foreach { case (s, i) =>
+      Files.writeString(dir.resolve(f"shard-$i%02d.osm"), s)
+    }
+    val singlePath = Files.createTempDirectory("graft-osm-single").resolve("all.osm")
+    Files.writeString(singlePath, single)
+
+    val sharded = OsmImport.parseShards(spark, dir.toString)
+    val whole = OsmImport.parse(spark, singlePath.toString)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(sharded.nodes) == rows(whole.nodes))
+    assert(rows(sharded.ways) == rows(whole.ways))
+    assert(rows(sharded.wayNds) == rows(whole.wayNds))
+    assert(rows(sharded.tags) == rows(whole.tags))
+    // assembled geometry layer identical through either staging
+    val a = OsmImport.assembleWays(sharded)
+      .select(col("way_id"), st.asText(col("geometry")).as("wkt"))
+    val b = OsmImport.assembleWays(whole)
+      .select(col("way_id"), st.asText(col("geometry")).as("wkt"))
+    assert(rows(a) == rows(b) && a.count() == 3)
   }
 
   test("OSM way assembly builds a LineString within the fixture bbox") {

@@ -843,6 +843,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), max(col("c_acctbal")).as("max_bal"))
         .orderBy(col("c_nationkey"))),
 
+    // STREAMING under the DuckDB oracle: the customer points replay as 4
+    // file-source microbatches through a streamed per-cell aggregate
+    // (complete mode, AvailableNow); the final state must equal the batch
+    // aggregate the oracle computes — the microbatch-convergence contract
+    // the differential specs pin, promoted to a CORRECTNESS row
+    "st_stream_cells" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-cells")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val pts = pointsDf(s, dir).select(col("ck"), col("x"), col("y"), col("c_acctbal"))
+      pts.repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val agg = stream
+        .groupBy(floor(col("x") / 10.0).cast("int").as("cell_x"),
+          floor(col("y") / 10.0).cast("int").as("cell_y"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+      val q = agg.writeStream
+        .format("memory").queryName("st_stream_cells_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_cells_mem")
+        .orderBy(col("cell_x"), col("cell_y"))
+    }),
+
     // ECQL front-end leg: a stored-ECQL-style string (the reference feeds
     // these verbatim to GeoTools, SearchCQL.java:27-60) parsed by the
     // graft.functions.Ecql translator — BBOX + BETWEEN + geometryType +
@@ -2374,6 +2405,15 @@ object SparkEntry {
         |SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
         |FROM pts WHERE c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "st_stream_cells" -> (PtsCte +
+      """
+        |SELECT CAST(floor(x / 10.0) AS INTEGER) AS cell_x,
+        |       CAST(floor(y / 10.0) AS INTEGER) AS cell_y,
+        |       count(*) AS n,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
+        |FROM pts
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "sp_ecql" -> (PtsCte +
       """

@@ -173,82 +173,107 @@ object Shapefile {
     * from the first geometry) — the reference's ShapefileExporter surface
     * (reference: cli-tools/.../ShapefileExporter.java:37). Points, polylines
     * and polygons; attributes written as C(64) strings.
+    *
+    * Driver memory is bounded at ONE row: the headers' prerequisites
+    * (record count, total encoded length, global envelope, dbf field set)
+    * come from a distributed aggregate, then rows stream through
+    * `toLocalIterator` and append to all three files in a single pass.
+    * The single-file output itself is inherent to the format (the
+    * reference's exporter is also one-JVM).
     */
   def exportShapefile(df: DataFrame, basePath: String): Unit = {
-    val rows = df.select(col("geometry"), col("props")).collect()
-    val geoms = rows.map(r => GeomCodec.fromWkb(r.getAs[Array[Byte]](0)))
-    val props = rows.map(r => Option(r.getAs[Map[String, String]](1)).getOrElse(Map.empty))
-    if (geoms.isEmpty) return
-    val shapeType = geoms.head match {
+    val src = df.select(col("geometry"), col("props"))
+    val firstRows = src.limit(1).collect()
+    if (firstRows.isEmpty) return
+    val shapeType = GeomCodec.fromWkb(firstRows(0).getAs[Array[Byte]](0)) match {
       case _: org.locationtech.jts.geom.Point => 1
       case _: org.locationtech.jts.geom.LineString | _: org.locationtech.jts.geom.MultiLineString => 3
       case _ => 5
     }
-    // --- .shp ---
-    val records = geoms.map(g => encodeShape(g, shapeType))
-    val totalLen = 100 + records.map(_.length + 8).sum
-    val shp = ByteBuffer.allocate(totalLen)
-    writeHeader(shp, shapeType, totalLen, geoms)
-    var recNo = 1
-    records.foreach { rb =>
-      shp.order(ByteOrder.BIG_ENDIAN)
-      shp.putInt(recNo); shp.putInt(rb.length / 2); shp.put(rb)
-      recNo += 1
-    }
-    Files.write(Paths.get(basePath + ".shp"), shp.array())
-    // --- .shx ---
-    val shx = ByteBuffer.allocate(100 + records.length * 8)
-    writeHeader(shx, shapeType, 100 + records.length * 8, geoms)
-    var offset16 = 50
-    records.foreach { rb =>
-      shx.order(ByteOrder.BIG_ENDIAN)
-      shx.putInt(offset16); shx.putInt(rb.length / 2)
-      offset16 += 4 + rb.length / 2
-    }
-    Files.write(Paths.get(basePath + ".shx"), shx.array())
-    // --- .dbf ---
-    val fields = props.flatMap(_.keys).distinct.sorted.take(128)
-    val fieldLen = 64
-    val headerLen = 32 + fields.length * 32 + 1
-    val recordLen = 1 + fields.length * fieldLen
-    val dbf = ByteBuffer.allocate(headerLen + records.length * recordLen + 1)
-      .order(ByteOrder.LITTLE_ENDIAN)
-    dbf.put(0x03.toByte); dbf.put(Array[Byte](124, 1, 1)) // version + fake date
-    dbf.putInt(records.length)
-    dbf.putShort(headerLen.toShort); dbf.putShort(recordLen.toShort)
-    dbf.position(32)
-    fields.foreach { fn =>
-      val nameBytes = fn.take(10).getBytes("ASCII").padTo(11, 0.toByte)
-      dbf.put(nameBytes); dbf.put('C'.toByte)
-      dbf.position(dbf.position() + 4)
-      dbf.put(fieldLen.toByte); dbf.put(0.toByte)
-      dbf.position(dbf.position() + 14)
-    }
-    dbf.put(0x0D.toByte)
-    props.foreach { p =>
-      dbf.put(' '.toByte)
-      fields.foreach { fn =>
-        val v = p.getOrElse(fn, "").take(fieldLen)
-        dbf.put(v.getBytes("ISO-8859-1").padTo(fieldLen, ' '.toByte))
-      }
-    }
-    dbf.put(0x1A.toByte)
-    Files.write(Paths.get(basePath + ".dbf"), java.util.Arrays.copyOf(dbf.array(), dbf.position()))
-  }
+    // distributed pre-pass: count, summed record length, global envelope
+    // (record length re-derives from the same encoder the write uses)
+    val recLen = udf((wkb: Array[Byte]) =>
+      encodeShape(GeomCodec.fromWkb(wkb), shapeType).length)
+    val b = st.bboxOf(col("geometry"))
+    val s0 = src.select(recLen(col("geometry")).as("len"), b.as("b"))
+      .agg(count(lit(1)).as("n"), sum(col("len")).as("lens"),
+        min(col("b")("minx")).as("minx"), min(col("b")("miny")).as("miny"),
+        max(col("b")("maxx")).as("maxx"), max(col("b")("maxy")).as("maxy"))
+      .head()
+    val nRecords = s0.getLong(0).toInt
+    val sumLens = s0.getLong(1)
+    val env = new org.locationtech.jts.geom.Envelope(
+      s0.getDouble(2), s0.getDouble(4), s0.getDouble(3), s0.getDouble(5))
+    val fields = src
+      .select(explode(map_keys(coalesce(col("props"),
+        map().cast("map<string,string>")))).as("k"))
+      .distinct().collect().map(_.getString(0)).sorted.take(128).toSeq
 
-  private def writeHeader(buf: ByteBuffer, shapeType: Int, totalLenBytes: Int,
-      geoms: Array[Geometry]): Unit = {
-    buf.order(ByteOrder.BIG_ENDIAN)
-    buf.putInt(9994); buf.position(24); buf.putInt(totalLenBytes / 2)
-    buf.order(ByteOrder.LITTLE_ENDIAN)
-    buf.putInt(1000); buf.putInt(shapeType)
-    val env = geoms.map(_.getEnvelopeInternal).reduce { (a, b) =>
-      val e = new org.locationtech.jts.geom.Envelope(a); e.expandToInclude(b); e
+    val totalLen = 100 + sumLens.toInt + nRecords * 8
+    def header(totalLenBytes: Int): Array[Byte] = {
+      val buf = ByteBuffer.allocate(100)
+      buf.order(ByteOrder.BIG_ENDIAN)
+      buf.putInt(9994); buf.position(24); buf.putInt(totalLenBytes / 2)
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(1000); buf.putInt(shapeType)
+      buf.putDouble(env.getMinX); buf.putDouble(env.getMinY)
+      buf.putDouble(env.getMaxX); buf.putDouble(env.getMaxY)
+      buf.putDouble(0); buf.putDouble(0); buf.putDouble(0); buf.putDouble(0)
+      buf.array()
     }
-    buf.putDouble(env.getMinX); buf.putDouble(env.getMinY)
-    buf.putDouble(env.getMaxX); buf.putDouble(env.getMaxY)
-    buf.putDouble(0); buf.putDouble(0); buf.putDouble(0); buf.putDouble(0)
-    buf.position(100)
+
+    val shpOut = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(basePath + ".shp"))
+    val shxOut = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(basePath + ".shx"))
+    val dbfOut = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(basePath + ".dbf"))
+    try {
+      shpOut.write(header(totalLen))
+      shxOut.write(header(100 + nRecords * 8))
+      // --- .dbf header ---
+      val fieldLen = 64
+      val headerLen = 32 + fields.length * 32 + 1
+      val recordLen = 1 + fields.length * fieldLen
+      val dh = ByteBuffer.allocate(headerLen).order(ByteOrder.LITTLE_ENDIAN)
+      dh.put(0x03.toByte); dh.put(Array[Byte](124, 1, 1)) // version + fake date
+      dh.putInt(nRecords)
+      dh.putShort(headerLen.toShort); dh.putShort(recordLen.toShort)
+      dh.position(32)
+      fields.foreach { fn =>
+        val nameBytes = fn.take(10).getBytes("ASCII").padTo(11, 0.toByte)
+        dh.put(nameBytes); dh.put('C'.toByte)
+        dh.position(dh.position() + 4)
+        dh.put(fieldLen.toByte); dh.put(0.toByte)
+        dh.position(dh.position() + 14)
+      }
+      dh.put(0x0D.toByte)
+      dbfOut.write(dh.array())
+
+      // --- streamed records: one row in driver memory at a time ---
+      var recNo = 1
+      var offset16 = 50
+      val it = src.toLocalIterator()
+      while (it.hasNext) {
+        val row = it.next()
+        val rb = encodeShape(GeomCodec.fromWkb(row.getAs[Array[Byte]](0)), shapeType)
+        val rh = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        rh.putInt(recNo); rh.putInt(rb.length / 2)
+        shpOut.write(rh.array()); shpOut.write(rb)
+        val xh = ByteBuffer.allocate(8).order(ByteOrder.BIG_ENDIAN)
+        xh.putInt(offset16); xh.putInt(rb.length / 2)
+        shxOut.write(xh.array())
+        offset16 += 4 + rb.length / 2
+        val p = Option(row.getAs[Map[String, String]](1)).getOrElse(Map.empty)
+        dbfOut.write(' '.toInt)
+        fields.foreach { fn =>
+          val v = p.getOrElse(fn, "").take(fieldLen)
+          dbfOut.write(v.getBytes("ISO-8859-1").padTo(fieldLen, ' '.toByte))
+        }
+        recNo += 1
+      }
+      dbfOut.write(0x1A)
+    } finally { shpOut.close(); shxOut.close(); dbfOut.close() }
   }
 
   private def encodeShape(g: Geometry, shapeType: Int): Array[Byte] = shapeType match {

@@ -154,4 +154,76 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  /** WGS84 Vincenty inverse (ellipsoidal geodesic, the reference's
+    * GeodeticCalculator math) — test-only oracle for the error bound below.
+    */
+  private def vincentyKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val a = 6378137.0; val f = 1.0 / 298.257223563; val b = (1 - f) * a
+    val L = math.toRadians(lon2 - lon1)
+    val u1 = math.atan((1 - f) * math.tan(math.toRadians(lat1)))
+    val u2 = math.atan((1 - f) * math.tan(math.toRadians(lat2)))
+    val (sinU1, cosU1) = (math.sin(u1), math.cos(u1))
+    val (sinU2, cosU2) = (math.sin(u2), math.cos(u2))
+    var lambda = L; var lambdaP = 2 * math.Pi; var iter = 0
+    var cosSqAlpha = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var sigma = 0.0; var cos2SigmaM = 0.0
+    while (math.abs(lambda - lambdaP) > 1e-12 && iter < 200) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      sinSigma = math.sqrt(
+        (cosU2 * sinL) * (cosU2 * sinL) +
+        (cosU1 * sinU2 - sinU1 * cosU2 * cosL) * (cosU1 * sinU2 - sinU1 * cosU2 * cosL))
+      if (sinSigma == 0) return 0.0
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cosSqAlpha = 1 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cosSqAlpha == 0) 0 else cosSigma - 2 * sinU1 * sinU2 / cosSqAlpha
+      val c = f / 16 * cosSqAlpha * (4 + f * (4 - 3 * cosSqAlpha))
+      lambdaP = lambda
+      lambda = L + (1 - c) * f * sinAlpha *
+        (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM)))
+      iter += 1
+    }
+    val uSq = cosSqAlpha * (a * a - b * b) / (b * b)
+    val bigA = 1 + uSq / 16384 * (4096 + uSq * (-768 + uSq * (320 - 175 * uSq)))
+    val bigB = uSq / 1024 * (256 + uSq * (-128 + uSq * (74 - 47 * uSq)))
+    val deltaSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4 *
+      (cosSigma * (-1 + 2 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6 * cos2SigmaM * (-3 + 4 * sinSigma * sinSigma) * (-3 + 4 * cos2SigmaM * cos2SigmaM)))
+    b * bigA * (sigma - deltaSigma) / 1000.0
+  }
+
+  test("orthodromic length error vs WGS84 geodesic is bounded on 1000-km high-latitude lines") {
+    // The summed spherical law-of-cosines (the reference's own formula,
+    // OrthodromicDistance.java:85-97, R=6371) vs a true ellipsoidal
+    // geodesic: the dominant error is the sphere-vs-ellipsoid radius
+    // difference, worst near the poles where the ellipsoid's radius of
+    // curvature (~6400 km) exceeds R. Pinned bound: < 0.6% relative error —
+    // documentation of the engine's (and the reference's) tolerance, per
+    // segment and summed over long high-latitude polylines.
+    val rnd = new scala.util.Random(20260814)
+    var maxRel = 0.0
+    for (_ <- 1 to 50) {
+      val lat0 = 55.0 + rnd.nextDouble() * 20.0          // 55..75°N
+      val lon0 = rnd.nextDouble() * 300.0 - 150.0
+      val segs = 20
+      // ~1000 km east-ish polyline: ~0.9° lon per segment at 60°N plus jitter
+      val pts = (0 to segs).map { i =>
+        (lon0 + i * (1.0 / math.cos(math.toRadians(lat0))) * 0.45 +
+          rnd.nextDouble() * 0.05,
+         lat0 + i * 0.05 + rnd.nextDouble() * 0.02)
+      }
+      var sphere = 0.0; var geo = 0.0
+      pts.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+        sphere += Orthodromic.distanceKm(x1, y1, x2, y2)
+        geo += vincentyKm(x1, y1, x2, y2)
+      }
+      assert(geo > 500 && geo < 2000, s"fixture line length $geo km out of range")
+      val rel = math.abs(sphere - geo) / geo
+      maxRel = math.max(maxRel, rel)
+    }
+    info(f"max relative error vs Vincenty on 50 high-latitude ~1000-km lines: ${maxRel * 100}%.4f%%")
+    assert(maxRel < 0.006, f"spherical length error ${maxRel * 100}%.4f%% exceeds the documented 0.6%% bound")
+  }
 }

@@ -58,7 +58,11 @@ object BenchScale {
 
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft_scale10x_" + new java.io.File(sfDir).getName)
-    val rungs = Seq(3, 10)   // 1× is the source corpus itself
+    // 1× is the source corpus itself; SPARK_GRAFT_RUNGS=30,100 extends the
+    // ladder (the round-4 asymptote claim stopped at 10× — the 100× rung is
+    // the overnight-class proof for the heavy families)
+    val rungs = sys.env.get("SPARK_GRAFT_RUNGS")
+      .map(_.split(",").toSeq.map(_.trim.toInt)).getOrElse(Seq(3, 10))
 
     def synth(path: String)(build: => DataFrame): Unit =
       if (!new java.io.File(path).exists())
@@ -69,9 +73,19 @@ object BenchScale {
     // across copies (identical cross-copy docs would pair with each other
     // and inflate the output superlinearly)
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    // c < 26: the original rotation (keeps cached 3×/10× corpora valid).
+    // c ≥ 26: rotations repeat letter maps (c and c−26 collide, letting
+    // letter-only shingles pair ACROSS copies), so high rungs use a
+    // seeded per-copy permutation of all 36 chars — still injective per
+    // copy, distinct across copies
     def rotated(c: Int) =
-      alpha.take(26).drop(c * 3 % 26) + alpha.take(c * 3 % 26) +
-      alpha.drop(26).drop(c % 10) + alpha.drop(26).take(c % 10)
+      if (c < 26)
+        alpha.take(26).drop(c * 3 % 26) + alpha.take(c * 3 % 26) +
+        alpha.drop(26).drop(c % 10) + alpha.drop(26).take(c % 10)
+      else {
+        val rnd = new scala.util.Random(0x5ca1ab1eL + c)
+        rnd.shuffle(alpha.toList).mkString
+      }
     val docs1 = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     def docsPath(n: Int) = s"$scaleDir/documents${n}x.parquet"
@@ -241,10 +255,11 @@ object BenchScale {
         val (t, c) = timedRung(at, n)
         (n, t, c)
       }
-      val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows
-      println(f"[scale] $name%-18s t1=$t1%6.2fs ($n1)  t3=$t3%6.2fs ($n3)  " +
-        f"t10=$t10%6.2fs ($n10)  g10=${t10 / t1}%5.2fx  t10/t3=${t10 / t3}%4.2f " +
-        f"(linear 3.33, quadratic 11.1; warm1 $warm%4.2fs)")
+      val (rA, tA, _) = rows(rows.length - 2)
+      val (rB, tB, _) = rows.last
+      val perRung = rows.map { case (n, t, c) => f"t$n=$t%6.2fs ($c)" }.mkString("  ")
+      println(f"[scale] $name%-18s $perRung  t$rB/t$rA=${tB / tA}%4.2f " +
+        f"(linear ${rB.toDouble / rA}%.2f; warm1 $warm%4.2fs)")
       name -> rows
     }
 
@@ -422,9 +437,20 @@ object BenchScale {
       .map { case (name, at) => fam(name, at) }
 
     val json = results.map { case (k, rows) =>
-      val Seq((_, t1, n1), (_, t3, n3), (_, t10, n10)) = rows
-      f"""  "$k": {"t1_sec": $t1%.3f, "rows1": $n1, "t3_sec": $t3%.3f, "rows3": $n3, "t10_sec": $t10%.3f, "rows10": $n10, "time_growth": ${t10 / t1}%.2f, "linear_multiple": ${t10 / t1 / 10}%.3f, "t10_over_t3": ${t10 / t3}%.2f}"""
-    }.mkString("{\n" + s"""  "base": "$sfDir", "rungs": [1, 3, 10], "shape_note": "t10_over_t3: linear=3.33, quadratic=11.1, constant=1",\n""", ",\n", "\n}")
+      val perRung = rows.map { case (n, t, c) =>
+        f""""t${n}_sec": $t%.3f, "rows$n": $c"""
+      }.mkString(", ")
+      val (_, t1, _) = rows.head
+      val (rA, tA, _) = rows(rows.length - 2)
+      val (rB, tB, _) = rows.last
+      f"""  "$k": {$perRung, "time_growth": ${tB / t1}%.2f, "linear_multiple": ${tB / t1 / rB}%.3f, "t${rB}_over_t$rA": ${tB / tA}%.2f}"""
+    }.mkString("{\n" + {
+      val all = 1 +: rungs
+      val (rA, rB) = (all(all.length - 2), all.last)
+      s"""  "base": "$sfDir", "rungs": [${all.mkString(", ")}], """ +
+        s""""shape_note": "t${rB}_over_t$rA: linear=${
+          f"${rB.toDouble / rA}%.2f"}, constant=1",\n"""
+    }, ",\n", "\n}")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), json + "\n")
     // stop first: the JSON must be the LAST stdout line (tail-captured)
     spark.stop()

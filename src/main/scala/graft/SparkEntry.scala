@@ -1599,6 +1599,33 @@ object SparkEntry {
       semi.unionByName(anti).orderBy(col("id"))
     }),
 
+    // declarative FULL OUTER spatial join: matched pairs plus BOTH sides'
+    // unmatched rows (ck%3 thins the left side and appended far-north
+    // boxes thin the right, so both unmatched legs are exercised)
+    "sp_sql_full_join" -> ((s, dir) => {
+      graft.functions.SpatialFunctions.register(s)
+      graft.plans.GraftOptimizations.install(s)
+      pointsDf(s, dir).filter(col("ck") % 3 === 0)
+        .select(col("ck"), col("geometry"))
+        .createOrReplaceTempView("sqlj_pts3")
+      natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .select(col("n_nationkey"), col("geometry"))
+        .unionByName(T(s, dir, "nation").select(
+          (col("n_nationkey") + 100).as("n_nationkey"),
+          st.geomFromText(concat(lit("POLYGON (("),
+            col("n_nationkey") * 2 - lit(50), lit(" 85, "),
+            col("n_nationkey") * 2 - lit(48), lit(" 85, "),
+            col("n_nationkey") * 2 - lit(48), lit(" 89, "),
+            col("n_nationkey") * 2 - lit(50), lit(" 89, "),
+            col("n_nationkey") * 2 - lit(50), lit(" 85))"))).as("geometry")))
+        .createOrReplaceTempView("sqlj_boxes_f")
+      s.sql("""SELECT coalesce(p.ck, -1) AS id, coalesce(b.n_nationkey, -1) AS nk
+              |FROM sqlj_pts3 p FULL JOIN sqlj_boxes_f b
+              |ON st_intersects(p.geometry, b.geometry)
+              |ORDER BY id, nk""".stripMargin)
+    }),
+
     // zonal statistics: per 3° grid cell, overlapping-polygon count +
     // clipped JTS area over the nation boxes — half-integer box corners vs
     // integer cell edges keep every product a binary-exact quarter, so the
@@ -3029,6 +3056,25 @@ object SparkEntry {
         |)
         |SELECT ck AS id, coalesce(n_nationkey, -1) AS nk
         |FROM pts LEFT JOIN nb
+        |ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
+        |ORDER BY 1, 2""".stripMargin),
+
+    "sp_sql_full_join" -> (PtsCte +
+      """
+        |, p3 AS (SELECT * FROM pts WHERE ck % 3 = 0)
+        |, nb AS (
+        |  SELECT n_nationkey,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100,
+        |         n_nationkey * 2 - 50, n_nationkey * 2 - 48,
+        |         85, 89
+        |  FROM nation
+        |)
+        |SELECT coalesce(ck, -1) AS id, coalesce(n_nationkey, -1) AS nk
+        |FROM p3 FULL JOIN nb
         |ON x BETWEEN x0 AND x1 AND y BETWEEN y0 AND y1
         |ORDER BY 1, 2""".stripMargin),
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftAnti, LeftOuter, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, JoinType, LeftAnti, LeftOuter, LeftSemi, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions._
@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   * removeNodes-style flow, SpatialProcedures.java:679-718, is an
   * anti-join) run the same grid plan as a LEFT OUTER cell join inside ONE
   * dataflow: a window over a per-row tag classifies each left row as
-  * matched/unmatched and picks a representative copy, so the left side is
-  * evaluated exactly once. RIGHT/FULL OUTER are left to Spark (still
-  * BroadcastNestedLoop — documented, rewrite them as LEFT from the other
-  * side).
+  * matched/unmatched and picks a representative copy, so the preserved
+  * side is evaluated exactly once. RIGHT OUTER runs the same dataflow
+  * with the sides (and the predicate) transposed; FULL OUTER is the LEFT
+  * OUTER result unioned with the right side's unmatched rows (a
+  * right-preserved ANTI pass) null-extended on the left columns.
   *
   * Scope (documented, not silently wrong): the ST conjunct's arguments
   * must be bare geometry columns, one from each side; remaining conjuncts
@@ -48,7 +49,8 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
     "st_within" -> "st_contains", "st_contains" -> "st_within",
     "st_covers" -> "st_coveredby", "st_coveredby" -> "st_covers")
 
-  private val Supported: Set[JoinType] = Set(Inner, LeftOuter, LeftSemi, LeftAnti)
+  private val Supported: Set[JoinType] =
+    Set(Inner, LeftOuter, LeftSemi, LeftAnti, RightOuter, FullOuter)
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -92,88 +94,114 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
     // JVM never crosses sessions
     val spark = sessionOpt.getOrElse(SparkSession.active)
     val cell = conf.getConfString("spark.graft.sqlJoin.cellSize", "10.0").toDouble
-    val lDf0 = GraftColumnBridge.ofRows(spark, left)
-    val rDf = GraftColumnBridge.ofRows(spark, right)
-    // Left-preserving types tag each left row so ONE dataflow can decide
-    // matched vs unmatched per row. The tag is used only WITHIN that single
-    // evaluation (explode → join → window over the tag), never joined back
-    // against a second evaluation of the left side — so it only needs
-    // uniqueness, which monotonically_increasing_id guarantees, not
-    // replay-stability, which it does not (e.g. ConvertToLocalRelation can
-    // constant-fold the tag in one plan copy but not another).
-    val lDf =
-      if (jt == Inner) lDf0
-      else lDf0.withColumn("__g_lid", monotonically_increasing_id())
-    val lg = GraftColumnBridge.column(lGeom)
-    val rg = GraftColumnBridge.column(rGeom)
-    // the LEFT side uses outer explodes for left-preserving joins: a null
-    // geometry yields null cells, and the row must still surface as
-    // unmatched rather than vanish at the explode
-    def cellsL(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
-        b: org.apache.spark.sql.Column) =
-      if (jt == Inner) explode(f(b)) else explode_outer(f(b))
-    def seqX(b: org.apache.spark.sql.Column) = sequence(
-      floor(b("minx") / cell).cast("long"), floor(b("maxx") / cell).cast("long"))
-    def seqY(b: org.apache.spark.sql.Column) = sequence(
-      floor(b("miny") / cell).cast("long"), floor(b("maxy") / cell).cast("long"))
-    val lb = lDf.withColumn("__g_lb", graft.functions.st.bboxOf(lg))
-      .withColumn("__g_lcx", cellsL(seqX, col("__g_lb")))
-      .withColumn("__g_lcy", cellsL(seqY, col("__g_lb")))
-    val rb = rDf.withColumn("__g_rb", graft.functions.st.bboxOf(rg))
-      .withColumn("__g_rcx", explode(seqX(col("__g_rb"))))
-      .withColumn("__g_rcy", explode(seqY(col("__g_rb"))))
-      .withColumn("__g_rhit", lit(1))
-    val glb = col("__g_lb"); val grb = col("__g_rb")
-    val overlap =
-      glb("minx") <= grb("maxx") && grb("minx") <= glb("maxx") &&
-      glb("miny") <= grb("maxy") && grb("miny") <= glb("maxy")
-    // reference-point dedup: only the cell holding the intersection's
-    // min corner emits the pair
-    val refPoint =
-      floor(greatest(glb("minx"), grb("minx")) / cell).cast("long") === col("__g_lcx") &&
-      floor(greatest(glb("miny"), grb("miny")) / cell).cast("long") === col("__g_lcy")
     val restCond = rest.reduceOption(And).map(GraftColumnBridge.column)
-    val matchCond = {
-      val base = col("__g_lcx") === col("__g_rcx") && col("__g_lcy") === col("__g_rcy") &&
-        overlap && refPoint && call_udf(pred, lg, rg)
-      // for left-preserving joins every ON conjunct decides MATCHING (an
-      // unmatched left row survives regardless), so rest folds in here;
-      // for inner a post-filter is equivalent and keeps the join cheap
-      if (jt != Inner) restCond.map(base && _).getOrElse(base) else base
+
+    /** The grid dataflow with `p` as the PRESERVED side and `q` as the
+      * probe side; `pred` is oriented (pGeom, qGeom). `semantics` is one of
+      * Inner / LeftOuter / LeftSemi / LeftAnti over that preserved side;
+      * `out` is selected at the end BY ATTRIBUTE, so any output order
+      * works regardless of which original side is preserved.
+      */
+    def buildJoin(p: LogicalPlan, q: LogicalPlan, pred: String,
+        pGeom: AttributeReference, qGeom: AttributeReference,
+        semantics: JoinType, out: Seq[Attribute]): DataFrame = {
+      val pDf0 = GraftColumnBridge.ofRows(spark, p)
+      val qDf = GraftColumnBridge.ofRows(spark, q)
+      // Preserving types tag each preserved-side row so ONE dataflow can
+      // decide matched vs unmatched per row. The tag is used only WITHIN
+      // that single evaluation (explode → join → window over the tag),
+      // never joined back against a second evaluation of the side — so it
+      // only needs uniqueness, which monotonically_increasing_id
+      // guarantees, not replay-stability, which it does not (e.g.
+      // ConvertToLocalRelation can constant-fold the tag in one plan copy
+      // but not another).
+      val pDf =
+        if (semantics == Inner) pDf0
+        else pDf0.withColumn("__g_lid", monotonically_increasing_id())
+      val pg = GraftColumnBridge.column(pGeom)
+      val qg = GraftColumnBridge.column(qGeom)
+      // the preserved side uses outer explodes for preserving joins: a null
+      // geometry yields null cells, and the row must still surface as
+      // unmatched rather than vanish at the explode
+      def cellsP(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        if (semantics == Inner) explode(f(b)) else explode_outer(f(b))
+      def seqX(b: org.apache.spark.sql.Column) = sequence(
+        floor(b("minx") / cell).cast("long"), floor(b("maxx") / cell).cast("long"))
+      def seqY(b: org.apache.spark.sql.Column) = sequence(
+        floor(b("miny") / cell).cast("long"), floor(b("maxy") / cell).cast("long"))
+      val pb = pDf.withColumn("__g_lb", graft.functions.st.bboxOf(pg))
+        .withColumn("__g_lcx", cellsP(seqX, col("__g_lb")))
+        .withColumn("__g_lcy", cellsP(seqY, col("__g_lb")))
+      val qb = qDf.withColumn("__g_rb", graft.functions.st.bboxOf(qg))
+        .withColumn("__g_rcx", explode(seqX(col("__g_rb"))))
+        .withColumn("__g_rcy", explode(seqY(col("__g_rb"))))
+        .withColumn("__g_rhit", lit(1))
+      val glb = col("__g_lb"); val grb = col("__g_rb")
+      val overlap =
+        glb("minx") <= grb("maxx") && grb("minx") <= glb("maxx") &&
+        glb("miny") <= grb("maxy") && grb("miny") <= glb("maxy")
+      // reference-point dedup: only the cell holding the intersection's
+      // min corner emits the pair
+      val refPoint =
+        floor(greatest(glb("minx"), grb("minx")) / cell).cast("long") === col("__g_lcx") &&
+        floor(greatest(glb("miny"), grb("miny")) / cell).cast("long") === col("__g_lcy")
+      val matchCond = {
+        val base = col("__g_lcx") === col("__g_rcx") && col("__g_lcy") === col("__g_rcy") &&
+          overlap && refPoint && call_udf(pred, pg, qg)
+        // for preserving joins every ON conjunct decides MATCHING (an
+        // unmatched preserved row survives regardless), so rest folds in
+        // here; for inner a post-filter is equivalent and keeps the join
+        // cheap
+        if (semantics != Inner) restCond.map(base && _).getOrElse(base) else base
+      }
+      semantics match {
+        case Inner =>
+          val joined = pb.join(qb, matchCond)
+            .select(out.map(a => GraftColumnBridge.column(a)): _*)
+          restCond.map(joined.filter).getOrElse(joined)
+        case _ =>
+          // single-dataflow preserving grid join: LEFT OUTER on the cell
+          // equi-key keeps every preserved cell-copy; a window over the
+          // per-row tag then classifies rows (any copy matched?) and picks
+          // one representative copy for the unmatched/semi outputs. One
+          // shuffle on the tag, no second evaluation of the preserved
+          // side, nothing materialized.
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("__g_lid"))
+          val wOrd = Window.partitionBy(col("__g_lid"))
+            .orderBy(col("__g_rhit").desc_nulls_last)
+          val j0 = pb.join(qb, matchCond, "left_outer")
+            .withColumn("__g_hit", max(col("__g_rhit")).over(w))
+            .withColumn("__g_rn", row_number().over(wOrd))
+          val kept = semantics match {
+            case LeftSemi => j0.filter(col("__g_hit") === 1 && col("__g_rn") === 1)
+            case LeftAnti => j0.filter(col("__g_hit").isNull && col("__g_rn") === 1)
+            case LeftOuter => j0.filter(col("__g_rhit").isNotNull ||
+              (col("__g_hit").isNull && col("__g_rn") === 1))
+            case other => throw new IllegalStateException(s"unreachable semantics $other")
+          }
+          kept.select(out.map(a => GraftColumnBridge.column(a)): _*)
+      }
     }
 
     val result: DataFrame = jt match {
-      case Inner =>
-        val joined = lb.join(rb, matchCond)
-          .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
-        restCond.map(joined.filter).getOrElse(joined)
-      case _ =>
-        // single-dataflow left-preserving grid join: LEFT OUTER on the cell
-        // equi-key keeps every left cell-copy; a window over the per-row tag
-        // then classifies rows (any copy matched?) and picks one
-        // representative copy for the unmatched/semi outputs. One shuffle on
-        // the tag, no second evaluation of the left side, nothing
-        // materialized.
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("__g_lid"))
-        val wOrd = Window.partitionBy(col("__g_lid"))
-          .orderBy(col("__g_rhit").desc_nulls_last)
-        val j0 = lb.join(rb, matchCond, "left_outer")
-          .withColumn("__g_hit", max(col("__g_rhit")).over(w))
-          .withColumn("__g_rn", row_number().over(wOrd))
-        jt match {
-          case LeftSemi =>
-            j0.filter(col("__g_hit") === 1 && col("__g_rn") === 1)
-              .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
-          case LeftAnti =>
-            j0.filter(col("__g_hit").isNull && col("__g_rn") === 1)
-              .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
-          case LeftOuter =>
-            j0.filter(col("__g_rhit").isNotNull ||
-                (col("__g_hit").isNull && col("__g_rn") === 1))
-              .select(j.output.map(a => GraftColumnBridge.column(a)): _*)
-          case other => throw new IllegalStateException(s"unreachable join type $other")
-        }
+      case Inner | LeftOuter | LeftSemi | LeftAnti =>
+        buildJoin(left, right, pred, lGeom, rGeom, jt, j.output)
+      case RightOuter =>
+        // same dataflow, sides and predicate transposed; the attribute
+        // select restores the original output order
+        buildJoin(right, left, Transpose(pred), rGeom, lGeom, LeftOuter, j.output)
+      case FullOuter =>
+        val leftPart = buildJoin(left, right, pred, lGeom, rGeom, LeftOuter, j.output)
+        // right rows with NO match, null-extended on the left columns —
+        // positional union against the left part (both in j.output order)
+        val rightAnti = buildJoin(right, left, Transpose(pred), rGeom, lGeom,
+          LeftAnti, right.output)
+        val nullLeft = left.output.map(a => lit(null).cast(a.dataType).as(a.name))
+        leftPart.union(rightAnti.select(
+          nullLeft ++ right.output.map(a => GraftColumnBridge.column(a)): _*))
+      case other => throw new IllegalStateException(s"unreachable join type $other")
     }
     val newPlan = result.queryExecution.analyzed
     // output attributes are pass-through (no aliasing), so ExprIds already

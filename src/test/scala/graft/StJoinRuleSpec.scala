@@ -143,6 +143,42 @@ class StJoinRuleSpec extends SparkSpec {
     assert(gotRest == wantRest)
   }
 
+  test("RIGHT OUTER and FULL OUTER st joins: transposed / unioned dataflow, grid plan") {
+    GraftOptimizations.install(spark)
+    ptsDf.createOrReplaceTempView("sj_pts")
+    // every fixture box contains points, so add one box in the empty far
+    // north: the right/full results must surface it as unmatched
+    import spark.implicits._
+    boxesDf.unionByName(Seq(
+        (99L, "POLYGON ((0 85, 5 85, 5 89, 0 89, 0 85))")).toDF("bid", "wkt")
+        .withColumn("geometry", st.geomFromText(col("wkt"))))
+      .createOrReplaceTempView("sj_boxes")
+    val (pairs, allPids) = truth
+    val allBids = (1L to 15L).toSet + 99L
+    val matchedBids = pairs.map(_._2)
+    val rq = spark.sql(
+      """SELECT p.pid, b.bid FROM sj_pts p RIGHT JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+    assertNoProduct(rq)
+    val gotR = rq.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSet
+    val wantR = pairs ++ (allBids -- matchedBids).map(b => (-1L, b))
+    assert(gotR == wantR)
+    val fq = spark.sql(
+      """SELECT p.pid, b.bid FROM sj_pts p FULL JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+    assertNoProduct(fq)
+    val gotF = fq.collect().map(r =>
+      (if (r.isNullAt(0)) -1L else r.getLong(0),
+       if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    val wantF = pairs ++
+      (allPids -- pairs.map(_._1)).map(p => (p, -1L)) ++
+      (allBids -- matchedBids).map(b => (-1L, b))
+    assert(gotF == wantF)
+    assert(gotF.exists(_._1 == -1L) && gotF.exists(_._2 == -1L),
+      "fixture should leave unmatched rows on both sides")
+  }
+
   test("API gridJoinTyped: outer/semi/anti against the inner grid join, with and without id column") {
     val (pairs, allPids) = truth
     val matchedPids = pairs.map(_._1)

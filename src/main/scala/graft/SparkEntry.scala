@@ -1807,6 +1807,17 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // two-level (hierarchical) IVF kNN join — the 100 TB quantizer: flat
+    // assignment is corpus×nlist (N² under nlist∝N, measured 9.5× vs
+    // linear 3.33 at the 100×/30× rungs); parents+children assignment is
+    // ~2√nlist per vector. The oracle replays the exact two-level argmax
+    "sim_knn_hier" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfKnnJoinTwoLevel(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN quality gate: recall@5 of the IVF index vs the exact top-5 over
     // a sampled query set — retrieval evaluation as an operator; both
     // sides share the (rounded cosine, id) tie order so recall is exact
@@ -3206,6 +3217,52 @@ object SparkEntry {
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rank
         |  FROM cand
         |)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "sim_knn_hier" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |par AS (SELECT cid AS pid, cv AS pv FROM c WHERE cid < 4),
+        |grp AS (
+        |  SELECT cid, cv, pid FROM (
+        |    SELECT c.cid, c.cv, par.pid,
+        |           row_number() OVER (PARTITION BY c.cid
+        |             ORDER BY list_cosine_similarity(c.cv, par.pv) DESC, par.pid) AS rn
+        |    FROM c CROSS JOIN par) WHERE rn = 1
+        |), vp AS (
+        |  SELECT id, v, pid FROM (
+        |    SELECT e.vec_id AS id, e.v, par.pid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, par.pv) DESC, par.pid) AS rn
+        |    FROM e CROSS JOIN par) WHERE rn = 1
+        |), assign AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT vp.id, vp.v, g.cid,
+        |           row_number() OVER (PARTITION BY vp.id
+        |             ORDER BY list_cosine_similarity(vp.v, g.cv) DESC, g.cid) AS rn
+        |    FROM vp JOIN grp g ON g.pid = vp.pid) WHERE rn = 1
+        |), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+        |qp AS (
+        |  SELECT qid, qv, pid FROM (
+        |    SELECT q.qid, q.qv, par.pid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, par.pv) DESC, par.pid) AS rn
+        |    FROM q CROSS JOIN par) WHERE rn <= 2
+        |), probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT qp.qid, g.cid,
+        |           row_number() OVER (PARTITION BY qp.qid
+        |             ORDER BY list_cosine_similarity(qp.qv, g.cv) DESC, g.cid) AS rn
+        |    FROM qp JOIN grp g ON g.pid = qp.pid) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+        |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid
+        |  WHERE a.id <> q.qid
+        |), ranked AS (
+        |  SELECT qid, nid, cosine,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rank
+        |  FROM cand)
         |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 

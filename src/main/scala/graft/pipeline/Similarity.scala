@@ -377,6 +377,69 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
+  /** Batch ANN kNN join with a TWO-LEVEL coarse quantizer — the 100 TB
+    * shape of [[ivfKnnJoin]]. The flat variant assigns every corpus vector
+    * by scanning all `nlist` centroids: with the production tuning rule
+    * nlist ∝ corpus (constant list size), assignment cost is
+    * corpus × nlist ∝ N² — measured at the 30×/100× bench rungs as
+    * t100/t30 = 9.5 vs linear 3.33. Here the `nlist` centroids are grouped
+    * under ⌈√nlist⌉ parent centroids (the standard inverted-multi-index /
+    * hierarchical-k-means move), and assignment scans parents then one
+    * group's children: ~2√nlist per vector, so nlist ∝ N gives total
+    * assignment cost ∝ N^1.5 per level — and per-vector work stays O(√N),
+    * flat in the measured rungs. Queries probe the top-2 parents and take
+    * the best `nprobe` children among their groups.
+    *
+    * The list an element lands in can differ from the flat argmax (the
+    * two-level argmax is the standard approximation), so this is a
+    * DISTINCT operator gated by recall-vs-exact, not by hash equality
+    * with the flat variant.
+    */
+  def ivfKnnJoinTwoLevel(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = deterministicCentroids(corpus, idCol, vecCol, nlist)
+    val g = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
+    val parents = cents.take(g)
+    // children grouped under their nearest parent (driver-side, nlist × g —
+    // trivial next to the data scan); a parent is its own nearest parent,
+    // so every group is non-empty
+    val groups: Map[Int, Array[(Int, Array[Double])]] =
+      cents.groupBy { case (_, cv) =>
+        parents.map { case (pi, pv) => (pi, centCos(pv, cv.toSeq)) }
+          .minBy { case (pi, s) => (-s, pi) }._1
+      }
+    val assign = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble)
+      val bestParent = parents.map { case (pi, pv) => (pi, centCos(pv, vd)) }
+        .minBy { case (pi, s) => (-s, pi) }._1
+      groups(bestParent).map { case (ci, cv) => (ci, centCos(cv, vd)) }
+        .minBy { case (ci, s) => (-s, ci) }._1
+    })
+    val probesUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble)
+      val topParents = parents.map { case (pi, pv) => (pi, centCos(pv, vd)) }
+        .sortBy { case (pi, s) => (-s, pi) }.take(2).map(_._1)
+      topParents.flatMap(groups(_))
+        .map { case (ci, cv) => (ci, centCos(cv, vd)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
+    })
+    val corpusAssigned = corpus
+      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list_id", assign(col("nvec")))
+    val queriesProbed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("list_id", explode(probesUdf(col("qvec"))))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    queriesProbed.join(corpusAssigned, "list_id")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(asDouble(col("qvec")), asDouble(col("nvec"))), 6).as("cosine"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+  }
+
   /** Retrieval evaluation as a first-class operator: recall@k of the IVF
     * index against the exact per-query top-k — the number every ANN
     * deployment tracks (probe budget vs recall). The exact side is a

@@ -370,6 +370,14 @@ object BenchScale {
         (n => Similarity.ivfKnnJoin(embAt(n),
           embAt(n).filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
           k = 5, nlist = 16 * n, nprobe = 2)),
+      // the two-level quantizer under the same resize rule: flat
+      // assignment is corpus×nlist ∝ N² (measured t100/t30 = 9.5); the
+      // parent/child scan is ~2√nlist per vector, so this family must
+      // stay near-linear at the 30×/100× rungs
+      "sim_knn_hier" ->
+        (n => Similarity.ivfKnnJoinTwoLevel(embAt(n),
+          embAt(n).filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          k = 5, nlist = 16 * n, nprobe = 2)),
       // hierarchical tile pyramid: base scan grows N× (and the shifted
       // copies widen the cell extent ~N×) but every exchange after the
       // partial agg is tile-count-sized; each coarser level rolls up from

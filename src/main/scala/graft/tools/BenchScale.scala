@@ -55,6 +55,12 @@ object BenchScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect()   // session warm-up
+    // SPARK_GRAFT_DEDUP_BCAST pins the dedup verify strategy for a rung
+    // ladder (e.g. "0" = always the shuffle-join verify): the adaptive
+    // byte gate otherwise SWITCHES strategy between rungs, which measures
+    // the gate, not one plan's growth
+    sys.env.get("SPARK_GRAFT_DEDUP_BCAST").foreach(v =>
+      spark.conf.set("spark.graft.dedup.broadcastBytes", v))
 
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft_scale10x_" + new java.io.File(sfDir).getName)

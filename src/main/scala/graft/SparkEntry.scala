@@ -1818,6 +1818,19 @@ object SparkEntry {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // log-depth quantizer tree (nlist=64, branch=4 → 4-node top, 16-node
+    // mid, 64 leaves): per-vector assignment is branch·log_branch(nlist)
+    // — the O(log N) scale path where flat is O(N) and two-level O(√N).
+    // The oracle replays every level of the greedy descent and the
+    // width-2 beam probe exactly (same (cosine desc, id) tie order)
+    "sim_knn_tree" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.ivfKnnJoinTree(emb, emb.filter(col("vec_id") % 25 === 0),
+          "vec_id", "embedding", k = 5, nlist = 64, nprobe = 2,
+          branch = 4, beam = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // ANN quality gate: recall@5 of the IVF index vs the exact top-5 over
     // a sampled query set — retrieval evaluation as an operator; both
     // sides share the (rounded cosine, id) tie order so recall is exact
@@ -3255,6 +3268,77 @@ object SparkEntry {
         |           row_number() OVER (PARTITION BY qp.qid
         |             ORDER BY list_cosine_similarity(qp.qv, g.cv) DESC, g.cid) AS rn
         |    FROM qp JOIN grp g ON g.pid = qp.pid) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+        |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid
+        |  WHERE a.id <> q.qid
+        |), ranked AS (
+        |  SELECT qid, nid, cosine,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS BIGINT) AS rank
+        |  FROM cand)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "sim_knn_tree" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 64),
+        |p16 AS (SELECT cid AS pid, cv AS pv FROM c WHERE cid < 16),
+        |p4 AS (SELECT cid AS tid, cv AS tv FROM c WHERE cid < 4),
+        |g16 AS (
+        |  SELECT pid, tid FROM (
+        |    SELECT p16.pid, p4.tid,
+        |           row_number() OVER (PARTITION BY p16.pid
+        |             ORDER BY list_cosine_similarity(p16.pv, p4.tv) DESC, p4.tid) AS rn
+        |    FROM p16 CROSS JOIN p4) WHERE rn = 1
+        |), g64 AS (
+        |  SELECT cid, pid FROM (
+        |    SELECT c.cid, p16.pid,
+        |           row_number() OVER (PARTITION BY c.cid
+        |             ORDER BY list_cosine_similarity(c.cv, p16.pv) DESC, p16.pid) AS rn
+        |    FROM c CROSS JOIN p16) WHERE rn = 1
+        |), a4 AS (
+        |  SELECT id, v, tid FROM (
+        |    SELECT e.vec_id AS id, e.v, p4.tid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, p4.tv) DESC, p4.tid) AS rn
+        |    FROM e CROSS JOIN p4) WHERE rn = 1
+        |), a16 AS (
+        |  SELECT id, v, pid FROM (
+        |    SELECT a4.id, a4.v, g16.pid,
+        |           row_number() OVER (PARTITION BY a4.id
+        |             ORDER BY list_cosine_similarity(a4.v, p16.pv) DESC, g16.pid) AS rn
+        |    FROM a4 JOIN g16 ON g16.tid = a4.tid JOIN p16 ON p16.pid = g16.pid)
+        |  WHERE rn = 1
+        |), assign AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT a16.id, a16.v, g64.cid,
+        |           row_number() OVER (PARTITION BY a16.id
+        |             ORDER BY list_cosine_similarity(a16.v, c.cv) DESC, g64.cid) AS rn
+        |    FROM a16 JOIN g64 ON g64.pid = a16.pid JOIN c ON c.cid = g64.cid)
+        |  WHERE rn = 1
+        |), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 25 = 0),
+        |q4 AS (
+        |  SELECT qid, qv, tid FROM (
+        |    SELECT q.qid, q.qv, p4.tid,
+        |           row_number() OVER (PARTITION BY q.qid
+        |             ORDER BY list_cosine_similarity(q.qv, p4.tv) DESC, p4.tid) AS rn
+        |    FROM q CROSS JOIN p4) WHERE rn <= 2
+        |), q16 AS (
+        |  -- children of the two chosen top nodes are DISJOINT pid sets
+        |  -- (each pid has exactly one parent), so a plain join suffices
+        |  SELECT qid, qv, pid FROM (
+        |    SELECT q4.qid, q4.qv, g16.pid,
+        |           row_number() OVER (PARTITION BY q4.qid
+        |             ORDER BY list_cosine_similarity(q4.qv, p16.pv) DESC, g16.pid) AS rn
+        |    FROM q4 JOIN g16 ON g16.tid = q4.tid JOIN p16 ON p16.pid = g16.pid)
+        |  WHERE rn <= 2
+        |), probes AS (
+        |  SELECT qid, cid FROM (
+        |    SELECT q16.qid, g64.cid,
+        |           row_number() OVER (PARTITION BY q16.qid
+        |             ORDER BY list_cosine_similarity(q16.qv, c.cv) DESC, g64.cid) AS rn
+        |    FROM q16 JOIN g64 ON g64.pid = q16.pid JOIN c ON c.cid = g64.cid)
+        |  WHERE rn <= 2
         |), cand AS (
         |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
         |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid

@@ -353,7 +353,6 @@ object Similarity {
     */
   def ivfKnnJoin(corpus: DataFrame, queries: DataFrame, idCol: String,
       vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = deterministicCentroids(corpus, idCol, vecCol, nlist)
     val assign = nearestCentroidUdf(cents)
     val probesUdf = udf((v: Seq[Float]) => {
@@ -361,20 +360,7 @@ object Similarity {
       cents.map { case (ci, cv) => (ci, centCos(cv, vd)) }
         .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
     })
-    val corpusAssigned = corpus
-      .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
-      .withColumn("list_id", assign(col("nvec")))
-    val queriesProbed = queries
-      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
-      .withColumn("list_id", explode(probesUdf(col("qvec"))))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
-    queriesProbed.join(corpusAssigned, "list_id")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        round(cosine(asDouble(col("qvec")), asDouble(col("nvec"))), 6).as("cosine"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+    ivfKnnJoinWithQuantizer(corpus, queries, idCol, vecCol, k, assign, probesUdf)
   }
 
   /** Batch ANN kNN join with a TWO-LEVEL coarse quantizer — the 100 TB
@@ -396,34 +382,104 @@ object Similarity {
     * with the flat variant.
     */
   def ivfKnnJoinTwoLevel(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 2): DataFrame =
+    // exactly the depth-2 instance of the general quantizer tree: one
+    // parent level of ⌈√nlist⌉ nodes, beam 2 — [[ivfKnnJoinTree]] with
+    // branch = ⌈√nlist⌉ reproduces the grouping, descent, and probe order
+    // bit-for-bit (sim_knn_hier's oracle gates this shared path)
+    ivfKnnJoinTree(corpus, queries, idCol, vecCol, k, nlist, nprobe,
+      branch = math.max(2, math.ceil(math.sqrt(nlist.toDouble)).toInt), beam = 2)
+
+  /** Batch ANN kNN join through a LOG-DEPTH quantizer tree — the asymptote
+    * the rung ladder asks for. Under the production resize rule
+    * (nlist ∝ corpus, constant list size) per-vector assignment work is:
+    * flat scan O(nlist) = O(N) (total N² — measured t100/t30 = 9.5),
+    * two-level O(√nlist) = O(√N) (total N^1.5 — super-linear in the rungs),
+    * and this tree O(branch · log_branch nlist) = O(log N) (total N log N,
+    * indistinguishable from linear at any measurable rung). The `nlist`
+    * leaf centroids sit under ⌈nlist/branch⌉ parents, those under
+    * ⌈·/branch²⌉ grandparents, … until one level fits a single scan — the
+    * vocabulary-tree / hierarchical-k-means shape (Nistér & Stewénius,
+    * CVPR'06; FAISS IMI). Node ids NEST: level-k nodes are the first m_k
+    * leaf centroids, so one prefix array holds every node vector and the
+    * whole tree broadcasts as (centroids, child-index arrays).
+    *
+    * Assignment descends greedily (scan the top level, then only the
+    * chosen node's children — ties to the lowest id at every step).
+    * Queries descend with a width-`beam` beam and take the best `nprobe`
+    * leaves. Like the two-level variant, the landed list can differ from
+    * the flat argmax; the operator is gated by its own exact oracle replay
+    * (sim_knn_tree) and recall-vs-exact, not by hash equality with flat.
+    */
+  def ivfKnnJoinTree(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, k: Int, nlist: Int = 64, nprobe: Int = 2,
+      branch: Int = 8, beam: Int = 2): DataFrame = {
+    require(branch >= 2, s"branch must be >= 2, got $branch")
     val cents = deterministicCentroids(corpus, idCol, vecCol, nlist)
-    val g = math.max(1, math.ceil(math.sqrt(nlist.toDouble)).toInt)
-    val parents = cents.take(g)
-    // children grouped under their nearest parent (driver-side, nlist × g —
-    // trivial next to the data scan); a parent is its own nearest parent,
-    // so every group is non-empty
-    val groups: Map[Int, Array[(Int, Array[Double])]] =
-      cents.groupBy { case (_, cv) =>
-        parents.map { case (pi, pv) => (pi, centCos(pv, cv.toSeq)) }
-          .minBy { case (pi, s) => (-s, pi) }._1
+    val centVecs: Array[Array[Double]] = cents.map(_._2)
+    // parent-level sizes bottom-up until one level is a single scan
+    val parentSizesUp: List[Int] = {
+      val b = List.newBuilder[Int]
+      var m = nlist
+      while (m > branch) { m = math.ceil(m.toDouble / branch).toInt; b += m }
+      b.result()
+    }
+    // children(level)(parentId) = ascending child ids grouped under their
+    // nearest parent (cosine, ties to the lowest parent id); a parent is
+    // its own nearest parent, so groups are non-empty. Built driver-side:
+    // Σ m_k·m_{k+1} ≤ nlist·branch work — trivial next to the data scan
+    def group(childCount: Int, parentCount: Int): Array[Array[Int]] = {
+      val out = Array.fill(parentCount)(Array.newBuilder[Int])
+      var c = 0
+      while (c < childCount) {
+        var best = 0; var bestS = Double.NegativeInfinity
+        var p = 0
+        while (p < parentCount) {
+          val s = centCos(centVecs(p), centVecs(c).toSeq)
+          if (s > bestS) { bestS = s; best = p }
+          p += 1
+        }
+        out(best) += c
+        c += 1
       }
+      out.map(_.result())
+    }
+    val groupsTopDown: List[Array[Array[Int]]] =
+      (nlist :: parentSizesUp).sliding(2).collect {
+        case List(c, p) => (c, p)
+      }.toList.reverse.map { case (c, p) => group(c, p) }
+    val topSize = parentSizesUp.lastOption.getOrElse(nlist)
+
+    def topBy(vd: Seq[Double], ids: Seq[Int], n: Int): Seq[Int] =
+      ids.map(i => (i, centCos(centVecs(i), vd)))
+        .sortBy { case (i, s) => (-s, i) }.take(n).map(_._1)
     val assign = udf((v: Seq[Float]) => {
       val vd = v.map(_.toDouble)
-      val bestParent = parents.map { case (pi, pv) => (pi, centCos(pv, vd)) }
-        .minBy { case (pi, s) => (-s, pi) }._1
-      groups(bestParent).map { case (ci, cv) => (ci, centCos(cv, vd)) }
-        .minBy { case (ci, s) => (-s, ci) }._1
+      var cur = topBy(vd, 0 until topSize, 1).head
+      groupsTopDown.foreach { g => cur = topBy(vd, g(cur).toSeq, 1).head }
+      cur
     })
     val probesUdf = udf((v: Seq[Float]) => {
       val vd = v.map(_.toDouble)
-      val topParents = parents.map { case (pi, pv) => (pi, centCos(pv, vd)) }
-        .sortBy { case (pi, s) => (-s, pi) }.take(2).map(_._1)
-      topParents.flatMap(groups(_))
-        .map { case (ci, cv) => (ci, centCos(cv, vd)) }
-        .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
+      var cur = topBy(vd, 0 until topSize,
+        if (groupsTopDown.isEmpty) nprobe else beam)
+      groupsTopDown.zipWithIndex.foreach { case (g, i) =>
+        val cand = cur.flatMap(p => g(p))
+        cur = topBy(vd, cand, if (i == groupsTopDown.size - 1) nprobe else beam)
+      }
+      cur
     })
+    ivfKnnJoinWithQuantizer(corpus, queries, idCol, vecCol, k, assign, probesUdf)
+  }
+
+  /** shared assign → probe-explode → list-keyed join → exact re-rank tail
+    * of every batch ANN kNN join variant (flat / two-level / tree).
+    */
+  private def ivfKnnJoinWithQuantizer(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      assign: org.apache.spark.sql.expressions.UserDefinedFunction,
+      probesUdf: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val corpusAssigned = corpus
       .select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("list_id", assign(col("nvec")))

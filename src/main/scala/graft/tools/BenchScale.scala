@@ -384,6 +384,13 @@ object BenchScale {
         (n => Similarity.ivfKnnJoinTwoLevel(embAt(n),
           embAt(n).filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
           k = 5, nlist = 16 * n, nprobe = 2)),
+      // the log-depth tree under the same resize rule: branch FIXED at 8,
+      // so per-vector assignment work grows only with tree depth
+      // log_8(16n) — the O(log N) asymptote (flat O(N), two-level O(√N))
+      "sim_knn_tree" ->
+        (n => Similarity.ivfKnnJoinTree(embAt(n),
+          embAt(n).filter(col("vec_id") % 25 === 0), "vec_id", "embedding",
+          k = 5, nlist = 16 * n, nprobe = 2, branch = 8, beam = 2)),
       // hierarchical tile pyramid: base scan grows N× (and the shifted
       // copies widen the cell extent ~N×) but every exchange after the
       // partial agg is tile-count-sized; each coarser level rolls up from

@@ -98,4 +98,51 @@ class Round5Spec extends SparkSpec {
     assert(!Ecql.parses("name = ", Set("name")))
     assert(Ecql.parses("name = 'x' AND (a < 3 OR b IS NULL)", Set("name", "a", "b")))
   }
+
+  test("quantizer tree degenerates to the flat IVF join when branch >= nlist") {
+    import graft.pipeline.Similarity
+    // branch >= nlist leaves no parent levels: assignment and probing scan
+    // all centroids — exactly the flat variant's quantizer, so outputs
+    // must be identical row-for-row (a non-circular equivalence; the
+    // two-level variant is the tree by construction)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(6)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 6f)
+    val df = (0L until 40L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") % 7 === 0)
+    val flat = Similarity.ivfKnnJoin(df, q, "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 3).orderBy("qid", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val tree = Similarity.ivfKnnJoinTree(df, q, "vec_id", "embedding",
+      k = 4, nlist = 8, nprobe = 3, branch = 8, beam = 2).orderBy("qid", "rank")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(flat == tree)
+    assert(flat.nonEmpty)
+  }
+
+  test("depth-3 quantizer tree: exact duplicate at rank 1, dense ranks, no self") {
+    import graft.pipeline.Similarity
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = new Array[Float](4); v(axis) = 1.0f; v((axis + 1) % 4) = jitter; v
+    }
+    val rows = (0 until 30).map { i =>
+      val axis = i % 3
+      (i.toLong, vec(axis, 0.01f * (i / 3)))
+    } :+ (100L, vec(0, 0.03f)) // exact duplicate of id 9's vector
+    val df = rows.toDF("vec_id", "embedding")
+    // nlist=16, branch=3 → parent sizes 6, 2: a genuine 3-level descent
+    val out = Similarity.ivfKnnJoinTree(df,
+        df.filter(col("vec_id") === 9 || col("vec_id") === 10),
+        "vec_id", "embedding", k = 3, nlist = 16, nprobe = 2,
+        branch = 3, beam = 2)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val byQ = out.groupBy(_._1)
+    assert(byQ.keySet == Set(9L, 10L))
+    for ((q, ns) <- byQ) {
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2) == (1L to sorted.size.toLong))
+      assert(!sorted.exists(_._3 == q))
+    }
+    assert(byQ(9L).find(_._2 == 1L).get._3 == 100L)
+    assert(byQ(9L).find(_._2 == 1L).get._4 == 1.0)
+  }
 }

@@ -508,10 +508,18 @@ object Similarity {
     * Returns ONE row: (n_queries, avg_recall, min_recall).
     */
   def ivfRecallAtK(corpus: DataFrame, queries: DataFrame, idCol: String,
-      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+      vecCol: String, k: Int, nlist: Int = 16, nprobe: Int = 2): DataFrame =
+    recallAtK(ivfKnnJoin(corpus, queries, idCol, vecCol, k, nlist, nprobe),
+      corpus, queries, idCol, vecCol, k)
+
+  /** recall@k of ANY batch ANN output (rows (qid, rank, nid, …) — flat,
+    * two-level, or tree quantizer) against the exact per-query top-k.
+    * Same protocol/determinism contract as [[ivfRecallAtK]].
+    */
+  def recallAtK(approxOut: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val approx = ivfKnnJoin(corpus, queries, idCol, vecCol, k, nlist, nprobe)
-      .select(col("qid"), col("nid"))
+    val approx = approxOut.select(col("qid"), col("nid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
     val exact = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .crossJoin(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))

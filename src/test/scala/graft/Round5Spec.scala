@@ -145,4 +145,27 @@ class Round5Spec extends SparkSpec {
     assert(byQ(9L).find(_._2 == 1L).get._3 == 100L)
     assert(byQ(9L).find(_._2 == 1L).get._4 == 1.0)
   }
+
+  test("quantizer tree recall-vs-exact on a clustered corpus") {
+    import graft.pipeline.Similarity
+    // 4 tight clusters: within-cluster neighbors dominate the exact top-k,
+    // and cluster members quantize together, so the tree's recall@3 must
+    // be high (the recall gate the docstring promises, run as a unit gate)
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = new Array[Float](8); v(axis * 2) = 1.0f; v(axis * 2 + 1) = jitter; v
+    }
+    val df = (0L until 48L).map(i => (i, vec((i % 4).toInt, 0.02f * (i / 4))))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 8)
+    // each cluster spans 3 of the 12 leaf lists, so the probe budget must
+    // cover 3 lists for the within-cluster exact top-k to be reachable
+    // (nprobe=2 caps recall at ~2/3 by construction — the budget-vs-recall
+    // trade recallAtK exists to expose)
+    val tree = Similarity.ivfKnnJoinTree(df, q, "vec_id", "embedding",
+      k = 3, nlist = 12, nprobe = 3, branch = 3, beam = 2)
+    val r = Similarity.recallAtK(tree, df, q, "vec_id", "embedding", k = 3)
+      .as[(Long, Double, Double)].head()
+    assert(r._1 == 8L)
+    assert(r._2 >= 0.9, s"avg recall@3 ${r._2}")
+  }
 }

@@ -61,6 +61,14 @@ object BenchScale {
     // the gate, not one plan's growth
     sys.env.get("SPARK_GRAFT_DEDUP_BCAST").foreach(v =>
       spark.conf.set("spark.graft.dedup.broadcastBytes", v))
+    // SPARK_GRAFT_INIT_PARTS raises AQE's pre-coalesce partition count for
+    // a heavy one-shot family (the measured shuffle-sizing lever, see
+    // Bench.scala note: gr_triangles' O(m^{3/2}) wedge shuffle spills at
+    // 16 fixed partitions once rungs pass ~10×; on a cluster the executor
+    // count sets this floor). Set per-family so the config is constant
+    // across that family's rungs — a consistent curve, not a strategy mix
+    sys.env.get("SPARK_GRAFT_INIT_PARTS").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
 
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft_scale10x_" + new java.io.File(sfDir).getName)

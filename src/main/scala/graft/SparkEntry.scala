@@ -1287,6 +1287,18 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb, "vec_id", "embedding", q, kTop = 20)
     }),
 
+    // IVF-PQ with exact re-rank: coarse-quantizer pruning (2 of 16 lists)
+    // in front of the ADC scan, then the ADC top-60 re-ranked by exact L2
+    // — the canonical FAISS-shaped production index, every stage replayed
+    // by the oracle
+    "sim_ivf_pq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfPqTopK(emb, "vec_id", "embedding", q, k = 20,
+        nlist = 16, nprobe = 2, m = 8, codeK = 16, refine = 3)
+    }),
+
     // ---------------------------------------------- corpus governance ops
     // benchmark decontamination: training docs sharing a word 3-gram with
     // the eval slice (doc_id % 97 == 0), eval side hashed + broadcast
@@ -2925,6 +2937,57 @@ object SparkEntry {
         |FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.code
         |GROUP BY c.id
         |ORDER BY adc, id LIMIT 20""".stripMargin,
+
+    "sim_ivf_pq" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |cl AS (SELECT vec_id AS clid, v AS clv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assigned AS (
+        |  SELECT id, clid FROM (
+        |    SELECT e.vec_id AS id, cl.clid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, cl.clv) DESC, cl.clid) AS rn
+        |    FROM e CROSS JOIN cl) WHERE rn = 1
+        |), pr AS (
+        |  SELECT clid FROM (
+        |    SELECT cl.clid,
+        |           row_number() OVER (
+        |             ORDER BY list_cosine_similarity(q.qv, cl.clv) DESC, cl.clid) AS rn
+        |    FROM cl CROSS JOIN q) WHERE rn <= 2
+        |), cand AS (
+        |  SELECT a.id FROM assigned a JOIN pr ON pr.clid = a.clid
+        |), cb AS (
+        |  SELECT ms.mi, e2.vec_id AS j,
+        |         list_transform(range(8), i -> e2.embedding[ms.mi*8 + i + 1]::DOUBLE) AS c
+        |  FROM (SELECT unnest(range(8)) AS mi) ms CROSS JOIN embeddings e2
+        |  WHERE e2.vec_id < 16
+        |), enc AS (
+        |  SELECT e3.vec_id AS id, cb.mi, cb.j,
+        |         round(list_sum(list_transform(range(8),
+        |           i -> (e3.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1])
+        |              * (e3.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1]))), 9) AS d2
+        |  FROM embeddings e3 JOIN cand ON cand.id = e3.vec_id CROSS JOIN cb
+        |), codes AS (
+        |  SELECT id, mi, j AS code FROM (
+        |    SELECT id, mi, j, row_number() OVER (PARTITION BY id, mi ORDER BY d2, j) AS rn
+        |    FROM enc) WHERE rn = 1
+        |), lut AS (
+        |  SELECT cb.mi, cb.j,
+        |         round(list_sum(list_transform(range(8),
+        |           i -> (qe.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1])
+        |              * (qe.embedding[cb.mi*8 + i + 1]::DOUBLE - cb.c[i+1]))), 9) AS qd2
+        |  FROM cb CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) qe
+        |), shortlist AS (
+        |  SELECT c.id, round(sum(l.qd2), 6) AS adc
+        |  FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.code
+        |  GROUP BY c.id
+        |  ORDER BY adc, id LIMIT 60
+        |)
+        |SELECT s.id, s.adc,
+        |       round(list_sum(list_transform(range(64),
+        |         i -> (ev.v[i+1] - q.qv[i+1]) * (ev.v[i+1] - q.qv[i+1]))), 6) AS d2
+        |FROM shortlist s JOIN e ev ON ev.vec_id = s.id CROSS JOIN q
+        |ORDER BY d2, id LIMIT 20""".stripMargin,
 
     // ---------------------------------------------- corpus governance ops
     "tx_decontam" ->

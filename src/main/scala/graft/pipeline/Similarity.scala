@@ -664,6 +664,53 @@ object Similarity {
       .limit(kTop)
   }
 
+  /** IVF-PQ: the coarse quantizer's partition pruning composed in FRONT of
+    * the compressed-domain ADC scan, plus exact re-rank of the ADC
+    * shortlist — the canonical production ANN index (Jégou et al. PAMI'11
+    * §V; the FAISS IVFPQ shape). Only vectors in the query's `nprobe`
+    * probe lists are encoded/ADC-scanned: at 100 TB the codes table is
+    * STORED partitioned by `list_id`, so the probe is partition pruning —
+    * nprobe/nlist of the bytes read, and those bytes are m-byte codes,
+    * not raw floats. The ADC top (refine·k), ordered (adc, id), re-ranks
+    * against raw vectors by exact squared L2 — the standard two-stage
+    * refinement that recovers most of the quantization loss.
+    *
+    * List assignment uses cosine (shared with the whole IVF family /
+    * [[nearestCentroidUdf]]); ADC and the re-rank use L2 like the PQ
+    * operators. Returns (id, adc, d2) ordered (d2, id), k rows.
+    */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 16, nprobe: Int = 2,
+      m: Int = 8, codeK: Int = 16, refine: Int = 3): DataFrame = {
+    val cents = deterministicCentroids(df, idCol, vecCol, nlist)
+    val assign = nearestCentroidUdf(cents)
+    val probes = cents.map { case (ci, cv) => (ci, centCos(cv, query.toSeq)) }
+      .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
+    val sd = query.length / m
+    val cb = pqCodebook(df, idCol, vecCol, m, codeK)
+    val qlit = array(query.map(lit): _*)
+    val lut = cb.select(col("mi").as("lmi"), col("j"),
+      subDist2(qlit, col("mi") * sd, col("c"), sd).as("qd2"))
+    val listed = df
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("list_id", assign(col("v")))
+      .filter(col("list_id").isin(probes: _*))
+    val shortlist = pqCodes(listed, "id", "v", cb, m, sd)
+      .join(broadcast(lut), col("mi") === col("lmi") && col("code") === col("j"))
+      .groupBy(col("id"))
+      .agg(round(sum(col("qd2")), 6).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(refine * k)
+    val d2 = aggregate(
+      zip_with(asDouble(col("v")), qlit, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+    shortlist
+      .join(df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v")), "id")
+      .select(col("id"), col("adc"), round(d2, 6).as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(k)
+  }
+
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =
     udf((v: Seq[Float]) => {
       if (v == null) 0L

@@ -229,7 +229,7 @@ object Similarity {
       deterministicCentroids(df, idCol, vecCol, nlist), nprobe)
   }
 
-  private def centCos(a: Array[Double], b: Seq[Double]): Double = {
+  private[graft] def centCos(a: Array[Double], b: Seq[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
     val n = math.min(a.length, b.length)
     var i = 0
@@ -240,7 +240,7 @@ object Similarity {
   /** nearest-centroid-by-cosine assignment (strict > keeps the lowest
     * centroid id on ties) — shared by the IVF probes and SemDeDup.
     */
-  private def nearestCentroidUdf(cents: Array[(Int, Array[Double])]) =
+  private[graft] def nearestCentroidUdf(cents: Array[(Int, Array[Double])]) =
     udf((v: Seq[Float]) => {
       val vd = v.map(_.toDouble)
       var best = 0; var bestS = Double.NegativeInfinity
@@ -252,7 +252,7 @@ object Similarity {
     })
 
   /** first `nlist` vectors by id — the reproducible coarse quantizer. */
-  private def deterministicCentroids(df: DataFrame, idCol: String,
+  private[graft] def deterministicCentroids(df: DataFrame, idCol: String,
       vecCol: String, nlist: Int): Array[(Int, Array[Double])] =
     df.orderBy(col(idCol)).limit(nlist)
       .select(col(vecCol)).collect()

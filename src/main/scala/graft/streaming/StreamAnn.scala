@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity
+
+/** Streaming ANN enrichment: each arriving vector is retrieved against a
+  * STATIC corpus through the IVF index and emits its top-k neighbors — the
+  * online half of [[graft.pipeline.Similarity.ivfKnnJoin]] (an unbounded
+  * query stream over a fixed index: semantic search / retrieval-augmented
+  * lookup / online near-dup check).
+  *
+  * Plan shape mirrors the stream-static enrichment contract
+  * ([[StreamJoin.enrichAndRollup]]): the stream-static `list_id` equi-join
+  * is STATELESS (the static side re-resolves every microbatch, so an index
+  * refresh needs no restart), and the only state is the watermarked
+  * per-(window, qid) top-k aggregate. The top-k itself is an aggregate —
+  * collect the probed candidates, `array_sort` on a (−cosine, nid) struct,
+  * slice k — because rank-window functions don't exist on streams; sorting
+  * ≤ nprobe·listSize candidate structs per query row is the same work the
+  * batch window-rank does, expressed as a streaming-legal aggregate.
+  *
+  * At 100 TB the corpus side is STORED partitioned by `list_id` with
+  * broadcast centroids, exactly like the batch index; per-microbatch cost
+  * is queries × their probe lists, never the corpus.
+  */
+object StreamAnn {
+
+  /** `stream` needs (idCol, vecCol, tsCol); `corpus` (idCol, vecCol).
+    * Emits (window, qid, rank, nid, cosine), rank 1..k per (window, qid),
+    * ordered by rounded cosine desc with nid tie-break — the batch
+    * [[Similarity.ivfKnnJoin]] contract per window.
+    */
+  def annEnrichStream(stream: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, tsCol: String, k: Int, nlist: Int = 16,
+      nprobe: Int = 2, windowDuration: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val cents = Similarity.deterministicCentroids(corpus, idCol, vecCol, nlist)
+    val assign = Similarity.nearestCentroidUdf(cents)
+    val probesUdf = udf((v: Seq[Float]) => {
+      val vd = v.map(_.toDouble)
+      cents.map { case (ci, cv) => (ci, Similarity.centCos(cv, vd)) }
+        .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
+    })
+    val idx = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("list_id", assign(col("nvec")))
+    val asD = (c: org.apache.spark.sql.Column) => transform(c, _.cast("double"))
+    val probed = stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("list_id", explode(probesUdf(col("qvec"))))
+    probed.join(idx, "list_id")
+      .filter(col("nid") =!= col("qid"))
+      .select(col(tsCol), col("qid"),
+        struct(
+          (-round(Similarity.cosine(asD(col("qvec")), asD(col("nvec"))), 6))
+            .as("negc"),
+          col("nid")).as("c"))
+      .groupBy(window(col(tsCol), windowDuration), col("qid"))
+      .agg(slice(array_sort(collect_list(col("c"))), 1, k).as("top"))
+      .select(col("window"), col("qid"),
+        posexplode(col("top")).as(Seq("pos", "c")))
+      .select(col("window"), col("qid"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("c")("nid").as("nid"),
+        (-col("c")("negc")).as("cosine"))
+  }
+}

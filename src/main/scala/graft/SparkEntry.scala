@@ -1287,6 +1287,26 @@ object SparkEntry {
       Similarity.pqAdcTopK(emb, "vec_id", "embedding", q, kTop = 20)
     }),
 
+    // stored IVF index lifecycle: bootstrap write (list_id partition dirs
+    // + frozen-centroid sidecar), append quantized with the FROZEN
+    // codebook, then a probe whose 2 lists are a partition filter — the
+    // sp_layer_upsert evidence pattern for the ANN store; the oracle
+    // replays frozen-bootstrap assignment over the full (boot + appended)
+    // corpus
+    "sim_ivf_store" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("idx").toString
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", p, nlist = 16)
+      Similarity.appendIvfIndex(s, p, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.probeStoredIvf(s, p, q, k = 20, nprobe = 2)
+    }),
+
     // IVF-PQ with exact re-rank: coarse-quantizer pruning (2 of 16 lists)
     // in front of the ADC scan, then the ADC top-60 re-ranked by exact L2
     // — the canonical FAISS-shaped production index, every stage replayed
@@ -2937,6 +2957,32 @@ object SparkEntry {
         |FROM codes c JOIN lut l ON l.mi = c.mi AND l.j = c.code
         |GROUP BY c.id
         |ORDER BY adc, id LIMIT 20""".stripMargin,
+
+    "sim_ivf_store" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |boot AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM boot ORDER BY vec_id LIMIT 16
+        |), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |           row_number() OVER (
+        |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM c CROSS JOIN q) WHERE rn <= 2
+        |), assigned AS (
+        |  -- EVERY vector (bootstrap + appended) quantized with the FROZEN
+        |  -- bootstrap codebook, exactly like appendIvfIndex
+        |  SELECT id, v, cid FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1
+        |)
+        |SELECT a.id, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+        |FROM assigned a JOIN probes p ON p.cid = a.cid CROSS JOIN q
+        |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
 
     "sim_ivf_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

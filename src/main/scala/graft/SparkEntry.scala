@@ -371,6 +371,22 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(25)
     }),
 
+    // multi-source BFS over the same trade graph: min hop from any nation-0
+    // customer, 3 frontier rounds (customer→supplier→customer→supplier on
+    // the bipartite graph) — Graphs.bfs, the Pregel-shaped frontier plan
+    "gr_bfs" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graphs.bfs(edges, seeds, maxHop = 3)
+        .select(col("node"), col("hop").cast("long").as("hop"))
+        .orderBy(col("node"))
+    }),
+
     // ordered funnel view → click → purchase within 48 h of the first
     // view — chained running-min windows, one shuffle (Events.funnel)
     "ev_funnel" -> ((s, dir) => {
@@ -924,6 +940,37 @@ object SparkEntry {
         .select(col("c_nationkey"),
           round(st.orthodromicLengthKm(col("geometry")), 3).as("len_km"))
         .orderBy(col("c_nationkey"))),
+
+    // Ellipsoidal sibling of sp_ortho_length: Andoyer-Lambert WGS84 geodesic
+    // segment-sum — closes the documented sphere-vs-ellipsoid ~0.3% gap
+    // (the reference's GeodeticCalculator path, OrthodromicLength.java:34-74)
+    "sp_geodesic_length" -> ((s, dir) =>
+      linesLayer(s, dir).df
+        .select(col("c_nationkey"),
+          round(st.geodesicLengthKm(col("geometry")), 3).as("len_km"))
+        .orderBy(col("c_nationkey"))),
+
+    // Web-Mercator (EPSG:3857) reprojection — planar meter length of each
+    // nation polyline in projected space plus the forward/inverse roundtrip
+    // error, entirely HOT-tier Column arithmetic (no UDF: radians/ln/tan/
+    // atan/exp all codegen), mirroring the slippy-map CRS the tile pyramid
+    // assumes
+    "sp_mercator_length" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey").orderBy("ck")
+      pointsDf(s, dir)
+        .select(col("ck"), col("c_nationkey"), col("y"),
+          st.mercatorX(col("x")).as("mx"), st.mercatorY(col("y")).as("my"))
+        .withColumn("px", lag(col("mx"), 1).over(w))
+        .withColumn("py", lag(col("my"), 1).over(w))
+        .groupBy(col("c_nationkey"))
+        .agg(
+          round(sum(sqrt((col("mx") - col("px")) * (col("mx") - col("px")) +
+            (col("my") - col("py")) * (col("my") - col("py")))) / 1000.0, 2).as("len_km"),
+          round(max(abs(col("y") - st.mercatorLat(st.mercatorY(col("y"))))), 9)
+            .as("max_rt_err_deg"))
+        .orderBy(col("c_nationkey"))
+    }),
 
     // audio waveform windowing: decode → fixed windows → per-window sum/peak
     // (the VAD/loudness shape), FNV stub replayed by the oracle
@@ -1631,6 +1678,26 @@ object SparkEntry {
       semi.unionByName(anti).orderBy(col("id"))
     }),
 
+    // declarative DISTANCE join: `ON st_dwithin(p, b, r)` — the rule dilates
+    // the probe side's envelope by r, so the grid plan serves the distance
+    // predicate too (a cartesian product in stock Spark). Radius 5.75 keeps
+    // the exact point-to-box distance strictly off the threshold on the
+    // half-integer lattice (dx, dy are integers ⇒ dx²+dy² ∈ ℤ vs 33.0625)
+    "sp_sql_dwithin" -> ((s, dir) => {
+      graft.functions.SpatialFunctions.register(s)
+      graft.plans.GraftOptimizations.install(s)
+      pointsDf(s, dir).select(col("ck"), col("geometry"))
+        .createOrReplaceTempView("sqlj_pts")
+      natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .select(col("n_nationkey"), col("geometry"))
+        .createOrReplaceTempView("sqlj_boxes")
+      s.sql("""SELECT p.ck AS id, b.n_nationkey AS nk
+              |FROM sqlj_pts p JOIN sqlj_boxes b
+              |ON st_dwithin(p.geometry, b.geometry, CAST(5.75 AS DOUBLE))
+              |ORDER BY id, nk""".stripMargin)
+    }),
+
     // declarative FULL OUTER spatial join: matched pairs plus BOTH sides'
     // unmatched rows (ck%3 thins the left side and appended far-north
     // boxes thin the right, so both unmatched legs are exercised)
@@ -2074,6 +2141,23 @@ object SparkEntry {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "gr_pagerank" -> PageRank.pageRankDuckSql(iters = 3, damping = 0.85, topK = 25),
+
+    // bounded-depth recursive CTE: UNION dedups (node, hop) pairs globally,
+    // so the working set stays ≤ nodes × (maxHop+1) — min(hop) = BFS distance
+    "gr_bfs" ->
+      """WITH RECURSIVE eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |), walk(node, hop) AS (
+        |  SELECT c_custkey * 2, 0 FROM customer WHERE c_nationkey = 0
+        |  UNION
+        |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hop < 3
+        |)
+        |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stage-k time = min event of that type strictly after stage k−1 and
     // within the horizon of stage 1 — the join formulation is equivalent to
@@ -2531,6 +2615,58 @@ object SparkEntry {
         |  round(coalesce(sum(acos(least(sin(radians(y1)) * sin(radians(y2))
         |        + cos(radians(y1)) * cos(radians(y2))
         |        * cos(radians(x2) - radians(x1)), 1.0)) * 6371), 0), 3) AS len_km
+        |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Andoyer-Lambert replay: same segment windows, half-angles averaged in
+    // degrees then radians (matches Orthodromic.geodesicKm operation order)
+    "sp_geodesic_length" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         lag(x) OVER w AS x1, lag(y) OVER w AS y1, x AS x2, y AS y2
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |), trig AS (
+        |  SELECT c_nationkey,
+        |         sin(radians((y1 + y2) / 2)) AS sinf, cos(radians((y1 + y2) / 2)) AS cosf,
+        |         sin(radians((y1 - y2) / 2)) AS sing, cos(radians((y1 - y2) / 2)) AS cosg,
+        |         sin(radians((x1 - x2) / 2)) AS sinl, cos(radians((x1 - x2) / 2)) AS cosl
+        |  FROM segs WHERE x1 IS NOT NULL
+        |), sc AS (
+        |  SELECT c_nationkey, sinf, cosf, sing, cosg,
+        |         sing * sing * cosl * cosl + cosf * cosf * sinl * sinl AS s,
+        |         cosg * cosg * cosl * cosl + sinf * sinf * sinl * sinl AS c
+        |  FROM trig
+        |), seg AS (
+        |  SELECT c_nationkey,
+        |    CASE WHEN s = 0 THEN 0
+        |         WHEN c = 0 THEN 2 * atan2(sqrt(s), sqrt(c)) * 6378.137
+        |         ELSE (2 * atan2(sqrt(s), sqrt(c)) * 6378.137)
+        |              * (1 + (1.0 / 298.257223563) * (
+        |                   ((3 * (sqrt(s * c) / atan2(sqrt(s), sqrt(c))) - 1) / (2 * c))
+        |                     * sinf * sinf * cosg * cosg
+        |                 - ((3 * (sqrt(s * c) / atan2(sqrt(s), sqrt(c))) + 1) / (2 * s))
+        |                     * cosf * cosf * sing * sing))
+        |    END AS d
+        |  FROM sc
+        |)
+        |SELECT c_nationkey, round(coalesce(sum(d), 0), 3) AS len_km
+        |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "sp_mercator_length" -> (PtsCte +
+      """
+        |, m AS (
+        |  SELECT ck, c_nationkey, y,
+        |         radians(x) * 6378137 AS mx,
+        |         ln(tan(pi() / 4 + radians(y) / 2)) * 6378137 AS my
+        |  FROM pts
+        |), segs AS (
+        |  SELECT c_nationkey, y, mx, my,
+        |         lag(mx) OVER w AS px, lag(my) OVER w AS py
+        |  FROM m WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |)
+        |SELECT c_nationkey,
+        |  round(sum(sqrt((mx - px) * (mx - px) + (my - py) * (my - py))) / 1000, 2) AS len_km,
+        |  round(max(abs(y - degrees(2 * atan(exp(my / 6378137)) - pi() / 2))), 9) AS max_rt_err_deg
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "mm_frames" -> MmFramesSql,
@@ -3225,6 +3361,25 @@ object SparkEntry {
         |            THEN 1 ELSE 0 END AS covered
         |FROM pts
         |ORDER BY 1""".stripMargin),
+
+    // point-to-rectangle distance is closed-form: per-axis overshoot
+    // (0 inside the box), then the hypotenuse against the radius
+    "sp_sql_dwithin" -> (PtsCte +
+      """
+        |, nb AS (
+        |  SELECT n_nationkey,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |), d AS (
+        |  SELECT ck, n_nationkey,
+        |         greatest(x0 - x, x - x1, 0) AS dx,
+        |         greatest(y0 - y, y - y1, 0) AS dy
+        |  FROM pts, nb
+        |)
+        |SELECT ck AS id, n_nationkey AS nk
+        |FROM d WHERE dx * dx + dy * dy <= 5.75 * 5.75
+        |ORDER BY 1, 2""".stripMargin),
 
     "sp_zonal_stats" ->
       """WITH nb AS (

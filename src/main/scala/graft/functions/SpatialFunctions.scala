@@ -65,6 +65,7 @@ object SpatialFunctions {
     r.register("st_equals", (a: Array[Byte], b: Array[Byte]) => dec(a).equals(dec(b)))
     r.register("st_relate", (a: Array[Byte], b: Array[Byte]) => dec(a).relate(dec(b)).toString)
     r.register("st_relatepattern", (a: Array[Byte], b: Array[Byte], p: String) => dec(a).relate(dec(b), p))
+    r.register("st_dwithin", (a: Array[Byte], b: Array[Byte], d: Double) => dec(a).isWithinDistance(dec(b), d))
 
     r.register("st_orthodromic_km",
       (lon1: Double, lat1: Double, lon2: Double, lat2: Double) => Orthodromic.distanceKm(lon1, lat1, lon2, lat2))

@@ -49,6 +49,16 @@ object st {
   def bboxStruct(minx: Column, miny: Column, maxx: Column, maxy: Column): Column =
     struct(minx.as("minx"), miny.as("miny"), maxx.as("maxx"), maxy.as("maxy"))
 
+  // HOT: spherical Web-Mercator (EPSG:3857) forward/inverse as pure Column
+  // arithmetic — codegen'd, pushdown-friendly, bit-matching geom.Mercator
+  // (Spark's log/tan/atan/exp codegen to java.lang.Math).
+  def mercatorX(lon: Column): Column = radians(lon) * lit(graft.geom.Mercator.RadiusM)
+  def mercatorY(lat: Column): Column =
+    log(tan(lit(math.Pi / 4.0) + radians(lat) / lit(2.0))) * lit(graft.geom.Mercator.RadiusM)
+  def mercatorLon(x: Column): Column = degrees(x / lit(graft.geom.Mercator.RadiusM))
+  def mercatorLat(y: Column): Column =
+    degrees(atan(exp(y / lit(graft.geom.Mercator.RadiusM))) * lit(2.0) - lit(math.Pi / 2.0))
+
   // ------------------------------------------------------- JTS scalar UDFs
 
   private def g1[R: scala.reflect.runtime.universe.TypeTag](f: Geometry => R) =
@@ -187,6 +197,15 @@ object st {
   def orthodromicDistanceKm(c: Column, lon: Double, lat: Double): Column =
     g1[Double](g => Orthodromic.distanceToGeometryKm(lon, lat, g)).apply(c)
   val orthodromicLengthKm: Column => Column = c => g1[Double](Orthodromic.lengthKm).apply(c)
+
+  /** Ellipsoidal (Andoyer-Lambert) segment-sum length — the geodesic upgrade
+    * of orthodromicLengthKm (reference: OrthodromicLength.java:34-74 uses
+    * GeoTools' ellipsoidal GeodeticCalculator; see Orthodromic.geodesicKm).
+    */
+  val geodesicLengthKm: Column => Column = c => g1[Double](Orthodromic.geodesicLengthKm).apply(c)
+
+  /** Whole-geometry reprojection WGS84 → Web-Mercator meters (EPSG:3857). */
+  val toMercator: Column => Column = c => gg(graft.geom.Mercator.toMercator).apply(c)
 
   /** Closest point on geometry to a reference point + the snap distance —
     * the reference's `spatial.closest` edge-snapping

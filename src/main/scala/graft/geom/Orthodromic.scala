@@ -85,4 +85,66 @@ object Orthodromic {
     }
     sum
   }
+
+  /** WGS84 semi-major axis in km and flattening (the ellipsoid GeoTools'
+    * GeodeticCalculator defaults to in the reference's OrthodromicLength).
+    */
+  val WgsAKm = 6378.137
+  val WgsF   = 1.0 / 298.257223563
+
+  /** Ellipsoidal geodesic distance by the Andoyer-Lambert first-order
+    * flattening correction — the closed-form (non-iterative) sibling of the
+    * reference's GeodeticCalculator path (OrthodromicLength.java:34-74).
+    * Accuracy is O(f²) ≈ 1e-5 relative (tens of meters on intercontinental
+    * arcs, sub-meter regionally) — pinned by GeodesicSpec against published
+    * Vincenty/Karney values. Closed form keeps it expressible both as
+    * codegen'd Column arithmetic and in the DuckDB oracle, unlike the
+    * iterative Vincenty recurrence.
+    *
+    * Degenerate branches (kept bit-identical in the SQL oracle):
+    *  - s == 0: coincident points (or both poles) → 0.
+    *  - c == 0: antipodal equatorial pair → spherical arc, no correction
+    *    (the H1 term is singular there; Lambert's correction vanishes in the
+    *    limit anyway since sin F = 0).
+    */
+  def geodesicKm(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    // half-angles averaged in DEGREES then converted — the exact operation
+    // order the DuckDB oracle replays (radians((y1+y2)/2)), so the doubles
+    // entering sin/cos are bit-identical on both engines
+    val fMid = math.toRadians((lat1 + lat2) / 2.0)
+    val gMid = math.toRadians((lat1 - lat2) / 2.0)
+    val lam  = math.toRadians((lon1 - lon2) / 2.0)
+    val sinF = math.sin(fMid); val cosF = math.cos(fMid)
+    val sinG = math.sin(gMid); val cosG = math.cos(gMid)
+    val sinL = math.sin(lam);  val cosL = math.cos(lam)
+    val s = sinG * sinG * cosL * cosL + cosF * cosF * sinL * sinL
+    val c = cosG * cosG * cosL * cosL + sinF * sinF * sinL * sinL
+    if (s == 0.0) 0.0
+    else {
+      val omega = math.atan2(math.sqrt(s), math.sqrt(c))
+      if (c == 0.0) 2.0 * omega * WgsAKm
+      else {
+        val r  = math.sqrt(s * c) / omega
+        val d  = 2.0 * omega * WgsAKm
+        val h1 = (3.0 * r - 1.0) / (2.0 * c)
+        val h2 = (3.0 * r + 1.0) / (2.0 * s)
+        d * (1.0 + WgsF * (h1 * sinF * sinF * cosG * cosG - h2 * cosF * cosF * sinG * sinG))
+      }
+    }
+  }
+
+  /** Ellipsoidal segment-sum along a geometry's coordinates — the geodesic
+    * upgrade of [[lengthKm]] (closes the sphere-vs-WGS84 ~0.3% gap noted
+    * there).
+    */
+  def geodesicLengthKm(g: Geometry): Double = {
+    val cs = g.getCoordinates
+    var sum = 0.0
+    var i = 1
+    while (i < cs.length) {
+      sum += geodesicKm(cs(i - 1).x, cs(i - 1).y, cs(i).x, cs(i).y)
+      i += 1
+    }
+    sum
+  }
 }

@@ -103,4 +103,72 @@ object Graphs {
       .withColumn("coeff",
         round(lit(2.0) * col("n_tri") / (col("deg") * (col("deg") - 1L)), 6))
   }
+
+  /** Multi-source BFS: minimum hop count from any seed to every reachable
+    * node, bounded at `maxHop` rounds — reachability/radius analysis over
+    * link graphs (crawl-frontier depth, influence spread), and the unweighted
+    * special case of the reference's graph traversals.
+    *
+    * Frontier-parallel shape: state is ONE (node, hop) row per *settled*
+    * node, never paths; each round expands only the newest frontier through
+    * an equi-join on src and anti-joins away already-settled nodes, so total
+    * work is O(Σ frontier-adjacent edges) ≤ O(m·rounds) and per-round
+    * shuffles are keyed on node — the textbook Pregel/BSP plan, expressed
+    * declaratively. `edges` is used as given (pass both directions for an
+    * undirected graph); it is persisted once and re-probed each round. The
+    * frontier is persisted per round (it is consumed twice: expansion and
+    * the union into `dist`) and the settled set is rebuilt as a small union
+    * tree — at maxHop ≤ ~10 the lineage stays shallow enough that no
+    * checkpoint is needed.
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    // every frontier stays persisted until the caller's action has run —
+    // `dist` is a union over all of them, and dropping one mid-loop would
+    // silently re-derive the whole prefix chain at the final action
+    var frontier = seeds.select(col("node").cast("long").as("node")).distinct().persist()
+    var dist = frontier.withColumn("hop", lit(0))
+    var hop = 0
+    var frontierEmpty = false
+    while (hop < maxHop && !frontierEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .persist()
+      frontierEmpty = next.isEmpty
+      dist = dist.union(next.withColumn("hop", lit(hop)))
+      frontier = next
+    }
+    dist
+  }
+
+  /** Bounded-round Bellman-Ford SSSP: minimum additive path weight from any
+    * seed reachable within `rounds` edge relaxations — the weighted sibling
+    * of [[bfs]] (routing cost, influence decay). `edges` needs long-castable
+    * (src, dst, w); weights must be non-negative for the bounded result to
+    * be the true distance on ≤`rounds`-hop paths.
+    *
+    * Per round: one equi-join on src to relax every edge out of the current
+    * estimate, union with the estimate, one map-side-combinable min — state
+    * is a single (node, dist) row per touched node, so k rounds = k bounded
+    * shuffles keyed on node, never a path explosion. Exactly the chained-CTE
+    * replay the oracle runs, so integer weights hash-match round for round.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w")).persist()
+    var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, dist("node") === e("src"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      // persist per round: dist BRANCHES (relax join + union), so an
+      // unpersisted chain would recompute 2× per round — 2^k at round k
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min(col("dist")).as("dist"))
+        .persist()
+    }
+    dist
+  }
 }

@@ -47,7 +47,9 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
     "st_intersects" -> "st_intersects", "st_touches" -> "st_touches",
     "st_overlaps" -> "st_overlaps",
     "st_within" -> "st_contains", "st_contains" -> "st_within",
-    "st_covers" -> "st_coveredby", "st_coveredby" -> "st_covers")
+    "st_covers" -> "st_coveredby", "st_coveredby" -> "st_covers",
+    // distance is symmetric in its geometry arguments
+    "st_dwithin" -> "st_dwithin")
 
   private val Supported: Set[JoinType] =
     Set(Inner, LeftOuter, LeftSemi, LeftAnti, RightOuter, FullOuter)
@@ -74,21 +76,38 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
             u.children.size == 2 =>
           val Seq(a: AttributeReference, b: AttributeReference) = u.children
           if (left.outputSet.contains(a) && right.outputSet.contains(b))
-            Some((i, u.udfName.get, a, b))
+            Some((i, u.udfName.get, a, b, None: Option[Double]))
           else if (left.outputSet.contains(b) && right.outputSet.contains(a))
-            Some((i, Transpose(u.udfName.get), b, a))
+            Some((i, Transpose(u.udfName.get), b, a, None: Option[Double]))
+          else None
+        // ST_DWithin(a.geom, b.geom, <literal>): a distance join — same grid
+        // plan with the probe side's envelope dilated by the (foldable)
+        // radius. Symmetric, so orientation only swaps the argument order.
+        case (u: ScalaUDF, i) if u.udfName.contains("st_dwithin") &&
+            u.children.size == 3 &&
+            u.children.take(2).forall(_.isInstanceOf[AttributeReference]) &&
+            u.children(2).foldable &&
+            u.children(2).dataType == org.apache.spark.sql.types.DoubleType =>
+          val a = u.children(0).asInstanceOf[AttributeReference]
+          val b = u.children(1).asInstanceOf[AttributeReference]
+          val d = u.children(2).eval().asInstanceOf[Double]
+          if (left.outputSet.contains(a) && right.outputSet.contains(b))
+            Some((i, "st_dwithin", a, b, Some(d)))
+          else if (left.outputSet.contains(b) && right.outputSet.contains(a))
+            Some((i, "st_dwithin", b, a, Some(d)))
           else None
       }.flatten
       stMatch match {
-        case Some((i, pred, lGeom, rGeom)) if !cs.exists(crossEqui(_, left, right)) =>
-          rewrite(j, jt, left, right, cs.patch(i, Nil, 1), pred, lGeom, rGeom)
+        case Some((i, pred, lGeom, rGeom, dist)) if !cs.exists(crossEqui(_, left, right)) =>
+          rewrite(j, jt, left, right, cs.patch(i, Nil, 1), pred, lGeom, rGeom, dist)
         case _ => j
       }
   }
 
   private def rewrite(j: Join, jt: JoinType, left: LogicalPlan, right: LogicalPlan,
       rest: Seq[Expression], pred: String,
-      lGeom: AttributeReference, rGeom: AttributeReference): LogicalPlan = {
+      lGeom: AttributeReference, rGeom: AttributeReference,
+      dist: Option[Double]): LogicalPlan = {
     // session threaded from the injection point; conf read through the
     // rule's SQLConf (the session planning this query), so a multi-session
     // JVM never crosses sessions
@@ -133,7 +152,17 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
       val pb = pDf.withColumn("__g_lb", graft.functions.st.bboxOf(pg))
         .withColumn("__g_lcx", cellsP(seqX, col("__g_lb")))
         .withColumn("__g_lcy", cellsP(seqY, col("__g_lb")))
-      val qb = qDf.withColumn("__g_rb", graft.functions.st.bboxOf(qg))
+      // distance join: dilate the probe side's envelope by the radius —
+      // cell coverage, the bbox pre-filter, and reference-point dedup all
+      // then see "bbox-distance ≤ d" pairs, a conservative superset of the
+      // exact predicate (the standard ST_DWithin expansion)
+      val rBbox = {
+        val raw = graft.functions.st.bboxOf(qg)
+        dist.fold(raw)(d => struct(
+          (raw("minx") - d).as("minx"), (raw("miny") - d).as("miny"),
+          (raw("maxx") + d).as("maxx"), (raw("maxy") + d).as("maxy")))
+      }
+      val qb = qDf.withColumn("__g_rb", rBbox)
         .withColumn("__g_rcx", explode(seqX(col("__g_rb"))))
         .withColumn("__g_rcy", explode(seqY(col("__g_rb"))))
         .withColumn("__g_rhit", lit(1))
@@ -146,9 +175,10 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
       val refPoint =
         floor(greatest(glb("minx"), grb("minx")) / cell).cast("long") === col("__g_lcx") &&
         floor(greatest(glb("miny"), grb("miny")) / cell).cast("long") === col("__g_lcy")
+      val exactPred = dist.fold(call_udf(pred, pg, qg))(d => call_udf(pred, pg, qg, lit(d)))
       val matchCond = {
         val base = col("__g_lcx") === col("__g_rcx") && col("__g_lcy") === col("__g_rcy") &&
-          overlap && refPoint && call_udf(pred, pg, qg)
+          overlap && refPoint && exactPred
         // for preserving joins every ON conjunct decides MATCHING (an
         // unmatched preserved row survives regardless), so rest folds in
         // here; for inner a post-filter is equivalent and keeps the join

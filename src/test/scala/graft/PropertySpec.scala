@@ -226,4 +226,45 @@ class PropertySpec extends AnyFunSuite {
     info(f"max relative error vs Vincenty on 50 high-latitude ~1000-km lines: ${maxRel * 100}%.4f%%")
     assert(maxRel < 0.006, f"spherical length error ${maxRel * 100}%.4f%% exceeds the documented 0.6%% bound")
   }
+
+  test("Andoyer-Lambert geodesic pins published Vincenty values") {
+    // Vincenty's own published test line: Flinders Peak → Buninyong,
+    // s = 54 972.271 m (Vincenty 1975, Survey Review XXIII/176; also the
+    // Geoscience Australia worked example). Andoyer's first-order
+    // flattening correction is sub-meter at this range.
+    val fb = Orthodromic.geodesicKm(144.42486789, -37.95103342, 143.92649553, -37.65282114)
+    assert(math.abs(fb - 54.972271) < 0.001, s"Flinders-Buninyong $fb km")
+    // Intercontinental arc, error budget O(f²)·d ≈ tens of meters:
+    // Paris → New York City against the local Vincenty oracle
+    val pn = Orthodromic.geodesicKm(2.3522, 48.8566, -74.0060, 40.7128)
+    val pnV = vincentyKm(2.3522, 48.8566, -74.0060, 40.7128)
+    assert(math.abs(pn - pnV) < 0.05, s"Paris-NY andoyer $pn vs vincenty $pnV")
+    // coincident points take the s == 0 branch exactly
+    assert(Orthodromic.geodesicKm(10.5, 50.5, 10.5, 50.5) == 0.0)
+    // symmetric in the endpoints
+    assert(Orthodromic.geodesicKm(12, 56, 13, 57) == Orthodromic.geodesicKm(13, 57, 12, 56))
+  }
+
+  test("geodesic length closes the sphere-vs-ellipsoid gap to O(f²)") {
+    // same fixture family as the spherical bound above, but the Andoyer sum
+    // must track Vincenty ~100× tighter than the 0.6% spherical tolerance
+    val rnd = new scala.util.Random(20260815)
+    var maxRel = 0.0
+    for (_ <- 1 to 20) {
+      val lat0 = 55.0 + rnd.nextDouble() * 20.0
+      val lon0 = rnd.nextDouble() * 300.0 - 150.0
+      val pts = (0 to 20).map { i =>
+        (lon0 + i * (1.0 / math.cos(math.toRadians(lat0))) * 0.45 + rnd.nextDouble() * 0.05,
+         lat0 + i * 0.05 + rnd.nextDouble() * 0.02)
+      }
+      var andoyer = 0.0; var geo = 0.0
+      pts.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+        andoyer += Orthodromic.geodesicKm(x1, y1, x2, y2)
+        geo += vincentyKm(x1, y1, x2, y2)
+      }
+      maxRel = math.max(maxRel, math.abs(andoyer - geo) / geo)
+    }
+    info(f"max Andoyer-vs-Vincenty relative error: ${maxRel * 100}%.6f%%")
+    assert(maxRel < 5e-5, f"Andoyer error ${maxRel * 100}%.6f%% exceeds the O(f²) budget")
+  }
 }

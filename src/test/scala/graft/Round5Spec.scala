@@ -217,4 +217,59 @@ class Round5Spec extends SparkSpec {
     assert(r._1 == 8L)
     assert(r._2 >= 0.9, s"avg recall@3 ${r._2}")
   }
+
+  test("Web-Mercator: column path == JVM path, inverse closes, known pins") {
+    import graft.geom.Mercator
+    // EPSG:3857 pin: lon 2.2945, lat 48.8584 (Eiffel Tower), values
+    // cross-computed with an independent libm (CPython):
+    // x = 255 422.5716 m, y = 6 250 868.9015 m
+    assert(math.abs(Mercator.xM(2.2945) - 255422.57162516622) < 1e-6)
+    assert(math.abs(Mercator.yM(48.8584) - 6250868.901479604) < 1e-5)
+    // equator maps to y = 0 up to tan(fl(π/4)) ulp noise (~1e-9 m); x spans
+    // ±πR at the antimeridian
+    assert(math.abs(Mercator.yM(0.0)) < 1e-8)
+    assert(math.abs(Mercator.xM(180.0) - math.Pi * Mercator.RadiusM) < 1e-6)
+    // forward∘inverse is identity to double precision
+    for (lat <- Seq(-85.05, -45.0, -0.5, 33.3, 71.2); lon <- Seq(-179.5, -12.0, 99.9)) {
+      assert(math.abs(Mercator.latDeg(Mercator.yM(lat)) - lat) < 1e-9)
+      assert(math.abs(Mercator.lonDeg(Mercator.xM(lon)) - lon) < 1e-12)
+    }
+    // the codegen'd Column forward matches the JVM forward bit-for-bit
+    // (both compile to java.lang.Math), and the geometry-level transform
+    // moves every coordinate identically
+    val pts = Seq((1L, -170.5, -80.5), (2L, 0.5, 0.5), (3L, 150.5, 60.5))
+      .toDF("id", "x", "y")
+    val cols = pts.select(col("id"), st.mercatorX(col("x")).as("mx"),
+        st.mercatorY(col("y")).as("my"),
+      st.toMercator(st.makePoint(col("x"), col("y"))).as("g"))
+      .withColumn("gx", st.x(col("g"))).withColumn("gy", st.y(col("g")))
+      .select("id", "mx", "my", "gx", "gy")
+      .as[(Long, Double, Double, Double, Double)].collect().sortBy(_._1)
+    cols.zip(Seq((1L, -170.5, -80.5), (2L, 0.5, 0.5), (3L, 150.5, 60.5))).foreach {
+      case ((id, mx, my, gx, gy), (eid, x, y)) =>
+        assert(id == eid)
+        assert(mx == graft.geom.Mercator.xM(x) && my == Mercator.yM(y))
+        assert(gx == mx && gy == my, s"geometry transform diverges at id $id")
+    }
+  }
+
+  test("bfs: min-hop frontier expansion, bounded depth, unreachable absent") {
+    import graft.pipeline.Graphs
+    // path 1→2→3→4→5 with a shortcut 1→4; 9 is disconnected; 6→1 points
+    // INTO the seed so 6 must stay unreached on the directed graph
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (6L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graphs.bfs(edges, seeds, maxHop = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 4L -> 1, 3L -> 2, 5L -> 2))
+    // depth bound truncates: at maxHop=1 only the first frontier lands
+    val shallow = Graphs.bfs(edges, seeds, maxHop = 1)
+      .as[(Long, Int)].collect().toMap
+    assert(shallow == Map(1L -> 0, 2L -> 1, 4L -> 1))
+    // multi-source: nearest seed wins
+    val multi = Graphs.bfs(edges, Seq(1L, 5L).toDF("node"), maxHop = 4)
+      .as[(Long, Int)].collect().toMap
+    assert(multi(5L) == 0 && multi(4L) == 1 && multi(2L) == 1)
+  }
 }

@@ -387,6 +387,21 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // weighted sibling: bounded Bellman-Ford over the trade graph, edge
+    // weight = min quantity ever shipped on the (customer, supplier) pair
+    // (integral doubles → exact long arithmetic round for round)
+    "gr_sssp" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(min(col("l_quantity")).cast("long").as("w"))
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      val seeds = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graphs.sssp(edges, seeds, rounds = 3)
+        .orderBy(col("node"))
+    }),
+
     // ordered funnel view → click → purchase within 48 h of the first
     // view — chained running-min windows, one shuffle (Events.funnel)
     "ev_funnel" -> ((s, dir) => {
@@ -2158,6 +2173,34 @@ object SparkEntry {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // chained-CTE Bellman-Ford replay: one relax-union-min block per round,
+    // integer weights so every round hash-matches exactly
+    "gr_sssp" -> {
+      def relax(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT node, min(dist) AS dist FROM (
+           |    SELECT node, dist FROM $prev
+           |    UNION ALL
+           |    SELECT e.dst AS node, d.dist + e.w AS dist
+           |    FROM $prev d JOIN e ON e.src = d.node) GROUP BY 1
+           |)""".stripMargin
+      s"""WITH eraw AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |         CAST(min(l_quantity) AS BIGINT) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT src, dst, w FROM eraw UNION ALL SELECT dst, src, w FROM eraw
+         |), d0 AS (
+         |  SELECT CAST(c_custkey * 2 AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM customer WHERE c_nationkey = 0
+         |),
+         |${relax("d0", "d1")},
+         |${relax("d1", "d2")},
+         |${relax("d2", "d3")}
+         |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
+    },
 
     // stage-k time = min event of that type strictly after stage k−1 and
     // within the horizon of stage 1 — the join formulation is equivalent to

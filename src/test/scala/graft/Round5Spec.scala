@@ -272,4 +272,20 @@ class Round5Spec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     assert(multi(5L) == 0 && multi(4L) == 1 && multi(2L) == 1)
   }
+
+  test("sssp: cheapest path beats fewest hops, bounded rounds truncate") {
+    import graft.pipeline.Graphs
+    // 1→2→3 costs 1+1=2; the direct 1→3 shortcut costs 5 — min weight must
+    // pick the 2-hop path even though the shortcut lands first
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 2L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val got = Graphs.sssp(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 4L))
+    // with only 1 relaxation round the shortcut estimate is all there is
+    val one = Graphs.sssp(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(one(3L) == 5L && !one.contains(4L))
+  }
 }

@@ -198,4 +198,38 @@ class StJoinRuleSpec extends SparkSpec {
       assert(gotOuter == want)
     }
   }
+
+  test("ST_DWithin join: dilated-envelope grid plan, exact JTS answers") {
+    GraftOptimizations.install(spark)
+    graft.functions.SpatialFunctions.register(spark)
+    ptsDf.createOrReplaceTempView("sj_pts")
+    boxesDf.createOrReplaceTempView("sj_boxes")
+    // radius larger than the 10° cell to prove dilation crosses cell
+    // borders; decimal literal arrives as a foldable Cast, not a bare
+    // double Literal — the matcher must still recognize it
+    val q = spark.sql(
+      """SELECT p.pid, b.bid FROM sj_pts p JOIN sj_boxes b
+        |ON st_dwithin(p.geometry, b.geometry, 12.5)""".stripMargin)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"SQL distance join still plans as a product:\n$plan")
+    val got = q.as[(Long, Long)].collect().toSet
+    val ps = ptsDf.select("pid", "x", "y").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val bs = boxesDf.select("bid", "wkt").collect()
+      .map(r => (r.getLong(0), graft.geom.GeomCodec.fromWkt(r.getString(1))))
+    val want = (for {
+      (pid, x, y) <- ps
+      (bid, g) <- bs
+      if g.isWithinDistance(graft.geom.GeomCodec.factory.createPoint(
+        new org.locationtech.jts.geom.Coordinate(x, y)), 12.5)
+    } yield (pid, bid)).toSet
+    assert(got == want)
+    // strictly more pairs than the pure intersects join (the dilation ring)
+    val inter = spark.sql(
+      """SELECT p.pid, b.bid FROM sj_pts p JOIN sj_boxes b
+        |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+      .as[(Long, Long)].collect().toSet
+    assert(inter.subsetOf(got) && got.size > inter.size)
+  }
 }

@@ -129,6 +129,11 @@ object SparkEntry {
     p.toFile.deleteOnExit()
     p
   }
+  private lazy val pbfIngestTmp: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile("graft-pbf-ingest", ".osm.pbf")
+    p.toFile.deleteOnExit()
+    p
+  }
   private lazy val shpIngestBase: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-shp-ingest")
     val base = d.resolve("nations")
@@ -1109,6 +1114,31 @@ object SparkEntry {
       val tmp = osmIngestTmp
       java.nio.file.Files.writeString(tmp, sb.toString)
       graft.osm.OsmImport.importOsm(s, tmp.toString).df
+        .select((col("way_id") - 1000).cast("int").as("c_nationkey"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          round(st.length(col("geometry")), 6).as("len"),
+          col("props").getItem("name").as("name"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // same corpus through the BINARY format: the fixture is encoded as a
+    // real .osm.pbf (zlib blobs, DenseNodes delta coding, string tables —
+    // graft-written, spec-conformant), then parsed back with one executor
+    // task per blob (OsmPbf.parsePbf). The tiny batch forces many blobs so
+    // the parallel decode path and cross-blob delta restarts are what's
+    // actually measured; stats and oracle identical to the XML leg
+    "pbf_ingest_stats" -> ((s, dir) => {
+      import graft.osm.OsmPbf
+      val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
+      val nodes = rows.map(r => OsmPbf.PbfNode(r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+      val ways = rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).map { case (nk, rs) =>
+        OsmPbf.PbfWay(1000L + nk, rs.map(_.getLong(0)).sorted.toSeq,
+          tags = Seq("highway" -> "residential", "name" -> s"way-$nk"))
+      }
+      OsmPbf.writePbf(pbfIngestTmp.toString, nodes, ways, batch = 500)
+      val staging = OsmPbf.parsePbf(s, pbfIngestTmp.toString)
+      graft.osm.OsmImport.assembleWays(staging)
         .select((col("way_id") - 1000).cast("int").as("c_nationkey"),
           st.numPoints(col("geometry")).cast("long").as("n_pts"),
           round(st.length(col("geometry")), 6).as("len"),
@@ -2859,6 +2889,22 @@ object SparkEntry {
         |FROM pts WHERE c_nationkey = 0""".stripMargin),
 
     "osm_ingest_stats" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_pts,
+        |       round(coalesce(sum(seg), 0), 6) AS len,
+        |       'way-' || c_nationkey AS name
+        |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the PBF leg re-derives the SAME stats (the binary encode/decode must
+    // be coordinate-exact: nano-precision lattice points round-trip the
+    // granularity math bit-for-bit)
+    "pbf_ingest_stats" -> (PtsCte +
       """
         |, segs AS (
         |  SELECT c_nationkey,

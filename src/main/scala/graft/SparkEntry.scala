@@ -329,6 +329,25 @@ object SparkEntry {
       Events.asofJoin(ev, "purchase", "click").orderBy(col("event_id"))
     }),
 
+    // cross-user temporal co-occurrence: every click within ±60 s of each
+    // purchase, ANY user — a non-equi join stock Spark would plan as a
+    // cartesian product; Events.intervalJoin runs it as the 1-D grid plan
+    // (cell equi-join, ≤3-cell fan-out). Cent-sums keep the aggregate exact
+    "ev_interval_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("tsn").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("tsn").as("c_ts"), col("value"))
+      Events.intervalJoin(purchases, clicks, "p_ts", "c_ts", deltaUs = 60000000L)
+        .groupBy(col("p_id").as("event_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+        .orderBy(col("event_id"))
+    }),
+
     // deterministic HyperLogLog distinct sketch (p=8) per event_type, both
     // grains (150 distinct users → linear-counting branch; ~2k event ids →
     // raw-estimate branch), exact counts beside for the error story
@@ -2151,6 +2170,16 @@ object SparkEntry {
         |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
         |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1), 4) AS r_val
         |FROM e x WHERE x.event_type = 'purchase' ORDER BY x.event_id""".stripMargin,
+
+    // naive non-equi replay of the banded plan (DuckDB's IEJoin handles it)
+    "ev_interval_join" ->
+      """WITH e AS (SELECT event_id, epoch_us(ts) AS tsn, event_type, value FROM events),
+        |p AS (SELECT event_id, tsn FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT tsn, value FROM e WHERE event_type = 'click')
+        |SELECT p.event_id, count(*)::BIGINT AS n_clicks,
+        |       CAST(sum(round(c.value * 100)) AS BIGINT) AS cents
+        |FROM p JOIN c ON abs(c.tsn - p.tsn) <= 60000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_hll" -> {
       def part(keyExpr: String, metric: String) =

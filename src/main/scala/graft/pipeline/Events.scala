@@ -59,6 +59,31 @@ object Events {
         round(col("prior.r_val"), 4).as("r_val"))
   }
 
+  /** Banded interval join: every (left, right) pair with
+    * |rightTs − leftTs| ≤ deltaUs — a NON-equi temporal join (cross-user
+    * co-occurrence), which stock Spark can only plan as a cartesian
+    * product. This is the 1-D instance of the spatial grid join: the left
+    * side explodes its ±delta interval to covering time cells, the right
+    * side keeps its SINGLE cell, the join becomes an equi-join on the
+    * cell, and the exact |Δt| filter decides membership. Because the right
+    * side is a point (one cell), every qualifying pair meets in exactly
+    * one cell — no reference-point dedup pass needed. With cellUs = deltaUs
+    * the left fan-out is ≤ 3 cells, so shuffle volume is ~3·|left| +
+    * |right| keyed on the cell — dense time ranges scale by widening
+    * cellUs exactly like the spatial cell-size knob.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, leftTs: String,
+      rightTs: String, deltaUs: Long, cellUsOpt: Option[Long] = None): DataFrame = {
+    val cellUs = cellUsOpt.getOrElse(deltaUs)
+    val lc = left.withColumn("__t_cell", explode(sequence(
+      floor((col(leftTs) - deltaUs) / cellUs).cast("long"),
+      floor((col(leftTs) + deltaUs) / cellUs).cast("long"))))
+    val rc = right.withColumn("__t_cell", floor(col(rightTs) / cellUs).cast("long"))
+    lc.join(rc, Seq("__t_cell"))
+      .filter(abs(col(rightTs) - col(leftTs)) <= deltaUs)
+      .drop("__t_cell")
+  }
+
   /** Ordered funnel: how many users progress through `stages` in order,
     * each step strictly after the previous one and within `horizonUs` of
     * the FIRST stage's first occurrence. Returns one row per stage with the

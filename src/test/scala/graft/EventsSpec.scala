@@ -383,4 +383,26 @@ class EventsSpec extends SparkSpec {
     assert(plain == salted)
     assert(plain.map(_._2).sum == 500L)   // every fact row joins exactly once
   }
+
+  test("intervalJoin equals the naive band join, each pair exactly once") {
+    val rnd = new scala.util.Random(20260816)
+    val left = (1 to 80).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("l_id", "l_ts")
+    val right = (1 to 120).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("r_id", "r_ts")
+    for (delta <- Seq(1L, 250L, 4000L); cell <- Seq(None, Some(100L), Some(7L))) {
+      val got = Events.intervalJoin(left, right, "l_ts", "r_ts", delta, cell)
+        .select("l_id", "r_id").as[(Long, Long)].collect().toSeq
+      val ls = left.as[(Long, Long)].collect()
+      val rs = right.as[(Long, Long)].collect()
+      val want = for { (li, lt) <- ls.toSeq; (ri, rt) <- rs if math.abs(rt - lt) <= delta }
+        yield (li, ri)
+      // multiset equality: no pair may be duplicated by the cell fan-out
+      assert(got.sorted == want.sorted, s"delta=$delta cell=$cell")
+    }
+    // boundary inclusivity: |Δt| == delta joins
+    val g = Events.intervalJoin(Seq((1L, 100L)).toDF("l_id", "l_ts"),
+      Seq((9L, 150L)).toDF("r_id", "r_ts"), "l_ts", "r_ts", 50L)
+    assert(g.count() == 1)
+  }
 }

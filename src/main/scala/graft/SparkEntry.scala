@@ -1032,6 +1032,33 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // the full multimodal→embedding→ANN composition: stub-decode images to
+    // 8×8 pixels, pool 8 blocks of 8 into an EXACT integer embedding
+    // (recovered pixel levels sum losslessly), then brute-force cosine
+    // top-3 — integer dots/norms make every cosine one IEEE op chain, so
+    // ranks are bit-deterministic across engines, swap the stub for a real
+    // CNN and the dataflow is unchanged
+    "mm_embed_knn" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300).filter(col("kind") === "image")
+      val emb = Multimodal.decodeAndFeaturize(media, w = 8, h = 8)
+        .select(col("media_id"), expr(
+          """transform(sequence(0, 7), b -> aggregate(slice(pixels, b*8 + 1, 8), 0L,
+            |  (acc, v) -> acc + CAST(round(CAST(v AS DOUBLE) * 255) AS BIGINT)))""".stripMargin)
+          .as("emb"))
+        .withColumn("nrm", sqrt(expr("aggregate(emb, 0L, (a, v) -> a + v*v)").cast("double")))
+      val bSide = emb.select(col("media_id").as("b_id"), col("emb").as("b_emb"), col("nrm").as("b_n"))
+      val pairs = emb.join(broadcast(bSide), col("media_id") =!= col("b_id"))
+        .withColumn("dot",
+          expr("aggregate(zip_with(emb, b_emb, (x, y) -> x*y), 0L, (acc, v) -> acc + v)").cast("double"))
+        .withColumn("cos", col("dot") / (col("nrm") * col("b_n")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy(col("cos").desc, col("b_id"))
+      pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("media_id"), col("rk").cast("long").as("rk"),
+          col("b_id").as("nbr"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("media_id"), col("rk"))
+    }),
+
     // SimplifyWithDouglasPeucker / Reverse / FilterEqualNorm pipes: tolerance
     // 500 exceeds any chord deviation on the ±180×±90 lattice, so an open
     // line always simplifies to its 2 endpoints; a reversed line normalizes
@@ -2772,6 +2799,53 @@ object SparkEntry {
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "mm_frames" -> MmFramesSql,
+
+    // image-kind FNV chain (64 content bytes, then 64 pixel steps), pixel
+    // LEVELS kept as exact integers → block-sum embedding → integer
+    // dot/norm cosine, rank ties broken by neighbor id
+    "mm_embed_knn" ->
+      """WITH RECURSIVE chain(media_id, step, state) AS (
+        |  SELECT i AS media_id, 0 AS step,
+        |         CAST(14695981039346656037 AS UBIGINT) AS state
+        |  FROM range(300) t(i) WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT media_id, step + 1,
+        |    CAST((CAST(xor(state, CAST(
+        |      CASE WHEN step < 64 THEN
+        |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
+        |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
+        |             ELSE (media_id * 31 + step * 7) % 251 END
+        |      ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+        |      % 18446744073709551616 AS UBIGINT)
+        |  FROM chain WHERE step < 128
+        |), px AS (
+        |  SELECT media_id, (step - 65) AS pidx,
+        |         CAST((state // 1099511627776) % 256 AS BIGINT) AS level
+        |  FROM chain WHERE step > 64
+        |), emb AS (
+        |  SELECT media_id, pidx // 8 AS b, sum(level) AS v
+        |  FROM px GROUP BY 1, 2
+        |), nrm AS (
+        |  SELECT media_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+        |  FROM emb GROUP BY 1
+        |), dots AS (
+        |  SELECT ea.media_id AS a_id, eb.media_id AS b_id,
+        |         CAST(sum(ea.v * eb.v) AS DOUBLE) AS dot
+        |  FROM emb ea JOIN emb eb ON ea.b = eb.b AND ea.media_id <> eb.media_id
+        |  GROUP BY 1, 2
+        |), cosb AS (
+        |  SELECT a_id, b_id, dot / (na.nrm * nb.nrm) AS cos
+        |  FROM dots
+        |  JOIN nrm na ON na.media_id = a_id
+        |  JOIN nrm nb ON nb.media_id = b_id
+        |), ranked AS (
+        |  SELECT a_id, b_id, cos,
+        |         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+        |  FROM cosb
+        |)
+        |SELECT a_id AS media_id, CAST(rk AS BIGINT) AS rk, b_id AS nbr,
+        |       round(cos, 6) AS cos
+        |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
 
     // same stub-decode chain as mm_frames at 8 frames, with the byte seed
     // remapped (i ≡ 8 mod 9 → i-6) to plant video duplicates, then the

@@ -38,7 +38,11 @@ import org.apache.spark.sql.functions._
   * from a post-filter). Joins that already have an equi-key are left
   * alone (Spark hashes those fine). Cell size comes from
   * `spark.graft.sqlJoin.cellSize` (degrees, default 10.0) — at 100 TB set
-  * it from bbox stats exactly like the API path's suggestCellSize.
+  * it from bbox stats exactly like the API path's suggestCellSize. An
+  * INNER join whose probe side is estimated under
+  * `spark.graft.sqlJoin.broadcastBytes` (default 256 KiB) skips the grid
+  * for a broadcast + precomputed-bbox nested loop — the stats-first pick
+  * the API join makes; 0 pins the grid plan.
   */
 class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
 
@@ -113,6 +117,13 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
     // JVM never crosses sessions
     val spark = sessionOpt.getOrElse(SparkSession.active)
     val cell = conf.getConfString("spark.graft.sqlJoin.cellSize", "10.0").toDouble
+    // stats-first strategy pick, mirroring the API path (SpatialJoin.join):
+    // an INNER join whose probe side is estimated tiny skips the grid
+    // entirely — broadcast + per-ROW bbox columns + short-circuit exact
+    // predicate, zero exchange. Deliberately conservative default: the
+    // pair count is |p|·|q|, so only genuinely small builds qualify.
+    val bcastBytes = conf.getConfString("spark.graft.sqlJoin.broadcastBytes",
+      (256L * 1024L).toString).toLong
     val restCond = rest.reduceOption(And).map(GraftColumnBridge.column)
 
     /** The grid dataflow with `p` as the PRESERVED side and `q` as the
@@ -215,7 +226,47 @@ class StJoinRule(sessionOpt: Option[SparkSession]) extends Rule[LogicalPlan] {
       }
     }
 
+    /** Broadcast dataflow for a tiny probe side: bboxes are PRE-COMPUTED
+      * row columns (one UDF eval per row), the nested-loop condition is
+      * then pure short-circuit bbox arithmetic per pair, with the exact
+      * JTS predicate only on bbox survivors — the same plan
+      * SpatialJoin.broadcastJoin builds through the API.
+      */
+    def buildBroadcast(p: LogicalPlan, q: LogicalPlan, pred: String,
+        pGeom: AttributeReference, qGeom: AttributeReference,
+        out: Seq[Attribute]): DataFrame = {
+      val pg = GraftColumnBridge.column(pGeom)
+      val qg = GraftColumnBridge.column(qGeom)
+      val pDf = GraftColumnBridge.ofRows(spark, p)
+        .withColumn("__g_lb", graft.functions.st.bboxOf(pg))
+      val qDf = GraftColumnBridge.ofRows(spark, q)
+        .withColumn("__g_rb", {
+          val raw = graft.functions.st.bboxOf(qg)
+          dist.fold(raw)(d => struct(
+            (raw("minx") - d).as("minx"), (raw("miny") - d).as("miny"),
+            (raw("maxx") + d).as("maxx"), (raw("maxy") + d).as("maxy")))
+        })
+      val glb = col("__g_lb"); val grb = col("__g_rb")
+      val overlap =
+        glb("minx") <= grb("maxx") && grb("minx") <= glb("maxx") &&
+        glb("miny") <= grb("maxy") && grb("miny") <= glb("maxy")
+      val exact = dist.fold(call_udf(pred, pg, qg))(d => call_udf(pred, pg, qg, lit(d)))
+      // the exact predicate goes in a POST-join filter, not the join
+      // condition: the emitted Join must carry no cross-side st_* UDF, or
+      // this rule would re-match its own output on the batch's next
+      // fixpoint iteration (the grid path's cell equi-conjunct stops the
+      // re-match there; bbox arithmetic plays that role here). No
+      // broadcast() hint — a ResolvedHint injected after the hint-
+      // elimination batch is an internal error; JoinSelection broadcasts
+      // the small side from its stats anyway (that's the premise here)
+      val joined = pDf.join(qDf, overlap).filter(exact)
+      restCond.map(joined.filter).getOrElse(joined)
+        .select(out.map(a => GraftColumnBridge.column(a)): _*)
+    }
+
     val result: DataFrame = jt match {
+      case Inner if right.stats.sizeInBytes <= bcastBytes =>
+        buildBroadcast(left, right, pred, lGeom, rGeom, j.output)
       case Inner | LeftOuter | LeftSemi | LeftAnti =>
         buildJoin(left, right, pred, lGeom, rGeom, jt, j.output)
       case RightOuter =>

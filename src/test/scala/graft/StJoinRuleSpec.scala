@@ -24,6 +24,7 @@ class StJoinRuleSpec extends SparkSpec {
 
   test("SQL st_intersects join: grid equi-join plan, naive-join answers") {
     GraftOptimizations.install(spark)
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")  // pin the grid plan
     ptsDf.createOrReplaceTempView("sj_pts")
     boxesDf.createOrReplaceTempView("sj_boxes")
     val q = spark.sql(
@@ -50,6 +51,7 @@ class StJoinRuleSpec extends SparkSpec {
 
   test("reversed argument order transposes the predicate; extra conjuncts survive") {
     GraftOptimizations.install(spark)
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")  // pin the grid plan
     ptsDf.createOrReplaceTempView("sj_pts")
     boxesDf.createOrReplaceTempView("sj_boxes")
     // st_contains(box, point) with the box on the RIGHT side of the join:
@@ -93,6 +95,7 @@ class StJoinRuleSpec extends SparkSpec {
 
   test("LEFT OUTER st join: unmatched left rows kept with nulls, grid plan") {
     GraftOptimizations.install(spark)
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")  // pin the grid plan
     ptsDf.createOrReplaceTempView("sj_pts")
     boxesDf.createOrReplaceTempView("sj_boxes")
     val q = spark.sql(
@@ -112,6 +115,7 @@ class StJoinRuleSpec extends SparkSpec {
 
   test("LEFT SEMI / LEFT ANTI st joins: membership filters, grid plan, multiplicity kept") {
     GraftOptimizations.install(spark)
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")  // pin the grid plan
     ptsDf.createOrReplaceTempView("sj_pts")
     boxesDf.createOrReplaceTempView("sj_boxes")
     val (pairs, allPids) = truth
@@ -145,6 +149,7 @@ class StJoinRuleSpec extends SparkSpec {
 
   test("RIGHT OUTER and FULL OUTER st joins: transposed / unioned dataflow, grid plan") {
     GraftOptimizations.install(spark)
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")  // pin the grid plan
     ptsDf.createOrReplaceTempView("sj_pts")
     // every fixture box contains points, so add one box in the empty far
     // north: the right/full results must surface it as unmatched
@@ -201,6 +206,7 @@ class StJoinRuleSpec extends SparkSpec {
 
   test("ST_DWithin join: dilated-envelope grid plan, exact JTS answers") {
     GraftOptimizations.install(spark)
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")  // pin the grid plan
     graft.functions.SpatialFunctions.register(spark)
     ptsDf.createOrReplaceTempView("sj_pts")
     boxesDf.createOrReplaceTempView("sj_boxes")
@@ -231,5 +237,31 @@ class StJoinRuleSpec extends SparkSpec {
         |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
       .as[(Long, Long)].collect().toSet
     assert(inter.subsetOf(got) && got.size > inter.size)
+  }
+
+  test("stats-first pick: tiny probe side broadcasts instead of gridding") {
+    GraftOptimizations.install(spark)
+    graft.functions.SpatialFunctions.register(spark)
+    ptsDf.createOrReplaceTempView("sj_pts")
+    boxesDf.createOrReplaceTempView("sj_boxes")
+    try {
+      spark.conf.set("spark.graft.sqlJoin.broadcastBytes", (256L * 1024L).toString)
+      val q = spark.sql(
+        """SELECT p.pid, b.bid FROM sj_pts p JOIN sj_boxes b
+          |ON st_intersects(p.geometry, b.geometry)""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString()
+      // the deliberate broadcast nested loop, with the bbox PRE-computed as
+      // a per-row column (so the per-pair condition is pure arithmetic)
+      assert(plan.contains("BroadcastNestedLoop") && plan.contains("__g_lb"), plan)
+      assert(!plan.contains("CartesianProduct"))
+      val (pairs, _) = truth
+      assert(q.as[(Long, Long)].collect().toSet == pairs)
+      // the dwithin leg rides the same pick, dilated
+      val d = spark.sql(
+        """SELECT p.pid, b.bid FROM sj_pts p JOIN sj_boxes b
+          |ON st_dwithin(p.geometry, b.geometry, 12.5)""".stripMargin)
+      assert(d.queryExecution.executedPlan.toString().contains("BroadcastNestedLoop"))
+      assert(pairs.subsetOf(d.as[(Long, Long)].collect().toSet))
+    } finally spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")
   }
 }

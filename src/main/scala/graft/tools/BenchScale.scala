@@ -329,6 +329,15 @@ object BenchScale {
       // edges⋈ranks + dst-sum, work ∝ edges
       "gr_pagerank" ->
         (n => graft.pipeline.PageRank.pageRank(edgesAt(n), iters = 3)),
+      // frontier BFS with seeds in EVERY copy (customer nodes, every 37th
+      // per copy): frontier and settled set grow ∝ N, rounds constant, so
+      // each round's edge probe + anti-join shuffles ∝ N
+      "gr_bfs" -> (n => {
+        val e = edgesAt(n)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .filter(col("node") % 2 === 0 && (col("node") % 100000000L) % 74 === 0)
+        graft.pipeline.Graphs.bfs(e, seeds, maxHop = 3)
+      }),
       // ExactSubstr span removal: rotated copies share no grams, so the
       // gram-key aggregate, coverage expansion, and reassembly all grow ~N×
       // (the n_removed filter keeps count() from eliminating the left join
@@ -367,6 +376,21 @@ object BenchScale {
             (col("tsn") * 1000).as("ts"),
             concat(lit("t"), (col("event_id") % 5).cast("string")).as("event_type")),
           windowNs = 6L * 3600 * 1000000000L)),
+      // banded interval join with each copy's CLOCK shifted to a disjoint
+      // epoch (~35 days > the 30-day span): co-occurrence pairs stay
+      // per-copy, so output and the cell-keyed shuffle grow ∝ N instead of
+      // the N² a shared time axis would manufacture
+      "ev_interval" -> (n => {
+        val e = evAt(n).withColumn("t",
+          col("tsn") + (col("user_id") / 10000000L).cast("long") * 3000000000000L)
+        val left = e.filter(col("event_id") % 5 === 0)
+          .select(col("event_id").as("l_id"), col("t").as("l_ts"))
+        val right = e.filter(col("event_id") % 5 === 1)
+          .select(col("t").as("r_ts"), col("value"))
+        graft.pipeline.Events.intervalJoin(left, right, "l_ts", "r_ts",
+            deltaUs = 60000000L)
+          .groupBy(col("l_id")).agg(count(lit(1)).as("n"))
+      }),
       // TF-IDF keyword extraction: rotated copies have disjoint vocabularies,
       // so the tf/df tables and the vocab-KEYED join (never broadcast) grow
       // N× — wall time must stay ~linear as the vocabulary scales with data

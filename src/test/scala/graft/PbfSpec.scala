@@ -50,6 +50,36 @@ class PbfSpec extends SparkSpec {
     assert(gotTags == wantTags.toSet)
   }
 
+  test("plain (non-dense) Node groups decode too") {
+    // hand-assemble a PrimitiveBlock with the `nodes = 1` plain encoding
+    // (our writer emits DenseNodes; real-world files carry either)
+    val st = new OsmPbf.Pb
+    st.bytes(1, "".getBytes); st.bytes(1, "amenity".getBytes); st.bytes(1, "cafe".getBytes)
+    val group = new OsmPbf.Pb
+    for ((id, lon, lat, tagged) <- Seq((5L, 11.5, 47.5, true), (6L, -120.25, -33.75, false))) {
+      val n = new OsmPbf.Pb
+      n.sint(1, id)
+      if (tagged) { n.packed(2, Seq(1L)); n.packed(3, Seq(2L)) }
+      n.sint(8, math.round(lat * 1e9 / 100))
+      n.sint(9, math.round(lon * 1e9 / 100))
+      group.msg(1, n)
+    }
+    val block = new OsmPbf.Pb
+    block.msg(1, st); block.msg(2, group); block.int(17, 100L)
+    val payload = block.toBytes
+    val blob = new OsmPbf.Pb
+    blob.bytes(1, payload)
+    val hdr = new OsmPbf.Pb
+    hdr.string(1, "OSMData"); hdr.int(3, blob.toBytes.length.toLong)
+    val out = new java.io.DataOutputStream(new java.io.FileOutputStream("/tmp/graft-plain-nodes.pbf"))
+    out.writeInt(hdr.toBytes.length); out.write(hdr.toBytes); out.write(blob.toBytes); out.close()
+
+    val raw = OsmPbf.decodeData(OsmPbf.blobRefs("/tmp/graft-plain-nodes.pbf").head)
+    assert(raw.nodes.map(n => (n._1, n._3, n._2)).toSet ==
+      Set((5L, 11.5, 47.5), (6L, -120.25, -33.75)))
+    assert(raw.tags == Seq(("node", 5L, "amenity", "cafe")))
+  }
+
   test("pbf staging equals xml staging on the same corpus") {
     val xml = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
     val nodes = (1L to 25L).map(i => (i, (i % 36) * 10.0 - 175.5, (i % 17) * 10.0 - 80.5))

@@ -251,6 +251,12 @@ class Round5Spec extends SparkSpec {
         assert(mx == graft.geom.Mercator.xM(x) && my == Mercator.yM(y))
         assert(gx == mx && gy == my, s"geometry transform diverges at id $id")
     }
+    // the HOT-tier claim, held to its plan: forward AND inverse are pure
+    // codegen arithmetic — no ScalaUDF anywhere in the projection
+    val plan = pts.select(st.mercatorX(col("x")),
+        st.mercatorLat(st.mercatorY(col("y"))))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("UDF"), s"mercator fell out of codegen:\n$plan")
   }
 
   test("bfs: min-hop frontier expansion, bounded depth, unreachable absent") {

@@ -989,6 +989,46 @@ object SparkEntry {
           round(st.geodesicLengthKm(col("geometry")), 3).as("len_km"))
         .orderBy(col("c_nationkey"))),
 
+    // MVT tile bake: quantize points into the zoom-3 equirectangular
+    // pyramid (every quantized coordinate a small-denominator rational →
+    // bit-identical across engines), ENCODE each tile as a real Mapbox
+    // Vector Tile on executors (groupByKey(tile).mapGroups — the
+    // embarrassingly parallel bake), then DECODE the protobuf bytes back
+    // and aggregate — the oracle recomputes the same quantization
+    // relationally, so the roundtrip gates the whole codec
+    "sp_mvt_bake" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Mvt
+      val scale = (1 << 3) * Mvt.Extent   // zoom 3: 8 tiles per axis
+      val quant = pointsDf(s, dir)
+        .withColumn("fgx", floor((col("x") + 180.0) / 360.0 * scale))
+        .withColumn("fgy", floor((lit(90.0) - col("y")) / 180.0 * scale))
+        .select(col("ck"), col("c_nationkey"),
+          floor(col("fgx") / Mvt.Extent).cast("int").as("tx"),
+          floor(col("fgy") / Mvt.Extent).cast("int").as("ty"),
+          (col("fgx") - lit(Mvt.Extent) * floor(col("fgx") / Mvt.Extent)).cast("int").as("px"),
+          (col("fgy") - lit(Mvt.Extent) * floor(col("fgy") / Mvt.Extent)).cast("int").as("py"))
+      val tiles = quant.select(col("tx"), col("ty"), col("ck"), col("px"), col("py"),
+          col("c_nationkey"))
+        .as[(Int, Int, Long, Int, Int, Int)]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Long, Int, Int, Int)]) =>
+          val feats = it.map(r =>
+            Mvt.PointFeature(r._3, r._4, r._5, Seq("nk" -> r._6.toLong))).toSeq
+          (key._1, key._2, Mvt.encodeTile("customers", feats))
+        }
+      tiles.flatMap { case (tx, ty, bytes) =>
+          Mvt.decodeTile(bytes).flatMap { case (_, fs) =>
+            fs.map(f => (tx, ty, f.id, f.px, f.py, f.attrs.head._2)) }
+        }
+        .toDF("tx", "ty", "id", "px", "py", "nk")
+        .groupBy(col("tx").cast("long").as("tx"), col("ty").cast("long").as("ty"))
+        .agg(count(lit(1)).as("n_feat"),
+          sum(col("px")).as("sum_px"), sum(col("py")).as("sum_py"),
+          sum(col("id")).as("sum_id"), sum(col("nk")).as("sum_nk"))
+        .orderBy(col("tx"), col("ty"))
+    }),
+
     // Web-Mercator (EPSG:3857) reprojection — planar meter length of each
     // nation polyline in projected space plus the forward/inverse roundtrip
     // error, entirely HOT-tier Column arithmetic (no UDF: radians/ln/tan/
@@ -2780,6 +2820,29 @@ object SparkEntry {
         |)
         |SELECT c_nationkey, round(coalesce(sum(d), 0), 3) AS len_km
         |FROM seg GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // quantization replay: on the half-degree lattice the only rounded op
+    // per axis is one division (the *2^15 scaling is an exact exponent
+    // shift), so floors agree bit-for-bit with the Spark side
+    "sp_mvt_bake" -> (PtsCte +
+      """
+        |, q AS (
+        |  SELECT ck, c_nationkey,
+        |         floor((x + 180) / 360 * 32768) AS fgx,
+        |         floor((90 - y) / 180 * 32768) AS fgy
+        |  FROM pts
+        |), t AS (
+        |  SELECT ck, c_nationkey,
+        |         CAST(floor(fgx / 4096) AS BIGINT) AS tx,
+        |         CAST(floor(fgy / 4096) AS BIGINT) AS ty,
+        |         CAST(fgx - 4096 * floor(fgx / 4096) AS BIGINT) AS px,
+        |         CAST(fgy - 4096 * floor(fgy / 4096) AS BIGINT) AS py
+        |  FROM q
+        |)
+        |SELECT tx, ty, count(*)::BIGINT AS n_feat,
+        |       sum(px) AS sum_px, sum(py) AS sum_py,
+        |       sum(ck) AS sum_id, CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "sp_mercator_length" -> (PtsCte +
       """

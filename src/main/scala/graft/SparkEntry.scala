@@ -369,6 +369,38 @@ object SparkEntry {
         .orderBy(col("event_type"), col("metric"))
     }),
 
+    // sketch SET ALGEBRA: distinct-user overlap of two event types from
+    // the stored per-type register maxima alone — union = max per register
+    // (associative merge, identical to sketching the concatenated stream),
+    // intersection by inclusion-exclusion; the exact overlap count rides
+    // beside for the error story. 2×256 longs of state answer all three
+    // questions — the mergeable-sketch reason HLL is the 100 TB shape
+    "ev_hll_intersect" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val fnv = udf((x: Long) => TextAnalysis.fnv1a64(x.toString))
+      val ev = T(s, dir, "events").filter(col("event_type").isin("click", "view"))
+      val hashed = ev.select(col("event_type").as("g"), fnv(col("user_id")).as("h"))
+      val maxr = hashed
+        .select(col("g"), Events.hllRegCol.as("reg"), Events.hllRankCol.as("rank"))
+        .groupBy("g", "reg").agg(max(col("rank")).as("m")).persist()
+      val merged = maxr.groupBy("reg").agg(max(col("m")).as("m"))
+        .withColumn("g", lit("both"))
+      val ests = Events.hllFinalize(
+        maxr.unionByName(merged.select(col("g"), col("reg"), col("m"))),
+        Seq("click", "view", "both").toDF("g"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(countDistinct(col("event_type")).as("nt"))
+        .filter(col("nt") === 2).agg(count(lit(1)).as("n_exact"))
+      val one = ests.agg(
+        sum(when(col("g") === "click", col("est"))).as("est_click"),
+        sum(when(col("g") === "view", col("est"))).as("est_view"),
+        sum(when(col("g") === "both", col("est"))).as("est_union"))
+      exact.crossJoin(one)
+        .select(col("n_exact"), col("est_click"), col("est_view"), col("est_union"),
+          round(col("est_click") + col("est_view") - col("est_union"), 4).as("est_inter"))
+    }),
+
     // exact interpolated percentiles of the event value per type — the
     // oracle-checkable variant; at 100 TB swap in approx_percentile (KLL
     // sketch, same call shape) since exact percentile buffers each group
@@ -2237,6 +2269,31 @@ object SparkEntry {
         |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
         |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1), 4) AS r_val
         |FROM e x WHERE x.event_type = 'purchase' ORDER BY x.event_id""".stripMargin,
+
+    // the union sketch replays as the sketch of the CONCATENATED stream
+    // (max-merge associativity is exactly that identity)
+    "ev_hll_intersect" -> {
+      s"""WITH raw AS (
+         |  SELECT event_type AS g,
+         |         ${Dedup.fnv64DuckSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events WHERE event_type IN ('click', 'view')
+         |), hashed AS (
+         |  SELECT g, h FROM raw UNION ALL SELECT 'both', h FROM raw
+         |), ${Events.hllDuckSql},
+         |ex AS (
+         |  SELECT count(*)::BIGINT AS n_exact FROM (
+         |    SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+         |    GROUP BY user_id HAVING count(DISTINCT event_type) = 2)
+         |)
+         |SELECT ex.n_exact,
+         |  (SELECT est FROM hll_est WHERE g = 'click') AS est_click,
+         |  (SELECT est FROM hll_est WHERE g = 'view') AS est_view,
+         |  (SELECT est FROM hll_est WHERE g = 'both') AS est_union,
+         |  round((SELECT est FROM hll_est WHERE g = 'click')
+         |      + (SELECT est FROM hll_est WHERE g = 'view')
+         |      - (SELECT est FROM hll_est WHERE g = 'both'), 4) AS est_inter
+         |FROM ex""".stripMargin
+    },
 
     // naive non-equi replay of the banded plan (DuckDB's IEJoin handles it)
     "ev_interval_join" ->

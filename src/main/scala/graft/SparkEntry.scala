@@ -443,6 +443,40 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // partition quality: Newman modularity of the NATION partition over the
+    // trade graph, per community — Q_c = e_c/m − (d_c/2m)², every input an
+    // exact integer count so the two divisions and one square are the only
+    // float ops (bit-identical in the replay). Two node-keyed joins + two
+    // count aggregates — the evaluation half of any community-detection
+    // loop, as a standalone oracle-gated operator
+    "gr_modularity" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val com = T(s, dir, "customer")
+        .select((col("c_custkey") * 2).as("node"), col("c_nationkey").cast("long").as("com"))
+        .unionByName(T(s, dir, "supplier")
+          .select((col("s_suppkey") * 2 + 1).as("node"), col("s_nationkey").cast("long").as("com")))
+      val ed = e
+        .join(com.select(col("node").as("src"), col("com").as("sc")), "src")
+        .join(com.select(col("node").as("dst"), col("com").as("dc")), "dst")
+        .persist()
+      val mrow = ed.agg(count(lit(1)).cast("double").as("m2"))
+      val deg = ed.select(col("sc").as("com")).unionAll(ed.select(col("dc").as("com")))
+        .groupBy("com").agg(count(lit(1)).as("d_sum"))
+      val intra = ed.filter(col("sc") === col("dc"))
+        .groupBy(col("sc").as("com")).agg(count(lit(1)).as("e_in"))
+      deg.join(intra, Seq("com"), "left")
+        .select(col("com"), col("d_sum"), coalesce(col("e_in"), lit(0L)).as("e_in"))
+        .crossJoin(mrow)
+        .select(col("com"), col("d_sum"), col("e_in"),
+          round(col("e_in").cast("double") / col("m2")
+            - (col("d_sum").cast("double") / (lit(2.0) * col("m2")))
+              * (col("d_sum").cast("double") / (lit(2.0) * col("m2"))), 6).as("q_c"))
+        .orderBy(col("com"))
+    }),
+
     // weighted sibling: bounded Bellman-Ford over the trade graph, edge
     // weight = min quantity ever shipped on the (customer, supplier) pair
     // (integral doubles → exact long arithmetic round for round)
@@ -2356,6 +2390,32 @@ object SparkEntry {
         |)
         |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "gr_modularity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), com AS (
+        |  SELECT c_custkey * 2 AS node, CAST(c_nationkey AS BIGINT) AS com FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey * 2 + 1, CAST(s_nationkey AS BIGINT) FROM supplier
+        |), ed AS (
+        |  SELECT sc.com AS sc, dc.com AS dc
+        |  FROM e JOIN com sc ON sc.node = e.src JOIN com dc ON dc.node = e.dst
+        |), m AS (SELECT count(*)::DOUBLE AS m2 FROM ed),
+        |deg AS (
+        |  SELECT com, count(*)::BIGINT AS d_sum
+        |  FROM (SELECT sc AS com FROM ed UNION ALL SELECT dc FROM ed)
+        |  GROUP BY 1
+        |), intra AS (
+        |  SELECT sc AS com, count(*)::BIGINT AS e_in FROM ed WHERE sc = dc GROUP BY 1
+        |)
+        |SELECT deg.com, deg.d_sum, coalesce(intra.e_in, 0) AS e_in,
+        |  round(coalesce(intra.e_in, 0)::DOUBLE / m.m2
+        |      - (deg.d_sum::DOUBLE / (2.0 * m.m2)) * (deg.d_sum::DOUBLE / (2.0 * m.m2)),
+        |    6) AS q_c
+        |FROM deg LEFT JOIN intra ON intra.com = deg.com CROSS JOIN m
+        |ORDER BY deg.com""".stripMargin,
 
     // chained-CTE Bellman-Ford replay: one relax-union-min block per round,
     // integer weights so every round hash-matches exactly

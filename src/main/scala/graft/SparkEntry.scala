@@ -1446,6 +1446,26 @@ object SparkEntry {
         .orderBy(col("rec"))
     }),
 
+    // the SAME corpus through the DataSource V2 connector
+    // (spark.read.format("shapefile")): shx-sliced multi-partition scan,
+    // dbf attributes by seek — identical stats, identical oracle, so the
+    // splittable executor-side read path is itself hash-gated
+    "shp_scan_v2" -> ((s, dir) => {
+      val lines = linesLayer(s, dir).df
+        .withColumn("props", map(lit("name"), concat(lit("ln-"), col("c_nationkey"))))
+        .orderBy(col("c_nationkey"))
+      val base = shpIngestBase
+      graft.sources.Shapefile.exportShapefile(lines, base)
+      s.read.format("shapefile")
+        .option("maxRecordsPerPartition", "7")   // 25 recs → 4 parallel slices
+        .load(base + ".shp")
+        .select(col("rec_no").cast("long").as("rec"),
+          st.numPoints(col("geometry")).cast("long").as("n_pts"),
+          round(st.length(col("geometry")), 6).as("len"),
+          col("name"))
+        .orderBy(col("rec"))
+    }),
+
     // ================================= training-pipeline operator additions
     // exact word-4-gram Jaccard pairs, inverted-index candidates (guaranteed
     // recall — unlike MinHash LSH this is fully oracle-checkable)
@@ -3241,6 +3261,22 @@ object SparkEntry {
         |FROM segs GROUP BY c_nationkey ORDER BY nk""".stripMargin),
 
     "shp_ingest_stats" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey,
+        |         sqrt((x - lag(x) OVER w) * (x - lag(x) OVER w)
+        |            + (y - lag(y) OVER w) * (y - lag(y) OVER w)) AS seg
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |), agg AS (
+        |  SELECT c_nationkey, count(*)::BIGINT AS n_pts,
+        |         round(coalesce(sum(seg), 0), 6) AS len
+        |  FROM segs GROUP BY 1
+        |)
+        |SELECT row_number() OVER (ORDER BY c_nationkey)::BIGINT AS rec,
+        |       n_pts, len, 'ln-' || c_nationkey AS name
+        |FROM agg ORDER BY rec""".stripMargin),
+
+    "shp_scan_v2" -> (PtsCte +
       """
         |, segs AS (
         |  SELECT c_nationkey,

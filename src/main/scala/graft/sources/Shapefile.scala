@@ -54,7 +54,7 @@ object Shapefile {
   }
 
   /** Parse one shape record starting at `base` (which points at shapeType). */
-  private def parseShape(buf: ByteBuffer, base: Int, shapeType: Int): Option[Geometry] = {
+  private[sources] def parseShape(buf: ByteBuffer, base: Int, shapeType: Int): Option[Geometry] = {
     shapeType match {
       case 0 => None // null shape
       case 1 | 11 | 21 =>

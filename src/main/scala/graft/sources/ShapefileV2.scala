@@ -64,18 +64,38 @@ class ShapefileTable(schema: StructType, path: String, maxRecs: Int)
 }
 
 class ShapefileScanBuilder(full: StructType, files: Seq[String], maxRecs: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = full
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new ShapefileScan(full, required, files, maxRecs)
+  /** rec_no range predicates prune whole .shx slices at PLANNING time; the
+    * filters are still returned as residual, so Spark re-checks rows and
+    * the pruning only ever has to be conservative.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case GreaterThan("rec_no", _: Int) | GreaterThanOrEqual("rec_no", _: Int) |
+           LessThan("rec_no", _: Int) | LessThanOrEqual("rec_no", _: Int) |
+           EqualTo("rec_no", _: Int) => true
+      case _ => false
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new ShapefileScan(full, required, files, maxRecs,
+    ShapefileV2.recNoBounds(pushed))
 }
 
 class ShapefileScan(full: StructType, required: StructType, files: Seq[String],
-    maxRecs: Int) extends Scan with Batch {
+    maxRecs: Int, bounds: (Int, Int)) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    files.flatMap(f => ShapefileV2.partitionsOf(f, maxRecs)).toArray
+    files.flatMap(f => ShapefileV2.partitionsOf(f, maxRecs))
+      .filter(p => p.recEnd > bounds._1 && p.recStart <= bounds._2)
+      .toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ShapefileReaderFactory(full, required)
 }
@@ -123,6 +143,21 @@ class ShapefileRecordReader(p: ShapefileV2.ShpPartition, full: StructType,
 object ShapefileV2 {
 
   val DefaultMaxRecords = 8192
+
+  /** Conservative [lo, hi] record-number bounds implied by pushed rec_no
+    * filters (inclusive; unconstrained = full int range).
+    */
+  def recNoBounds(pushed: Array[org.apache.spark.sql.sources.Filter]): (Int, Int) = {
+    import org.apache.spark.sql.sources._
+    pushed.foldLeft((Int.MinValue, Int.MaxValue)) {
+      case ((lo, hi), GreaterThan("rec_no", v: Int)) => (math.max(lo, v + 1), hi)
+      case ((lo, hi), GreaterThanOrEqual("rec_no", v: Int)) => (math.max(lo, v), hi)
+      case ((lo, hi), LessThan("rec_no", v: Int)) => (lo, math.min(hi, v - 1))
+      case ((lo, hi), LessThanOrEqual("rec_no", v: Int)) => (lo, math.min(hi, v))
+      case ((lo, hi), EqualTo("rec_no", v: Int)) => (math.max(lo, v), math.min(hi, v))
+      case (acc, _) => acc
+    }
+  }
 
   /** One slice of one .shp: records [recStart, recEnd) (1-based numbers)
     * living in bytes [byteStart, byteEnd) — cut from the .shx index at

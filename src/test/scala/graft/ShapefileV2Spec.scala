@@ -60,6 +60,28 @@ class ShapefileV2Spec extends SparkSpec {
     assert(v2.count() == 25)
   }
 
+  test("rec_no filters prune .shx slices at planning time") {
+    val v2 = spark.read.format("shapefile")
+      .option("maxRecordsPerPartition", "7")
+      .load(base + ".shp")
+    // 25 recs in 4 slices of 7; rec_no <= 7 touches only slice 1
+    val q = v2.filter(col("rec_no") <= 7).select("rec_no", "name")
+    val parts = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.length
+    }
+    assert(parts.contains(1), s"expected 1 planned slice, got $parts")
+    assert(q.select("rec_no").as[Int].collect().sorted.toSeq == (1 to 7))
+    // a middle slice: 8..14 → exactly one slice again, rows re-filtered
+    val mid = v2.filter(col("rec_no") >= 9 && col("rec_no") < 12)
+    val midParts = mid.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.partitions.length
+    }
+    assert(midParts.contains(1))
+    assert(mid.select("rec_no").as[Int].collect().sorted.toSeq == Seq(9, 10, 11))
+  }
+
   test("directory of shapefiles scans as one table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-shpv2-multi")
     dir.toFile.deleteOnExit()

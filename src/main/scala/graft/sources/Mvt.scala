@@ -35,16 +35,12 @@ object Mvt {
     * order of that sorted stream.
     */
   def encodeTile(layerName: String, features: Seq[PointFeature]): Array[Byte] = {
-    val keys = ArrayBuffer.empty[String]
-    val values = ArrayBuffer.empty[Long]
-    def keyIdx(k: String): Long = {
-      val i = keys.indexOf(k)
-      if (i >= 0) i.toLong else { keys += k; (keys.length - 1).toLong }
-    }
-    def valIdx(v: Long): Long = {
-      val i = values.indexOf(v)
-      if (i >= 0) i.toLong else { values += v; (values.length - 1).toLong }
-    }
+    // LinkedHashMap interning: O(1) per lookup (indexOf would make a
+    // high-cardinality tile quadratic), insertion order = emission order
+    val keys = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    val values = scala.collection.mutable.LinkedHashMap.empty[Long, Long]
+    def keyIdx(k: String): Long = keys.getOrElseUpdate(k, keys.size.toLong)
+    def valIdx(v: Long): Long = values.getOrElseUpdate(v, values.size.toLong)
     val layer = new Pb
     layer.int(15, 2L)                       // version (required, = 2)
     layer.string(1, layerName)
@@ -60,8 +56,8 @@ object Mvt {
       feat
     }
     featBytes.foreach(layer.msg(2, _))
-    keys.foreach(layer.string(3, _))
-    values.foreach { v =>
+    keys.keysIterator.foreach(layer.string(3, _))
+    values.keysIterator.foreach { v =>
       val value = new Pb
       value.sint(6, v)                      // Value.sint_value
       layer.msg(4, value)

@@ -376,6 +376,30 @@ object BenchScale {
             (col("tsn") * 1000).as("ts"),
             concat(lit("t"), (col("event_id") % 5).cast("string")).as("event_type")),
           windowNs = 6L * 3600 * 1000000000L)),
+      // MVT tile bake over Nx points: the tile-keyed shuffle and per-tile
+      // protobuf encodes grow with the data while the tile COUNT stays
+      // fixed (zoom 6 → ≤4096 groups), so features-per-tile grows Nx —
+      // encode cost must track rows, not tiles
+      "sp_mvt" -> (n => {
+        import spark.implicits._
+        val scalePx = (1 << 6) * graft.sources.Mvt.Extent
+        ptsAt(n)
+          .withColumn("fgx", floor((col("x") + 180.0) / 360.0 * scalePx))
+          .withColumn("fgy", floor((lit(90.0) - col("y")) / 180.0 * scalePx))
+          .select(col("id").cast("long").as("fid"),
+            floor(col("fgx") / graft.sources.Mvt.Extent).cast("int").as("tx"),
+            floor(col("fgy") / graft.sources.Mvt.Extent).cast("int").as("ty"),
+            (col("fgx") - lit(graft.sources.Mvt.Extent)
+              * floor(col("fgx") / graft.sources.Mvt.Extent)).cast("int").as("px"),
+            (col("fgy") - lit(graft.sources.Mvt.Extent)
+              * floor(col("fgy") / graft.sources.Mvt.Extent)).cast("int").as("py"))
+          .as[(Long, Int, Int, Int, Int)]
+          .groupByKey(r => (r._2, r._3))
+          .mapGroups { (key: (Int, Int), it: Iterator[(Long, Int, Int, Int, Int)]) =>
+            val feats = it.map(r => graft.sources.Mvt.PointFeature(r._1, r._4, r._5, Nil)).toSeq
+            (key._1, key._2, graft.sources.Mvt.encodeTile("pts", feats).length)
+          }.toDF("tx", "ty", "n_bytes")
+      }),
       // banded interval join with each copy's CLOCK shifted to a disjoint
       // epoch (~35 days > the 30-day span): co-occurrence pairs stay
       // per-copy, so output and the cell-keyed shuffle grow ∝ N instead of

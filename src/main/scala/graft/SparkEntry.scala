@@ -2055,6 +2055,19 @@ object SparkEntry {
       Bpe.bpeTokenCounts(T(s, dir, "documents"), "doc_id", "text",
         numMerges = 6)),
 
+    // WordPiece (BERT-family) greedy longest-match tokenizer — the third
+    // tokenizer class beside the BPE pair and regex tokens; token
+    // frequency top-25 under the recursive-CTE greedy replay
+    "tx_wordpiece" -> ((s, dir) => {
+      val tok = udf((text: String) =>
+        if (text == null) Seq.empty[String]
+        else text.split(' ').iterator.filter(_.nonEmpty)
+          .flatMap(w => Corpus.wordpiece(w)).toSeq)
+      T(s, dir, "documents").select(explode(tok(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(25)
+    }),
+
     // bigram-LM perplexity filter: add-one-smoothed model trained on
     // doc_id % 5 != 0, scoring the held-out % 5 == 0 slice (unseen bigrams
     // exercise the smoothing path)
@@ -3847,6 +3860,8 @@ object SparkEntry {
     "tx_bpe_merges" -> Bpe.bpeMergesDuckSql(numMerges = 6),
 
     "tx_bpe_encode" -> Bpe.bpeTokenCountsDuckSql(numMerges = 6),
+
+    "tx_wordpiece" -> Corpus.wordpieceDuckSql(topK = 25),
 
     "tx_lm_score" ->
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),

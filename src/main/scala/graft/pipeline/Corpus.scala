@@ -1041,4 +1041,107 @@ object Corpus {
        |       round(CAST(sum(len) AS DOUBLE) / sum(len * occ), 6) AS dedup_ratio
        |FROM g""".stripMargin
   }
+
+  // ============================================================ WordPiece
+  /** Greedy longest-match-first WordPiece segmentation (the BERT-family
+    * tokenizer; Wu et al. 2016) — the third tokenizer class beside the
+    * BPE pair (tx_bpe_merges learns, tx_bpe_encode applies) and regex
+    * tokens (tx_tokens). Word-initial pieces match bare, continuations
+    * carry the `##` marker; a position with NO match collapses the whole
+    * word to `[UNK]` (standard semantics). The match tables are sorted by
+    * (length desc, string) once, so segmentation is a deterministic pure
+    * function of the vocabulary — which is exactly what lets the DuckDB
+    * oracle replay it as a generated longest-first CASE inside a
+    * recursive CTE over the (tiny) DISTINCT-word set.
+    */
+  val WordpieceHeads: Seq[String] =
+    Seq("sc", "ta", "val", "win", "cus", "qu", "st", "sp", "fil", "vec",
+      "ha", "da", "ba") ++ ('a' to 'z').map(_.toString)
+  val WordpieceConts: Seq[String] =
+    Seq("##an", "##ble", "##ue", "##dow", "##tomer", "##ery", "##ream",
+      "##ark", "##ter", "##tor", "##ort", "##sh", "##ta", "##tch") ++
+      ('a' to 'z').map(c => s"##$c")
+
+  private lazy val WpHeadsSorted = WordpieceHeads.sortBy(t => (-t.length, t)).toArray
+  private lazy val WpContsSorted =
+    WordpieceConts.map(_.stripPrefix("##")).sortBy(t => (-t.length, t)).toArray
+
+  /** Segment one word with the default vocabulary (tables pre-sorted once —
+    * this runs per word occurrence).
+    */
+  def wordpiece(word: String): Seq[String] =
+    wordpieceWith(word, WpHeadsSorted, WpContsSorted)
+
+  /** Custom-vocabulary variant; `heads`/`conts` arrive UNSORTED, the
+    * longest-first order is imposed here (ties broken lexicographically —
+    * irrelevant for distinct fixed-length strings but keeps the contract
+    * total).
+    */
+  def wordpiece(word: String, heads: Seq[String], conts: Seq[String]): Seq[String] =
+    wordpieceWith(word,
+      heads.sortBy(t => (-t.length, t)).toArray,
+      conts.map(_.stripPrefix("##")).sortBy(t => (-t.length, t)).toArray)
+
+  private def wordpieceWith(word: String, hs: Array[String],
+      cs: Array[String]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      val table = if (pos == 0) hs else cs
+      var i = 0
+      var hit: String = null
+      while (i < table.length && hit == null) {
+        if (word.startsWith(table(i), pos)) hit = table(i)
+        i += 1
+      }
+      if (hit == null) return Seq("[UNK]")
+      out += (if (pos == 0) hit else "##" + hit)
+      pos += hit.length
+    }
+    out.toSeq
+  }
+
+  /** Oracle: greedy replay per DISTINCT word (the corpus vocabulary is
+    * tiny even at 100 TB relative to occurrences — the same word-level
+    * memoization a production tokenizer service performs), then token
+    * counts weighted by word occurrence.
+    */
+  def wordpieceDuckSql(topK: Int): String = {
+    val hs = WordpieceHeads.sortBy(t => (-t.length, t))
+    val cs = WordpieceConts.map(_.stripPrefix("##")).sortBy(t => (-t.length, t))
+    def caseOf(entries: Seq[String], pre: String) =
+      "CASE " + entries.map(e =>
+        s"WHEN substr(w, pos, ${e.length}) = '$e' THEN '$pre$e'").mkString(" ") + " END"
+    s"""WITH RECURSIVE allw AS (
+       |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+       |), occ AS (
+       |  SELECT w, count(*) AS cnt FROM allw WHERE w <> '' GROUP BY 1
+       |), seg(w, pos, tok) AS (
+       |  SELECT w, 1, CAST(NULL AS VARCHAR) FROM occ
+       |  UNION ALL
+       |  SELECT w,
+       |         pos + length(CASE WHEN substr(tokm, 1, 2) = '##'
+       |                           THEN substr(tokm, 3) ELSE tokm END),
+       |         tokm
+       |  FROM (
+       |    SELECT w, pos,
+       |           CASE WHEN pos = 1 THEN ${caseOf(hs, "")}
+       |                ELSE ${caseOf(cs, "##")} END AS tokm
+       |    FROM seg WHERE pos <= length(w)
+       |  ) WHERE tokm IS NOT NULL
+       |), comp AS (
+       |  SELECT w FROM seg GROUP BY w HAVING max(pos) = length(w) + 1
+       |), tokcounts AS (
+       |  SELECT s.tok AS token, sum(o.cnt) AS n
+       |  FROM seg s JOIN comp c ON c.w = s.w JOIN occ o ON o.w = s.w
+       |  WHERE s.tok IS NOT NULL GROUP BY 1
+       |  UNION ALL
+       |  SELECT '[UNK]' AS token, sum(o.cnt) AS n
+       |  FROM occ o LEFT JOIN comp c ON c.w = o.w
+       |  WHERE c.w IS NULL GROUP BY 1
+       |)
+       |SELECT token, CAST(sum(n) AS BIGINT) AS n
+       |FROM tokcounts GROUP BY 1
+       |ORDER BY n DESC, token LIMIT $topK""".stripMargin
+  }
 }

@@ -404,4 +404,21 @@ class CorpusSpec extends SparkSpec {
     val cb = cdcChunks(base); val ce = cdcChunks(edited)
     assert(cb.intersect(ce).nonEmpty || cb.size <= 1) // shared tail chunks survive
   }
+
+  test("wordpiece: greedy longest-first, ## continuations, [UNK] collapse") {
+    import graft.pipeline.Corpus
+    // default vocab segments the corpus vocabulary with zero UNKs
+    assert(Corpus.wordpiece("scan") == Seq("sc", "##an"))
+    assert(Corpus.wordpiece("table") == Seq("ta", "##ble"))
+    assert(Corpus.wordpiece("customer") == Seq("cus", "##tomer"))
+    assert(Corpus.wordpiece("a") == Seq("a"))
+    // longest-first beats an earlier shorter entry: "st" over "s" for stream
+    assert(Corpus.wordpiece("stream") == Seq("st", "##ream"))
+    // head vocab applies ONLY at position 0: "sc" never re-matches mid-word
+    assert(Corpus.wordpiece("ascan", Seq("a", "sc"), Seq("##s", "##c", "##a", "##n"))
+      == Seq("a", "##s", "##c", "##a", "##n"))
+    // any unmatchable position collapses the WHOLE word, even a late one
+    assert(Corpus.wordpiece("scanz", Seq("sc"), Seq("##an")) == Seq("[UNK]"))
+    assert(Corpus.wordpiece("xcan", Seq("sc"), Seq("##an")) == Seq("[UNK]"))
+  }
 }

@@ -1046,6 +1046,36 @@ object SparkEntry {
           round(st.orthodromicLengthKm(col("geometry")), 3).as("len_km"))
         .orderBy(col("c_nationkey"))),
 
+    // geodesic polygon area (Chamberlain-Duquette spherical formula, the
+    // turf.js/JPL discrete form) beside the planar degree² contrast
+    "sp_geodesic_area" -> ((s, dir) =>
+      natBoxesDf(s, dir)
+        .withColumn("geometry", st.geomFromText(col("wkt")))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          round(st.geodesicAreaKm2(col("geometry")), 3).as("area_km2"),
+          round(st.area(col("geometry")), 6).as("planar_deg2"))
+        .orderBy(col("n_nationkey"))),
+
+    // forward azimuths along each nation polyline: first / min / max
+    // bearing per nation (order-free exact aggregates of identical double
+    // sets), pure codegen Column arithmetic
+    "sp_bearing" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("c_nationkey").orderBy("ck")
+      pointsDf(s, dir)
+        .select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .withColumn("px", lag(col("x"), 1).over(w))
+        .withColumn("py", lag(col("y"), 1).over(w))
+        .filter(col("px").isNotNull)
+        .withColumn("b", st.bearingDeg(col("px"), col("py"), col("x"), col("y")))
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_seg"),
+          round(expr("min_by(b, ck)"), 6).as("b_first"),
+          round(min(col("b")), 6).as("b_min"),
+          round(max(col("b")), 6).as("b_max"))
+        .orderBy(col("c_nationkey"))
+    }),
+
     // Ellipsoidal sibling of sp_ortho_length: Andoyer-Lambert WGS84 geodesic
     // segment-sum — closes the documented sphere-vs-ellipsoid ~0.3% gap
     // (the reference's GeodeticCalculator path, OrthodromicLength.java:34-74)
@@ -2935,6 +2965,47 @@ object SparkEntry {
         |        + cos(radians(y1)) * cos(radians(y2))
         |        * cos(radians(x2) - radians(x1)), 1.0)) * 6371), 0), 3) AS len_km
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Chamberlain-Duquette replay: the four ring segments written in ring
+    // order as one left-associated sum (matches ringTotal's loop exactly)
+    "sp_geodesic_area" ->
+      """WITH nb AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |         n_nationkey * 3 - 39.5 AS x0, n_nationkey * 3 - 34.5 AS x1,
+        |         n_nationkey * 2 - 29.5 AS y0, n_nationkey * 2 - 25.5 AS y1
+        |  FROM nation
+        |), t AS (
+        |  SELECT n_nationkey, x0, x1, y0, y1,
+        |    (radians(x1) - radians(x0)) * (2 + sin(radians(y0)) + sin(radians(y0)))
+        |  + (radians(x1) - radians(x1)) * (2 + sin(radians(y0)) + sin(radians(y1)))
+        |  + (radians(x0) - radians(x1)) * (2 + sin(radians(y1)) + sin(radians(y1)))
+        |  + (radians(x0) - radians(x0)) * (2 + sin(radians(y1)) + sin(radians(y0))) AS total
+        |  FROM nb
+        |)
+        |SELECT n_nationkey,
+        |  round(abs(total) * 6378137.0 * 6378137.0 / 2 / 1000000.0, 3) AS area_km2,
+        |  round((x1 - x0) * (y1 - y0), 6) AS planar_deg2
+        |FROM t ORDER BY 1""".stripMargin,
+
+    "sp_bearing" -> (PtsCte +
+      """
+        |, segs AS (
+        |  SELECT c_nationkey, ck,
+        |         lag(x) OVER w AS px, lag(y) OVER w AS py, x, y
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |), b AS (
+        |  SELECT c_nationkey, ck,
+        |    fmod(degrees(atan2(
+        |        sin(radians(x) - radians(px)) * cos(radians(y)),
+        |        cos(radians(py)) * sin(radians(y))
+        |          - sin(radians(py)) * cos(radians(y))
+        |            * cos(radians(x) - radians(px)))) + 360.0, 360.0) AS b
+        |  FROM segs WHERE px IS NOT NULL
+        |)
+        |SELECT c_nationkey, count(*)::BIGINT AS n_seg,
+        |       round(arg_min(b, ck), 6) AS b_first,
+        |       round(min(b), 6) AS b_min, round(max(b), 6) AS b_max
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Andoyer-Lambert replay: same segment windows, half-angles averaged in
     // degrees then radians (matches Orthodromic.geodesicKm operation order)

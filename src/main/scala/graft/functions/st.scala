@@ -207,6 +207,22 @@ object st {
   /** Whole-geometry reprojection WGS84 → Web-Mercator meters (EPSG:3857). */
   val toMercator: Column => Column = c => gg(graft.geom.Mercator.toMercator).apply(c)
 
+  /** Chamberlain-Duquette spherical polygon area (km²) — the geodesic
+    * sibling of planar st_area (see Orthodromic.geodesicAreaKm2).
+    */
+  val geodesicAreaKm2: Column => Column = c => g1[Double](Orthodromic.geodesicAreaKm2).apply(c)
+
+  /** Initial great-circle bearing (forward azimuth), degrees [0, 360) —
+    * HOT-tier Column arithmetic mirroring Orthodromic.bearingDeg.
+    */
+  def bearingDeg(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column = {
+    val dl = radians(lon2) - radians(lon1)
+    val theta = atan2(sin(dl) * cos(radians(lat2)),
+      cos(radians(lat1)) * sin(radians(lat2)) -
+        sin(radians(lat1)) * cos(radians(lat2)) * cos(dl))
+    (degrees(theta) + lit(360.0)) % lit(360.0)
+  }
+
   /** Closest point on geometry to a reference point + the snap distance —
     * the reference's `spatial.closest` edge-snapping
     * (reference: server-plugin/.../SpatialTopologyUtils.java:95-140, using

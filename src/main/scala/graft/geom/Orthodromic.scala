@@ -133,6 +133,49 @@ object Orthodromic {
     }
   }
 
+  /** Spherical polygon area by the Chamberlain-Duquette discrete formula
+    * (NASA JPL Publication 07-03; the formula turf.js ships): per ring,
+    * Σ (λ₂−λ₁)·(2 + sin φ₁ + sin φ₂) over consecutive vertices, area =
+    * |Σ|·R²/2 on the WGS84 equatorial sphere. Exterior minus holes,
+    * summed over polygon components; non-areal geometries are 0. Term
+    * order follows ring storage order (the oracle replays the identical
+    * left-associated sum).
+    */
+  def geodesicAreaKm2(g: Geometry): Double = {
+    def ringTotal(cs: Array[Coordinate]): Double = {
+      var total = 0.0
+      var i = 1
+      while (i < cs.length) {
+        total += (math.toRadians(cs(i).x) - math.toRadians(cs(i - 1).x)) *
+          (2.0 + math.sin(math.toRadians(cs(i - 1).y)) + math.sin(math.toRadians(cs(i).y)))
+        i += 1
+      }
+      // Mercator.RadiusM is the EXACT double 6378137.0 — (WgsAKm * 1000.0)
+      // could differ in the last ulp from the oracle's literal
+      math.abs(total) * Mercator.RadiusM * Mercator.RadiusM / 2.0
+    }
+    def polyArea(p: org.locationtech.jts.geom.Polygon): Double =
+      ringTotal(p.getExteriorRing.getCoordinates) -
+        (0 until p.getNumInteriorRing)
+          .map(i => ringTotal(p.getInteriorRingN(i).getCoordinates)).sum
+    val m2 = (0 until g.getNumGeometries).map(g.getGeometryN).collect {
+      case p: org.locationtech.jts.geom.Polygon => polyArea(p)
+    }.sum
+    m2 / 1e6
+  }
+
+  /** Initial great-circle bearing (forward azimuth) from point 1 to point
+    * 2, degrees in [0, 360): the standard
+    * atan2(sin Δλ cos φ₂, cos φ₁ sin φ₂ − sin φ₁ cos φ₂ cos Δλ) form.
+    */
+  def bearingDeg(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val phi1 = math.toRadians(lat1); val phi2 = math.toRadians(lat2)
+    val dl = math.toRadians(lon2) - math.toRadians(lon1)
+    val theta = math.atan2(math.sin(dl) * math.cos(phi2),
+      math.cos(phi1) * math.sin(phi2) - math.sin(phi1) * math.cos(phi2) * math.cos(dl))
+    (math.toDegrees(theta) + 360.0) % 360.0
+  }
+
   /** Ellipsoidal segment-sum along a geometry's coordinates — the geodesic
     * upgrade of [[lengthKm]] (closes the sphere-vs-WGS84 ~0.3% gap noted
     * there).

@@ -267,4 +267,31 @@ class PropertySpec extends AnyFunSuite {
     info(f"max Andoyer-vs-Vincenty relative error: ${maxRel * 100}%.6f%%")
     assert(maxRel < 5e-5, f"Andoyer error ${maxRel * 100}%.6f%% exceeds the O(f²) budget")
   }
+
+  test("Chamberlain-Duquette area and forward azimuth pins") {
+    import graft.geom.GeomCodec
+    // 1°×1° at the equator ≈ 12 391.4 km² (cross-computed with an
+    // independent libm); the same box at 60°N shrinks by ~cos(60.5°)
+    val eq = Orthodromic.geodesicAreaKm2(
+      GeomCodec.fromWkt("POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))"))
+    assert(math.abs(eq - 12391.39990207099) < 1e-6, s"equator box $eq")
+    val north = Orthodromic.geodesicAreaKm2(
+      GeomCodec.fromWkt("POLYGON ((0 60, 1 60, 1 61, 0 61, 0 60))"))
+    assert(math.abs(north - 6102.0496017950245) < 1e-6, s"60N box $north")
+    // holes subtract; ring orientation is irrelevant (abs per ring)
+    val holed = Orthodromic.geodesicAreaKm2(GeomCodec.fromWkt(
+      "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0), (0.25 0.25, 0.75 0.25, 0.75 0.75, 0.25 0.75, 0.25 0.25))"))
+    assert(holed < eq && holed > eq * 0.7)
+    // a line has no area
+    assert(Orthodromic.geodesicAreaKm2(GeomCodec.fromWkt("LINESTRING (0 0, 1 1)")) == 0.0)
+    // cardinal azimuths from the origin
+    assert(Orthodromic.bearingDeg(0, 0, 0, 1) == 0.0)
+    assert(Orthodromic.bearingDeg(0, 0, 1, 0) == 90.0)
+    assert(Orthodromic.bearingDeg(0, 0, 0, -1) == 180.0)
+    assert(Orthodromic.bearingDeg(0, 0, -1, 0) == 270.0)
+    // great-circle bearing is NOT the rhumb constant: heading to a point
+    // east at high latitude starts north of due east
+    val b = Orthodromic.bearingDeg(0, 60, 30, 60)
+    assert(b > 70 && b < 90, s"high-latitude eastward start bearing $b")
+  }
 }

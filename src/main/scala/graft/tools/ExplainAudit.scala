@@ -121,6 +121,39 @@ object ExplainAudit {
     graft.pipeline.Packing.shardAssign(shardDocs, "doc_id", "text", 16, "s:")
       .explain("formatted")
 
+    println("========== interval join: cell equi-join, no product ==========")
+    val ijL = spark.range(2000).select(col("id").as("l_id"),
+      (col("id") * 977 % 100000).as("l_ts"))
+    val ijR = spark.range(3000).select((col("id") * 643 % 100000).as("r_ts"),
+      col("id").as("r_id"))
+    graft.pipeline.Events.intervalJoin(ijL, ijR, "l_ts", "r_ts", 500L)
+      .explain("formatted")
+
+    println("========== SQL ST_DWithin: grid rewrite (pinned), dilated probe ==========")
+    spark.conf.set("spark.graft.sqlJoin.broadcastBytes", "0")
+    pts.withColumn("geometry",
+        graft.functions.st.makePoint(col("x"), col("y")))
+      .createOrReplaceTempView("audit_pts")
+    pts.limit(50).withColumn("geometry",
+        graft.functions.st.makePoint(col("x"), col("y")))
+      .createOrReplaceTempView("audit_dims")
+    spark.sql(
+      """SELECT a.id, b.id FROM audit_pts a JOIN audit_dims b
+        |ON st_dwithin(a.geometry, b.geometry, CAST(2.5 AS DOUBLE))""".stripMargin)
+      .explain("formatted")
+
+    println("========== shapefile DSv2: pruned readSchema + shx slices ==========")
+    val shpDir = java.nio.file.Files.createTempDirectory("graft-explain-shp")
+    val shpRows = spark.range(1, 101).select(col("id"),
+        graft.functions.st.makePoint(lit(1.0) * col("id") % 90,
+          lit(0.5) * col("id") % 45).as("geometry"))
+      .withColumn("props", map(lit("name"), concat(lit("r"), col("id"))))
+    graft.sources.Shapefile.exportShapefile(shpRows, shpDir.resolve("pts").toString)
+    spark.read.format("shapefile").option("maxRecordsPerPartition", "25")
+      .load(shpDir.resolve("pts").toString + ".shp")
+      .filter(col("rec_no") <= 25).select("name")
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -787,6 +787,43 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // Matryoshka retrieval: 16-of-64-dim prefix shortlist (the scan reads
+    // a quarter of the vector bytes) + exact full-dim re-rank — the
+    // dimension-truncation sibling of IVF/PQ shortlisting
+    "sim_mrl_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.mrlTopK(emb, "vec_id", "embedding", q,
+          prefixDim = 16, shortlist = 200, k = 20)
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
+    // link prediction over the trade graph (nation-0 slice): common
+    // suppliers + neighborhood Jaccard per customer pair — integer counts
+    // and one division, replayed exactly
+    "gr_linkpred" -> ((s, dir) => {
+      val cust0 = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select(col("c_custkey"))
+      val e = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust0, col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct().persist()
+      val deg = e.groupBy("c").agg(count(lit(1)).as("deg"))
+      val wedges = e.as("a").join(e.as("b"),
+          col("a.sup") === col("b.sup") && col("a.c") < col("b.c"))
+        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("common"))
+      wedges
+        .join(deg.select(col("c").as("c1"), col("deg").as("d1")), "c1")
+        .join(deg.select(col("c").as("c2"), col("deg").as("d2")), "c2")
+        .select(col("c1"), col("c2"), col("common"),
+          round(col("common").cast("double")
+            / (col("d1") + col("d2") - col("common")).cast("double"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("c1"), col("c2")).limit(25)
+    }),
+
     // -------------------------------------------- distributed spatial join
     // customer points vs per-nation supplier envelope polygons — the
     // TestIntersectsPathQueries-style genuine spatial join (SURVEY §2.5),
@@ -2821,6 +2858,37 @@ object SparkEntry {
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
         |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
         |ORDER BY cosine DESC, id LIMIT 50""".stripMargin,
+
+    "sim_mrl_topk" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |short AS (
+        |  SELECT e.vec_id AS id, e.embedding,
+        |         round(list_cosine_similarity((e.embedding[1:16])::DOUBLE[],
+        |                                      (q.embedding[1:16])::DOUBLE[]), 6) AS pre_cos
+        |  FROM embeddings e, q
+        |  ORDER BY pre_cos DESC, id LIMIT 200
+        |)
+        |SELECT s.id, s.pre_cos,
+        |       round(list_cosine_similarity(s.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+        |FROM short s, q
+        |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
+
+    "gr_linkpred" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON c_custkey = o_custkey AND c_nationkey = 0
+        |), deg AS (SELECT c, count(*) AS deg FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT a.c AS c1, b.c AS c2, count(*) AS common
+        |  FROM e a JOIN e b ON a.sup = b.sup AND a.c < b.c
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c1, c2, CAST(common AS BIGINT) AS common,
+        |       round(common::DOUBLE / (d1.deg + d2.deg - common)::DOUBLE, 6) AS jaccard
+        |FROM w JOIN deg d1 ON d1.c = w.c1 JOIN deg d2 ON d2.c = w.c2
+        |ORDER BY jaccard DESC, c1, c2 LIMIT 25""".stripMargin,
 
     // ------------------------------------------ formerly-rows-only queries
     "sp_intersects_poly" -> (PtsCte +

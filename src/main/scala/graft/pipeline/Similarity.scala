@@ -41,6 +41,28 @@ object Similarity {
       .limit(k)
   }
 
+  /** Matryoshka (MRL) retrieval: shortlist by the cosine of the first
+    * `prefixDim` dimensions, then exact full-dimension re-rank of the
+    * shortlist — the dimension-TRUNCATION member of the shortlist-then-
+    * rerank family (IVF prunes by partition, PQ by quantization, MRL by
+    * prefix; Kusupati et al. 2022). With MRL-trained embeddings the prefix
+    * IS a valid coarse embedding, so the first pass scans prefixDim/dim of
+    * the bytes — the column-pruned ANN scan at 100 TB. Both passes rank on
+    * values rounded to 6 decimals with id tie-breaks, so the shortlist set
+    * and final order replay exactly.
+    */
+  def mrlTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], prefixDim: Int, shortlist: Int, k: Int): DataFrame = {
+    val qPre = array(query.take(prefixDim).map(lit): _*)
+    val qFull = array(query.map(lit): _*)
+    val short = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        round(cosine(asDouble(slice(col(vecCol), 1, prefixDim)), qPre), 6).as("pre_cos"))
+      .orderBy(col("pre_cos").desc, col("id")).limit(shortlist)
+    short.select(col("id"), col("pre_cos"),
+        round(cosine(asDouble(col("__v")), qFull), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id")).limit(k)
+  }
+
   // ------------------------------------------------------------------ SRP
 
   /** Deterministic random hyperplanes (seed 42), dim × bits. */

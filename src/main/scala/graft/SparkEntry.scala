@@ -267,6 +267,35 @@ object SparkEntry {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q8 shape (national market share): the 5-way star join whose
+    // ordering Catalyst + AQE pick — the two fact tables shuffle on the
+    // orderkey, every dimension broadcasts. Volumes are EXACT integer
+    // cent×pct products so the per-year sums hash regardless of
+    // aggregation order; only the final share is a (single) division
+    "q8_market_share" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val natR0 = T(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey"))
+      val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust.join(broadcast(natR0),
+          col("c_nationkey") === col("n_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("yr"))
+        .agg(sum(when(col("s_nationkey") === 7, col("vol")).otherwise(0L)).as("nation_vol"),
+          sum(col("vol")).as("total_vol"))
+        .select(col("yr"), col("nation_vol"), col("total_vol"),
+          round(col("nation_vol").cast("double") / col("total_vol").cast("double"), 6)
+            .as("share"))
+        .orderBy(col("yr"))
+    }),
+
     "ev_top_users" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read it as long nanos (we don't use ts here)
@@ -2354,6 +2383,24 @@ object SparkEntry {
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH v AS (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, s_nationkey,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |  JOIN nation cn ON cn.n_nationkey = c_nationkey AND cn.n_regionkey = 0
+        |  JOIN supplier ON s_suppkey = l_suppkey
+        |)
+        |SELECT yr,
+        |  CAST(sum(CASE WHEN s_nationkey = 7 THEN vol ELSE 0 END) AS BIGINT) AS nation_vol,
+        |  CAST(sum(vol) AS BIGINT) AS total_vol,
+        |  round(sum(CASE WHEN s_nationkey = 7 THEN vol ELSE 0 END)::DOUBLE
+        |      / sum(vol)::DOUBLE, 6) AS share
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_top_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20",

@@ -1234,6 +1234,21 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
+    // decode → box-filter RESIZE (8×8 → 4×4): destination pixels are exact
+    // level-sum quarters, recovered losslessly for the position-weighted
+    // checksum the oracle replays from the FNV chain
+    "mm_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300).filter(col("kind") === "image")
+      val px = Multimodal.decodeAndFeaturize(media, w = 8, h = 8)
+      Multimodal.boxResize(px, srcW = 8, srcH = 8, dstW = 4, dstH = 4)
+        .select(col("media_id"),
+          expr("""aggregate(zip_with(pixels, sequence(1, 16),
+                 |  (p, i) -> CAST(i AS BIGINT) * CAST(round(CAST(p AS DOUBLE) * 1020) AS BIGINT)),
+                 |  0L, (acc, v) -> acc + v)""".stripMargin).as("checksum"),
+          size(col("pixels")).cast("long").as("n_px"))
+        .orderBy(col("media_id"))
+    }),
+
     // the full multimodal→embedding→ANN composition: stub-decode images to
     // 8×8 pixels, pool 8 blocks of 8 into an EXACT integer embedding
     // (recovered pixel levels sum losslessly), then brute-force cosine
@@ -3198,6 +3213,36 @@ object SparkEntry {
         |FROM segs GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "mm_frames" -> MmFramesSql,
+
+    // image FNV chain → 2×2 block level-sums → position-weighted checksum
+    "mm_resize" ->
+      """WITH RECURSIVE chain(media_id, step, state) AS (
+        |  SELECT i AS media_id, 0 AS step,
+        |         CAST(14695981039346656037 AS UBIGINT) AS state
+        |  FROM range(300) t(i) WHERE i % 3 = 0
+        |  UNION ALL
+        |  SELECT media_id, step + 1,
+        |    CAST((CAST(xor(state, CAST(
+        |      CASE WHEN step < 64 THEN
+        |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
+        |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
+        |             ELSE (media_id * 31 + step * 7) % 251 END
+        |      ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+        |      % 18446744073709551616 AS UBIGINT)
+        |  FROM chain WHERE step < 128
+        |), px AS (
+        |  SELECT media_id, (step - 65) AS pidx,
+        |         CAST((state // 1099511627776) % 256 AS BIGINT) AS level
+        |  FROM chain WHERE step > 64
+        |), blocks AS (
+        |  SELECT media_id,
+        |         ((pidx // 8) // 2) * 4 + ((pidx % 8) // 2) AS b,
+        |         sum(level) AS s
+        |  FROM px GROUP BY 1, 2
+        |)
+        |SELECT media_id, CAST(sum((b + 1) * s) AS BIGINT) AS checksum,
+        |       CAST(16 AS BIGINT) AS n_px
+        |FROM blocks GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // image-kind FNV chain (64 content bytes, then 64 pixel steps), pixel
     // LEVELS kept as exact integers → block-sum embedding → integer

@@ -64,6 +64,50 @@ object Multimodal {
       .toDF("media_id", "pixels", "width", "height")
   }
 
+  /** Box-filter downsample of decoded pixel grids: each destination pixel
+    * is the mean of its (srcW/dstW)×(srcH/dstH) source block — the resize
+    * member of the decode / feature-extract / resize / frame-sample
+    * quartet. Runs per partition over the (media_id, pixels) batches the
+    * decode step emits (same mapPartitions shape, so a real resampler
+    * slots in without touching the dataflow). Requires integral scale
+    * factors; block means of ≤1020/255 level quarters are exact in float,
+    * so the oracle recovers the source-level block sums losslessly.
+    */
+  def boxResize(df: DataFrame, srcW: Int, srcH: Int, dstW: Int, dstH: Int): DataFrame = {
+    require(srcW % dstW == 0 && srcH % dstH == 0,
+      s"box resize needs integral factors: ${srcW}x$srcH -> ${dstW}x$dstH")
+    val fx = srcW / dstW; val fy = srcH / dstH
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("pixels")).as[(Long, Seq[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, px) =>
+          val out = new Array[Float](dstW * dstH)
+          var ry = 0
+          while (ry < dstH) {
+            var rx = 0
+            while (rx < dstW) {
+              var sum = 0.0f
+              var dy = 0
+              while (dy < fy) {
+                var dx = 0
+                while (dx < fx) {
+                  sum += px((ry * fy + dy) * srcW + (rx * fx + dx))
+                  dx += 1
+                }
+                dy += 1
+              }
+              out(ry * dstW + rx) = sum / (fx * fy)
+              rx += 1
+            }
+            ry += 1
+          }
+          (id, out.toSeq, dstW, dstH)
+        }
+      }
+      .toDF("media_id", "pixels", "width", "height")
+  }
+
   /** Frame sampling for video-kind rows: emits `n` evenly spaced pseudo
     * frames per media row (explode shape identical to a real frame sampler).
     */

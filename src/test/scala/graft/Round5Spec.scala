@@ -279,6 +279,46 @@ class Round5Spec extends SparkSpec {
     assert(multi(5L) == 0 && multi(4L) == 1 && multi(2L) == 1)
   }
 
+  test("boxResize: block means, integral factors enforced") {
+    import graft.pipeline.Multimodal
+    // 4×2 grid, 2×2 blocks → 2×1: means of the two halves
+    val px = Seq((1L, Seq(0f, 1f, 2f, 3f, 4f, 5f, 6f, 7f)))
+      .toDF("media_id", "pixels")
+    val out = Multimodal.boxResize(px, srcW = 4, srcH = 2, dstW = 2, dstH = 1)
+      .select("pixels").as[Seq[Float]].head()
+    // block 0 = {0,1,4,5} → 2.5; block 1 = {2,3,6,7} → 4.5
+    assert(out == Seq(2.5f, 4.5f))
+    intercept[IllegalArgumentException](
+      Multimodal.boxResize(px, srcW = 4, srcH = 2, dstW = 3, dstH = 1))
+    // identity factors are a no-op
+    val same = Multimodal.boxResize(px, 4, 2, 4, 2)
+      .select("pixels").as[Seq[Float]].head()
+    assert(same == (0 to 7).map(_.toFloat))
+  }
+
+  test("mrl with full-dim prefix equals brute force") {
+    import graft.pipeline.Similarity
+    val rnd = new scala.util.Random(7)
+    val df = (0L until 100L).map(i => (i, Array.fill(16)(rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head().map(_.toDouble)
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", q, 10)
+      .select(col("id"), round(col("cosine"), 6).as("cosine"))
+      .as[(Long, Double)].collect().toSeq
+    // prefixDim = full dim ⇒ the shortlist pass IS the exact ranking
+    val mrl = Similarity.mrlTopK(df, "vec_id", "embedding", q,
+        prefixDim = 16, shortlist = 100, k = 10)
+      .select(col("id"), col("cosine")).as[(Long, Double)].collect().toSeq
+    assert(mrl == brute)
+    // a true prefix still recovers the exact top-1 on this corpus after
+    // the full-dim re-rank of a generous shortlist
+    val mrl8 = Similarity.mrlTopK(df, "vec_id", "embedding", q,
+        prefixDim = 8, shortlist = 50, k = 1)
+      .select("id").as[Long].head()
+    assert(mrl8 == brute.head._1)
+  }
+
   test("sssp: cheapest path beats fewest hops, bounded rounds truncate") {
     import graft.pipeline.Graphs
     // 1→2→3 costs 1+1=2; the direct 1→3 shortcut costs 5 — min weight must

@@ -296,6 +296,32 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
+    // TPC-H Q3 shipping priority: both date filters push to the parquet
+    // scans, the segment filter prunes customer before the join, and the
+    // revenue is summed as exact integers (cents × discount-percent) so the
+    // aggregate is merge-order independent — no explicit broadcast; at these
+    // SFs AQE promotes the filtered customer side from runtime stats, at
+    // 100 TB all three sides shuffle on their join keys
+    "q3_shipping" -> ((s, dir) => {
+      val cut = to_timestamp(lit("1998-06-01"))
+      val cust = T(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val ord = T(s, dir, "orders").filter(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = T(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("vol")).as("revenue_scaled"))
+        .select(col("l_orderkey"), col("revenue_scaled"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue_scaled").desc, col("l_orderkey")).limit(10)
+    }),
+
     "ev_top_users" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read it as long nanos (we don't use ts here)
@@ -806,6 +832,22 @@ object SparkEntry {
           round(col("q.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // the published Gopher rule set (Rae et al. 2021 App. A1.1) as one
+    // tokenize-once column pipeline — word-count / mean-word-length /
+    // symbol-ratio / alpha-word-fraction / stopword-presence signals plus
+    // the combined pass flag, every field oracle-replayed
+    "tx_gopher" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"),
+          col("g.n_words").as("n_words"),
+          round(col("g.mean_word_len"), 6).as("mean_word_len"),
+          round(col("g.symbol_ratio"), 6).as("symbol_ratio"),
+          round(col("g.alpha_frac"), 6).as("alpha_frac"),
+          col("g.stop_hits").as("stop_hits"),
+          col("g.pass").as("pass"))
+        .orderBy(col("doc_id"))),
+
     // ------------------------------------------------------- similarity
     "sim_cosine_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -1059,6 +1101,34 @@ object SparkEntry {
       q.awaitTermination(180000)
       s.table("st_stream_cells_mem")
         .orderBy(col("cell_x"), col("cell_y"))
+    }),
+
+    // second streaming CORRECTNESS row: exact-dedup group state built from 4
+    // file-source microbatches (streamed hash-keyed aggregate, complete
+    // mode, AvailableNow) must equal the batch dd_exact_groups oracle —
+    // min(doc_id) and count are merge-order independent, so the microbatch
+    // partial states converge to the batch answer by construction
+    "st_stream_dedup" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      T(s, dir, "documents").select(col("doc_id"), col("text"))
+        .repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val agg = stream
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      val q = agg.writeStream
+        .format("memory").queryName("st_stream_dedup_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_dedup_mem").orderBy(col("text_hash"))
     }),
 
     // ECQL front-end leg: a stored-ECQL-style string (the reference feeds
@@ -2417,6 +2487,20 @@ object SparkEntry {
         |      / sum(vol)::DOUBLE, 6) AS share
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_scaled,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey AND c_mktsegment = 'BUILDING'
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10""".stripMargin,
+
     "ev_top_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20",
 
@@ -2915,6 +2999,9 @@ object SparkEntry {
 
     "tx_quality" -> TxQualitySql,
 
+    "tx_gopher" ->
+      TextAnalysis.gopherRulesDuckSql("documents", "doc_id", "text"),
+
     "sim_cosine_topk" ->
       """SELECT e.vec_id AS id,
         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
@@ -3060,6 +3147,11 @@ object SparkEntry {
         |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
         |FROM pts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "st_stream_dedup" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       count(*) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sp_ecql" -> (PtsCte +
       """

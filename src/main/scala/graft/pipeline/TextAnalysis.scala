@@ -63,6 +63,96 @@ object TextAnalysis {
       stopUdf(text).as("stopword_ratio"))
   }
 
+  /** The Gopher rule stopword list, in the paper's order (Rae et al. 2021,
+    * App. A1.1): a doc must contain at least two of these to pass.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule signals (Rae et al. 2021, "Scaling Language Models",
+    * App. A1.1) — the published heuristic filter set most large text-corpus
+    * pipelines start from. Pure column expressions over one whitespace
+    * tokenization (array reused across all five rules, no UDF):
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10]
+    *   - symbol-to-word ratio ('#' and '...' occurrences per word) <= 0.1
+    *   - >= 80% of words contain an alphabetic character
+    *   - >= 2 of the 8 Gopher stopwords present
+    * Returns a struct of the signals plus the combined `pass` flag; ratio
+    * fields are raw doubles (callers round for display/oracle).
+    */
+  def gopherRules(text: Column): Column = {
+    val toks = filter(split(trim(text), "\\s+"), t => length(t) > 0)
+    val nWords = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (a, t) => a + length(t).cast("long"))
+    val meanLen = when(nWords > 0, sumLen.cast("double") / nWords.cast("double"))
+      .otherwise(lit(0.0))
+    val nHash = (length(text) - length(replace(text, lit("#"), lit("")))).cast("long")
+    val nEllipsis = ((length(text) - length(replace(text, lit("..."), lit("")))) / 3)
+      .cast("long")
+    val symRatio = when(nWords > 0,
+        (nHash + nEllipsis).cast("double") / nWords.cast("double"))
+      .otherwise(lit(0.0))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long")
+    val alphaFrac = when(nWords > 0,
+        alphaWords.cast("double") / nWords.cast("double"))
+      .otherwise(lit(0.0))
+    val lowerToks = transform(toks, t => lower(t))
+    val stopHits = gopherStopwords
+      .map(w => array_contains(lowerToks, w).cast("long")).reduce(_ + _)
+    val pass = nWords >= 50 && nWords <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symRatio <= 0.1 && alphaFrac >= 0.8 && stopHits >= 2
+    struct(
+      nWords.as("n_words"),
+      meanLen.as("mean_word_len"),
+      symRatio.as("symbol_ratio"),
+      alphaFrac.as("alpha_frac"),
+      stopHits.as("stop_hits"),
+      pass.cast("long").as("pass"))
+  }
+
+  /** DuckDB replay of [[gopherRules]] over `documents`: identical
+    * tokenization (regex whitespace split, empties dropped), identical
+    * integer counts, identical double divisions, ratios rounded to 6 like
+    * the driver query's output projection.
+    */
+  def gopherRulesDuckSql(table: String, idCol: String, textCol: String): String = {
+    val stops = gopherStopwords
+      .map(w => s"list_contains(lt, '$w')::BIGINT").mkString(" + ")
+    s"""WITH tk AS (
+       |  SELECT $idCol,
+       |         list_filter(string_split_regex(trim($textCol), '\\s+'),
+       |                     __t -> length(__t) > 0) AS toks,
+       |         (length($textCol) - length(replace($textCol, '#', '')))::BIGINT AS nh,
+       |         ((length($textCol) - length(replace($textCol, '...', ''))) // 3)::BIGINT AS ne
+       |  FROM $table
+       |), m AS (
+       |  SELECT $idCol,
+       |         len(toks)::BIGINT AS n_words,
+       |         coalesce(list_sum(list_transform(toks, __t -> length(__t)::BIGINT)), 0)::BIGINT AS sl,
+       |         nh, ne,
+       |         len(list_filter(toks, __t -> regexp_matches(__t, '[A-Za-z]')))::BIGINT AS aw,
+       |         list_transform(toks, __t -> lower(__t)) AS lt
+       |  FROM tk
+       |), r AS (
+       |  SELECT $idCol, n_words,
+       |         CASE WHEN n_words > 0 THEN sl::DOUBLE / n_words::DOUBLE ELSE 0.0 END AS mean_word_len,
+       |         CASE WHEN n_words > 0 THEN (nh + ne)::DOUBLE / n_words::DOUBLE ELSE 0.0 END AS symbol_ratio,
+       |         CASE WHEN n_words > 0 THEN aw::DOUBLE / n_words::DOUBLE ELSE 0.0 END AS alpha_frac,
+       |         ($stops)::BIGINT AS stop_hits
+       |  FROM m
+       |)
+       |SELECT $idCol, n_words, round(mean_word_len, 6) AS mean_word_len,
+       |       round(symbol_ratio, 6) AS symbol_ratio,
+       |       round(alpha_frac, 6) AS alpha_frac, stop_hits,
+       |       (n_words >= 50 AND n_words <= 100000
+       |        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |        AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8
+       |        AND stop_hits >= 2)::BIGINT AS pass
+       |FROM r ORDER BY $idCol""".stripMargin
+  }
+
   // ------------------------------------------------------------ language id
 
   /** Tiny per-language marker vocabularies (top function words). A document

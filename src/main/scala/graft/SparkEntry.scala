@@ -870,6 +870,16 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // SQ8 scalar-quantization retrieval: 8-bit levels from per-dim corpus
+    // min/max, asymmetric-estimator shortlist, exact full-precision re-rank
+    "sim_sq8" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.sq8TopK(emb, "vec_id", "embedding", q, shortlist = 200, k = 20)
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
     // link prediction over the trade graph (nation-0 slice): common
     // suppliers + neighborhood Jaccard per customer pair — integer counts
     // and one division, replayed exactly
@@ -3021,6 +3031,8 @@ object SparkEntry {
         |       round(list_cosine_similarity(s.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
         |FROM short s, q
         |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
+
+    "sim_sq8" -> Similarity.sq8DuckSql(dim = 64, shortlist = 200, k = 20),
 
     "gr_linkpred" ->
       """WITH e AS (

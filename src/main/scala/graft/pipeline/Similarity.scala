@@ -63,6 +63,79 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
+  /** Scalar quantization (SQ8) retrieval: per-dimension [min,max] over the
+    * corpus, each float quantized to an 8-bit level, candidates scored by
+    * the ASYMMETRIC estimator (exact query vs the dequantized reconstruction
+    * mn + (level+0.5)·scale — the FAISS ScalarQuantizer rule), then exact
+    * re-rank of the shortlist. The quantized scan reads 1 byte/dim instead
+    * of 4 — the memory-bandwidth member of the shortlist-then-rerank family
+    * beside IVF (partition pruning), PQ (subspace codebooks) and MRL (prefix
+    * truncation). The 2·dim min/max stats are the only global state —
+    * collected once (a dim-row aggregate) and embedded as literals,
+    * broadcast-sized by construction at any corpus size. Both passes rank
+    * on round-6 values with id tie-breaks so shortlist set and final order
+    * replay exactly in the oracle.
+    */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], shortlist: Int, k: Int): DataFrame = {
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("d", "v")))
+      .groupBy("d")
+      .agg(min(col("v").cast("double")).as("mn"),
+        max(col("v").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mns = array(stats.map(s => lit(s._2)): _*)
+    val mxs = array(stats.map(s => lit(s._3)): _*)
+    val qFull = array(query.map(lit): _*)
+    def dequant(vec: Column): Column = transform(vec, (vf, i) => {
+      val v = vf.cast("double")
+      val mn = element_at(mns, i + 1)
+      val mx = element_at(mxs, i + 1)
+      val lvl = least(floor((v - mn) * 255.0 / (mx - mn)).cast("double"), lit(255.0))
+      when(mx === mn, mn).otherwise(mn + (lvl + 0.5) * (mx - mn) / 255.0)
+    })
+    val short = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        round(cosine(dequant(col(vecCol)), qFull), 6).as("sq_cos"))
+      .orderBy(col("sq_cos").desc, col("id")).limit(shortlist)
+    short.select(col("id"), col("sq_cos"),
+        round(cosine(asDouble(col("__v")), qFull), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id")).limit(k)
+  }
+
+  /** DuckDB replay of [[sq8TopK]] over `embeddings` with `vec_id = 0` as the
+    * query vector: the oracle recomputes the per-dim min/max itself (same
+    * doubles — float→double casts are exact), applies the identical
+    * quantize/dequantize arithmetic in the identical operation order, and
+    * ranks with the same round-6 + id tie-breaks.
+    */
+  def sq8DuckSql(dim: Int, shortlist: Int, k: Int): String =
+    s"""WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+       |ds AS (
+       |  SELECT d, min(embedding[d]::DOUBLE) AS mn, max(embedding[d]::DOUBLE) AS mx
+       |  FROM embeddings CROSS JOIN range(1, ${dim + 1}) t(d)
+       |  GROUP BY d
+       |),
+       |mm AS (SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM ds),
+       |dq AS (
+       |  SELECT e.vec_id AS id, e.embedding,
+       |         list_transform(range(1, ${dim + 1}), __d ->
+       |           CASE WHEN mxs[__d] = mns[__d] THEN mns[__d]
+       |                ELSE mns[__d]
+       |                     + (least(floor((e.embedding[__d]::DOUBLE - mns[__d]) * 255.0
+       |                                    / (mxs[__d] - mns[__d])), 255.0) + 0.5)
+       |                       * (mxs[__d] - mns[__d]) / 255.0 END) AS dqv
+       |  FROM embeddings e, mm
+       |),
+       |short AS (
+       |  SELECT d.id, d.embedding, round(list_cosine_similarity(d.dqv, q.qv), 6) AS sq_cos
+       |  FROM dq d, q
+       |  ORDER BY sq_cos DESC, id LIMIT $shortlist
+       |)
+       |SELECT s.id, s.sq_cos,
+       |       round(list_cosine_similarity(s.embedding::DOUBLE[], q.qv), 6) AS cosine
+       |FROM short s, q
+       |ORDER BY cosine DESC, id LIMIT $k""".stripMargin
+
   // ------------------------------------------------------------------ SRP
 
   /** Deterministic random hyperplanes (seed 42), dim × bits. */

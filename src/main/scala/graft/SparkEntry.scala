@@ -482,6 +482,19 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(25)
     }),
 
+    // bounded-round k-core peeling over the trade graph: 4 synchronous
+    // drop-degree-<25 rounds, surviving (node, degree) pairs — the dense-core
+    // extraction every community/influence pipeline starts from
+    "gr_kcore" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      Graphs.kcorePeel(edges, k = 25, rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // multi-source BFS over the same trade graph: min hop from any nation-0
     // customer, 3 frontier rounds (customer→supplier→customer→supplier on
     // the bipartite graph) — Graphs.bfs, the Pregel-shaped frontier plan
@@ -2632,6 +2645,14 @@ object SparkEntry {
 
     // bounded-depth recursive CTE: UNION dedups (node, hop) pairs globally,
     // so the working set stays ≤ nodes × (maxHop+1) — min(hop) = BFS distance
+    "gr_kcore" -> Graphs.kcoreDuckSql(
+      """eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e0 AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |)""".stripMargin, k = 25, rounds = 4),
+
     "gr_bfs" ->
       """WITH RECURSIVE eraw AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst

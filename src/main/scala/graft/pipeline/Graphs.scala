@@ -144,6 +144,54 @@ object Graphs {
     dist
   }
 
+  /** Bounded-round k-core peeling: `rounds` synchronous iterations of
+    * "drop every node with degree < k, keep only edges between survivors" —
+    * the standard peeling algorithm with a fixed round budget, the same
+    * bounded-round contract as [[bfs]]/[[sssp]] (the oracle replays the
+    * identical rounds as chained CTEs, so the result is well-defined even
+    * before fixpoint; real graphs converge in a handful of rounds).
+    *
+    * Expects a symmetric directed edge list (both directions present), so
+    * out-degree = degree and one groupBy(src) per round is the whole
+    * degree computation. Per round: one map-side-combinable count aggregate
+    * + two semi-shaped equi-joins keyed on node id — state never exceeds
+    * the surviving edge list, nothing is broadcast, no driver data. Returns
+    * (node, deg) of the surviving subgraph after `rounds` peels.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("n"))
+      // persist per round: e branches into the degree aggregate and both
+      // survivor joins of the NEXT round — unpersisted lineage would
+      // recompute the whole peel prefix at every round
+      e = e.join(keep.select(col("n").as("src")), Seq("src"))
+        .join(keep.select(col("n").as("dst")), Seq("dst"))
+        .select("src", "dst").persist()
+    }
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** DuckDB replay of [[kcorePeel]]: `e0Ctes` is a CTE-list fragment whose
+    * last CTE must be `e0(src, dst)`, the same symmetric edge list the Spark
+    * side peels; each round is one chained CTE pair (degree-filter +
+    * survivor join), identical to the Spark iteration.
+    */
+  def kcoreDuckSql(e0Ctes: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH $e0Ctes")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+k$i AS (SELECT src AS n FROM e${i - 1} GROUP BY 1 HAVING count(*) >= $k),
+e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+        JOIN k$i a ON e.src = a.n JOIN k$i b ON e.dst = b.n)""")
+    }
+    sb.append(
+      s"\nSELECT src AS node, count(*)::BIGINT AS deg FROM e$rounds GROUP BY 1 ORDER BY 1")
+    sb.toString
+  }
+
   /** Bounded-round Bellman-Ford SSSP: minimum additive path weight from any
     * seed reachable within `rounds` edge relaxations — the weighted sibling
     * of [[bfs]] (routing cost, influence decay). `edges` needs long-castable

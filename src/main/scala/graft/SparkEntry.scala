@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{GeoFrame, SpatialAggs, SpatialJoin}
-import graft.functions.st
+import graft.functions.{HexBin, st}
 import graft.geom.GeomCodec
 import graft.pipeline.{Bpe, Classify, Corpus, CountMin, Dedup, Events, Graphs, Groups, LanguageModel, Multimodal, Packing, PageRank, Similarity, TextAnalysis}
 
@@ -957,6 +957,18 @@ object SparkEntry {
           round(st.area(st.convexHull(col("g"))), 6).as("hull_area"),
           st.numPoints(st.convexHull(col("g"))).cast("long").as("hull_pts"))
         .orderBy(col("c_nationkey"))),
+
+    // hexagonal tessellation aggregate: pointy-top axial cells via
+    // cube-rounding (functions/HexBin) — all-codegen binning feeding one
+    // map-side-combinable integer-key aggregate, the hex sibling of the
+    // square density grid
+    "sp_hexbin" -> ((s, dir) =>
+      pointsDf(s, dir)
+        .select(HexBin.cell(col("x"), col("y"), 5.0).as("h"), col("c_acctbal"))
+        .groupBy(col("h.q").as("hex_q"), col("h.r").as("hex_r"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .orderBy(col("hex_q"), col("hex_r"))),
 
     "sp_density_islands" -> ((s, dir) => {
       val pts = pointsLayer(s, dir).df.filter(col("c_nationkey") === 0)
@@ -3180,6 +3192,15 @@ object SparkEntry {
         |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
         |FROM pts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "sp_hexbin" -> {
+      val (hq, hr) = HexBin.cellDuckSql("x", "y", 5.0)
+      PtsCte +
+        s"""
+           |SELECT $hq AS hex_q, $hr AS hex_r, count(*) AS n,
+           |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
+           |FROM pts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
 
     "st_stream_dedup" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -334,4 +334,43 @@ class Round5Spec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(one(3L) == 5L && !one.contains(4L))
   }
+
+  test("hexbin: every point lies within its cell's circumradius; partition is total") {
+    import graft.functions.HexBin
+    val size = 5.0
+    // a jittered grid crossing hex boundaries in both axes, incl. negatives
+    val pts = (-40 to 40 by 3).flatMap(i => (-40 to 40 by 3).map(j =>
+      (i + 0.37, j - 0.61))).toDF("x", "y")
+    val withCell = pts.select(col("x"), col("y"),
+      HexBin.cell(col("x"), col("y"), size).as("h"))
+    // pointy-top axial → cartesian center: cx = s·√3·(q + r/2), cy = s·3/2·r
+    val centered = withCell.select(col("x"), col("y"),
+      (lit(size * math.sqrt(3.0)) * (col("h.q") + col("h.r") / 2.0)).as("cx"),
+      (lit(size * 1.5) * col("h.r")).as("cy"))
+    val rows = centered.select(
+        sqrt(pow(col("x") - col("cx"), 2.0) + pow(col("y") - col("cy"), 2.0)).as("d"))
+      .as[Double].collect()
+    assert(rows.nonEmpty)
+    // circumradius bound (+ε for the cube-round tie edges)
+    assert(rows.forall(_ <= size + 1e-9), s"max center distance ${rows.max}")
+    // determinism/totality: re-binning the same points yields identical cells
+    val a = withCell.select("h.q", "h.r").as[(Long, Long)].collect().toSeq
+    val b = withCell.select("h.q", "h.r").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("kcore: peeling cascades and respects the round budget") {
+    import graft.pipeline.Graphs
+    // path a-b-c-d plus triangle d-e-f-d (undirected, symmetric list):
+    // 2-core = the triangle; path nodes peel over successive rounds
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = Graphs.kcorePeel(edges, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // one round only drops degree-1 node 1; node 2 (now degree 1) survives
+    assert(!r1.contains(1L) && r1.contains(2L))
+    val r3 = Graphs.kcorePeel(edges, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r3.keySet == Set(4L, 5L, 6L) && r3.values.forall(_ == 2L))
+  }
 }

@@ -495,6 +495,34 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // degree assortativity of the trade graph: Pearson correlation of
+    // endpoint degrees over the symmetric edge list, computed from six
+    // EXACT integer moments (one aggregate) with the closed-form correlation
+    // as the only float math — the classic "do hubs link to hubs" network
+    // statistic (strongly negative on a bipartite hub-spoke graph)
+    "gr_assortativity" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+        .persist()
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val ed = edges
+        .join(deg.select(col("src"), col("deg").as("dx")), "src")
+        .join(deg.select(col("src").as("dst"), col("deg").as("dy")), "dst")
+      val m = ed.agg(count(lit(1)).as("n"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      def d(c: String) = col(c).cast("double")
+      m.select(col("n"),
+        round((d("n") * d("sxy") - d("sx") * d("sy"))
+          / (sqrt(d("n") * d("sxx") - d("sx") * d("sx"))
+            * sqrt(d("n") * d("syy") - d("sy") * d("sy"))), 6).as("assortativity"))
+    }),
+
     // multi-source BFS over the same trade graph: min hop from any nation-0
     // customer, 3 frontier rounds (customer→supplier→customer→supplier on
     // the bipartite graph) — Graphs.bfs, the Pregel-shaped frontier plan
@@ -773,6 +801,29 @@ object SparkEntry {
           base.filter(col("c_nationkey") === 0).select(col("ck").as("id"), col("x"), col("y")),
           pts, k = 5, cellSize = 8.0, excludeSelf = true)
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // k-NN classification composed on the distributed exact knn join:
+    // majority nation label of the 5 nearest neighbors per query point
+    // (tie-break: smallest label) — the label join is keyed on neighbor id,
+    // the vote a two-level aggregate + WindowGroupLimit top-1; nothing new
+    // crosses the wire beyond the knn output itself
+    "sp_knn_class" -> ((s, dir) => {
+      val base = pointsDf(s, dir)
+      val pts = base.select(col("ck").as("id"), col("x"), col("y"))
+      val knn = SpatialJoin.knnJoin(
+        base.filter(col("c_nationkey") === 0).select(col("ck").as("id"), col("x"), col("y")),
+        pts, k = 5, cellSize = 8.0, excludeSelf = true)
+      val labels = base.select(col("ck").as("pid"),
+        col("c_nationkey").cast("long").as("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("votes").desc, col("label"))
+      knn.join(labels, "pid")
+        .groupBy(col("qid"), col("label")).agg(count(lit(1)).as("votes"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("qid"), col("label").as("pred"), col("votes"))
+        .orderBy(col("qid"))
     }),
 
     "sp_layer_bbox" -> ((s, dir) => pointsLayer(s, dir).boundingBox()),
@@ -2986,6 +3037,53 @@ object SparkEntry {
         |  CROSS JOIN pts p
         |  WHERE p.ck <> q.ck
         |) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
+
+    "sp_knn_class" -> (PtsCte +
+      """
+        |, knn AS (
+        |  SELECT qid, pid FROM (
+        |    SELECT q.ck AS qid, p.ck AS pid,
+        |           row_number() OVER (PARTITION BY q.ck
+        |             ORDER BY (q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y), p.ck) AS rk
+        |    FROM (SELECT * FROM pts WHERE c_nationkey = 0) q
+        |    CROSS JOIN pts p
+        |    WHERE p.ck <> q.ck
+        |  ) WHERE rk <= 5
+        |), votes AS (
+        |  SELECT k.qid, CAST(p.c_nationkey AS BIGINT) AS label, count(*) AS votes
+        |  FROM knn k JOIN pts p ON p.ck = k.pid
+        |  GROUP BY 1, 2
+        |)
+        |SELECT qid, label AS pred, votes FROM (
+        |  SELECT qid, label, votes,
+        |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rk
+        |  FROM votes
+        |) WHERE rk = 1 ORDER BY qid""".stripMargin),
+
+    "gr_assortativity" ->
+      """WITH eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |), deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |ed AS (
+        |  SELECT d1.deg AS dx, d2.deg AS dy
+        |  FROM e JOIN deg d1 ON d1.src = e.src JOIN deg d2 ON d2.src = e.dst
+        |), m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+        |         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+        |         CAST(sum(dy * dy) AS BIGINT) AS syy,
+        |         CAST(sum(dx * dy) AS BIGINT) AS sxy
+        |  FROM ed
+        |)
+        |SELECT n,
+        |       round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |         / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |            * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6)
+        |         AS assortativity
+        |FROM m""".stripMargin,
 
     "sp_layer_bbox" -> (PtsCte +
       """

@@ -154,6 +154,25 @@ object ExplainAudit {
       .filter(col("rec_no") <= 25).select("name")
       .explain("formatted")
 
+    println("========== hexbin: one integer-key exchange, codegen binning ==========")
+    pts.select(graft.functions.HexBin.cell(col("x"), col("y"), 5.0).as("h"),
+        (col("id") % 1000).cast("double").as("v"))
+      .groupBy(col("h.q").as("q"), col("h.r").as("r"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .explain("formatted")
+
+    println("========== kcore round: degree agg partial-combines, survivor joins keyed ==========")
+    graft.pipeline.Graphs.kcorePeel(edges, k = 3, rounds = 2)
+      .explain("formatted")
+
+    println("========== SQ8: stats once, quantized scan + TakeOrderedAndProject ==========")
+    val emb = spark.range(2000).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => ((col("id") + i) % 97).cast("float") / 97.0f).as("embedding"))
+    graft.pipeline.Similarity.sq8TopK(emb, "vec_id", "embedding",
+        Array.fill(16)(0.5), shortlist = 50, k = 10)
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -359,6 +359,26 @@ class Round5Spec extends SparkSpec {
     assert(a == b)
   }
 
+  test("hexbin aggregate: one exchange, binning inside whole-stage codegen") {
+    import graft.functions.HexBin
+    val pts = spark.range(1000).select(
+      (col("id") % 100).cast("double").as("x"),
+      (col("id") % 37).cast("double").as("y"))
+    val agg = pts.select(HexBin.cell(col("x"), col("y"), 5.0).as("h"))
+      .groupBy(col("h.q").as("q"), col("h.r").as("r"))
+      .agg(count(lit(1)).as("n"))
+    agg.collect() // materialize so AQE finalizes and codegen spans render
+    // the AQE plan string repeats the tree under "== Initial Plan ==" —
+    // assert on the final section only
+    val plan = agg.queryExecution.executedPlan.toString()
+      .split("== Initial Plan ==").head
+    assert(plan.split("ShuffleQueryStage").length - 1 == 1,
+      s"hexbin should shuffle exactly once:\n$plan")
+    assert(plan.contains("*("), s"binning fell out of codegen:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "hexbin must be pure column arithmetic")
+  }
+
   test("kcore: peeling cascades and respects the round budget") {
     import graft.pipeline.Graphs
     // path a-b-c-d plus triangle d-e-f-d (undirected, symmetric list):

@@ -495,6 +495,29 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // personalized PageRank from the nation-0 customer seed set: uniform
+    // teleport over the seeds only (topic-sensitive PageRank, Haveliwala
+    // 2002) — proximity-to-community scores, positive ranks top-25
+    "gr_ppr" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      PageRank.personalizedPageRank(edges, seeds, iters = 3, damping = 0.85)
+        .filter(col("rank") > 0)
+        .orderBy(col("rank").desc, col("node")).limit(25)
+    }),
+
+    // trailing-window changepoints: hours breaking ±ratio bounds vs the
+    // mean of the previous 6 observed hours of the same type — the
+    // sequential/local sibling of ev_anomaly's global z-score
+    "ev_changepoint" -> ((s, dir) =>
+      Events.changepoints(T(s, dir, "events"), window = 6, up = 1.5, down = 0.5)
+        .orderBy(col("event_type"), col("hour_idx"))),
+
     // degree assortativity of the trade graph: Pearson correlation of
     // endpoint degrees over the symmetric edge list, computed from six
     // EXACT integer moments (one aggregate) with the closed-form correlation
@@ -1215,6 +1238,37 @@ object SparkEntry {
         .start()
       q.awaitTermination(180000)
       s.table("st_stream_dedup_mem").orderBy(col("text_hash"))
+    }),
+
+    // third streaming CORRECTNESS row, this one through the EVENT-TIME
+    // window operator: hourly tumbling-window counts per event type from 4
+    // microbatches (complete mode, AvailableNow) must equal the batch
+    // hourly rollup the oracle computes — window(start) is exposed as epoch
+    // seconds so the integer hour arithmetic replays exactly
+    "st_stream_hourly" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-hourly")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      T(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tev"), col("event_type"))
+        .repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val agg = stream
+        .groupBy(window(col("tev"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_start"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("st_stream_hourly_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_hourly_mem").orderBy(col("event_type"), col("hour_start"))
     }),
 
     // ECQL front-end leg: a stored-ECQL-style string (the reference feeds
@@ -3304,6 +3358,15 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st_stream_hourly" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
+    "gr_ppr" -> PageRank.pprDuckSql(iters = 3, damping = 0.85, topK = 25),
+
+    "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
 
     "sp_ecql" -> (PtsCte +
       """

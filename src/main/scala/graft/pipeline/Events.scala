@@ -315,6 +315,63 @@ object Events {
         round((col("n") - col("mean")) / col("sd"), 6).as("zscore"))
   }
 
+  /** Sequential changepoint flags: an hour whose count breaks ±ratio bounds
+    * against the trailing mean of the previous `window` OBSERVED hours of
+    * the same event type (ROWS frame, so gaps don't dilute the baseline).
+    * The local sibling of [[anomalies]] (global z-score): a slow drift
+    * shifts the global mean and hides, but a step change breaks the
+    * trailing ratio immediately — the standard ops-monitoring primitive.
+    *
+    * One shuffle on event_type for the hourly rollup; the window frame and
+    * the flag filter reuse that partitioning (no second exchange). All
+    * frame sums are exact integers; the two ratio comparisons are the only
+    * float ops and replay bit-identically.
+    */
+  def changepoints(events: DataFrame, window: Int = 6,
+      up: Double = 1.5, down: Double = 0.5): DataFrame = {
+    val hourly = events
+      .withColumn("hour_idx", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_idx")
+      .rowsBetween(-window, -1)
+    hourly
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("ws", sum(col("n")).over(w))
+      .filter(col("wn") === window)
+      .withColumn("trail_avg", col("ws").cast("double") / window)
+      .filter(col("n") > lit(up) * col("trail_avg") ||
+        col("n") < lit(down) * col("trail_avg"))
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        round(col("trail_avg"), 6).as("trail_avg"),
+        round(col("n").cast("double") / col("trail_avg"), 6).as("ratio"))
+  }
+
+  /** DuckDB replay of [[changepoints]]: identical ROWS frame, identical
+    * integer frame sums, identical ratio arithmetic.
+    */
+  def changepointsDuckSql(window: Int = 6,
+      up: Double = 1.5, down: Double = 0.5): String =
+    s"""WITH h AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), w AS (
+       |  SELECT event_type, hour_idx, n,
+       |         count(*) OVER (PARTITION BY event_type ORDER BY hour_idx
+       |           ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS wn,
+       |         CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hour_idx
+       |           ROWS BETWEEN $window PRECEDING AND 1 PRECEDING) AS BIGINT) AS ws
+       |  FROM h
+       |), t AS (
+       |  SELECT event_type, hour_idx, n, ws::DOUBLE / $window AS trail_avg
+       |  FROM w WHERE wn = $window
+       |)
+       |SELECT event_type, hour_idx, n, round(trail_avg, 6) AS trail_avg,
+       |       round(n::DOUBLE / trail_avg, 6) AS ratio
+       |FROM t
+       |WHERE n > $up * trail_avg OR n < $down * trail_avg
+       |ORDER BY 1, 2""".stripMargin
+
   // ================================================= window duplicate drop
 
   /** Batch sibling of streaming exact dedup: an event is a duplicate when

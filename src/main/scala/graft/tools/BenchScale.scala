@@ -503,7 +503,18 @@ object BenchScale {
         val verts = e.select(col("src").as("id"))
           .union(e.select(col("dst").as("id"))).distinct()
         graft.pipeline.Groups.ccLabels(verts, e, smallEdgeLimit = 0L)
-      }))
+      }),
+      // bounded-round k-core peeling over N disjoint copies: per-copy peel
+      // structure repeats, so every round's degree aggregate and the two
+      // survivor joins grow ∝ N with a constant round count
+      "gr_kcore" ->
+        (n => graft.pipeline.Graphs.kcorePeel(edgesAt(n), k = 25, rounds = 4)),
+      // SQ8 scalar-quantized retrieval: the per-dim min/max aggregate and
+      // the dequantized scan grow N× while the quantizer state stays 2·dim
+      // literals and the output a fixed top-k at every rung
+      "sim_sq8" ->
+        (n => Similarity.sq8TopK(embAt(n), "vec_id", "embedding", q0,
+          shortlist = 200, k = 20)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

@@ -518,6 +518,19 @@ object SparkEntry {
       Events.changepoints(T(s, dir, "events"), window = 6, up = 1.5, down = 0.5)
         .orderBy(col("event_type"), col("hour_idx"))),
 
+    // HITS hubs/authorities on the DIRECTED trade graph (customer→supplier):
+    // 2 exact-integer power-iteration rounds, top-20 per side with a final
+    // display-only max ratio — big buyers = hubs, widely-bought-from
+    // suppliers = authorities
+    "gr_hits" -> ((s, dir) => {
+      val e = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      Graphs.hits(e, iters = 2, k = 20)
+        .orderBy(col("side"), col("score_raw").desc, col("node"))
+    }),
+
     // degree assortativity of the trade graph: Pearson correlation of
     // endpoint degrees over the symmetric edge list, computed from six
     // EXACT integer moments (one aggregate) with the closed-form correlation
@@ -1059,6 +1072,24 @@ object SparkEntry {
           st.numPoints(st.geomFromGeoJson(st.asGeoJson(col("geometry")))).cast("long").as("gj_pts"),
           st.numPoints(st.geomFromText(st.asText(col("geometry")))).cast("long").as("wkt_pts"))
         .orderBy(col("c_nationkey"))),
+
+    // stored-index incremental dedup: bootstrap the band/set index from
+    // two-thirds of the corpus, then ingest the rest as "the nightly
+    // batch" — new docs pair against the STORE (bipartite band join) and
+    // themselves, never re-pairing history; pairs materialize before the
+    // append grows the index
+    "dd_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val d = java.nio.file.Files.createTempDirectory("graft-mh-index")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("mh").toString
+      Dedup.writeMinhashIndex(docs.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text", p)
+      Dedup.appendMinhashIndex(s, p, docs.filter(col("doc_id") % 3 === 0),
+          "doc_id", "text", threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
 
     "dd_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
@@ -2762,6 +2793,12 @@ object SparkEntry {
 
     // bounded-depth recursive CTE: UNION dedups (node, hop) pairs globally,
     // so the working set stays ≤ nodes × (maxHop+1) — min(hop) = BFS distance
+    "gr_hits" -> Graphs.hitsDuckSql(
+      """e AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)""".stripMargin, iters = 2, k = 20),
+
     "gr_kcore" -> Graphs.kcoreDuckSql(
       """eraw AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -3257,6 +3294,9 @@ object SparkEntry {
     // probabilistic RECALL is a deterministic function of the seeds, so even
     // the deliberately-missed pairs match
     "dd_minhash_pairs" -> Dedup.minhashPairsDuckSql(threshold = 0.2, shingleK = 3),
+
+    "dd_incremental" -> Dedup.minhashIncrementalDuckSql(threshold = 0.2,
+      shingleK = 3, newPred = "% 3 = 0"),
 
     // production 64-bit simhash replayed end-to-end: FNV per token (HUGEINT
     // wrap multiply), 64 majority votes, then ALL-PAIRS Hamming — legitimate

@@ -146,9 +146,26 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
-    // tokenize/hash ONCE per document; the hashed sets feed the signature
-    // AND both verify joins (same persist treatment as shingleJaccardPairs —
-    // ~8 bytes/shingle, spills cleanly)
+    val (banded, sets) = bandsAndSets(df, idCol, textCol, shingleK)
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .distinct()
+    // two zero-token documents share the all-sentinel signature (candidate
+    // pair) but have EMPTY sets: jaccard 0 here and NULL-filtered in the
+    // DuckDB replay — vacuous documents never pair on either side
+    verifiedPairs(cand, sets, threshold, "id_a", "id_b")
+  }
+
+  /** (banded, sets) for a corpus: `banded` = (id, band, bh), the LSH
+    * candidate-index rows; `sets` = (id, ss), the ascending hashed shingle
+    * sets the exact verify consumes (persisted — tokenize/hash ONCE per
+    * document, ~8 bytes/shingle, spills cleanly). Shared by the one-shot
+    * pair pipelines and the stored-index lifecycle.
+    */
+  private def bandsAndSets(df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int): (DataFrame, DataFrame) = {
     val shSet = udf((s: String) => minhashShingleSet(s, shingleK))
     val sets = df.select(col(idCol).as("id"), shSet(col(textCol)).as("ss"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -164,16 +181,86 @@ object Dedup {
     val banded = sigs
       .select(col("id"), col("sig"), explode(array((0 until NumBands).map(lit): _*)).as("band"))
       .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
-    val cand = banded.as("l").join(banded.as("r"),
+    (banded, sets)
+  }
+
+  /** Write the deployed dedup index for a corpus: `path/bands` holds the
+    * LSH candidate rows (id, band, bh), `path/sets` the hashed shingle sets
+    * (id, ss) the exact verify needs — the dedup sibling of the stored IVF
+    * index lifecycle (Similarity.writeIvfIndex). At 100 TB the index is a
+    * few percent of corpus bytes (hashes, never text) and both tables are
+    * plain parquet any batch can append to.
+    */
+  def writeMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      path: String, shingleK: Int = 3): Unit = {
+    val (banded, sets) = bandsAndSets(df, idCol, textCol, shingleK)
+    sets.write.mode("overwrite").parquet(s"$path/sets")
+    banded.write.mode("overwrite").parquet(s"$path/bands")
+    sets.unpersist()
+  }
+
+  /** Incremental dedup against a stored index — the production ingest
+    * pattern: a new batch pairs against the EXISTING corpus through the
+    * stored band table (new×stored bipartite join) plus itself (new×new
+    * self-join), is exact-verified against stored + fresh shingle sets,
+    * and is then appended to the index. The historical corpus is never
+    * re-paired: per-batch work is ∝ batch × collision rate, not corpus².
+    *
+    * The returned pairs are materialized BEFORE the append (the plan reads
+    * the same parquet tables the append mutates). Ids must be new to the
+    * index (append-only contract, same as the IVF store).
+    */
+  def appendMinhashIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 3): DataFrame = {
+    val (nb, ns) = bandsAndSets(batch, idCol, textCol, shingleK)
+    nb.persist()
+    val ob = spark.read.parquet(s"$path/bands")
+    val os = spark.read.parquet(s"$path/sets")
+    // stored side holds only pre-batch ids, so cross (new×old) and self
+    // (new×new) are disjoint; least/greatest normalizes pair orientation
+    val cross = nb.as("l").join(ob.as("r"),
+        col("l.band") === col("r.band") && col("l.bh") === col("r.bh"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+    val self = nb.as("l").join(nb.as("r"),
         col("l.band") === col("r.band") && col("l.bh") === col("r.bh") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .distinct()
-    // two zero-token documents share the all-sentinel signature (candidate
-    // pair) but have EMPTY sets: jaccard 0 here and NULL-filtered in the
-    // DuckDB replay — vacuous documents never pair on either side
-    verifiedPairs(cand, sets, threshold, "id_a", "id_b")
+    val cand = cross.union(self).distinct()
+    // eager localCheckpoint, not persist: the append below fires
+    // refreshByPath on the very parquet this plan reads, which INVALIDATES
+    // a cache entry (re-evaluating it would pair the batch against its own
+    // appended copy); checkpointing cuts the lineage so the result is
+    // immune to the store mutation
+    val out = verifiedPairs(cand, os.unionByName(ns), threshold, "id_a", "id_b")
+      .localCheckpoint(true)
+    ns.write.mode("append").parquet(s"$path/sets")
+    nb.write.mode("append").parquet(s"$path/bands")
+    nb.unpersist()
+    out
   }
+
+  /** DuckDB replay of the [[writeMinhashIndex]]→[[appendMinhashIndex]]
+    * lifecycle: over the FULL corpus, the surviving pairs are exactly the
+    * banded pairs with at least one endpoint in the new batch (the stored
+    * index contributes the other side), verified at the same threshold.
+    */
+  def minhashIncrementalDuckSql(threshold: Double, shingleK: Int,
+      newPred: String): String =
+    minhashDuckCtes(shingleK) +
+      s""", cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |  WHERE (a.doc_id $newPred) OR (b.doc_id $newPred)
+         |)
+         |SELECT id_a, id_b,
+         |  round(len(list_intersect(x.ss, y.ss))::DOUBLE
+         |        / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))), 6) AS jaccard
+         |FROM cand JOIN sigs x ON x.doc_id = id_a JOIN sigs y ON y.doc_id = id_b
+         |WHERE len(list_intersect(x.ss, y.ss))::DOUBLE
+         |      / (len(x.ss) + len(y.ss) - len(list_intersect(x.ss, y.ss))) >= $threshold
+         |ORDER BY id_a, id_b""".stripMargin
 
   /** Cross-corpus near-dedup: MinHash-LSH pairs between a NEW corpus slice
     * and a REFERENCE corpus slice of the same frame (the "dedupe this crawl

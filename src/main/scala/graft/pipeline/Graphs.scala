@@ -192,6 +192,74 @@ e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
     sb.toString
   }
 
+  /** Bounded-round HITS (Kleinberg 1999) as an EXACT integer power
+    * iteration: with h₀ = 1, the unnormalized authority/hub scores after k
+    * rounds are sums of integer degree products — no float accumulates, so
+    * the distributed sums are merge-order independent and the oracle replay
+    * is hash-exact (normalization is deferred to a final display-only
+    * max-ratio). Two node-keyed equi-joins + two map-side-combinable sums
+    * per round, state one (node, score) row per side — the same shuffle
+    * budget as [[graft.pipeline.PageRank]]. Overflow bound: scores grow by
+    * a max-degree factor per half-round; callers keep
+    * iters · log₂(dmax_in · dmax_out) < 63 (2 rounds on a ≤100k-degree
+    * graph is ~2^68… use the bound, not vibes: 2 rounds × (log₂ din + log₂
+    * dout) — the driver query's trade graph peaks at ~2^42).
+    *
+    * Returns (side, node, score_raw, score) — top `k` per side by raw
+    * score, score = raw/max(side) rounded to 6.
+    */
+  def hits(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("s", lit(1L))
+    var a: DataFrame = h.limit(0)
+    for (_ <- 1 to iters) {
+      a = e.join(h, e("src") === h("node"))
+        .groupBy(col("dst").as("anode")).agg(sum(col("s")).as("s"))
+        .select(col("anode").as("node"), col("s")).persist()
+      h = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src").as("hnode")).agg(sum(col("s")).as("s"))
+        .select(col("hnode").as("node"), col("s")).persist()
+    }
+    def top(side: String, df: DataFrame) = {
+      val mx = df.agg(max(col("s")).as("mx"))
+      df.crossJoin(mx)
+        .select(lit(side).as("side"), col("node"), col("s").as("score_raw"),
+          round(col("s").cast("double") / col("mx").cast("double"), 6).as("score"))
+        .orderBy(col("score_raw").desc, col("node")).limit(k)
+    }
+    top("auth", a).unionByName(top("hub", h))
+  }
+
+  /** DuckDB replay of [[hits]] on a directed edge CTE list ending in
+    * `e(src, dst)`: identical integer rounds, identical final ratio.
+    */
+  def hitsDuckSql(eCtes: String, iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS (
+         |  SELECT e.dst AS node, CAST(sum(s) AS BIGINT) AS s
+         |  FROM e JOIN h${i - 1} ON e.src = h${i - 1}.node GROUP BY 1
+         |), h$i AS (
+         |  SELECT e.src AS node, CAST(sum(s) AS BIGINT) AS s
+         |  FROM e JOIN a$i ON e.dst = a$i.node GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCtes,
+       |h0 AS (SELECT DISTINCT src AS node, 1::BIGINT AS s FROM e),
+       |$rounds
+       |SELECT * FROM (
+       |  SELECT 'auth' AS side, node, s AS score_raw,
+       |         round(s::DOUBLE / (SELECT max(s) FROM a$iters)::DOUBLE, 6) AS score
+       |  FROM a$iters ORDER BY s DESC, node LIMIT $k)
+       |UNION ALL
+       |SELECT * FROM (
+       |  SELECT 'hub' AS side, node, s AS score_raw,
+       |         round(s::DOUBLE / (SELECT max(s) FROM h$iters)::DOUBLE, 6) AS score
+       |  FROM h$iters ORDER BY s DESC, node LIMIT $k)
+       |ORDER BY side, score_raw DESC, node""".stripMargin
+  }
+
   /** Bounded-round Bellman-Ford SSSP: minimum additive path weight from any
     * seed reachable within `rounds` edge relaxations — the weighted sibling
     * of [[bfs]] (routing cost, influence decay). `edges` needs long-castable

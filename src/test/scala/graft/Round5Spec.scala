@@ -379,6 +379,32 @@ class Round5Spec extends SparkSpec {
       "hexbin must be pure column arithmetic")
   }
 
+  test("incremental minhash index: second batch pairs against the first") {
+    import graft.pipeline.Dedup
+    val d = Files.createTempDirectory("graft-mh-spec")
+    val p = d.resolve("mh").toString
+    val mk = (id: Long, t: String) => (id, t)
+    val base = Seq(
+      mk(1, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(2, "one two three four five six seven eight nine")).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(base, "doc_id", "text", p)
+    // batch 1: a near-dup of doc 1 → exactly the (1, 10) pair
+    val b1 = Seq(mk(10, "alpha beta gamma delta epsilon zeta eta theta x"))
+      .toDF("doc_id", "text")
+    val p1 = Dedup.appendMinhashIndex(spark, p, b1, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p1 == Set((1L, 10L)), s"got $p1")
+    // batch 2: a near-dup of doc 10 — provable ONLY if the append grew the
+    // store (doc 10 is not in the bootstrap corpus)
+    val b2 = Seq(mk(20, "alpha beta gamma delta epsilon zeta eta theta x y"))
+      .toDF("doc_id", "text")
+    val p2 = Dedup.appendMinhashIndex(spark, p, b2, "doc_id", "text", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(p2.contains((10L, 20L)), s"append did not grow the store: $p2")
+    // history is never re-paired: (1, 10) must not re-emit
+    assert(!p2.contains((1L, 10L)))
+  }
+
   test("kcore: peeling cascades and respects the round budget") {
     import graft.pipeline.Graphs
     // path a-b-c-d plus triangle d-e-f-d (undirected, symmetric list):

@@ -1045,6 +1045,20 @@ object SparkEntry {
           st.numPoints(st.convexHull(col("g"))).cast("long").as("hull_pts"))
         .orderBy(col("c_nationkey"))),
 
+    // forward-geodesic projection (ST_Project): every customer point moved
+    // (ck%7+1)·250 km along bearing ck%360 on the R=6371 sphere — the
+    // inverse problem of sp_bearing + orthodromic distance, pure codegen
+    // trig replayed formula-for-formula
+    "sp_project" -> ((s, dir) =>
+      pointsDf(s, dir)
+        .select(col("ck"),
+          st.projectPoint(col("x"), col("y"),
+            (col("ck") % 360).cast("double"),
+            ((col("ck") % 7 + 1) * 250).cast("double")).as("p"))
+        .select(col("ck"), round(col("p.lon"), 6).as("lon2"),
+          round(col("p.lat"), 6).as("lat2"))
+        .orderBy(col("ck"))),
+
     // hexagonal tessellation aggregate: pointy-top axial cells via
     // cube-rounding (functions/HexBin) — all-codegen binning feeding one
     // map-side-combinable integer-key aggregate, the hex sibling of the
@@ -3384,6 +3398,26 @@ object SparkEntry {
         |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
         |FROM pts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "sp_project" -> (PtsCte +
+      """
+        |, pr AS (
+        |  SELECT ck,
+        |         CAST((ck % 7 + 1) * 250 AS DOUBLE) / 6371.0 AS dlt,
+        |         radians(CAST(ck % 360 AS DOUBLE)) AS th,
+        |         radians(y) AS la1, radians(x) AS lo1
+        |  FROM pts
+        |), d AS (
+        |  SELECT ck, dlt, th, la1, lo1,
+        |         asin(sin(la1) * cos(dlt) + cos(la1) * sin(dlt) * cos(th)) AS la2
+        |  FROM pr
+        |)
+        |SELECT ck,
+        |       round((degrees(lo1 + atan2(sin(th) * sin(dlt) * cos(la1),
+        |                                  cos(dlt) - sin(la1) * sin(la2)))
+        |              + 540.0) % 360.0 - 180.0, 6) AS lon2,
+        |       round(degrees(la2), 6) AS lat2
+        |FROM d ORDER BY ck""".stripMargin),
 
     "sp_hexbin" -> {
       val (hq, hr) = HexBin.cellDuckSql("x", "y", 5.0)

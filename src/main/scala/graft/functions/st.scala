@@ -223,6 +223,25 @@ object st {
     (degrees(theta) + lit(360.0)) % lit(360.0)
   }
 
+  /** Spherical forward-geodesic destination (ST_Project): the point
+    * `distKm` along the great circle from (lon, lat) at initial bearing
+    * `bearing` degrees — the inverse problem of [[bearingDeg]] + orthodromic
+    * distance, same R = 6371 sphere as Orthodromic. HOT-tier Column
+    * arithmetic; returns a (lon, lat) struct in degrees with longitude
+    * normalized to [-180, 180).
+    */
+  def projectPoint(lon: Column, lat: Column, bearing: Column,
+      distKm: Column): Column = {
+    val dlt = distKm / lit(graft.geom.Orthodromic.EarthRadiusKm)
+    val th = radians(bearing)
+    val la1 = radians(lat)
+    val la2 = asin(sin(la1) * cos(dlt) + cos(la1) * sin(dlt) * cos(th))
+    val lo2 = radians(lon) +
+      atan2(sin(th) * sin(dlt) * cos(la1), cos(dlt) - sin(la1) * sin(la2))
+    struct(((degrees(lo2) + lit(540.0)) % lit(360.0) - lit(180.0)).as("lon"),
+      degrees(la2).as("lat"))
+  }
+
   /** Closest point on geometry to a reference point + the snap distance —
     * the reference's `spatial.closest` edge-snapping
     * (reference: server-plugin/.../SpatialTopologyUtils.java:95-140, using

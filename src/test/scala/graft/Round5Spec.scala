@@ -379,6 +379,24 @@ class Round5Spec extends SparkSpec {
       "hexbin must be pure column arithmetic")
   }
 
+  test("projectPoint inverts orthodromic distance + bearing") {
+    val pts = Seq((0.0, 0.0, 45.0, 500.0), (10.5, 60.0, 300.0, 1500.0),
+      (-170.0, -30.0, 90.0, 2000.0), (179.5, 10.0, 10.0, 800.0))
+      .toDF("lon", "lat", "b", "d")
+    val rows = pts
+      .withColumn("p", st.projectPoint(col("lon"), col("lat"), col("b"), col("d")))
+      .select(col("d"), col("b"),
+        st.orthodromicKm(col("lon"), col("lat"), col("p.lon"), col("p.lat")).as("d2"),
+        st.bearingDeg(col("lon"), col("lat"), col("p.lon"), col("p.lat")).as("b2"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(0)) < 0.5,
+        s"distance round-trip: ${r.getDouble(2)} vs ${r.getDouble(0)}")
+      assert(math.abs(r.getDouble(3) - r.getDouble(1)) < 0.01,
+        s"bearing round-trip: ${r.getDouble(3)} vs ${r.getDouble(1)}")
+    }
+  }
+
   test("incremental minhash index: second batch pairs against the first") {
     import graft.pipeline.Dedup
     val d = Files.createTempDirectory("graft-mh-spec")

@@ -1087,6 +1087,15 @@ object SparkEntry {
           st.numPoints(st.geomFromText(st.asText(col("geometry")))).cast("long").as("wkt_pts"))
         .orderBy(col("c_nationkey"))),
 
+    // edit-distance dedup (levenshtein <= 4): positional q-gram banded
+    // candidates with guaranteed recall (Gravano count filter, >=1-gram
+    // form) + codegen levenshtein verify — the edit-distance member of the
+    // dedup family beside Jaccard, SimHash, and winnowing
+    "dd_edit_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(T(s, dir, "documents"), "doc_id", "text",
+          k = 4, q = 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // stored-index incremental dedup: bootstrap the band/set index from
     // two-thirds of the corpus, then ingest the rest as "the nightly
     // batch" — new docs pair against the STORE (bipartite band join) and
@@ -3311,6 +3320,8 @@ object SparkEntry {
 
     "dd_incremental" -> Dedup.minhashIncrementalDuckSql(threshold = 0.2,
       shingleK = 3, newPred = "% 3 = 0"),
+
+    "dd_edit_pairs" -> Dedup.editDistanceDuckSql(k = 4, q = 8),
 
     // production 64-bit simhash replayed end-to-end: FNV per token (HUGEINT
     // wrap multiply), 64 majority votes, then ALL-PAIRS Hamming — legitimate

@@ -158,6 +158,105 @@ object Dedup {
     verifiedPairs(cand, sets, threshold, "id_a", "id_b")
   }
 
+  /** Edit-distance near-duplicate pairs (levenshtein ≤ k) with GUARANTEED
+    * recall: positional q-gram filtering (Gravano et al. VLDB 2001) in its
+    * ≥1-shared-gram form — a pair within k edits and max length ≥ q·(k+1)
+    * must share some q-gram whose positions differ by ≤ k, so candidates
+    * come from an equi-join on (gram, position-band) with band width 2k
+    * (the ±k position interval spans at most the two emitted endpoint
+    * bands). Pairs where BOTH sides are shorter than q·(k+1) fall outside
+    * the theorem and are paired brute-force inside that constant-length
+    * bucket instead. Exact verify = the built-in codegen `levenshtein`.
+    *
+    * Plan: gram explode (≈len rows/doc) → one (gram, band) equi-join —
+    * never all-pairs; text ships only for the verified candidates. The
+    * edit-distance member of the dedup family beside shingle-Jaccard
+    * (content), SimHash (bit), and winnowing (substring).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, q: Int = 8): DataFrame = {
+    require(k >= 1 && q > k, s"need k>=1 and q>k, got k=$k q=$q")
+    val W = 2 * k
+    val OFF = 1024 // keeps band arithmetic positive (floor/truncate parity)
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("t"),
+      length(col(textCol)).as("len")).persist()
+    val withGrams = docs.filter(col("len") >= q)
+      .select(col("id"), col("len"),
+        explode(expr(s"transform(sequence(1, length(t) - ${q - 1}), " +
+          s"i -> struct(i AS p, substring(t, i, $q) AS g))")).as("x"))
+      .select(col("id"), col("len"), col("x.p").as("p"), col("x.g").as("g"))
+    val probe = withGrams.select(col("id"), col("len"), col("g"),
+      ((col("p") + OFF) / W).cast("long").as("band"))
+    val index = withGrams.select(col("id"), col("len"), col("g"),
+        explode(array_distinct(array(
+          ((col("p") + (OFF - k)) / W).cast("long"),
+          ((col("p") + (OFF + k)) / W).cast("long")))).as("band"))
+    val gramCand = probe.as("l").join(index.as("r"),
+        col("l.g") === col("r.g") && col("l.band") === col("r.band") &&
+        col("l.id") =!= col("r.id") &&
+        abs(col("l.len") - col("r.len")) <= k)
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+    // both-short bucket: bounded by the q(k+1) length constant, so the
+    // self-join is over a fixed-size slice, not the corpus
+    val shortLen = q * (k + 1)
+    val shorts = docs.filter(col("len") < shortLen)
+    val shortCand = shorts.as("l").join(shorts.as("r"),
+        col("l.id") < col("r.id") &&
+        abs(col("l.len") - col("r.len")) <= k)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val cand = gramCand.union(shortCand).distinct()
+    cand
+      .join(docs.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
+      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+      .filter(col("dist") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** DuckDB replay of [[editDistancePairs]]: identical grams, bands,
+    * short-bucket, and levenshtein verify.
+    */
+  def editDistanceDuckSql(k: Int, q: Int): String = {
+    val W = 2 * k
+    val OFF = 1024
+    val shortLen = q * (k + 1)
+    s"""WITH gr AS (
+       |  SELECT doc_id, length(text) AS len, text,
+       |         unnest(range(1, length(text) - ${q - 2})) AS p
+       |  FROM documents WHERE length(text) >= $q
+       |), grams AS (
+       |  SELECT doc_id, len, p, substr(text, p, $q) AS g FROM gr
+       |), probe AS (
+       |  SELECT doc_id, len, g, (p + $OFF) // $W AS band FROM grams
+       |), idx AS (
+       |  SELECT doc_id, len, g,
+       |         unnest(list_distinct([(p + ${OFF - k}) // $W,
+       |                               (p + ${OFF + k}) // $W])) AS band
+       |  FROM grams
+       |), gcand AS (
+       |  SELECT least(a.doc_id, b.doc_id) AS id_a,
+       |         greatest(a.doc_id, b.doc_id) AS id_b
+       |  FROM probe a JOIN idx b
+       |    ON a.g = b.g AND a.band = b.band AND a.doc_id <> b.doc_id
+       |   AND abs(a.len - b.len) <= $k
+       |), scand AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM documents a JOIN documents b
+       |    ON a.doc_id < b.doc_id
+       |   AND length(a.text) < $shortLen AND length(b.text) < $shortLen
+       |   AND abs(length(a.text) - length(b.text)) <= $k
+       |), cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT * FROM gcand UNION ALL SELECT * FROM scand)
+       |)
+       |SELECT c.id_a, c.id_b, levenshtein(x.text, y.text)::BIGINT AS dist
+       |FROM cand c JOIN documents x ON x.doc_id = c.id_a
+       |            JOIN documents y ON y.doc_id = c.id_b
+       |WHERE levenshtein(x.text, y.text) <= $k
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** (banded, sets) for a corpus: `banded` = (id, band, bh), the LSH
     * candidate-index rows; `sets` = (id, ss), the ascending hashed shingle
     * sets the exact verify consumes (persisted — tokenize/hash ONCE per

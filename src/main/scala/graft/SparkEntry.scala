@@ -1045,6 +1045,26 @@ object SparkEntry {
           st.numPoints(st.convexHull(col("g"))).cast("long").as("hull_pts"))
         .orderBy(col("c_nationkey"))),
 
+    // versioned layer store under the oracle: commit v1 (even-keyed
+    // points), commit v2 (all points), then aggregate EVERY version through
+    // the manifest/time-travel reader — snapshot isolation for rebuilds on
+    // any filesystem (the manifest-commit upgrade of the rename swap)
+    "sp_layer_versions" -> ((s, dir) => {
+      import graft.plans.VersionedLayer
+      val d = java.nio.file.Files.createTempDirectory("graft-vlayer")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("layer").toString
+      val pts = pointsDf(s, dir).select(col("ck"), col("x"), col("y"), col("c_acctbal"))
+      VersionedLayer.commit(pts.filter(col("ck") % 2 === 0), p)
+      VersionedLayer.commit(pts, p)
+      VersionedLayer.versions(s, p).map { v =>
+        VersionedLayer.read(s, p, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+          .select(lit(v.toLong).as("version"), col("n"), col("cents"))
+      }.reduce(_ unionByName _).orderBy(col("version"))
+    }),
+
     // forward-geodesic projection (ST_Project): every customer point moved
     // (ck%7+1)·250 km along bearing ck%360 on the R=6371 sphere — the
     // inverse problem of sp_bearing + orthodromic distance, pure codegen
@@ -3409,6 +3429,16 @@ object SparkEntry {
         |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
         |FROM pts
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    "sp_layer_versions" -> (PtsCte +
+      """
+        |SELECT 1::BIGINT AS version, count(*) AS n,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
+        |FROM pts WHERE ck % 2 = 0
+        |UNION ALL
+        |SELECT 2::BIGINT, count(*), CAST(sum(round(c_acctbal * 100)) AS BIGINT)
+        |FROM pts
+        |ORDER BY version""".stripMargin),
 
     "sp_project" -> (PtsCte +
       """

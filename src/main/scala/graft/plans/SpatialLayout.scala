@@ -289,8 +289,8 @@ object SpatialLayout {
       writeClusteredBuckets(union, tmp, m.indexType, m.bucketShift)
       // swap via a backup rename, not delete-then-rename: a crash between
       // the two steps leaves either the old layer or the new one in place,
-      // never a missing path (object stores without atomic rename need a
-      // manifest-style commit instead — documented limitation)
+      // never a missing path (object stores without atomic rename get the
+      // manifest-style commit from plans/VersionedLayer instead)
       val fs = fsFor(spark, tmp)
       val target = new org.apache.hadoop.fs.Path(path)
       val backup = new org.apache.hadoop.fs.Path(path + "__rebuild_old")

@@ -379,6 +379,30 @@ class Round5Spec extends SparkSpec {
       "hexbin must be pure column arithmetic")
   }
 
+  test("versioned layer: manifest commit, time travel, crash-window fallback, vacuum") {
+    import graft.plans.VersionedLayer
+    val p = Files.createTempDirectory("graft-vl-spec").resolve("l").toString
+    val v1 = VersionedLayer.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), p)
+    val v2 = VersionedLayer.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"), p)
+    assert(v1 == 1 && v2 == 2)
+    assert(VersionedLayer.read(spark, p).count() == 3)          // current
+    assert(VersionedLayer.read(spark, p, Some(1)).count() == 2) // time travel
+    // crash window: no manifest → fallback to highest _SUCCESS version
+    val fs = new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(p, "_MANIFEST"), false)
+    assert(VersionedLayer.currentVersion(spark, p).contains(2))
+    assert(VersionedLayer.read(spark, p).count() == 3)
+    // a partial (no _SUCCESS) version dir must be invisible
+    fs.mkdirs(new org.apache.hadoop.fs.Path(p, "v=3"))
+    assert(VersionedLayer.versions(spark, p) == Seq(1, 2))
+    assert(VersionedLayer.currentVersion(spark, p).contains(2))
+    // vacuum keeps the newest `keep` versions
+    val dropped = VersionedLayer.vacuum(spark, p, keep = 1)
+    assert(dropped == Seq(1) && VersionedLayer.versions(spark, p) == Seq(2))
+    assert(VersionedLayer.read(spark, p).count() == 3)
+  }
+
   test("projectPoint inverts orthodromic distance + bearing") {
     val pts = Seq((0.0, 0.0, 45.0, 500.0), (10.5, 60.0, 300.0, 1500.0),
       (-170.0, -30.0, 90.0, 2000.0), (179.5, 10.0, 10.0, 800.0))

@@ -511,6 +511,23 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(25)
     }),
 
+    // 3-step behavioral sequences: per-user event-type trigrams by event
+    // time (lead window over ONE user shuffle), top-25 — the order-3
+    // extension of ev_markov's transition matrix
+    "ev_trigrams" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .groupBy(col("event_type").as("s1"), col("e2").as("s2"), col("e3").as("s3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+        .limit(25)
+    }),
+
     // trailing-window changepoints: hours breaking ±ratio bounds vs the
     // mean of the previous 6 observed hours of the same type — the
     // sequential/local sibling of ev_anomaly's global z-score
@@ -3482,6 +3499,19 @@ object SparkEntry {
     "gr_ppr" -> PageRank.pprDuckSql(iters = 3, damping = 0.85, topK = 25),
 
     "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
+
+    "ev_trigrams" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type, 1) OVER w AS e2,
+        |         lead(event_type, 2) OVER w AS e3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+        |)
+        |SELECT event_type AS s1, e2 AS s2, e3 AS s3, count(*) AS n
+        |FROM s WHERE e3 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n DESC, s1, s2, s3 LIMIT 25""".stripMargin,
 
     "sp_ecql" -> (PtsCte +
       """

@@ -949,6 +949,11 @@ object SparkEntry {
           round(col("q.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // corpus-level RAKE keyphrases (Rose et al. 2010): stopword/punct
+    // phrase breaks, deg/freq word scores, top-25 phrases
+    "tx_rake" -> ((s, dir) =>
+      TextAnalysis.rakeKeyphrases(T(s, dir, "documents"), "text", k = 25)),
+
     // the published Gopher rule set (Rae et al. 2021 App. A1.1) as one
     // tokenize-once column pipeline — word-count / mean-word-length /
     // symbol-ratio / alpha-word-fraction / stopword-presence signals plus
@@ -3293,6 +3298,8 @@ object SparkEntry {
 
     "tx_gopher" ->
       TextAnalysis.gopherRulesDuckSql("documents", "doc_id", "text"),
+
+    "tx_rake" -> TextAnalysis.rakeDuckSql(k = 25),
 
     "sim_cosine_topk" ->
       """SELECT e.vec_id AS id,

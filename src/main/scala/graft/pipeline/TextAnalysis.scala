@@ -153,6 +153,77 @@ object TextAnalysis {
        |FROM r ORDER BY $idCol""".stripMargin
   }
 
+  /** Corpus-level RAKE keyphrases (Rose et al. 2010): candidate phrases =
+    * maximal runs of non-stopword tokens (punctuation and the stopword
+    * vocabulary both act as phrase breaks), word score = deg/freq with
+    * deg(w) = Σ phrase length over w's occurrences, phrase score = Σ of its
+    * words' scores. This is the corpus aggregate (top-k across all docs) —
+    * two explodes + two hash aggregates + one vocab-keyed join, nothing
+    * broadcast, so the phrase/word tables scale with the corpus.
+    *
+    * The phrase segmentation is ONE regex pipeline (punct→break,
+    * \b-stopword→break, split) built from [[stopwordList]], so the DuckDB
+    * replay runs the character-identical pattern.
+    */
+  def rakeKeyphrases(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val ph = df.select(explode(rakePhraseArrays(col(textCol))).as("p"))
+      .persist()
+    val words = ph.select(explode(col("p")).as("w"), size(col("p")).as("l"))
+    val ws = words.groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum(col("l")).as("deg"))
+      .select(col("w"),
+        round(col("deg").cast("double") / col("freq").cast("double"), 6).as("wscore"))
+    val dp = ph.select(array_join(col("p"), " ").as("phrase"), col("p")).distinct()
+    val occ = ph.groupBy(array_join(col("p"), " ").as("phrase"))
+      .agg(count(lit(1)).as("n_occ"))
+    val sc = dp.select(col("phrase"), explode(col("p")).as("w"))
+      .join(ws, "w")
+      .groupBy("phrase").agg(round(sum(col("wscore")), 6).as("score"))
+    sc.join(occ, "phrase")
+      .select(col("phrase"), col("n_occ"), col("score"))
+      .orderBy(col("score").desc, col("phrase")).limit(k)
+  }
+
+  private val stopBreakRe: String =
+    stopwordList.mkString("\\b(", "|", ")\\b")
+
+  /** array<array<string>>: the RAKE candidate phrases of one text. */
+  private def rakePhraseArrays(text: Column): Column = {
+    val cleaned = regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]+", "|"), stopBreakRe, "|")
+    filter(
+      transform(split(cleaned, "\\|"),
+        p => filter(split(trim(p), "\\s+"), w => length(w) > 0)),
+      p => size(p) > 0)
+  }
+
+  /** DuckDB replay of [[rakeKeyphrases]] over `documents.text`. */
+  def rakeDuckSql(k: Int): String =
+    s"""WITH ph AS (
+       |  SELECT unnest(list_filter(list_transform(
+       |           string_split(regexp_replace(regexp_replace(lower(text),
+       |             '[^a-z0-9\\s]+', '|', 'g'), '$stopBreakRe', '|', 'g'), '|'),
+       |           __p -> list_filter(string_split_regex(trim(__p), '\\s+'),
+       |                              __w -> length(__w) > 0)),
+       |         __p -> len(__p) > 0)) AS p
+       |  FROM documents
+       |), words AS (SELECT unnest(p) AS w, len(p) AS l FROM ph),
+       |ws AS (
+       |  SELECT w, round(sum(l)::DOUBLE / count(*)::DOUBLE, 6) AS wscore
+       |  FROM words GROUP BY 1
+       |), dp AS (SELECT DISTINCT array_to_string(p, ' ') AS phrase, p FROM ph),
+       |occ AS (
+       |  SELECT array_to_string(p, ' ') AS phrase, count(*) AS n_occ
+       |  FROM ph GROUP BY 1
+       |), pw AS (SELECT phrase, unnest(p) AS w FROM dp),
+       |sc AS (
+       |  SELECT phrase, round(sum(wscore), 6) AS score
+       |  FROM pw JOIN ws USING (w) GROUP BY 1
+       |)
+       |SELECT s.phrase, o.n_occ, s.score
+       |FROM sc s JOIN occ o USING (phrase)
+       |ORDER BY score DESC, phrase LIMIT $k""".stripMargin
+
   // ------------------------------------------------------------ language id
 
   /** Tiny per-language marker vocabularies (top function words). A document

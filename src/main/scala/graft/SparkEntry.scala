@@ -511,6 +511,17 @@ object SparkEntry {
         .orderBy(col("rank").desc, col("node")).limit(25)
     }),
 
+    // rolling 7-day active users (the WAU primitive): stored daily HLL
+    // sketches + ONE window-max register merge per day — sliding-window
+    // sketch algebra with fixed-size state; only full windows emit
+    "ev_wau" -> ((s, dir) => {
+      val fnv = udf((x: Long) => TextAnalysis.fnv1a64(x.toString))
+      Events.rollingDistinct(T(s, dir, "events").select(
+          expr("ts div 86400000000000").as("day"), fnv(col("user_id")).as("h")),
+          window = 7)
+        .orderBy(col("day"))
+    }),
+
     // 3-step behavioral sequences: per-user event-type trigrams by event
     // time (lead window over ONE user shuffle), top-25 — the order-3
     // extension of ev_markov's transition matrix
@@ -854,6 +865,22 @@ object SparkEntry {
           base.filter(col("c_nationkey") === 0).select(col("ck").as("id"), col("x"), col("y")),
           pts, k = 5, cellSize = 8.0, excludeSelf = true)
         .orderBy(col("qid"), col("rk"))
+    }),
+
+    // directed Hausdorff distance between two point sets (nation 0 → 1):
+    // max over A of the nearest-B distance, composed on the exact grid kNN
+    // join with k=1 — per-point work stays ring-local, so the metric costs
+    // one knn join + one max instead of the |A|·|B| cross product the
+    // textbook definition (and the oracle) spells out
+    "sp_hausdorff" -> ((s, dir) => {
+      val base = pointsDf(s, dir)
+      val a = base.filter(col("c_nationkey") === 0)
+        .select(col("ck").as("id"), col("x"), col("y"))
+      val b = base.filter(col("c_nationkey") === 1)
+        .select(col("ck").as("id"), col("x"), col("y"))
+      SpatialJoin.knnJoin(a, b, k = 1, cellSize = 8.0, excludeSelf = false)
+        .agg(count(lit(1)).as("n_a"),
+          round(max(sqrt(col("d2"))), 6).as("hausdorff"))
     }),
 
     // k-NN classification composed on the distributed exact knn join:
@@ -3194,6 +3221,16 @@ object SparkEntry {
         |  WHERE p.ck <> q.ck
         |) WHERE rk <= 5 ORDER BY qid, rk""".stripMargin),
 
+    "sp_hausdorff" -> (PtsCte +
+      """
+        |, nn AS (
+        |  SELECT a.ck, min((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d2
+        |  FROM (SELECT * FROM pts WHERE c_nationkey = 0) a
+        |  CROSS JOIN (SELECT * FROM pts WHERE c_nationkey = 1) b
+        |  GROUP BY 1
+        |)
+        |SELECT count(*) AS n_a, round(max(sqrt(d2)), 6) AS hausdorff FROM nn""".stripMargin),
+
     "sp_knn_class" -> (PtsCte +
       """
         |, knn AS (
@@ -3506,6 +3543,14 @@ object SparkEntry {
     "gr_ppr" -> PageRank.pprDuckSql(iters = 3, damping = 0.85, topK = 25),
 
     "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
+
+    "ev_wau" ->
+      (s"""WITH hashed AS (
+         |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+         |         ${Dedup.fnv64DuckSql("CAST(user_id AS VARCHAR)")} AS h
+         |  FROM events
+         |), """.stripMargin + Events.rollingDistinctDuckSql(window = 7) +
+        "\nSELECT day, v_zero, est FROM wau_est ORDER BY day"),
 
     "ev_trigrams" ->
       """WITH s AS (

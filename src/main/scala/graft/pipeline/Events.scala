@@ -256,6 +256,71 @@ object Events {
     hllFinalize(merged, df.select("g").distinct()).join(days, "g")
   }
 
+  /** Rolling-window distinct (the WAU/MAU primitive): per-day HLL register
+    * maxima (the same stored daily sketch as [[hllRollup]]), then for each
+    * day a trailing `window`-day register merge as ONE window-max over the
+    * dense (day, reg) frame — sliding-window sketch algebra. At 100 TB the
+    * rolling state is `window`·m longs per partition key regardless of
+    * event volume, and each day's estimate reuses the daily sketches
+    * instead of re-reading `window` days of raw events. Frame semantics
+    * match [[changepoints]]: the previous `window` OBSERVED days; only
+    * full windows emit. Register-max associativity makes the merged
+    * estimate identical to a single-pass estimate over the union — which
+    * is what the oracle replays.
+    *
+    * `df` needs (day: long, h: long hash). Returns (day, v_zero, est).
+    */
+  def rollingDistinct(df: DataFrame, window: Int): DataFrame = {
+    val daily = df.select(col("day"), hllRegCol.as("reg"), hllRankCol.as("rank"))
+      .groupBy("day", "reg").agg(max(col("rank")).as("m"))
+    val dense = df.select("day").distinct().crossJoin(spark_range(HllM))
+      .join(daily, Seq("day", "reg"), "left")
+      .select(col("day"), col("reg"), coalesce(col("m"), lit(0L)).as("m"))
+    val w = Window.partitionBy("reg").orderBy("day")
+      .rowsBetween(-(window - 1), 0)
+    val rolled = dense
+      .withColumn("wm", max(col("m")).over(w))
+      .withColumn("wn", count(lit(1)).over(w))
+      .filter(col("wn") === window)
+      .select(col("day").as("g"), col("reg"), col("wm").as("m"))
+    hllFinalize(rolled, rolled.select("g").distinct())
+      .select(col("g").as("day"), col("v_zero"), col("est"))
+  }
+
+  /** DuckDB replay of [[rollingDistinct]] given a CTE `hashed(day, h)`. */
+  def rollingDistinctDuckSql(window: Int): String = {
+    val m = HllM
+    val rest = s"CAST((h // ${1L << HllP}) & ${(1L << 56) - 1} AS BIGINT)"
+    s"""daily AS (
+       |  SELECT day, CAST(h % $m AS BIGINT) AS reg,
+       |         max(CASE WHEN ($rest) = 0 THEN 57
+       |                  ELSE bit_count((($rest) & -($rest)) - 1) + 1 END) AS m
+       |  FROM hashed GROUP BY 1, 2
+       |), dense AS (
+       |  SELECT d.day, r.reg, coalesce(dd.m, 0) AS m
+       |  FROM (SELECT DISTINCT day FROM hashed) d
+       |  CROSS JOIN (SELECT unnest(range(0, $m)) AS reg) r
+       |  LEFT JOIN daily dd ON dd.day = d.day AND dd.reg = r.reg
+       |), rolled AS (
+       |  SELECT day, reg,
+       |         max(m) OVER (PARTITION BY reg ORDER BY day
+       |           ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS m,
+       |         count(*) OVER (PARTITION BY reg ORDER BY day
+       |           ROWS BETWEEN ${window - 1} PRECEDING AND CURRENT ROW) AS wn
+       |  FROM dense
+       |), agg AS (
+       |  SELECT day, sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS v_zero,
+       |         sum(CAST(power(2, 57 - m) AS HUGEINT))::DOUBLE AS s
+       |  FROM rolled WHERE wn = $window GROUP BY 1
+       |), wau_est AS (
+       |  SELECT day, CAST(v_zero AS BIGINT) AS v_zero,
+       |    round(CASE WHEN v_zero > 0 AND ($HllAlphaM2 * ${math.pow(2.0, 57)} / s) <= ${2.5 * m}
+       |          THEN ${m.toDouble} * ln(${m.toDouble} / v_zero::DOUBLE)
+       |          ELSE $HllAlphaM2 * ${math.pow(2.0, 57)} / s END, 4) AS est
+       |  FROM agg
+       |)""".stripMargin
+  }
+
   /** DuckDB replay of [[hllEstimate]] given a CTE `hashed(g, h)` with h
     * UBIGINT: emits CTEs `hll_regs`, `hll_dense`, `hll_est(g, v_zero, est)`.
     * Mirrors the Scala arithmetic exactly (integer rank, decimal harmonic

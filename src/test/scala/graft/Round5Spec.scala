@@ -447,6 +447,30 @@ class Round5Spec extends SparkSpec {
     assert(!p2.contains((1L, 10L)))
   }
 
+  test("hits: exact integer rounds on a hand-checked graph") {
+    import graft.pipeline.Graphs
+    // 1→3, 2→3, 2→4: after 2 unnormalized rounds
+    // a2 = {3: 5, 4: 3}, h2 = {1: 5, 2: 8}
+    val e = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graphs.hits(e, iters = 2, k = 10)
+      .select("side", "node", "score_raw")
+      .as[(String, Long, Long)].collect().toSet
+    assert(got == Set(("auth", 3L, 5L), ("auth", 4L, 3L),
+      ("hub", 1L, 5L), ("hub", 2L, 8L)), s"got $got")
+  }
+
+  test("changepoints: a step change flags against the trailing mean") {
+    import graft.pipeline.Events
+    // hours 0..6 have 10 events each; hour 7 spikes to 30 (ratio 3.0)
+    val rows = (0 to 6).flatMap(hr => (0 until 10).map(i =>
+      (hr * 3600_000_000_000L + i, "a"))) ++
+      (0 until 30).map(i => (7 * 3600_000_000_000L + i, "a"))
+    val ev = rows.toDF("ts", "event_type")
+    val got = Events.changepoints(ev, window = 6, up = 1.5, down = 0.5)
+      .select("hour_idx", "n", "ratio").as[(Long, Long, Double)].collect()
+    assert(got.toSeq == Seq((7L, 30L, 3.0)), s"got ${got.toSeq}")
+  }
+
   test("kcore: peeling cascades and respects the round budget") {
     import graft.pipeline.Graphs
     // path a-b-c-d plus triangle d-e-f-d (undirected, symmetric list):

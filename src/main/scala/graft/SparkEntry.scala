@@ -1128,6 +1128,33 @@ object SparkEntry {
           round(col("p.lat"), 6).as("lat2"))
         .orderBy(col("ck"))),
 
+    // hex polyfill: enumerate the axial cells whose CENTER falls inside
+    // each nation envelope (generator + filter, all integer cell ranges
+    // from closed-form ceil/floor bounds) — the tile-covering primitive a
+    // tessellated spatial join feeds its build side with
+    "sp_polyfill" -> ((s, dir) => {
+      val size = 5.0
+      val rowH = 1.5 * size            // center spacing in y
+      val colW = size * math.sqrt(3.0) // center spacing in x
+      val env = pointsDf(s, dir).groupBy("c_nationkey")
+        .agg(min("x").as("minx"), max("x").as("maxx"),
+          min("y").as("miny"), max("y").as("maxy"))
+      val rlo = ceil(col("miny") / rowH).cast("long")
+      val rhi = floor(col("maxy") / rowH).cast("long")
+      val withR = env.select(col("c_nationkey"), col("minx"), col("maxx"),
+        explode(when(rhi >= rlo, sequence(rlo, rhi))
+          .otherwise(expr("array()").cast("array<long>"))).as("r"))
+      val qlo = ceil(col("minx") / colW - col("r") / 2.0).cast("long")
+      val qhi = floor(col("maxx") / colW - col("r") / 2.0).cast("long")
+      withR.select(col("c_nationkey"), col("r"),
+          explode(when(qhi >= qlo, sequence(qlo, qhi))
+            .otherwise(expr("array()").cast("array<long>"))).as("q"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_cells"), min("q").as("min_q"),
+          max("q").as("max_q"), min("r").as("min_r"), max("r").as("max_r"))
+        .orderBy("c_nationkey")
+    }),
+
     // hexagonal tessellation aggregate: pointy-top axial cells via
     // cube-rounding (functions/HexBin) — all-codegen binning feeding one
     // map-side-combinable integer-key aggregate, the hex sibling of the
@@ -3520,6 +3547,27 @@ object SparkEntry {
         |              + 540.0) % 360.0 - 180.0, 6) AS lon2,
         |       round(degrees(la2), 6) AS lat2
         |FROM d ORDER BY ck""".stripMargin),
+
+    "sp_polyfill" -> (PtsCte +
+      """
+        |, env AS (
+        |  SELECT c_nationkey, min(x) AS minx, max(x) AS maxx,
+        |         min(y) AS miny, max(y) AS maxy
+        |  FROM pts GROUP BY 1
+        |), rr AS (
+        |  SELECT c_nationkey, minx, maxx,
+        |         unnest(range(CAST(ceil(miny / 7.5) AS BIGINT),
+        |                      CAST(floor(maxy / 7.5) AS BIGINT) + 1)) AS r
+        |  FROM env
+        |), qq AS (
+        |  SELECT c_nationkey, r,
+        |         unnest(range(CAST(ceil(minx / (5.0 * sqrt(3.0)) - r / 2.0) AS BIGINT),
+        |                      CAST(floor(maxx / (5.0 * sqrt(3.0)) - r / 2.0) AS BIGINT) + 1)) AS q
+        |  FROM rr
+        |)
+        |SELECT c_nationkey, count(*) AS n_cells, min(q) AS min_q, max(q) AS max_q,
+        |       min(r) AS min_r, max(r) AS max_r
+        |FROM qq GROUP BY 1 ORDER BY 1""".stripMargin),
 
     "sp_hexbin" -> {
       val (hq, hr) = HexBin.cellDuckSql("x", "y", 5.0)

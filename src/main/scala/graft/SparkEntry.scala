@@ -976,6 +976,26 @@ object SparkEntry {
           round(col("q.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // vocabulary growth curve (the Heaps-law diagnostic): corpus split
+    // into 10 doc-id deciles, each word attributed to the decile of its
+    // FIRST occurrence (one min aggregate on the vocab key), cumulative
+    // vocabulary via a 10-row window — exact integers end to end
+    "tx_vocab_growth" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val per = maxId / 10 + 1
+      val firstSeen = docs
+        .select((col("doc_id") / per).cast("long").as("bucket"),
+          explode(split(lower(col("text")), "\\s+")).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(min(col("bucket")).as("bucket"))
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.orderBy("bucket").rowsBetween(W.unboundedPreceding, 0)
+      firstSeen.groupBy("bucket").agg(count(lit(1)).as("new_words"))
+        .withColumn("cum_vocab", sum(col("new_words")).over(w))
+        .orderBy(col("bucket"))
+    }),
+
     // corpus-level RAKE keyphrases (Rose et al. 2010): stopword/punct
     // phrase breaks, deg/freq word scores, top-25 phrases
     "tx_rake" -> ((s, dir) =>
@@ -3364,6 +3384,22 @@ object SparkEntry {
       TextAnalysis.gopherRulesDuckSql("documents", "doc_id", "text"),
 
     "tx_rake" -> TextAnalysis.rakeDuckSql(k = 25),
+
+    "tx_vocab_growth" ->
+      """WITH per AS (SELECT max(doc_id) // 10 + 1 AS p FROM documents),
+        |fs AS (
+        |  SELECT w, min(bucket) AS bucket FROM (
+        |    SELECT doc_id // p AS bucket,
+        |           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              __w -> length(__w) > 0)) AS w
+        |    FROM documents, per)
+        |  GROUP BY 1
+        |), nb AS (SELECT bucket, count(*) AS new_words FROM fs GROUP BY 1)
+        |SELECT bucket, new_words,
+        |       CAST(sum(new_words) OVER (ORDER BY bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |         AS cum_vocab
+        |FROM nb ORDER BY bucket""".stripMargin,
 
     "sim_cosine_topk" ->
       """SELECT e.vec_id AS id,

@@ -1209,7 +1209,7 @@ object SparkEntry {
     // dedup family beside Jaccard, SimHash, and winnowing
     "dd_edit_pairs" -> ((s, dir) =>
       Dedup.editDistancePairs(T(s, dir, "documents"), "doc_id", "text",
-          k = 4, q = 8)
+          k = 4, q = 12)
         .orderBy(col("id_a"), col("id_b"))),
 
     // stored-index incremental dedup: bootstrap the band/set index from
@@ -3465,7 +3465,7 @@ object SparkEntry {
     "dd_incremental" -> Dedup.minhashIncrementalDuckSql(threshold = 0.2,
       shingleK = 3, newPred = "% 3 = 0"),
 
-    "dd_edit_pairs" -> Dedup.editDistanceDuckSql(k = 4, q = 8),
+    "dd_edit_pairs" -> Dedup.editDistanceDuckSql(k = 4, q = 12),
 
     // production 64-bit simhash replayed end-to-end: FNV per token (HUGEINT
     // wrap multiply), 64 majority votes, then ALL-PAIRS Hamming — legitimate

@@ -191,12 +191,24 @@ object Dedup {
         explode(array_distinct(array(
           ((col("p") + (OFF - k)) / W).cast("long"),
           ((col("p") + (OFF + k)) / W).cast("long")))).as("band"))
+    // the FULL Gravano count filter, not just >=1: a pair within k edits
+    // shares at least max(len)-q+1-k·q one-to-one positional gram matches,
+    // and every such match contributes a distinct join row, so filtering
+    // on the relaxed row count keeps recall while dropping the pairs that
+    // share only a few common phrases — without this, every pair sharing
+    // one stock 8-gram reaches the verify (measured 184 s at sf0.1; with
+    // it, candidates collapse to the near-identical pairs)
     val gramCand = probe.as("l").join(index.as("r"),
         col("l.g") === col("r.g") && col("l.band") === col("r.band") &&
         col("l.id") =!= col("r.id") &&
         abs(col("l.len") - col("r.len")) <= k)
       .select(least(col("l.id"), col("r.id")).as("id_a"),
-        greatest(col("l.id"), col("r.id")).as("id_b"))
+        greatest(col("l.id"), col("r.id")).as("id_b"),
+        greatest(col("l.len"), col("r.len")).as("ml"))
+      .groupBy("id_a", "id_b", "ml").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= greatest(lit(1L),
+        col("ml") - lit(q - 1) - lit(k * q)))
+      .select(col("id_a"), col("id_b"))
     // both-short bucket: bounded by the q(k+1) length constant, so the
     // self-join is over a fixed-size slice, not the corpus
     val shortLen = q * (k + 1)
@@ -209,8 +221,10 @@ object Dedup {
     cand
       .join(docs.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
-      .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
-      .filter(col("dist") <= k)
+      // threshold form = banded O(k·n) DP with early exit (-1 past k),
+      // not the full O(n·m) matrix — the verify's hot loop
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), k).cast("long"))
+      .filter(col("dist") >= 0 && col("dist") <= k)
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 

@@ -322,6 +322,49 @@ object SparkEntry {
         .orderBy(col("revenue_scaled").desc, col("l_orderkey")).limit(10)
     }),
 
+    // TPC-H Q17 (small-quantity-order revenue): per-part average quantity
+    // as a correlated threshold. The avg comparison is cross-multiplied to
+    // exact integers (qty·5·cnt < sum_qty ⟺ qty < 0.2·avg), revenue stays
+    // in integer cents; the lineitem self-join is co-partitioned on
+    // l_partkey (the aggregate's exchange is reused), the part dim is
+    // broadcast — the plan a 100 TB fact table needs
+    "q17_small_qty" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("cq"))
+      val pa = T(s, dir, "part").filter(col("p_size") <= 10)
+        .select(col("p_partkey"), col("p_brand"))
+      li.join(perPart, "l_partkey")
+        .filter(col("qty") * 5L * col("cq") < col("sq"))
+        .join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(sum(col("cents")).as("rev_cents"), count(lit(1)).as("n_li"))
+        .withColumn("avg_yearly", round(col("rev_cents") / 700.0, 4))
+        .orderBy(col("p_brand"))
+    }),
+
+    // max concurrent sessions per hour: sweep line as a distributed
+    // two-level prefix sum (per-hour offsets + within-hour running sum) —
+    // no global-order window anywhere in the plan
+    "ev_concurrency" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("value"))
+      Events.maxConcurrency(Events.sessionize(ev, 4L * 3600L * 1000000L))
+    }),
+
+    // dense hourly grid + LOCF forward fill per user: grid generated from
+    // per-user extents (output-proportional, no calendar cross join), one
+    // user shuffle serves the join and the carry-forward window
+    "ev_gapfill" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").filter(col("user_id") % 50 === 0)
+        .select(col("user_id"), expr("ts div 1000").as("tsn"), col("value"))
+      Events.gapFillLocf(ev)
+    }),
+
     "ev_top_users" -> ((s, dir) => {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 rejects by
       // default; read it as long nanos (we don't use ts here)
@@ -2846,6 +2889,44 @@ object SparkEntry {
         |       min(tsn) AS t_start, max(tsn) AS t_end,
         |       min(event_id) AS first_ev, round(sum(value), 4) AS sum_value
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem
+        |), per_part AS (
+        |  SELECT l_partkey, sum(qty) AS sq, count(*) AS cq FROM li GROUP BY 1
+        |)
+        |SELECT p_brand, CAST(sum(cents) AS BIGINT) AS rev_cents,
+        |       count(*) AS n_li,
+        |       round(sum(cents) / 700.0, 4) AS avg_yearly
+        |FROM li
+        |JOIN per_part USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey AND p_size <= 10
+        |WHERE qty * 5 * cq < sq
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "ev_concurrency" -> Events.maxConcurrencyDuckSql(
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),
+        |g AS (
+        |  SELECT *, CASE WHEN lag(tsn) OVER w IS NULL
+        |                 OR tsn - lag(tsn) OVER w > 14400000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_seq
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id, sess_seq, min(tsn) AS t_start, max(tsn) AS t_end
+        |  FROM s GROUP BY 1, 2
+        |)""".stripMargin),
+
+    "ev_gapfill" -> Events.gapFillLocfDuckSql(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsn, value FROM events
+        |  WHERE user_id % 50 = 0
+        |)""".stripMargin),
 
     "ev_asof" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events)

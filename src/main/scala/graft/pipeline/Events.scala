@@ -688,4 +688,114 @@ object Events {
       |         AS n_at_user_max
       |FROM events JOIN dim USING (user_id)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Max-concurrency sweep line over derived sessions: +1 at session start,
+    * −1 at session end (closed intervals — a session ending at the instant
+    * another starts still overlaps it, so ties order starts first), running
+    * sum = live-session count, then per-hour max/start/end rollup.
+    *
+    * The naive plan is ONE global-order window — a single-partition sort
+    * that dies at scale. This is the distributed prefix-sum instead:
+    * (1) per-hour delta totals (tiny: one row per hour), (2) a cumulative
+    * offset over that hour table (window over #hours rows — thousands, not
+    * billions), (3) the running sum WITHIN each hour partition plus its
+    * broadcast offset. One shuffle on `hour` serves both the within-hour
+    * window and the final per-hour aggregate; the offset join is
+    * broadcast-sized by construction. The same two-level decomposition is
+    * how a 100 TB timeline sweeps without a global sort.
+    *
+    * `sessions` must carry `t_start`/`t_end` (µs longs) as produced by
+    * [[sessionize]]. Output: one row per active hour.
+    */
+  def maxConcurrency(sessions: DataFrame, hourUs: Long = 3600000000L): DataFrame = {
+    val deltas = sessions.select(col("t_start").as("t"), lit(1L).as("d"))
+      .unionAll(sessions.select(col("t_end").as("t"), lit(-1L).as("d")))
+      .withColumn("hour", expr(s"t div $hourUs"))
+    // (2) tiny hour-level offset table: deltas strictly before each hour
+    val hourTotals = deltas.groupBy(col("hour")).agg(sum(col("d")).as("hd"))
+    val wH = Window.orderBy(col("hour")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hourTotals
+      .withColumn("off", coalesce(sum(col("hd")).over(wH), lit(0L)))
+      .select(col("hour"), col("off"))
+    // (3) within-hour running sum (starts before ends at the same instant)
+    val wIn = Window.partitionBy(col("hour")).orderBy(col("t"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), "hour")
+      .withColumn("run", col("off") + sum(col("d")).over(wIn))
+      .groupBy(col("hour"))
+      .agg(max(col("run")).as("max_conc"),
+        sum(when(col("d") === 1L, 1L).otherwise(0L)).as("n_starts"),
+        sum(when(col("d") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy(col("hour"))
+  }
+
+  /** DuckDB replay of [[maxConcurrency]] — the decomposition is invisible,
+    * so the oracle is the plain single-window sweep over `sessions(t_start,
+    * t_end)` provided by `sessCtes` (must define a `sess` relation). */
+  def maxConcurrencyDuckSql(sessCtes: String, hourUs: Long = 3600000000L): String =
+    s"""$sessCtes, deltas AS (
+       |  SELECT t_start AS t, 1 AS d FROM sess
+       |  UNION ALL SELECT t_end AS t, -1 AS d FROM sess
+       |), run AS (
+       |  SELECT t // $hourUs AS hour, d,
+       |         sum(d) OVER (ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS run
+       |  FROM deltas
+       |)
+       |SELECT hour, CAST(max(run) AS BIGINT) AS max_conc,
+       |       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+       |       CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+       |FROM run GROUP BY hour ORDER BY hour""".stripMargin
+
+  /** Time-series gap fill + LOCF (last observation carried forward): build
+    * the dense per-user hourly grid between each user's first and last
+    * event, attach the hourly aggregate where one exists, and forward-fill
+    * the last seen value into the gaps.
+    *
+    * Scale shape: the grid is generated by `sequence()` + explode from ONE
+    * tiny per-user extent row — grid size is output-proportional, never a
+    * cross join against a calendar dimension. One shuffle on `user_id`
+    * serves the grid/aggregate join AND the LOCF window (`last(...,
+    * ignoreNulls)` over the hour order). Events carry (tsn µs, value).
+    */
+  def gapFillLocf(events: DataFrame, hourUs: Long = 3600000000L): DataFrame = {
+    val hourly = events
+      .withColumn("hour", expr(s"tsn div $hourUs"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+    val grid = events
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(tsn) div $hourUs").as("h0"), expr(s"max(tsn) div $hourUs").as("h1"))
+      .select(col("user_id"), explode(expr("sequence(h0, h1)")).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled_v", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("is_gap", col("n").isNull)
+      .select(col("user_id"), col("hour"), coalesce(col("n"), lit(0L)).as("n"),
+        col("filled_v"), col("is_gap"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  /** DuckDB replay of [[gapFillLocf]] over an `e(user_id, tsn, value)`
+    * relation provided by `eCtes`. `range()` is end-exclusive, hence h1+1;
+    * it is staged through a CTE because lateral column args only bind via
+    * unnest-in-select. */
+  def gapFillLocfDuckSql(eCtes: String, hourUs: Long = 3600000000L): String =
+    s"""$eCtes, hourly AS (
+       |  SELECT user_id, tsn // $hourUs AS hour, count(*) AS n,
+       |         round(sum(value), 4) AS v
+       |  FROM e GROUP BY 1, 2
+       |), extent AS (
+       |  SELECT user_id, min(tsn) // $hourUs AS h0, max(tsn) // $hourUs AS h1
+       |  FROM e GROUP BY 1
+       |), grid AS (
+       |  SELECT user_id, unnest(range(h0, h1 + 1)) AS hour FROM extent
+       |)
+       |SELECT g.user_id, g.hour, coalesce(h.n, 0) AS n,
+       |       last_value(h.v IGNORE NULLS) OVER (
+       |         PARTITION BY g.user_id ORDER BY g.hour
+       |         ROWS UNBOUNDED PRECEDING) AS filled_v,
+       |       h.n IS NULL AS is_gap
+       |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
+       |ORDER BY g.user_id, g.hour""".stripMargin
 }

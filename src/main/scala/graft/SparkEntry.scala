@@ -528,6 +528,17 @@ object SparkEntry {
     // bounded-round k-core peeling over the trade graph: 4 synchronous
     // drop-degree-<25 rounds, surviving (node, degree) pairs — the dense-core
     // extraction every community/influence pipeline starts from
+    // synchronous label propagation over the customer–supplier trade graph:
+    // 3 rounds, frequency argmax with min-label ties — exact integer state
+    "gr_lpa" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      Graphs.labelPropagation(edges, rounds = 3)
+    }),
+
     "gr_kcore" -> ((s, dir) => {
       val eraw = T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -3018,6 +3029,14 @@ object SparkEntry {
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |)""".stripMargin, iters = 2, k = 20),
+
+    "gr_lpa" -> Graphs.lpaDuckSql(
+      """eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |)""".stripMargin, rounds = 3),
 
     "gr_kcore" -> Graphs.kcoreDuckSql(
       """eraw AS (

@@ -192,6 +192,55 @@ e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
     sb.toString
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the community-
+    * detection LPA) made deterministic: every node starts as its own label;
+    * each round EVERY node simultaneously adopts the most frequent label
+    * among its neighbors, ties broken by smallest label. Bounded `rounds`
+    * (the published algorithm's stopping rule is convergence; synchronous
+    * LPA on near-bipartite graphs can 2-cycle, so a fixed round count is
+    * the well-defined contract — same policy as [[kcorePeel]]/[[sssp]]).
+    *
+    * Scale shape per round: one edge⋈label equi-join on the neighbor key +
+    * two aggregates that share the `src` shuffle (the (src,lbl) count's
+    * exchange co-partitions the per-src argmax — map-side partial combine
+    * on both). State is one (node,lbl) row per node; the frequency argmax
+    * is `max(struct(cnt, -lbl))` so the tie order is exact integer
+    * arithmetic, never a float. Labels persist per round — each feeds the
+    * join of the next round only (single consumer), but unpersisted lineage
+    * would re-run the whole prefix per action.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var labels = e.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+    for (_ <- 1 to rounds) {
+      labels = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
+        .persist()
+    }
+    labels.orderBy(col("node"))
+  }
+
+  /** DuckDB replay of [[labelPropagation]]: `eCtes` must end with an
+    * `e(src, dst)` CTE holding the same symmetric edge list; one chained
+    * (count, argmax) CTE pair per round. */
+  def lpaDuckSql(eCtes: String, rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH $eCtes,\nl0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e)")
+    for (i <- 1 to rounds) {
+      sb.append(s""",
+c$i AS (SELECT e.src, l.lbl, count(*) AS c FROM e JOIN l${i - 1} AS l ON e.dst = l.node GROUP BY 1, 2),
+l$i AS (SELECT src AS node, lbl FROM (
+  SELECT src, lbl, row_number() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+  FROM c$i) WHERE rn = 1)""")
+    }
+    sb.append(s"\nSELECT node, lbl FROM l$rounds ORDER BY node")
+    sb.toString
+  }
+
   /** Bounded-round HITS (Kleinberg 1999) as an EXACT integer power
     * iteration: with h₀ = 1, the unnormalized authority/hub scores after k
     * rounds are sums of integer degree products — no float accumulates, so

@@ -960,6 +960,17 @@ object SparkEntry {
         .orderBy(col("qid"))
     }),
 
+    // STR bulk-load packing (Leutenegger ICDE'97), the distributed analog of
+    // the reference's sorted bulk R-tree build (RTreeIndex.java:533-605):
+    // one row per leaf page (capacity 64) with its count + MBR. The oracle
+    // replays the same deterministic rank arithmetic with window functions;
+    // the Spark plan's global rank is range-sort + zipWithIndex, never a
+    // single-partition window (plans/SpatialLayout.strPack).
+    "sp_str_pack" -> ((s, dir) =>
+      graft.plans.SpatialLayout.strPack(
+        pointsDf(s, dir).select(col("ck").cast("string").as("id"), col("x"), col("y")),
+        capacity = 64)),
+
     "sp_layer_bbox" -> ((s, dir) => pointsLayer(s, dir).boundingBox()),
 
     // ------------------------------------------------- spatial aggregates
@@ -3399,6 +3410,28 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS rk
         |  FROM votes
         |) WHERE rk = 1 ORDER BY qid""".stripMargin),
+
+    // STR packing replayed with window functions: the global x-rank and the
+    // within-slab y-rank are deterministic given the (x, y, ck) total order;
+    // rows tied on (x, y) are interchangeable across a page boundary (their
+    // coordinates are identical), so page count/MBRs are order-invariant
+    "sp_str_pack" -> (PtsCte +
+      """
+        |, p AS (
+        |  SELECT x, y, ck, row_number() OVER (ORDER BY x, y, ck) - 1 AS rn FROM pts
+        |), c AS (
+        |  SELECT CAST(ceil(count(*) / 64.0) AS BIGINT) AS pages FROM pts
+        |), sl AS (
+        |  SELECT CAST(ceil(sqrt(CAST(pages AS DOUBLE))) AS BIGINT) AS slabs FROM c
+        |), a AS (
+        |  SELECT p.x, p.y, p.ck, p.rn, p.rn // (sl.slabs * 64) AS slab FROM p, sl
+        |), b AS (
+        |  SELECT a.*, row_number() OVER (PARTITION BY slab ORDER BY y, x, ck) - 1 AS rm
+        |  FROM a
+        |)
+        |SELECT slab, rm // 64 AS tile, count(*) AS cnt,
+        |       min(x) AS xmin, max(x) AS xmax, min(y) AS ymin, max(y) AS ymax
+        |FROM b GROUP BY slab, tile ORDER BY slab, tile""".stripMargin),
 
     "gr_assortativity" ->
       """WITH eraw AS (

@@ -578,4 +578,52 @@ object SpatialLayout {
     }
     (for (cx <- x0 to x1; cy <- y0 to y1) yield geohashCell(cx, cy, p)).distinct.sorted
   }
+
+  // ------------------------------------------------------- STR bulk packing
+
+  /** Sort-Tile-Recursive bulk-load packing (Leutenegger/Lopez/Edgington,
+    * ICDE 1997) — the distributed analog of the reference's sorted bulk
+    * R-tree build (reference: RTreeIndex.java:533-605 packs the sorted
+    * envelope list bottom-up into pages of maxNodeReferences): N points,
+    * page capacity B → P = ceil(N/B) leaf pages arranged in
+    * S = ceil(sqrt(P)) x-sorted vertical slabs of S·B consecutive entries,
+    * each slab y-sorted and cut into pages of B consecutive entries.
+    *
+    * Scale shape: the global x-rank is a range-partitioned sort plus
+    * `zipWithIndex` (one count job + per-partition offset arithmetic —
+    * never a single-partition window); the within-slab y-rank is a window
+    * PARTITIONED by slab, so its state is one slab (S·B ≈ sqrt(N·B) rows)
+    * per task. Returns one row per leaf page with its count and MBR — the
+    * page directory a bulk-loaded R-tree would have, as a DataFrame.
+    */
+  def strPack(pts: DataFrame, capacity: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.LongType
+    val spark = pts.sparkSession
+    val base = pts.select(col("id").cast("string").as("id"),
+      col("x").cast("double").as("x"), col("y").cast("double").as("y"))
+    val n = base.count()
+    val pages = math.max(1L, (n + capacity - 1) / capacity)
+    val slabs = math.ceil(math.sqrt(pages.toDouble)).toLong
+    val slabRows = slabs * capacity
+    val sorted = base
+      .repartitionByRange(col("x"), col("y"), col("id"))
+      .sortWithinPartitions("x", "y", "id")
+      .persist()
+    val schema = sorted.schema.add("rn", LongType, nullable = false)
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
+      schema)
+    val w = Window.partitionBy("slab").orderBy("y", "x", "id")
+    ranked
+      .withColumn("slab", expr(s"rn DIV $slabRows"))
+      .withColumn("rm", row_number().over(w).cast("long") - 1L)
+      .withColumn("tile", expr(s"rm DIV $capacity"))
+      .groupBy("slab", "tile")
+      .agg(count(lit(1)).as("cnt"),
+        min("x").as("xmin"), max("x").as("xmax"),
+        min("y").as("ymin"), max("y").as("ymax"))
+      .orderBy("slab", "tile")
+  }
 }

@@ -485,4 +485,36 @@ class Round5Spec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(r3.keySet == Set(4L, 5L, 6L) && r3.values.forall(_ == 2L))
   }
+
+  test("strPack: STR invariants — page fill, slab geometry, MBR disjointness in x") {
+    import graft.plans.SpatialLayout
+    val n = 1000; val cap = 16
+    val pts = (0 until n).map { i =>
+      (i.toString, (i * 37 % 100).toDouble, (i * 59 % 83).toDouble)
+    }.toDF("id", "x", "y")
+    val pagesDf = SpatialLayout.strPack(pts, cap)
+    val pages = pagesDf.collect()
+    // every point lands in exactly one page
+    assert(pages.map(_.getAs[Long]("cnt")).sum == n)
+    // no page exceeds capacity, and the expected page count holds
+    assert(pages.forall(_.getAs[Long]("cnt") <= cap))
+    val expPages = (n + cap - 1) / cap
+    assert(pages.length == expPages, s"got ${pages.length} want $expPages")
+    // slabs partition the x-rank: a slab's xmin must be >= every earlier
+    // slab's xmax (x-sorted slabs are x-disjoint up to tie values)
+    val bySlab = pages.groupBy(_.getAs[Long]("slab")).toSeq.sortBy(_._1)
+    bySlab.sliding(2).foreach {
+      case Seq((_, a), (_, b)) =>
+        assert(b.map(_.getAs[Double]("xmin")).min >= a.map(_.getAs[Double]("xmax")).max - 1e-9)
+      case _ =>
+    }
+    // within a slab, tiles are y-disjoint the same way
+    bySlab.foreach { case (_, tiles) =>
+      tiles.sortBy(_.getAs[Long]("tile")).toSeq.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(b.getAs[Double]("ymin") >= a.getAs[Double]("ymax") - 1e-9)
+        case _ =>
+      }
+    }
+  }
 }

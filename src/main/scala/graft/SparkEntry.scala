@@ -427,6 +427,27 @@ object SparkEntry {
       Events.asofJoin(ev, "purchase", "click").orderBy(col("event_id"))
     }),
 
+    // last-touch attribution report: purchase revenue rolled up to the
+    // epoch-day of the latest preceding click within a 7-day lookback
+    // (-1 = unattributed) — the classic marketing-attribution rollup as one
+    // user-keyed window pass, exact integer cents (Events.lastTouchAttribution)
+    "ev_attribution" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"), col("value"))
+      Events.lastTouchAttribution(ev)
+    }),
+
+    // RFM segmentation: per-user recency/frequency/monetary quintiles under
+    // a deterministic ntile total order, then segment populations — the
+    // windows run over the USER rollup (events-volume never re-shuffles)
+    "ev_rfm" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"), col("value"))
+      Events.rfmSegments(ev)
+    }),
+
     // cross-user temporal co-occurrence: every click within ±60 s of each
     // purchase, ANY user — a non-equi join stock Spark would plan as a
     // cartesian product; Events.intervalJoin runs it as the 1-D grid plan
@@ -2962,6 +2983,10 @@ object SparkEntry {
         |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
         |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1), 4) AS r_val
         |FROM e x WHERE x.event_type = 'purchase' ORDER BY x.event_id""".stripMargin,
+
+    "ev_attribution" -> Events.lastTouchAttributionDuckSql(),
+
+    "ev_rfm" -> Events.rfmSegmentsDuckSql(),
 
     // the union sketch replays as the sketch of the CONCATENATED stream
     // (max-merge associativity is exactly that identity)

@@ -798,4 +798,106 @@ object Events {
        |       h.n IS NULL AS is_gap
        |FROM grid g LEFT JOIN hourly h ON g.user_id = h.user_id AND g.hour = h.hour
        |ORDER BY g.user_id, g.hour""".stripMargin
+
+  /** Last-touch marketing attribution: each `convType` event's revenue is
+    * attributed 100% to the latest preceding `touchType` event by the same
+    * user within `lookbackUs`, reported per attribution DAY (epoch-day of
+    * the touch; -1 = unattributed). Revenue stays exact integer cents.
+    *
+    * Scale shape: ONE shuffle on `user_id`; the touch carry-forward is a
+    * window (`last(..., ignoreNulls)`) over that partitioning, so per-task
+    * state is one user's history — the 100 TB plan is a single exchange
+    * plus map-side work, never a self-join. Expects (user_id, event_id,
+    * tsn µs, event_type, value).
+    */
+  def lastTouchAttribution(events: DataFrame, touchType: String = "click",
+      convType: String = "purchase",
+      lookbackUs: Long = 7L * 86400000000L): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tsn"), col("event_id"))
+    val dayUs = 86400000000L
+    events
+      .withColumn("touch_ts",
+        last(when(col("event_type") === touchType, col("tsn")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .withColumn("day",
+        when(col("touch_ts").isNotNull && col("touch_ts") >= col("tsn") - lookbackUs,
+          expr(s"touch_ts DIV $dayUs")).otherwise(lit(-1L)))
+      .groupBy("day")
+      .agg(count(lit(1)).as("conv_n"),
+        sum(round(col("value") * 100).cast("long")).as("rev_cents"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[lastTouchAttribution]] (same window tie rule: the
+    * default RANGE frame over the unique (tsn, event_id) order).
+    */
+  def lastTouchAttributionDuckSql(touchType: String = "click",
+      convType: String = "purchase",
+      lookbackUs: Long = 7L * 86400000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events
+       |), t AS (
+       |  SELECT *, last_value(CASE WHEN event_type = '$touchType' THEN tsn END IGNORE NULLS)
+       |         OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS touch_ts
+       |  FROM e
+       |)
+       |SELECT CASE WHEN touch_ts IS NOT NULL AND touch_ts >= tsn - $lookbackUs
+       |            THEN touch_ts // 86400000000 ELSE -1 END AS day,
+       |       count(*) AS conv_n,
+       |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+       |FROM t WHERE event_type = '$convType'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** RFM segmentation: per user recency (last purchase day), frequency
+    * (purchase count) and monetary (cent sum), each cut into `q` quantile
+    * buckets by `ntile` under a total order (metric desc, user_id asc — so
+    * bucket assignment is deterministic), then segment population counts.
+    *
+    * Scale shape: the per-user rollup is one shuffle; the three ntile
+    * windows are global-order windows over the USER table (one row per
+    * user — at 100 TB of events that table is millions of rows, orders of
+    * magnitude smaller than the event log; if even that outgrows a window,
+    * the same buckets fall out of approx percentile boundaries). Expects
+    * (user_id, event_id, tsn µs, event_type, value).
+    */
+  def rfmSegments(events: DataFrame, q: Int = 5,
+      convType: String = "purchase"): DataFrame = {
+    val dayUs = 86400000000L
+    val perUser = events.filter(col("event_type") === convType)
+      .groupBy("user_id")
+      .agg(max(expr(s"tsn DIV $dayUs")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val rW = Window.orderBy(col("last_day").desc, col("user_id"))
+    val fW = Window.orderBy(col("freq").desc, col("user_id"))
+    val mW = Window.orderBy(col("cents").desc, col("user_id"))
+    perUser
+      .withColumn("r_q", ntile(q).over(rW).cast("long"))
+      .withColumn("f_q", ntile(q).over(fW).cast("long"))
+      .withColumn("m_q", ntile(q).over(mW).cast("long"))
+      .groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("users"), sum(col("cents")).as("seg_cents"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
+  /** DuckDB replay of [[rfmSegments]] — ntile ties are impossible by
+    * construction (user_id is the final sort key).
+    */
+  def rfmSegmentsDuckSql(q: Int = 5, convType: String = "purchase"): String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_us(ts) AS tsn, value FROM events
+       |  WHERE event_type = '$convType'
+       |), u AS (
+       |  SELECT user_id, max(tsn // 86400000000) AS last_day, count(*) AS freq,
+       |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM e GROUP BY 1
+       |), b AS (
+       |  SELECT cents,
+       |         CAST(ntile($q) OVER (ORDER BY last_day DESC, user_id) AS BIGINT) AS r_q,
+       |         CAST(ntile($q) OVER (ORDER BY freq DESC, user_id) AS BIGINT) AS f_q,
+       |         CAST(ntile($q) OVER (ORDER BY cents DESC, user_id) AS BIGINT) AS m_q
+       |  FROM u
+       |)
+       |SELECT r_q, f_q, m_q, count(*) AS users, CAST(sum(cents) AS BIGINT) AS seg_cents
+       |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 }

@@ -1496,6 +1496,47 @@ object SparkEntry {
       s.table("st_stream_dedup_mem").orderBy(col("text_hash"))
     }),
 
+    // fourth streaming CORRECTNESS row — the STREAM-STREAM temporal join:
+    // purchases joined to same-user clicks within a trailing 10-minute band,
+    // both sides watermarked file streams (4 microbatches each, append mode,
+    // AvailableNow). The watermark delay (40 days) exceeds the corpus span so
+    // no state is ever evicted and the streamed pair set must equal the batch
+    // band join the oracle computes; the production configuration tightens
+    // the delay to bound state (that path is differential-tested in
+    // StreamJoinSpec) — same plan, smaller retention
+    "st_stream_join" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-join")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      T(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tev"),
+          col("user_id"), col("event_id"), col("event_type"))
+        .repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      def side(tpe: String, pre: String) =
+        s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"), col("tev").as(s"${pre}_tev"))
+          .withWatermark(s"${pre}_tev", "40 days")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("c_user = p_user AND " +
+          "c_tev BETWEEN p_tev - INTERVAL 10 MINUTES AND p_tev"))
+      val q = joined.writeStream
+        .format("memory").queryName("st_stream_join_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_join_mem")
+        .select(col("p_id"), col("c_id"),
+          (unix_micros(col("p_tev")) - unix_micros(col("c_tev"))).as("dt_us"))
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
     // third streaming CORRECTNESS row, this one through the EVENT-TIME
     // window operator: hourly tumbling-window counts per event type from 4
     // microbatches (complete mode, AvailableNow) must equal the batch
@@ -3781,6 +3822,17 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
+    // the streamed pair set must equal the batch trailing-band join
+    "st_stream_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type FROM events
+        |)
+        |SELECT p.event_id AS p_id, c.event_id AS c_id, p.tsn - c.tsn AS dt_us
+        |FROM e p JOIN e c ON p.user_id = c.user_id
+        |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        |  AND c.tsn BETWEEN p.tsn - 600000000 AND p.tsn
+        |ORDER BY p_id, c_id""".stripMargin,
 
     "gr_ppr" -> PageRank.pprDuckSql(iters = 3, damping = 0.85, topK = 25),
 

@@ -634,6 +634,21 @@ object SparkEntry {
         .orderBy(col("side"), col("score_raw").desc, col("node"))
     }),
 
+    // Katz centrality over the UNDIRECTED trade graph (both directions of
+    // the cust-supp edge list): exact integer truncated walk sums with
+    // beta=1/4 scaled by 4^3 — the walk-count centrality beside PageRank
+    // (random-walk) and HITS (mutual reinforcement)
+    "gr_katz" -> ((s, dir) => {
+      val pairs = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val e = pairs.unionByName(
+        pairs.select(col("dst").as("src"), col("src").as("dst")))
+      Graphs.katz(e, iters = 3, k = 25)
+        .orderBy(col("score_raw").desc, col("node"))
+    }),
+
     // degree assortativity of the trade graph: Pearson correlation of
     // endpoint degrees over the symmetric edge list, computed from six
     // EXACT integer moments (one aggregate) with the closed-form correlation
@@ -3106,6 +3121,14 @@ object SparkEntry {
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |)""".stripMargin, iters = 2, k = 20),
+
+    "gr_katz" -> Graphs.katzDuckSql(
+      """eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |)""".stripMargin, iters = 3, k = 25),
 
     "gr_lpa" -> Graphs.lpaDuckSql(
       """eraw AS (

@@ -309,6 +309,58 @@ l$i AS (SELECT src AS node, lbl FROM (
        |ORDER BY side, score_raw DESC, node""".stripMargin
   }
 
+  /** Katz centrality as an EXACT integer power iteration: with attenuation
+    * β = 1/4 truncated at `iters` walk lengths, 4^iters · katz(v) =
+    * Σ_{k ≤ iters} 4^(iters−k) · walks_k(v) is an integer (walks_k = number
+    * of length-k walks ending at v), so the per-round state is exact longs
+    * and the only float math is the display-ratio at the end — the same
+    * determinism contract as [[hits]]. Per round: one edge join + two
+    * node-keyed aggregates; nothing is broadcast, state is (node, long).
+    */
+  def katz(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var t = nodes.withColumn("s", lit(1L)).persist()
+    var acc = t
+    for (_ <- 1 to iters) {
+      t = e.join(t, e("src") === t("node"))
+        .groupBy(col("dst").as("n2")).agg(sum(col("s")).as("s"))
+        .select(col("n2").as("node"), col("s")).persist()
+      acc = acc.select(col("node"), (col("s") * 4).as("s")).unionByName(t)
+        .groupBy("node").agg(sum(col("s")).as("s")).persist()
+    }
+    val mx = acc.agg(max(col("s")).as("mx"))
+    acc.crossJoin(mx)
+      .select(col("node"), col("s").as("score_raw"),
+        round(col("s").cast("double") / col("mx").cast("double"), 6).as("score"))
+      .orderBy(col("score_raw").desc, col("node")).limit(k)
+  }
+
+  /** DuckDB replay of [[katz]] on edge CTEs ending in `e(src, dst)`. */
+  def katzDuckSql(eCtes: String, iters: Int, k: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""t$i AS (
+         |  SELECT e.dst AS node, CAST(sum(t${i - 1}.s) AS BIGINT) AS s
+         |  FROM e JOIN t${i - 1} ON e.src = t${i - 1}.node GROUP BY 1
+         |), s$i AS (
+         |  SELECT node, CAST(sum(s) AS BIGINT) AS s FROM (
+         |    SELECT node, s * 4 AS s FROM s${i - 1}
+         |    UNION ALL SELECT node, s FROM t$i
+         |  ) GROUP BY 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $eCtes,
+       |n AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+       |t0 AS (SELECT DISTINCT node, 1::BIGINT AS s FROM n),
+       |s0 AS (SELECT * FROM t0),
+       |$rounds
+       |SELECT node, s AS score_raw,
+       |       round(s::DOUBLE / (SELECT max(s) FROM s$iters)::DOUBLE, 6) AS score
+       |FROM s$iters ORDER BY s DESC, node LIMIT $k""".stripMargin
+  }
+
   /** Bounded-round Bellman-Ford SSSP: minimum additive path weight from any
     * seed reachable within `rounds` edge relaxations — the weighted sibling
     * of [[bfs]] (routing cost, influence decay). `edges` needs long-castable

@@ -345,6 +345,33 @@ object SparkEntry {
         .orderBy(col("p_brand"))
     }),
 
+    // TPC-H Q21 shape (no receipt/commit dates in this corpus, so "kept the
+    // order waiting" = shipped the order's LAST line while other suppliers
+    // were done): finished orders with >1 supplier where EXACTLY ONE
+    // supplier ships the max shipdate — the EXISTS/NOT-EXISTS pair as one
+    // orderkey-grouped pass (no correlated subquery, no second lineitem
+    // scan), then a per-supplier count. Counts are exact integers
+    "q21_waiting" -> ((s, dir) => {
+      val f = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l = T(s, dir, "lineitem")
+        .join(f, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+          col("l_shipdate").as("sd"))
+      val per = l.groupBy("ok")
+        .agg(max(col("sd")).as("mx"), countDistinct(col("sk")).as("nsupp"))
+      val lastShip = l.join(per, "ok")
+        .filter(col("sd") === col("mx") && col("nsupp") > 1)
+        .select(col("ok"), col("sk")).distinct()
+      val lone = lastShip.groupBy("ok")
+        .agg(min(col("sk")).as("sk"), count(lit(1)).as("nlast"))
+        .filter(col("nlast") === 1)
+      lone.join(broadcast(T(s, dir, "supplier")),
+          col("sk") === col("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    }),
+
     // max concurrent sessions per hour: sweep line as a distributed
     // two-level prefix sum (per-hour offsets + within-hour running sum) —
     // no global-order window anywhere in the plan
@@ -3005,6 +3032,24 @@ object SparkEntry {
         |JOIN part ON l_partkey = p_partkey AND p_size <= 10
         |WHERE qty * 5 * cq < sq
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q21_waiting" ->
+      """WITH l AS (
+        |  SELECT l_orderkey AS ok, l_suppkey AS sk, l_shipdate AS sd
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), per AS (
+        |  SELECT ok, max(sd) AS mx, count(DISTINCT sk) AS nsupp FROM l GROUP BY 1
+        |), lastship AS (
+        |  SELECT DISTINCT l.ok, l.sk
+        |  FROM l JOIN per ON l.ok = per.ok AND l.sd = per.mx
+        |  WHERE per.nsupp > 1
+        |), lone AS (
+        |  SELECT ok, min(sk) AS sk FROM lastship GROUP BY 1 HAVING count(*) = 1
+        |)
+        |SELECT s_name, count(*) AS numwait
+        |FROM lone JOIN supplier ON s_suppkey = sk
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
 
     "ev_concurrency" -> Events.maxConcurrencyDuckSql(
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),

@@ -2135,6 +2135,16 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // DIRECTED set-containment pairs |A∩B|/|A| ≥ 0.9 — the doc-inside-doc
+    // detector symmetric Jaccard is blind to (J ≤ |A|/|B|); probe-side-only
+    // prefix filter with guaranteed recall (Dedup.containmentPairs)
+    "dd_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.9, shingleK = 4)
+        .select(col("id_a"), col("id_b"),
+          round(col("containment"), 6).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // char-3-gram Jaccard pairs over the full documents table — the last of
     // the five dedup families under the oracle. Same df-ordered prefix
     // filter as dd_jaccard (guaranteed recall at any threshold); the oracle
@@ -4445,6 +4455,29 @@ object SparkEntry {
         |)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    // directed pairs; the oracle needs no prefix logic — the final pair set
+    // equals the plain shared-shingle plan's (recall is guaranteed)
+    "dd_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+        |  FROM documents
+        |), sets AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(len(ts) - 3), i ->
+        |    array_to_string(ts[i+1:i+4], ' '))) AS ss
+        |  FROM toks
+        |), sh AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |), c AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(x.ss, y.ss))::DOUBLE / len(x.ss) AS cont
+        |  FROM cand JOIN sets x ON x.doc_id = id_a JOIN sets y ON y.doc_id = id_b
+        |  WHERE len(x.ss) > 0
+        |)
+        |SELECT id_a, id_b, round(cont, 6) AS containment FROM c
+        |WHERE cont >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "dd_ngram_pairs" ->
       """WITH norm AS (

@@ -726,6 +726,13 @@ object Dedup {
     * is the hot loop of both shingle pipelines.
     */
   private def mergeJaccard(a: Array[Long], b: Array[Long]): Double = {
+    val inter = mergeInter(a, b)
+    val union = a.length + b.length - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  /** |A∩B| of two ASCENDING hash arrays by a single merge pass. */
+  private def mergeInter(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var inter = 0
     while (i < a.length && j < b.length) {
       val x = a(i); val y = b(j)
@@ -733,8 +740,57 @@ object Dedup {
       else if (x < y) i += 1
       else j += 1
     }
-    val union = a.length + b.length - inter
-    if (union == 0) 1.0 else inter.toDouble / union
+    inter
+  }
+
+  /** Set-CONTAINMENT near-dup pairs: directed C(A→B) = |A∩B| / |A| ≥ t —
+    * the asymmetric metric that catches a document (mostly) CONTAINED in a
+    * larger one (quotes, boilerplate-wrapped copies, expanded pages), which
+    * every symmetric Jaccard pipeline is structurally blind to
+    * (J(A,B) ≤ |A|/|B| → a small doc inside a big one never crosses a
+    * Jaccard threshold).
+    *
+    * Prefix filter under containment semantics (Chaudhuri et al., ICDE'06):
+    * order A's shingles by ascending global df (ties by hash); C ≥ t forces
+    * |A∩B| ≥ ⌈t·|A|⌉, so if B misses all of A's first |A| − ⌈t|A|⌉ + 1
+    * shingles, B covers at most ⌈t|A|⌉ − 1 of A — recall is GUARANTEED.
+    * Only the probe (contained) side is prefix-trimmed; the build side
+    * indexes every shingle, because containment admits no length filter on
+    * B. Candidates verify by exact merge-count containment.
+    *
+    * Scale shape: shuffles carry (long, long) keys; the candidate join is
+    * prefix(≈(1−t)·|S| rows/doc, biased to RARE shingles) × full inverted
+    * index (|S| rows/doc) — linear in corpus unless the true containment
+    * pair count isn't. At t = 0.9 the probe prefix is ~10% of each set.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, shingleK: Int = 4): DataFrame = {
+    require(threshold > 0, "threshold must be > 0 for prefix-filter recall")
+    val sets = df.select(col(idCol).as("id"),
+        shingleHashSet(shingleK)(col(textCol)).as("ss"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sets.select(col("id"), size(col("ss")).as("n_sh"),
+      explode(col("ss")).as("s"))
+    val dfreq = inv.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("df"), col("s"))
+    val prefix = inv.join(dfreq, "s")
+      .withColumn("rn", row_number().over(ordered))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col("id").as("id_a"), col("s"))
+    val all = inv.select(col("id").as("id_b"), col("s"))
+    val cand = prefix.join(all, "s")
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val contUdf = udf((p: Array[Long], q: Array[Long]) =>
+      if (p == null || p.isEmpty || q == null || q.isEmpty) 0.0
+      else mergeInter(p, q).toDouble / p.length)
+    cand
+      .join(sets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .withColumn("containment", contUdf(col("ss_a"), col("ss_b")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
   }
 
   /** Exact word-k-gram Jaccard pairs with GUARANTEED recall for any

@@ -454,6 +454,32 @@ object SparkEntry {
       Events.asofJoin(ev, "purchase", "click").orderBy(col("event_id"))
     }),
 
+    // per-event ML feature engineering: previous spend, trailing-5-event
+    // spend and trailing-1-hour activity count per user, emitted for the
+    // purchase rows — three window frames (ROWS lag, ROWS rolling, RANGE
+    // time window) over ONE user-keyed shuffle, exact integer cents; this is
+    // the training-feature extraction pass of a behavioral model pipeline
+    "ev_lag_features" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsn"), col("event_id"))
+      val wr = w.rowsBetween(-4, 0)
+      val wt = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsn"))
+        .rangeBetween(-3600000000L, 0)
+      ev
+        .withColumn("prev_cents", lag(col("cents"), 1).over(w))
+        .withColumn("roll5_cents", sum(col("cents")).over(wr))
+        .withColumn("n_1h", count(lit(1)).over(wt))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("prev_cents"),
+          col("roll5_cents"), col("n_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // last-touch attribution report: purchase revenue rolled up to the
     // epoch-day of the latest preceding click within a 7-day lookback
     // (-1 = unattributed) — the classic marketing-attribution rollup as one
@@ -3094,6 +3120,23 @@ object SparkEntry {
         |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
         |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1), 4) AS r_val
         |FROM e x WHERE x.event_type = 'purchase' ORDER BY x.event_id""".stripMargin,
+
+    "ev_lag_features" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(cents, 1) OVER (PARTITION BY user_id ORDER BY tsn, event_id) AS prev_cents,
+        |    CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY tsn, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll5_cents,
+        |    count(*) OVER (PARTITION BY user_id ORDER BY tsn
+        |      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_1h
+        |  FROM e
+        |)
+        |SELECT event_id, user_id, prev_cents, roll5_cents, n_1h FROM f
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "ev_attribution" -> Events.lastTouchAttributionDuckSql(),
 

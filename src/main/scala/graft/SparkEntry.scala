@@ -454,6 +454,65 @@ object SparkEntry {
       Events.asofJoin(ev, "purchase", "click").orderBy(col("event_id"))
     }),
 
+    // A/B experiment readout: deterministic variant split (user_id parity —
+    // any keyed hash works identically), conversion = heavy buyer (≥16
+    // purchases; every user in this corpus purchases at least once, so the
+    // raw did-purchase rate saturates at 1.0), per-variant exposure /
+    // conversion / revenue as exact integers, and the two-proportion pooled
+    // z-score as the ONLY float (closed form over the four integer counts,
+    // so both engines compute bit-identical doubles; NULL when the pooled
+    // rate degenerates to 0 or 1). One user rollup, one tiny agg
+    "ev_ab_test" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val users = ev.groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("rev"))
+        .withColumn("c", when(col("np") >= 16, 1L).otherwise(0L))
+        .withColumn("v", (col("user_id") % 2).cast("long"))
+      val pool = (col("conv_a") + col("conv_b")).cast("double") /
+        (col("n_a") + col("n_b")).cast("double")
+      users.agg(
+          sum(when(col("v") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("v") === 0, col("c")).otherwise(0L)).as("conv_a"),
+          sum(when(col("v") === 0, col("rev")).otherwise(0L)).as("rev_a"),
+          sum(when(col("v") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("v") === 1, col("c")).otherwise(0L)).as("conv_b"),
+          sum(when(col("v") === 1, col("rev")).otherwise(0L)).as("rev_b"))
+        .withColumn("z", when(
+          col("conv_a") + col("conv_b") > 0 &&
+            col("conv_a") + col("conv_b") < col("n_a") + col("n_b"),
+          round(
+            (col("conv_a").cast("double") / col("n_a").cast("double") -
+              col("conv_b").cast("double") / col("n_b").cast("double")) /
+              sqrt(pool * (lit(1.0) - pool) *
+                (lit(1.0) / col("n_a").cast("double") +
+                  lit(1.0) / col("n_b").cast("double"))), 6)))
+    }),
+
+    // cohort lifetime value: purchase cents per (first-active-day cohort,
+    // age-in-days), plus the running LTV curve — integer cumsum per cohort,
+    // one user shuffle for the cohort min then day-level aggregates only
+    "ev_ltv" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"),
+        expr("(ts div 1000) div 86400000000").as("day"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val cohort = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cohort_day").orderBy("age")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      ev.filter(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .withColumn("age", col("day") - col("cohort_day"))
+        .groupBy("cohort_day", "age")
+        .agg(sum(col("cents")).as("cents"))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .orderBy(col("cohort_day"), col("age"))
+    }),
+
     // per-event ML feature engineering: previous spend, trailing-5-event
     // spend and trailing-1-hour activity count per user, emitted for the
     // purchase rows — three window frames (ROWS lag, ROWS rolling, RANGE
@@ -3120,6 +3179,53 @@ object SparkEntry {
         |     AND (y.tsn < x.tsn OR (y.tsn = x.tsn AND y.event_id < x.event_id))
         |   ORDER BY y.tsn DESC, y.event_id DESC LIMIT 1), 4) AS r_val
         |FROM e x WHERE x.event_type = 'purchase' ORDER BY x.event_id""".stripMargin,
+
+    "ev_ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 16
+        |         THEN 1 ELSE 0 END::BIGINT AS c,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev,
+        |    user_id % 2 AS v
+        |  FROM events GROUP BY user_id
+        |), s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN c ELSE 0 END) AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN v = 0 THEN rev ELSE 0 END) AS BIGINT) AS rev_a,
+        |    CAST(sum(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN c ELSE 0 END) AS BIGINT) AS conv_b,
+        |    CAST(sum(CASE WHEN v = 1 THEN rev ELSE 0 END) AS BIGINT) AS rev_b
+        |  FROM u
+        |)
+        |SELECT *, CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b
+        |  THEN round(
+        |    (conv_a::DOUBLE / n_a::DOUBLE - conv_b::DOUBLE / n_b::DOUBLE) /
+        |    sqrt(((conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE) *
+        |         (1.0 - (conv_a + conv_b)::DOUBLE / (n_a + n_b)::DOUBLE) *
+        |         (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)), 6)
+        |  END AS z
+        |FROM s""".stripMargin,
+
+    "ev_ltv" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1
+        |), g AS (
+        |  SELECT cohort_day, e.day - cohort_day AS age,
+        |         CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e JOIN cohort USING (user_id)
+        |  WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cohort_day, age, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |FROM g ORDER BY cohort_day, age""".stripMargin,
 
     "ev_lag_features" ->
       """WITH e AS (

@@ -280,6 +280,8 @@ object BenchScale {
     val families: Seq[(String, Int => DataFrame)] = Seq(
       "dd_jaccard" ->
         (n => Dedup.shingleJaccardPairs(docsAt(n), "doc_id", "text", 0.2, 4)),
+      "dd_containment" ->
+        (n => Dedup.containmentPairs(docsAt(n), "doc_id", "text", 0.9, 4)),
       "dd_minhash" ->
         (n => Dedup.minhashNearDupPairs(docsAt(n), "doc_id", "text", 0.2)),
       "dd_simhash64" ->

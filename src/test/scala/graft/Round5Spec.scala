@@ -486,6 +486,81 @@ class Round5Spec extends SparkSpec {
     assert(r3.keySet == Set(4L, 5L, 6L) && r3.values.forall(_ == 2L))
   }
 
+  test("plan contracts: attribution one user exchange, containment no cartesian, strPack no global sort-rank") {
+    import graft.pipeline.{Dedup, Events}
+    import graft.plans.SpatialLayout
+    val ev = spark.range(2000).select((col("id") % 50).as("user_id"),
+      col("id").as("event_id"), (col("id") * 977 % 100000).as("tsn"),
+      element_at(array(lit("click"), lit("purchase")),
+        (col("id") % 2 + 1).cast("int")).as("event_type"),
+      (col("id") % 100).cast("double").as("value"))
+    val aPlan = Events.lastTouchAttribution(ev)
+      .queryExecution.executedPlan.toString()
+    // the event volume crosses the wire once: a single user_id exchange
+    assert("hashpartitioning\\(user_id".r.findAllIn(aPlan).size == 1, aPlan)
+    val docs = (1 to 60).map(i =>
+      (i.toLong, (i to i + 12).map(j => s"w$j").mkString(" "))).toDF("doc_id", "text")
+    val cPlan = Dedup.containmentPairs(docs, "doc_id", "text", 0.9, 4)
+      .queryExecution.executedPlan.toString()
+    assert(!cPlan.contains("CartesianProduct")
+      && !cPlan.contains("BroadcastNestedLoop"), cPlan)
+    val pts = (0 until 500).map(i =>
+      (i.toString, (i % 37).toDouble, (i % 53).toDouble)).toDF("id", "x", "y")
+    val sPlan = SpatialLayout.strPack(pts, 16)
+      .queryExecution.executedPlan.toString()
+    // the global x-rank never plans as an Exchange SinglePartition + Window
+    assert(!sPlan.contains("SinglePartition"), sPlan)
+  }
+
+  test("containmentPairs: finds doc-inside-doc that symmetric Jaccard misses") {
+    import graft.pipeline.Dedup
+    val small = (1 to 10).map(i => s"w$i").mkString(" ")          // 7 4-shingles
+    val big = small + " " + (11 to 40).map(i => s"w$i").mkString(" ") // 37 shingles
+    val docs = Seq((1L, small), (2L, big), (3L, "totally different text with other words entirely")).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.9, 4)
+      .select("id_a", "id_b", "containment")
+      .as[(Long, Long, Double)].collect().toSet
+    // 1 ⊂ 2: containment(1→2) = 1.0; the reverse direction is 7/37 < 0.9;
+    // the symmetric Jaccard of the pair is 7/37 ≈ 0.19 — invisible at 0.9
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+  }
+
+  test("lastTouchAttribution: lookback honored, unattributed bucket kept") {
+    import graft.pipeline.Events
+    val day = 86400000000L
+    val ev = Seq(
+      // user 1: click day 0, purchase day 3 (inside 7d) -> attributed day 0
+      (1L, 1L, 0L * day + 5L, "click", 10.0),
+      (1L, 2L, 3L * day, "purchase", 20.0),
+      // user 2: click day 0, purchase day 10 (outside 7d) -> unattributed
+      (2L, 3L, 0L * day, "click", 1.0),
+      (2L, 4L, 10L * day, "purchase", 30.0),
+      // user 3: purchase with no prior click -> unattributed
+      (3L, 5L, 2L * day, "purchase", 5.5)
+    ).toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val got = Events.lastTouchAttribution(ev)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((-1L, 2L, 3550L), (0L, 1L, 2000L)), s"got $got")
+  }
+
+  test("rfmSegments: deterministic ntile buckets over the user rollup") {
+    import graft.pipeline.Events
+    val day = 86400000000L
+    // 4 users, q=2: user A high-everything, user D low-everything
+    val ev = Seq(
+      (1L, 1L, 9L * day, "purchase", 100.0), (1L, 2L, 9L * day + 1, "purchase", 100.0),
+      (2L, 3L, 8L * day, "purchase", 50.0), (2L, 4L, 8L * day + 1, "purchase", 50.0),
+      (3L, 5L, 2L * day, "purchase", 10.0),
+      (4L, 6L, 1L * day, "purchase", 1.0)
+    ).toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val got = Events.rfmSegments(ev, q = 2)
+      .select("r_q", "f_q", "m_q", "users")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // users 1,2 (recent, frequent, big) land in bucket 1 on all axes;
+    // users 3,4 in bucket 2
+    assert(got == Set((1L, 1L, 1L, 2L), (2L, 2L, 2L, 2L)), s"got $got")
+  }
+
   test("strPack: STR invariants — page fill, slab geometry, MBR disjointness in x") {
     import graft.plans.SpatialLayout
     val n = 1000; val cap = 16

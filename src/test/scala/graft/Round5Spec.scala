@@ -510,6 +510,15 @@ class Round5Spec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     // the global x-rank never plans as an Exchange SinglePartition + Window
     assert(!sPlan.contains("SinglePartition"), sPlan)
+    // bqTopK: both the Hamming shortlist and the final cut plan as
+    // TakeOrderedAndProject (per-partition heaps), never a global Sort
+    val emb = spark.range(300).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)),
+        i => ((col("id") + i) % 17 - 8).cast("float")).as("embedding"))
+    val bPlan = graft.pipeline.Similarity.bqTopK(emb, "vec_id", "embedding",
+        Array.fill(64)(0.5), k = 5, dim = 64, shortlist = 20)
+      .queryExecution.executedPlan.toString()
+    assert("TakeOrderedAndProject".r.findAllIn(bPlan).size == 2, bPlan)
   }
 
   test("containmentPairs: finds doc-inside-doc that symmetric Jaccard misses") {
@@ -590,6 +599,99 @@ class Round5Spec extends SparkSpec {
           assert(b.getAs[Double]("ymin") >= a.getAs[Double]("ymax") - 1e-9)
         case _ =>
       }
+    }
+  }
+
+  test("bqTopK: sign signature, self-match at hamming 0, shortlist recall") {
+    import graft.pipeline.Similarity
+    val dim = 64
+    def mk(seed: Int): Array[Float] = {
+      val r = new java.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val base = mk(7)
+    val vecs = Seq(
+      (0L, base.toSeq),                                  // the query itself
+      (1L, base.map(v => v * 0.5f).toSeq),               // same signs, cos ≈ 1
+      (2L, base.map(v => -v).toSeq),                     // all 64 bits flipped
+      (3L, mk(11).toSeq), (4L, mk(12).toSeq), (5L, mk(13).toSeq))
+    val df = vecs.toDF("vec_id", "embedding")
+    // signature: bit b == sign of dim b
+    val sig = df.filter($"vec_id" === 0)
+      .select(Similarity.bqSig($"embedding", dim)).head().getLong(0)
+    base.zipWithIndex.foreach { case (v, b) =>
+      assert(((sig >> b) & 1L) == (if (v >= 0) 1L else 0L), s"bit $b")
+    }
+    val q = base.map(_.toDouble)
+    val top = Similarity.bqTopK(df, "vec_id", "embedding", q,
+      k = 3, dim = dim, shortlist = 4).collect()
+    // ids 0 and 1 have hamming 0 (identical signs) and cosine 1.0
+    assert(top.take(2).map(_.getLong(0)).toSet == Set(0L, 1L))
+    assert(top.take(2).forall(r => r.getInt(1) == 0 && r.getDouble(2) == 1.0))
+    // the negated vector is hamming 64 — with shortlist 4 of 6 it must not
+    // survive the Hamming cut
+    assert(!top.map(_.getLong(0)).contains(2L))
+  }
+
+  test("holtForecast: hand-checked fold, init contract, forecast line") {
+    import graft.pipeline.Events
+    // two series: constant 10/day (level 10, trend → 0-ish) and a hand fold
+    val rows = (0 until 4).flatMap { d =>
+      val ts = d * 86400000000000L + 1000L
+      Seq.fill(10)(("flat", ts)) ++ Seq.fill(d + 1)(("ramp", ts))
+    }
+    val ev = rows.toDF("event_type", "ts")
+    val got = Events.holtForecast(ev).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // flat: l=10, every step lNew = 0.5*10 + 0.5*(l+b) stays 10 with b=0
+    assert(got("flat") == ((10.0, 0.0)))
+    // ramp counts 1,2,3,4 — replay the recurrence by hand
+    var l = 1.0; var b = 0.0
+    Seq(2, 3, 4).foreach { y =>
+      val ln = 0.5 * y + 0.5 * (l + b)
+      b = 0.5 * (ln - l) + 0.5 * b; l = ln
+    }
+    assert(got("ramp") == ((math.rint(l * 1e6) / 1e6, math.rint(b * 1e6) / 1e6)))
+  }
+
+  test("bfsPerSource: per-root hops are independent and settle-first") {
+    import graft.pipeline.Graphs
+    // path 1-2-3-4 plus shortcut 1-4; roots 1 and 3
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("node")
+    val got = Graphs.bfsPerSource(edges, seeds, maxHop = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val exp = Map(
+      (1L, 1L) -> 0, (1L, 2L) -> 1, (1L, 4L) -> 1, (1L, 3L) -> 2,
+      (3L, 3L) -> 0, (3L, 2L) -> 1, (3L, 4L) -> 1, (3L, 1L) -> 2)
+    assert(got == exp)
+  }
+
+  test("sp_line_interpolate matches JTS LengthIndexedLine on the real layer") {
+    import org.locationtech.jts.geom.Coordinate
+    import org.locationtech.jts.linearref.LengthIndexedLine
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("sp_line_interpolate")(spark, dir).collect()
+    assert(got.nonEmpty)
+    // rebuild each nation polyline in JTS and compare the interpolated point
+    val pts = spark.read.parquet(s"$dir/customer.parquet")
+      .select($"c_nationkey",
+        $"c_custkey".as("ck"),
+        (($"c_custkey" % 360) - 180 + 0.5).cast("double").as("x"),
+        ((($"c_custkey" * 7) % 180) - 90 + 0.5).cast("double").as("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val byNation = pts.groupBy(_._1).map { case (nk, rs) =>
+      nk -> rs.sortBy(_._2).map(r => new Coordinate(r._3, r._4)).toArray
+    }
+    got.foreach { r =>
+      val (nk, frac, px, py) =
+        (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      val line = GeomCodec.factory.createLineString(byNation(nk))
+      val p = new LengthIndexedLine(line)
+        .extractPoint(frac * line.getLength)
+      assert(math.abs(p.x - px) < 1e-6 && math.abs(p.y - py) < 1e-6,
+        s"nation $nk frac $frac: got ($px,$py) jts (${p.x},${p.y})")
     }
   }
 }

@@ -740,6 +740,18 @@ object SparkEntry {
     "ev_forecast" -> ((s, dir) =>
       Events.holtForecast(T(s, dir, "events"))),
 
+    // STL-lite weekday decomposition: centered 7-row MA trend, per-weekday
+    // seasonal index + residual variance from EXACT ×7-scaled integer
+    // moments — only the closing divisions are float
+    "ev_seasonal" -> ((s, dir) =>
+      Events.seasonalDecompose(T(s, dir, "events"))),
+
+    // Kaplan-Meier churn survival: lifetime = first→last event days,
+    // 7-day right-censor window at the corpus end; Ŝ(t) as an ordered
+    // ln/exp running fold both engines execute in the identical order
+    "ev_survival" -> ((s, dir) =>
+      Events.kaplanMeier(T(s, dir, "events"), censorDays = 7)),
+
     // HITS hubs/authorities on the DIRECTED trade graph (customer→supplier):
     // 2 exact-integer power-iteration rounds, top-20 per side with a final
     // display-only max ratio — big buyers = hubs, widely-bought-from
@@ -833,6 +845,21 @@ object SparkEntry {
           round(col("n1") + col("n2") / lit(2.0) + col("n3") / lit(3.0), 6)
             .as("harmonic"))
         .orderBy(col("root"))
+    }),
+
+    // bounded-depth Brandes betweenness from the same landmark batch:
+    // forward BFS accumulates EXACT integer shortest-path counts σ per
+    // (root, node), the backward pass walks the BFS DAG with
+    // δ(v) = Σ σv/σw·(1+δw) — nothing broadcast, state ≤ |seeds|·|V| rows
+    "gr_betweenness" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_custkey") % 500 === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      Graphs.brandesBetweenness(edges, seeds, maxHop = 3, k = 30)
     }),
 
     // partition quality: Newman modularity of the NATION partition over the
@@ -1510,6 +1537,18 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       Similarity.bqTopK(emb, "vec_id", "embedding", q, k = 15, dim = 64,
         shortlist = 60)
+    }),
+
+    // MMR diversified rerank (Carbonell-Goldstein): λ=0.7 greedy over a
+    // 40-candidate cosine shortlist — the corpus-sized work is the
+    // TakeOrdered shortlist + s² pairwise sims; the greedy state is
+    // shortlist-bounded, never corpus-bounded
+    "sim_mmr" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.mmrTopK(emb, "vec_id", "embedding", q, k = 10,
+        lambda = 0.7, shortlist = 40)
     }),
 
     "mm_decode" -> ((s, dir) => {
@@ -3518,6 +3557,17 @@ object SparkEntry {
         |       round(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
         |FROM c ORDER BY root""".stripMargin,
 
+    "gr_betweenness" -> Graphs.brandesDuckSql(
+      """eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |)""".stripMargin,
+      seedSql = "SELECT c_custkey * 2 AS root, c_custkey * 2 AS node, " +
+        "1::BIGINT AS sigma FROM customer WHERE c_custkey % 500 = 1",
+      maxHop = 3, k = 30),
+
     "gr_modularity" ->
       """WITH e AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -4218,6 +4268,8 @@ object SparkEntry {
 
     "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
     "ev_forecast" -> Events.holtForecastDuckSql,
+    "ev_seasonal" -> Events.seasonalDuckSql,
+    "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),
 
     "ev_wau" ->
       (s"""WITH hashed AS (
@@ -4954,6 +5006,11 @@ object SparkEntry {
          |       round(list_cosine_similarity(sh.v, q.qv), 6) AS cosine
          |FROM short sh, q ORDER BY cosine DESC, id LIMIT 15""".stripMargin
     },
+
+    "sim_mmr" -> Similarity.mmrDuckSql(
+      embSql = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+      qSql = "SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0",
+      k = 10, lambda = 0.7, shortlist = 40),
 
     "sim_ivf_kmeans" -> {
       def assign(cents: String, out: String) =

@@ -980,4 +980,139 @@ object Events {
       |       round(l + b, 6) AS f1, round(l + 2.0 * b, 6) AS f2,
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
+
+  /** STL-lite weekday seasonal decomposition of each event_type's daily
+    * count series: trend = centered 7-row moving average (rows with a full
+    * window only — MA loses 3 rows per edge, as classical decomposition
+    * does), seasonal index per weekday = mean detrended value, plus the
+    * residual variance. Everything is carried as EXACT integer moments
+    * scaled by 7 (d7 = 7·y − Σ_window y is a BIGINT; per-weekday S1 = Σd7,
+    * S2 = Σd7² likewise), so the only float ops are the two closing
+    * divisions and one square — bit-identical to the oracle replay.
+    *
+    * Scale shape: the full-volume pass is the map-side-combinable daily
+    * count; the window runs over |days| rows per event_type, so a 100 TB
+    * event log decomposes in one shuffle + one tiny windowed pass.
+    */
+  def seasonalDecompose(events: DataFrame): DataFrame = {
+    val w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    daily
+      .withColumn("t7", sum("n").over(w7))
+      .withColumn("cw", count(lit(1)).over(w7))
+      .filter(col("cw") === 7)
+      .withColumn("d7", lit(7L) * col("n") - col("t7"))
+      .groupBy(col("event_type"), (col("day") % 7).as("weekday"))
+      .agg(count(lit(1)).as("n_days"),
+        sum("d7").as("s1"), sum(col("d7") * col("d7")).as("s2"))
+      .select(col("event_type"), col("weekday"), col("n_days"),
+        round(col("s1") / (lit(7.0) * col("n_days")), 6).as("seasonal"),
+        round((col("s2") / col("n_days")
+          - (col("s1") / col("n_days")) * (col("s1") / col("n_days")))
+          / lit(49.0), 6).as("resid_var"))
+      .orderBy("event_type", "weekday")
+  }
+
+  /** DuckDB replay of [[seasonalDecompose]]: identical ROWS window, the
+    * same ×7 integer-moment carry, the same closing expression trees. */
+  def seasonalDuckSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), win AS (
+      |  SELECT event_type, day, n,
+      |         sum(n) OVER w AS t7, count(*) OVER w AS cw
+      |  FROM daily
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |), det AS (
+      |  SELECT event_type, day % 7 AS weekday, 7 * n - t7 AS d7
+      |  FROM win WHERE cw = 7
+      |), m AS (
+      |  SELECT event_type, weekday, count(*) AS n_days,
+      |         CAST(sum(d7) AS BIGINT) AS s1,
+      |         CAST(sum(d7 * d7) AS BIGINT) AS s2
+      |  FROM det GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(weekday AS BIGINT) AS weekday, n_days,
+      |       round(s1 / (7.0 * n_days), 6) AS seasonal,
+      |       round((s2 / n_days - (s1 / n_days) * (s1 / n_days)) / 49.0, 6)
+      |         AS resid_var
+      |FROM m ORDER BY 1, 2""".stripMargin
+
+  /** Kaplan-Meier survival curve over user lifetimes (KM 1958 — the churn
+    * curve): lifetime = days between a user's first and last event; users
+    * whose last event falls within `censorDays` of the corpus end are
+    * right-censored (still alive), everyone else churned at their lifetime.
+    * At each churn time t: n_risk = users with lifetime ≥ t, d = churns at
+    * t, and Ŝ(t) = Π_{t_j ≤ t}(1 − d_j/n_j), computed as exp(Σ ln((n−d)/n))
+    * over an ordered running window — a sequential fold both engines
+    * execute in the identical order, so the doubles agree before round(6).
+    *
+    * Scale shape: the only full-volume shuffle is the per-user min/max
+    * (map-side combinable); everything after runs on ≤|distinct lifetimes|
+    * rows, so the single-partition running product is a deliberately tiny
+    * tail, never the event volume.
+    */
+  def kaplanMeier(events: DataFrame, censorDays: Int): DataFrame = {
+    val users = events.groupBy("user_id")
+      .agg(min("ts").as("first"), max("ts").as("last"))
+      .withColumn("lifetime", expr("(last - first) div 86400000000000"))
+    val cutoff = events.agg(
+      (max("ts") - lit(censorDays) * lit(86400000000000L)).as("cut"))
+    val marked = users.crossJoin(cutoff)
+      .withColumn("churned", (col("last") <= col("cut")).cast("int"))
+    val byT = marked.groupBy(col("lifetime").as("t"))
+      .agg(count(lit(1)).as("n_all"), sum("churned").as("d"))
+    val wOrd = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = marked.count()
+    byT
+      .withColumn("ended_before", sum("n_all").over(wOrd) - col("n_all"))
+      .withColumn("n_risk", lit(total) - col("ended_before"))
+      .filter(col("d") > 0)
+      // d == n_risk can only happen at the max lifetime (nobody survives
+      // past it); Spark's log(0) is NULL, not -inf, so pin the S(t)=0 case
+      .withColumn("surv", round(exp(sum(
+        when(col("d") < col("n_risk"),
+          log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double")))
+          .otherwise(lit(Double.NegativeInfinity))
+      ).over(wOrd)), 6))
+      .select(col("t"), col("n_risk"), col("d"), col("surv"))
+      .orderBy("t")
+  }
+
+  /** DuckDB replay of [[kaplanMeier]]: same running windows, same ln/exp
+    * fold order, same censor cutoff arithmetic. */
+  def kaplanMeierDuckSql(censorDays: Int): String =
+    s"""WITH users AS (
+       |  SELECT user_id, min(epoch_ns(ts)) AS first, max(epoch_ns(ts)) AS last
+       |  FROM events GROUP BY 1
+       |), marked AS (
+       |  SELECT (last - first) // 86400000000000 AS lifetime,
+       |         CASE WHEN last <= (SELECT max(epoch_ns(ts)) FROM events)
+       |                           - $censorDays * 86400000000000 THEN 1 ELSE 0 END AS churned
+       |  FROM users
+       |), byt AS (
+       |  SELECT lifetime AS t, count(*) AS n_all,
+       |         CAST(sum(churned) AS BIGINT) AS d
+       |  FROM marked GROUP BY 1
+       |), risk AS (
+       |  SELECT t, n_all, d,
+       |         (SELECT count(*) FROM marked)
+       |           - (sum(n_all) OVER (ORDER BY t
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_all)
+       |           AS n_risk
+       |  FROM byt
+       |), ev AS (SELECT * FROM risk WHERE d > 0)
+       |SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk, d,
+       |       round(exp(sum(CASE WHEN d < n_risk
+       |           THEN ln((n_risk - d)::DOUBLE / n_risk::DOUBLE)
+       |           ELSE CAST('-infinity' AS DOUBLE) END)
+       |         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+       |         AS surv
+       |FROM ev ORDER BY t""".stripMargin
 }

@@ -419,4 +419,119 @@ l$i AS (SELECT src AS node, lbl FROM (
     }
     dist
   }
+
+  /** Bounded-depth Brandes betweenness from a landmark batch (Brandes JMS
+    * 2001, the landmark/pivot sampling shape of Riondato-Kornaropoulos
+    * WSDM'14): for each seed root, a forward BFS accumulates the EXACT
+    * integer shortest-path counts σ(root,v) per settled (root,node) pair
+    * (σ at hop h = sum of predecessor σ at hop h−1, a map-side-combinable
+    * integer aggregate on the frontier join), then the backward pass walks
+    * the BFS DAG top-down: δ(v) = Σ_{w ∈ succ(v)} σ_v/σ_w · (1 + δ_w),
+    * with δ = 0 at the depth bound (the truncation semantics). Betweenness
+    * = Σ_roots δ — paths longer than `maxHop` contribute nothing, which is
+    * the standard distance-bounded variant.
+    *
+    * Scale shape: state is one (root, node, sigma) row per settled pair
+    * (≤ |seeds|·|V|), every forward round is one equi-join on src keyed
+    * (root, node) + one anti-join against the settled set, every backward
+    * level is one equi-join through the edge list — nothing is ever
+    * broadcast or collected, so a landmark batch over a cluster-scale edge
+    * list is maxHop forward + maxHop backward bounded shuffles. The only
+    * float math is the backward δ accumulation (exact-integer σ ratios),
+    * replayed expression-for-expression by [[brandesDuckSql]].
+    *
+    * Returns (node, betweenness) for every non-root node settled at hops
+    * 1..maxHop−1, top `k` by rounded score (ties by node).
+    */
+  def brandesBetweenness(edges: DataFrame, seeds: DataFrame,
+      maxHop: Int, k: Int): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct().persist()
+    val s0 = seeds.select(col("node").cast("long").as("root"))
+      .distinct().withColumn("node", col("root"))
+      .withColumn("sigma", lit(1L)).persist()
+    // forward: levels(h) = (root, node, sigma) settled exactly at hop h
+    val levels = scala.collection.mutable.ArrayBuffer(s0)
+    var settled = s0.select("root", "node")
+    for (_ <- 1 to maxHop) {
+      val frontier = levels.last
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("root"), col("dst").as("node"), col("sigma"))
+        .join(settled, Seq("root", "node"), "left_anti")
+        .groupBy("root", "node").agg(sum("sigma").as("sigma"))
+        .persist()
+      levels += next
+      settled = settled.union(next.select("root", "node"))
+    }
+    // backward: δ over the BFS DAG, deepest level seeded at 0
+    var delta = levels(maxHop)
+      .select(col("root"), col("node"), col("sigma"),
+        lit(0.0).as("delta"))
+      .persist()
+    var acc = delta.select(col("root"), col("node"), col("delta"))
+    for (h <- (maxHop - 1) to 1 by -1) {
+      val lvl = levels(h)
+      val succ = delta.select(col("root").as("r2"), col("node").as("w"),
+        col("sigma").as("sw"), col("delta").as("dw"))
+      val contrib = lvl.join(e, lvl("node") === e("src"))
+        .join(succ, col("root") === col("r2") && col("dst") === col("w"))
+        .groupBy(col("root"), col("node"))
+        .agg(sum(col("sigma").cast("double") / col("sw").cast("double")
+          * (lit(1.0) + col("dw"))).as("delta"))
+      delta = lvl.join(contrib, Seq("root", "node"), "left")
+        .select(lvl("root"), lvl("node"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .persist()
+      acc = acc.union(delta.select(col("root"), col("node"), col("delta")))
+    }
+    acc.groupBy("node").agg(round(sum("delta"), 6).as("betweenness"))
+      .orderBy(col("betweenness").desc, col("node")).limit(k)
+  }
+
+  /** DuckDB replay of [[brandesBetweenness]] on edge CTEs ending in
+    * `e(src, dst)` and a seed CTE `s0(root, node, sigma)`: the identical
+    * chained per-hop CTEs forward (anti-join settled, integer σ sums) and
+    * backward (left-join contributions, the same σ_v/σ_w·(1+δ_w) tree).
+    */
+  def brandesDuckSql(eCtes: String, seedSql: String, maxHop: Int, k: Int): String = {
+    val fwd = (1 to maxHop).map { h =>
+      s"""s$h AS (
+         |  SELECT f.root, e.dst AS node, CAST(sum(f.sigma) AS BIGINT) AS sigma
+         |  FROM s${h - 1} f JOIN e ON e.src = f.node
+         |  WHERE NOT EXISTS (SELECT 1 FROM set${h - 1} t
+         |                    WHERE t.root = f.root AND t.node = e.dst)
+         |  GROUP BY 1, 2
+         |), set$h AS (
+         |  SELECT root, node FROM set${h - 1}
+         |  UNION ALL SELECT root, node FROM s$h
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bwd = ((maxHop - 1) to 1 by -1).map { h =>
+      s"""c$h AS (
+         |  SELECT v.root, v.node,
+         |         sum(v.sigma::DOUBLE / w.sigma::DOUBLE * (1.0 + w.delta)) AS delta
+         |  FROM s$h v JOIN e ON e.src = v.node
+         |  JOIN d${h + 1} w ON w.root = v.root AND w.node = e.dst
+         |  GROUP BY 1, 2
+         |), d$h AS (
+         |  SELECT v.root, v.node, v.sigma, coalesce(c.delta, 0.0) AS delta
+         |  FROM s$h v LEFT JOIN c$h c ON c.root = v.root AND c.node = v.node
+         |)""".stripMargin
+    }.mkString(",\n")
+    val accLevels = (1 to maxHop).map { h =>
+      if (h == maxHop) s"SELECT root, node, 0.0 AS delta FROM s$h"
+      else s"SELECT root, node, delta FROM d$h"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $eCtes,
+       |s0 AS ($seedSql),
+       |set0 AS (SELECT root, node FROM s0),
+       |$fwd,
+       |d$maxHop AS (SELECT root, node, sigma, 0.0 AS delta FROM s$maxHop),
+       |$bwd,
+       |acc AS (
+       |  $accLevels
+       |)
+       |SELECT CAST(node AS BIGINT) AS node, round(sum(delta), 6) AS betweenness
+       |FROM acc GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
+  }
 }

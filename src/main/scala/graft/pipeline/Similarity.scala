@@ -940,6 +940,110 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
+  // -------------------------------------------------------- MMR re-ranking
+
+  /** Maximal-marginal-relevance diversified top-k (Carbonell-Goldstein
+    * SIGIR'98 — the rerank step of every RAG retrieval stack): greedily
+    * select argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s) over a relevance
+    * shortlist, so near-duplicate hits can't crowd the result page.
+    *
+    * Scale shape: the corpus-sized work is the shortlist cut (top-`shortlist`
+    * by cosine — TakeOrderedAndProject per-partition heaps) and the
+    * shortlist×shortlist pairwise similarities (s² rows, s a constant);
+    * the greedy itself runs on the driver over those ≤ s + s²/2 collected
+    * rows — state bounded by the shortlist, never the corpus, exactly where
+    * every production vector store runs its rerank. Relevance and pairwise
+    * cosines are quantized to 7 dp IN SQL on both engines, so the greedy
+    * compares identical doubles and ties break on id deterministically.
+    */
+  def mmrTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, lambda: Double, shortlist: Int): DataFrame = {
+    val spark = df.sparkSession
+    val qlit = array(query.map(lit): _*)
+    val base = df
+      .select(col(idCol).cast("long").as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("rel", round(cosine(col("v"), qlit), 7))
+      .orderBy(col("rel").desc, col("id")).limit(shortlist)
+      .persist()
+    val rel = base.select("id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val simMap = base.as("l").join(base.as("r"), col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        round(cosine(col("l.v"), col("r.v")), 7).as("s"))
+      .collect()
+      .flatMap(r => Seq((r.getLong(0), r.getLong(1)) -> r.getDouble(2),
+        (r.getLong(1), r.getLong(0)) -> r.getDouble(2))).toMap
+    val maxsim = scala.collection.mutable.HashMap(rel.keys.map(_ -> 0.0).toSeq: _*)
+    val remaining = scala.collection.mutable.TreeSet(rel.keys.toSeq: _*)
+    val picked = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Double)]()
+    var step = 0
+    while (step < k && remaining.nonEmpty) {
+      step += 1
+      // argmax over the remaining shortlist, smallest id on score ties —
+      // the identical 0.7·rel − 0.3·ms expression the oracle orders by
+      var bestId = -1L; var bestScore = Double.NegativeInfinity
+      remaining.foreach { c =>
+        val s = lambda * rel(c) - (1.0 - lambda) * maxsim(c)
+        if (s > bestScore) { bestScore = s; bestId = c }
+      }
+      picked += ((step.toLong, bestId, rel(bestId), bestScore))
+      remaining -= bestId
+      remaining.foreach { c =>
+        val s = simMap.getOrElse((c, bestId), 0.0)
+        if (s > maxsim(c)) maxsim(c) = s
+      }
+    }
+    base.unpersist()
+    import spark.implicits._
+    picked.toSeq.toDF("rank", "id", "rel", "mmr_raw")
+      .select(col("rank"), col("id"), col("rel"),
+        round(col("mmr_raw"), 6).as("mmr"))
+      .orderBy("rank")
+  }
+
+  /** DuckDB replay of [[mmrTopK]] as `k` chained winner/remainder CTEs:
+    * r0 = the 7-dp-quantized shortlist with maxsim 0, then per step a
+    * 1-row argmax CTE (same score tree, id tie-break) and a remainder CTE
+    * updating maxsim via greatest(). `embSql` must yield (id BIGINT,
+    * v DOUBLE[]); `qSql` a single-row (qv DOUBLE[]).
+    */
+  def mmrDuckSql(embSql: String, qSql: String, k: Int, lambda: Double,
+      shortlist: Int): String = {
+    val lam = lambda.toString
+    val oneMinus = (1.0 - lambda).toString
+    val steps = (1 to k).map { i =>
+      s"""w$i AS (
+         |  SELECT id, rel, $lam * rel - $oneMinus * maxsim AS score
+         |  FROM r${i - 1} ORDER BY score DESC, id LIMIT 1
+         |), r$i AS (
+         |  SELECT r.id, r.rel,
+         |         greatest(r.maxsim, coalesce(p.s, 0.0)) AS maxsim
+         |  FROM r${i - 1} r
+         |  JOIN w$i w ON r.id <> w.id
+         |  LEFT JOIN sims p ON p.a = r.id AND p.b = w.id
+         |)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(i =>
+      s"SELECT $i AS rank, id, rel, round(score, 6) AS mmr FROM w$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH emb AS ($embSql),
+       |q AS ($qSql),
+       |r0 AS (
+       |  SELECT e.id, e.v, round(list_cosine_similarity(e.v, q.qv), 7) AS rel,
+       |         0.0 AS maxsim
+       |  FROM emb e, q ORDER BY rel DESC, id LIMIT $shortlist
+       |), sims AS (
+       |  SELECT l.id AS a, r.id AS b,
+       |         round(list_cosine_similarity(l.v, r.v), 7) AS s
+       |  FROM r0 l JOIN r0 r ON l.id <> r.id
+       |),
+       |$steps
+       |SELECT CAST(rank AS BIGINT) AS rank, id, rel, mmr
+       |FROM (
+       |  $out
+       |) ORDER BY rank""".stripMargin
+  }
+
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =
     udf((v: Seq[Float]) => {
       if (v == null) 0L

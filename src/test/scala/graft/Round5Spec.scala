@@ -694,4 +694,84 @@ class Round5Spec extends SparkSpec {
         s"nation $nk frac $frac: got ($px,$py) jts (${p.x},${p.y})")
     }
   }
+
+  test("brandesBetweenness: exact scores on a path graph") {
+    import graft.pipeline.Graphs
+    // path 1-2-3-4-5, every node a root, depth covers the diameter.
+    // directed-pair betweenness (each unordered pair counted both ways):
+    // node 2 = 6, node 3 = 8, node 4 = 6, endpoints 0
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = (1L to 5L).toDF("node")
+    val got = Graphs.brandesBetweenness(edges, seeds, maxHop = 4, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 0.0, 2L -> 6.0, 3L -> 8.0, 4L -> 6.0, 5L -> 0.0))
+  }
+
+  test("brandesBetweenness: sigma splits across equal-length paths") {
+    import graft.pipeline.Graphs
+    // diamond 1→{2,3}→4: every node sits on exactly one pair's two
+    // equal-length shortest paths (2/3 carry 1↔4, 1/4 carry 2↔3), so each
+    // δ contribution is σv/σw = 1/2 per direction → betweenness 1 for all
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = (1L to 4L).toDF("node")
+    val got = Graphs.brandesBetweenness(edges, seeds, maxHop = 2, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+  }
+
+  test("seasonalDecompose: weekly spike recovered exactly, zero residual") {
+    import graft.pipeline.Events
+    // counts 17 on weekday 0, 10 otherwise → any full 7-window sums to 77,
+    // d7 = 7n − 77: weekday 0 → 42 (seasonal 6), others → −7 (seasonal −1),
+    // residual variance 0 everywhere
+    val rows = (0 until 21).flatMap { d =>
+      val n = if (d % 7 == 0) 17 else 10
+      Seq.fill(n)(("load", d * 86400000000000L + 5L))
+    }
+    val got = Events.seasonalDecompose(rows.toDF("event_type", "ts")).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (wd, seasonal, rv) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(seasonal == (if (wd == 0) 6.0 else -1.0), r.toString)
+      assert(rv == 0.0, r.toString)
+    }
+  }
+
+  test("kaplanMeier: hand curve with right-censoring") {
+    import graft.pipeline.Events
+    val day = 86400000000000L
+    // u1,u2 churn at 10d; u3 at 20d; u4's last event is the corpus max →
+    // censored (within the 7-day window), so it leaves the risk set silently
+    val rows = Seq(
+      (1L, 0L), (1L, 10 * day),
+      (2L, 0L), (2L, 10 * day),
+      (3L, 0L), (3L, 20 * day),
+      (4L, 0L), (4L, 29 * day))
+    val got = Events.kaplanMeier(rows.toDF("user_id", "ts"), censorDays = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((10L, 4L, 2L, 0.5), (20L, 2L, 1L, 0.25)))
+  }
+
+  test("mmrTopK: duplicate hit is demoted below a diverse one") {
+    import graft.pipeline.Similarity
+    // b duplicates a (the top hit); with a diversity-heavy λ the sim
+    // penalty pushes the diverse c ahead of the duplicate. (When the query
+    // is itself the top hit, any candidate's sim-to-it equals its rel, so
+    // score = λ·rel − (1−λ)·sim demotes duplicates only when λ < 0.5 —
+    // the λ=0.3 here exercises that regime; the driver query's λ=0.7 is
+    // the relevance-heavy production default.)
+    val vecs = Seq(
+      (1L, Seq(1f, 0f, 0f, 0f)),        // a = the query
+      (2L, Seq(1f, 0f, 0f, 0f)),        // b = exact duplicate of a
+      (3L, Seq(0.6f, 0.8f, 0f, 0f)))    // c: rel 0.6, diverse
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(df, "vec_id", "embedding",
+      Array(1.0, 0.0, 0.0, 0.0), k = 3, lambda = 0.3, shortlist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pure relevance would give 1, 2, 3; MMR gives 1, 3, 2:
+    // score(b) = 0.3·1 − 0.7·1 = −0.4 < score(c) = 0.3·0.6 − 0.7·0.6 = −0.24
+    assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
+  }
 }

@@ -296,6 +296,64 @@ object SparkEntry {
         .orderBy(col("yr"))
     }),
 
+    // TPC-H Q5 (local supplier volume): the 6-table star with the
+    // customer-nation = supplier-nation "local" condition carried on the
+    // join itself; year filter pushes to the orders scan, region filter
+    // prunes nation before anything joins, dimensions broadcast, the two
+    // fact tables shuffle on orderkey/custkey — revenue as exact
+    // cents×pct integers so the sum is merge-order independent
+    "q5_local_volume" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val ord = T(s, dir, "orders").filter(year(col("o_orderdate")) === 1997)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = T(s, dir, "nation").filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("vol")).as("revenue_scaled"))
+        .orderBy(col("revenue_scaled").desc, col("n_name"))
+    }),
+
+    // TPC-H Q13 (customer order distribution): the LEFT OUTER join that
+    // keeps zero-order customers — count(o_orderkey) counts non-nulls, so
+    // the distribution's c_count=0 bucket falls out of the null rows; the
+    // priority exclusion rides the orders scan as a pushed filter
+    "q13_cust_dist" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").select(col("c_custkey"))
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey")).agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // TPC-H Q18 (large-volume orders): the group-then-having shape — the
+    // quantity rollup is one map-side-combinable aggregate whose >300
+    // filter survives as a post-agg predicate, then a keyed join back to
+    // orders; top-20 is a TakeOrdered, never a global sort
+    "q18_large_orders" -> ((s, dir) => {
+      val big = T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+        .filter(col("total_qty") > 300)
+      val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_orderkey").as("orderkey"),
+          col("price_cents"), col("total_qty"))
+        .orderBy(col("price_cents").desc, col("orderkey")).limit(20)
+    }),
+
     // TPC-H Q3 shipping priority: both date filters push to the parquet
     // scans, the segment filter prunes customer before the join, and the
     // revenue is summed as exact integers (cents × discount-percent) so the
@@ -3013,6 +3071,19 @@ object SparkEntry {
       Corpus.tfidfTopTerms(T(s, dir, "documents"), "doc_id", "text",
         topPerDoc = 3).orderBy(col("id"), col("rank"))),
 
+    // distinct-n lexical diversity per source (Li et al. NAACL'16): unique
+    // vs total 1/2/3-grams — n-gram fan-out as a scan-projection generator,
+    // two map-side-combinable aggregates, exact integers
+    "tx_distinct_n" -> ((s, dir) =>
+      Corpus.distinctN(T(s, dir, "documents"), "source", "text")),
+
+    // Zipf rank-frequency OLS over the top-500 words: every float moment
+    // accumulated in ONE ordered running window so both engines fold in
+    // the identical sequence — slope ≈ −1 is healthy, slope → 0 is
+    // boilerplate collapse
+    "tx_zipf" -> ((s, dir) =>
+      Corpus.zipfFit(T(s, dir, "documents"), "text", topN = 500)),
+
     // PMI bigram collocations (phrase mining): bigram fan-out as a generator
     // in the scan projection, two count aggregates, TakeOrdered top-20
     "tx_colloc" -> ((s, dir) =>
@@ -3224,6 +3295,41 @@ object SparkEntry {
         |  round(sum(CASE WHEN s_nationkey = 7 THEN vol ELSE 0 END)::DOUBLE
         |      / sum(vol)::DOUBLE, 6) AS share
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q5_local_volume" ->
+      """SELECT n_name,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_scaled
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey AND n_regionkey = 1
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY 1 ORDER BY 2 DESC, 1""".stripMargin,
+
+    "q13_cust_dist" ->
+      """WITH co AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer
+        |  LEFT JOIN orders ON c_custkey = o_custkey
+        |    AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1
+        |)
+        |SELECT c_count, count(*) AS custdist
+        |FROM co GROUP BY 1 ORDER BY 2 DESC, 1 DESC""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1 HAVING CAST(sum(l_quantity) AS BIGINT) > 300
+        |)
+        |SELECT o_custkey, l_orderkey AS orderkey,
+        |       CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+        |       total_qty
+        |FROM big JOIN orders ON l_orderkey = o_orderkey
+        |ORDER BY price_cents DESC, orderkey LIMIT 20""".stripMargin,
 
     "q3_shipping" ->
       """SELECT l_orderkey,
@@ -5455,6 +5561,8 @@ object SparkEntry {
       Classify.naiveBayesDuckSql("id % 5 <> 0", "id % 5 = 0"),
 
     "tx_tfidf" -> Corpus.tfidfDuckSql(topPerDoc = 3),
+    "tx_distinct_n" -> Corpus.distinctNDuckSql,
+    "tx_zipf" -> Corpus.zipfDuckSql(topN = 500),
 
     "tx_colloc" -> Corpus.collocationsDuckSql(minCount = 5, topK = 20),
 

@@ -1144,4 +1144,126 @@ object Corpus {
        |FROM tokcounts GROUP BY 1
        |ORDER BY n DESC, token LIMIT $topK""".stripMargin
   }
+
+  // ====================================================== diversity metrics
+
+  /** Distinct-n lexical diversity per source (Li et al. NAACL'16 — the
+    * standard generation-diversity readout, and a data-curation signal:
+    * a template-spam source shows collapsed distinct-2/3): for n = 1..3,
+    * unique n-grams / total n-grams over within-document windows.
+    *
+    * Plan: the n-gram fan-out is a generator in the scan projection (no
+    * pre-shuffle), one (source, n, gram) aggregate then one (source, n)
+    * count — both map-side combinable; nothing is collected or broadcast,
+    * so the two-level distinct holds at corpus scale. Exact integers; the
+    * single ratio division is the only float op.
+    */
+  def distinctN(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val ts = toks(col(textCol))
+    def grams(n: Int): Column =
+      when(size(ts) >= n, transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    df.select(col(srcCol).as("source"),
+        explode(array((1 to 3).map(n =>
+          struct(lit(n).as("n"), grams(n).as("g"))): _*)).as("ng"))
+      .select(col("source"), col("ng.n").as("n"), explode(col("ng.g")).as("g"))
+      .groupBy(col("source"), col("n"))
+      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("uniq"))
+      .select(col("source"), col("n").cast("long").as("n"),
+        col("total"), col("uniq"),
+        round(col("uniq") / col("total"), 6).as("ratio"))
+      .orderBy("source", "n")
+  }
+
+  /** DuckDB replay of [[distinctN]]: same tokenizer, same slice windows. */
+  def distinctNDuckSql: String =
+    s"""WITH tk AS (
+       |  SELECT source, $toksDuck AS ts FROM documents
+       |), g AS (
+       |  SELECT source, n,
+       |         unnest(CASE WHEN len(ts) >= n
+       |           THEN list_transform(range(0, len(ts) - n + 1),
+       |                i -> array_to_string(list_slice(ts, i + 1, i + n), ' '))
+       |           ELSE [] END) AS g
+       |  FROM tk, (VALUES (1), (2), (3)) t(n)
+       |)
+       |SELECT source, CAST(n AS BIGINT) AS n,
+       |       count(*) AS total, count(DISTINCT g) AS uniq,
+       |       round(count(DISTINCT g) / count(*), 6) AS ratio
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Zipf rank-frequency fit over the top-`topN` corpus words: OLS of
+    * ln(freq) on ln(rank) — slope ≈ −1 is Zipf's law; a corpus whose slope
+    * collapses toward 0 is template/boilerplate-heavy (a curation smell).
+    * Returns one row: n_words, slope, intercept (ln C), r².
+    *
+    * Every OLS moment is accumulated in ONE ordered running window over the
+    * rank-sorted top-N (both engines fold those ≤ topN doubles in the
+    * identical sequential order, so the sums — and hence the closed-form
+    * slope/intercept/r² trees — are bit-reproducible; a plain aggregate
+    * would be partial-aggregation-order-dependent). The corpus-sized work
+    * is the word count + TakeOrdered top-N; the window runs on topN rows.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Window.orderBy(col("f").desc, col("w"))
+    val run = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val num = col("rank") * col("sxy") - col("sx") * col("sy")
+    val denx = col("rank") * col("sxx") - col("sx") * col("sx")
+    val deny = col("rank") * col("syy") - col("sy") * col("sy")
+    df.select(explode(toks(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .orderBy(col("f").desc, col("w")).limit(topN)
+      .withColumn("rank", row_number().over(byFreq).cast("long"))
+      .withColumn("x", log(col("rank").cast("double")))
+      .withColumn("y", log(col("f").cast("double")))
+      .withColumn("sx", sum("x").over(run))
+      .withColumn("sy", sum("y").over(run))
+      .withColumn("sxx", sum(col("x") * col("x")).over(run))
+      .withColumn("sxy", sum(col("x") * col("y")).over(run))
+      .withColumn("syy", sum(col("y") * col("y")).over(run))
+      .withColumn("mxr", max("rank").over(all))
+      .filter(col("rank") === col("mxr"))
+      .select(col("rank").as("n_words"),
+        round(num / denx, 6).as("slope"),
+        round((col("sy") - (num / denx) * col("sx")) / col("rank"), 6)
+          .as("intercept"),
+        round((num * num) / (denx * deny), 6).as("r2"))
+  }
+
+  /** DuckDB replay of [[zipfFit]]: identical running window, identical
+    * closed-form trees (num/denx inlined in the intercept exactly as the
+    * Column expression duplicates it).
+    */
+  def zipfDuckSql(topN: Int): String =
+    s"""WITH tk AS (
+       |  SELECT $toksDuck AS ts FROM documents
+       |), freq AS (
+       |  SELECT w, count(*) AS f
+       |  FROM (SELECT unnest(ts) AS w FROM tk) GROUP BY 1
+       |  ORDER BY f DESC, w LIMIT $topN
+       |), r AS (
+       |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, w) AS BIGINT) AS rank
+       |  FROM freq
+       |), xy AS (
+       |  SELECT rank, ln(rank::DOUBLE) AS x, ln(f::DOUBLE) AS y FROM r
+       |), run AS (
+       |  SELECT rank,
+       |         sum(x) OVER wo AS sx, sum(y) OVER wo AS sy,
+       |         sum(x * x) OVER wo AS sxx, sum(x * y) OVER wo AS sxy,
+       |         sum(y * y) OVER wo AS syy
+       |  FROM xy
+       |  WINDOW wo AS (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT rank AS n_words,
+       |       round((rank * sxy - sx * sy) / (rank * sxx - sx * sx), 6) AS slope,
+       |       round((sy - ((rank * sxy - sx * sy) / (rank * sxx - sx * sx)) * sx)
+       |             / rank, 6) AS intercept,
+       |       round(((rank * sxy - sx * sy) * (rank * sxy - sx * sy))
+       |             / ((rank * sxx - sx * sx) * (rank * syy - sy * sy)), 6) AS r2
+       |FROM run WHERE rank = (SELECT max(rank) FROM run)""".stripMargin
 }

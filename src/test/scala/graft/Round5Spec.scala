@@ -774,4 +774,35 @@ class Round5Spec extends SparkSpec {
     // score(b) = 0.3·1 − 0.7·1 = −0.4 < score(c) = 0.3·0.6 − 0.7·0.6 = −0.24
     assert(got.toSeq == Seq((1L, 1L), (2L, 3L), (3L, 2L)))
   }
+
+  test("distinctN: hand-counted n-gram totals and uniques") {
+    import graft.pipeline.Corpus
+    val docs = Seq((1L, "a b a b", "s"), (2L, "c", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.distinctN(docs, "source", "text").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // unigrams: a b a b c → 5 total, 3 unique; bigrams (within docs):
+    // "a b","b a","a b" → 3 total, 2 unique; trigrams: 2 total, 2 unique
+    assert(got(1L) == ((5L, 3L, 0.6)))
+    assert(got(2L) == ((3L, 2L, math.rint(2.0 / 3.0 * 1e6) / 1e6)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+  }
+
+  test("zipfFit: exact OLS on a hand-built rank-frequency line") {
+    import graft.pipeline.Corpus
+    // frequencies 4, 2, 1 at ranks 1, 2, 3
+    val docs = Seq((1L, "w1 w1 w1 w1 w2 w2 w3")).toDF("doc_id", "text")
+    val r = Corpus.zipfFit(docs, "text", topN = 10).collect()(0)
+    assert(r.getLong(0) == 3L)
+    // replay the OLS by hand
+    val x = Seq(1, 2, 3).map(i => math.log(i.toDouble))
+    val y = Seq(4, 2, 1).map(f => math.log(f.toDouble))
+    val n = 3.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxx = x.map(v => v * v).sum
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6, r.toString)
+    assert(r.getDouble(3) > 0.97)  // near-linear log-log (freq 4,2,1 isn't exact Zipf)
+  }
 }

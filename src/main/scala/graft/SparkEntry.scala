@@ -608,6 +608,33 @@ object SparkEntry {
       Events.lastTouchAttribution(ev)
     }),
 
+    // linear multi-touch attribution with exact largest-remainder cent
+    // splits (no float credit): per-user band join pairs clicks with
+    // purchases in the 7-day lookback; every aggregate stays integer
+    "ev_multitouch" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = T(s, dir, "events").select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("tsn"), col("event_type"), col("value"))
+      Events.multiTouchAttribution(ev)
+    }),
+
+    // robust MAD anomalies (Iglewicz-Hoaglin modified z): exact
+    // interpolated medians of integers, so both engines agree bit-for-bit
+    // on the flag boundary — the outlier rule z-scores get wrong when the
+    // outliers inflate the sd
+    "ev_mad" -> ((s, dir) =>
+      Events.madAnomalies(T(s, dir, "events"))),
+
+    // exact Gini of per-user purchase revenue: two order-free integer
+    // moments + one division; the rank runs on the user rollup
+    "ev_gini" -> ((s, dir) =>
+      Events.giniRevenue(T(s, dir, "events"))),
+
+    // hopping 3h/1h windows (the batch twin of Flink HOP): 3-element
+    // generator in the scan projection, one aggregate, exact integers
+    "ev_hop" -> ((s, dir) =>
+      Events.hoppingCounts(T(s, dir, "events"))),
+
     // RFM segmentation: per-user recency/frequency/monetary quintiles under
     // a deterministic ntile total order, then segment populations — the
     // windows run over the USER rollup (events-volume never re-shuffles)
@@ -3515,6 +3542,10 @@ object SparkEntry {
         |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
 
     "ev_attribution" -> Events.lastTouchAttributionDuckSql(),
+    "ev_multitouch" -> Events.multiTouchDuckSql(),
+    "ev_mad" -> Events.madAnomaliesDuckSql(),
+    "ev_gini" -> Events.giniDuckSql(),
+    "ev_hop" -> Events.hoppingDuckSql(),
 
     "ev_rfm" -> Events.rfmSegmentsDuckSql(),
 

@@ -848,6 +848,215 @@ object Events {
        |FROM t WHERE event_type = '$convType'
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Linear multi-touch attribution with EXACT integer cent splits: every
+    * click inside the lookback window before a purchase shares that
+    * purchase's revenue, cents divided by largest-remainder (the first
+    * `cents mod k` touches in time order get one extra cent) — the rule
+    * real billing systems use, and it keeps every aggregate an exact
+    * integer (a naive cents/k double split would be summation-order
+    * dependent). Purchases with no touch in window credit day −1.
+    *
+    * Scale shape: the touch↔conversion pairing is a per-user band join
+    * (one shuffle on user_id, fan-out bounded by touches-per-user ×
+    * conversions-per-user in the window); the split windows are per
+    * conversion. Expects (user_id, event_id, tsn µs, event_type, value).
+    */
+  def multiTouchAttribution(events: DataFrame, touchType: String = "click",
+      convType: String = "purchase",
+      lookbackUs: Long = 7L * 86400000000L): DataFrame = {
+    val dayUs = 86400000000L
+    val conv = events.filter(col("event_type") === convType)
+      .select(col("user_id"), col("event_id").as("conv_id"),
+        col("tsn").as("conv_ts"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val touch = events.filter(col("event_type") === touchType)
+      .select(col("user_id"), col("event_id").as("touch_id"),
+        col("tsn").as("touch_ts"))
+    val paired = conv.join(touch, Seq("user_id"), "left")
+      .withColumn("hit", col("touch_ts").isNotNull
+        && col("touch_ts") <= col("conv_ts")
+        && col("touch_ts") >= col("conv_ts") - lookbackUs)
+    val wc = Window.partitionBy("conv_id")
+    val wo = Window.partitionBy("conv_id")
+      .orderBy(col("touch_ts"), col("touch_id"))
+    val credited = paired
+      .withColumn("k", sum(when(col("hit"), 1L).otherwise(0L)).over(wc))
+      // untouched conversions keep one row (k = 0) crediting day -1;
+      // touched ones drop their non-hit rows before the in-window ranking
+      .filter(col("k") === 0 || col("hit"))
+      .withColumn("rn", row_number().over(wo))
+      .withColumn("credit", when(col("k") === 0, col("cents"))
+        .otherwise(expr("cents DIV k")
+          + when(col("rn") <= col("cents") % col("k"), 1L).otherwise(0L)))
+      .withColumn("day", when(col("k") === 0, lit(-1L))
+        .otherwise(expr(s"touch_ts DIV $dayUs")))
+    credited.groupBy("day")
+      .agg(count(lit(1)).as("n_touches"),
+        sum("credit").as("credit_cents"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[multiTouchAttribution]]: same band join, same
+    * largest-remainder split (`cents // k` is integer division in both).
+    */
+  def multiTouchDuckSql(touchType: String = "click",
+      convType: String = "purchase",
+      lookbackUs: Long = 7L * 86400000000L): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type, value FROM events
+       |), conv AS (
+       |  SELECT user_id, event_id AS conv_id, tsn AS conv_ts,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM e WHERE event_type = '$convType'
+       |), touch AS (
+       |  SELECT user_id, event_id AS touch_id, tsn AS touch_ts
+       |  FROM e WHERE event_type = '$touchType'
+       |), paired AS (
+       |  SELECT c.*, t.touch_id, t.touch_ts,
+       |         t.touch_ts IS NOT NULL AND t.touch_ts <= c.conv_ts
+       |           AND t.touch_ts >= c.conv_ts - $lookbackUs AS hit
+       |  FROM conv c LEFT JOIN touch t ON t.user_id = c.user_id
+       |), counted AS (
+       |  SELECT *, sum(CASE WHEN hit THEN 1 ELSE 0 END)
+       |           OVER (PARTITION BY conv_id) AS k
+       |  FROM paired
+       |), credited AS (
+       |  SELECT *,
+       |         row_number() OVER (PARTITION BY conv_id
+       |                            ORDER BY touch_ts, touch_id) AS rn
+       |  FROM counted WHERE k = 0 OR hit
+       |)
+       |SELECT CASE WHEN k = 0 THEN -1 ELSE touch_ts // $dayUsLit END AS day,
+       |       count(*) AS n_touches,
+       |       CAST(sum(CASE WHEN k = 0 THEN cents
+       |                ELSE cents // k + (CASE WHEN rn <= cents % k THEN 1 ELSE 0 END)
+       |                END) AS BIGINT) AS credit_cents
+       |FROM credited GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val dayUsLit = 86400000000L
+
+  /** Robust MAD anomalies (Iglewicz-Hoaglin modified z-score): hourly
+    * counts per event_type scored by 0.6745·(n − median)/MAD, flagged at
+    * |score| > 3.5 — the outlier rule a global mean/sd (see [[anomalies]])
+    * gets wrong when the outliers themselves inflate the sd. Median and
+    * MAD are exact interpolated percentiles of integers (values in
+    * quarters, exact in binary), so both engines agree bit-for-bit; the
+    * score's two float ops replay identically.
+    *
+    * One shuffle for the hourly rollup; two tiny per-type aggregates and
+    * keyed joins back — nothing broadcast beyond the per-type stats row.
+    */
+  def madAnomalies(events: DataFrame, flagAt: Double = 3.5): DataFrame = {
+    val hourly = events
+      .withColumn("hour_idx", expr("ts div 3600000000000"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(count(lit(1)).as("n"))
+    val med = hourly.groupBy("event_type")
+      .agg(expr("percentile(n, 0.5)").as("med"))
+    val withMed = hourly.join(med, "event_type")
+      .withColumn("absdev", abs(col("n") - col("med")))
+    val mad = withMed.groupBy("event_type")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    withMed.join(mad, "event_type")
+      .filter(col("mad") > 0
+        && lit(0.6745) * abs(col("n") - col("med")) > lit(flagAt) * col("mad"))
+      .select(col("event_type"), col("hour_idx"), col("n"),
+        round(lit(0.6745) * (col("n") - col("med")) / col("mad"), 6)
+          .as("mod_z"))
+      .orderBy("event_type", "hour_idx")
+  }
+
+  /** DuckDB replay of [[madAnomalies]] (quantile_cont = Spark's exact
+    * interpolated percentile). */
+  def madAnomaliesDuckSql(flagAt: Double = 3.5): String =
+    s"""WITH hourly AS (
+       |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour_idx, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), med AS (
+       |  SELECT event_type, quantile_cont(n, 0.5) AS med FROM hourly GROUP BY 1
+       |), dev AS (
+       |  SELECT h.event_type, h.hour_idx, h.n, m.med, abs(h.n - m.med) AS absdev
+       |  FROM hourly h JOIN med m USING (event_type)
+       |), mad AS (
+       |  SELECT event_type, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1
+       |)
+       |SELECT d.event_type, CAST(d.hour_idx AS BIGINT) AS hour_idx,
+       |       d.n, round(0.6745 * (d.n - d.med) / a.mad, 6) AS mod_z
+       |FROM dev d JOIN mad a USING (event_type)
+       |WHERE a.mad > 0 AND 0.6745 * abs(d.n - d.med) > $flagAt * a.mad
+       |ORDER BY 1, 2""".stripMargin
+
+  /** Exact Gini coefficient of per-user purchase revenue — the
+    * concentration readout behind "top 1% of users drive X%" dashboards:
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted cents.
+    * Both moments are EXACT integer sums (order-free), so the single
+    * closing division is the only float op.
+    *
+    * The global rank runs over the per-user rollup (millions of rows at
+    * 100 TB of events, not trillions); the rank window is the one global
+    * sort the statistic inherently needs.
+    */
+  def giniRevenue(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val perUser = events.filter(col("event_type") === convType)
+      .groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val ranked = perUser.withColumn("i",
+      row_number().over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n"), sum("cents").as("sx"),
+        sum(col("i") * col("cents")).as("sixi"))
+      .select(col("n").as("n_users"), col("sx").as("total_cents"),
+        round((lit(2L) * col("sixi") - (col("n") + lit(1L)) * col("sx"))
+          / (col("n") * col("sx")), 6).as("gini"))
+  }
+
+  /** DuckDB replay of [[giniRevenue]]: identical rank order and moment
+    * trees. */
+  def giniDuckSql(convType: String = "purchase"): String =
+    s"""WITH pu AS (
+       |  SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+       |  FROM events WHERE event_type = '$convType' GROUP BY 1
+       |), r AS (
+       |  SELECT cents, CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS i
+       |  FROM pu
+       |), m AS (
+       |  SELECT count(*) AS n, CAST(sum(cents) AS BIGINT) AS sx,
+       |         CAST(sum(i * cents) AS BIGINT) AS sixi
+       |  FROM r
+       |)
+       |SELECT n AS n_users, sx AS total_cents,
+       |       round((2 * sixi - (n + 1) * sx) / (n * sx), 6) AS gini
+       |FROM m""".stripMargin
+
+  /** Hopping (sliding) window counts — the batch twin of Flink's HOP /
+    * Spark's window(slide): width 3 h, hop 1 h, so every event lands in 3
+    * windows via a 3-element generator in the scan projection (no
+    * pre-shuffle), then one (event_type, window-start) aggregate. Exact
+    * integers end to end.
+    */
+  def hoppingCounts(events: DataFrame, widthHours: Int = 3): DataFrame = {
+    val hour = expr("ts div 3600000000000")
+    events
+      .select(col("event_type"), col("user_id"),
+        explode(sequence(hour - (widthHours - 1), hour)).as("win_start"))
+      .groupBy(col("event_type"), col("win_start"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "win_start")
+  }
+
+  /** DuckDB replay of [[hoppingCounts]]. */
+  def hoppingDuckSql(widthHours: Int = 3): String =
+    s"""WITH h AS (
+       |  SELECT event_type, user_id, epoch_ns(ts) // 3600000000000 AS hour FROM events
+       |), g AS (
+       |  SELECT event_type, user_id,
+       |         unnest(range(hour - ${widthHours - 1}, hour + 1)) AS win_start
+       |  FROM h
+       |)
+       |SELECT event_type, CAST(win_start AS BIGINT) AS win_start,
+       |       count(*) AS n, count(DISTINCT user_id) AS n_users
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** RFM segmentation: per user recency (last purchase day), frequency
     * (purchase count) and monetary (cent sum), each cut into `q` quantile
     * buckets by `ntile` under a total order (metric desc, user_id asc — so

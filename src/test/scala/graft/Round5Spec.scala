@@ -788,6 +788,64 @@ class Round5Spec extends SparkSpec {
     assert(got(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("multiTouchAttribution: largest-remainder split is exact and lossless") {
+    import graft.pipeline.Events
+    val us = 1000000L
+    // user 1: purchase of 1.00 (100 cents) with 3 clicks in window →
+    // splits 34/33/33 (first touch gets the remainder cent);
+    // user 2: purchase with no touch → day -1 keeps the full 55
+    val rows = Seq(
+      (1L, 10L, 1L * us, "click", 0.0),
+      (1L, 11L, 2L * us, "click", 0.0),
+      (1L, 12L, 3L * us, "click", 0.0),
+      (1L, 13L, 4L * us, "purchase", 1.00),
+      (2L, 20L, 5L * us, "purchase", 0.55))
+    val ev = rows.toDF("user_id", "event_id", "tsn", "event_type", "value")
+    val got = Events.multiTouchAttribution(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // all three touches are on day 0; credits 34+33+33 = 100 — lossless
+    assert(got.toSeq == Seq((-1L, 1L, 55L), (0L, 3L, 100L)))
+  }
+
+  test("giniRevenue: equality → 0, winner-take-all → (n−1)/n") {
+    import graft.pipeline.Events
+    def ev(cents: Seq[Long]) = cents.zipWithIndex.map { case (c, u) =>
+      (u.toLong, u.toLong * 86400000000000L, "purchase", c / 100.0)
+    }.toDF("user_id", "ts", "event_type", "value")
+    val eq = Events.giniRevenue(ev(Seq(500L, 500L, 500L, 500L))).collect()(0)
+    assert(eq.getLong(0) == 4L && eq.getDouble(2) == 0.0)
+    val wta = Events.giniRevenue(ev(Seq(0L, 0L, 0L, 1000L))).collect()(0)
+    assert(wta.getDouble(2) == 0.75) // (n−1)/n with n = 4
+  }
+
+  test("hoppingCounts: each event lands in exactly width windows") {
+    import graft.pipeline.Events
+    val hr = 3600000000000L
+    val ev = Seq((1L, 5 * hr + 7L, "view"), (2L, 6 * hr + 7L, "view"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.hoppingCounts(ev, widthHours = 3).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    // event@5 covers windows 3,4,5; event@6 covers 4,5,6
+    assert(got == Map(3L -> ((1L, 1L)), 4L -> ((2L, 2L)), 5L -> ((2L, 2L)),
+      6L -> ((1L, 1L))))
+  }
+
+  test("madAnomalies: jittered baseline, exact median/MAD boundary") {
+    import graft.pipeline.Events
+    val hr = 3600000000000L
+    // hours alternate 9/11 except the spike at h=12 (an even slot, so the
+    // sample is 11 nines, 12 elevens, 100): median = (11+11)/2 = 11,
+    // deviations = {0×12, 2×11, 89} → MAD = (0+2)/2 = 1;
+    // mod-z = 0.6745·89 ≈ 60.0 ≫ 3.5 → exactly one flag
+    val rows = (0 until 24).flatMap { h =>
+      val n = if (h == 12) 100 else if (h % 2 == 0) 9 else 11
+      Seq.fill(n)(("load", h * hr + 5L))
+    }
+    val got = Events.madAnomalies(rows.toDF("event_type", "ts")).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 12L)
+    assert(math.abs(got(0).getDouble(3) - 0.6745 * 89.0) < 1e-6)
+  }
+
   test("zipfFit: exact OLS on a hand-built rank-frequency line") {
     import graft.pipeline.Corpus
     // frequencies 4, 2, 1 at ranks 1, 2, 3

@@ -1734,6 +1734,40 @@ object SparkEntry {
     // (complete mode, AvailableNow); the final state must equal the batch
     // aggregate the oracle computes — the microbatch-convergence contract
     // the differential specs pin, promoted to a CORRECTNESS row
+    // streamed sliding-window counts through Spark's native window(width,
+    // slide) operator: events staged to files, one micro-batch per file so
+    // the windowed state actually merges across batches, complete-mode
+    // memory sink — hash-matched against the batch hop oracle, promoting
+    // the event-time sliding window from differential-only to a
+    // CORRECTNESS row (the streamed twin of ev_hop)
+    "st_stream_hop" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-hop")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val ev = T(s, dir, "events").select(col("event_type"),
+        timestamp_micros(expr("ts div 1000")).as("ets"))
+      ev.repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val agg = stream
+        .groupBy(col("event_type"),
+          window(col("ets"), "3 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("st_stream_hop_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_hop_mem")
+        .select(col("event_type"),
+          expr("unix_timestamp(w.start) div 3600").as("win_start"), col("n"))
+        .orderBy(col("event_type"), col("win_start"))
+    }),
+
     "st_stream_cells" -> ((s, dir) => {
       val d = java.nio.file.Files.createTempDirectory("graft-stream-cells")
       d.toFile.deleteOnExit()
@@ -4310,6 +4344,17 @@ object SparkEntry {
         |SELECT c_nationkey, count(*) AS n, max(c_acctbal) AS max_bal
         |FROM pts WHERE c_acctbal > 5000.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the streamed window(3h, 1h) must equal the closed-form hop expansion:
+    // an event at hour h lands in windows starting h-2..h (epoch-aligned)
+    "st_stream_hop" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour FROM events
+        |), g AS (
+        |  SELECT event_type, unnest(range(hour - 2, hour + 1)) AS win_start FROM h
+        |)
+        |SELECT event_type, CAST(win_start AS BIGINT) AS win_start, count(*) AS n
+        |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "st_stream_cells" -> (PtsCte +
       """

@@ -788,6 +788,41 @@ class Round5Spec extends SparkSpec {
     assert(got(3L) == ((2L, 2L, 1.0)))
   }
 
+  test("plan contracts: hop single-generator shuffle, q18 TakeOrdered, zipf TakeOrdered, multitouch no cartesian") {
+    import graft.pipeline.{Corpus, Events}
+    val ev = spark.range(5000).select((col("id") % 50).as("user_id"),
+      col("id").as("event_id"), expr("id * 3600000000000 div 7").as("ts"),
+      element_at(array(lit("click"), lit("purchase")),
+        (col("id") % 2 + 1).cast("int")).as("event_type"),
+      (col("id") % 100).cast("double").as("value"))
+    // hoppingCounts: the generator runs in the scan projection — no
+    // exchange before the first aggregate, no single-partition stage
+    val hPlan = Events.hoppingCounts(ev).queryExecution.executedPlan.toString()
+    assert(!hPlan.contains("SinglePartition"), hPlan)
+    assert(hPlan.contains("Generate explode"), hPlan)
+    // multi-touch: the band join is keyed on user_id, never cartesian
+    val mPlan = Events.multiTouchAttribution(
+        ev.withColumnRenamed("ts", "tsn"))
+      .queryExecution.executedPlan.toString()
+    assert(!mPlan.contains("CartesianProduct")
+      && !mPlan.contains("BroadcastNestedLoop"), mPlan)
+    // q18 shape: top-20 plans as TakeOrderedAndProject, never a global sort
+    val li = spark.range(3000).select((col("id") % 700).as("l_orderkey"),
+      (col("id") % 60 + 1).cast("double").as("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 100)
+      .orderBy(col("total_qty").desc, col("l_orderkey")).limit(20)
+    assert(big.queryExecution.executedPlan.toString()
+      .contains("TakeOrderedAndProject"))
+    // zipf: the corpus-volume cut is a TakeOrdered, the OLS window runs
+    // after the limit
+    val docs = (1 to 50).map(i => (i.toLong, s"a b c w$i")).toDF("doc_id", "text")
+    val zPlan = Corpus.zipfFit(docs, "text", topN = 10)
+      .queryExecution.executedPlan.toString()
+    assert(zPlan.contains("TakeOrderedAndProject"), zPlan)
+  }
+
   test("multiTouchAttribution: largest-remainder split is exact and lossless") {
     import graft.pipeline.Events
     val us = 1000000L

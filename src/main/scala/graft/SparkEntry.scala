@@ -932,6 +932,36 @@ object SparkEntry {
         .orderBy(col("root"))
     }),
 
+    // bounded-horizon effective diameter (the HyperANF d90 readout) from
+    // the same landmark batch: per-hop settled-pair counts are exact
+    // integers, d90 interpolates inside the first hop whose cumulative
+    // count crosses 0.9·total — the 3-row window after the BFS is the
+    // only non-distributed step
+    "gr_effdiam" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_custkey") % 500 === 1)
+        .select((col("c_custkey") * 2).as("node"))
+      val W = org.apache.spark.sql.expressions.Window
+      val hist = Graphs.bfsPerSource(edges, seeds, maxHop = 3)
+        .filter(col("hop") > 0)
+        .groupBy("hop").agg(count(lit(1)).as("nh"))
+      hist
+        .withColumn("cum", sum("nh").over(
+          W.orderBy("hop").rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("total", sum("nh").over(
+          W.orderBy("hop").rowsBetween(W.unboundedPreceding, W.unboundedFollowing)))
+        .withColumn("target", lit(0.9) * col("total"))
+        .filter(col("cum") >= col("target"))
+        .orderBy("hop").limit(1)
+        .select(col("total").as("n_pairs"), col("hop").cast("long").as("h90"),
+          round(col("hop") - lit(1.0)
+            + (col("target") - (col("cum") - col("nh"))) / col("nh"), 6).as("d90"))
+    }),
+
     // bounded-depth Brandes betweenness from the same landmark batch:
     // forward BFS accumulates EXACT integer shortest-path counts σ per
     // (root, node), the backward pass walks the BFS DAG with
@@ -1623,6 +1653,13 @@ object SparkEntry {
       Similarity.bqTopK(emb, "vec_id", "embedding", q, k = 15, dim = 64,
         shortlist = 60)
     }),
+
+    // hard-negative triplet mining (FaceNet-style): per anchor the best
+    // same-label positive and best different-label negative — anchors
+    // broadcast, corpus scanned once, both argmaxes map-side struct-max
+    "sim_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", nAnchors = 20)),
 
     // MMR diversified rerank (Carbonell-Goldstein): λ=0.7 greedy over a
     // 40-candidate cosine shortlist — the corpus-sized work is the
@@ -3728,6 +3765,37 @@ object SparkEntry {
         |       round(n1 + n2 / 2.0 + n3 / 3.0, 6) AS harmonic
         |FROM c ORDER BY root""".stripMargin,
 
+    // reuses the gr_closeness walk (UNION-dedup per-root BFS, min(hop)
+    // settle), then the identical cumulative-histogram interpolation
+    "gr_effdiam" ->
+      """WITH RECURSIVE eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |), walk(root, node, hop) AS (
+        |  SELECT c_custkey * 2, c_custkey * 2, 0 FROM customer
+        |  WHERE c_custkey % 500 = 1
+        |  UNION
+        |  SELECT w.root, e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+        |  WHERE w.hop < 3
+        |), d AS (
+        |  SELECT root, node, min(hop) AS hop FROM walk GROUP BY 1, 2
+        |), hist AS (
+        |  SELECT hop, count(*) AS nh FROM d WHERE hop > 0 GROUP BY 1
+        |), c AS (
+        |  SELECT hop, nh,
+        |         sum(nh) OVER (ORDER BY hop) AS cum,
+        |         sum(nh) OVER () AS total
+        |  FROM hist
+        |), q AS (
+        |  SELECT *, 0.9 * total AS target FROM c
+        |  WHERE cum >= 0.9 * total ORDER BY hop LIMIT 1
+        |)
+        |SELECT CAST(total AS BIGINT) AS n_pairs, CAST(hop AS BIGINT) AS h90,
+        |       round(hop - 1.0 + (target - (cum - nh)) / nh, 6) AS d90
+        |FROM q""".stripMargin,
+
     "gr_betweenness" -> Graphs.brandesDuckSql(
       """eraw AS (
         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
@@ -5188,6 +5256,8 @@ object SparkEntry {
          |       round(list_cosine_similarity(sh.v, q.qv), 6) AS cosine
          |FROM short sh, q ORDER BY cosine DESC, id LIMIT 15""".stripMargin
     },
+
+    "sim_hard_negatives" -> Similarity.hardNegativesDuckSql(nAnchors = 20),
 
     "sim_mmr" -> Similarity.mmrDuckSql(
       embSql = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",

@@ -940,6 +940,70 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
+  // --------------------------------------------------------- triplet mining
+
+  /** Hard-negative triplet mining over labeled embeddings (the batch miner
+    * behind contrastive/metric-learning data prep, Schroff et al. FaceNet
+    * CVPR'15 §3.2): for each anchor, the most-similar SAME-label vector
+    * (positive) and the most-similar DIFFERENT-label vector (the hard
+    * negative — the pair that actually moves the loss).
+    *
+    * Scale shape: anchors broadcast (a bounded batch), the corpus is
+    * scanned ONCE, and both argmaxes are a map-side-combinable struct-max
+    * aggregate — no window over the pair table, no shuffle of the corpus
+    * beyond the per-anchor aggregate, so mining a 100 TB embedding store
+    * is one broadcast-join pass per anchor batch. Cosines quantized to
+    * 7 dp in SQL so the (cos desc, id asc) argmax tie-breaks identically
+    * in both engines (the oracle replays it as a row_number window —
+    * same selection, different physical shape).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, nAnchors: Int): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v"), col(labelCol).cast("long").as("lbl"))
+    val anchors = base.filter(col("id") < nAnchors)
+      .select(col("id").as("aid"), col("v").as("av"), col("lbl").as("albl"))
+    base.join(broadcast(anchors), col("id") =!= col("aid"))
+      .withColumn("cos", round(cosine(col("v"), col("av")), 7))
+      .withColumn("same", (col("lbl") === col("albl")).cast("int"))
+      .groupBy(col("aid"), col("albl"))
+      .agg(
+        max(when(col("same") === 1,
+          struct(col("cos"), (-col("id")).as("nid")))).as("p"),
+        max(when(col("same") === 0,
+          struct(col("cos"), (-col("id")).as("nid")))).as("n"))
+      .select(col("aid"), col("albl").as("anchor_label"),
+        (-col("p.nid")).as("pos_id"), col("p.cos").as("pos_cos"),
+        (-col("n.nid")).as("neg_id"), col("n.cos").as("neg_cos"))
+      .orderBy("aid")
+  }
+
+  /** DuckDB replay of [[hardNegatives]]: the same (cos desc, id) argmax as
+    * a row_number window + conditional-max pivot. */
+  def hardNegativesDuckSql(nAnchors: Int): String =
+    s"""WITH e AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS v,
+       |         CAST(label AS BIGINT) AS lbl
+       |  FROM embeddings
+       |), a AS (
+       |  SELECT id AS aid, v AS av, lbl AS albl FROM e WHERE id < $nAnchors
+       |), p AS (
+       |  SELECT a.aid, a.albl, e.id,
+       |         round(list_cosine_similarity(e.v, a.av), 7) AS cos,
+       |         CASE WHEN e.lbl = a.albl THEN 1 ELSE 0 END AS same
+       |  FROM e JOIN a ON e.id <> a.aid
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY aid, same
+       |                               ORDER BY cos DESC, id) AS rn
+       |  FROM p
+       |)
+       |SELECT aid, albl AS anchor_label,
+       |       max(CASE WHEN same = 1 THEN id END) AS pos_id,
+       |       max(CASE WHEN same = 1 THEN cos END) AS pos_cos,
+       |       max(CASE WHEN same = 0 THEN id END) AS neg_id,
+       |       max(CASE WHEN same = 0 THEN cos END) AS neg_cos
+       |FROM r WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------- MMR re-ranking
 
   /** Maximal-marginal-relevance diversified top-k (Carbonell-Goldstein

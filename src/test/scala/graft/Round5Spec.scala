@@ -754,6 +754,31 @@ class Round5Spec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 4L, 2L, 0.5), (20L, 2L, 1L, 0.25)))
   }
 
+  test("hardNegatives: picks nearest same-label and nearest cross-label") {
+    import graft.pipeline.Similarity
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 1),       // anchor, label 1
+      (1L, Seq(0.9f, 0.1f), 1),   // same label, close → positive
+      (2L, Seq(0.95f, 0.05f), 2), // other label, closest → hard negative
+      (3L, Seq(0f, 1f), 2))       // other label, far
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val r = Similarity.hardNegatives(df, "vec_id", "embedding", "label",
+      nAnchors = 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 1L, r(0).toString)  // pos_id
+    assert(r(0).getLong(4) == 2L, r(0).toString)  // neg_id
+    assert(r(0).getDouble(5) > r(0).getDouble(3) - 1.0) // both cosines present
+  }
+
+  test("gr_effdiam: interpolated d90 on the real layer is inside the hop bound") {
+    val got = SparkEntry.queries("gr_effdiam")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(got.length == 1)
+    val (n, h90, d90) = (got(0).getLong(0), got(0).getLong(1), got(0).getDouble(2))
+    assert(n > 0 && h90 >= 1 && h90 <= 3)
+    assert(d90 > (h90 - 1).toDouble && d90 <= h90.toDouble, s"d90=$d90 h90=$h90")
+  }
+
   test("mmrTopK: duplicate hit is demoted below a diverse one") {
     import graft.pipeline.Similarity
     // b duplicates a (the top hit); with a diversity-heavy λ the sim

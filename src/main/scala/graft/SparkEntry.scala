@@ -635,6 +635,11 @@ object SparkEntry {
     "ev_hop" -> ((s, dir) =>
       Events.hoppingCounts(T(s, dir, "events"))),
 
+    // DAU/MAU stickiness with EXACT trailing-30-day distincts: the event
+    // volume collapses to deduped (user, day) before the 30× fan-out
+    "ev_stickiness" -> ((s, dir) =>
+      Events.stickiness(T(s, dir, "events"))),
+
     // RFM segmentation: per-user recency/frequency/monetary quintiles under
     // a deterministic ntile total order, then segment populations — the
     // windows run over the USER rollup (events-volume never re-shuffles)
@@ -2074,6 +2079,42 @@ object SparkEntry {
           (coalesce(col("n_interior"), lit(0L)) + 2L).as("n_points"),
           col("sx"), col("sy"), col("ex"), col("ey"))
         .orderBy(col("nk"))
+    }),
+
+    // IDW spatial interpolation (Shepard 1968, power 2): account balance
+    // surface sampled at each nation's centroid from its k=8 nearest
+    // customer points. Exactness chain: point coords are halves (sums are
+    // exact in any order), the centroid is one division of exact values,
+    // d² is the identical expression tree, the rank window tie-breaks on
+    // (d2, ck), and the 8 weight/contribution terms are pivoted into
+    // explicit columns and added in ONE fixed textual order — so the
+    // doubles match the oracle bit-for-bit before the final round. The
+    // rank filter plans as WindowGroupLimit (per-partition heaps); the
+    // 25-row centroid table broadcasts against the point scan.
+    "sp_idw" -> ((s, dir) => {
+      val pts = pointsDf(s, dir).select(col("c_nationkey").as("nk"),
+        col("ck"), col("x"), col("y"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val cen = pts.groupBy(col("nk").as("cnk"))
+        .agg((sum("x") / count(lit(1))).as("cx"),
+          (sum("y") / count(lit(1))).as("cy"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cnk").orderBy(col("d2"), col("ck"))
+      val ranked = pts.join(broadcast(cen), col("nk") === col("cnk"))
+        .withColumn("d2", greatest(
+          (col("x") - col("cx")) * (col("x") - col("cx"))
+            + (col("y") - col("cy")) * (col("y") - col("cy")), lit(1e-12)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 8)
+        .withColumn("wt", lit(1.0) / col("d2"))
+        .withColumn("cw", col("wt") * col("cents"))
+      def term(c: String, i: Int) =
+        coalesce(max(when(col("rn") === i, col(c))), lit(0.0))
+      val sw = (1 to 8).map(term("wt", _)).reduce(_ + _)
+      val scw = (1 to 8).map(term("cw", _)).reduce(_ + _)
+      ranked.groupBy(col("cnk").as("nk"))
+        .agg(count(lit(1)).as("k"), round(scw / sw, 4).as("idw_cents"))
+        .orderBy("nk")
     }),
 
     // forward azimuths along each nation polyline: first / min / max
@@ -3617,6 +3658,7 @@ object SparkEntry {
     "ev_mad" -> Events.madAnomaliesDuckSql(),
     "ev_gini" -> Events.giniDuckSql(),
     "ev_hop" -> Events.hoppingDuckSql(),
+    "ev_stickiness" -> Events.stickinessDuckSql,
 
     "ev_rfm" -> Events.rfmSegmentsDuckSql(),
 
@@ -4672,6 +4714,39 @@ object SparkEntry {
         |SELECT p.nk, CAST(coalesce(i.n_interior, 0) + 2 AS BIGINT) AS n_points,
         |       sx, sy, ex, ey
         |FROM piv p LEFT JOIN interior i ON i.nk = p.nk ORDER BY p.nk""".stripMargin),
+
+    // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
+    // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_idw" -> (PtsCte + {
+      def t(c: String, i: Int) =
+        s"coalesce(max(CASE WHEN rn = $i THEN $c END), 0.0)"
+      val sw = (1 to 8).map(t("wt", _)).mkString(" + ")
+      val scw = (1 to 8).map(t("cw", _)).mkString(" + ")
+      s"""
+         |, p AS (
+         |  SELECT c_nationkey AS nk, ck, x, y,
+         |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+         |  FROM pts
+         |), cen AS (
+         |  SELECT nk AS cnk, sum(x) / count(*) AS cx, sum(y) / count(*) AS cy
+         |  FROM p GROUP BY 1
+         |), d AS (
+         |  SELECT p.nk, p.ck, p.cents,
+         |         greatest((p.x - c.cx) * (p.x - c.cx)
+         |                  + (p.y - c.cy) * (p.y - c.cy), 1e-12) AS d2
+         |  FROM p JOIN cen c ON p.nk = c.cnk
+         |), r AS (
+         |  SELECT nk, cents, d2,
+         |         row_number() OVER (PARTITION BY nk ORDER BY d2, ck) AS rn
+         |  FROM d
+         |), k8 AS (
+         |  SELECT nk, rn, 1.0 / d2 AS wt, (1.0 / d2) * cents AS cw
+         |  FROM r WHERE rn <= 8
+         |)
+         |SELECT nk, count(*) AS k,
+         |       round(($scw) / ($sw), 4) AS idw_cents
+         |FROM k8 GROUP BY 1 ORDER BY 1""".stripMargin
+    }),
 
     "sp_bearing" -> (PtsCte +
       """

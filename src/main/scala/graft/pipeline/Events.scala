@@ -1027,6 +1027,45 @@ object Events {
        |       round((2 * sixi - (n + 1) * sx) / (n * sx), 6) AS gini
        |FROM m""".stripMargin
 
+  /** DAU/MAU stickiness (the product-engagement ratio): per day, exact
+    * distinct daily actives over exact distinct trailing-30-day actives.
+    * The event volume collapses to the deduped (user, day) table first
+    * (one map-side-combinable shuffle); the 30× window fan-out then runs
+    * on that compact table, so a 100 TB event log pays the explode only
+    * on |users|·|days| rows. Exact integers; one ratio division.
+    * Days with fewer than 30 predecessor days still report (their MAU
+    * window is truncated at the corpus start, as every dashboard does).
+    */
+  def stickiness(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), expr("ts div 86400000000000").as("day"))
+      .distinct()
+    val dau = userDays.groupBy("day").agg(count(lit(1)).as("dau"))
+    val mau = userDays
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 29)).as("wday"))
+      .groupBy(col("wday").as("day"))
+      .agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        round(col("dau") / col("mau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[stickiness]]. */
+  def stickinessDuckSql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+      |), dau AS (
+      |  SELECT day, count(*) AS dau FROM ud GROUP BY 1
+      |), mau AS (
+      |  SELECT wday AS day, count(DISTINCT user_id) AS mau FROM (
+      |    SELECT user_id, unnest(range(day, day + 30)) AS wday FROM ud
+      |  ) GROUP BY 1
+      |)
+      |SELECT d.day AS day, d.dau, m.mau, round(d.dau / m.mau, 6) AS stickiness
+      |FROM dau d JOIN mau m ON m.day = d.day
+      |ORDER BY 1""".stripMargin
+
   /** Hopping (sliding) window counts — the batch twin of Flink's HOP /
     * Spark's window(slide): width 3 h, hop 1 h, so every event lands in 3
     * windows via a 3-element generator in the scan projection (no

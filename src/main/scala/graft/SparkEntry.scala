@@ -2210,6 +2210,17 @@ object SparkEntry {
 
     // audio waveform windowing: decode → fixed windows → per-window sum/peak
     // (the VAD/loudness shape), FNV stub replayed by the oracle
+    // Shazam-style constellation matching over audio with planted
+    // duplicates (seedOf folds every 9th audio id onto id−3): per-window
+    // argmax peaks → (pa, pb, dt) hashes → banded join ON THE HASH (the
+    // inverted-index shape, never all-pairs audio) → modal-offset verify.
+    // The 33 planted pairs must surface at offset 0 with all 18 hashes
+    "mm_audio_match" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300,
+        seedOf = i => if (i % 9 == 4) i - 3 else i)
+      Multimodal.constellationMatches(media)
+    }),
+
     "mm_audio" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 300)
       Multimodal.sampleWaveform(media, windows = 8, samplesPerWindow = 32)
@@ -4966,6 +4977,7 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "mm_audio" -> MmAudioSql,
+    "mm_audio_match" -> MmAudioMatchSql,
 
     "sp_simplify_reverse" -> (PtsCte +
       """
@@ -6200,6 +6212,61 @@ object SparkEntry {
       |                      / CAST(255 AS FLOAT) AS DOUBLE)), 6) AS peak
       |FROM chain WHERE step > 64
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** mm_audio_match oracle: the MmAudioSql chain with the duplicate-planting
+    * seed fold (media_id % 9 = 4 → media_id − 3), then the identical
+    * peak-pick / hash-pair / banded-match / modal-offset pipeline.
+    */
+  private val MmAudioMatchSql: String =
+    """WITH RECURSIVE chain(media_id, step, state) AS (
+      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i) WHERE i % 3 = 1
+      |  UNION ALL
+      |  SELECT media_id, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64
+      |        THEN CASE WHEN ((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                        * 31 + step * 7) % 251 >= 128
+      |             THEN 18446744073709551360
+      |                  + ((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                     * 31 + step * 7) % 251
+      |             ELSE ((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                   * 31 + step * 7) % 251 END
+      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 320
+      |), px AS (
+      |  SELECT media_id, step - 65 AS s,
+      |         CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |              / CAST(255 AS FLOAT) AS DOUBLE) AS px
+      |  FROM chain WHERE step > 64
+      |), pk AS (
+      |  SELECT media_id, s // 32 AS w, s % 32 AS p,
+      |         row_number() OVER (PARTITION BY media_id, s // 32
+      |                            ORDER BY px DESC, s % 32) AS rn
+      |  FROM px
+      |), peaks AS (
+      |  SELECT media_id, w, p FROM pk WHERE rn = 1
+      |), h AS (
+      |  SELECT a.media_id AS mid, a.p AS pa, b.p AS pb, b.w - a.w AS dt, a.w AS wa
+      |  FROM peaks a JOIN peaks b
+      |    ON a.media_id = b.media_id AND b.w > a.w AND b.w <= a.w + 3
+      |), m AS (
+      |  SELECT x.mid AS id_a, y.mid AS id_b, x.wa - y.wa AS off
+      |  FROM h x JOIN h y
+      |    ON x.pa = y.pa AND x.pb = y.pb AND x.dt = y.dt AND x.mid < y.mid
+      |), byoff AS (
+      |  SELECT id_a, id_b, off, count(*) AS n FROM m GROUP BY 1, 2, 3
+      |), best AS (
+      |  SELECT *, row_number() OVER (PARTITION BY id_a, id_b
+      |                               ORDER BY n DESC, off) AS rn,
+      |         sum(n) OVER (PARTITION BY id_a, id_b) AS n_match
+      |  FROM byoff
+      |)
+      |SELECT id_a, id_b, CAST(n_match AS BIGINT) AS n_match,
+      |       CAST(off AS BIGINT) AS best_offset
+      |FROM best WHERE rn = 1 AND n_match >= 4
+      |ORDER BY 1, 2""".stripMargin
 
   /** mm_frames oracle: sampleFrames' stub decode replayed per (video, frame)
     * — same FNV chain as MmDecodeSql but seeded with the 64 synthetic bytes

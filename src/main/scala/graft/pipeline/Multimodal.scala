@@ -157,6 +157,73 @@ object Multimodal {
       .toDF("media_id", "window_idx", "sample_sum", "peak")
   }
 
+  /** Per-sample waveform points (media_id, window_idx, sample_idx, px) —
+    * the un-aggregated sibling of [[sampleWaveform]], feeding peak-picking
+    * pipelines like [[constellationMatches]].
+    */
+  def samplePoints(df: DataFrame, windows: Int = 8,
+      samplesPerWindow: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col("kind") === "audio")
+      .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val s = if (bytes == null) new Array[Float](windows * samplesPerWindow)
+          else fakeDecode(bytes, samplesPerWindow, windows)
+        s.indices.map(i =>
+          (id, i / samplesPerWindow, i % samplesPerWindow, s(i).toDouble))
+      }
+      .toDF("media_id", "window_idx", "sample_idx", "px")
+  }
+
+  /** Shazam-style constellation fingerprint matching (Wang ISMIR'03): one
+    * peak per window (argmax sample, ties to the smaller index), anchor
+    * peaks paired with peaks up to `maxDt` windows ahead into (pa, pb, dt)
+    * hashes, then a banded join ON THE HASH — never an all-pairs audio
+    * comparison — and per candidate pair the modal window offset (true
+    * matches align at one offset; chance collisions scatter). Pairs with
+    * ≥ `minMatch` matching hashes survive.
+    *
+    * Scale shape: peak-picking is a per-(media, window) argmax; the match
+    * join is keyed on the 3-component hash exactly like an inverted index
+    * (the posting-list join of audio search); the offset histogram is one
+    * aggregate on the matched pairs. With a REAL PCM decode + FFT the
+    * peaks become spectral maxima — the dataflow is unchanged (the stub
+    * decoder makes only byte-identical audio align, like mm_phash).
+    */
+  def constellationMatches(df: DataFrame, windows: Int = 8,
+      samplesPerWindow: Int = 32, maxDt: Int = 3, minMatch: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = samplePoints(df, windows, samplesPerWindow)
+    val wpk = Window.partitionBy("media_id", "window_idx")
+      .orderBy(col("px").desc, col("sample_idx"))
+    val peaks = pts.withColumn("rn", row_number().over(wpk))
+      .filter(col("rn") === 1)
+      .select(col("media_id"), col("window_idx").as("w"), col("sample_idx").as("p"))
+    val hashes = peaks.as("a").join(peaks.as("b"),
+        col("a.media_id") === col("b.media_id")
+          && col("b.w") > col("a.w") && col("b.w") <= col("a.w") + maxDt)
+      .select(col("a.media_id").as("mid"), col("a.p").as("pa"),
+        col("b.p").as("pb"), (col("b.w") - col("a.w")).as("dt"),
+        col("a.w").as("wa"))
+    val matched = hashes.as("x").join(hashes.as("y"),
+        col("x.pa") === col("y.pa") && col("x.pb") === col("y.pb")
+          && col("x.dt") === col("y.dt") && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("id_a"), col("y.mid").as("id_b"),
+        (col("x.wa") - col("y.wa")).as("off"))
+    val byOff = matched.groupBy("id_a", "id_b", "off")
+      .agg(count(lit(1)).as("n"))
+    val wBest = Window.partitionBy("id_a", "id_b")
+      .orderBy(col("n").desc, col("off"))
+    byOff
+      .withColumn("rn", row_number().over(wBest))
+      .withColumn("n_match", sum("n").over(Window.partitionBy("id_a", "id_b")))
+      .filter(col("rn") === 1 && col("n_match") >= minMatch)
+      .select(col("id_a"), col("id_b"), col("n_match"),
+        col("off").cast("long").as("best_offset"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Perceptual-hash signature per image row: decode to an 8×8 pseudo-pixel
     * grid, bit j = pixel j above the image mean — the mean-threshold aHash
     * variant of pHash. With a REAL decoder visually-similar images map to

@@ -1159,17 +1159,32 @@ object Corpus {
     * single ratio division is the only float op.
     */
   def distinctN(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
-    val ts = toks(col(textCol))
+    val base = df.select(col(srcCol).as("source"), toks(col(textCol)).as("ts"))
+      .withColumn("len", size(col("ts")))
     def grams(n: Int): Column =
-      when(size(ts) >= n, transform(sequence(lit(0), size(ts) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j + 1)): _*)))
+      when(col("len") >= n, transform(sequence(lit(0), col("len") - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("ts"), i + j + 1)): _*)))
         .otherwise(array().cast("array<string>"))
-    df.select(col(srcCol).as("source"),
+    // totals need no gram materialization at all: per doc there are
+    // max(len − n + 1, 0) n-grams, so the total is token-count arithmetic
+    // (one tiny per-source aggregate instead of shuffling every gram)
+    val totals = base.groupBy("source")
+      .agg(sum(greatest(col("len"), lit(0))).as("t1"),
+        sum(greatest(col("len") - 1, lit(0))).as("t2"),
+        sum(greatest(col("len") - 2, lit(0))).as("t3"))
+      .select(col("source"), explode(array((1 to 3).map(n =>
+        struct(lit(n).as("n"), col(s"t$n").cast("long").as("total"))): _*)).as("x"))
+      .select(col("source"), col("x.n").as("n"), col("x.total").as("total"))
+    // the distinct path shuffles each gram once, with map-side partial
+    // dedup collapsing repeats before the exchange (no Expand: keeping
+    // count(*) out of this aggregate halves the shuffled volume)
+    val uniq = base.select(col("source"),
         explode(array((1 to 3).map(n =>
           struct(lit(n).as("n"), grams(n).as("g"))): _*)).as("ng"))
       .select(col("source"), col("ng.n").as("n"), explode(col("ng.g")).as("g"))
-      .groupBy(col("source"), col("n"))
-      .agg(count(lit(1)).as("total"), countDistinct(col("g")).as("uniq"))
+      .distinct()
+      .groupBy(col("source"), col("n")).agg(count(lit(1)).as("uniq"))
+    totals.join(uniq, Seq("source", "n"))
       .select(col("source"), col("n").cast("long").as("n"),
         col("total"), col("uniq"),
         round(col("uniq") / col("total"), 6).as("ratio"))

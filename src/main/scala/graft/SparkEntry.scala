@@ -1659,6 +1659,17 @@ object SparkEntry {
         shortlist = 60)
     }),
 
+    // two-level residual quantization (the additive-quantization member
+    // beside PQ subspaces, SQ8 affine, MRL truncation, BQ sign bits):
+    // coarse k-means + residual k-means, retrieval by the broadcast
+    // 64-entry decode table joined BY CODE, exact re-rank of the shortlist
+    "sim_rq" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.rqTopK(emb, "vec_id", "embedding", q, k = 15)
+    }),
+
     // hard-negative triplet mining (FaceNet-style): per anchor the best
     // same-label positive and best different-label negative — anchors
     // broadcast, corpus scanned once, both argmaxes map-side struct-max
@@ -5345,6 +5356,7 @@ object SparkEntry {
     },
 
     "sim_hard_negatives" -> Similarity.hardNegativesDuckSql(nAnchors = 20),
+    "sim_rq" -> Similarity.rqDuckSql(k = 15),
 
     "sim_mmr" -> Similarity.mmrDuckSql(
       embSql = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",

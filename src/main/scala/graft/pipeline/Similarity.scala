@@ -940,6 +940,140 @@ object Similarity {
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
+  // --------------------------------------------------- residual quantization
+
+  /** Two-level residual quantization ANN (Chen et al. 2010 / the RQ member
+    * of the additive-quantization family): a coarse k-means codebook over
+    * the vectors, a second k-means codebook over the RESIDUALS v − c₁, so
+    * every vector compresses to two code ids and decodes to c₁ + c₂ —
+    * the additive sibling of PQ's subspace split (sim_pq_adc) and the
+    * third compression geometry beside SQ8's per-dim affine and BQ's sign
+    * bit. Retrieval: the 64-entry decode table (cid1, cid2) → cos(q,
+    * c₁+c₂) broadcasts, the corpus joins it BY CODE (8 bytes of index
+    * state per vector at scale), a TakeOrdered shortlist survives, and
+    * exact cosine re-ranks the shortlist only.
+    *
+    * Training runs as DataFrame dataflows (broadcast codebooks, one
+    * corpus-keyed argmax + one per-(cid, dim) avg per iteration), replayed
+    * CTE-for-CTE by [[rqDuckSql]]; centroid averages carry last-ulp
+    * summation noise, which cannot flip an argmax at real margins (same
+    * contract as sim_ivf_kmeans) and the output re-ranks on rounded exact
+    * cosines.
+    */
+  def rqTopK(df: DataFrame, idCol: String, vecCol: String,
+      query: Array[Double], k: Int, nlist: Int = 8, iters: Int = 2,
+      shortlist: Int = 60, dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      asDouble(col(vecCol)).as("v")).persist()
+    def assignTo(vecs: DataFrame, xCol: String, cents: DataFrame): DataFrame =
+      vecs.join(broadcast(cents))
+        .withColumn("s", cosine(col(xCol), col("cv")))
+        .groupBy("id")
+        .agg(max(struct(col("s").as("s"), (-col("cid")).as("ncid"),
+          col(xCol).as("x"), col("cv").as("cv"))).as("m"))
+        .select(col("id"), col("m.x").as(xCol),
+          (-col("m.ncid")).as("cid"), col("m.cv").as("cv"))
+    def train(vecs: DataFrame, xCol: String): (DataFrame, DataFrame) = {
+      var cents = vecs.filter(col("id") < nlist)
+        .select(col("id").as("cid"), col(xCol).as("cv"))
+      for (_ <- 1 to iters) {
+        val assigned = assignTo(vecs, xCol, cents)
+        val re = assigned
+          .select(col("cid"), posexplode(col(xCol)))
+          .groupBy("cid", "pos").agg(avg("col").as("mv"))
+          .groupBy("cid")
+          .agg(transform(sort_array(collect_list(struct(col("pos"), col("mv")))),
+            s => s.getField("mv")).as("cv2"))
+        cents = cents.as("p").join(re, Seq("cid"), "left")
+          .select(col("cid"), coalesce(col("cv2"), col("p.cv")).as("cv"))
+      }
+      (assignTo(vecs, xCol, cents).persist(), cents.persist())
+    }
+    val (a1, cents1) = train(base, "v")
+    val resid = a1.select(col("id"),
+      zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"),
+      col("cid").as("cid1"))
+    val (a2, cents2) = train(resid.select(col("id"), col("r")), "r")
+    val codes = resid.select(col("id"), col("cid1"))
+      .join(a2.select(col("id"), col("cid").as("cid2")), "id")
+    val qlit = array(query.map(lit): _*)
+    val decode = cents1.select(col("cid").as("cid1"), col("cv").as("cv1"))
+      .crossJoin(cents2.select(col("cid").as("cid2"), col("cv").as("cv2")))
+      .select(col("cid1"), col("cid2"),
+        round(cosine(zip_with(col("cv1"), col("cv2"), (a, b) => a + b), qlit), 7)
+          .as("est"))
+    base.join(codes, "id").join(broadcast(decode), Seq("cid1", "cid2"))
+      .orderBy(col("est").desc, col("id")).limit(shortlist)
+      .select(col("id"), col("est"),
+        round(cosine(col("v"), qlit), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("id")).limit(k)
+  }
+
+  /** DuckDB replay of [[rqTopK]]: the sim_ivf_kmeans assign/recenter CTE
+    * machinery run twice (vectors, then residuals), the same 64-entry
+    * decode table, shortlist and re-rank.
+    */
+  def rqDuckSql(k: Int, nlist: Int = 8, iters: Int = 2,
+      shortlist: Int = 60, dim: Int = 64): String = {
+    def assign(src: String, x: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT id, $x, cid, cv FROM (
+         |    SELECT e.id, e.$x, c.cid, c.cv,
+         |           row_number() OVER (PARTITION BY e.id
+         |             ORDER BY list_cosine_similarity(e.$x, c.cv) DESC, c.cid) AS rn
+         |    FROM $src e CROSS JOIN $cents c) WHERE rn = 1
+         |)""".stripMargin
+    def recenter(assigned: String, x: String, prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT cid, list(mv ORDER BY dim) AS cv FROM (
+         |      SELECT a.cid, t.dim, avg(a.$x[t.dim]) AS mv
+         |      FROM $assigned a CROSS JOIN range(1, ${dim + 1}) t(dim)
+         |      GROUP BY a.cid, t.dim) GROUP BY cid
+         |  ) m ON m.cid = p.cid
+         |)""".stripMargin
+    def stage(src: String, x: String, c0: String, pfx: String): String =
+      (1 to iters).map { i =>
+        val prev = if (i == 1) c0 else s"$pfx${i - 1}"
+        assign(src, x, prev, s"${pfx}a$i") + ",\n" +
+          recenter(s"${pfx}a$i", x, prev, s"$pfx$i")
+      }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE id = 0),
+       |s1c0 AS (SELECT id AS cid, v AS cv FROM e WHERE id < $nlist),
+       |${stage("e", "v", "s1c0", "s1c")},
+       |${assign("e", "v", s"s1c$iters", "a1f")},
+       |r0 AS (
+       |  SELECT a.id, list_transform(range(1, ${dim + 1}), i -> a.v[i] - a.cv[i]) AS r,
+       |         a.cid AS cid1
+       |  FROM a1f a
+       |),
+       |rsrc AS (SELECT id, r FROM r0),
+       |s2c0 AS (SELECT id AS cid, r AS cv FROM rsrc WHERE id < $nlist),
+       |${stage("rsrc", "r", "s2c0", "s2c")},
+       |${assign("rsrc", "r", s"s2c$iters", "a2f")},
+       |codes AS (
+       |  SELECT r0.id, r0.cid1, a2f.cid AS cid2 FROM r0 JOIN a2f ON a2f.id = r0.id
+       |),
+       |decode AS (
+       |  SELECT c1.cid AS cid1, c2.cid AS cid2,
+       |         round(list_cosine_similarity(
+       |           list_transform(range(1, ${dim + 1}), i -> c1.cv[i] + c2.cv[i]),
+       |           q.qv), 7) AS est
+       |  FROM s1c$iters c1 CROSS JOIN s2c$iters c2 CROSS JOIN q
+       |),
+       |short AS (
+       |  SELECT e.id, e.v, d.est
+       |  FROM e JOIN codes k ON k.id = e.id
+       |  JOIN decode d ON d.cid1 = k.cid1 AND d.cid2 = k.cid2
+       |  ORDER BY d.est DESC, e.id LIMIT $shortlist
+       |)
+       |SELECT s.id, s.est, round(list_cosine_similarity(s.v, q.qv), 6) AS cosine
+       |FROM short s CROSS JOIN q
+       |ORDER BY cosine DESC, id LIMIT $k""".stripMargin
+  }
+
   // --------------------------------------------------------- triplet mining
 
   /** Hard-negative triplet mining over labeled embeddings (the batch miner

@@ -516,7 +516,24 @@ object BenchScale {
       // literals and the output a fixed top-k at every rung
       "sim_sq8" ->
         (n => Similarity.sq8TopK(embAt(n), "vec_id", "embedding", q0,
-          shortlist = 200, k = 20)))
+          shortlist = 200, k = 20)),
+      // bounded-depth Brandes from a per-copy landmark batch: roots ∝ N
+      // (a sparse batch — every ~500th customer node per copy, matching
+      // the driver query's landmark density), each root's settled set
+      // bounded inside its own copy, so the forward σ shuffles and
+      // backward δ joins grow ∝ N with a constant round count
+      "gr_betweenness" -> (n => {
+        val e = edgesAt(n)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .filter(col("node") % 2 === 0 && (col("node") % 100000000L) % 1000 === 2)
+        graft.pipeline.Graphs.brandesBetweenness(e, seeds, maxHop = 3, k = 30)
+      }),
+      // distinct-n diversity: rotated copies share no grams, so the
+      // token-arithmetic totals AND the gram-distinct shuffle grow ∝ N
+      // (pins the no-Expand split plan)
+      "tx_distinct_n" ->
+        (n => graft.pipeline.Corpus.distinctN(
+          docsAt(n).withColumn("source", lit("all")), "source", "text")))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

@@ -830,6 +830,12 @@ object SparkEntry {
     "ev_forecast" -> ((s, dir) =>
       Events.holtForecast(T(s, dir, "events"))),
 
+    // Holt-Winters triple exponential smoothing: level + trend + the
+    // 7-slot weekday seasonal state, one codegen aggregate-HOF fold whose
+    // expression tree the recursive-CTE oracle replays node for node
+    "ev_holt_winters" -> ((s, dir) =>
+      Events.holtWinters(T(s, dir, "events"))),
+
     // STL-lite weekday decomposition: centered 7-row MA trend, per-weekday
     // seasonal index + residual variance from EXACT ×7-scaled integer
     // moments — only the closing divisions are float
@@ -4582,6 +4588,7 @@ object SparkEntry {
 
     "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
     "ev_forecast" -> Events.holtForecastDuckSql,
+    "ev_holt_winters" -> Events.holtWintersDuckSql,
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),
 

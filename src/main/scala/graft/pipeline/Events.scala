@@ -1229,6 +1229,102 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Holt-Winters additive triple exponential smoothing (level + trend +
+    * weekly seasonality, α=β=γ=0.5) over each event_type's daily counts —
+    * the operational-forecast sibling of [[holtForecast]] that models the
+    * weekday cycle instead of averaging through it. Seasonal state is the
+    * 7-slot array s0..s6 indexed by calendar weekday (day mod 7), so date
+    * gaps skip cleanly. Init: level = y₁, trend = 0, s ≡ 0.
+    *
+    * The recurrence runs as ONE aggregate-HOF fold over the day-sorted
+    * count array (pure codegen, state = a 10-field struct); the oracle
+    * replays the identical expression tree — lNew inlined everywhere it
+    * appears, the weekday CASE duplicated — step for step in a recursive
+    * CTE, so the doubles agree bit-for-bit. Scale shape: the only
+    * full-volume shuffle is the map-side-combinable daily count; per-series
+    * state is |days|-bounded.
+    */
+  def holtWinters(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+    def zero = lit(0.0)
+    val init = struct((Seq(zero.as("l"), zero.as("b")) ++
+      (0 to 6).map(k => zero.as(s"s$k")) :+ lit(true).as("first")): _*)
+    val fitted = series.withColumn("st",
+      aggregate(col("ds"), init, (acc, d) => {
+        val y = d.getField("n").cast("double")
+        val wd = pmod(d.getField("day"), lit(7))
+        val l = acc.getField("l"); val b = acc.getField("b")
+        def sPrev = (0 to 6).map(k =>
+          when(wd === k, acc.getField(s"s$k"))).reduceRight(_.otherwise(_))
+        val lNew = lit(0.5) * (y - sPrev) + lit(0.5) * (l + b)
+        val bNew = lit(0.5) * (lNew - l) + lit(0.5) * b
+        val sNew = lit(0.5) * (y - lNew) + lit(0.5) * sPrev
+        struct((Seq(
+          when(acc.getField("first"), y).otherwise(lNew).as("l"),
+          when(acc.getField("first"), lit(0.0)).otherwise(bNew).as("b")) ++
+          (0 to 6).map(k =>
+            when(acc.getField("first"), lit(0.0))
+              .when(wd === k, sNew)
+              .otherwise(acc.getField(s"s$k")).as(s"s$k")) :+
+          lit(false).as("first")): _*)
+      }))
+    fitted.select((Seq(col("event_type"),
+      round(col("st.l"), 6).as("level"),
+      round(col("st.b"), 6).as("trend")) ++
+      (0 to 6).map(k => round(col(s"st.s$k"), 6).as(s"s$k"))): _*)
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[holtWinters]]: a recursive CTE carrying the same
+    * 10-field state, every arithmetic node written in the identical shape
+    * (lNew inlined into bNew and sNew exactly as the Column tree does).
+    */
+  def holtWintersDuckSql: String = {
+    // the shared lNew expression, textually inlined everywhere it appears
+    val sPrev = "(CASE (d.day % 7) WHEN 0 THEN w.s0 WHEN 1 THEN w.s1 " +
+      "WHEN 2 THEN w.s2 WHEN 3 THEN w.s3 WHEN 4 THEN w.s4 WHEN 5 THEN w.s5 " +
+      "ELSE w.s6 END)"
+    val lNew = s"(0.5 * (d.n - $sPrev) + 0.5 * (w.l + w.b))"
+    val sNew = s"(0.5 * (d.n - $lNew) + 0.5 * $sPrev)"
+    def sK(k: Int) =
+      s"CASE WHEN d.day % 7 = $k THEN $sNew ELSE w.s$k END"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), idx AS (
+       |  SELECT event_type, day, n,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+       |  FROM daily
+       |), walk(event_type, i, l, b, s0, s1, s2, s3, s4, s5, s6) AS (
+       |  SELECT event_type, 1, n::DOUBLE, CAST(0.0 AS DOUBLE),
+       |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |         CAST(0.0 AS DOUBLE)
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT d.event_type, w.i + 1,
+       |         $lNew,
+       |         0.5 * ($lNew - w.l) + 0.5 * w.b,
+       |         ${sK(0)}, ${sK(1)}, ${sK(2)}, ${sK(3)}, ${sK(4)}, ${sK(5)},
+       |         ${sK(6)}
+       |  FROM walk w JOIN idx d ON d.event_type = w.event_type AND d.i = w.i + 1
+       |), fin AS (
+       |  SELECT w.* FROM walk w
+       |  JOIN (SELECT event_type, max(i) AS mi FROM walk GROUP BY 1) m
+       |    ON m.event_type = w.event_type AND w.i = m.mi
+       |)
+       |SELECT event_type, round(l, 6) AS level, round(b, 6) AS trend,
+       |       round(s0, 6) AS s0, round(s1, 6) AS s1, round(s2, 6) AS s2,
+       |       round(s3, 6) AS s3, round(s4, 6) AS s4, round(s5, 6) AS s5,
+       |       round(s6, 6) AS s6
+       |FROM fin ORDER BY event_type""".stripMargin
+  }
+
   /** STL-lite weekday seasonal decomposition of each event_type's daily
     * count series: trend = centered 7-row moving average (rows with a full
     * window only — MA loses 3 rows per edge, as classical decomposition

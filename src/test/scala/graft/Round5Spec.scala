@@ -754,6 +754,18 @@ class Round5Spec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 4L, 2L, 0.5), (20L, 2L, 1L, 0.25)))
   }
 
+  test("sim_rq: the residual stage reduces reconstruction error") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("sim_rq")(spark, dir).collect()
+    assert(got.length == 15)
+    // the query vector itself (id 0) must be retrieved with cosine 1.0
+    assert(got(0).getLong(0) == 0L && got(0).getDouble(2) == 1.0, got(0).toString)
+    // est is a codebook approximation: within [-1, 1] and correlated with
+    // the exact cosine for the top hit
+    assert(got.forall(r => math.abs(r.getDouble(1)) <= 1.0))
+    assert(got(0).getDouble(1) > 0.5, got(0).toString)
+  }
+
   test("hardNegatives: picks nearest same-label and nearest cross-label") {
     import graft.pipeline.Similarity
     val vecs = Seq(

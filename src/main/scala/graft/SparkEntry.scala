@@ -836,6 +836,12 @@ object SparkEntry {
     "ev_holt_winters" -> ((s, dir) =>
       Events.holtWinters(T(s, dir, "events"))),
 
+    // AR(1) fit per event_type: OLS of y_t on y_{t-1} over consecutive-day
+    // pairs — every moment an exact long, the four outputs fixed trees over
+    // those integers; degenerate series excluded on both sides
+    "ev_arima" -> ((s, dir) =>
+      Events.arFit(T(s, dir, "events"))),
+
     // STL-lite weekday decomposition: centered 7-row MA trend, per-weekday
     // seasonal index + residual variance from EXACT ×7-scaled integer
     // moments — only the closing divisions are float
@@ -3251,6 +3257,12 @@ object SparkEntry {
     "tx_zipf" -> ((s, dir) =>
       Corpus.zipfFit(T(s, dir, "documents"), "text", topN = 500)),
 
+    // KL / Jensen-Shannon / cross-entropy of each language's unigram
+    // distribution vs the corpus — the domain-shift readout; exact integer
+    // counts, ln terms folded in one ordered per-group running window
+    "tx_kl" -> ((s, dir) =>
+      Corpus.divergence(T(s, dir, "documents"), "lang", "text")),
+
     // PMI bigram collocations (phrase mining): bigram fan-out as a generator
     // in the scan projection, two count aggregates, TakeOrdered top-20
     "tx_colloc" -> ((s, dir) =>
@@ -4589,6 +4601,7 @@ object SparkEntry {
     "ev_changepoint" -> Events.changepointsDuckSql(window = 6, up = 1.5, down = 0.5),
     "ev_forecast" -> Events.holtForecastDuckSql,
     "ev_holt_winters" -> Events.holtWintersDuckSql,
+    "ev_arima" -> Events.arFitDuckSql,
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),
 
@@ -5815,6 +5828,7 @@ object SparkEntry {
     "tx_tfidf" -> Corpus.tfidfDuckSql(topPerDoc = 3),
     "tx_distinct_n" -> Corpus.distinctNDuckSql,
     "tx_zipf" -> Corpus.zipfDuckSql(topN = 500),
+    "tx_kl" -> Corpus.divergenceDuckSql("lang"),
 
     "tx_colloc" -> Corpus.collocationsDuckSql(minCount = 5, topK = 20),
 

@@ -1147,6 +1147,115 @@ object Corpus {
 
   // ====================================================== diversity metrics
 
+  /** Per-group distribution divergence vs the whole corpus: KL(P‖Q),
+    * Jensen-Shannon, and cross-entropy H(P,Q) of each group's unigram
+    * distribution P against the corpus-wide distribution Q — the standard
+    * domain-shift / mixture-drift readout when curating a multi-source
+    * training corpus (a source whose KL spikes is distributionally alien;
+    * JS is its symmetric bounded sibling).
+    *
+    * Exactness: all counts are integers; p and q are single divisions of
+    * those integers; every ln term is then folded in ONE ordered running
+    * window per group (partition by group, order by word), so both engines
+    * add the identical doubles in the identical sequence — the zipfFit
+    * summation discipline. KL is always finite because Q's support is a
+    * superset of every P's (Q is the corpus).
+    *
+    * Scale shape: (group, word) and word aggregates are map-side
+    * combinable; the groups×vocab expansion joins a |groups|-row table
+    * against the vocab (broadcast-sized left side); the serialized step is
+    * the per-group vocab fold — vocab-bounded, not corpus-bounded, and
+    * parallel across groups.
+    */
+  def divergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gw = df.select(col(groupCol).as("g"), explode(toks(col(textCol))).as("w"))
+      .groupBy("g", "w").agg(count(lit(1)).as("pn"))
+    val cw = gw.groupBy("w").agg(sum("pn").as("qn"))
+    val gt = gw.groupBy("g").agg(sum("pn").as("pt"))
+    val ct = cw.agg(sum("qn").as("qt"))
+    val p = col("pn").cast("double") / col("pt").cast("double")
+    val q = col("qn").cast("double") / col("qt").cast("double")
+    val wo = Window.partitionBy("g").orderBy("w")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("g")
+    val terms = gt.crossJoin(cw).join(gw, Seq("g", "w"), "left")
+      .na.fill(0L, Seq("pn")).crossJoin(ct)
+      .withColumn("p", p).withColumn("q", q)
+      .withColumn("klt",
+        when(col("pn") > 0, col("p") * log(col("p") / col("q"))).otherwise(0.0))
+      .withColumn("jpt",
+        when(col("pn") > 0,
+          col("p") * log(col("p") / ((col("p") + col("q")) / 2))).otherwise(0.0))
+      .withColumn("jqt", col("q") * log(col("q") / ((col("p") + col("q")) / 2)))
+      .withColumn("cet",
+        when(col("pn") > 0, -(col("p") * log(col("q")))).otherwise(0.0))
+    terms
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("w")))
+      .withColumn("nw", count(lit(1)).over(all))
+      .withColumn("types", sum(when(col("pn") > 0, 1L).otherwise(0L)).over(wo))
+      .withColumn("skl", sum("klt").over(wo))
+      .withColumn("sjp", sum("jpt").over(wo))
+      .withColumn("sjq", sum("jqt").over(wo))
+      .withColumn("sce", sum("cet").over(wo))
+      .filter(col("rn") === col("nw"))
+      .select(col("g").as("grp"),
+        col("types").cast("long").as("types"),
+        col("pt").cast("long").as("tokens"),
+        round(col("skl"), 6).as("kl"),
+        round((col("sjp") + col("sjq")) / 2, 6).as("js"),
+        round(col("sce"), 6).as("ce"))
+      .orderBy("grp")
+  }
+
+  /** DuckDB replay of [[divergence]]: identical integer counts, identical
+    * p/q division trees, identical per-group ordered running-window fold.
+    */
+  def divergenceDuckSql(groupCol: String): String =
+    s"""WITH tk AS (
+       |  SELECT $groupCol AS g, unnest($toksDuck) AS w FROM documents
+       |), gw AS (
+       |  SELECT g, w, count(*) AS pn FROM tk GROUP BY 1, 2
+       |), cw AS (
+       |  SELECT w, sum(pn) AS qn FROM gw GROUP BY 1
+       |), gt AS (
+       |  SELECT g, sum(pn) AS pt FROM gw GROUP BY 1
+       |), ct AS (
+       |  SELECT sum(qn) AS qt FROM cw
+       |), fl AS (
+       |  SELECT gt.g, gt.pt, cw.w, cw.qn, coalesce(gw.pn, 0) AS pn, ct.qt
+       |  FROM gt CROSS JOIN cw CROSS JOIN ct
+       |  LEFT JOIN gw ON gw.g = gt.g AND gw.w = cw.w
+       |), pq AS (
+       |  SELECT g, w, pn, pt,
+       |         CAST(pn AS DOUBLE) / CAST(pt AS DOUBLE) AS p,
+       |         CAST(qn AS DOUBLE) / CAST(qt AS DOUBLE) AS q
+       |  FROM fl
+       |), terms AS (
+       |  SELECT g, w, pn, pt,
+       |         CASE WHEN pn > 0 THEN p * ln(p / q) ELSE 0.0 END AS klt,
+       |         CASE WHEN pn > 0 THEN p * ln(p / ((p + q) / 2))
+       |              ELSE 0.0 END AS jpt,
+       |         q * ln(q / ((p + q) / 2)) AS jqt,
+       |         CASE WHEN pn > 0 THEN -(p * ln(q)) ELSE 0.0 END AS cet
+       |  FROM pq
+       |), run AS (
+       |  SELECT g, pt,
+       |         row_number() OVER (PARTITION BY g ORDER BY w) AS rn,
+       |         count(*) OVER (PARTITION BY g) AS nw,
+       |         sum(CASE WHEN pn > 0 THEN 1 ELSE 0 END) OVER wo AS types,
+       |         sum(klt) OVER wo AS skl, sum(jpt) OVER wo AS sjp,
+       |         sum(jqt) OVER wo AS sjq, sum(cet) OVER wo AS sce
+       |  FROM terms
+       |  WINDOW wo AS (PARTITION BY g ORDER BY w
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |)
+       |SELECT g AS grp, CAST(types AS BIGINT) AS types,
+       |       CAST(pt AS BIGINT) AS tokens,
+       |       round(skl, 6) AS kl, round((sjp + sjq) / 2, 6) AS js,
+       |       round(sce, 6) AS ce
+       |FROM run WHERE rn = nw ORDER BY grp""".stripMargin
+
   /** Distinct-n lexical diversity per source (Li et al. NAACL'16 — the
     * standard generation-diversity readout, and a data-curation signal:
     * a template-spam source shows collapsed distinct-2/3): for n = 1..3,

@@ -1229,6 +1229,101 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** AR(1) autoregressive fit per event_type over its daily count series —
+    * the model-based sibling of [[holtForecast]]: OLS of y_t on y_{t-1}
+    * over consecutive-day pairs (date gaps are excluded from the
+    * regression, not zero-filled). Returns phi (mean-reversion speed),
+    * intercept, r², and the one-step forecast c + phi·y_last.
+    *
+    * Exactness: counts are integers, so every OLS moment (m, Σx, Σy, Σx²,
+    * Σxy, Σy²) is an exact long — order-free aggregation is safe — and the
+    * four outputs are fixed expression trees over those exact integers,
+    * written identically in the oracle. Series with a degenerate
+    * denominator (constant x or y) or fewer than 8 pairs are excluded on
+    * both sides. Scale shape: one map-side-combinable daily count, one lag
+    * window per series, one tiny moment aggregate.
+    */
+  def arFit(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val pairs = daily
+      .withColumn("pd", lag("day", 1).over(w))
+      .withColumn("x", lag("n", 1).over(w))
+      .filter(col("pd") === col("day") - 1)
+      .select(col("event_type"), col("x"), col("n").as("y"))
+    val last = daily
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("event_type").orderBy(col("day").desc)))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("n").as("ylast"))
+    val mo = pairs.groupBy("event_type").agg(
+      count(lit(1)).as("m"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val num = col("m") * col("sxy") - col("sx") * col("sy")
+    val denx = col("m") * col("sxx") - col("sx") * col("sx")
+    val deny = col("m") * col("syy") - col("sy") * col("sy")
+    mo.join(last, Seq("event_type"))
+      .withColumn("num", num).withColumn("denx", denx).withColumn("deny", deny)
+      .filter(col("denx") =!= 0 && col("deny") =!= 0 && col("m") >= 8)
+      .withColumn("phi", col("num").cast("double") / col("denx").cast("double"))
+      .withColumn("icept",
+        (col("sy").cast("double") - col("phi") * col("sx").cast("double")) /
+          col("m").cast("double"))
+      .select(col("event_type"), col("m").as("n_pairs"),
+        round(col("phi"), 6).as("phi"),
+        round(col("icept"), 6).as("intercept"),
+        round(col("num").cast("double") * col("num").cast("double") /
+          (col("denx").cast("double") * col("deny").cast("double")), 6).as("r2"),
+        round(col("icept") + col("phi") * col("ylast").cast("double"), 6)
+          .as("next_fc"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[arFit]]: identical pair construction, identical
+    * exact-integer moments, identical output expression trees.
+    */
+  def arFitDuckSql: String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT event_type, lag(day) OVER w AS pd, lag(n) OVER w AS x, day, n AS y
+       |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+       |  QUALIFY pd = day - 1
+       |), lastv AS (
+       |  SELECT event_type, n AS ylast FROM daily
+       |  QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY day DESC) = 1
+       |), mo AS (
+       |  SELECT event_type, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+       |  FROM pairs GROUP BY 1
+       |), d AS (
+       |  SELECT mo.event_type, mo.m, mo.sx, mo.sy, l.ylast,
+       |         (mo.m*mo.sxy - mo.sx*mo.sy) AS num,
+       |         (mo.m*mo.sxx - mo.sx*mo.sx) AS denx,
+       |         (mo.m*mo.syy - mo.sy*mo.sy) AS deny
+       |  FROM mo JOIN lastv l ON l.event_type = mo.event_type
+       |), f AS (
+       |  SELECT *, CAST(num AS DOUBLE) / CAST(denx AS DOUBLE) AS phi
+       |  FROM d WHERE denx <> 0 AND deny <> 0 AND m >= 8
+       |), g AS (
+       |  SELECT *, (CAST(sy AS DOUBLE) - phi * CAST(sx AS DOUBLE))
+       |            / CAST(m AS DOUBLE) AS icept
+       |  FROM f
+       |)
+       |SELECT event_type, m AS n_pairs, round(phi, 6) AS phi,
+       |       round(icept, 6) AS intercept,
+       |       round(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)
+       |             / (CAST(denx AS DOUBLE) * CAST(deny AS DOUBLE)), 6) AS r2,
+       |       round(icept + phi * CAST(ylast AS DOUBLE), 6) AS next_fc
+       |FROM g ORDER BY event_type""".stripMargin
+
   /** Holt-Winters additive triple exponential smoothing (level + trend +
     * weekly seasonality, α=β=γ=0.5) over each event_type's daily counts —
     * the operational-forecast sibling of [[holtForecast]] that models the

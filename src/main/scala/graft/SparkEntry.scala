@@ -842,6 +842,12 @@ object SparkEntry {
     "ev_arima" -> ((s, dir) =>
       Events.arFit(T(s, dir, "events"))),
 
+    // two-sided CUSUM control chart per event_type: exact-moment μ/σ
+    // constants, the max(0, ·) recurrence as one aggregate-HOF fold,
+    // replayed step-for-step by the oracle's recursive CTE
+    "ev_cusum" -> ((s, dir) =>
+      Events.cusum(T(s, dir, "events"))),
+
     // STL-lite weekday decomposition: centered 7-row MA trend, per-weekday
     // seasonal index + residual variance from EXACT ×7-scaled integer
     // moments — only the closing divisions are float
@@ -3193,6 +3199,13 @@ object SparkEntry {
       Dedup.winnowedSubstringPairs(boilerplateDocs(s, dir), "doc_id", "text",
         minLen = 32, gram = 24)),
 
+    // blocking + edit-distance verification (entity-resolution two-phase):
+    // 32-char-prefix blocking key, full Levenshtein verify inside blocks,
+    // sim = 1 − ed/max(|a|,|b|) — the character-level metric beside the
+    // set-similarity dedup family
+    "dd_edit_pairs" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(T(s, dir, "documents"), "doc_id", "text")),
+
     // BPE tokenizer training: first 6 merges learned over the corpus —
     // per-round pair counting runs on the (word, freq) vocabulary table,
     // never the corpus; deterministic argmax tie-break (count DESC, lhs, rhs)
@@ -4602,6 +4615,8 @@ object SparkEntry {
     "ev_forecast" -> Events.holtForecastDuckSql,
     "ev_holt_winters" -> Events.holtWintersDuckSql,
     "ev_arima" -> Events.arFitDuckSql,
+    "ev_cusum" -> Events.cusumDuckSql,
+    "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),
 

@@ -1229,6 +1229,98 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Two-sided CUSUM control chart (Page 1954) per event_type over its
+    * daily count series: S⁺ₜ = max(0, S⁺ₜ₋₁ + (yₜ − μ − k)) and
+    * S⁻ₜ = max(0, S⁻ₜ₋₁ + (μ − k − yₜ)) with allowance k = σ/2 and alarm
+    * threshold h = 4σ — the sequential drift detector beside the global
+    * z-score (ev_anomaly) and the windowed ratio test (ev_changepoint).
+    * No reset after alarm (documented); alarms counts days with either
+    * statistic above h.
+    *
+    * μ and σ come from exact integer moments (Σy, Σy² over the series), so
+    * the fold constants are identical doubles in both engines; the
+    * recurrence itself is one aggregate-HOF fold over the day-sorted count
+    * array, replayed step-for-step by the oracle's recursive CTE. Scale
+    * shape: one map-side-combinable daily count; per-series state is one
+    * 3-field struct.
+    */
+  def cusum(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"),
+        count(lit(1)).as("m"), sum("n").as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      .withColumn("mu", col("sx").cast("double") / col("m").cast("double"))
+      .withColumn("sigma",
+        sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) /
+          col("m").cast("double"))
+    val init = struct(lit(0.0).as("sp"), lit(0.0).as("sn"), lit(0L).as("al"))
+    val folded = series.withColumn("st",
+      aggregate(col("ds"), init, (acc, d) => {
+        val y = d.getField("n").cast("double")
+        val k = col("sigma") / 2
+        val h = col("sigma") * 4
+        val spNew = greatest(lit(0.0),
+          acc.getField("sp") + (y - col("mu") - k))
+        val snNew = greatest(lit(0.0),
+          acc.getField("sn") + (col("mu") - k - y))
+        struct(spNew.as("sp"), snNew.as("sn"),
+          (acc.getField("al") +
+            when(spNew > h || snNew > h, 1L).otherwise(0L)).as("al"))
+      }))
+    folded.select(col("event_type"), col("m").as("days"),
+      round(col("mu"), 6).as("mu"), round(col("sigma"), 6).as("sigma"),
+      round(col("st.sp"), 6).as("cusum_up"),
+      round(col("st.sn"), 6).as("cusum_dn"),
+      col("st.al").as("alarms"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[cusum]]: identical exact-moment constants,
+    * identical greatest/max recurrence trees in a recursive CTE.
+    */
+  def cusumDuckSql: String = {
+    val spNew = "greatest(0.0, w.sp + (d.n - d.mu - d.sigma / 2))"
+    val snNew = "greatest(0.0, w.sn + (d.mu - d.sigma / 2 - d.n))"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), stats AS (
+       |  SELECT event_type, count(*) AS m, sum(n) AS sx, sum(n*n) AS sxx
+       |  FROM daily GROUP BY 1
+       |), cons AS (
+       |  SELECT event_type, m,
+       |         CAST(sx AS DOUBLE) / CAST(m AS DOUBLE) AS mu,
+       |         sqrt(CAST(m*sxx - sx*sx AS DOUBLE)) / CAST(m AS DOUBLE) AS sigma
+       |  FROM stats
+       |), idx AS (
+       |  SELECT d.event_type, d.n, c.mu, c.sigma,
+       |         row_number() OVER (PARTITION BY d.event_type ORDER BY d.day) AS i
+       |  FROM daily d JOIN cons c ON c.event_type = d.event_type
+       |), walk(event_type, i, sp, sn, al) AS (
+       |  SELECT event_type, 0, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |         CAST(0 AS BIGINT)
+       |  FROM cons
+       |  UNION ALL
+       |  SELECT d.event_type, w.i + 1, $spNew, $snNew,
+       |         w.al + CASE WHEN $spNew > d.sigma * 4
+       |                       OR $snNew > d.sigma * 4 THEN 1 ELSE 0 END
+       |  FROM walk w JOIN idx d ON d.event_type = w.event_type AND d.i = w.i + 1
+       |), fin AS (
+       |  SELECT w.* FROM walk w
+       |  JOIN (SELECT event_type, max(i) AS mi FROM walk GROUP BY 1) m
+       |    ON m.event_type = w.event_type AND w.i = m.mi
+       |)
+       |SELECT f.event_type, c.m AS days, round(c.mu, 6) AS mu,
+       |       round(c.sigma, 6) AS sigma, round(f.sp, 6) AS cusum_up,
+       |       round(f.sn, 6) AS cusum_dn, f.al AS alarms
+       |FROM fin f JOIN cons c ON c.event_type = f.event_type
+       |ORDER BY f.event_type""".stripMargin
+  }
+
   /** AR(1) autoregressive fit per event_type over its daily count series —
     * the model-based sibling of [[holtForecast]]: OLS of y_t on y_{t-1}
     * over consecutive-day pairs (date gaps are excluded from the

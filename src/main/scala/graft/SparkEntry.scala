@@ -842,6 +842,11 @@ object SparkEntry {
     "ev_arima" -> ((s, dir) =>
       Events.arFit(T(s, dir, "events"))),
 
+    // Pareto concentration deciles: exact per-decile event/cent sums and
+    // shares — the distributional readout beside the single-number Gini
+    "ev_pareto" -> ((s, dir) =>
+      Events.paretoDeciles(T(s, dir, "events"))),
+
     // two-sided CUSUM control chart per event_type: exact-moment μ/σ
     // constants, the max(0, ·) recurrence as one aggregate-HOF fold,
     // replayed step-for-step by the oracle's recursive CTE
@@ -2120,6 +2125,35 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // discrete Voronoi partition: every customer point assigned to its
+    // nearest nation-centroid site (argmin over (d2, site) — site id breaks
+    // exact-distance ties, so the discrete decision is engine-independent),
+    // then per-cell exact-integer stats. Sites broadcast; the per-point
+    // argmin is a map-side-combinable struct-min, never a window over the
+    // fan-out — the 100 TB nearest-site plan. Centroids are exact: x/y are
+    // halves, so their double sums are exact before the one division.
+    "sp_voronoi" -> ((s, dir) => {
+      val base = pointsDf(s, dir)
+      val pts = base.select(col("ck"), col("x"), col("y"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val cen = base.groupBy(col("c_nationkey").as("site"))
+        .agg((sum("x") / count(lit(1))).as("cx"),
+          (sum("y") / count(lit(1))).as("cy"))
+      pts.crossJoin(broadcast(cen))
+        .withColumn("d2",
+          (col("x") - col("cx")) * (col("x") - col("cx")) +
+            (col("y") - col("cy")) * (col("y") - col("cy")))
+        .groupBy("ck", "x", "y", "cents")
+        .agg(min(struct(col("d2"), col("site"))).as("m"))
+        .select(col("ck"), col("x"), col("y"), col("cents"),
+          col("m.site").as("site"))
+        .groupBy("site")
+        .agg(count(lit(1)).as("n_pts"), sum("cents").as("cents"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("site")
+    }),
+
     "sp_idw" -> ((s, dir) => {
       val pts = pointsDf(s, dir).select(col("c_nationkey").as("nk"),
         col("ck"), col("x"), col("y"),
@@ -4616,6 +4650,7 @@ object SparkEntry {
     "ev_holt_winters" -> Events.holtWintersDuckSql,
     "ev_arima" -> Events.arFitDuckSql,
     "ev_cusum" -> Events.cusumDuckSql,
+    "ev_pareto" -> Events.paretoDecilesDuckSql,
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),
@@ -4774,6 +4809,24 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_voronoi" -> (PtsCte + """
+      |, cen AS (
+      |  SELECT c_nationkey AS site, sum(x) / count(*) AS cx,
+      |         sum(y) / count(*) AS cy
+      |  FROM pts GROUP BY 1
+      |), xj AS (
+      |  SELECT p.ck, p.x, p.y,
+      |         CAST(round(p.c_acctbal * 100) AS BIGINT) AS cents, c.site,
+      |         (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2
+      |  FROM pts p CROSS JOIN cen c
+      |), asg AS (
+      |  SELECT * FROM xj
+      |  QUALIFY row_number() OVER (PARTITION BY ck ORDER BY d2, site) = 1
+      |)
+      |SELECT site, count(*) AS n_pts, CAST(sum(cents) AS BIGINT) AS cents,
+      |       min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+      |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "sp_idw" -> (PtsCte + {
       def t(c: String, i: Int) =
         s"coalesce(max(CASE WHEN rn = $i THEN $c END), 0.0)"

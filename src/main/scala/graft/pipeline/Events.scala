@@ -1229,6 +1229,57 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Pareto concentration deciles: users ranked by event volume, cut into
+    * 10 ntile buckets (ties broken by user_id, so bucket assignment is
+    * deterministic), with each decile's exact event count, cent sum, and
+    * volume share — the "does the top decile carry 80%?" readout beside
+    * the single-number Gini (ev_gini).
+    *
+    * All quantities are exact integers except the two closing share
+    * divisions. One user-rollup shuffle; the ntile window runs over the
+    * user table, not the event log.
+    */
+  def paretoDeciles(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("cents"))
+    val w = Window.orderBy(col("n").desc, col("user_id"))
+    val tot = perUser.agg(sum("n").as("tn"), sum("cents").as("tc"))
+    perUser.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("users"), sum("n").as("events"),
+        sum("cents").as("cents"))
+      .crossJoin(tot)
+      .select(col("decile"), col("users"), col("events"), col("cents"),
+        round(col("events").cast("double") / col("tn").cast("double"), 6)
+          .as("event_share"),
+        round(col("cents").cast("double") / col("tc").cast("double"), 6)
+          .as("cent_share"))
+      .orderBy("decile")
+  }
+
+  /** DuckDB replay of [[paretoDeciles]]. */
+  def paretoDecilesDuckSql: String =
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS n,
+       |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+       |  FROM events GROUP BY 1
+       |), b AS (
+       |  SELECT CAST(ntile(10) OVER (ORDER BY n DESC, user_id) AS BIGINT)
+       |           AS decile, n, cents
+       |  FROM u
+       |), t AS (
+       |  SELECT sum(n) AS tn, sum(cents) AS tc FROM u
+       |)
+       |SELECT decile, count(*) AS users, CAST(sum(n) AS BIGINT) AS events,
+       |       CAST(sum(cents) AS BIGINT) AS cents,
+       |       round(CAST(sum(n) AS DOUBLE) / CAST(t.tn AS DOUBLE), 6)
+       |         AS event_share,
+       |       round(CAST(sum(cents) AS DOUBLE) / CAST(t.tc AS DOUBLE), 6)
+       |         AS cent_share
+       |FROM b CROSS JOIN t
+       |GROUP BY decile, t.tn, t.tc ORDER BY decile""".stripMargin
+
   /** Two-sided CUSUM control chart (Page 1954) per event_type over its
     * daily count series: S⁺ₜ = max(0, S⁺ₜ₋₁ + (yₜ − μ − k)) and
     * S⁻ₜ = max(0, S⁻ₜ₋₁ + (μ − k − yₜ)) with allowance k = σ/2 and alarm

@@ -3240,6 +3240,16 @@ object SparkEntry {
     "dd_edit_pairs" -> ((s, dir) =>
       Dedup.editVerifiedPairs(T(s, dir, "documents"), "doc_id", "text")),
 
+    // BLEU-2 over the same blocking pairs: exact clipped n-gram matches,
+    // token-arithmetic totals, brevity penalty — the MT-grade overlap score
+    "tx_bleu" -> ((s, dir) =>
+      Dedup.bleuPairs(T(s, dir, "documents"), "doc_id", "text")),
+
+    // empirical-Bayes smoothed conversion ranking: beta-binomial shrinkage
+    // toward the global rate (m=20 pseudo-events), top-50 by smoothed rate
+    "ev_bayes" -> ((s, dir) =>
+      Events.ebConversion(T(s, dir, "events"))),
+
     // BPE tokenizer training: first 6 merges learned over the corpus —
     // per-round pair counting runs on the (word, freq) vocabulary table,
     // never the corpus; deterministic argmax tie-break (count DESC, lhs, rhs)
@@ -4652,6 +4662,8 @@ object SparkEntry {
     "ev_cusum" -> Events.cusumDuckSql,
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
+    "tx_bleu" -> Dedup.bleuPairsDuckSql(),
+    "ev_bayes" -> Events.ebConversionDuckSql(),
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),
 

@@ -1143,6 +1143,127 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** BLEU-2 over blocking candidate pairs (Papineni ACL'02): clipped
+    * unigram/bigram precision of the higher-id document against the
+    * lower-id reference, brevity penalty exp(1 − |ref|/|cand|) when the
+    * candidate is shorter — the MT-grade overlap score beside Levenshtein
+    * ([[editVerifiedPairs]]) and set Jaccard, used in pipelines to grade
+    * paraphrase/near-dup pairs by n-gram fidelity.
+    *
+    * Clipped matches Σ min(cntᵣ(g), cnt_c(g)) and all totals are exact
+    * integers (totals are token arithmetic — |c| and |c|−1 — never a gram
+    * materialization); p₁/p₂/BP/BLEU are fixed trees over them. Scale
+    * shape: one (id, n, gram) count table, gram-keyed joins restricted to
+    * blocked pairs, never all-pairs.
+    */
+  def bleuPairs(df: DataFrame, idCol: String, textCol: String,
+      prefixLen: Int = 32): DataFrame = {
+    val toksC = filter(split(lower(col("t")), "\\s+"), x => x =!= "")
+    val base = df.select(col(idCol).as("id"), col(textCol).as("t"),
+        substring(col(textCol), 1, prefixLen).as("k"))
+      .withColumn("ts", toksC).withColumn("len", size(col("ts")))
+    val pairs = base.select(col("id").as("id_a"), col("k"))
+      .join(base.select(col("id").as("id_b"), col("k")), "k")
+      .filter(col("id_a") < col("id_b")).select("id_a", "id_b")
+    def grams(n: Int): Column =
+      when(col("len") >= n, transform(sequence(lit(0), col("len") - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("ts"), i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val gcnt = base.select(col("id"), explode(array(
+        struct(lit(1).as("n"), grams(1).as("g")),
+        struct(lit(2).as("n"), grams(2).as("g")))).as("x"))
+      .select(col("id"), col("x.n").as("n"), explode(col("x.g")).as("g"))
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val ga = gcnt.select(col("id").as("id_a"), col("n"), col("g"), col("c").as("ca"))
+    val gb = gcnt.select(col("id").as("idb2"), col("n").as("nb"),
+      col("g").as("gb2"), col("c").as("cb"))
+    val matched = pairs.join(ga, "id_a")
+      .join(gb, col("id_b") === col("idb2") && col("n") === col("nb") &&
+        col("g") === col("gb2"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(when(col("n") === 1, least(col("ca"), col("cb")))
+          .otherwise(0L)).as("m1"),
+        sum(when(col("n") === 2, least(col("ca"), col("cb")))
+          .otherwise(0L)).as("m2"))
+    val lens = base.select(col("id"), col("len").cast("long").as("len"))
+    val out = pairs
+      .join(matched, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("m1", "m2"))
+      .join(lens.select(col("id").as("id_a"), col("len").as("la")), "id_a")
+      .join(lens.select(col("id").as("id_b"), col("len").as("lb")), "id_b")
+      .filter(col("lb") >= 2 && col("la") >= 2)
+      .withColumn("p1", col("m1").cast("double") / col("lb").cast("double"))
+      .withColumn("p2",
+        col("m2").cast("double") / (col("lb") - 1).cast("double"))
+      .withColumn("bp", when(col("lb") >= col("la"), lit(1.0))
+        .otherwise(exp(lit(1.0) -
+          col("la").cast("double") / col("lb").cast("double"))))
+    out.select(col("id_a"), col("id_b"), col("m1"), col("m2"),
+        round(col("p1"), 6).as("p1"), round(col("p2"), 6).as("p2"),
+        round(when(col("m1") > 0 && col("m2") > 0,
+          col("bp") * exp((log(col("p1")) + log(col("p2"))) / 2))
+          .otherwise(0.0), 6).as("bleu2"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB replay of [[bleuPairs]]: identical gram counts, identical
+    * clipped-min matches, identical p/BP/BLEU trees.
+    */
+  def bleuPairsDuckSql(prefixLen: Int = 32): String =
+    s"""WITH base AS (
+       |  SELECT doc_id AS id, substring(text, 1, $prefixLen) AS k,
+       |         list_filter(string_split_regex(lower(text), '\\s+'),
+       |                     t -> t <> '') AS ts
+       |  FROM documents
+       |), bl AS (
+       |  SELECT id, k, ts, len(ts) AS l FROM base
+       |), pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM bl a JOIN bl b ON a.k = b.k AND a.id < b.id
+       |), g AS (
+       |  SELECT id, n,
+       |         unnest(CASE WHEN l >= n
+       |           THEN list_transform(range(0, l - n + 1),
+       |                i -> array_to_string(list_slice(ts, i + 1, i + n), ' '))
+       |           ELSE [] END) AS g
+       |  FROM bl, (VALUES (1), (2)) t(n)
+       |), gc AS (
+       |  SELECT id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3
+       |), matched AS (
+       |  SELECT p.id_a, p.id_b,
+       |         sum(CASE WHEN ga.n = 1 THEN least(ga.c, gb.c) ELSE 0 END) AS m1,
+       |         sum(CASE WHEN ga.n = 2 THEN least(ga.c, gb.c) ELSE 0 END) AS m2
+       |  FROM pairs p
+       |  JOIN gc ga ON ga.id = p.id_a
+       |  JOIN gc gb ON gb.id = p.id_b AND gb.n = ga.n AND gb.g = ga.g
+       |  GROUP BY 1, 2
+       |), lens AS (
+       |  SELECT id, CAST(l AS BIGINT) AS l FROM bl
+       |), o AS (
+       |  SELECT p.id_a, p.id_b,
+       |         coalesce(m.m1, 0) AS m1, coalesce(m.m2, 0) AS m2,
+       |         la.l AS la, lb.l AS lb
+       |  FROM pairs p
+       |  LEFT JOIN matched m ON m.id_a = p.id_a AND m.id_b = p.id_b
+       |  JOIN lens la ON la.id = p.id_a
+       |  JOIN lens lb ON lb.id = p.id_b
+       |  WHERE lb.l >= 2 AND la.l >= 2
+       |), f AS (
+       |  SELECT id_a, id_b, m1, m2,
+       |         CAST(m1 AS DOUBLE) / CAST(lb AS DOUBLE) AS p1,
+       |         CAST(m2 AS DOUBLE) / CAST(lb - 1 AS DOUBLE) AS p2,
+       |         CASE WHEN lb >= la THEN 1.0
+       |              ELSE exp(1.0 - CAST(la AS DOUBLE) / CAST(lb AS DOUBLE))
+       |         END AS bp
+       |  FROM o
+       |)
+       |SELECT id_a, id_b, CAST(m1 AS BIGINT) AS m1, CAST(m2 AS BIGINT) AS m2,
+       |       round(p1, 6) AS p1, round(p2, 6) AS p2,
+       |       round(CASE WHEN m1 > 0 AND m2 > 0
+       |                  THEN bp * exp((ln(p1) + ln(p2)) / 2)
+       |                  ELSE 0.0 END, 6) AS bleu2
+       |FROM f ORDER BY 1, 2""".stripMargin
+
   /** DuckDB replay of [[editVerifiedPairs]]. */
   def editVerifiedDuckSql(prefixLen: Int = 32): String =
     s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -1229,6 +1229,51 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Empirical-Bayes smoothed per-user conversion rates (beta-binomial
+    * shrinkage toward the global rate, prior strength `m` pseudo-events):
+    * eb = (conv + m·p₀)/(n + m) — the standard fix for small-sample rate
+    * ranking (a 1/1 user must not outrank a 95/100 user). Returns the
+    * top-`k` users by smoothed rate.
+    *
+    * Counts are exact; p₀ and each eb are fixed division trees over them,
+    * ordering is on the ROUNDED eb with user_id tie-break so the top-k cut
+    * is engine-independent. One user-rollup shuffle; the global rate is a
+    * 2-long scalar crossJoin, and the top-k is a TakeOrdered, not a sort.
+    */
+  def ebConversion(events: DataFrame, convType: String = "purchase",
+      m: Int = 20, k: Int = 50): DataFrame = {
+    val perUser = events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === convType, 1L).otherwise(0L)).as("conv"))
+    val tot = perUser.agg(sum("n").as("tn"), sum("conv").as("tc"))
+    perUser.crossJoin(tot)
+      .withColumn("p0", col("tc").cast("double") / col("tn").cast("double"))
+      .select(col("user_id"), col("n"), col("conv"),
+        round(col("conv").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate"),
+        round((col("conv").cast("double") + lit(m) * col("p0")) /
+          (col("n").cast("double") + lit(m)), 6).as("eb_rate"))
+      .orderBy(col("eb_rate").desc, col("user_id"))
+      .limit(k)
+  }
+
+  /** DuckDB replay of [[ebConversion]]. */
+  def ebConversionDuckSql(convType: String = "purchase",
+      m: Int = 20, k: Int = 50): String =
+    s"""WITH u AS (
+       |  SELECT user_id, count(*) AS n,
+       |         sum(CASE WHEN event_type = '$convType' THEN 1 ELSE 0 END) AS conv
+       |  FROM events GROUP BY 1
+       |), t AS (
+       |  SELECT CAST(sum(conv) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS p0 FROM u
+       |)
+       |SELECT user_id, n, CAST(conv AS BIGINT) AS conv,
+       |       round(CAST(conv AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+       |       round((CAST(conv AS DOUBLE) + $m * t.p0)
+       |             / (CAST(n AS DOUBLE) + $m), 6) AS eb_rate
+       |FROM u CROSS JOIN t
+       |ORDER BY eb_rate DESC, user_id LIMIT $k""".stripMargin
+
   /** Pareto concentration deciles: users ranked by event volume, cut into
     * 10 ntile buckets (ties broken by user_id, so bucket assignment is
     * deterministic), with each decile's exact event count, cent sum, and

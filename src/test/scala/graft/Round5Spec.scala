@@ -935,4 +935,128 @@ class Round5Spec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - slope) < 1e-6, r.toString)
     assert(r.getDouble(3) > 0.97)  // near-linear log-log (freq 4,2,1 isn't exact Zipf)
   }
+
+  private val dayNs = 86400000000000L
+
+  test("arFit: perfect AR(1) line y_t = y_{t-1} + 1 recovers phi=1, c=1, r2=1") {
+    import graft.pipeline.Events
+    // day d (0..11) carries d+1 events → consecutive pairs fit y = x + 1
+    val rows = (0 until 12).flatMap { d =>
+      Seq.fill(d + 1)(("load", d * dayNs + 7L))
+    }
+    val r = Events.arFit(rows.toDF("event_type", "ts")).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 11L)                       // n_pairs
+    assert(r(0).getDouble(2) == 1.0, r(0).toString)      // phi
+    assert(r(0).getDouble(3) == 1.0, r(0).toString)      // intercept
+    assert(r(0).getDouble(4) == 1.0, r(0).toString)      // r2
+    assert(r(0).getDouble(5) == 13.0, r(0).toString)     // next_fc = 1 + 1*12
+  }
+
+  test("cusum: level shift climbs the one-sided statistics and counts alarms") {
+    import graft.pipeline.Events
+    // 10 days at 10/day then 10 days at 30/day: mu=20, sigma=10, k=5, h=40
+    val rows = (0 until 20).flatMap { d =>
+      Seq.fill(if (d < 10) 10 else 30)(("load", d * dayNs + 7L))
+    }
+    val r = Events.cusum(rows.toDF("event_type", "ts")).collect()(0)
+    assert(r.getLong(1) == 20L && r.getDouble(2) == 20.0 && r.getDouble(3) == 10.0)
+    // manual fold: sn climbs 5/day for 10 days (alarm on days 9,10: 45,50),
+    // then decays 15/day; sp climbs 5/day in the second half (alarms at 45,50)
+    var sp = 0.0; var sn = 0.0; var al = 0L
+    (0 until 20).foreach { d =>
+      val y = if (d < 10) 10.0 else 30.0
+      sp = math.max(0.0, sp + (y - 20.0 - 5.0))
+      sn = math.max(0.0, sn + (20.0 - 5.0 - y))
+      if (sp > 40.0 || sn > 40.0) al += 1
+    }
+    assert(r.getDouble(4) == sp && r.getDouble(5) == sn && r.getLong(6) == al,
+      s"$r vs ($sp, $sn, $al)")
+  }
+
+  test("divergence: hand-computed KL/JS on a two-group two-word corpus") {
+    import graft.pipeline.Corpus
+    val docs = Seq((1L, "a a a b", "g1"), (2L, "a b b b", "g2"))
+      .toDF("doc_id", "text", "lang")
+    val got = Corpus.divergence(docs, "lang", "text")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // corpus q = (a: 4/8, b: 4/8); g1 p = (3/4, 1/4)
+    def kl(p: Seq[Double], q: Seq[Double]) =
+      p.zip(q).filter(_._1 > 0).map { case (pi, qi) => pi * math.log(pi / qi) }.sum
+    val exp = kl(Seq(0.75, 0.25), Seq(0.5, 0.5))
+    assert(math.abs(got("g1").getDouble(3) - exp) < 1e-6, got("g1").toString)
+    assert(got("g1").getLong(1) == 2L && got("g1").getLong(2) == 4L)
+    // symmetric corpus → both groups share the same divergence values
+    assert(got("g1").getDouble(4) == got("g2").getDouble(4))
+  }
+
+  test("editVerifiedPairs: one edit inside a shared blocking prefix") {
+    import graft.pipeline.Dedup
+    val p = "x" * 32
+    val docs = Seq((1L, p + " the cat sat"), (2L, p + " the cut sat"),
+      (3L, "completely different prefix here")).toDF("doc_id", "text")
+    val got = Dedup.editVerifiedPairs(docs, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 1L && got(0).getLong(1) == 2L)
+    assert(got(0).getLong(2) == 1L) // a→u substitution
+    assert(math.abs(got(0).getDouble(3) - (1.0 - 1.0 / 44.0)) < 1e-6)
+  }
+
+  test("bleuPairs: identical documents score BLEU-2 = 1, disjoint score 0") {
+    import graft.pipeline.Dedup
+    val p = "y" * 32
+    val docs = Seq((1L, p + " one two three"), (2L, p + " one two three"),
+      (4L, p + " four five six seven")).toDF("doc_id", "text")
+    val got = Dedup.bleuPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    val same = got((1L, 2L))
+    assert(same.getDouble(4) == 1.0 && same.getDouble(5) == 1.0 &&
+      same.getDouble(6) == 1.0, same.toString)
+    // 1 vs 4: only the prefix token is shared; bigram matches = 0 → bleu 0
+    val diff = got((1L, 4L))
+    assert(diff.getLong(2) == 1L && diff.getLong(3) == 0L &&
+      diff.getDouble(6) == 0.0, diff.toString)
+  }
+
+  test("paretoDeciles and ebConversion: exact shares and shrinkage ranking") {
+    import graft.pipeline.Events
+    // 10 users, user u emits u+1 events of value 1.0 → 55 events
+    val rows = (0 until 10).flatMap { u =>
+      (0 to u).map(i => (u.toLong, i * dayNs + 1L,
+        if (i == 0) "purchase" else "view", 1.0))
+    }
+    val df = rows.toDF("user_id", "ts", "event_type", "value")
+    val deciles = Events.paretoDeciles(df).collect()
+    assert(deciles.length == 10 && deciles.forall(_.getLong(1) == 1L))
+    assert(deciles(0).getLong(2) == 10L) // top decile = heaviest user
+    assert(math.abs(deciles(0).getDouble(4) - 10.0 / 55.0) < 1e-6)
+    // shrinkage: a 1/1 user must rank below a 95/100 user even though the
+    // raw rate says otherwise
+    val ebRows = Seq((1L, 1L, "purchase", 1.0)) ++
+      (0 until 100).map(i => (2L, i * dayNs + 1L,
+        if (i < 95) "purchase" else "view", 1.0)) ++
+      (0 until 100).map(i => (3L, i * dayNs + 2L, "view", 1.0))
+    val eb = Events.ebConversion(
+      ebRows.toDF("user_id", "ts", "event_type", "value"), m = 20, k = 10)
+      .collect()
+    assert(eb(0).getLong(0) == 2L, eb.map(_.toString).mkString(";"))
+    assert(eb(0).getDouble(3) < eb(1).getDouble(3)) // raw rate disagrees
+  }
+
+  test("sp_voronoi: cells partition the point set exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("sp_voronoi")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val nPts = got.map(_.getLong(1)).sum
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(nPts == nCust, s"$nPts vs $nCust")
+  }
+
+  test("holtWinters: constant series settles at level=c, zero trend/seasonals") {
+    import graft.pipeline.Events
+    val rows = (0 until 21).flatMap { d => Seq.fill(6)(("load", d * dayNs + 7L)) }
+    val r = Events.holtWinters(rows.toDF("event_type", "ts")).collect()(0)
+    assert(r.getDouble(1) == 6.0 && r.getDouble(2) == 0.0, r.toString)
+    (3 to 9).foreach(i => assert(r.getDouble(i) == 0.0, r.toString))
+  }
 }

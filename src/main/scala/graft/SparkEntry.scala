@@ -59,6 +59,45 @@ object SparkEntry {
     new GeoFrame(pointsDf(s, dir))
 
   /** Shared oracle CTE for the point layer (must mirror pointsDf exactly). */
+  /** Shared IVF-eval oracle CTEs (through `approx` ranked ≤5 and `exact`
+    * top-5): the DuckDB replay of the flat IVF index + probe protocol used
+    * by sim_recall and sim_ndcg.
+    */
+  private val IvfEvalCtes =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+      |sims AS (
+      |  SELECT e.vec_id AS id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
+      |  FROM e CROSS JOIN c
+      |), assign AS (
+      |  SELECT id, v, cid FROM (
+      |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
+      |    FROM sims) WHERE rn = 1
+      |), q AS (
+      |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
+      |), probes AS (
+      |  SELECT qid, cid FROM (
+      |    SELECT q.qid, c.cid,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+      |    FROM q CROSS JOIN c) WHERE rn <= 2
+      |), cand AS (
+      |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+      |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid
+      |  WHERE a.id <> q.qid
+      |), approx AS (
+      |  SELECT qid, nid, rank FROM (
+      |    SELECT qid, nid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+      |    FROM cand) WHERE rank <= 5
+      |), exact AS (
+      |  SELECT qid, nid FROM (
+      |    SELECT q.qid, e.vec_id AS nid,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rank
+      |    FROM q CROSS JOIN e WHERE e.vec_id <> q.qid) WHERE rank <= 5
+      |)""".stripMargin
+
   private val PtsCte =
     """WITH pts AS (
       |  SELECT c_custkey AS ck, c_nationkey, c_acctbal,
@@ -3395,6 +3434,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 2)
     }),
 
+    // NDCG@5 of the same IVF shortlist: position-sensitive retrieval grade
+    // (log2-discounted binary relevance) — finds-them-but-misorders-them
+    // scores below ranks-them-right; per-query DCG and the cross-query mean
+    // both fold in ordered running windows
+    "sim_ndcg" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+      Similarity.ndcgAtK(
+        Similarity.ivfKnnJoin(emb, qs, "vec_id", "embedding",
+          k = 5, nlist = 16, nprobe = 2),
+        emb, qs, "vec_id", "embedding", k = 5)
+    }),
+
     // per-language percentile length gate: relative quality threshold per
     // stratum; ONE stratum shuffle serves window + summary aggregate
     "tx_quality_gate" -> ((s, dir) =>
@@ -6076,40 +6128,8 @@ object SparkEntry {
         |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
         |ORDER BY qid, rank""".stripMargin,
 
-    "sim_recall" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
-        |sims AS (
-        |  SELECT e.vec_id AS id, e.v, c.cid, list_cosine_similarity(e.v, c.cv) AS s
-        |  FROM e CROSS JOIN c
-        |), assign AS (
-        |  SELECT id, v, cid FROM (
-        |    SELECT id, v, cid, row_number() OVER (PARTITION BY id ORDER BY s DESC, cid) AS rn
-        |    FROM sims) WHERE rn = 1
-        |), q AS (
-        |  SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0
-        |), probes AS (
-        |  SELECT qid, cid FROM (
-        |    SELECT q.qid, c.cid,
-        |           row_number() OVER (PARTITION BY q.qid
-        |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
-        |    FROM q CROSS JOIN c) WHERE rn <= 2
-        |), cand AS (
-        |  SELECT q.qid, a.id AS nid, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
-        |  FROM q JOIN probes p ON q.qid = p.qid JOIN assign a ON a.cid = p.cid
-        |  WHERE a.id <> q.qid
-        |), approx AS (
-        |  SELECT qid, nid FROM (
-        |    SELECT qid, nid,
-        |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
-        |    FROM cand) WHERE rank <= 5
-        |), exact AS (
-        |  SELECT qid, nid FROM (
-        |    SELECT q.qid, e.vec_id AS nid,
-        |           row_number() OVER (PARTITION BY q.qid
-        |             ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.vec_id) AS rank
-        |    FROM q CROSS JOIN e WHERE e.vec_id <> q.qid) WHERE rank <= 5
-        |), hits AS (
+    "sim_recall" -> (IvfEvalCtes + """
+        |, hits AS (
         |  SELECT exact.qid, count(*) AS h
         |  FROM exact JOIN approx ON exact.qid = approx.qid AND exact.nid = approx.nid
         |  GROUP BY 1
@@ -6120,7 +6140,40 @@ object SparkEntry {
         |SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |       round(CAST(sum(h) AS DOUBLE) / (5 * count(*)), 6) AS avg_recall,
         |       round(CAST(min(h) AS DOUBLE) / 5, 6) AS min_recall
-        |FROM perq""".stripMargin,
+        |FROM perq""".stripMargin),
+
+    "sim_ndcg" -> (IvfEvalCtes + """
+        |, g AS (
+        |  SELECT a.qid, a.rank,
+        |         CASE WHEN e.nid IS NOT NULL
+        |              THEN 1.0 / log2(CAST(a.rank AS DOUBLE) + 1) ELSE 0.0
+        |         END AS g
+        |  FROM approx a LEFT JOIN exact e ON e.qid = a.qid AND e.nid = a.nid
+        |), dcg AS (
+        |  SELECT qid, dcg FROM (
+        |    SELECT qid, row_number() OVER (PARTITION BY qid ORDER BY rank) AS rn,
+        |           count(*) OVER (PARTITION BY qid) AS nr,
+        |           sum(g) OVER (PARTITION BY qid ORDER BY rank
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dcg
+        |    FROM g) WHERE rn = nr
+        |), scored AS (
+        |  SELECT qq.qid, coalesce(d.dcg, 0.0)
+        |         / (1.0/log2(2.0) + 1.0/log2(3.0) + 1.0/log2(4.0)
+        |            + 1.0/log2(5.0) + 1.0/log2(6.0)) AS ndcg
+        |  FROM (SELECT DISTINCT qid FROM q) qq LEFT JOIN dcg d ON d.qid = qq.qid
+        |), fin AS (
+        |  SELECT qid, ndcg,
+        |         row_number() OVER (ORDER BY qid) AS rn,
+        |         count(*) OVER () AS nq,
+        |         sum(ndcg) OVER (ORDER BY qid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+        |         min(ndcg) OVER () AS mn
+        |  FROM scored
+        |)
+        |SELECT CAST(nq AS BIGINT) AS n_queries,
+        |       round(s / CAST(nq AS DOUBLE), 6) AS avg_ndcg,
+        |       round(mn, 6) AS min_ndcg
+        |FROM fin WHERE rn = nq""".stripMargin),
 
     "sp_tile_pyramid" -> (PtsCte +
       """

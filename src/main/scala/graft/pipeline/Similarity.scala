@@ -636,6 +636,65 @@ object Similarity {
         round(min(col("h")).cast("double") / k, 6).as("min_recall"))
   }
 
+  /** NDCG@k of ANY batch ANN output against the exact top-k — the
+    * position-sensitive retrieval grade beside [[recallAtK]]: a shortlist
+    * that finds the right neighbors but in the wrong order scores below
+    * one that ranks them correctly (binary relevance, standard
+    * log2-discount — Järvelin & Kekäläinen TOIS'02). IDCG is the constant
+    * Σᵢ₌₁..k 1/log2(i+1) (the corpus always has ≥k true neighbors).
+    *
+    * Determinism: gains are fixed trees (1/log2(rank+1) on hit), and both
+    * the per-query DCG fold and the cross-query mean run as ordered
+    * running windows, so both engines add the same doubles in the same
+    * order. Scale shape: the exact side is the eval protocol on a sampled
+    * query set; everything else is (qid, nid)-keyed.
+    */
+  def ndcgAtK(approxOut: DataFrame, corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid"))
+    val exact = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .crossJoin(corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec")))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(cosine(transform(col("qvec"), _.cast("double")),
+          transform(col("nvec"), _.cast("double"))), 6).as("cosine"))
+      .withColumn("erank", row_number().over(w))
+      .filter(col("erank") <= k)
+      .select(col("qid"), col("nid"), lit(1L).as("hit"))
+    val gains = approxOut.select(col("qid"), col("rank"), col("nid"))
+      .join(exact, Seq("qid", "nid"), "left")
+      .withColumn("g", when(col("hit").isNotNull,
+        lit(1.0) / log2(col("rank").cast("double") + 1)).otherwise(0.0))
+    val wq = Window.partitionBy("qid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perQ = gains
+      .withColumn("rn", row_number().over(Window.partitionBy("qid").orderBy("rank")))
+      .withColumn("nr", count(lit(1)).over(Window.partitionBy("qid")))
+      .withColumn("dcg", sum("g").over(wq))
+      .filter(col("rn") === col("nr"))
+      .select(col("qid"), col("dcg"))
+    val idcg = (2 to k + 1)
+      .map(i => lit(1.0) / log2(lit(i.toDouble))).reduce(_ + _)
+    val scored = queries.select(col(idCol).as("qid")).distinct()
+      .join(perQ, Seq("qid"), "left")
+      .na.fill(0.0, Seq("dcg"))
+      .withColumn("ndcg", col("dcg") / idcg)
+    val wg = Window.orderBy("qid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.orderBy("qid")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    scored
+      .withColumn("rn", row_number().over(Window.orderBy("qid")))
+      .withColumn("nq", count(lit(1)).over(wAll))
+      .withColumn("s", sum("ndcg").over(wg))
+      .withColumn("mn", min("ndcg").over(wAll))
+      .filter(col("rn") === col("nq"))
+      .select(col("nq").as("n_queries"),
+        round(col("s") / col("nq").cast("double"), 6).as("avg_ndcg"),
+        round(col("mn"), 6).as("min_ndcg"))
+  }
+
   /** All pairs with cosine ≥ threshold — SRP-bucket self-join (candidates
     * share a bucket in at least one of `tables` independent hashings) +
     * exact cosine verification.

@@ -3324,6 +3324,23 @@ object SparkEntry {
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
     }),
 
+    // CCNet-style perplexity bucketing: score EVERY document with the
+    // 4/5-trained bigram LM, cut into 10 ntile buckets by (avg_nll, id) —
+    // the curriculum / head-middle-tail split a perplexity filter feeds;
+    // per-bucket totals exact, boundaries are order statistics
+    "tx_ppl_bucket" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val scored = LanguageModel.bigramScore(
+        docs.filter(col("doc_id") % 5 =!= 0), docs, "doc_id", "text")
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("avg_nll"), col("id"))
+      scored.withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("docs"), sum("n_bigrams").as("bigrams"),
+          min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"))
+        .orderBy("bucket")
+    }),
+
     // multinomial Naive Bayes lang classifier: train on the 4/5 slice,
     // score the held-out 1/5 — model stays sharded on word keys
     "tx_classify" -> ((s, dir) => {
@@ -5953,6 +5970,17 @@ object SparkEntry {
 
     "tx_lm_score" ->
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    "tx_ppl_bucket" -> s"""
+      |SELECT bucket, count(*) AS docs,
+      |       CAST(sum(n_bigrams) AS BIGINT) AS bigrams,
+      |       min(avg_nll) AS min_nll, max(avg_nll) AS max_nll
+      |FROM (
+      |  SELECT CAST(ntile(10) OVER (ORDER BY avg_nll, id) AS BIGINT) AS bucket,
+      |         n_bigrams, avg_nll
+      |  FROM (${LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "TRUE")}) s
+      |) b
+      |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tx_classify" ->
       Classify.naiveBayesDuckSql("id % 5 <> 0", "id % 5 = 0"),

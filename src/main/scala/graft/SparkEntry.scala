@@ -419,6 +419,36 @@ object SparkEntry {
         .orderBy(col("revenue_scaled").desc, col("l_orderkey")).limit(10)
     }),
 
+    // TPC-H Q10 (returned-item revenue): who returned the most value in a
+    // quarter — returnflag filter and the date window both pushed to the
+    // scans, the two facts shuffle on orderkey, nation broadcast, exact
+    // integer cents×pct revenue, top-20 as a TakeOrdered (no global sort)
+    "q10_returns" -> ((s, dir) => {
+      val lo = to_timestamp(lit("1996-01-01"))
+      val hi = to_timestamp(lit("1996-04-01"))
+      val li = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long").as("cnk"),
+        round(col("c_acctbal") * 100).cast("long").as("acctbal_cents"))
+      val nat = T(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("nnk"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("cnk") === col("nnk"))
+        .groupBy(col("c_custkey"), col("c_name"), col("acctbal_cents"),
+          col("n_name"))
+        .agg(sum("vol").as("revenue_scaled"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("acctbal_cents"), col("revenue_scaled"))
+        .orderBy(col("revenue_scaled").desc, col("c_custkey")).limit(20)
+    }),
+
     // TPC-H Q17 (small-quantity-order revenue): per-part average quantity
     // as a correlated threshold. The avg comparison is cross-multiplied to
     // exact integers (qty·5·cnt < sum_qty ⟺ qty < 0.2·avg), revenue stays
@@ -3649,6 +3679,22 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q10_returns" ->
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_scaled
+        |FROM customer
+        |JOIN nation ON n_nationkey = c_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, n_name, c_acctbal
+        |ORDER BY revenue_scaled DESC, c_custkey LIMIT 20""".stripMargin,
 
     "ev_top_users" ->
       "SELECT user_id, count(*) AS n FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 20",

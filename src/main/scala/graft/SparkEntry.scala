@@ -993,6 +993,20 @@ object SparkEntry {
     // multi-source BFS over the same trade graph: min hop from any nation-0
     // customer, 3 frontier rounds (customer→supplier→customer→supplier on
     // the bipartite graph) — Graphs.bfs, the Pregel-shaped frontier plan
+    // deterministic hash-guided walks over the bipartite order graph — the
+    // DeepWalk corpus-prep step with a hash argmin standing in for the RNG
+    // draw, so the walk corpus is bit-reproducible across engines and runs
+    "gr_walks" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select((col("c_custkey") * 2).as("node"))
+      Graphs.hashWalks(edges, seeds, steps = 4)
+    }),
+
     "gr_bfs" -> ((s, dir) => {
       val eraw = T(s, dir, "lineitem")
         .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
@@ -3975,6 +3989,16 @@ object SparkEntry {
         |), e0 AS (
         |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
         |)""".stripMargin, k = 25, rounds = 4),
+
+    "gr_walks" -> Graphs.hashWalksDuckSql(
+      """eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |)""".stripMargin,
+      "SELECT c_custkey * 2 AS seed, c_custkey * 2 AS cur FROM customer WHERE c_nationkey = 0",
+      steps = 4),
 
     "gr_bfs" ->
       """WITH RECURSIVE eraw AS (

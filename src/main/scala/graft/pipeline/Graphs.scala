@@ -493,6 +493,64 @@ l$i AS (SELECT src AS node, lbl FROM (
     * chained per-hop CTEs forward (anti-join settled, integer σ sums) and
     * backward (left-join contributions, the same σ_v/σ_w·(1+δ_w) tree).
     */
+  /** Deterministic hash-guided walks — the DeepWalk/node2vec corpus-prep
+    * step (Perozzi KDD'14) made reproducible: from every seed, `steps`
+    * hops where the next node is the out-neighbor minimizing the integer
+    * mix (cur·1000003 + t·101 + nbr·7919) mod 1000000007 (ties by
+    * neighbor id). A hash argmin stands in for the usual RNG draw so both
+    * engines — and any two cluster runs — emit the identical walk corpus;
+    * swapping in a seeded per-partition RNG keeps the dataflow unchanged.
+    * A node with no out-edges ends its walk early.
+    *
+    * Scale shape: one edges-keyed join + map-side-combinable struct-min
+    * argmin per step; state per step is one (seed, cur) row per walk,
+    * never a frontier explosion. Node ids must stay below ~9·10¹² for the
+    * mix to avoid 64-bit overflow (documented bound).
+    */
+  def hashWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    var cur = seeds.select(col("node").cast("long").as("seed"),
+      col("node").cast("long").as("cur"))
+    var out = cur.select(col("seed"), lit(0L).as("step"), col("cur").as("node"))
+    for (t <- 1 to steps) {
+      val h = (col("cur") * 1000003L + lit(t.toLong) * 101L +
+        col("dst") * 7919L) % 1000000007L
+      cur = cur.join(e, col("cur") === col("src"))
+        .groupBy(col("seed"))
+        .agg(min(struct(h.as("h"), col("dst").as("d"))).as("m"))
+        .select(col("seed"), col("m.d").cast("long").as("cur"))
+      out = out.union(
+        cur.select(col("seed"), lit(t.toLong).as("step"), col("cur").as("node")))
+    }
+    out.orderBy("seed", "step")
+  }
+
+  /** DuckDB replay of [[hashWalks]]: one chained argmin CTE per step. */
+  def hashWalksDuckSql(eCtes: String, seedSql: String, steps: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""w$t AS (
+         |  SELECT seed, nxt AS cur FROM (
+         |    SELECT w.seed, e.dst AS nxt,
+         |           row_number() OVER (PARTITION BY w.seed
+         |             ORDER BY (w.cur * 1000003 + $t * 101 + e.dst * 7919)
+         |                      % 1000000007, e.dst) AS rn
+         |    FROM w${t - 1} w JOIN e ON e.src = w.cur) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val levels = (0 to steps)
+      .map(t => s"SELECT seed, $t AS step, cur AS node FROM w$t")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $eCtes,
+       |w0 AS ($seedSql),
+       |$stepCtes,
+       |acc AS (
+       |  $levels
+       |)
+       |SELECT CAST(seed AS BIGINT) AS seed, CAST(step AS BIGINT) AS step,
+       |       CAST(node AS BIGINT) AS node
+       |FROM acc ORDER BY 1, 2""".stripMargin
+  }
+
   def brandesDuckSql(eCtes: String, seedSql: String, maxHop: Int, k: Int): String = {
     val fwd = (1 to maxHop).map { h =>
       s"""s$h AS (

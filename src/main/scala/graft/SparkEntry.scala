@@ -911,6 +911,11 @@ object SparkEntry {
     "ev_arima" -> ((s, dir) =>
       Events.arFit(T(s, dir, "events"))),
 
+    // walk-forward one-step Holt backtest: MAE/worst error per series,
+    // error sum folded inside the same sequential HOF as the state
+    "ev_backtest" -> ((s, dir) =>
+      Events.holtBacktest(T(s, dir, "events"))),
+
     // Pareto concentration deciles: exact per-decile event/cent sums and
     // shares — the distributional readout beside the single-number Gini
     "ev_pareto" -> ((s, dir) =>
@@ -1745,6 +1750,15 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.languageIdExpr(col("text")).as("lang_guess"),
           TextAnalysis.polyFingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))),
+
+    // language-ID confusion matrix vs the gold labels — the eval readout
+    // that decides whether the n-gram heuristic is good enough to gate on;
+    // pure integer counts, one (truth, guess) aggregate
+    "tx_langid_conf" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.languageIdExpr(col("text")).as("guess"))
+        .groupBy("lang", "guess").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "guess")),
 
     "sim_srp_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -4637,6 +4651,11 @@ object SparkEntry {
          |       ${TextAnalysis.polyFingerprintDuckSql("text")} AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "tx_langid_conf" ->
+      s"""SELECT lang, ${TextAnalysis.languageIdDuckSql("text")} AS guess,
+         |       count(*) AS n
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "mm_decode" -> MmDecodeSql,
 
     "mm_phash" -> MmPhashSql,
@@ -4800,6 +4819,7 @@ object SparkEntry {
     "ev_arima" -> Events.arFitDuckSql,
     "ev_cusum" -> Events.cusumDuckSql,
     "ev_pareto" -> Events.paretoDecilesDuckSql,
+    "ev_backtest" -> Events.holtBacktestDuckSql,
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "ev_bayes" -> Events.ebConversionDuckSql(),

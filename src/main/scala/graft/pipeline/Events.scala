@@ -1229,6 +1229,88 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Walk-forward one-step backtest of the Holt forecast (α=β=0.5): at
+    * each day t ≥ 2 the pre-update state forecasts f = l + b, the absolute
+    * error |yₜ − f| accumulates, and only then does the state consume yₜ —
+    * the standard "would the forecaster have worked" readout (MAE and
+    * worst-case error per series) that turns ev_forecast from a number
+    * into a graded model.
+    *
+    * The error sum folds inside the same sequential aggregate-HOF as the
+    * smoothing state, so its addition order is the day order in both
+    * engines — no order-free double sum anywhere. One map-side-combinable
+    * daily count; per-series state is a 4-field struct.
+    */
+  def holtBacktest(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val series = daily.groupBy("event_type")
+      .agg(sort_array(collect_list(struct(col("day"), col("n")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    val init = struct(lit(0.0).as("l"), lit(0.0).as("b"),
+      lit(0.0).as("sae"), lit(0.0).as("mx"), lit(true).as("first"))
+    val folded = series.withColumn("st",
+      aggregate(col("ds"), init, (acc, d) => {
+        val y = d.getField("n").cast("double")
+        val f = acc.getField("l") + acc.getField("b")
+        val e = abs(y - f)
+        val lNew = lit(0.5) * y + lit(0.5) * (acc.getField("l") + acc.getField("b"))
+        val bNew = lit(0.5) * (lNew - acc.getField("l")) +
+          lit(0.5) * acc.getField("b")
+        struct(
+          when(acc.getField("first"), y).otherwise(lNew).as("l"),
+          when(acc.getField("first"), lit(0.0)).otherwise(bNew).as("b"),
+          when(acc.getField("first"), lit(0.0))
+            .otherwise(acc.getField("sae") + e).as("sae"),
+          when(acc.getField("first"), lit(0.0))
+            .otherwise(greatest(acc.getField("mx"), e)).as("mx"),
+          lit(false).as("first"))
+      }))
+    folded.select(col("event_type"),
+      (size(col("ds")) - 1).cast("long").as("n_eval"),
+      round(col("st.sae") / (size(col("ds")) - 1).cast("double"), 6).as("mae"),
+      round(col("st.mx"), 6).as("max_ae"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[holtBacktest]]: recursive CTE carrying the same
+    * 4-field state, lNew inlined into bNew exactly as the Column tree.
+    */
+  def holtBacktestDuckSql: String = {
+    val lNew = "(0.5 * d.n + 0.5 * (w.l + w.b))"
+    val e = "abs(d.n - (w.l + w.b))"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), idx AS (
+       |  SELECT event_type, n,
+       |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+       |  FROM daily
+       |), walk(event_type, i, l, b, sae, mx) AS (
+       |  SELECT event_type, 1, n::DOUBLE, CAST(0.0 AS DOUBLE),
+       |         CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+       |  FROM idx WHERE i = 1
+       |  UNION ALL
+       |  SELECT d.event_type, w.i + 1,
+       |         $lNew,
+       |         0.5 * ($lNew - w.l) + 0.5 * w.b,
+       |         w.sae + $e,
+       |         greatest(w.mx, $e)
+       |  FROM walk w JOIN idx d ON d.event_type = w.event_type AND d.i = w.i + 1
+       |), fin AS (
+       |  SELECT w.* FROM walk w
+       |  JOIN (SELECT event_type, max(i) AS mi FROM walk GROUP BY 1) m
+       |    ON m.event_type = w.event_type AND w.i = m.mi
+       |  WHERE w.i >= 2
+       |)
+       |SELECT event_type, CAST(i - 1 AS BIGINT) AS n_eval,
+       |       round(sae / CAST(i - 1 AS DOUBLE), 6) AS mae,
+       |       round(mx, 6) AS max_ae
+       |FROM fin ORDER BY event_type""".stripMargin
+  }
+
   /** Empirical-Bayes smoothed per-user conversion rates (beta-binomial
     * shrinkage toward the global rate, prior strength `m` pseudo-events):
     * eb = (conv + m·p₀)/(n + m) — the standard fix for small-sample rate

@@ -2222,6 +2222,37 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // per-nation skyline (Pareto front) over (distance-to-centroid,
+    // account balance) — the classic spatial-DB preference query
+    // (Börzsönyi ICDE'01), as the sort-filter-skyline plan: one (nk, d2)
+    // group-max, one window over DISTINCT-d2 groups (rows-frame ⇒ strictly
+    // smaller d2), survive iff cents ≥ that running max. Strict dominance
+    // (both coordinates strictly better), so ties never dominate; all
+    // comparisons are on exact cents and bit-identical d2 doubles
+    "sp_skyline" -> ((s, dir) => {
+      val base = pointsDf(s, dir)
+      val pts = base.select(col("c_nationkey").cast("long").as("nk"), col("ck"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"),
+        col("x"), col("y"))
+      val cen = base.groupBy(col("c_nationkey").cast("long").as("cnk"))
+        .agg((sum("x") / count(lit(1))).as("cx"),
+          (sum("y") / count(lit(1))).as("cy"))
+      val d = pts.join(broadcast(cen), col("nk") === col("cnk"))
+        .withColumn("d2",
+          (col("x") - col("cx")) * (col("x") - col("cx")) +
+            (col("y") - col("cy")) * (col("y") - col("cy")))
+      val g = d.groupBy("nk", "d2").agg(max("cents").as("gmax"))
+      val wg = org.apache.spark.sql.expressions.Window
+        .partitionBy("nk").orderBy("d2")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val gp = g.withColumn("pmax", max("gmax").over(wg))
+        .select(col("nk"), col("d2"), col("pmax"))
+      d.join(gp, Seq("nk", "d2"))
+        .filter(col("pmax").isNull || col("cents") >= col("pmax"))
+        .select(col("nk"), col("ck"), col("cents"), round(col("d2"), 6).as("d2"))
+        .orderBy("nk", "d2", "ck")
+    }),
+
     // discrete Voronoi partition: every customer point assigned to its
     // nearest nation-centroid site (argmin over (d2, site) — site id breaks
     // exact-distance ties, so the discrete decision is engine-independent),
@@ -4980,6 +5011,29 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_skyline" -> (PtsCte + """
+      |, cen AS (
+      |  SELECT c_nationkey AS cnk, sum(x) / count(*) AS cx,
+      |         sum(y) / count(*) AS cy
+      |  FROM pts GROUP BY 1
+      |), d AS (
+      |  SELECT p.c_nationkey AS nk, p.ck,
+      |         CAST(round(p.c_acctbal * 100) AS BIGINT) AS cents,
+      |         (p.x - c.cx) * (p.x - c.cx) + (p.y - c.cy) * (p.y - c.cy) AS d2
+      |  FROM pts p JOIN cen c ON c.cnk = p.c_nationkey
+      |), g AS (
+      |  SELECT nk, d2, max(cents) AS gmax FROM d GROUP BY 1, 2
+      |), gp AS (
+      |  SELECT nk, d2,
+      |         max(gmax) OVER (PARTITION BY nk ORDER BY d2
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      |  FROM g
+      |)
+      |SELECT CAST(d.nk AS BIGINT) AS nk, d.ck, d.cents, round(d.d2, 6) AS d2
+      |FROM d JOIN gp ON gp.nk = d.nk AND gp.d2 = d.d2
+      |WHERE gp.pmax IS NULL OR d.cents >= gp.pmax
+      |ORDER BY nk, d2, ck""".stripMargin),
+
     "sp_voronoi" -> (PtsCte + """
       |, cen AS (
       |  SELECT c_nationkey AS site, sum(x) / count(*) AS cx,

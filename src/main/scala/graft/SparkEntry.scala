@@ -911,6 +911,11 @@ object SparkEntry {
     "ev_arima" -> ((s, dir) =>
       Events.arFit(T(s, dir, "events"))),
 
+    // CUPED variance-reduced A/B readout: pooled θ from exact integer
+    // moments, per-arm raw vs adjusted mean and variance
+    "ev_cuped" -> ((s, dir) =>
+      Events.cuped(T(s, dir, "events"))),
+
     // walk-forward one-step Holt backtest: MAE/worst error per series,
     // error sum folded inside the same sequential HOF as the state
     "ev_backtest" -> ((s, dir) =>
@@ -4851,6 +4856,7 @@ object SparkEntry {
     "ev_cusum" -> Events.cusumDuckSql,
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
+    "ev_cuped" -> Events.cupedDuckSql,
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "ev_bayes" -> Events.ebConversionDuckSql(),

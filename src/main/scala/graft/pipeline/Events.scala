@@ -1229,6 +1229,112 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): per user,
+    * x = pre-period event count and y = post-period count (the period
+    * split is the midpoint day of the observed range); arms are
+    * user_id % 2. θ = cov(x,y)/var(x) is estimated POOLED across arms,
+    * each user's adjusted metric is y − θ·(x − x̄), and the per-arm mean
+    * and variance of both raw and adjusted metrics come out — the
+    * variance-reduction readout that decides whether the experiment needed
+    * CUPED at all.
+    *
+    * Every moment (n, Σx, Σy, Σx², Σxy, Σy², per arm and pooled) is an
+    * exact integer, so aggregation order is free; θ, the means, and both
+    * variances are fixed division trees over those integers replayed
+    * identically by the oracle. One user-rollup shuffle; the pooled
+    * moments are a 2-row broadcast.
+    */
+  def cuped(events: DataFrame): DataFrame = {
+    val withDay = events.withColumn("day", expr("ts div 86400000000000"))
+    val rng = withDay.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(expr("(lo + hi + 1) div 2").as("mid"))
+    val perUser = withDay.crossJoin(rng)
+      .groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), 1L).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), 1L).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+    val pooled = perUser.agg(count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").as("pn"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("theta"),
+        (col("sx").cast("double") / col("n").cast("double")).as("xbar"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    arms.crossJoin(pooled)
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("mean_y", col("sy").cast("double") / col("nd"))
+      .withColumn("mean_adj",
+        (col("sy").cast("double") - col("theta") *
+          (col("sx").cast("double") - col("nd") * col("xbar"))) / col("nd"))
+      .withColumn("var_y",
+        col("syy").cast("double") / col("nd") - col("mean_y") * col("mean_y"))
+      // Var(y − θx) = E[(y−θx)²] − E[y−θx]²: the θ-shift by x̄ cancels
+      .withColumn("ezz",
+        (col("syy").cast("double") - lit(2.0) * col("theta") * col("sxy").cast("double")
+          + col("theta") * col("theta") * col("sxx").cast("double")) / col("nd"))
+      .withColumn("ez",
+        (col("sy").cast("double") - col("theta") * col("sx").cast("double")) / col("nd"))
+      .withColumn("var_adj", col("ezz") - col("ez") * col("ez"))
+      .select(col("arm"), col("n").as("users"),
+        round(col("mean_y"), 6).as("mean_y"),
+        round(col("mean_adj"), 6).as("mean_adj"),
+        round(col("var_y"), 6).as("var_y"),
+        round(col("var_adj"), 6).as("var_adj"),
+        round(col("theta"), 6).as("theta"))
+      .orderBy("arm")
+  }
+
+  /** DuckDB replay of [[cuped]]: identical integer moments, identical
+    * θ/mean/variance trees.
+    */
+  def cupedDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+       |), rng AS (
+       |  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e
+       |), u AS (
+       |  SELECT user_id,
+       |         sum(CASE WHEN day < r.mid THEN 1 ELSE 0 END) AS x,
+       |         sum(CASE WHEN day >= r.mid THEN 1 ELSE 0 END) AS y,
+       |         user_id % 2 AS arm
+       |  FROM e CROSS JOIN rng r GROUP BY user_id, r.mid
+       |), pooled AS (
+       |  SELECT CAST(count(*) * sum(x*y) - sum(x) * sum(y) AS DOUBLE)
+       |         / CAST(count(*) * sum(x*x) - sum(x) * sum(x) AS DOUBLE) AS theta,
+       |         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS xbar
+       |  FROM u
+       |), arms AS (
+       |  SELECT arm, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+       |         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+       |  FROM u GROUP BY 1
+       |), f AS (
+       |  SELECT a.*, p.theta, p.xbar, CAST(a.n AS DOUBLE) AS nd
+       |  FROM arms a CROSS JOIN pooled p
+       |), g AS (
+       |  SELECT arm, n, theta,
+       |         CAST(sy AS DOUBLE) / nd AS mean_y,
+       |         (CAST(sy AS DOUBLE) - theta
+       |            * (CAST(sx AS DOUBLE) - nd * xbar)) / nd AS mean_adj,
+       |         CAST(syy AS DOUBLE) / nd
+       |           - (CAST(sy AS DOUBLE) / nd) * (CAST(sy AS DOUBLE) / nd) AS var_y,
+       |         (CAST(syy AS DOUBLE) - 2.0 * theta * CAST(sxy AS DOUBLE)
+       |            + theta * theta * CAST(sxx AS DOUBLE)) / nd AS ezz,
+       |         (CAST(sy AS DOUBLE) - theta * CAST(sx AS DOUBLE)) / nd AS ez
+       |  FROM f
+       |)
+       |SELECT CAST(arm AS BIGINT) AS arm, n AS users,
+       |       round(mean_y, 6) AS mean_y, round(mean_adj, 6) AS mean_adj,
+       |       round(var_y, 6) AS var_y,
+       |       round(ezz - ez * ez, 6) AS var_adj, round(theta, 6) AS theta
+       |FROM g ORDER BY arm""".stripMargin
+
   /** Walk-forward one-step backtest of the Holt forecast (α=β=0.5): at
     * each day t ≥ 2 the pre-update state forecasts f = l + b, the absolute
     * error |yₜ − f| accumulates, and only then does the state consume yₜ —

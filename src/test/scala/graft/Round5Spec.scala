@@ -1052,6 +1052,41 @@ class Round5Spec extends SparkSpec {
     assert(nPts == nCust, s"$nPts vs $nCust")
   }
 
+  test("plan contracts: voronoi broadcast argmin, walks keyed join, divergence map-side counts, bleu no cartesian") {
+    import graft.pipeline.{Corpus, Dedup, Graphs}
+    // sp_voronoi shape: sites broadcast, per-point argmin is an aggregate
+    // (map-side combinable struct-min), never a window over the fan-out
+    val vPlan = SparkEntry.queries("sp_voronoi")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(vPlan.contains("BroadcastHashJoin") || vPlan.contains("BroadcastExchange"), vPlan)
+    assert(!vPlan.contains("CartesianProduct"), vPlan)
+    assert(!vPlan.contains("WindowExec"), vPlan)
+    // gr_walks: every step is an edges-keyed equi-join + aggregate argmin
+    val edges = spark.range(200).select((col("id") % 40).as("src"),
+      ((col("id") * 7) % 40).as("dst"))
+    val seeds = spark.range(5).select(col("id").as("node"))
+    val wPlan = Graphs.hashWalks(edges, seeds, steps = 3)
+      .queryExecution.executedPlan.toString()
+    assert(!wPlan.contains("CartesianProduct")
+      && !wPlan.contains("BroadcastNestedLoop"), wPlan)
+    // tx_kl: the (group, word) and word counts are partial-aggregated
+    // before their exchanges (map-side combine on the corpus volume)
+    val docs = (1 to 40).map(i => (i.toLong, s"w$i a b", if (i % 2 == 0) "g1" else "g2"))
+      .toDF("doc_id", "text", "lang")
+    val kPlan = Corpus.divergence(docs, "lang", "text")
+      .queryExecution.executedPlan.toString()
+    assert(kPlan.contains("partial_count") || kPlan.contains("HashAggregate"), kPlan)
+    assert(!kPlan.contains("CartesianProduct"), kPlan)
+    // tx_bleu: gram joins are keyed, never cartesian
+    val p = "z" * 32
+    val bdocs = Seq((1L, p + " one two"), (2L, p + " one two three"))
+      .toDF("doc_id", "text")
+    val bPlan = Dedup.bleuPairs(bdocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString()
+    assert(!bPlan.contains("CartesianProduct")
+      && !bPlan.contains("BroadcastNestedLoop"), bPlan)
+  }
+
   test("holtWinters: constant series settles at level=c, zero trend/seasonals") {
     import graft.pipeline.Events
     val rows = (0 until 21).flatMap { d => Seq.fill(6)(("load", d * dayNs + 7L)) }

@@ -3383,6 +3383,12 @@ object SparkEntry {
     "ev_bayes" -> ((s, dir) =>
       Events.ebConversion(T(s, dir, "events"))),
 
+    // corpus-level template mining over the boilerplate-injected corpus:
+    // top-20 8-grams by document frequency — WHAT text recurs, the
+    // corpus-wide sibling of the pair-level substring dedup
+    "tx_templates" -> ((s, dir) =>
+      Corpus.templates(boilerplateDocs(s, dir), "doc_id", "text")),
+
     // BPE tokenizer training: first 6 merges learned over the corpus —
     // per-round pair counting runs on the (word, freq) vocabulary table,
     // never the corpus; deterministic argmax tie-break (count DESC, lhs, rhs)
@@ -4859,6 +4865,7 @@ object SparkEntry {
     "ev_cuped" -> Events.cupedDuckSql,
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
+    "tx_templates" -> Corpus.templatesDuckSql(BoilerplateSqlExpr),
     "ev_bayes" -> Events.ebConversionDuckSql(),
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),

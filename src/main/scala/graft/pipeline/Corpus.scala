@@ -1147,6 +1147,60 @@ object Corpus {
 
   // ====================================================== diversity metrics
 
+  /** Corpus-level template mining: the top-`topK` word `n`-grams by
+    * DOCUMENT frequency (each document votes once per distinct gram) with
+    * their corpus share — the "which boilerplate headers / license blocks /
+    * nav bars recur across the corpus" readout that C4-style cleaning
+    * starts from; pair-level substring dedup finds who shares text, this
+    * finds WHAT text is shared.
+    *
+    * All integers (df, corpus doc count) plus one share division; top-K by
+    * (df DESC, gram) is a TakeOrdered. Scale shape: grams generate in the
+    * scan projection, per-doc distinct collapses before the exchange, one
+    * map-side-combinable gram count.
+    */
+  def templates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, topK: Int = 20): DataFrame = {
+    val base = df.select(col(idCol).as("id"), toks(col(textCol)).as("ts"))
+      .withColumn("len", size(col("ts")))
+    val total = df.agg(count(lit(1)).as("n_docs"))
+    base.filter(col("len") >= n)
+      .select(col("id"), explode(array_distinct(
+        transform(sequence(lit(0), col("len") - n),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("ts"), i + j + 1)): _*)))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("g")).limit(topK)
+      .crossJoin(total)
+      .select(col("g").as("gram"), col("df"),
+        round(col("df").cast("double") / col("n_docs").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("df").desc, col("gram"))
+  }
+
+  /** DuckDB replay of [[templates]] over `textExpr`. */
+  def templatesDuckSql(textExpr: String, n: Int = 8, topK: Int = 20): String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |         list_filter(string_split_regex(lower($textExpr), '\\s+'),
+       |                     t -> t <> '') AS ts
+       |  FROM documents
+       |), t AS (
+       |  SELECT count(*) AS n_docs FROM d
+       |), g AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           list_transform(range(0, len(ts) - $n + 1),
+       |             i -> array_to_string(list_slice(ts, i + 1, i + $n), ' ')))) AS g
+       |  FROM d WHERE len(ts) >= $n
+       |), f AS (
+       |  SELECT g, count(*) AS df FROM g GROUP BY 1
+       |  ORDER BY df DESC, g LIMIT $topK
+       |)
+       |SELECT f.g AS gram, f.df,
+       |       round(CAST(f.df AS DOUBLE) / CAST(t.n_docs AS DOUBLE), 6) AS share
+       |FROM f CROSS JOIN t
+       |ORDER BY df DESC, gram""".stripMargin
+
   /** Per-group distribution divergence vs the whole corpus: KL(P‖Q),
     * Jensen-Shannon, and cross-entropy H(P,Q) of each group's unigram
     * distribution P against the corpus-wide distribution Q — the standard

@@ -2227,6 +2227,44 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // Getis–Ord Gi* hot-spot statistic over the 10° point grid (Getis &
+    // Ord, Geo. Analysis 1992): z-score of each cell's 3×3-neighborhood
+    // mass against the lattice mean — the spatial-statistics "where are
+    // the significant clusters" readout beside the raw density islands.
+    // Lattice = non-empty cells (documented); S_i/W_i/moments are exact
+    // integers, z is a fixed tree over them. Plan: cell counts map-side
+    // combine, the neighborhood sum is a 9-way offset explode + keyed
+    // self-join (never a spatial cross join), top-15 is a TakeOrdered
+    "sp_hotspot" -> ((s, dir) => {
+      val cells = pointsDf(s, dir).groupBy(
+          floor((col("x") + 180.0) / 10.0).cast("long").as("cx"),
+          floor((col("y") + 90.0) / 10.0).cast("long").as("cy"))
+        .agg(count(lit(1)).as("n"))
+      val glob = cells.agg(count(lit(1)).as("nn"),
+        sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+      val offs = Seq(-1L, 0L, 1L)
+      val contrib = cells.select(col("cx"), col("cy"), col("n"),
+          explode(array(offs.flatMap(dx => offs.map(dy =>
+            struct(lit(dx).as("dx"), lit(dy).as("dy")))): _*)).as("o"))
+        .select((col("cx") + col("o.dx")).as("ccx"),
+          (col("cy") + col("o.dy")).as("ccy"), col("n"))
+      val hood = contrib
+        .join(cells.select(col("cx").as("ccx"), col("cy").as("ccy")), Seq("ccx", "ccy"))
+        .groupBy(col("ccx").as("cx"), col("ccy").as("cy"))
+        .agg(sum("n").as("si"), count(lit(1)).as("wi"))
+      val nd = col("nn").cast("double")
+      val xbar = col("s1").cast("double") / nd
+      val sdev = sqrt(col("s2").cast("double") / nd - xbar * xbar)
+      val wid = col("wi").cast("double")
+      hood.crossJoin(glob)
+        .withColumn("z",
+          (col("si").cast("double") - xbar * wid) /
+            (sdev * sqrt((nd * wid - wid * wid) / (nd - 1))))
+        .select(col("cx"), col("cy"), col("si"), col("wi"),
+          round(col("z"), 6).as("gi_z"))
+        .orderBy(col("gi_z").desc, col("cx"), col("cy")).limit(15)
+    }),
+
     // per-nation skyline (Pareto front) over (distance-to-centroid,
     // account balance) — the classic spatial-DB preference query
     // (Börzsönyi ICDE'01), as the sort-filter-skyline plan: one (nk, d2)
@@ -5024,6 +5062,38 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_hotspot" -> (PtsCte + """
+      |, cells AS (
+      |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,
+      |         CAST(floor((y + 90.0) / 10.0) AS BIGINT) AS cy,
+      |         count(*) AS n
+      |  FROM pts GROUP BY 1, 2
+      |), gstats AS (
+      |  SELECT count(*) AS nn, sum(n) AS s1, sum(n*n) AS s2 FROM cells
+      |), contrib AS (
+      |  SELECT c.cx + o.dx AS ccx, c.cy + o.dy AS ccy, c.n
+      |  FROM cells c CROSS JOIN (
+      |    SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+      |                       (VALUES (-1), (0), (1)) b(dy)) o
+      |), hood AS (
+      |  SELECT t.ccx AS cx, t.ccy AS cy, sum(t.n) AS si, count(*) AS wi
+      |  FROM contrib t JOIN cells e ON e.cx = t.ccx AND e.cy = t.ccy
+      |  GROUP BY 1, 2
+      |), f AS (
+      |  SELECT h.cx, h.cy, h.si, h.wi,
+      |         CAST(g.nn AS DOUBLE) AS nd,
+      |         CAST(g.s1 AS DOUBLE) / CAST(g.nn AS DOUBLE) AS xbar,
+      |         sqrt(CAST(g.s2 AS DOUBLE) / CAST(g.nn AS DOUBLE)
+      |              - (CAST(g.s1 AS DOUBLE) / CAST(g.nn AS DOUBLE))
+      |                * (CAST(g.s1 AS DOUBLE) / CAST(g.nn AS DOUBLE))) AS sdev,
+      |         CAST(h.wi AS DOUBLE) AS wid
+      |  FROM hood h CROSS JOIN gstats g
+      |)
+      |SELECT cx, cy, CAST(si AS BIGINT) AS si, wi,
+      |       round((CAST(si AS DOUBLE) - xbar * wid)
+      |             / (sdev * sqrt((nd * wid - wid * wid) / (nd - 1))), 6) AS gi_z
+      |FROM f ORDER BY gi_z DESC, cx, cy LIMIT 15""".stripMargin),
+
     "sp_skyline" -> (PtsCte + """
       |, cen AS (
       |  SELECT c_nationkey AS cnk, sum(x) / count(*) AS cx,

@@ -2227,6 +2227,41 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // global Moran's I spatial autocorrelation (Moran 1950) over the 10°
+    // grid with 8-neighbor (queen) weights on non-empty cells: the
+    // cross-product Σ wij·(xi−x̄)(xj−x̄) is EXPANDED into the exact integer
+    // moments P=Σ xi·xj, Q=Σ (xi+xj), W=|pairs| so no float accumulates in
+    // any order-dependent sum — I = (N/W)·(P − x̄Q + x̄²W)/(S2 − N·x̄²).
+    // One 8-offset keyed self-join, one scalar row out (I and E[I])
+    "sp_moran" -> ((s, dir) => {
+      val cells = pointsDf(s, dir).groupBy(
+          floor((col("x") + 180.0) / 10.0).cast("long").as("cx"),
+          floor((col("y") + 90.0) / 10.0).cast("long").as("cy"))
+        .agg(count(lit(1)).as("n"))
+      val gs = cells.agg(count(lit(1)).as("nn"),
+        sum("n").as("s1"), sum(col("n") * col("n")).as("s2"))
+      val offs = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L)
+        if !(dx == 0 && dy == 0) } yield (dx, dy)
+      val nbr = cells.select(col("cx"), col("cy"), col("n"),
+          explode(array(offs.map { case (dx, dy) =>
+            struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"))
+        .select((col("cx") + col("o.dx")).as("jcx"),
+          (col("cy") + col("o.dy")).as("jcy"), col("n").as("ni"))
+      val pairs = nbr.join(cells.select(col("cx").as("jcx"),
+          col("cy").as("jcy"), col("n").as("nj")), Seq("jcx", "jcy"))
+        .agg(sum(col("ni") * col("nj")).as("p"),
+          sum(col("ni") + col("nj")).as("q"), count(lit(1)).as("w"))
+      val nd = col("nn").cast("double")
+      val xbar = col("s1").cast("double") / nd
+      pairs.crossJoin(gs)
+        .select(col("nn").as("n_cells"), col("w").as("n_pairs"),
+          round((nd / col("w").cast("double")) *
+            (col("p").cast("double") - xbar * col("q").cast("double") +
+              xbar * xbar * col("w").cast("double")) /
+            (col("s2").cast("double") - nd * xbar * xbar), 6).as("moran_i"),
+          round(lit(-1.0) / (nd - 1), 6).as("e_i"))
+    }),
+
     // Getis–Ord Gi* hot-spot statistic over the 10° point grid (Getis &
     // Ord, Geo. Analysis 1992): z-score of each cell's 3×3-neighborhood
     // mass against the lattice mean — the spatial-statistics "where are
@@ -5062,6 +5097,37 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_moran" -> (PtsCte + """
+      |, cells AS (
+      |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,
+      |         CAST(floor((y + 90.0) / 10.0) AS BIGINT) AS cy,
+      |         count(*) AS n
+      |  FROM pts GROUP BY 1, 2
+      |), gs AS (
+      |  SELECT count(*) AS nn, sum(n) AS s1, sum(n*n) AS s2 FROM cells
+      |), nbr AS (
+      |  SELECT c.cx + o.dx AS jcx, c.cy + o.dy AS jcy, c.n AS ni
+      |  FROM cells c CROSS JOIN (
+      |    SELECT dx, dy FROM (VALUES (-1), (0), (1)) a(dx),
+      |                       (VALUES (-1), (0), (1)) b(dy)
+      |    WHERE NOT (dx = 0 AND dy = 0)) o
+      |), prs AS (
+      |  SELECT sum(t.ni * e.n) AS p, sum(t.ni + e.n) AS q, count(*) AS w
+      |  FROM nbr t JOIN cells e ON e.cx = t.jcx AND e.cy = t.jcy
+      |), f AS (
+      |  SELECT g.nn, prs.w, prs.p, prs.q, g.s2,
+      |         CAST(g.nn AS DOUBLE) AS nd,
+      |         CAST(g.s1 AS DOUBLE) / CAST(g.nn AS DOUBLE) AS xbar
+      |  FROM prs CROSS JOIN gs g
+      |)
+      |SELECT nn AS n_cells, w AS n_pairs,
+      |       round((nd / CAST(w AS DOUBLE))
+      |             * (CAST(p AS DOUBLE) - xbar * CAST(q AS DOUBLE)
+      |                + xbar * xbar * CAST(w AS DOUBLE))
+      |             / (CAST(s2 AS DOUBLE) - nd * xbar * xbar), 6) AS moran_i,
+      |       round(-1.0 / (nd - 1), 6) AS e_i
+      |FROM f""".stripMargin),
+
     "sp_hotspot" -> (PtsCte + """
       |, cells AS (
       |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,

@@ -2227,6 +2227,49 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // Ripley's K point-pattern statistic (Ripley 1977) at r = 1,2,4,8°:
+    // exact unordered pair counts within each radius — candidates from an
+    // 8°-cell 3×3 grid self-join (cell width = max radius ⇒ adjacency is
+    // provably sufficient: |Δ| ≤ width ⇒ floor-cell diff ≤ 1), never the
+    // n² cross join the oracle replays; K̂(r) = 2·pairs·A/(n(n−1)) with
+    // A = 64800 deg². Clustered patterns push K̂ above πr²
+    "sp_ripley" -> ((s, dir) => {
+      val pts = pointsDf(s, dir).select(col("ck"), col("x"), col("y"))
+        .withColumn("cellx", floor((col("x") + 180.0) / 8.0).cast("long"))
+        .withColumn("celly", floor((col("y") + 90.0) / 8.0).cast("long"))
+      val tot = pts.agg(count(lit(1)).as("np"))
+      val offs = for { dx <- Seq(-1L, 0L, 1L); dy <- Seq(-1L, 0L, 1L) }
+        yield (dx, dy)
+      val probe = pts.select(col("ck").as("cka"), col("x").as("xa"),
+          col("y").as("ya"),
+          explode(array(offs.map { case (dx, dy) =>
+            struct(lit(dx).as("dx"), lit(dy).as("dy")) }: _*)).as("o"),
+          col("cellx"), col("celly"))
+        .select(col("cka"), col("xa"), col("ya"),
+          (col("cellx") + col("o.dx")).as("cellx"),
+          (col("celly") + col("o.dy")).as("celly"))
+      val cnts = probe.join(pts.select(col("ck").as("ckb"), col("x").as("xb"),
+          col("y").as("yb"), col("cellx"), col("celly")), Seq("cellx", "celly"))
+        .filter(col("cka") < col("ckb"))
+        .withColumn("d2", (col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb")))
+        .agg(sum(when(col("d2") <= 1.0, 1L).otherwise(0L)).as("p1"),
+          sum(when(col("d2") <= 4.0, 1L).otherwise(0L)).as("p2"),
+          sum(when(col("d2") <= 16.0, 1L).otherwise(0L)).as("p4"),
+          sum(when(col("d2") <= 64.0, 1L).otherwise(0L)).as("p8"))
+      cnts.crossJoin(tot)
+        .select(explode(array(
+          struct(lit(1L).as("r"), col("p1").as("pairs")),
+          struct(lit(2L).as("r"), col("p2").as("pairs")),
+          struct(lit(4L).as("r"), col("p4").as("pairs")),
+          struct(lit(8L).as("r"), col("p8").as("pairs")))).as("e"), col("np"))
+        .select(col("e.r").as("r"), col("e.pairs").as("pairs"),
+          round(col("e.pairs").cast("double") * 2.0 * 64800.0 /
+            (col("np").cast("double") * (col("np") - 1).cast("double")), 6)
+            .as("k_est"))
+        .orderBy("r")
+    }),
+
     // global Moran's I spatial autocorrelation (Moran 1950) over the 10°
     // grid with 8-neighbor (queen) weights on non-empty cells: the
     // cross-product Σ wij·(xi−x̄)(xj−x̄) is EXPANDED into the exact integer
@@ -5097,6 +5140,30 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_ripley" -> (PtsCte + """
+      |, pr AS (
+      |  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2
+      |  FROM pts a JOIN pts b ON a.ck < b.ck
+      |  WHERE abs(a.x - b.x) <= 8 AND abs(a.y - b.y) <= 8
+      |), cn AS (
+      |  SELECT sum(CASE WHEN d2 <= 1.0 THEN 1 ELSE 0 END) AS p1,
+      |         sum(CASE WHEN d2 <= 4.0 THEN 1 ELSE 0 END) AS p2,
+      |         sum(CASE WHEN d2 <= 16.0 THEN 1 ELSE 0 END) AS p4,
+      |         sum(CASE WHEN d2 <= 64.0 THEN 1 ELSE 0 END) AS p8
+      |  FROM pr
+      |), t AS (
+      |  SELECT count(*) AS np FROM pts
+      |), rows_out AS (
+      |  SELECT 1 AS r, p1 AS pairs FROM cn
+      |  UNION ALL SELECT 2, p2 FROM cn
+      |  UNION ALL SELECT 4, p4 FROM cn
+      |  UNION ALL SELECT 8, p8 FROM cn
+      |)
+      |SELECT CAST(r AS BIGINT) AS r, CAST(pairs AS BIGINT) AS pairs,
+      |       round(CAST(pairs AS DOUBLE) * 2.0 * 64800.0
+      |             / (CAST(np AS DOUBLE) * CAST(np - 1 AS DOUBLE)), 6) AS k_est
+      |FROM rows_out CROSS JOIN t ORDER BY r""".stripMargin),
+
     "sp_moran" -> (PtsCte + """
       |, cells AS (
       |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,

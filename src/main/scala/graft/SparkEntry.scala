@@ -2844,6 +2844,27 @@ object SparkEntry {
     // GeoJSON ingest under the oracle: real export → GeoJSONSeq files →
     // real line-distributed re-import (sources/GeoJsonSource.scala); same
     // per-nation line stats contract as the shapefile round trip
+    // JSONL corpus round trip — the wire format a 100 TB text corpus
+    // actually arrives in: write the documents table as line-delimited
+    // JSON (one shard per partition), read it back through an EXPLICIT
+    // schema (no sampling-based inference pass — at scale inference reads
+    // the data twice), and prove losslessness against the parquet oracle
+    // with exact per-lang counts, char totals, and id checksums
+    "jsonl_ingest_stats" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val d = java.nio.file.Files.createTempDirectory("graft-jsonl")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("docs").toString
+      docs.write.json(p)
+      s.read.schema(docs.schema).json(p)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("chars"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("n_chars_sum"))
+        .orderBy("lang")
+    }),
+
     "geojson_ingest_stats" -> ((s, dir) => {
       val lines = linesLayer(s, dir).df
         .withColumn("props", map(
@@ -4982,6 +5003,13 @@ object SparkEntry {
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "tx_templates" -> Corpus.templatesDuckSql(BoilerplateSqlExpr),
+
+    "jsonl_ingest_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS chars,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_bayes" -> Events.ebConversionDuckSql(),
     "ev_seasonal" -> Events.seasonalDuckSql,
     "ev_survival" -> Events.kaplanMeierDuckSql(censorDays = 7),

@@ -1087,6 +1087,62 @@ class Round5Spec extends SparkSpec {
       && !bPlan.contains("BroadcastNestedLoop"), bPlan)
   }
 
+  test("spatial statistics invariants: skyline dominance, ripley monotonicity, moran symmetry") {
+    val dir = "/root/testdata/sf0.001"
+    // skyline: along increasing d2 the cents on the front never decrease
+    // (a later point with lower cents would be strictly dominated)
+    val sky = SparkEntry.queries("sp_skyline")(spark, dir).collect()
+    assert(sky.nonEmpty)
+    sky.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val byD = rows.sortBy(_.getDouble(3))
+      byD.sliding(2).foreach { w =>
+        if (w.length == 2 && w(0).getDouble(3) < w(1).getDouble(3))
+          assert(w(0).getLong(2) <= w(1).getLong(2), w.mkString(";"))
+      }
+    }
+    // ripley: pair counts are monotone in the radius
+    val rip = SparkEntry.queries("sp_ripley")(spark, dir).collect()
+    assert(rip.length == 4)
+    rip.sliding(2).foreach(w =>
+      assert(w(0).getLong(1) <= w(1).getLong(1), w.mkString(";")))
+    // moran: queen adjacency is symmetric → the directed pair count is even
+    val mor = SparkEntry.queries("sp_moran")(spark, dir).collect()(0)
+    assert(mor.getLong(1) % 2 == 0, mor.toString)
+    assert(math.abs(mor.getDouble(2)) <= 1.5, mor.toString)
+  }
+
+  test("gr_walks: step 0 is the seed and every hop follows a real edge") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("gr_walks")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val bySeed = got.groupBy(_.getLong(0))
+    bySeed.foreach { case (seed, rows) =>
+      val path = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      assert(path.head == seed, s"$seed -> ${path.mkString(",")}")
+    }
+    // rebuild the edge set and check adjacency of consecutive steps
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val or = spark.read.parquet(s"$dir/orders.parquet")
+    val eraw = li.join(or, col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("s"), (col("l_suppkey") * 2 + 1).as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val und = eraw ++ eraw.map(_.swap)
+    bySeed.values.foreach { rows =>
+      val path = rows.sortBy(_.getLong(1)).map(_.getLong(2))
+      path.sliding(2).foreach { st =>
+        if (st.length == 2) assert(und.contains((st(0), st(1))), st.mkString("->"))
+      }
+    }
+  }
+
+  test("tx_templates: planted boilerplate variants dominate document frequency") {
+    val got = SparkEntry.queries("tx_templates")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(got.length == 20)
+    val planted = got.filter(_.getString(0).contains("boilerplate"))
+    assert(planted.nonEmpty && planted.head.getLong(1) >= 3, got.take(3).mkString(";"))
+  }
+
   test("holtWinters: constant series settles at level=c, zero trend/seasonals") {
     import graft.pipeline.Events
     val rows = (0 until 21).flatMap { d => Seq.fill(6)(("load", d * dayNs + 7L)) }

@@ -1814,6 +1814,21 @@ object SparkEntry {
         lambda = 0.7, shortlist = 40)
     }),
 
+    // exact media dedup by CONTENT hash — the first pass of any multimodal
+    // dedup stack: group on md5(bytes) (a 16-byte shuffle key, never the
+    // payload), emit per-group representative/size/kind-spread. The oracle
+    // replays the groups through the generator's congruence (bytes equal
+    // ⟺ seed ≡ mod 251, 251 prime ⇒ 31 invertible), so the driver checks
+    // the real hash-dedup plan against pure arithmetic
+    "mm_exact_dedup" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 600)
+      media.groupBy(md5(col("bytes")).as("h"))
+        .agg(min("media_id").as("rep"), count(lit(1)).as("n"),
+          countDistinct("kind").as("kinds"))
+        .select(col("rep"), col("n"), col("kinds"))
+        .orderBy("rep")
+    }),
+
     "mm_decode" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 300)
       Multimodal.decodeAndFeaturize(media, 16, 16)
@@ -4834,6 +4849,17 @@ object SparkEntry {
       s"""SELECT lang, ${TextAnalysis.languageIdDuckSql("text")} AS guess,
          |       count(*) AS n
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "mm_exact_dedup" ->
+      """WITH m AS (
+        |  SELECT range AS media_id, range % 251 AS cls,
+        |         CASE WHEN range % 3 = 0 THEN 'image'
+        |              WHEN range % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM range(0, 600)
+        |)
+        |SELECT min(media_id) AS rep, count(*) AS n,
+        |       count(DISTINCT kind) AS kinds
+        |FROM m GROUP BY cls ORDER BY rep""".stripMargin,
 
     "mm_decode" -> MmDecodeSql,
 

@@ -419,6 +419,27 @@ object SparkEntry {
         .orderBy(col("revenue_scaled").desc, col("l_orderkey")).limit(10)
     }),
 
+    // TPC-H Q14 (promotion effect): promo share of one month's revenue —
+    // date window pushed to the lineitem scan, part dim broadcast, both
+    // revenue masses exact scaled integers, one closing division
+    "q14_promo" -> ((s, dir) => {
+      val lo = to_timestamp(lit("1997-03-01"))
+      val hi = to_timestamp(lit("1997-04-01"))
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lo && col("l_shipdate") < hi)
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val part = T(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("vol")).otherwise(0L))
+            .as("promo_scaled"),
+          sum(col("vol")).as("total_scaled"))
+        .select(col("promo_scaled"), col("total_scaled"),
+          round(lit(100.0) * col("promo_scaled").cast("double") /
+            col("total_scaled").cast("double"), 6).as("promo_pct"))
+    }),
+
     // TPC-H Q10 (returned-item revenue): who returned the most value in a
     // quarter — returnflag filter and the date window both pushed to the
     // scans, the two facts shuffle on orderkey, nation broadcast, exact
@@ -3901,6 +3922,22 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q14_promo" ->
+      """WITH j AS (
+        |  SELECT p_type,
+        |         CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS vol
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01'
+        |)
+        |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS BIGINT)
+        |         AS promo_scaled,
+        |       CAST(sum(vol) AS BIGINT) AS total_scaled,
+        |       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN vol ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(vol) AS DOUBLE), 6) AS promo_pct
+        |FROM j""".stripMargin,
 
     "q10_returns" ->
       """SELECT c_custkey, c_name, n_name,

@@ -2268,7 +2268,10 @@ object SparkEntry {
     // 8°-cell 3×3 grid self-join (cell width = max radius ⇒ adjacency is
     // provably sufficient: |Δ| ≤ width ⇒ floor-cell diff ≤ 1), never the
     // n² cross join the oracle replays; K̂(r) = 2·pairs·A/(n(n−1)) with
-    // A = 64800 deg². Clustered patterns push K̂ above πr²
+    // A = 64800 deg². Clustered patterns push K̂ above πr². Caveat: pair
+    // volume is quadratic within the densest cell — at survey scale Ripley
+    // runs on a uniform point sample (the estimator is sample-consistent),
+    // exactly as the literature prescribes
     "sp_ripley" -> ((s, dir) => {
       val pts = pointsDf(s, dir).select(col("ck"), col("x"), col("y"))
         .withColumn("cellx", floor((col("x") + 180.0) / 8.0).cast("long"))

@@ -1127,6 +1127,11 @@ object Dedup {
     * both engines; lengths/distances are integers, the one division is the
     * score. Scale shape: the blocking join keys on the prefix, the O(n·m)
     * verify runs only inside blocks — the standard 100 TB blocking plan.
+    * Caveat (inherent to blocking ER): work is quadratic WITHIN a block, so
+    * a skewed key (a boilerplate prefix shared by millions of docs) blows
+    * up; production keys must be selective (longer prefixes, or a minhash
+    * band as the block key — both drop-in here), and a block-size cap with
+    * overflow routed to the set-similarity path is the standard guard.
     */
   def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 32): DataFrame = {
@@ -1154,7 +1159,8 @@ object Dedup {
     * integers (totals are token arithmetic — |c| and |c|−1 — never a gram
     * materialization); p₁/p₂/BP/BLEU are fixed trees over them. Scale
     * shape: one (id, n, gram) count table, gram-keyed joins restricted to
-    * blocked pairs, never all-pairs.
+    * blocked pairs, never all-pairs. Same blocking-skew caveat as
+    * [[editVerifiedPairs]]: pair volume is quadratic within a block.
     */
   def bleuPairs(df: DataFrame, idCol: String, textCol: String,
       prefixLen: Int = 32): DataFrame = {

@@ -3559,6 +3559,25 @@ object SparkEntry {
     "ev_bayes" -> ((s, dir) =>
       Events.ebConversion(T(s, dir, "events"))),
 
+    // composed curation pipeline — the end-to-end shape every stage above
+    // feeds: exact-dedup survivors (min doc_id per identical text) →
+    // token-count quality gate (≥ 5) → per-lang rollup. One gate for the
+    // COMPOSITION: operators must chain without re-reading the corpus
+    // (survivor anti-join and the gate share the single tokenized scan)
+    "tx_curate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val surv = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(surv, "doc_id")
+        .withColumn("toks",
+          size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))
+        .filter(col("toks") >= 5)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("tokens"),
+          sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // corpus-level template mining over the boilerplate-injected corpus:
     // top-20 8-grams by document frequency — WHAT text recurs, the
     // corpus-wide sibling of the pair-level substring dedup
@@ -5069,6 +5088,21 @@ object SparkEntry {
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "tx_templates" -> Corpus.templatesDuckSql(BoilerplateSqlExpr),
+
+    "tx_curate" ->
+      """WITH surv AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        |), kept AS (
+        |  SELECT d.lang, d.doc_id,
+        |         len(list_filter(string_split_regex(lower(d.text), '\s+'),
+        |                         t -> t <> '')) AS toks
+        |  FROM documents d JOIN surv s ON s.doc_id = d.doc_id
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(toks) AS BIGINT) AS tokens,
+        |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM kept WHERE toks >= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "jsonl_ingest_stats" ->
       """SELECT lang, count(*) AS n_docs,

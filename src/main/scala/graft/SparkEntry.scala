@@ -3566,8 +3566,10 @@ object SparkEntry {
     // (survivor anti-join and the gate share the single tokenized scan)
     "tx_curate" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
-      val surv = docs.groupBy("text").agg(min("doc_id").as("doc_id"))
-        .select("doc_id")
+      // survivors keyed on md5(text) (the Dedup.exactGroups discipline —
+      // 16-byte keys cross the wire, the text itself never does)
+      val surv = docs.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
       docs.join(surv, "doc_id")
         .withColumn("toks",
           size(filter(split(lower(col("text")), "\\s+"), t => t =!= "")))

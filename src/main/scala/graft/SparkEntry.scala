@@ -419,6 +419,30 @@ object SparkEntry {
         .orderBy(col("revenue_scaled").desc, col("l_orderkey")).limit(10)
     }),
 
+    // TPC-H Q19 (discounted revenue, disjunctive predicate): three
+    // brand/size/quantity OR-branches — the shape that tests whether the
+    // engine pushes a disjunction to the dimension scan and keeps the
+    // fact-side quantity bounds (l_quantity ≤ 36 covers all branches)
+    // sargable; part broadcast, exact cents×pct revenue
+    "q19_disjunct" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_partkey"),
+        col("l_quantity"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val part = T(s, dir, "part")
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val cond =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 12)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(10, 25) &&
+          col("l_quantity").between(10, 24)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(20, 40) &&
+          col("l_quantity").between(24, 36))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(cond)
+        .agg(count(lit(1)).as("n_lines"), sum("vol").as("revenue_scaled"))
+    }),
+
     // TPC-H Q14 (promotion effect): promo share of one month's revenue —
     // date window pushed to the lineitem scan, part dim broadcast, both
     // revenue masses exact scaled integers, one closing division
@@ -3946,6 +3970,19 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q19_disjunct" ->
+      """SELECT count(*) AS n_lines,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_scaled
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |         AND l_quantity BETWEEN 1 AND 12)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        |         AND l_quantity BETWEEN 10 AND 24)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+        |         AND l_quantity BETWEEN 24 AND 36)""".stripMargin,
 
     "q14_promo" ->
       """WITH j AS (

@@ -1077,6 +1077,12 @@ class Round5Spec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(kPlan.contains("partial_count") || kPlan.contains("HashAggregate"), kPlan)
     assert(!kPlan.contains("CartesianProduct"), kPlan)
+    // q19: Catalyst's CNF extraction must push each table's OR-disjunction
+    // to ITS scan — quantity bounds reach lineitem, brand/size reach part
+    val qPlan = SparkEntry.queries("q19_disjunct")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString()
+    assert(qPlan.contains("PushedFilters: [IsNotNull(l_partkey), Or(Or(And(GreaterThanOrEqual(l_quantity"), qPlan)
+    assert(qPlan.contains("Or(Or(And(EqualTo(p_brand,Brand#1)"), qPlan)
     // tx_bleu: gram joins are keyed, never cartesian
     val p = "z" * 32
     val bdocs = Seq((1L, p + " one two"), (2L, p + " one two three"))

@@ -508,17 +508,23 @@ l$i AS (SELECT src AS node, lbl FROM (
     * mix to avoid 64-bit overflow (documented bound).
     */
   def hashWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // the edge list is probed once per step — persist it like bfs does, or
+    // every round replays the caller's edge-building joins from the scan
+    val e = edges.select(col("src"), col("dst")).persist()
     var cur = seeds.select(col("node").cast("long").as("seed"),
       col("node").cast("long").as("cur"))
     var out = cur.select(col("seed"), lit(0L).as("step"), col("cur").as("node"))
     for (t <- 1 to steps) {
       val h = (col("cur") * 1000003L + lit(t.toLong) * 101L +
         col("dst") * 7919L) % 1000000007L
+      // each level is consumed twice (next step's input + the output
+      // union); persist it — the bfs frontier discipline — or level t
+      // re-executes all t upstream joins inside every union branch
       cur = cur.join(e, col("cur") === col("src"))
         .groupBy(col("seed"))
         .agg(min(struct(h.as("h"), col("dst").as("d"))).as("m"))
         .select(col("seed"), col("m.d").cast("long").as("cur"))
+        .persist()
       out = out.union(
         cur.select(col("seed"), lit(t.toLong).as("step"), col("cur").as("node")))
     }

@@ -956,6 +956,11 @@ object SparkEntry {
     "ev_arima" -> ((s, dir) =>
       Events.arFit(T(s, dir, "events"))),
 
+    // lead–lag cross-correlation screen between event-type daily series,
+    // lags 0..3 — exact integer moments per (a, b, lag), one fixed r tree
+    "ev_lag_corr" -> ((s, dir) =>
+      Events.lagCorrelation(T(s, dir, "events"))),
+
     // CUPED variance-reduced A/B readout: pooled θ from exact integer
     // moments, per-arm raw vs adjusted mean and variance
     "ev_cuped" -> ((s, dir) =>
@@ -5124,6 +5129,7 @@ object SparkEntry {
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
+    "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
     "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "tx_templates" -> Corpus.templatesDuckSql(BoilerplateSqlExpr),

@@ -1229,6 +1229,69 @@ object Events {
       |       round(l + 3.0 * b, 6) AS f3
       |FROM fin ORDER BY event_type""".stripMargin
 
+  /** Lead–lag cross-correlation screen: Pearson r between every ordered
+    * pair of event-type daily series at lags 0..`maxLag` (series b shifted
+    * back by `lag` days, aligned on days where both sides exist — an inner
+    * day join, documented) — the causality-screening readout ("errors lead
+    * purchases by 2 days") that picks which pairs deserve a real model.
+    *
+    * All five moments are exact integers per (a, b, lag); r is one fixed
+    * tree over them; degenerate pairs (constant series or < 8 aligned
+    * days) drop on both sides. Scale shape: daily counts map-side combine;
+    * the pair table is |types|²·lags rows keyed on day.
+    */
+  def lagCorrelation(events: DataFrame, maxLag: Int = 3): DataFrame = {
+    val daily = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.select(col("event_type").as("ta"), col("day"), col("n").as("x"))
+    val b = daily.select(col("event_type").as("tb"), col("day").as("dayb"),
+      col("n").as("y"))
+    val mo = a.crossJoin(
+        org.apache.spark.sql.SparkSession.active.range(0, maxLag + 1)
+          .select(col("id").as("lag")))
+      .join(b, col("ta") =!= col("tb") && col("dayb") === col("day") + col("lag"))
+      .groupBy("ta", "tb", "lag")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val denx = (col("m") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val deny = (col("m") * col("syy") - col("sy") * col("sy")).cast("double")
+    mo.filter(col("m") >= 8 &&
+        (col("m") * col("sxx") - col("sx") * col("sx")) > 0 &&
+        (col("m") * col("syy") - col("sy") * col("sy")) > 0)
+      .select(col("ta"), col("tb"), col("lag"), col("m").as("n_days"),
+        round(num / sqrt(denx * deny), 6).as("r"))
+      .orderBy("ta", "tb", "lag")
+  }
+
+  /** DuckDB replay of [[lagCorrelation]]. */
+  def lagCorrelationDuckSql(maxLag: Int = 3): String =
+    s"""WITH daily AS (
+       |  SELECT event_type, epoch_ns(ts) // 86400000000000 AS day, count(*) AS n
+       |  FROM events GROUP BY 1, 2
+       |), mo AS (
+       |  SELECT a.event_type AS ta, b.event_type AS tb, l.lag,
+       |         count(*) AS m, sum(a.n) AS sx, sum(b.n) AS sy,
+       |         sum(a.n * a.n) AS sxx, sum(a.n * b.n) AS sxy,
+       |         sum(b.n * b.n) AS syy
+       |  FROM daily a
+       |  CROSS JOIN (SELECT unnest(range(0, ${maxLag + 1})) AS lag) l
+       |  JOIN daily b ON b.event_type <> a.event_type
+       |              AND b.day = a.day + l.lag
+       |  GROUP BY 1, 2, 3
+       |)
+       |SELECT ta, tb, CAST(lag AS BIGINT) AS lag, m AS n_days,
+       |       round(CAST(m*sxy - sx*sy AS DOUBLE)
+       |             / sqrt(CAST(m*sxx - sx*sx AS DOUBLE)
+       |                    * CAST(m*syy - sy*sy AS DOUBLE)), 6) AS r
+       |FROM mo
+       |WHERE m >= 8 AND (m*sxx - sx*sx) > 0 AND (m*syy - sy*sy) > 0
+       |ORDER BY ta, tb, lag""".stripMargin
+
   /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): per user,
     * x = pre-period event count and y = post-period count (the period
     * split is the midpoint day of the observed range); arms are

@@ -1053,6 +1053,28 @@ object SparkEntry {
     // multi-source BFS over the same trade graph: min hop from any nation-0
     // customer, 3 frontier rounds (customer→supplier→customer→supplier on
     // the bipartite graph) — Graphs.bfs, the Pregel-shaped frontier plan
+    // log₂-binned degree distribution over the bipartite order graph — the
+    // power-law sanity check (straight line on log-log ⇒ scale-free) every
+    // graph pipeline runs before trusting sampled algorithms; bins via an
+    // exact integer CASE ladder (no float log at bin edges), one degree
+    // aggregate + one tiny bin aggregate
+    "gr_degree_hist" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val bin = (0 until 20).foldRight(lit(20L)) { (k, els) =>
+        when(col("deg") < (1L << (k + 1)), k.toLong).otherwise(els)
+      }
+      deg.withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("nodes"), sum("deg").as("deg_sum"),
+          min("deg").as("min_deg"), max("deg").as("max_deg"))
+        .orderBy("bin")
+    }),
+
     // deterministic hash-guided walks over the bipartite order graph — the
     // DeepWalk corpus-prep step with a hash argmin standing in for the RNG
     // draw, so the walk corpus is bit-reproducible across engines and runs
@@ -4300,6 +4322,25 @@ object SparkEntry {
         |), e0 AS (
         |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
         |)""".stripMargin, k = 25, rounds = 4),
+
+    "gr_degree_hist" -> {
+      val caseLadder = (0 until 20).reverse.foldLeft("20") { (els, k) =>
+        s"CASE WHEN deg < ${1L << (k + 1)} THEN $k ELSE $els END"
+      }
+      s"""WITH eraw AS (
+         |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |), e AS (
+         |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+         |), d AS (
+         |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+         |)
+         |SELECT CAST($caseLadder AS BIGINT) AS bin, count(*) AS nodes,
+         |       CAST(sum(deg) AS BIGINT) AS deg_sum,
+         |       CAST(min(deg) AS BIGINT) AS min_deg,
+         |       CAST(max(deg) AS BIGINT) AS max_deg
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "gr_walks" -> Graphs.hashWalksDuckSql(
       """eraw AS (

@@ -3595,9 +3595,9 @@ object SparkEntry {
 
     // blocking + edit-distance verification (entity-resolution two-phase):
     // 32-char-prefix blocking key, full Levenshtein verify inside blocks,
-    // sim = 1 − ed/max(|a|,|b|) — the character-level metric beside the
-    // set-similarity dedup family
-    "dd_edit_pairs" -> ((s, dir) =>
+    // sim = 1 − ed/max(|a|,|b|) — the BLOCKING member of the pair family,
+    // beside dd_edit_pairs' guaranteed-recall q-gram banding
+    "dd_block_pairs" -> ((s, dir) =>
       Dedup.editVerifiedPairs(T(s, dir, "documents"), "doc_id", "text")),
 
     // BLEU-2 over the same blocking pairs: exact clipped n-gram matches,
@@ -5171,7 +5171,7 @@ object SparkEntry {
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
-    "dd_edit_pairs" -> Dedup.editVerifiedDuckSql(),
+    "dd_block_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "tx_templates" -> Corpus.templatesDuckSql(BoilerplateSqlExpr),
 

@@ -956,6 +956,24 @@ object SparkEntry {
     "ev_arima" -> ((s, dir) =>
       Events.arFit(T(s, dir, "events"))),
 
+    // log₂-binned events-per-user activity histogram — the whale-vs-lurker
+    // distribution readout (the user-graph sibling of gr_degree_hist);
+    // exact integer CASE-ladder bins, two tiny aggregates
+    "ev_user_hist" -> ((s, dir) => {
+      val perUser = T(s, dir, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("cents"))
+      val bin = (0 until 20).foldRight(lit(20L)) { (k, els) =>
+        when(col("n") < (1L << (k + 1)), k.toLong).otherwise(els)
+      }
+      perUser.withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("users"), sum("n").as("events"),
+          sum("cents").as("cents"),
+          min("n").as("min_n"), max("n").as("max_n"))
+        .orderBy("bin")
+    }),
+
     // lead–lag cross-correlation screen between event-type daily series,
     // lags 0..3 — exact integer moments per (a, b, lag), one fixed r tree
     "ev_lag_corr" -> ((s, dir) =>
@@ -3610,6 +3628,31 @@ object SparkEntry {
     "ev_bayes" -> ((s, dir) =>
       Events.ebConversion(T(s, dir, "events"))),
 
+    // language-mix Shannon entropy per source — the "is this source
+    // monolingual or a mixed crawl" curation readout beside tx_kl's
+    // corpus-level drift; ≤|langs| ln terms folded in an ordered
+    // running window per source (the zipfFit summation discipline)
+    "tx_lang_entropy" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("lang")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val all = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      T(s, dir, "documents")
+        .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+        .withColumn("tot", sum("n").over(all))
+        .withColumn("p", col("n").cast("double") / col("tot").cast("double"))
+        .withColumn("t", -(col("p") * log(col("p"))))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("lang")))
+        .withColumn("nl", count(lit(1)).over(all))
+        .withColumn("h", sum("t").over(w))
+        .filter(col("rn") === col("nl"))
+        .select(col("source"), col("nl").cast("long").as("langs"),
+          col("tot").cast("long").as("docs"), round(col("h"), 6).as("entropy"))
+        .orderBy("source")
+    }),
+
     // composed curation pipeline — the end-to-end shape every stage above
     // feeds: exact-dedup survivors (min doc_id per identical text) →
     // token-count quality gate (≥ 5) → per-lang rollup. One gate for the
@@ -5171,9 +5214,49 @@ object SparkEntry {
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
+
+    "ev_user_hist" -> {
+      val caseLadder = (0 until 20).reverse.foldLeft("20") { (els, k) =>
+        s"CASE WHEN n < ${1L << (k + 1)} THEN $k ELSE $els END"
+      }
+      s"""WITH u AS (
+         |  SELECT user_id, count(*) AS n,
+         |         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+         |  FROM events GROUP BY 1
+         |)
+         |SELECT CAST($caseLadder AS BIGINT) AS bin, count(*) AS users,
+         |       CAST(sum(n) AS BIGINT) AS events,
+         |       CAST(sum(cents) AS BIGINT) AS cents,
+         |       CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "dd_block_pairs" -> Dedup.editVerifiedDuckSql(),
     "tx_bleu" -> Dedup.bleuPairsDuckSql(),
     "tx_templates" -> Corpus.templatesDuckSql(BoilerplateSqlExpr),
+
+    "tx_lang_entropy" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+        |), p AS (
+        |  SELECT source, lang, n,
+        |         sum(n) OVER (PARTITION BY source) AS tot,
+        |         count(*) OVER (PARTITION BY source) AS nl,
+        |         row_number() OVER (PARTITION BY source ORDER BY lang) AS rn
+        |  FROM c
+        |), t AS (
+        |  SELECT source, lang, n, tot, nl, rn,
+        |         -((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))
+        |           * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))) AS term
+        |  FROM p
+        |), run AS (
+        |  SELECT source, tot, nl, rn,
+        |         sum(term) OVER (PARTITION BY source ORDER BY lang
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS h
+        |  FROM t
+        |)
+        |SELECT source, CAST(nl AS BIGINT) AS langs, CAST(tot AS BIGINT) AS docs,
+        |       round(h, 6) AS entropy
+        |FROM run WHERE rn = nl ORDER BY source""".stripMargin,
 
     "tx_curate" ->
       """WITH surv AS (

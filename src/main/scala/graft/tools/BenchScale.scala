@@ -340,6 +340,15 @@ object BenchScale {
           .filter(col("node") % 2 === 0 && (col("node") % 100000000L) % 74 === 0)
         graft.pipeline.Graphs.bfs(e, seeds, maxHop = 3)
       }),
+      // hash-guided walks: seeds grow N× (one seed set per copy), steps
+      // fixed at 4 — per-step work is one edges-keyed join + struct-min
+      // argmin, so total work ∝ seeds + edges ≈ N×
+      "gr_walks" -> (n => {
+        val e = edgesAt(n)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .filter(col("node") % 2 === 0 && (col("node") % 100000000L) % 74 === 0)
+        graft.pipeline.Graphs.hashWalks(e, seeds, steps = 4)
+      }),
       // ExactSubstr span removal: rotated copies share no grams, so the
       // gram-key aggregate, coverage expansion, and reassembly all grow ~N×
       // (the n_removed filter keeps count() from eliminating the left join

@@ -2151,6 +2151,50 @@ object SparkEntry {
     // microbatches (complete mode, AvailableNow) must equal the batch
     // hourly rollup the oracle computes — window(start) is exposed as epoch
     // seconds so the integer hour arithmetic replays exactly
+    // sixth streaming CORRECTNESS gate — and the first through the native
+    // session_window state store (append mode: each session emits exactly
+    // once, CLOSED, when the watermark passes its end). Events stage as
+    // four time-ordered slabs (one micro-batch each, so nothing arrives
+    // behind the watermark) plus a far-future sentinel file whose sole job
+    // is to advance the final watermark past every real session; values are
+    // integer cents in a double so the state-store sums stay exact
+    "st_stream_sessions" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val ev = T(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("ets"),
+        round(col("value") * 100).cast("double").as("value"))
+      val slabW = org.apache.spark.sql.expressions.Window.orderBy("ets")
+      val slabs = ev.withColumn("slab", ntile(4).over(slabW))
+      (1 to 4).foreach { i =>
+        slabs.filter(col("slab") === i).drop("slab")
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      val sentinel = ev.agg(max("ets").as("m"))
+        .select(lit(-1L).as("user_id"),
+          (col("m") + expr("INTERVAL 2 DAYS")).as("ets"), lit(0.0).as("value"))
+      sentinel.repartition(1).write.mode("append").parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamSessions
+        .sessionStream(stream, "user_id", "ets")
+        .writeStream.format("memory").queryName("st_stream_sessions_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_sessions_mem")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), unix_micros(col("t_start")).as("t_start_us"),
+          unix_micros(col("t_end")).as("t_end_us"), col("n_events"),
+          col("sum_value").cast("long").as("cents"))
+        .orderBy(col("user_id"), col("t_start_us"))
+    }),
+
     "st_stream_hourly" -> ((s, dir) => {
       val d = java.nio.file.Files.createTempDirectory("graft-stream-hourly")
       d.toFile.deleteOnExit()
@@ -5186,6 +5230,27 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st_stream_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t,
+        |         CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, t, cents,
+        |         CASE WHEN t - lag(t) OVER w >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        |), g AS (
+        |  SELECT user_id, t, cents,
+        |         sum(brk) OVER (PARTITION BY user_id ORDER BY t
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM s
+        |)
+        |SELECT user_id, min(t) AS t_start_us,
+        |       max(t) + 1800000000 AS t_end_us,
+        |       count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, t_start_us""".stripMargin,
 
     "st_stream_hourly" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,

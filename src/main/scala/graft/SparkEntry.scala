@@ -2151,6 +2151,54 @@ object SparkEntry {
     // microbatches (complete mode, AvailableNow) must equal the batch
     // hourly rollup the oracle computes — window(start) is exposed as epoch
     // seconds so the integer hour arithmetic replays exactly
+    // seventh streaming CORRECTNESS gate — the first through
+    // flatMapGroupsWithState (custom state): greedy simhash near-dup
+    // admission per pigeonhole band. Documents stage as id-ordered slabs
+    // (one micro-batch each) and groups process id-sorted within a batch,
+    // so streamed admission equals a single global greedy pass in id order
+    // — which the oracle replays with a recursive CTE carrying each band's
+    // admitted-signature LIST. Output: per-doc admission count across its
+    // 4 bands (4 ⇒ global survivor)
+    "st_stream_simdedup" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-simdedup")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      // every-5th-doc subset: the gate checks stateful admission SEMANTICS,
+      // and the oracle's sequential greedy walk (a recursive CTE carrying
+      // each band's admitted list) is O(band depth²) — the subset keeps the
+      // sf0.1 replay inside the crosscheck budget
+      val docs = T(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), col("text"))
+      val slabW = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      val slabs = docs.withColumn("slab", ntile(4).over(slabW))
+      (1 to 4).foreach { i =>
+        slabs.filter(col("slab") === i).drop("slab")
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val banded = graft.streaming.StreamDedup
+        .bandedDocs(stream, "doc_id", "text", maxHamming = 3)
+      // idleTimeoutMs = 0 ⇒ NoTimeout: a registered processing-time
+      // timeout would keep this AvailableNow replay spinning empty
+      // timeout batches forever (see StreamDedup.simhashDedupStream)
+      val q = graft.streaming.StreamDedup
+        .simhashDedupStream(banded, maxHamming = 3, idleTimeoutMs = 0)
+        .toDF()
+        .writeStream.format("memory").queryName("st_stream_simdedup_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_simdedup_mem")
+        .groupBy(col("id")).agg(count(lit(1)).as("n_adm"))
+        .orderBy("id")
+    }),
+
     // sixth streaming CORRECTNESS gate — and the first through the native
     // session_window state store (append mode: each session emits exactly
     // once, CLOSED, when the watermark passes its end). Events stage as
@@ -5230,6 +5278,44 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st_stream_simdedup" -> {
+      val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+      val adm = "len(list_filter(w.sigs, __s -> bit_count(xor(__s, d.sh)) <= 3)) = 0"
+      s"""WITH RECURSIVE hs AS (
+         |  SELECT doc_id, list_transform($toks, t -> ${Dedup.fnv64DuckSql("t")}) AS hl
+         |  FROM documents WHERE doc_id % 5 = 0
+         |), sg AS (
+         |  SELECT doc_id, ${Dedup.simhash64FromHashesDuckSql("hl")} AS sh FROM hs
+         |), banded AS (
+         |  SELECT CAST(t.k AS BIGINT) * 72057594037927936
+         |           + CAST((sg.sh // t.d) % 65536 AS BIGINT) AS band,
+         |         sg.doc_id AS id, sg.sh
+         |  FROM sg CROSS JOIN (VALUES
+         |    (0, CAST(1 AS UBIGINT)), (1, CAST(65536 AS UBIGINT)),
+         |    (2, CAST(4294967296 AS UBIGINT)),
+         |    (3, CAST(281474976710656 AS UBIGINT))) t(k, d)
+         |), docs AS (
+         |  SELECT band, id, sh,
+         |         row_number() OVER (PARTITION BY band ORDER BY id) AS i
+         |  FROM banded
+         |), walk(band, i, sigs, adm) AS (
+         |  SELECT band, 0, CAST([] AS UBIGINT[]), CAST([] AS BIGINT[])
+         |  FROM (SELECT DISTINCT band FROM docs)
+         |  UNION ALL
+         |  SELECT d.band, w.i + 1,
+         |         CASE WHEN $adm THEN list_append(w.sigs, d.sh) ELSE w.sigs END,
+         |         CASE WHEN $adm THEN list_append(w.adm, d.id) ELSE w.adm END
+         |  FROM walk w JOIN docs d ON d.band = w.band AND d.i = w.i + 1
+         |), fin AS (
+         |  SELECT w.band, w.adm FROM walk w
+         |  JOIN (SELECT band, max(i) AS mi FROM walk GROUP BY 1) m
+         |    ON m.band = w.band AND w.i = m.mi
+         |), admitted AS (
+         |  SELECT band, unnest(adm) AS id FROM fin
+         |)
+         |SELECT id, count(*) AS n_adm FROM admitted GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "st_stream_sessions" ->
       """WITH e AS (

@@ -59,9 +59,17 @@ object StreamDedup {
   def simhashDedupStream(docs: Dataset[BandedDoc], maxHamming: Int,
       idleTimeoutMs: Long = 3600 * 1000L): Dataset[Admitted] = {
     import docs.sparkSession.implicits._
+    // idleTimeoutMs <= 0 ⇒ NoTimeout: state lives for the query's lifetime.
+    // This is the mode for BOUNDED replays (AvailableNow) — a registered
+    // processing-time timeout keeps the engine spinning empty timeout
+    // batches forever, so an AvailableNow query would never terminate
+    // (observed: ~3000 empty epochs). Continuous production queries keep
+    // the timeout for state eviction.
+    val timeout = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     docs.groupByKey(_.band)
       .flatMapGroupsWithState[BandState, Admitted](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        OutputMode.Append(), timeout) {
         (_: Long, rows: Iterator[BandedDoc], state: GroupState[BandState]) =>
           if (state.hasTimedOut) {
             state.remove()
@@ -77,7 +85,7 @@ object StreamDedup {
               }
             }
             state.update(BandState(sigs))
-            state.setTimeoutDuration(idleTimeoutMs)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
             out.iterator
           }
       }

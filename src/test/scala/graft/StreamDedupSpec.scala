@@ -48,7 +48,10 @@ class StreamDedupSpec extends SparkSpec {
     docs.write.parquet(srcDir)
     val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
     val banded = StreamDedup.bandedDocs(stream, "doc_id", "text", maxHamming = 10)
-    val admitted = StreamDedup.simhashDedupStream(banded, maxHamming = 10)
+    // idleTimeoutMs = 0 ⇒ NoTimeout — with a processing-time timeout an
+    // AvailableNow replay never terminates (empty timeout batches forever)
+    val admitted = StreamDedup.simhashDedupStream(banded, maxHamming = 10,
+      idleTimeoutMs = 0)
     val q = admitted.toDF.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()

@@ -2151,6 +2151,49 @@ object SparkEntry {
     // microbatches (complete mode, AvailableNow) must equal the batch
     // hourly rollup the oracle computes — window(start) is exposed as epoch
     // seconds so the integer hour arithmetic replays exactly
+    // eighth streaming CORRECTNESS gate — streaming ANN retrieval: query
+    // vectors arrive as micro-batches, retrieve against the STATIC IVF
+    // index (stateless stream-static list_id join; only the windowed
+    // top-k aggregate is state), and the emitted per-window shortlist must
+    // equal the batch ivfKnnJoin replay (the shared IvfEvalCtes oracle).
+    // All queries carry one fixed event time, a far-future sentinel closes
+    // the window
+    "st_stream_ann" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-ann")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val emb = T(s, dir, "embeddings")
+      val qs = emb.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id"), col("embedding"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("ets"))
+      val slabW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
+      val slabs = qs.withColumn("slab", ntile(2).over(slabW))
+      (1 to 2).foreach { i =>
+        slabs.filter(col("slab") === i).drop("slab")
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      emb.limit(1).select(lit(-1L).as("vec_id"), col("embedding"),
+          to_timestamp(lit("2026-01-03 00:00:00")).as("ets"))
+        .repartition(1).write.mode("append").parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val q = graft.streaming.StreamAnn
+        .annEnrichStream(stream, emb, "vec_id", "embedding", "ets",
+          k = 5, nlist = 16, nprobe = 2)
+        .writeStream.format("memory").queryName("st_stream_ann_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_ann_mem")
+        .filter(col("qid") >= 0)
+        .select(col("qid"), col("rank"), col("nid"), col("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // seventh streaming CORRECTNESS gate — the first through
     // flatMapGroupsWithState (custom state): greedy simhash near-dup
     // admission per pigeonhole band. Documents stage as id-ordered slabs
@@ -5278,6 +5321,11 @@ object SparkEntry {
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
         |       count(*) AS n_dups
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "st_stream_ann" -> (IvfEvalCtes + """
+        |SELECT a.qid, CAST(a.rank AS BIGINT) AS rank, a.nid, c.cosine
+        |FROM approx a JOIN cand c ON c.qid = a.qid AND c.nid = a.nid
+        |ORDER BY a.qid, a.rank""".stripMargin),
 
     "st_stream_simdedup" -> {
       val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""

@@ -1443,6 +1443,41 @@ object SparkEntry {
     // spacing 1 makes every d2 integer-valued — exact in any engine; the
     // oracle is the all-pairs formulation (valid because knnJoin is exact).
     // cellSize 8 ≈ sqrt(2k·area/n) at sf0.01 — a 3×3 block holds ≳ 2k pts
+    // Clark–Evans nearest-neighbor index per nation (Clark & Evans 1954):
+    // R = observed mean NN distance / expected 0.5/√(global density) —
+    // R < 1 clustered, ≈ 1 Poisson, > 1 dispersed; completes the
+    // point-pattern family beside Ripley's K (global) and Gi* (local).
+    // NN distances come from the exact ring-expansion knn join (k=1, no
+    // cross join); per-nation means fold in ordered windows so the sqrt
+    // sums are bit-reproducible; density is the global-lattice convention
+    // (documented — per-nation area would need a boundary model)
+    "sp_clark_evans" -> ((s, dir) => {
+      val base = pointsDf(s, dir)
+      val pts = base.select(col("ck").as("id"), col("x"), col("y"))
+      val nn = SpatialJoin.knnJoin(pts, pts, k = 1, cellSize = 8.0,
+          excludeSelf = true)
+        .select(col("qid"), sqrt(col("d2")).as("dist"))
+      val tot = base.agg(count(lit(1)).as("nt"))
+      val wo = org.apache.spark.sql.expressions.Window
+        .partitionBy("nk").orderBy("qid")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("nk")
+      base.select(col("ck").as("qid"), col("c_nationkey").cast("long").as("nk"))
+        .join(nn, "qid").crossJoin(tot)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("nk").orderBy("qid")))
+        .withColumn("np", count(lit(1)).over(wAll))
+        .withColumn("sd", sum("dist").over(wo))
+        .filter(col("rn") === col("np"))
+        .withColumn("mean_nn", col("sd") / col("np").cast("double"))
+        .select(col("nk"), col("np").cast("long").as("n_pts"),
+          round(col("mean_nn"), 6).as("mean_nn"),
+          round(col("mean_nn") * 2.0 *
+            sqrt(col("nt").cast("double") / 64800.0), 6).as("r_index"))
+        .orderBy("nk")
+    }),
+
     "sp_knn_join" -> ((s, dir) => {
       val base = pointsDf(s, dir)
       val pts = base.select(col("ck").as("id"), col("x"), col("y"))
@@ -4910,6 +4945,31 @@ object SparkEntry {
 
     // all-pairs kNN — a valid oracle for the grid+ring plan because knnJoin
     // is provably exact; lattice arithmetic keeps every d2 an exact double
+    "sp_clark_evans" -> (PtsCte + """
+      |, nn AS (
+      |  SELECT q.ck, q.c_nationkey AS nk,
+      |         sqrt(min((q.x-p.x)*(q.x-p.x) + (q.y-p.y)*(q.y-p.y))) AS dist
+      |  FROM pts q JOIN pts p ON p.ck <> q.ck
+      |  GROUP BY q.ck, q.c_nationkey
+      |), t AS (
+      |  SELECT count(*) AS nt FROM pts
+      |), run AS (
+      |  SELECT nk,
+      |         row_number() OVER (PARTITION BY nk ORDER BY ck) AS rn,
+      |         count(*) OVER (PARTITION BY nk) AS np,
+      |         sum(dist) OVER (PARTITION BY nk ORDER BY ck
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sd
+      |  FROM nn
+      |), f AS (
+      |  SELECT r.nk, r.np, r.sd / CAST(r.np AS DOUBLE) AS mean_nn, t.nt
+      |  FROM run r CROSS JOIN t WHERE r.rn = r.np
+      |)
+      |SELECT CAST(nk AS BIGINT) AS nk, CAST(np AS BIGINT) AS n_pts,
+      |       round(mean_nn, 6) AS mean_nn,
+      |       round(mean_nn * 2.0 * sqrt(CAST(nt AS DOUBLE) / 64800.0), 6)
+      |         AS r_index
+      |FROM f ORDER BY nk""".stripMargin),
+
     "sp_knn_join" -> (PtsCte +
       """
         |SELECT qid, pid, d2, rk FROM (

@@ -443,6 +443,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_lines"), sum("vol").as("revenue_scaled"))
     }),
 
+    // TPC-H Q22 (global sales opportunity): customers above the global
+    // positive-balance average who never ordered — the scalar-subquery
+    // threshold (a 1-row broadcast) plus LEFT ANTI join on the fact table,
+    // grouped by nation; counts and cent sums exact
+    "q22_idle_rich" -> ((s, dir) => {
+      val cust = T(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nk"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val thr = cust.filter(col("cents") > 0)
+        .agg((sum("cents").cast("double") / count(lit(1)).cast("double"))
+          .as("thr"))
+      val ordered = T(s, dir, "orders").select(col("o_custkey")).distinct()
+      cust.crossJoin(thr)
+        .filter(col("cents").cast("double") > col("thr"))
+        .join(ordered, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("nk")
+        .agg(count(lit(1)).as("n_cust"), sum("cents").as("cents"))
+        .orderBy("nk")
+    }),
+
     // TPC-H Q14 (promotion effect): promo share of one month's revenue —
     // date window pushed to the lineitem scan, part dim broadcast, both
     // revenue masses exact scaled integers, one closing division
@@ -4210,6 +4230,21 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-06-01'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue_scaled DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH c AS (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk,
+        |         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer
+        |), t AS (
+        |  SELECT CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS thr
+        |  FROM c WHERE cents > 0
+        |)
+        |SELECT nk, count(*) AS n_cust, CAST(sum(cents) AS BIGINT) AS cents
+        |FROM c CROSS JOIN t
+        |WHERE CAST(cents AS DOUBLE) > t.thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY nk ORDER BY nk""".stripMargin,
 
     "q19_disjunct" ->
       """SELECT count(*) AS n_lines,

@@ -1009,6 +1009,23 @@ object SparkEntry {
     "ev_backtest" -> ((s, dir) =>
       Events.holtBacktest(T(s, dir, "events"))),
 
+    // daily new-vs-returning split — the growth-accounting readout: a
+    // user's first-seen day marks them new for that day only; one user
+    // min-day rollup joined back on user (never a self-join of the log)
+    "ev_new_returning" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("day", expr("ts div 86400000000000"))
+      val first = ev.groupBy("user_id").agg(min("day").as("d0"))
+      ev.join(first, "user_id")
+        .withColumn("is_new", (col("day") === col("d0")).cast("long"))
+        .groupBy("day")
+        .agg(countDistinct(when(col("is_new") === 1, col("user_id"))).as("new_users"),
+          countDistinct(when(col("is_new") === 0, col("user_id"))).as("ret_users"),
+          sum(col("is_new")).as("new_events"),
+          sum(lit(1L) - col("is_new")).as("ret_events"))
+        .orderBy("day")
+    }),
+
     // Pareto concentration deciles: exact per-decile event/cent sums and
     // shares — the distributional readout beside the single-number Gini
     "ev_pareto" -> ((s, dir) =>
@@ -5508,6 +5525,23 @@ object SparkEntry {
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
+
+    "ev_new_returning" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+        |), f AS (
+        |  SELECT user_id, min(day) AS d0 FROM e GROUP BY 1
+        |), j AS (
+        |  SELECT e.user_id, e.day,
+        |         CASE WHEN e.day = f.d0 THEN 1 ELSE 0 END AS is_new
+        |  FROM e JOIN f ON f.user_id = e.user_id
+        |)
+        |SELECT day,
+        |       count(DISTINCT CASE WHEN is_new = 1 THEN user_id END) AS new_users,
+        |       count(DISTINCT CASE WHEN is_new = 0 THEN user_id END) AS ret_users,
+        |       CAST(sum(is_new) AS BIGINT) AS new_events,
+        |       CAST(sum(1 - is_new) AS BIGINT) AS ret_events
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_user_hist" -> {
       val caseLadder = (0 until 20).reverse.foldLeft("20") { (els, k) =>

@@ -3881,6 +3881,25 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // word burstiness (Church & Gale's tf/df clumpiness): words that pile
+    // up inside few documents vs spreading evenly — bursty high-frequency
+    // words are spam/template markers; exact integer tf and df from one
+    // (doc, word) aggregate, top-20 by (ratio, word) as a TakeOrdered
+    "tx_burstiness" -> ((s, dir) => {
+      val dw = T(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+            .as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      dw.groupBy("w")
+        .agg(sum("c").as("tf"), count(lit(1)).as("df"))
+        .filter(col("tf") >= 50)
+        .withColumn("burst",
+          round(col("tf").cast("double") / col("df").cast("double"), 6))
+        .orderBy(col("burst").desc, col("w")).limit(20)
+        .select(col("w").as("word"), col("tf"), col("df"), col("burst"))
+    }),
+
     // corpus-level template mining over the boilerplate-injected corpus:
     // top-20 8-grams by document frequency — WHAT text recurs, the
     // corpus-wide sibling of the pair-level substring dedup
@@ -5585,6 +5604,22 @@ object SparkEntry {
         |SELECT source, CAST(nl AS BIGINT) AS langs, CAST(tot AS BIGINT) AS docs,
         |       round(h, 6) AS entropy
         |FROM run WHERE rn = nl ORDER BY source""".stripMargin,
+
+    "tx_burstiness" ->
+      """WITH dw AS (
+        |  SELECT doc_id, w, count(*) AS c FROM (
+        |    SELECT doc_id,
+        |           unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                              t -> t <> '')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT w, CAST(sum(c) AS BIGINT) AS tf, count(*) AS df FROM dw GROUP BY 1
+        |)
+        |SELECT w AS word, tf, df,
+        |       round(CAST(tf AS DOUBLE) / CAST(df AS DOUBLE), 6) AS burst
+        |FROM agg WHERE tf >= 50
+        |ORDER BY burst DESC, word LIMIT 20""".stripMargin,
 
     "tx_curate" ->
       """WITH surv AS (

@@ -2539,6 +2539,25 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // spatial Gini over 10° grid-cell populations — "how concentrated is
+    // the point mass": the exact rank formula (2Σ i·xᵢ − (n+1)Σx)/(nΣx)
+    // over ascending cell counts, both moments exact integers (the
+    // ev_gini discipline applied to the spatial lattice)
+    "sp_gini" -> ((s, dir) => {
+      val cells = pointsDf(s, dir).groupBy(
+          floor((col("x") + 180.0) / 10.0).cast("long").as("cx"),
+          floor((col("y") + 90.0) / 10.0).cast("long").as("cy"))
+        .agg(count(lit(1)).as("n"))
+      val ranked = cells.withColumn("i",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n"), col("cx"), col("cy"))).cast("long"))
+      ranked.agg(count(lit(1)).as("m"), sum("n").as("sx"),
+          sum(col("i") * col("n")).as("sixi"))
+        .select(col("m").as("n_cells"), col("sx").as("n_points"),
+          round((lit(2L) * col("sixi") - (col("m") + lit(1L)) * col("sx"))
+            / (col("m") * col("sx")), 6).as("gini"))
+    }),
+
     // Ripley's K point-pattern statistic (Ripley 1977) at r = 1,2,4,8°:
     // exact unordered pair counts within each radius — candidates from an
     // 8°-cell 3×3 grid self-join (cell width = max radius ⇒ adjacency is
@@ -5800,6 +5819,24 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_gini" -> (PtsCte + """
+      |, cells AS (
+      |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,
+      |         CAST(floor((y + 90.0) / 10.0) AS BIGINT) AS cy,
+      |         count(*) AS n
+      |  FROM pts GROUP BY 1, 2
+      |), r AS (
+      |  SELECT n, CAST(row_number() OVER (ORDER BY n, cx, cy) AS BIGINT) AS i
+      |  FROM cells
+      |), m AS (
+      |  SELECT count(*) AS m, CAST(sum(n) AS BIGINT) AS sx,
+      |         CAST(sum(i * n) AS BIGINT) AS sixi
+      |  FROM r
+      |)
+      |SELECT m AS n_cells, sx AS n_points,
+      |       round((2 * sixi - (m + 1) * sx) / (m * sx), 6) AS gini
+      |FROM m""".stripMargin),
+
     "sp_ripley" -> (PtsCte + """
       |, pr AS (
       |  SELECT (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2

@@ -1149,6 +1149,27 @@ class Round5Spec extends SparkSpec {
     assert(planted.nonEmpty && planted.head.getLong(1) >= 3, got.take(3).mkString(";"))
   }
 
+  test("closing invariants: spatial gini bounds, new-vs-returning conservation, burstiness >= 1, q22 anti-join") {
+    val dir = "/root/testdata/sf0.001"
+    val gini = SparkEntry.queries("sp_gini")(spark, dir).collect()(0)
+    assert(gini.getDouble(2) >= 0.0 && gini.getDouble(2) <= 1.0, gini.toString)
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(gini.getLong(1) == nCust)
+    // new+returning events sum to the log; first day has no returning users
+    val nvr = SparkEntry.queries("ev_new_returning")(spark, dir).collect()
+    val nEv = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(nvr.map(r => r.getLong(3) + r.getLong(4)).sum == nEv)
+    assert(nvr.head.getLong(2) == 0L, nvr.head.toString)
+    // burstiness = tf/df >= 1 always (tf counts every occurrence, df docs)
+    val burst = SparkEntry.queries("tx_burstiness")(spark, dir).collect()
+    assert(burst.forall(r => r.getDouble(3) >= 1.0))
+    assert(burst.forall(r => r.getLong(1) >= r.getLong(2)))
+    // q22: no selected customer may have any order
+    val idle = SparkEntry.queries("q22_idle_rich")(spark, dir).collect()
+    assert(idle.map(_.getLong(1)).sum <= nCust)
+    assert(idle.forall(_.getLong(1) > 0))
+  }
+
   test("holtWinters: constant series settles at level=c, zero trend/seasonals") {
     import graft.pipeline.Events
     val rows = (0 until 21).flatMap { d => Seq.fill(6)(("load", d * dayNs + 7L)) }

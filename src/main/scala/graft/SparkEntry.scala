@@ -1108,6 +1108,29 @@ object SparkEntry {
     // multi-source BFS over the same trade graph: min hop from any nation-0
     // customer, 3 frontier rounds (customer→supplier→customer→supplier on
     // the bipartite graph) — Graphs.bfs, the Pregel-shaped frontier plan
+    // rich-club coefficient (Zhou & Mondragón 2004): do the top-50 highest-
+    // degree nodes preferentially connect to EACH OTHER? φ = edges inside
+    // the club / C(k,2) — exact integers (degree ties broken by node id);
+    // the club is a 50-row broadcast, the edge probe two semi-joins
+    "gr_rich_club" -> ((s, dir) => {
+      val eraw = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+      val edges = eraw.union(eraw.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val club = deg
+        .orderBy(col("deg").desc, col("node")).limit(50)
+        .select(col("node"))
+      val inClub = eraw
+        .join(broadcast(club.select(col("node").as("src"))), Seq("src"), "left_semi")
+        .join(broadcast(club.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+      inClub.agg(count(lit(1)).as("club_edges"))
+        .select(lit(50L).as("k"), col("club_edges"),
+          round(col("club_edges").cast("double") /
+            lit((50L * 49L / 2).toDouble), 6).as("phi"))
+    }),
+
     // log₂-binned degree distribution over the bipartite order graph — the
     // power-law sanity check (straight line on log-log ⇒ scale-free) every
     // graph pipeline runs before trusting sampled algorithms; bins via an
@@ -3900,6 +3923,28 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // OOV rate of the held-out slice against the training vocabulary — the
+    // coverage number every tokenizer/LM gate tracks; token totals are
+    // arithmetic, unseen tokens come from one vocab anti-join (word-keyed,
+    // never broadcast), per-lang split exact
+    "tx_oov" -> ((s, dir) => {
+      val toksC = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+      val docs = T(s, dir, "documents")
+      val train = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(explode(toksC).as("w")).distinct()
+      val ev = docs.filter(col("doc_id") % 5 === 0)
+        .select(col("lang"), explode(toksC).as("w"))
+      val oov = ev.join(train, Seq("w"), "left_anti")
+        .groupBy("lang").agg(count(lit(1)).as("oov_tokens"))
+      ev.groupBy("lang").agg(count(lit(1)).as("tokens"))
+        .join(oov, Seq("lang"), "left")
+        .na.fill(0L, Seq("oov_tokens"))
+        .select(col("lang"), col("tokens"), col("oov_tokens"),
+          round(col("oov_tokens").cast("double") / col("tokens").cast("double"), 6)
+            .as("oov_rate"))
+        .orderBy("lang")
+    }),
+
     // word burstiness (Church & Gale's tf/df clumpiness): words that pile
     // up inside few documents vs spreading evenly — bursty high-frequency
     // words are spam/template markers; exact integer tf and df from one
@@ -5623,6 +5668,41 @@ object SparkEntry {
         |SELECT source, CAST(nl AS BIGINT) AS langs, CAST(tot AS BIGINT) AS docs,
         |       round(h, 6) AS entropy
         |FROM run WHERE rn = nl ORDER BY source""".stripMargin,
+
+    "tx_oov" -> {
+      val toks = """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
+      s"""WITH tr AS (
+         |  SELECT DISTINCT unnest($toks) AS w FROM documents WHERE doc_id % 5 <> 0
+         |), ev AS (
+         |  SELECT lang, unnest($toks) AS w FROM documents WHERE doc_id % 5 = 0
+         |), oov AS (
+         |  SELECT e.lang, count(*) AS oov_tokens
+         |  FROM ev e LEFT JOIN tr ON tr.w = e.w
+         |  WHERE tr.w IS NULL GROUP BY 1
+         |)
+         |SELECT e.lang, count(*) AS tokens,
+         |       CAST(coalesce(any_value(o.oov_tokens), 0) AS BIGINT) AS oov_tokens,
+         |       round(CAST(coalesce(any_value(o.oov_tokens), 0) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE), 6) AS oov_rate
+         |FROM ev e LEFT JOIN oov o ON o.lang = e.lang
+         |GROUP BY e.lang ORDER BY e.lang""".stripMargin
+    },
+
+    "gr_rich_club" ->
+      """WITH eraw AS (
+        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), e AS (
+        |  SELECT src, dst FROM eraw UNION ALL SELECT dst, src FROM eraw
+        |), d AS (
+        |  SELECT src AS node, count(*) AS deg FROM e GROUP BY 1
+        |), club AS (
+        |  SELECT node FROM d ORDER BY deg DESC, node LIMIT 50
+        |)
+        |SELECT CAST(50 AS BIGINT) AS k, count(*) AS club_edges,
+        |       round(CAST(count(*) AS DOUBLE) / 1225.0, 6) AS phi
+        |FROM eraw
+        |WHERE src IN (SELECT node FROM club) AND dst IN (SELECT node FROM club)""".stripMargin,
 
     "tx_burstiness" ->
       """WITH dw AS (

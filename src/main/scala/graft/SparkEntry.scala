@@ -2562,6 +2562,27 @@ object SparkEntry {
     // doubles match the oracle bit-for-bit before the final round. The
     // rank filter plans as WindowGroupLimit (per-partition heaps); the
     // 25-row centroid table broadcasts against the point scan.
+    // quadrat-count χ² test of complete spatial randomness over the FULL
+    // 36×18 10° lattice (empty quadrats count): χ² = Σ(nᵢ−μ)²/μ expanded
+    // to Σn² − 2μΣn + Qμ² over exact integer moments (only the occupied
+    // cells are ever materialized — the (Q−k)·μ² empty mass is algebra)
+    "sp_quadrat" -> ((s, dir) => {
+      val cells = pointsDf(s, dir).groupBy(
+          floor((col("x") + 180.0) / 10.0).cast("long").as("cx"),
+          floor((col("y") + 90.0) / 10.0).cast("long").as("cy"))
+        .agg(count(lit(1)).as("n"))
+      val q = 36L * 18L
+      cells.agg(count(lit(1)).as("k"), sum("n").as("s1"),
+          sum(col("n") * col("n")).as("s2"))
+        .withColumn("mu", col("s1").cast("double") / lit(q.toDouble))
+        .select(lit(q).as("quadrats"), col("k").as("occupied"),
+          col("s1").as("n_points"), round(col("mu"), 6).as("mu"),
+          round((col("s2").cast("double") -
+            lit(2.0) * col("mu") * col("s1").cast("double") +
+            lit(q.toDouble) * col("mu") * col("mu")) / col("mu"), 6)
+            .as("chi2"))
+    }),
+
     // spatial Gini over 10° grid-cell populations — "how concentrated is
     // the point mass": the exact rank formula (2Σ i·xᵢ − (n+1)Σx)/(nΣx)
     // over ascending cell counts, both moments exact integers (the
@@ -5899,6 +5920,25 @@ object SparkEntry {
 
     // IDW replay: same centroid division, same d² tree, same (d2, ck) rank
     // tie-break, the same 8 pivoted terms added left-to-right
+    "sp_quadrat" -> (PtsCte + """
+      |, cells AS (
+      |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,
+      |         CAST(floor((y + 90.0) / 10.0) AS BIGINT) AS cy,
+      |         count(*) AS n
+      |  FROM pts GROUP BY 1, 2
+      |), m AS (
+      |  SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS s1,
+      |         CAST(sum(n*n) AS BIGINT) AS s2
+      |  FROM cells
+      |), f AS (
+      |  SELECT k, s1, s2, CAST(s1 AS DOUBLE) / 648.0 AS mu FROM m
+      |)
+      |SELECT CAST(648 AS BIGINT) AS quadrats, k AS occupied, s1 AS n_points,
+      |       round(mu, 6) AS mu,
+      |       round((CAST(s2 AS DOUBLE) - 2.0 * mu * CAST(s1 AS DOUBLE)
+      |              + 648.0 * mu * mu) / mu, 6) AS chi2
+      |FROM f""".stripMargin),
+
     "sp_gini" -> (PtsCte + """
       |, cells AS (
       |  SELECT CAST(floor((x + 180.0) / 10.0) AS BIGINT) AS cx,

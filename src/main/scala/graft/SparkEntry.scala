@@ -1009,6 +1009,24 @@ object SparkEntry {
     "ev_backtest" -> ((s, dir) =>
       Events.holtBacktest(T(s, dir, "events"))),
 
+    // time-to-convert histogram: per user, days from first signup to first
+    // subsequent purchase (conversions only — censoring lives in
+    // ev_survival); exact day-diff buckets from two min() rollups
+    "ev_ttc" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("day", expr("ts div 86400000000000"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("day").as("d_signup"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min("day").as("d_purchase"))
+      su.join(pu, "user_id")
+        .filter(col("d_purchase") >= col("d_signup"))
+        .withColumn("days_to_convert", col("d_purchase") - col("d_signup"))
+        .groupBy("days_to_convert")
+        .agg(count(lit(1)).as("users"))
+        .orderBy("days_to_convert")
+    }),
+
     // daily new-vs-returning split — the growth-accounting readout: a
     // user's first-seen day marks them new for that day only; one user
     // min-day rollup joined back on user (never a self-join of the log)
@@ -4147,6 +4165,22 @@ object SparkEntry {
     // ANN quality gate: recall@5 of the IVF index vs the exact top-5 over
     // a sampled query set — retrieval evaluation as an operator; both
     // sides share the (rounded cosine, id) tie order so recall is exact
+    // embedding-norm hygiene histogram: ‖v‖ distribution in 0.1-wide bins —
+    // the sanity check before any cosine/dot-product index (un-normalized
+    // vectors silently break dot≈cosine shortcuts); the square-sum folds
+    // sequentially inside each vector (aggregate HOF = the oracle's
+    // 0-seeded list_reduce), bins are floor(10·norm) on identical doubles
+    "sim_norm_hist" -> ((s, dir) => {
+      val norm = sqrt(aggregate(
+        transform(col("embedding"), _.cast("double")),
+        lit(0.0), (a, v) => a + v * v))
+      T(s, dir, "embeddings")
+        .withColumn("bin", floor(norm * 10.0).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("vecs"))
+        .orderBy("bin")
+    }),
+
     "sim_recall" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       Similarity.ivfRecallAtK(emb, emb.filter(col("vec_id") % 50 === 0),
@@ -5629,6 +5663,20 @@ object SparkEntry {
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
+
+    "ev_ttc" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 86400000000000 AS day
+        |  FROM events
+        |), su AS (
+        |  SELECT user_id, min(day) AS ds FROM e WHERE event_type = 'signup' GROUP BY 1
+        |), pu AS (
+        |  SELECT user_id, min(day) AS dp FROM e WHERE event_type = 'purchase' GROUP BY 1
+        |)
+        |SELECT CAST(dp - ds AS BIGINT) AS days_to_convert, count(*) AS users
+        |FROM su JOIN pu USING (user_id)
+        |WHERE dp >= ds
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_new_returning" ->
       """WITH e AS (
@@ -7346,6 +7394,16 @@ object SparkEntry {
         |       round(CAST(sum(h) AS DOUBLE) / (5 * count(*)), 6) AS avg_recall,
         |       round(CAST(min(h) AS DOUBLE) / 5, 6) AS min_recall
         |FROM perq""".stripMargin),
+
+    "sim_norm_hist" ->
+      """WITH n AS (
+        |  SELECT CAST(floor(sqrt(list_reduce(
+        |           list_prepend(CAST(0.0 AS DOUBLE),
+        |             list_transform(embedding::DOUBLE[], x -> x * x)),
+        |           (a, b) -> a + b)) * 10.0) AS BIGINT) AS bin
+        |  FROM embeddings
+        |)
+        |SELECT bin, count(*) AS vecs FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sim_ndcg" -> (IvfEvalCtes + """
         |, g AS (

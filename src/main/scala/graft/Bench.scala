@@ -55,6 +55,11 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the driver keeps only the stdout TAIL: once the per-query map above
+    // grows past the capture window, anything at the head of that one long
+    // line (r04/r05 lost "total") is cut. A second, SHORT, final line always
+    // survives truncation and carries the headline numbers on its own.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }
 }

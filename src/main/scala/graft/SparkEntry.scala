@@ -2894,6 +2894,136 @@ object SparkEntry {
         .orderBy(col("tx"), col("ty"))
     }),
 
+    // MVT LINESTRING bake on the true slippy Web-Mercator pyramid (zoom 2,
+    // ty from st.mercatorY): per-nation wandering polylines on a
+    // quarter-degree lattice are quantized to global pixels, split into
+    // per-tile vertex runs (vertex-partition clip: consecutive same-tile
+    // vertices form a sub-line; runs of 1 drop — no edge clipping, as
+    // documented), encoded as MoveTo+LineTo command streams with the
+    // cursor persisting across parts, then decode-roundtripped and
+    // aggregated per tile. Any zigzag/cursor/ClosePath bug breaks the sums.
+    // Nation centers stay within ±52°, so no mercator clip is needed and
+    // every quantized value is deterministic same-expression-tree float.
+    "sp_mvt_lines" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Mvt
+      val z = 2
+      val scale = (1 << z) * Mvt.Extent      // 16384 global pixels per axis
+      val radius = graft.geom.Mercator.RadiusM
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("nk").orderBy("ck")
+      val verts = T(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+        .withColumn("x", (col("nk") % 8).cast("double") * 45.0 - 180.0 + 22.5
+          + ((col("ck") % 16).cast("double") - 7.5) * 0.25)
+        .withColumn("y", ((col("nk") * 7) % 6).cast("double") * 20.0 - 60.0 + 10.0
+          + (((col("ck") * 3) % 12).cast("double") - 5.5) * 0.25)
+      val quant = verts
+        .withColumn("gx", floor((col("x") + 180.0) / 360.0 * scale))
+        .withColumn("yn", st.mercatorY(col("y")) / lit(radius) / lit(math.Pi))
+        .withColumn("gy", floor((lit(1.0) - col("yn")) / 2.0 * scale))
+        .select(col("ck"), col("nk"),
+          expr(s"gx DIV ${Mvt.Extent}").as("tx"),
+          expr(s"gy DIV ${Mvt.Extent}").as("ty"),
+          expr(s"gx % ${Mvt.Extent}").cast("int").as("px"),
+          expr(s"gy % ${Mvt.Extent}").cast("int").as("py"))
+      val runs = quant
+        .withColumn("ptx", lag(col("tx"), 1).over(w))
+        .withColumn("pty", lag(col("ty"), 1).over(w))
+        .withColumn("brk", when(col("ptx").isNull
+          || col("ptx") =!= col("tx") || col("pty") =!= col("ty"), 1L).otherwise(0L))
+        .withColumn("run", sum(col("brk")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val parts = runs
+        .groupBy(col("nk"), col("run"), col("tx"), col("ty"))
+        .agg(count(lit(1)).as("nv"),
+          sort_array(collect_list(struct(col("ck"), col("px"), col("py")))).as("vs"))
+        .filter(col("nv") >= 2)
+        .withColumn("fid", col("nk").cast("long") * 10000L + col("run"))
+      val tiles = parts
+        .select(col("tx"), col("ty"), col("fid"), col("nk"), col("vs"))
+        .as[(Long, Long, Long, Int, Seq[(Long, Int, Int)])]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (Long, Long), it: Iterator[(Long, Long, Long, Int, Seq[(Long, Int, Int)])]) =>
+          val feats = it.map(r => Mvt.Feature(r._3, 2,
+            Seq(r._5.map(v => (v._2, v._3))), Seq("nk" -> r._4.toLong))).toSeq
+          (key._1, key._2, Mvt.encodeTileF("nations", feats))
+        }
+      val decoded = tiles.flatMap { case (tx, ty, bytes) =>
+          Mvt.decodeTileF(bytes).flatMap { case (_, fs) =>
+            fs.flatMap(f => f.parts.flatten.map(v =>
+              (tx, ty, f.id, v._1, v._2))) }
+        }.toDF("tx", "ty", "fid", "px", "py")
+      decoded
+        .groupBy(col("tx"), col("ty"), col("fid"))
+        .agg(count(lit(1)).as("nv"), sum(col("px")).as("spx"), sum(col("py")).as("spy"))
+        .groupBy(col("tx"), col("ty"))
+        .agg(count(lit(1)).as("n_feat"), sum(col("nv")).as("n_vert"),
+          sum(col("spx")).as("sum_px"), sum(col("spy")).as("sum_py"),
+          sum(col("fid")).as("sum_id"))
+        .orderBy(col("tx"), col("ty"))
+    }),
+
+    // MVT POLYGON bake at zoom 0 (the whole world is the one 0/0 tile —
+    // the single encode group is inherent to the zoom level, not the plan;
+    // deeper zooms group by tile exactly as sp_mvt_lines does): each
+    // nation's pixel bbox becomes a 4-corner CW exterior ring encoded with
+    // MoveTo+LineTo+ClosePath, and the decode side recovers vertex count,
+    // SIGNED shoelace area (proves ring order + implicit closure survived
+    // the codec), Manhattan perimeter and coordinate sums.
+    "sp_mvt_poly" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Mvt
+      val scale = Mvt.Extent
+      val radius = graft.geom.Mercator.RadiusM
+      val verts = T(s, dir, "customer").select(
+          col("c_custkey").as("ck"), col("c_nationkey").as("nk"))
+        .withColumn("x", (col("nk") % 8).cast("double") * 45.0 - 180.0 + 22.5
+          + ((col("ck") % 16).cast("double") - 7.5) * 0.25)
+        .withColumn("y", ((col("nk") * 7) % 6).cast("double") * 20.0 - 60.0 + 10.0
+          + (((col("ck") * 3) % 12).cast("double") - 5.5) * 0.25)
+      val quant = verts
+        .withColumn("gx", floor((col("x") + 180.0) / 360.0 * scale))
+        .withColumn("yn", st.mercatorY(col("y")) / lit(radius) / lit(math.Pi))
+        .withColumn("gy", floor((lit(1.0) - col("yn")) / 2.0 * scale))
+      val boxes = quant.groupBy(col("nk"))
+        .agg(min(col("gx")).as("x0"), max(col("gx")).as("x1"),
+          min(col("gy")).as("y0"), max(col("gy")).as("y1"))
+        .filter(col("x1") > col("x0") && col("y1") > col("y0"))
+      val tile = boxes
+        .select(col("nk"), col("x0").cast("int"), col("x1").cast("int"),
+          col("y0").cast("int"), col("y1").cast("int"))
+        .as[(Int, Int, Int, Int, Int)]
+        .groupByKey(_ => 0)
+        .mapGroups { (_: Int, it: Iterator[(Int, Int, Int, Int, Int)]) =>
+          val feats = it.map { case (nk, x0, x1, y0, y1) =>
+            Mvt.Feature(nk.toLong, 3,
+              Seq(Seq((x0, y0), (x1, y0), (x1, y1), (x0, y1))),
+              Seq("nk" -> nk.toLong))
+          }.toSeq
+          Mvt.encodeTileF("nation_boxes", feats)
+        }
+      tile.flatMap { bytes =>
+          Mvt.decodeTileF(bytes).flatMap { case (_, fs) =>
+            fs.map { f =>
+              val ring = f.parts.head
+              val n = ring.size
+              var area2 = 0L; var perim = 0L; var sx = 0L; var sy = 0L
+              var i = 0
+              while (i < n) {
+                val (xa, ya) = ring(i); val (xb, yb) = ring((i + 1) % n)
+                area2 += xa.toLong * yb - xb.toLong * ya
+                perim += math.abs(xb - xa).toLong + math.abs(yb - ya).toLong
+                sx += xa; sy += ya
+                i += 1
+              }
+              (f.id, n.toLong, area2 / 2L, perim, sx, sy)
+            } }
+        }
+        .toDF("nk", "n_vert", "area", "perim", "sum_px", "sum_py")
+        .orderBy(col("nk"))
+    }),
+
     // Web-Mercator (EPSG:3857) reprojection — planar meter length of each
     // nation polyline in projected space plus the forward/inverse roundtrip
     // error, entirely HOT-tier Column arithmetic (no UDF: radians/ln/tan/
@@ -6238,9 +6368,82 @@ object SparkEntry {
         |  FROM q
         |)
         |SELECT tx, ty, count(*)::BIGINT AS n_feat,
-        |       sum(px) AS sum_px, sum(py) AS sum_py,
-        |       sum(ck) AS sum_id, CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
+        |       CAST(sum(px) AS BIGINT) AS sum_px, CAST(sum(py) AS BIGINT) AS sum_py,
+        |       CAST(sum(ck) AS BIGINT) AS sum_id, CAST(sum(c_nationkey) AS BIGINT) AS sum_nk
         |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // replays the full lines pipeline: quarter-degree lattice → slippy
+    // mercator quantization (identical float expression tree) → per-nation
+    // run segmentation (lag + running sum) → >=2-vertex run filter →
+    // per-tile feature/vertex/coordinate sums. The Spark side additionally
+    // roundtrips through the binary MVT codec; equal sums prove the
+    // zigzag-delta cursor stream is lossless.
+    "sp_mvt_lines" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS ck, c_nationkey AS nk,
+        |         CAST(c_nationkey % 8 AS DOUBLE) * 45 - 180 + 22.5
+        |           + (CAST(c_custkey % 16 AS DOUBLE) - 7.5) * 0.25 AS x,
+        |         CAST((c_nationkey * 7) % 6 AS DOUBLE) * 20 - 60 + 10
+        |           + (CAST((c_custkey * 3) % 12 AS DOUBLE) - 5.5) * 0.25 AS y
+        |  FROM customer
+        |), q AS (
+        |  SELECT ck, nk,
+        |         CAST(floor((x + 180) / 360 * 16384) AS BIGINT) AS gx,
+        |         CAST(floor((1 - ln(tan(pi() / 4 + radians(y) / 2)) * 6378137
+        |           / 6378137 / pi()) / 2 * 16384) AS BIGINT) AS gy
+        |  FROM v
+        |), t AS (
+        |  SELECT ck, nk, gx // 4096 AS tx, gy // 4096 AS ty,
+        |         gx % 4096 AS px, gy % 4096 AS py
+        |  FROM q
+        |), r AS (
+        |  SELECT ck, nk, tx, ty, px, py,
+        |         CASE WHEN lag(tx) OVER w IS DISTINCT FROM tx
+        |               OR lag(ty) OVER w IS DISTINCT FROM ty THEN 1 ELSE 0 END AS brk
+        |  FROM t WINDOW w AS (PARTITION BY nk ORDER BY ck)
+        |), r2 AS (
+        |  SELECT ck, nk, tx, ty, px, py,
+        |         sum(brk) OVER (PARTITION BY nk ORDER BY ck) AS run
+        |  FROM r
+        |), f AS (
+        |  SELECT nk, run, tx, ty, count(*) AS nv, sum(px) AS spx, sum(py) AS spy,
+        |         nk * 10000 + run AS fid
+        |  FROM r2 GROUP BY nk, run, tx, ty
+        |  HAVING count(*) >= 2
+        |)
+        |SELECT tx, ty, count(*)::BIGINT AS n_feat, CAST(sum(nv) AS BIGINT) AS n_vert,
+        |       CAST(sum(spx) AS BIGINT) AS sum_px, CAST(sum(spy) AS BIGINT) AS sum_py,
+        |       CAST(sum(fid) AS BIGINT) AS sum_id
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // replays the polygon bake arithmetic directly on the per-nation pixel
+    // bboxes: area/perimeter/coordinate sums of the 4-corner CW ring the
+    // Spark side recovers from the decoded ClosePath command stream
+    "sp_mvt_poly" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS ck, c_nationkey AS nk,
+        |         CAST(c_nationkey % 8 AS DOUBLE) * 45 - 180 + 22.5
+        |           + (CAST(c_custkey % 16 AS DOUBLE) - 7.5) * 0.25 AS x,
+        |         CAST((c_nationkey * 7) % 6 AS DOUBLE) * 20 - 60 + 10
+        |           + (CAST((c_custkey * 3) % 12 AS DOUBLE) - 5.5) * 0.25 AS y
+        |  FROM customer
+        |), q AS (
+        |  SELECT ck, nk,
+        |         CAST(floor((x + 180) / 360 * 4096) AS BIGINT) AS gx,
+        |         CAST(floor((1 - ln(tan(pi() / 4 + radians(y) / 2)) * 6378137
+        |           / 6378137 / pi()) / 2 * 4096) AS BIGINT) AS gy
+        |  FROM v
+        |), b AS (
+        |  SELECT nk, min(gx) AS x0, max(gx) AS x1, min(gy) AS y0, max(gy) AS y1
+        |  FROM q GROUP BY 1
+        |  HAVING max(gx) > min(gx) AND max(gy) > min(gy)
+        |)
+        |SELECT CAST(nk AS BIGINT) AS nk, 4::BIGINT AS n_vert,
+        |       CAST((x1 - x0) * (y1 - y0) AS BIGINT) AS area,
+        |       CAST(2 * ((x1 - x0) + (y1 - y0)) AS BIGINT) AS perim,
+        |       CAST(2 * (x0 + x1) AS BIGINT) AS sum_px,
+        |       CAST(2 * (y0 + y1) AS BIGINT) AS sum_py
+        |FROM b ORDER BY nk""".stripMargin,
 
     "sp_mercator_length" -> (PtsCte +
       """

@@ -143,7 +143,16 @@ object OsmPbf {
         inf.setInput(zlib)
         val out = new Array[Byte](rawSize)
         var done = 0
-        while (done < rawSize) done += inf.inflate(out, done, rawSize - done)
+        while (done < rawSize) {
+          val k = inf.inflate(out, done, rawSize - done)
+          // inflate returns 0 once finished()/needsInput() — a truncated or
+          // corrupt stream must fail the task, not spin the executor forever
+          if (k == 0) {
+            inf.end()
+            throw new java.io.IOException(s"truncated zlib blob at ${ref.offset}")
+          }
+          done += k
+        }
         inf.end()
         out
       }

@@ -986,6 +986,44 @@ object Events {
        |WHERE a.mad > 0 AND 0.6745 * abs(d.n - d.med) > $flagAt * a.mad
        |ORDER BY 1, 2""".stripMargin
 
+  /** Distributed global rank (1-based): range-repartition on the order
+    * columns, sort within partitions, then zipWithIndex — each partition's
+    * ranks are its global offset plus its local index, so no partition ever
+    * holds more than its range slice. This is the sp_str_pack discipline,
+    * replacing `row_number().over(Window.orderBy(…))` whose WindowExec
+    * moves the ENTIRE input to one partition (the lone scale-killer shape
+    * at 10⁸–10⁹ users). The order columns must form a TOTAL order (append
+    * a unique tiebreak key) so the rank is deterministic regardless of
+    * where the range sampler draws its partition boundaries. zipWithIndex's
+    * two passes reuse the range shuffle's map output (second job skips the
+    * exchange stages), so the extra cost is one local per-partition re-sort.
+    */
+  def globalRank(df: DataFrame, order: Seq[Column], rankCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val schema = df.schema.add(rankCol, LongType, nullable = false)
+    spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + 1L)) },
+      schema)
+  }
+
+  /** SQL `ntile(q)` bucket recovered from a 1-based global rank over `n`
+    * rows — the first (n mod q) buckets hold ⌈n/q⌉ rows, the rest ⌊n/q⌋
+    * (identical to Spark's and DuckDB's NTile). Lets the distributed
+    * [[globalRank]] replace a global-window ntile without changing a single
+    * bucket assignment. Double division is exact here (operands ≪ 2⁵²).
+    */
+  def ntileFromRank(rank1: Column, n: Column, q: Int): Column = {
+    val r = rank1 - lit(1L)
+    val k = floor(n / lit(q)).cast("long")
+    val m = (n % lit(q)).cast("long")
+    val thr = (k + lit(1L)) * m
+    when(r < thr, floor(r / (k + lit(1L))).cast("long") + lit(1L))
+      .otherwise(m + floor((r - thr) / greatest(k, lit(1L))).cast("long") + lit(1L))
+  }
+
   /** Exact Gini coefficient of per-user purchase revenue — the
     * concentration readout behind "top 1% of users drive X%" dashboards:
     * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted cents.
@@ -993,15 +1031,14 @@ object Events {
     * closing division is the only float op.
     *
     * The global rank runs over the per-user rollup (millions of rows at
-    * 100 TB of events, not trillions); the rank window is the one global
-    * sort the statistic inherently needs.
+    * 100 TB of events, not trillions) via [[globalRank]] — range-partitioned
+    * sort + per-partition offsets, never a single-partition window.
     */
   def giniRevenue(events: DataFrame, convType: String = "purchase"): DataFrame = {
     val perUser = events.filter(col("event_type") === convType)
       .groupBy("user_id")
       .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
-    val ranked = perUser.withColumn("i",
-      row_number().over(Window.orderBy(col("cents"), col("user_id"))).cast("long"))
+    val ranked = globalRank(perUser, Seq(col("cents").asc, col("user_id").asc), "i")
     ranked.agg(count(lit(1)).as("n"), sum("cents").as("sx"),
         sum(col("i") * col("cents")).as("sixi"))
       .select(col("n").as("n_users"), col("sx").as("total_cents"),
@@ -1101,12 +1138,12 @@ object Events {
     * buckets by `ntile` under a total order (metric desc, user_id asc — so
     * bucket assignment is deterministic), then segment population counts.
     *
-    * Scale shape: the per-user rollup is one shuffle; the three ntile
-    * windows are global-order windows over the USER table (one row per
-    * user — at 100 TB of events that table is millions of rows, orders of
-    * magnitude smaller than the event log; if even that outgrows a window,
-    * the same buckets fall out of approx percentile boundaries). Expects
-    * (user_id, event_id, tsn µs, event_type, value).
+    * Scale shape: the per-user rollup is one shuffle; each quantile cut is
+    * a distributed [[globalRank]] (range-sort + per-partition offsets) over
+    * the USER table with the ntile bucket recovered in closed form from the
+    * rank ([[ntileFromRank]] — bit-identical assignments), then one
+    * user_id-keyed join per metric. No single-partition window anywhere.
+    * Expects (user_id, event_id, tsn µs, event_type, value).
     */
   def rfmSegments(events: DataFrame, q: Int = 5,
       convType: String = "purchase"): DataFrame = {
@@ -1116,13 +1153,16 @@ object Events {
       .agg(max(expr(s"tsn DIV $dayUs")).as("last_day"),
         count(lit(1)).as("freq"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-    val rW = Window.orderBy(col("last_day").desc, col("user_id"))
-    val fW = Window.orderBy(col("freq").desc, col("user_id"))
-    val mW = Window.orderBy(col("cents").desc, col("user_id"))
-    perUser
-      .withColumn("r_q", ntile(q).over(rW).cast("long"))
-      .withColumn("f_q", ntile(q).over(fW).cast("long"))
-      .withColumn("m_q", ntile(q).over(mW).cast("long"))
+    val nDf = perUser.agg(count(lit(1)).as("nn"))
+    def cut(metric: String, name: String): DataFrame =
+      globalRank(perUser.select(col("user_id"), col(metric)),
+          Seq(col(metric).desc, col("user_id").asc), "i")
+        .crossJoin(nDf) // 1-row scalar, broadcast
+        .select(col("user_id"), ntileFromRank(col("i"), col("nn"), q).as(name))
+    perUser.select("user_id", "cents")
+      .join(cut("last_day", "r_q"), "user_id")
+      .join(cut("freq", "f_q"), "user_id")
+      .join(cut("cents", "m_q"), "user_id")
       .groupBy("r_q", "f_q", "m_q")
       .agg(count(lit(1)).as("users"), sum(col("cents")).as("seg_cents"))
       .orderBy("r_q", "f_q", "m_q")
@@ -1532,16 +1572,19 @@ object Events {
     * the single-number Gini (ev_gini).
     *
     * All quantities are exact integers except the two closing share
-    * divisions. One user-rollup shuffle; the ntile window runs over the
-    * user table, not the event log.
+    * divisions. One user-rollup shuffle; the decile cut is a distributed
+    * [[globalRank]] over the user table (never a single-partition window)
+    * with the ntile bucket recovered in closed form ([[ntileFromRank]]).
     */
   def paretoDeciles(events: DataFrame): DataFrame = {
     val perUser = events.groupBy("user_id")
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("cents"))
-    val w = Window.orderBy(col("n").desc, col("user_id"))
     val tot = perUser.agg(sum("n").as("tn"), sum("cents").as("tc"))
-    perUser.withColumn("decile", ntile(10).over(w).cast("long"))
+    val nDf = perUser.agg(count(lit(1)).as("nn"))
+    globalRank(perUser, Seq(col("n").desc, col("user_id").asc), "i")
+      .crossJoin(nDf) // 1-row scalar, broadcast
+      .withColumn("decile", ntileFromRank(col("i"), col("nn"), 10))
       .groupBy("decile")
       .agg(count(lit(1)).as("users"), sum("n").as("events"),
         sum("cents").as("cents"))

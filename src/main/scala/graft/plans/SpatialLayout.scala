@@ -607,14 +607,23 @@ object SpatialLayout {
     val pages = math.max(1L, (n + capacity - 1) / capacity)
     val slabs = math.ceil(math.sqrt(pages.toDouble)).toLong
     val slabRows = slabs * capacity
-    val sorted = base
+    // RDD-level persist feeds zipWithIndex's two passes (offset job + data
+    // pass) once; localCheckpoint truncates the zipped lineage so the big
+    // sorted cache can be dropped deterministically before returning (a
+    // DataFrame-level persist here leaked one cached RDD per pack call —
+    // the CacheManager pins it forever; the checkpoint blocks are
+    // ContextCleaner-managed and free on GC)
+    val sortedRdd = base
       .repartitionByRange(col("x"), col("y"), col("id"))
       .sortWithinPartitions("x", "y", "id")
-      .persist()
-    val schema = sorted.schema.add("rn", LongType, nullable = false)
-    val ranked = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.map { case (row, i) => Row.fromSeq(row.toSeq :+ i) },
-      schema)
+      .rdd.persist()
+    val schema = base.schema.add("rn", LongType, nullable = false)
+    val zipped = sortedRdd.zipWithIndex
+      .map { case (row, i) => Row.fromSeq(row.toSeq :+ i) }
+      .localCheckpoint()
+    zipped.count()
+    sortedRdd.unpersist(blocking = false)
+    val ranked = spark.createDataFrame(zipped, schema)
     val w = Window.partitionBy("slab").orderBy("y", "x", "id")
     ranked
       .withColumn("slab", expr(s"rn DIV $slabRows"))

@@ -183,13 +183,22 @@ object Shapefile {
     */
   def exportShapefile(df: DataFrame, basePath: String): Unit = {
     val src = df.select(col("geometry"), col("props"))
-    val firstRows = src.limit(1).collect()
-    if (firstRows.isEmpty) return
-    val shapeType = GeomCodec.fromWkb(firstRows(0).getAs[Array[Byte]](0)) match {
+    // the header's shapeType must agree with every encoded record: derive it
+    // from a distributed distinct over ALL rows (limit(1) on a multi-partition
+    // frame is not the row toLocalIterator yields first) and fail fast on a
+    // mixed-geometry frame rather than coerce records to the wrong type
+    val typeCodeOf = udf((wkb: Array[Byte]) => GeomCodec.fromWkb(wkb) match {
       case _: org.locationtech.jts.geom.Point => 1
       case _: org.locationtech.jts.geom.LineString | _: org.locationtech.jts.geom.MultiLineString => 3
       case _ => 5
-    }
+    })
+    val typeCodes = src.select(typeCodeOf(col("geometry")).as("tc"))
+      .distinct().collect().map(_.getInt(0)).sorted
+    if (typeCodes.isEmpty) return
+    require(typeCodes.length == 1,
+      s"exportShapefile: mixed geometry type codes ${typeCodes.mkString(",")} — " +
+        "a .shp file holds exactly one shape type; split the frame first")
+    val shapeType = typeCodes.head
     // distributed pre-pass: count, summed record length, global envelope
     // (record length re-derives from the same encoder the write uses)
     val recLen = udf((wkb: Array[Byte]) =>

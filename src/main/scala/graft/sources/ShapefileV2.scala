@@ -267,8 +267,12 @@ object ShapefileV2 {
     val dbfPath = shpPath.stripSuffix(".shp") + ".dbf"
     val raf = new java.io.RandomAccessFile(dbfPath, "r")
     try {
-      val from = recStart - 1
-      val until = math.min(recEnd - 1, n)
+      // clamp both ends to the .dbf's own record count: mismatched sidecars
+      // (.shx slice past the .dbf tail) degrade to null attributes, not a
+      // NegativeArraySizeException
+      val from = math.max(0, math.min(recStart - 1, n))
+      val until = math.max(from, math.min(recEnd - 1, n))
+      if (until == from) return Map.empty
       val bytes = new Array[Byte]((until - from) * recordLen)
       raf.seek(headerLen.toLong + from.toLong * recordLen)
       raf.readFully(bytes)

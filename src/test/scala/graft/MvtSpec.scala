@@ -42,4 +42,51 @@ class MvtSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](Mvt.decodeTile(bad))
     assert(e.getMessage.contains("MoveTo"))
   }
+
+  test("multi-part LINESTRING roundtrips with the cursor persisting across parts") {
+    val f = Mvt.Feature(4L, 2,
+      Seq(Seq((10, 10), (20, 15), (20, 40)), Seq((5, 5), (0, 0))),
+      Seq("hw" -> 2L))
+    val bytes = Mvt.encodeTileF("roads", Seq(f))
+    val Seq((name, got)) = Mvt.decodeTileF(bytes)
+    assert(name == "roads")
+    assert(got == Seq(f))
+    // spec §4.3.5.2 worked example shape: MoveTo×1 then LineTo×2 for the
+    // first part — command ints 9 and (2 | 2<<3) = 18
+    val cmds = Array[Byte](9, 20, 20, 18)
+    assert(bytes.containsSlice(cmds))
+  }
+
+  test("POLYGON ring with a hole roundtrips; ClosePath does not re-emit the first vertex") {
+    val exterior = Seq((0, 0), (100, 0), (100, 100), (0, 100))   // CW in screen space
+    val hole = Seq((20, 20), (20, 40), (40, 40), (40, 20))       // CCW interior
+    val f = Mvt.Feature(9L, 3, Seq(exterior, hole), Nil)
+    val Seq((_, got)) = Mvt.decodeTileF(Mvt.encodeTileF("areas", Seq(f)))
+    assert(got == Seq(f))
+    // ClosePath×1 = (7 | 1<<3) = 15 must appear once per ring
+    val bytes = Mvt.encodeTileF("areas", Seq(f))
+    assert(bytes.count(_ == 15.toByte) >= 2)
+  }
+
+  test("mixed-geometry tile: point + line + polygon features coexist") {
+    val feats = Seq(
+      Mvt.Feature(1L, 1, Seq(Seq((7, 7), (9, 9))), Seq("k" -> 1L)), // 2-pt MULTIPOINT
+      Mvt.Feature(2L, 2, Seq(Seq((0, 0), (4095, 4095))), Nil),
+      Mvt.Feature(3L, 3, Seq(Seq((1, 1), (10, 1), (10, 10))), Seq("k" -> 1L)))
+    val bytes = Mvt.encodeTileF("mix", feats)
+    val Seq((_, got)) = Mvt.decodeTileF(bytes)
+    assert(got == feats)
+    val again = Mvt.encodeTileF("mix", feats.reverse)
+    assert(java.util.Arrays.equals(bytes, again),
+      "tile bytes must be a pure function of the feature SET")
+  }
+
+  test("degenerate geometries are rejected at encode time") {
+    intercept[IllegalArgumentException](Mvt.encodeTileF("t",
+      Seq(Mvt.Feature(1L, 2, Seq(Seq((1, 1))), Nil))))        // 1-vertex line
+    intercept[IllegalArgumentException](Mvt.encodeTileF("t",
+      Seq(Mvt.Feature(1L, 3, Seq(Seq((1, 1), (2, 2))), Nil)))) // 2-vertex ring
+    intercept[IllegalArgumentException](Mvt.encodeTileF("t",
+      Seq(Mvt.Feature(1L, 4, Seq(Seq((1, 1))), Nil))))         // unknown type
+  }
 }

@@ -47,6 +47,17 @@ for name in names:
                 if str(gc.dtype).startswith("datetime") or str(ec.dtype).startswith("datetime"):
                     gc = pd.to_datetime(gc).astype("datetime64[us]")
                     ec = pd.to_datetime(ec).astype("datetime64[us]")
+                # dtype-KIND-strict: the driver's hash accepts integer-width
+                # mixes (int32 vs int64 rows were green in CORRECTNESS_r05)
+                # but fails int-vs-float (sp_mvt_bake's uncast DuckDB HUGEINT
+                # sum arrived as float64 against Spark's int64) — mirror that.
+                gk = getattr(gc.dtype, "kind", "O")
+                ek = getattr(ec.dtype, "kind", "O")
+                ints = {"i", "u"}
+                if gk != ek and not (gk in ints and ek in ints):
+                    ok_vals = False
+                    print(f"  [{name}.{c}] DTYPE mismatch: got={gc.dtype} exp={ec.dtype}")
+                    continue
                 eq = (gc.values == ec.values)
                 import numpy as np
                 if gc.isna().any() or ec.isna().any():

@@ -564,6 +564,172 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }),
 
+    // TPC-H Q6 (forecast revenue change): the pure scan-aggregate — every
+    // predicate (shipdate range, discount band, quantity cap) pushes to the
+    // parquet scan, no join, no shuffle beyond the single partial-agg
+    // exchange; revenue as exact cents×pct integers
+    "q6_forecast" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+          && col("l_quantity") < 24)
+        .select((round(col("l_extendedprice") * 100).cast("long") *
+          round(col("l_discount") * 100).cast("long")).as("disc_rev"),
+          round(col("l_discount") * 100).cast("long").as("pct"))
+        .filter(col("pct") >= 5 && col("pct") <= 7)
+        .agg(sum(col("disc_rev")).as("revenue_scaled"),
+          count(lit(1)).as("n_items"))),
+
+    // TPC-H Q9 (product-type profit, adapted: the dataset has no partsupp,
+    // so supply cost is the synthetic 60%-of-retail — the JOIN SHAPE is the
+    // point): the one multi-fact star nothing else exercises — lineitem
+    // drives, the name-filtered part and the supplier×nation dimensions
+    // broadcast, orders joins on the orderkey shuffle for the year axis;
+    // profit per (nation, year) in exact cent×pct integers
+    "q9_profit" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_partkey"), col("l_suppkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"),
+        col("l_quantity").cast("long").as("qty"))
+      val prt = T(s, dir, "part").filter(col("p_name").like("large%"))
+        .select(col("p_partkey"),
+          round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+      val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup.join(broadcast(nat),
+          col("s_nationkey") === col("n_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name"), col("yr"))
+        .agg(sum(col("vol") - col("retail_cents") * 60L * col("qty"))
+          .as("profit_scaled"))
+        .orderBy(col("n_name"), col("yr").desc)
+    }),
+
+    // TPC-H Q11 (important stock, adapted to the lineitem-derived holdings):
+    // per-part value from region-0 suppliers, kept when value exceeds
+    // 0.5% of the total — the aggregate-vs-global-scalar-threshold shape;
+    // the scalar total broadcasts (1 row), and the comparison stays in
+    // exact integers (value·1000 > 5·total)
+    "q11_important_parts" -> ((s, dir) => {
+      val natR0 = T(s, dir, "nation").filter(col("n_regionkey") === 0)
+        .select(col("n_nationkey"))
+      val sup = T(s, dir, "supplier")
+        .join(broadcast(natR0), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val li = T(s, dir, "lineitem")
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          (round(col("l_extendedprice") * 100).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val perPart = li.groupBy(col("l_partkey"))
+        .agg(sum(col("vol")).as("value_scaled"))
+      val total = perPart.agg(sum(col("value_scaled")).as("tv"))
+      perPart.crossJoin(total) // 1-row scalar, broadcast
+        .filter(col("value_scaled") * 1000L > lit(5L) * col("tv"))
+        .select(col("l_partkey").as("partkey"), col("value_scaled"))
+        .orderBy(col("value_scaled").desc, col("partkey"))
+    }),
+
+    // TPC-H Q12 (shipmode lateness, adapted: returnflag stands in for the
+    // absent shipmode, ship>order+60d for the absent receipt/commit pair):
+    // the fact-fact orderkey join + CASE-split counts; the shipdate range
+    // rides the lineitem scan
+    "q12_late_priority" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+      val ord = T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(col("o_orderpriority") === "1-URGENT"
+            || col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT"
+            && col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q15 (top supplier): the revenue "view" + max-scalar + equality
+    // join-back shape — revenue per supplier over one half-year, the 1-row
+    // max broadcasts, winners join the supplier dim; ties all surface
+    // (order by suppkey), exactly as the spec's view formulation does
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-07-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long")))
+          .as("total_revenue_scaled"))
+      val mx = rev.agg(max(col("total_revenue_scaled")).as("mx"))
+      rev.crossJoin(mx) // 1-row scalar, broadcast
+        .filter(col("total_revenue_scaled") === col("mx"))
+        .join(broadcast(T(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_scaled"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 (supplier count, adapted: distinct lineitem (part,supplier)
+    // pairs stand in for partsupp, a negative-balance supplier set for the
+    // complaints subquery): the ANTI-join exclusion + count-distinct
+    // rollup; brand/type exclusions and the size IN-list prune the part
+    // dim before it broadcasts
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val pairs = T(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val prt = T(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO"
+          && col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      val badSup = T(s, dir, "supplier").filter(col("s_acctbal") < 1000.0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // TPC-H Q20 (excess stock, adapted: the year's shipped quantity per
+    // (part, supplier) stands in for partsupp availqty): the nested
+    // SEMI-JOIN chain — lineitem semi-joined against the name-filtered
+    // part dim, the >50-qty qualifying pairs then semi-join the supplier
+    // dim, region filter last; both semi-joins are real LeftSemi operators
+    // the planner must keep (pinned in ExplainAudit)
+    "q20_excess_stock" -> ((s, dir) => {
+      val prt = T(s, dir, "part").filter(col("p_name").like("small%"))
+        .select(col("p_partkey"))
+      val qual = T(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        .filter(col("qty") > 50L)
+        .select(col("l_suppkey")).distinct()
+      val natR1 = T(s, dir, "nation").filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"))
+      T(s, dir, "supplier")
+        .join(qual, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(natR1), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_name"))
+    }),
+
     // max concurrent sessions per hour: sweep line as a distributed
     // two-level prefix sum (per-hour offsets + within-hour running sum) —
     // no global-order window anywhere in the plan
@@ -4646,6 +4812,112 @@ object SparkEntry {
         |SELECT s_name, count(*) AS numwait
         |FROM lone JOIN supplier ON s_suppkey = sk
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q6_forecast" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |         AS revenue_scaled,
+        |       count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_quantity < 24
+        |  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |         - CAST(round(p_retailprice * 100) AS BIGINT) * 60
+        |           * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_scaled
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE 'large%'
+        |GROUP BY 1, 2 ORDER BY n_name, yr DESC""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS value_scaled
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_regionkey = 0
+        |  GROUP BY 1
+        |), t AS (SELECT CAST(sum(value_scaled) AS BIGINT) AS tv FROM v)
+        |SELECT l_partkey AS partkey, value_scaled
+        |FROM v CROSS JOIN t
+        |WHERE value_scaled * 1000 > 5 * tv
+        |ORDER BY value_scaled DESC, partkey""".stripMargin,
+
+    "q12_late_priority" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |           AS total_revenue_scaled
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-07-01'
+        |  GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, total_revenue_scaled
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_scaled = (SELECT max(total_revenue_scaled) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |  WHERE l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |)
+        |SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM pairs JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_excess_stock" ->
+      """WITH qual AS (
+        |  SELECT DISTINCT l_suppkey
+        |  FROM (
+        |    SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT))
+        |      AS BIGINT) AS qty
+        |    FROM lineitem
+        |    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |      AND l_shipdate < TIMESTAMP '1998-01-01'
+        |      AND l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%')
+        |    GROUP BY 1, 2
+        |    HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+        |  )
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_regionkey = 1
+        |  AND s_suppkey IN (SELECT l_suppkey FROM qual)
+        |ORDER BY s_name""".stripMargin,
 
     "ev_concurrency" -> Events.maxConcurrencyDuckSql(
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsn FROM events),

@@ -318,6 +318,19 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
   def filterEcql(ecql: String): GeoFrame =
     lift(df.filter(graft.functions.Ecql.toColumn(ecql, df.columns.toSet)))
 
+  /** The reference's stored dynamic-layer query surface: a string starting
+    * with `{` is the JSON graph-step form (DynamicIndexReader.java:46-113),
+    * anything else is CQL (DynamicLayer.java:153-181) with the Spark SQL
+    * superset fallback.
+    */
+  def filterDynamic(query: String): GeoFrame = {
+    val top = df.columns.toSet
+    if (graft.functions.DynamicLayerJson.isJsonQuery(query))
+      lift(df.filter(graft.functions.DynamicLayerJson.toColumn(query, top)))
+    else if (graft.functions.Ecql.parses(query, top)) filterEcql(query)
+    else filterExpr(query)
+  }
+
   /** Dynamic layer = named filtered view with pushed-down predicate
     * (reference: DynamicLayer.java:56-217, CQLIndexReader.java:54).
     */

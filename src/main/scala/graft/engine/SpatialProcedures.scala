@@ -187,6 +187,18 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
     else layer.filterExpr(expression).df
   }
 
+  /** spatial.addLayerConfig — the reference's dynamic-layer registration
+    * (DynamicLayer.java:153-181): `query` starting with `{` is the stored
+    * JSON graph-step form (DynamicIndexReader.java:46-113), anything else
+    * is CQL (with the Spark SQL superset fallback). The config becomes a
+    * named filtered view over the base layer, queryable by `viewName`.
+    */
+  def addLayerConfig(base: String, viewName: String, query: String): DataFrame = {
+    val filtered = catalog.getLayer(base).filterDynamic(query).df
+    filtered.createOrReplaceTempView(viewName)
+    filtered
+  }
+
   /** spatial.withinDistance (reference: :864-880). */
   def withinDistance(name: String, lon: Double, lat: Double, km: Double): DataFrame =
     catalog.getLayer(name).withinDistanceKm(lon, lat, km).df

@@ -26,8 +26,12 @@ import graft.geom.GeomCodec
   *  - spatial predicates emit the same bbox-prune && exact-JTS conjunct
   *    pair as the API searches, so Catalyst pushes the envelope to the
   *    scan exactly like `needsToVisit` pruned the R-tree walk
-  *  - DWITHIN distance is in layer CRS units (degrees); the units token is
-  *    parsed and ignored, like GeoTools on a geographic CRS
+  *  - DWITHIN honors its units token: degrees (or any unrecognized token,
+  *    like GeoTools on a geographic CRS) keeps the planar layer-CRS
+  *    semantics; `meters`/`kilometers` route through the geodesic tier —
+  *    exact orthodromic distance with the latitude-aware search window as
+  *    the bbox prune (POINT literals; the reference's withinDistance is
+  *    point-centric too)
   */
 object Ecql {
 
@@ -186,13 +190,37 @@ object Ecql {
         expectSym(",")
         val d = parseNum()
         expectSym(",")
-        next() // units token, ignored (distance in layer CRS units)
+        val units = next() match {
+          case TIdent(u) => u.toLowerCase
+          case TStr(u) => u.toLowerCase
+          case other => throw new IllegalArgumentException(s"expected units token, got $other")
+        }
         expectSym(")")
         val g = GeomCodec.fromWkt(wkt)
-        val e = g.getEnvelopeInternal
-        st.bboxIntersects(col("bbox"),
-          e.getMinX - d, e.getMinY - d, e.getMaxX + d, e.getMaxY + d) &&
-          st.distance(col("geometry"), lit(GeomCodec.toWkb(g))) <= d
+        units match {
+          case "meters" | "metres" | "m" | "kilometers" | "kilometres" | "km" =>
+            val km = if (units.startsWith("k")) d else d / 1000.0
+            val p = g match {
+              case pt: org.locationtech.jts.geom.Point => pt
+              case other => throw new IllegalArgumentException(
+                s"DWITHIN with metric units needs a POINT literal, got ${other.getGeometryType}")
+            }
+            val w = graft.geom.Orthodromic.searchWindow(p.getX, p.getY, km)
+            val dist =
+              if (topCols.contains("x") && topCols.contains("y"))
+                // point layer: pure column arithmetic, full codegen
+                st.orthodromicKm(lit(p.getX), lit(p.getY), col("x"), col("y"))
+              else st.orthodromicDistanceKm(col("geometry"), p.getX, p.getY)
+            st.bboxIntersects(col("bbox"),
+              w.getMinX, w.getMinY, w.getMaxX, w.getMaxY) && dist <= km
+          case _ =>
+            // degrees / unrecognized: planar layer-CRS distance (GeoTools
+            // behavior on a geographic CRS)
+            val e = g.getEnvelopeInternal
+            st.bboxIntersects(col("bbox"),
+              e.getMinX - d, e.getMinY - d, e.getMaxX + d, e.getMaxY + d) &&
+              st.distance(col("geometry"), lit(GeomCodec.toWkb(g))) <= d
+        }
       case _ => parseComparison()
     }
 

@@ -69,6 +69,60 @@ class Round6Spec extends SparkSpec {
     assert(nSemi >= 2, s"expected the nested semi-join chain (2 LeftSemi):\n$plan")
   }
 
+  test("DynamicLayerJson: the reference's doc example admits residential ways only") {
+    // the Javadoc example from DynamicIndexReader.java:50-57 (with the
+    // JSON commas its prose rendering elides): geometry-node property test,
+    // then the GEOM/TAGS two-step traversal to the highway tag
+    val json =
+      """{ "properties": {"type": "geometry"},
+        |  "step": {"type": "GEOM", "direction": "INCOMING",
+        |    "step": {"type": "TAGS", "direction": "OUTGOING",
+        |      "properties": {"highway": "residential"}
+        |    }
+        |  }
+        |}""".stripMargin
+    val rows = Seq(
+      (1L, Map("type" -> "geometry"), Map("highway" -> "residential")),
+      (2L, Map("type" -> "geometry"), Map("highway" -> "primary")),
+      (3L, Map("type" -> "geometry"), Map.empty[String, String]),
+      (4L, Map("other" -> "x"), Map("highway" -> "residential")))
+      .toDF("way_id", "geom_props", "tag_props")
+      // flattened layer row: geometry-node props + way tags in one map
+      .select(col("way_id"),
+        map_concat(col("geom_props"), col("tag_props")).as("props"))
+    val got = rows.filter(
+        graft.functions.DynamicLayerJson.toColumn(json, rows.columns.toSet))
+      .select("way_id").as[Long].collect().toSeq.sorted
+    assert(got == Seq(1L))
+  }
+
+  test("DynamicLayerJson: match semantics follow queryNodeProperties exactly") {
+    val rows = Seq(
+      (1L, Map("oneway" -> "yes")), (2L, Map("oneway" -> "1")),
+      (3L, Map("oneway" -> "TRUE")), (4L, Map.empty[String, String]))
+      .toDF("id", "props")
+    val top = rows.columns.toSet
+    // exact string compare: '1'/'TRUE' do NOT match 'yes'
+    val eq = rows.filter(graft.functions.DynamicLayerJson.toColumn(
+      """{"properties": {"oneway": "yes"}}""", top))
+    assert(eq.select("id").as[Long].collect().toSeq == Seq(1L))
+    // null match value = existence test
+    val ex = rows.filter(graft.functions.DynamicLayerJson.toColumn(
+      """{"properties": {"oneway": null}}""", top))
+    assert(ex.select("id").as[Long].collect().toSeq.sorted == Seq(1L, 2L, 3L))
+    // numeric literal matches via string conversion (the Long!=Integer rule)
+    val num = Seq((1L, Map("lanes" -> "2")), (2L, Map("lanes" -> "3")))
+      .toDF("id", "props")
+    val m = num.filter(graft.functions.DynamicLayerJson.toColumn(
+      """{"properties": {"lanes": 2}}""", num.columns.toSet))
+    assert(m.select("id").as[Long].collect().toSeq == Seq(1L))
+    // malformed queries throw: unknown direction, missing step type
+    intercept[IllegalArgumentException](graft.functions.DynamicLayerJson.toColumn(
+      """{"step": {"type": "GEOM", "direction": "SIDEWAYS"}}""", top))
+    intercept[IllegalArgumentException](graft.functions.DynamicLayerJson.toColumn(
+      """{"step": {"direction": "INCOMING"}}""", top))
+  }
+
   test("globalRank agrees with row_number across many partitions") {
     val df = spark.range(0, 1000, 1, 16)
       .select((col("id") * 7919 % 101).as("v"), col("id").as("k"))

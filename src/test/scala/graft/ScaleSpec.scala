@@ -274,7 +274,7 @@ class ScaleSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema).parquet(srcDir)
     val canonical = PointStream.canonicalize(stream, "k", "x", "y")
     val q = PointStream.writeToLayer(canonical.withColumn("ts", col("ts")), outDir, ckpt)
-    q.awaitTermination(60000)
+    awaitAndStop(q, 60000)
     val layer = new GeoFrame(spark.read.parquet(outDir))
     assert(layer.count() == 200)
     // batch query over the streamed layer works unchanged
@@ -374,7 +374,7 @@ class ScaleSpec extends SparkSpec {
         regions, "ts", "10 minutes")
       .writeStream.format("memory").queryName("enr").outputMode("complete")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
     val got = spark.table("enr")
       .select(col("window.start").cast("long"), col("region_id"), col("n"))
       .as[(Long, Long, Long)].collect().toSet
@@ -640,7 +640,7 @@ class ScaleSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     val q = PointStream.upsertToClusteredLayer(
       PointStream.canonicalize(stream, "k", "x", "y"), layerDir, ckpt)
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
     val out = spark.read.parquet(layerDir)
     assert(out.count() == 1900)                      // overlap merged once
     assert(out.select("id").distinct().count() == 1900)

@@ -7,6 +7,18 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   def sqlc = spark
+
+  /** Await a streaming query, then guarantee it is FULLY terminated before
+    * the test returns: a query still winding down when the JVM/session
+    * shuts off dies with an INTERNAL_ERROR ("SparkPlan.session() is null")
+    * teardown race in the log — an ERROR line that means nothing and
+    * trains readers to ignore ERROR lines. stop() is idempotent; the
+    * untimed awaitTermination then blocks only until the stop lands.
+    */
+  def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
+      timeoutMs: Long): Unit =
+    try q.awaitTermination(timeoutMs)
+    finally { q.stop(); q.awaitTermination() }
 }
 
 object SparkSpec {

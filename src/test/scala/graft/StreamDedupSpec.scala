@@ -29,7 +29,7 @@ class StreamDedupSpec extends SparkSpec {
     val q = deduped.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination(60000)
+    awaitAndStop(q, 60000)
     val out = spark.read.parquet(outDir)
     assert(out.count() == 3)
     assert(out.select("text").distinct().count() == 3)
@@ -55,7 +55,7 @@ class StreamDedupSpec extends SparkSpec {
     val q = admitted.toDF.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
     // global survivors: admitted in ALL (maxHamming+1) bands
     val survivors = spark.read.parquet(outDir)
       .groupBy("id").agg(count(lit(1)).as("n"))

@@ -47,7 +47,7 @@ class StreamDiffSpec extends SparkSpec {
     val q = PointStream.writeToLayer(
       PointStream.canonicalize(stream, "pid", "px", "py"), outDir, ckpt,
       Trigger.AvailableNow())
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
 
     val streamed = spark.read.parquet(outDir)
     val expected = PointStream.canonicalize(pts, "pid", "px", "py")
@@ -86,7 +86,7 @@ class StreamDiffSpec extends SparkSpec {
     // regardless of how the watermark advanced across the 4 microbatches
     val q = agg.writeStream.format("memory").queryName("cells_diff")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
 
     def canon(df: DataFrame): Seq[org.apache.spark.sql.Row] = df
       .select(col("window.start").cast("long").as("ws"),
@@ -130,7 +130,7 @@ class StreamDiffSpec extends SparkSpec {
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
 
     val survivors = spark.read.parquet(outDir)
     val batchGroups = Dedup.exactDedup(docs.drop("ts"), "doc_id", "text")
@@ -164,7 +164,7 @@ class StreamDiffSpec extends SparkSpec {
       .toDF.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    q.awaitTermination(120000)
+    awaitAndStop(q, 120000)
 
     val allIds = docs.select(col("doc_id").cast("long")).as[Long].collect().toSet
     // global survivor = admitted in all (maxH+1) bands
@@ -204,7 +204,7 @@ class StreamDiffSpec extends SparkSpec {
       val q = PointStream.writeToLayer(
         PointStream.canonicalize(stream, "pid", "px", "py"), outDir, ckpt,
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      q.awaitTermination(120000)
+      awaitAndStop(q, 120000)
     }
     runOnce()
     val n1 = spark.read.parquet(outDir).count()
@@ -235,7 +235,7 @@ class StreamDiffSpec extends SparkSpec {
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("append").start()
-      q.awaitTermination(120000)
+      awaitAndStop(q, 120000)
     }
 
     // wave 1: the original doc is admitted everywhere

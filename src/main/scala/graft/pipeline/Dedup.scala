@@ -209,15 +209,53 @@ object Dedup {
       .filter(col("c") >= greatest(lit(1L),
         col("ml") - lit(q - 1) - lit(k * q)))
       .select(col("id_a"), col("id_b"))
-    // both-short bucket: bounded by the q(k+1) length constant, so the
-    // self-join is over a fixed-size slice, not the corpus
+    // both-short bucket, PassJoin segment filter (Li, Deng, Wang, Feng,
+    // PVLDB 5(3) 2011): partition each indexed short doc into k+1 even
+    // segments — each single edit destroys the verbatim substring-presence
+    // of at most ONE segment (later segments merely shift, and the match
+    // is position-free), so any string within k edits still CONTAINS one
+    // segment verbatim. The exact segment equi-join therefore gives
+    // guaranteed-recall candidates whose volume follows matching content.
+    // (The previous len-banded self-join was the one quadratic term left
+    // in this tier: doc LENGTH is bounded here but doc COUNT is not, and
+    // lengths are corpus-invariant, so the 100× rung paired every copy's
+    // shorts with every other copy's — measured super-linear. Candidates
+    // changed, output did not: both schemes guarantee recall and the DP
+    // verify decides membership, so the oracle replay is untouched.)
     val shortLen = q * (k + 1)
-    val shorts = docs.filter(col("len") < shortLen)
-    val shortCand = shorts.as("l").join(shorts.as("r"),
-        col("l.id") < col("r.id") &&
+    val shorts = docs.filter(col("len") < shortLen && col("len") > k)
+    // index side: segment j covers 1-based [1 + j*len div (k+1),
+    // (j+1)*len div (k+1)] — all k+1 segments nonempty for len > k
+    val segIdx = shorts.select(col("id"), col("len"),
+        explode(expr(s"transform(sequence(0, $k), j -> " +
+          s"substring(t, 1 + j * len DIV ${k + 1}, " +
+          s"(j + 1) * len DIV ${k + 1} - j * len DIV ${k + 1}))")).as("seg"))
+      .filter(length(col("seg")) >= 1)
+    // probe side: every substring whose length any partner's segment could
+    // have (partner len within ±k ⇒ segment lengths in
+    // [(len-k) div (k+1), (len+k) div (k+1) + 1])
+    val segProbe = shorts.select(col("id").as("pid"), col("len").as("plen"),
+        explode(expr(s"flatten(transform(" +
+          s"sequence(greatest(1, (len - $k) DIV ${k + 1}), " +
+          s"(len + $k) DIV ${k + 1} + 1), " +
+          s"L -> transform(sequence(1, len - L + 1), " +
+          s"i -> substring(t, i, L))))")).as("seg"))
+      .distinct()
+    val shortCand = segIdx.as("l").join(segProbe.as("r"),
+        col("l.seg") === col("r.seg") && col("l.id") =!= col("r.pid") &&
+        abs(col("l.len") - col("r.plen")) <= k)
+      .select(least(col("l.id"), col("r.pid")).as("id_a"),
+        greatest(col("l.id"), col("r.pid")).as("id_b"))
+    // len <= k stragglers (every segment could be edited away): a
+    // vanishing slice by construction — pair them directly
+    val tiny = docs.filter(col("len") <= k)
+    val tinyCand = tiny.as("l").join(
+        docs.filter(col("len") <= 2L * k).as("r"),
+        col("l.id") =!= col("r.id") &&
         abs(col("l.len") - col("r.len")) <= k)
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
-    val cand = gramCand.union(shortCand).distinct()
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+    val cand = gramCand.union(shortCand).union(tinyCand).distinct()
     cand
       .join(docs.select(col("id").as("id_a"), col("t").as("ta")), "id_a")
       .join(docs.select(col("id").as("id_b"), col("t").as("tb")), "id_b")
@@ -1049,9 +1087,15 @@ object Dedup {
         val hs = new Array[Long](n)
         var i = 0
         while (i < n) {
+          // full-width 64-bit polynomial, NOT mod 1e9+7: at 100× corpus
+          // scale the 10⁹ hash space produced ~N²/10⁹ birthday-collision
+          // candidate pairs (measured super-linear verify growth on the
+          // rung ladder); 2⁶⁴ pushes the same term below one pair. The
+          // oracle is the n² shared-gram definition, so fingerprint VALUES
+          // are free to change — recall, not hashing, is the contract.
           var h = 7L
           var j = i
-          while (j < i + g) { h = (h * 31 + s.charAt(j)) % 1000000007L; j += 1 }
+          while (j < i + g) { h = h * 31 + s.charAt(j); j += 1 }
           hs(i) = h
           i += 1
         }

@@ -323,10 +323,23 @@ object BenchScale {
       // exact verify all grow ~N×
       "dd_substr_winnow" ->
         (n => Dedup.winnowedSubstringPairs(docsAt(n), "doc_id", "text", 32, 24)),
+      // positional q-gram edit-distance: the (gram, band) equi-join with
+      // the Gravano count filter — the per-copy rotation keeps grams from
+      // matching across copies, so candidates and banded-DP verifies grow
+      // ~N× (the heaviest dedup family; its 100× rung is the round-6 ask)
+      "dd_edit_pairs" ->
+        (n => Dedup.editDistancePairs(docsAt(n), "doc_id", "text", k = 4, q = 12)),
       // gap sessionization: one shuffle on user_id, windows + session agg
       // inside it — sessions grow exactly N× (disjoint per-copy users)
       "ev_sessions" ->
         (n => graft.pipeline.Events.sessionize(evAt(n), 4L * 3600L * 1000000L)),
+      // the round-6 distributed-rank rewrite: per-user rollup + range-sort
+      // zipWithIndex global rank (NO single-partition window) — users grow
+      // exactly N× (per-copy id offsets), so the rank input grows N× and
+      // wall time must stay ≤ linear
+      "ev_gini" ->
+        (n => graft.pipeline.Events.giniRevenue(
+          evAt(n).withColumn("event_type", lit("purchase")))),
       // 3 PageRank rounds over N disjoint graph copies: per-iteration
       // edges⋈ranks + dst-sum, work ∝ edges
       "gr_pagerank" ->

@@ -564,6 +564,56 @@ object SparkEntry {
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
     }),
 
+    // TPC-H Q4 (order priority checking, adapted: a line shipped >30 days
+    // after the order stands in for the absent commit<receipt pair): the
+    // EXISTS shape as one real LeftSemi — orders semi-joined against late
+    // lineitems, then the priority distribution; with Q4 and Q7 the full
+    // 22-query TPC-H shape set is covered
+    "q4_priority" -> ((s, dir) => {
+      val ord = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val late = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          col("o_orderkey") === col("l_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // TPC-H Q7 (volume shipping): the two-nation flow — supplier nation and
+    // customer nation threaded through both fact joins, the symmetric
+    // (7,8)/(8,7) pair filter carried on the broadcast dims, revenue per
+    // (supp_nation, cust_nation, year) in exact cent-pct integers
+    "q7_volume" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).cast("long").as("l_year"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("vol"))
+      val sup = T(s, dir, "supplier").select(col("s_suppkey"),
+        col("s_nationkey").as("supp_nk"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = T(s, dir, "customer").select(col("c_custkey"),
+        col("c_nationkey").as("cust_nk"))
+      val nat = T(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter((col("supp_nk") === 7 && col("cust_nk") === 8)
+          || (col("supp_nk") === 8 && col("cust_nk") === 7))
+        .join(broadcast(nat.select(col("n_nationkey").as("snk"),
+          col("n_name").as("supp_nation"))), col("supp_nk") === col("snk"))
+        .join(broadcast(nat.select(col("n_nationkey").as("cnk"),
+          col("n_name").as("cust_nation"))), col("cust_nk") === col("cnk"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(sum(col("vol")).as("revenue_scaled"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
     // TPC-H Q6 (forecast revenue change): the pure scan-aggregate — every
     // predicate (shipdate range, discount band, quantity cap) pushes to the
     // parquet scan, no join, no shuffle beyond the single partial-agg
@@ -4860,6 +4910,33 @@ object SparkEntry {
         |SELECT s_name, count(*) AS numwait
         |FROM lone JOIN supplier ON s_suppkey = sk
         |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+        |         AS revenue_scaled
+        |FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |  JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE (s_nationkey = 7 AND c_nationkey = 8)
+        |   OR (s_nationkey = 8 AND c_nationkey = 7)
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     "q6_forecast" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -71,7 +71,16 @@ class Round5Spec extends SparkSpec {
       ids(layer.within(GeomCodec.fromWkt(poly))))
     assert(ids(layer.filterEcql("DISJOINT(the_geom, POLYGON ((0 0, 6 0, 6 6, 0 6, 0 0)))")) ==
       Set("p3"))
+    // degrees (or any unrecognized token) keep the planar layer-CRS
+    // semantics the reference's GeoTools-on-geographic-CRS path had
+    assert(ids(layer.filterEcql("DWITHIN(the_geom, POINT (0 0), 2, degrees)")) ==
+      Set("p1", "l1", "g1"))
+    // round 6: metric units MEAN meters — only geometries touching the
+    // origin are within 2 m (p1 at (1,1) is ~157 km out)
     assert(ids(layer.filterEcql("DWITHIN(the_geom, POINT (0 0), 2, meters)")) ==
+      Set("l1", "g1"))
+    // and 200 geodesic kilometers pulls p1 back in
+    assert(ids(layer.filterEcql("DWITHIN(the_geom, POINT (0 0), 200, kilometers)")) ==
       Set("p1", "l1", "g1"))
     // negative WKT coordinates survive the literal re-assembly
     assert(ids(layer.filterEcql("INTERSECTS(the_geom, POLYGON ((-2 -2, 2 -2, 2 2, -2 2, -2 -2)))")) ==

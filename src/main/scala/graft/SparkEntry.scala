@@ -3994,6 +3994,20 @@ object SparkEntry {
       Packing.packPlacements(T(s, dir, "documents"), "doc_id", "text",
         capacity = 512L, numShards = 8)),
 
+    // weighted reservoir sample without replacement (A-ES, Efraimidis-
+    // Spirakis IPL'06): deterministic hash-uniform -> key ln(u)/w, top-k
+    // by key = inclusion ∝ token count; one scan + TakeOrdered, the
+    // quality-weighted corpus subsample shape
+    "tx_weighted_sample" -> ((s, dir) =>
+      Packing.weightedSample(T(s, dir, "documents"), "doc_id", "text",
+        k = 100, salt = "wrs1:")),
+
+    // stratified A-ES: an independent per-source reservoir (bounded
+    // partitioned windows, never a global sort), rolled up per stratum
+    "tx_stratified_sample" -> ((s, dir) =>
+      Packing.stratifiedSample(T(s, dir, "documents"), "doc_id", "text",
+        "source", perStratum = 50, salt = "wrs2:")),
+
     // deterministic global shuffle into training shards: scrambled-hash
     // permutation, ONE shard exchange + per-shard sort (no global sort)
     "tx_shard" -> ((s, dir) =>
@@ -7624,6 +7638,9 @@ object SparkEntry {
         newPred = "% 2 = 0", refPred = "% 2 = 1"),
 
     "tx_pack" -> Packing.packDuckSql(capacity = 512L, numShards = 8),
+    "tx_weighted_sample" -> Packing.weightedSampleDuckSql(k = 100, salt = "wrs1:"),
+    "tx_stratified_sample" ->
+      Packing.stratifiedSampleDuckSql(perStratum = 50, salt = "wrs2:"),
 
     "tx_shard" -> Packing.shardAssignDuckSql(numShards = 16, salt = "shard1:"),
 

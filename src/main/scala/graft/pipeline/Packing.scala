@@ -285,6 +285,104 @@ object Packing {
        |FROM a2 LEFT JOIN k USING (source) ORDER BY source""".stripMargin
   }
 
+  // ============================================ weighted reservoir sample
+
+  /** Weighted sampling without replacement, A-ES (Efraimidis–Spirakis,
+    * IPL 97(5) 2006): each document draws a deterministic pseudo-uniform
+    * u ∈ (0,1] from its salted-id hash and competes with key
+    * ln(u)/w — the k largest keys are a weighted reservoir sample with
+    * inclusion probability ∝ w (here w = whitespace token count: the
+    * quality-weighted corpus subsample every training-data pipeline draws).
+    *
+    * Determinism: u is an exact rational from the scrambled polyHash
+    * (the tx_mix discipline), ln is the one transcendental (bit-stable
+    * across engines on these inputs, the zipfFit/KL experience), and the
+    * division by an exact integer weight is a single IEEE op — so the
+    * sample is REPLAYABLE, not a seed-dependent RNG artifact. Plan shape:
+    * one scan + TakeOrdered(k) — no global sort, no shuffle beyond the
+    * top-k combine.
+    */
+  def weightedSample(df: DataFrame, idCol: String, textCol: String,
+      k: Int, salt: String): DataFrame = {
+    val w = ntokCol(textCol)
+    val u = (mixKey1e9(idCol, salt) + lit(1L)).cast("double") / lit(1000000008.0)
+    df.select(col(idCol).as("id"), w.as("n_tokens"),
+        (log(u) / w.cast("double")).as("key"))
+      .filter(col("n_tokens") > 0)
+      .orderBy(col("key").desc, col("id"))
+      .limit(k)
+      .select(col("id"), col("n_tokens"), round(col("key"), 9).as("key_r"))
+  }
+
+  /** DuckDB replay of [[weightedSample]] over `documents`. */
+  def weightedSampleDuckSql(k: Int, salt: String): String = {
+    val h = s"((${TextAnalysis.polyHashDuckSql(
+      s"('$salt' || CAST(doc_id AS VARCHAR))")} * 2654435761) % 1000000007)"
+    s"""WITH t AS (
+       |  SELECT doc_id AS id, CAST($ntokDuck AS BIGINT) AS n_tokens,
+       |         ln(CAST($h + 1 AS DOUBLE) / 1000000008.0)
+       |           / CAST($ntokDuck AS BIGINT) AS key
+       |  FROM documents
+       |)
+       |SELECT id, n_tokens, round(key, 9) AS key_r
+       |FROM t WHERE n_tokens > 0
+       |ORDER BY key DESC, id LIMIT $k""".stripMargin
+  }
+
+  /** Stratified variant: an independent A-ES reservoir of `perStratum`
+    * documents per source — the per-domain balanced subsample. One window
+    * per stratum (bounded by the stratum's size, partitioned — never a
+    * global sort).
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, perStratum: Int, salt: String): DataFrame = {
+    val w = ntokCol(textCol)
+    val u = (mixKey1e9(idCol, salt) + lit(1L)).cast("double") / lit(1000000008.0)
+    val keyed = df.select(col(sourceCol).as("source"), col(idCol).as("id"),
+        w.as("n_tokens"), (log(u) / w.cast("double")).as("key"))
+      .filter(col("n_tokens") > 0)
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("key").desc, col("id"))
+    keyed.withColumn("rk", row_number().over(rw).cast("long"))
+      .filter(col("rk") <= perStratum)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_tokens")).as("sampled_tokens"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("source"))
+  }
+
+  /** DuckDB replay of [[stratifiedSample]] over `documents`. */
+  def stratifiedSampleDuckSql(perStratum: Int, salt: String): String = {
+    val h = s"((${TextAnalysis.polyHashDuckSql(
+      s"('$salt' || CAST(doc_id AS VARCHAR))")} * 2654435761) % 1000000007)"
+    s"""WITH t AS (
+       |  SELECT source, doc_id AS id, CAST($ntokDuck AS BIGINT) AS n_tokens,
+       |         ln(CAST($h + 1 AS DOUBLE) / 1000000008.0)
+       |           / CAST($ntokDuck AS BIGINT) AS key
+       |  FROM documents
+       |), r AS (
+       |  SELECT source, id, n_tokens,
+       |         row_number() OVER (PARTITION BY source ORDER BY key DESC, id)
+       |           AS rk
+       |  FROM t WHERE n_tokens > 0
+       |)
+       |SELECT source, count(*)::BIGINT AS n_sampled,
+       |       CAST(sum(n_tokens) AS BIGINT) AS sampled_tokens,
+       |       min(id) AS min_id, max(id) AS max_id
+       |FROM r WHERE rk <= $perStratum
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The tx_mix scramble lifted to its own helper: scrambled polyHash of
+    * the salted id in [0, 1e9+7) — the shared deterministic-uniform
+    * source for mixing and sampling.
+    */
+  private def mixKey1e9(idCol: String, salt: String) =
+    pmod(TextAnalysis.polyHash(
+        concat(lit(salt), col(idCol).cast("string"))) * lit(2654435761L),
+      lit(1000000007L))
+
   // ==================================================== per-domain cap
 
   /** Per-domain document cap: keep at most `maxPerDomain` documents per

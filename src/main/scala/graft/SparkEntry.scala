@@ -1651,6 +1651,34 @@ object SparkEntry {
           smallEdgeLimit = 0L)
         .orderBy(col("id"))
     }),
+
+    // DIRECTED strongly connected components (the directed sibling of
+    // gr_cc): min-ancestor coloring + in-color backward containment over
+    // the nation-level trade digraph (supplier nation → customer nation,
+    // deterministically sparsified so the condensation has real structure);
+    // the oracle replays mutual reachability from the recursive transitive
+    // closure — feasible because the GATE graph is nation-sized while the
+    // Spark plan is the frontier-parallel peeling that runs at any |V|
+    "gr_scc" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val sup = T(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val ord = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = T(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val edges = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .select(col("s_nationkey").cast("long").as("src"),
+          col("c_nationkey").cast("long").as("dst")).distinct()
+        .filter((col("src") * 31 + col("dst") * 17) % 3 === 0)
+      val verts = T(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id"))
+      Graphs.sccLabels(verts, edges)
+        .groupBy(col("scc"))
+        .agg(count(lit(1)).as("n_nodes"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy(col("scc"))
+    }),
     "sp_window_zorder" -> ((s, dir) =>
       curveWindowQuery(s, dir, "zorder", -60.5, -30.5, -10.5, 20.5)),
     "sp_window_geohash" -> ((s, dir) =>
@@ -5570,6 +5598,37 @@ object SparkEntry {
         |)
         |SELECT id, min(id) OVER (PARTITION BY c_nationkey, band) AS label
         |FROM g ORDER BY id""".stripMargin,
+
+    // mutual reachability from the recursive transitive closure: scc(v) =
+    // min(v, min{u : v →* u AND u →* v}) — the n²-feasible definition on
+    // the nation-sized gate graph
+    "gr_scc" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT src, dst FROM (
+        |    SELECT DISTINCT CAST(s_nationkey AS BIGINT) AS src,
+        |           CAST(c_nationkey AS BIGINT) AS dst
+        |    FROM lineitem
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |    WHERE s_nationkey <> c_nationkey
+        |  ) WHERE (src * 31 + dst * 17) % 3 = 0
+        |), r AS (
+        |  SELECT src AS a, dst AS b FROM e
+        |  UNION
+        |  SELECT r.a, e.dst FROM r JOIN e ON r.b = e.src
+        |), m AS (
+        |  SELECT r.a, r.b FROM r
+        |  WHERE EXISTS (SELECT 1 FROM r r2 WHERE r2.a = r.b AND r2.b = r.a)
+        |), v AS (SELECT CAST(n_nationkey AS BIGINT) AS id FROM nation),
+        |sccl AS (
+        |  SELECT v.id, least(v.id, coalesce(min(m.b), v.id)) AS scc
+        |  FROM v LEFT JOIN m ON m.a = v.id
+        |  GROUP BY v.id
+        |)
+        |SELECT scc, count(*)::BIGINT AS n_nodes,
+        |       min(id) AS min_id, max(id) AS max_id
+        |FROM sccl GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sp_window_zorder" -> (PtsCte +
       """

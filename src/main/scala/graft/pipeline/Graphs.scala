@@ -598,4 +598,103 @@ l$i AS (SELECT src AS node, lbl FROM (
        |SELECT CAST(node AS BIGINT) AS node, round(sum(delta), 6) AS betweenness
        |FROM acc GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT $k""".stripMargin
   }
+
+  // ================================== strongly connected components
+
+  /** Strongly connected components by iterative min-ancestor coloring with
+    * in-color backward containment (the coloring step of Orzan's
+    * distributed SCC, also the core of Slota et al.'s Multistep method) —
+    * the DIRECTED sibling of [[graft.pipeline.Groups.ccLabels]]. Each peel
+    * round: (1) propagate color(v) = min id over {u : u →* v} to fixpoint
+    * along forward edges; (2) pivots are the nodes with color == id;
+    * (3) grow each pivot's SCC backward WITHIN its color class — a node
+    * joins iff one of its out-neighbors is marked with its own color
+    * (the containment path provably never leaves the class, so this finds
+    * exactly SCC(pivot)); (4) label and peel the found SCCs, repeat on the
+    * rest. All color classes peel simultaneously, so a round retires every
+    * SCC that is minimal in its ancestor order.
+    *
+    * Scale shape: per-node state is one (id, color) row; every step is an
+    * edge equi-join + grouped min or an anti-join — frontier-parallel,
+    * nothing on the driver, nothing broadcast. Inner fixpoints are bounded
+    * by the remaining diameter (the BFS/CC discipline); outer rounds by
+    * the peeling depth of the SCC condensation (1 for most real graphs).
+    */
+  def sccLabels(vertices: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25, maxProp: Int = 64): DataFrame = {
+    val spark = vertices.sparkSession
+    // EVERY loop-carried frame is localCheckpoint'ed (eager): each
+    // iteration's plan otherwise embeds the previous iteration's whole
+    // tree (next = f(colors) joined back against colors), so lineage —
+    // and with it analysis/cache-naming cost — grows EXPONENTIALLY per
+    // fixpoint step (measured: a 7-node unit graph pinned 10 cores at
+    // 47 GB building plan strings). Truncation keeps every step's plan
+    // constant-size; the pagerank/LPA rounds use the same discipline.
+    var remV = vertices.select(col("id").cast("long").as("id"))
+      .distinct().localCheckpoint()
+    var remE = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
+    var out = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      new org.apache.spark.sql.types.StructType()
+        .add("id", org.apache.spark.sql.types.LongType, nullable = false)
+        .add("scc", org.apache.spark.sql.types.LongType, nullable = false))
+    var round = 0
+    var done = remV.isEmpty
+    while (!done && round < maxRounds) {
+      round += 1
+      // (1) forward min-color fixpoint: color = min ancestor id
+      var colors = remV.select(col("id"), col("id").as("color"))
+        .localCheckpoint()
+      var changed = true
+      var it = 0
+      while (changed && it < maxProp) {
+        it += 1
+        val cand = colors.join(remE, colors("id") === remE("src"))
+          .groupBy(col("dst").as("id")).agg(min(col("color")).as("cand"))
+        val next = colors.join(cand, Seq("id"), "left")
+          .select(col("id"),
+            least(col("color"), coalesce(col("cand"), col("color"))).as("color"))
+          .localCheckpoint()
+        changed = next.withColumnRenamed("color", "nc")
+          .join(colors, Seq("id"))
+          .filter(col("nc") =!= col("color")).limit(1).count() > 0
+        colors = next
+      }
+      // (2)+(3) pivots grow backward within their color class
+      var inScc = colors.filter(col("id") === col("color")).localCheckpoint()
+      var frontier = inScc
+      var more = true
+      var it2 = 0
+      while (more && it2 < maxProp) {
+        it2 += 1
+        val reach = remE.join(frontier, remE("dst") === frontier("id"))
+          .select(remE("src").as("id"), frontier("color").as("mcolor"))
+          .distinct()
+        val add = reach
+          .join(colors, Seq("id"))
+          .filter(col("mcolor") === col("color"))
+          .select(col("id"), col("color"))
+          .join(inScc.select("id"), Seq("id"), "left_anti")
+          .distinct().localCheckpoint()
+        more = !add.isEmpty
+        if (more) {
+          inScc = inScc.union(add).localCheckpoint()
+          frontier = add
+        }
+      }
+      // (4) label and peel
+      out = out.union(inScc.select(col("id"), col("color").as("scc")))
+        .localCheckpoint()
+      val peeledIds = inScc.select("id")
+      remV = remV.join(peeledIds, Seq("id"), "left_anti").localCheckpoint()
+      remE = remE
+        .join(peeledIds.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(peeledIds.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+        .select("src", "dst").localCheckpoint()
+      done = remV.isEmpty
+    }
+    out
+  }
 }

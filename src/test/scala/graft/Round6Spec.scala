@@ -123,6 +123,19 @@ class Round6Spec extends SparkSpec {
       """{"step": {"direction": "INCOMING"}}""", top))
   }
 
+  test("sccLabels: cycles, a DAG bridge, a tail and an isolated node — multi-round peel") {
+    // SCCs: {1,2,3} (3-cycle), {5,6} (2-cycle, downstream of the first so
+    // it peels in a LATER round — its min-ancestor color is 1), {8} (tail),
+    // {9} (isolated)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 6L), (6L, 5L),
+      (3L, 5L), (6L, 8L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L).toDF("id")
+    val got = graft.pipeline.Graphs.sccLabels(verts, edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      5L -> 5L, 6L -> 5L, 8L -> 8L, 9L -> 9L))
+  }
+
   test("globalRank agrees with row_number across many partitions") {
     val df = spark.range(0, 1000, 1, 16)
       .select((col("id") * 7919 % 101).as("v"), col("id").as("k"))

@@ -1022,6 +1022,22 @@ object SparkEntry {
     // deterministic HyperLogLog distinct sketch (p=8) per event_type, both
     // grains (150 distinct users → linear-counting branch; ~2k event ids →
     // raw-estimate branch), exact counts beside for the error story
+    // KMV / bottom-k Theta distinct sketch per event type — the
+    // set-algebra-capable sibling of ev_hll (HLL unions but cannot
+    // intersect); rank-cut window = WindowGroupLimit per-partition top-k
+    "ev_kmv" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.kmvDistinct(T(s, dir, "events"))
+    }),
+
+    // KMV set algebra: union/intersection/Jaccard estimates between the
+    // view and click user sets from the two k-row sketches (the merge
+    // input is 2k constant rows — bounded at any corpus size)
+    "ev_kmv_ops" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Events.kmvSetOps(T(s, dir, "events"), "view", "click")
+    }),
+
     "ev_hll" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val fnv = udf((x: Long) => TextAnalysis.fnv1a64(x.toString))
@@ -5227,6 +5243,9 @@ object SparkEntry {
         |       CAST(sum(round(c.value * 100)) AS BIGINT) AS cents
         |FROM p JOIN c ON abs(c.tsn - p.tsn) <= 60000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "ev_kmv" -> Events.kmvDistinctDuckSql(),
+    "ev_kmv_ops" -> Events.kmvSetOpsDuckSql("view", "click"),
 
     "ev_hll" -> {
       def part(keyExpr: String, metric: String) =

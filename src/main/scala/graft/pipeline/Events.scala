@@ -224,6 +224,146 @@ object Events {
   private def rawEst(s: Column): Column =
     lit(HllAlphaM2 * math.pow(2.0, 57)) / s.cast("double")
 
+  // ================================= KMV (bottom-k / Theta) sketches
+
+  private val KmvM = 1000000007L
+
+  private def kmvHash(userCol: Column): Column =
+    pmod(graft.pipeline.TextAnalysis.polyHash(
+        concat(lit("kmv:"), userCol.cast("string"))) * lit(2654435761L),
+      lit(KmvM))
+
+  /** KMV / bottom-k distinct sketch per event_type (Bar-Yossef et al.,
+    * RANDOM'02; the Theta-sketch family): keep the k smallest distinct
+    * user hashes, estimate D̂ = (k−1)/r_k with r_k the k-th minimum
+    * normalized to (0,1). Complements HLL ([[hllEstimate]]) with the
+    * sketch that supports SET ALGEBRA ([[kmvSetOps]]) — HLL unions but
+    * cannot intersect.
+    *
+    * Scale shape: distinct (g,h) then a rank-cut window — Spark's
+    * WindowGroupLimit pushes `row_number ≤ k` into per-partition top-k
+    * heaps map-side, so state is k rows per (partition, group), never the
+    * distinct stream. Groups with fewer than k hashes ARE their exact
+    * distinct set (the standard small-set branch). Deterministic: the
+    * hash is the scrambled polyHash (the tx_mix/sampling discipline), so
+    * the sketch replays bit-for-bit in the oracle.
+    */
+  def kmvDistinct(events: DataFrame, k: Int = 256): DataFrame = {
+    val dh = events.select(col("event_type").as("g"),
+      kmvHash(col("user_id")).as("h")).distinct()
+    val w = Window.partitionBy("g").orderBy("h")
+    dh.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_kept"), max(col("h")).as("hk"))
+      .select(col("g").as("event_type"), col("n_kept"),
+        round(when(col("n_kept") < k, col("n_kept").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("hk").cast("double") / lit(KmvM.toDouble))), 3)
+          .as("est_distinct"))
+      .orderBy(col("event_type"))
+  }
+
+  /** DuckDB replay of [[kmvDistinct]]. */
+  def kmvDistinctDuckSql(k: Int = 256): String =
+    s"""WITH dh AS (
+       |  SELECT DISTINCT event_type AS g,
+       |         ((${graft.pipeline.TextAnalysis.polyHashDuckSql(
+              "('kmv:' || CAST(user_id AS VARCHAR))")} * 2654435761)
+       |           % $KmvM) AS h
+       |  FROM events
+       |), r AS (
+       |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+       |  FROM dh
+       |), t AS (
+       |  SELECT g, count(*) AS n_kept, max(h) AS hk
+       |  FROM r WHERE rk <= $k GROUP BY g
+       |)
+       |SELECT g AS event_type, CAST(n_kept AS BIGINT) AS n_kept,
+       |       round(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE)
+       |             ELSE ${(k - 1).toDouble} /
+       |                  (CAST(hk AS DOUBLE) / $KmvM.0) END, 3)
+       |         AS est_distinct
+       |FROM t ORDER BY event_type""".stripMargin
+
+  /** KMV set algebra between two event types: union estimate from the
+    * bottom-k of the MERGED sketches, intersection via the standard ρ
+    * estimator — ρ = |K(U) ∩ K(A) ∩ K(B)| / |K(U)|, |A∩B| ≈ ρ·|A∪B|̂ —
+    * and the Jaccard it implies. The merge input is the two k-row
+    * sketches (2k constant rows), NOT the distinct streams, so the global
+    * rank over it is bounded by construction at any corpus size.
+    */
+  def kmvSetOps(events: DataFrame, typeA: String, typeB: String,
+      k: Int = 256): DataFrame = {
+    val dh = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type").as("g"), kmvHash(col("user_id")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("g").orderBy("h")
+    val sk = dh.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("g"), col("h"))
+    val merged = sk.select("h").distinct()
+    // bounded input (≤ 2k rows) — this global rank is constant-size
+    val wu = Window.orderBy("h")
+    val ku = merged.withColumn("rk", row_number().over(wu)).filter(col("rk") <= k)
+    val flags = ku.select(col("h"))
+      .join(sk.filter(col("g") === typeA).select(col("h"), lit(1).as("ina")),
+        Seq("h"), "left")
+      .join(sk.filter(col("g") === typeB).select(col("h"), lit(1).as("inb")),
+        Seq("h"), "left")
+    flags.agg(count(lit(1)).as("nu"), max(col("h")).as("hk"),
+        sum(when(col("ina").isNotNull && col("inb").isNotNull, 1L)
+          .otherwise(0L)).as("nboth"))
+      .select(col("nu").as("n_union_kept"), col("nboth").as("n_both"),
+        round(when(col("nu") < k, col("nu").cast("double"))
+          .otherwise(lit((k - 1).toDouble) /
+            (col("hk").cast("double") / lit(KmvM.toDouble))), 3)
+          .as("union_est"),
+        round(col("nboth").cast("double") / col("nu").cast("double"), 6)
+          .as("jaccard_est"))
+      .select(col("n_union_kept"), col("n_both"), col("union_est"),
+        col("jaccard_est"),
+        round(col("jaccard_est") * col("union_est"), 3).as("inter_est"))
+  }
+
+  /** DuckDB replay of [[kmvSetOps]]. */
+  def kmvSetOpsDuckSql(typeA: String, typeB: String, k: Int = 256): String =
+    s"""WITH dh AS (
+       |  SELECT DISTINCT event_type AS g,
+       |         ((${graft.pipeline.TextAnalysis.polyHashDuckSql(
+              "('kmv:' || CAST(user_id AS VARCHAR))")} * 2654435761)
+       |           % $KmvM) AS h
+       |  FROM events WHERE event_type IN ('$typeA', '$typeB')
+       |), sk AS (
+       |  SELECT g, h FROM (
+       |    SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rk
+       |    FROM dh) WHERE rk <= $k
+       |), ku AS (
+       |  SELECT h FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rk
+       |    FROM (SELECT DISTINCT h FROM sk)) WHERE rk <= $k
+       |), f AS (
+       |  SELECT ku.h,
+       |         CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END
+       |           AS nboth
+       |  FROM ku
+       |  LEFT JOIN (SELECT h FROM sk WHERE g = '$typeA') a ON a.h = ku.h
+       |  LEFT JOIN (SELECT h FROM sk WHERE g = '$typeB') b ON b.h = ku.h
+       |), t AS (
+       |  SELECT count(*) AS nu, max(h) AS hk, sum(nboth) AS nboth FROM f
+       |)
+       |SELECT CAST(nu AS BIGINT) AS n_union_kept,
+       |       CAST(nboth AS BIGINT) AS n_both,
+       |       round(CASE WHEN nu < $k THEN CAST(nu AS DOUBLE)
+       |             ELSE ${(k - 1).toDouble} /
+       |                  (CAST(hk AS DOUBLE) / $KmvM.0) END, 3) AS union_est,
+       |       round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+       |         AS jaccard_est,
+       |       round(round(CAST(nboth AS DOUBLE) / CAST(nu AS DOUBLE), 6)
+       |         * round(CASE WHEN nu < $k THEN CAST(nu AS DOUBLE)
+       |             ELSE ${(k - 1).toDouble} /
+       |                  (CAST(hk AS DOUBLE) / $KmvM.0) END, 3), 3)
+       |         AS inter_est
+       |FROM t""".stripMargin
+
   private val restSql = s"shiftrightunsigned(h, $HllP) & ${(1L << 56) - 1}"
 
   /** 0..m-1 register frame as a single-column DataFrame named `reg`. */

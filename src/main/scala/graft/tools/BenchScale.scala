@@ -344,6 +344,19 @@ object BenchScale {
       // edges⋈ranks + dst-sum, work ∝ edges
       "gr_pagerank" ->
         (n => graft.pipeline.PageRank.pageRank(edgesAt(n), iters = 3)),
+      // directed SCC over N disjoint copies of the trade digraph with a
+      // deterministic third of the edges reversed (so real cycles exist):
+      // per-copy structure is rung-invariant ⇒ color-fixpoint iterations
+      // and peel rounds stay constant while every join grows ∝ N
+      "gr_scc" -> (n => {
+        val e = edgesAt(n)
+        val dir = e.unionAll(
+          e.select(col("dst").as("src"), col("src").as("dst"))
+            .filter((col("src") + col("dst")) % 3 === 0))
+        val verts = e.select(col("src").as("id"))
+          .unionAll(e.select(col("dst").as("id"))).distinct()
+        graft.pipeline.Graphs.sccLabels(verts, dir)
+      }),
       // frontier BFS with seeds in EVERY copy (customer nodes, every 37th
       // per copy): frontier and settled set grow ∝ N, rounds constant, so
       // each round's edge probe + anti-join shuffles ∝ N

@@ -1022,6 +1022,52 @@ object SparkEntry {
     // deterministic HyperLogLog distinct sketch (p=8) per event_type, both
     // grains (150 distinct users → linear-counting branch; ~2k event ids →
     // raw-estimate branch), exact counts beside for the error story
+    // NINTH streaming CORRECTNESS gate — streaming KMV distinct sketch
+    // through flatMapGroupsWithState: state is EXACTLY the k smallest
+    // distinct hashes per group (k longs — bounded for any stream length).
+    // Bottom-k merge is a semilattice, so the streamed final sketch equals
+    // the batch sketch for ANY slab split or arrival order — the gate
+    // reuses the BATCH oracle verbatim (Events.kmvDistinctDuckSql)
+    "st_stream_kmv" -> ((s, dir) => {
+      import s.implicits._
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-kmv")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val ev = T(s, dir, "events")
+        .select(col("event_type").as("g"),
+          Events.kmvHash(col("user_id")).as("h"))
+      val slabW = org.apache.spark.sql.expressions.Window.orderBy("g", "h")
+      val slabs = ev.withColumn("slab", ntile(4).over(slabW))
+      (1 to 4).foreach { i =>
+        slabs.filter(col("slab") === i).drop("slab")
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val k = 256
+      val q = graft.streaming.StreamSketch.kmvStream(
+          stream.as[graft.streaming.StreamSketch.KmvRow], k)
+        .toDF()
+        .writeStream.format("memory").queryName("st_stream_kmv_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_kmv_mem")
+        .groupBy(col("g"))
+        .agg(max(struct(col("ver"), col("n_kept"), col("hk"))).as("m"))
+        .select(col("g").as("event_type"),
+          col("m.n_kept").as("n_kept"),
+          round(when(col("m.n_kept") < k, col("m.n_kept").cast("double"))
+            .otherwise(lit((k - 1).toDouble) /
+              (col("m.hk").cast("double") / lit(Events.KmvM.toDouble))), 3)
+            .as("est_distinct"))
+        .orderBy(col("event_type"))
+    }),
+
     // KMV / bottom-k Theta distinct sketch per event type — the
     // set-algebra-capable sibling of ev_hll (HLL unions but cannot
     // intersect); rank-cut window = WindowGroupLimit per-partition top-k
@@ -5245,6 +5291,9 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ev_kmv" -> Events.kmvDistinctDuckSql(),
+    // the streamed bottom-k equals the batch bottom-k (semilattice merge),
+    // so the streaming gate replays against the identical batch oracle
+    "st_stream_kmv" -> Events.kmvDistinctDuckSql(),
     "ev_kmv_ops" -> Events.kmvSetOpsDuckSql("view", "click"),
 
     "ev_hll" -> {

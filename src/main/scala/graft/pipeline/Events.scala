@@ -226,9 +226,9 @@ object Events {
 
   // ================================= KMV (bottom-k / Theta) sketches
 
-  private val KmvM = 1000000007L
+  private[graft] val KmvM = 1000000007L
 
-  private def kmvHash(userCol: Column): Column =
+  private[graft] def kmvHash(userCol: Column): Column =
     pmod(graft.pipeline.TextAnalysis.polyHash(
         concat(lit("kmv:"), userCol.cast("string"))) * lit(2654435761L),
       lit(KmvM))

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 import graft.pipeline.{CountMin, Events}
 
@@ -32,6 +33,38 @@ object StreamSketch {
         col("g"), Events.hllRegCol.as("reg"))
       .agg(max(Events.hllRankCol).as("m"))
       .select(col("window.start").as("t_start"), col("g"), col("reg"), col("m"))
+
+  case class KmvRow(g: String, h: Long)
+  case class KmvSketchState(ver: Long, mins: List[Long])
+  case class KmvEmit(g: String, ver: Long, n_kept: Long, hk: Long)
+
+  /** Streaming KMV / bottom-k Theta distinct sketch — the custom-state
+    * sibling of the batch [[Events.kmvDistinct]]: per group the state is
+    * EXACTLY the k smallest distinct hashes (k longs — the textbook
+    * bounded-state sketch, independent of stream length). Bottom-k merge
+    * is a semilattice (commutative, associative, idempotent), so the
+    * final streamed sketch equals the batch bottom-k REGARDLESS of
+    * micro-batch boundaries or arrival order — the gate compares against
+    * the batch oracle verbatim. Emits the running (ver, n_kept, hk) per
+    * group per batch; the latest ver per group is the final sketch.
+    * NoTimeout: bounded AvailableNow replays (the StreamDedup lesson);
+    * production queries would evict idle groups with a timeout.
+    */
+  def kmvStream(rows: Dataset[KmvRow], k: Int): Dataset[KmvEmit] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[KmvSketchState, KmvEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g: String, it: Iterator[KmvRow], state) =>
+          val prev = state.getOption
+          val mins = (prev.map(_.mins).getOrElse(Nil).iterator ++ it.map(_.h))
+            .toArray.distinct.sorted.take(k).toList
+          val ver = prev.map(_.ver).getOrElse(0L) + 1L
+          state.update(KmvSketchState(ver, mins))
+          Iterator.single(KmvEmit(g, ver, mins.length.toLong,
+            if (mins.isEmpty) 0L else mins.last))
+      }
+  }
 
   /** Per-window Count-Min cells over a stream carrying (`tsCol`: timestamp,
     * `keyCol`: long < 2³¹). Emits (t_start, r, b, cnt) at window close —

@@ -140,6 +140,15 @@ object StreamStateBench {
         s => graft.streaming.StreamSessions.sessionStream(s, "user_id", "ets"))),
       "st_exact_dedup" -> (n => ("ets", docsAt(n),
         s => graft.streaming.StreamDedup.exactDedupStream(s, "ets", "text"))),
+      "st_kmv_sketch" -> (n => ("ets",
+        evAt(n).select(col("ets"), col("event_type").as("g"),
+          graft.pipeline.Events.kmvHash(col("user_id")).as("h")),
+        s => {
+          import spark.implicits._
+          graft.streaming.StreamSketch.kmvStream(
+            s.select(col("g"), col("h"))
+              .as[graft.streaming.StreamSketch.KmvRow], 256).toDF()
+        })),
       "st_interval_join" -> (n => ("ets",
         evAt(n).select(col("user_id"), col("ets"), col("event_type")),
         s => {
@@ -170,14 +179,21 @@ object StreamStateBench {
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outJson), body + "\n")
 
     // merge a "streaming_state" section into the committed growth-ladder
-    // artifact so the evidence lives beside the wall-time rungs
+    // artifact so the evidence lives beside the wall-time rungs — per
+    // FAMILY, so a filtered re-run refreshes its own entries without
+    // clobbering the section
     val target = new java.io.File(mergeInto)
     if (target.isFile && target.length() > 0) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       om.readTree(target) match {
         case root: com.fasterxml.jackson.databind.node.ObjectNode =>
-          root.set[com.fasterxml.jackson.databind.JsonNode](
-            "streaming_state", om.readTree(body))
+          val sect = root.get("streaming_state") match {
+            case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+            case _ => root.putObject("streaming_state")
+          }
+          val fresh = om.readTree(body)
+          fresh.fields().forEachRemaining(e =>
+            sect.set[com.fasterxml.jackson.databind.JsonNode](e.getKey, e.getValue))
           java.nio.file.Files.writeString(target.toPath,
             om.writerWithDefaultPrettyPrinter().writeValueAsString(root) + "\n")
         case _ => System.err.println(s"[state] $mergeInto is not a JSON object; skipping merge")

@@ -1766,6 +1766,95 @@ object SparkEntry {
         .orderBy(col("layer"))
     }),
 
+    // coordinate POLYMORPHISM under the oracle (was unit-only): the same
+    // customer points added through all three reference shapes — lon/lat
+    // pair, WKT literal, geometry column (SpatialApiBase.java:63-140) —
+    // must produce byte-equivalent layers: identical counts, exact
+    // coordinate sums, identical extents
+    "sp_add_polymorph" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh-poly")
+      wh.toFile.deleteOnExit()
+      val procs = new graft.engine.SpatialProcedures(s, wh.toString)
+      val src = pointsDf(s, dir).select(col("ck"), col("x"), col("y"))
+      procs.addPointLayerXY("pm_xy", src, "ck", "x", "y")
+      procs.addWKTLayer("pm_wkt", src.withColumn("wkt",
+        concat(lit("POINT ("), col("x"), lit(" "), col("y"), lit(")"))),
+        "ck", "wkt")
+      procs.addPointLayerGeom("pm_geom",
+        src.withColumn("g", st.makePoint(col("x"), col("y"))), "ck", "g")
+      Seq("pm_geom", "pm_wkt", "pm_xy").map { name =>
+        procs.layer(name).df.agg(
+            count(lit(1)).as("n"),
+            sum(round(st.x(col("geometry")) * 2).cast("long")).as("sx2"),
+            sum(round(st.y(col("geometry")) * 2).cast("long")).as("sy2"),
+            min(col("bbox")("minx")).as("minx"), min(col("bbox")("miny")).as("miny"),
+            max(col("bbox")("maxx")).as("maxx"), max(col("bbox")("maxy")).as("maxy"))
+          .withColumn("layer", lit(name))
+      }.reduce(_ unionByName _)
+        .select(col("layer"), col("n"), col("sx2"), col("sy2"),
+          col("minx"), col("miny"), col("maxx"), col("maxy"))
+        .orderBy(col("layer"))
+    }),
+
+    // setFeatureAttributes / getFeatureAttributes under the oracle (was
+    // unit-only): discovery lists the non-core columns; the whitelist
+    // persists through the catalog meta (reference: SpatialProcedures
+    // setFeatureAttributes :568, getFeatureAttributes :578)
+    "sp_feature_attrs" -> ((s, dir) => {
+      import s.implicits._
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh-attrs")
+      wh.toFile.deleteOnExit()
+      val procs = new graft.engine.SpatialProcedures(s, wh.toString)
+      procs.addPointLayerXY("attrs_demo",
+        pointsDf(s, dir).select(col("ck"), col("x"), col("y"),
+          col("c_acctbal"), col("c_nationkey")),
+        "ck", "x", "y")
+      val discovered = procs.getFeatureAttributes("attrs_demo").sorted.mkString(",")
+      val restricted = procs.setFeatureAttributes("attrs_demo",
+        Seq("c_acctbal")).sorted.mkString(",")
+      // re-open THROUGH the catalog: the whitelist must have persisted
+      val persisted = procs.catalog.getLayer("attrs_demo")
+        .meta.map(_.attributes.sorted.mkString(",")).getOrElse("")
+      Seq(("discovered", discovered), ("persisted", persisted),
+        ("restricted", restricted)).toDF("phase", "attrs").orderBy("phase")
+    }),
+
+    // OSM → shapefile export helper under the oracle (was unit-only; the
+    // cli-tools OSMLayerToShapefileExporter surface): tag-filtered ways
+    // export to .shp/.dbf/.shx, re-import through the reader, and the
+    // roundtripped per-way vertex counts must replay from the fixture
+    // congruence (one way per nation, n_pts = customers in the nation)
+    "osm_shp_export" -> ((s, dir) => {
+      val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
+      val sb = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
+      rows.foreach { r =>
+        sb ++= s"  <node id='${r.getLong(0)}' lat='${r.getDouble(3)}' lon='${r.getDouble(2)}' version='1'/>\n"
+      }
+      rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).foreach { case (nk, rs) =>
+        sb ++= s"  <way id='${1000 + nk}' version='1'>\n"
+        rs.sortBy(_.getLong(0)).foreach(r => sb ++= s"    <nd ref='${r.getLong(0)}'/>\n")
+        sb ++= "    <tag k='highway' v='residential'/>\n"
+        sb ++= "  </way>\n"
+      }
+      sb ++= "</osm>\n"
+      val tmp = java.nio.file.Files.createTempFile("graft-osm-exp", ".osm")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      val d = java.nio.file.Files.createTempDirectory("graft-shpexp")
+      d.toFile.deleteOnExit()
+      val out = d.resolve("roads").toString
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh-exp")
+      wh.toFile.deleteOnExit()
+      val procs = new graft.engine.SpatialProcedures(s, wh.toString)
+      procs.exportOsmToShapefile(tmp.toString, "highway", "residential", out)
+      graft.sources.Shapefile.importShapefile(s, out + ".shp").df
+        .agg(count(lit(1)).as("n_ways"),
+          sum(st.numPoints(col("geometry")).cast("long")).as("sum_pts"),
+          min(st.numPoints(col("geometry")).cast("long")).as("min_pts"),
+          max(st.numPoints(col("geometry")).cast("long")).as("max_pts"))
+    }),
+
     // SearchEqualEnvelopes under the oracle: rows whose envelope EQUALS the
     // query point's degenerate envelope — exact double equality on the bbox
     // struct, no JTS (reference: rtree/filter/SearchEqualEnvelopes.java:28-38).
@@ -5709,6 +5798,37 @@ object SparkEntry {
         |SELECT ck AS id, x, y FROM pts
         |WHERE x >= 100.5 AND x <= 150.5 AND y >= 10.5 AND y <= 60.5
         |ORDER BY id""".stripMargin),
+
+    // all three polymorphic add paths must agree with the one source table
+    "sp_add_polymorph" -> (PtsCte +
+      """
+        |, a AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |         CAST(sum(CAST(round(x * 2) AS BIGINT)) AS BIGINT) AS sx2,
+        |         CAST(sum(CAST(round(y * 2) AS BIGINT)) AS BIGINT) AS sy2,
+        |         min(x) AS minx, min(y) AS miny,
+        |         max(x) AS maxx, max(y) AS maxy
+        |  FROM pts
+        |)
+        |SELECT l.layer, a.n, a.sx2, a.sy2, a.minx, a.miny, a.maxx, a.maxy
+        |FROM (SELECT unnest(['pm_geom', 'pm_wkt', 'pm_xy']) AS layer) l
+        |CROSS JOIN a ORDER BY layer""".stripMargin),
+
+    "sp_feature_attrs" ->
+      """SELECT 'discovered' AS phase, 'c_acctbal,c_nationkey' AS attrs
+        |UNION ALL SELECT 'persisted', 'c_acctbal'
+        |UNION ALL SELECT 'restricted', 'c_acctbal'
+        |ORDER BY phase""".stripMargin,
+
+    // fixture congruence: one exported way per nation, n_pts = customers
+    "osm_shp_export" ->
+      """WITH per AS (
+        |  SELECT c_nationkey, count(*) AS n FROM customer GROUP BY 1
+        |)
+        |SELECT count(*)::BIGINT AS n_ways, CAST(sum(n) AS BIGINT) AS sum_pts,
+        |       CAST(min(n) AS BIGINT) AS min_pts,
+        |       CAST(max(n) AS BIGINT) AS max_pts
+        |FROM per""".stripMargin,
 
     // exact coordinate equality on the lattice stride ck ≡ 42 (mod 360)
     "sp_equal_env" -> (PtsCte +

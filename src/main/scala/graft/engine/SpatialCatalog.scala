@@ -100,19 +100,40 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     * storage layout (bbox | hilbert | zorder | geohash), mirroring the
     * reference's index presets.
     */
+  private val CoreCols = Set("id", "geometry", "gtype", "bbox", "x", "y",
+    "props", "__sfc")
+
+  /** Non-core source columns become the layer's dynamic `props` map (the
+    * reference's geometry-node feature attributes survive layer creation
+    * and stay queryable through props / ECQL) and are recorded in the
+    * meta as the DISCOVERED attribute list (getFeatureAttributes).
+    */
+  private def extrasOf(source: DataFrame, consumed: Seq[String]): Seq[String] =
+    source.columns.filterNot(c => consumed.contains(c) || CoreCols.contains(c))
+      .toSeq.sorted
+
+  private def withProps(df: DataFrame, extras: Seq[String]): DataFrame =
+    if (extras.isEmpty) df
+    else df.withColumn("props", map_from_arrays(
+      array(extras.map(lit): _*),
+      array(extras.map(c => col(c).cast("string")): _*)))
+
   def createPointLayer(name: String, source: DataFrame,
       idCol: String, xCol: String, yCol: String,
       indexType: String = "bbox"): GeoFrame = {
-    val canonical = source
+    val extras = extrasOf(source, Seq(idCol, xCol, yCol))
+    val canonical = withProps(source, extras)
       .withColumn("id", col(idCol).cast("string"))
       .withColumn("x", col(xCol).cast("double"))
       .withColumn("y", col(yCol).cast("double"))
       .withColumn("geometry", st.makePoint(col("x"), col("y")))
       .withColumn("gtype", lit(graft.geom.GeomCodec.GTYPE_POINT))
       .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
-      .select("id", "geometry", "gtype", "bbox", "x", "y")
+      .select(("id" +: "geometry" +: "gtype" +: "bbox" +: "x" +: "y" +:
+        (if (extras.isEmpty) Nil else Seq("props"))).map(col).toIndexedSeq: _*)
     createLayer(name, canonical,
-      LayerMeta(name, graft.geom.GeomCodec.GTYPE_POINT, encoder = "point-xy", indexType = indexType))
+      LayerMeta(name, graft.geom.GeomCodec.GTYPE_POINT, encoder = "point-xy",
+        indexType = indexType, attributes = extras))
   }
 
   /** Create a WKT layer — the `spatial.addWKTLayer` + `spatial.addWKTs` path
@@ -120,13 +141,17 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     */
   def createWktLayer(name: String, source: DataFrame, idCol: String, wktCol: String,
       indexType: String = "bbox"): GeoFrame = {
-    val canonical = source
+    val extras = extrasOf(source, Seq(idCol, wktCol))
+    val canonical = withProps(source, extras)
       .withColumn("id", col(idCol).cast("string"))
       .withColumn("geometry", st.geomFromText(col(wktCol)))
       .withColumn("gtype", st.gtype(col("geometry")))
       .withColumn("bbox", st.bboxOf(col("geometry")))
-      .select("id", "geometry", "gtype", "bbox")
-    createLayer(name, canonical, LayerMeta(name, 0, encoder = "wkt", indexType = indexType))
+      .select(("id" +: "geometry" +: "gtype" +: "bbox" +:
+        (if (extras.isEmpty) Nil else Seq("props"))).map(col).toIndexedSeq: _*)
+    createLayer(name, canonical,
+      LayerMeta(name, 0, encoder = "wkt", indexType = indexType,
+        attributes = extras))
   }
 
   /** `spatial.setFeatureAttributes` — persist the layer's declared attribute

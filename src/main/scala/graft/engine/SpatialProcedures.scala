@@ -65,10 +65,19 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
       m.attributes.mkString(","))).toDF("name", "geometryType", "crs", "encoder", "index", "attributes")
   }
 
-  /** spatial.getFeatureAttributes (reference: :578): discovered columns. */
+  /** spatial.getFeatureAttributes (reference: :578): the meta's discovered/
+    * declared attribute list (creation records the source's non-core
+    * columns; setFeatureAttributes overwrites the whitelist), falling back
+    * to non-core df columns for layers predating the attribute meta.
+    */
   def getFeatureAttributes(name: String): Seq[String] = {
-    val core = Set("id", "geometry", "gtype", "bbox", "x", "y", "props", "__sfc")
-    catalog.getLayer(name).df.columns.filterNot(core.contains).toSeq
+    val layer = catalog.getLayer(name)
+    val metaAttrs = layer.meta.map(_.attributes).getOrElse(Nil)
+    if (metaAttrs.nonEmpty) metaAttrs
+    else {
+      val core = Set("id", "geometry", "gtype", "bbox", "x", "y", "props", "__sfc")
+      layer.df.columns.filterNot(core.contains).toSeq
+    }
   }
 
   /** spatial.getFeatureCount (reference: :589). */
@@ -93,6 +102,7 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
     val withXY = source
       .withColumn("__px", st.x(col(geomCol)))
       .withColumn("__py", st.y(col(geomCol)))
+      .drop(geomCol) // consumed — not a feature attribute
     catalog.createPointLayer(name, withXY, idCol, "__px", "__py")
   }
 

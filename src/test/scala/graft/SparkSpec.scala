@@ -17,8 +17,17 @@ trait SparkSpec extends AnyFunSuite {
     */
   def awaitAndStop(q: org.apache.spark.sql.streaming.StreamingQuery,
       timeoutMs: Long): Unit =
-    try q.awaitTermination(timeoutMs)
-    finally { q.stop(); q.awaitTermination() }
+    try {
+      // drain, then stop the IDLE query: waiting out an AvailableNow
+      // self-termination is unreliable on a parquet sink (it can idle past
+      // any timeout), and stop() on a BUSY query interrupts an in-flight
+      // micro-batch write and logs an ERROR abort. Drain-then-stop is
+      // deterministic and quiet. (Safe with NoTimeout state ops; a
+      // ProcessingTimeTimeout query would hang the drain — see
+      // StreamDedup's idleTimeoutMs note. timeoutMs retained for signature
+      // stability; the drain itself blocks until the sink is complete.)
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
 }
 
 object SparkSpec {

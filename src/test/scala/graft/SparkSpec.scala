@@ -22,12 +22,39 @@ trait SparkSpec extends AnyFunSuite {
       // self-termination is unreliable on a parquet sink (it can idle past
       // any timeout), and stop() on a BUSY query interrupts an in-flight
       // micro-batch write and logs an ERROR abort. Drain-then-stop is
-      // deterministic and quiet. (Safe with NoTimeout state ops; a
-      // ProcessingTimeTimeout query would hang the drain — see
-      // StreamDedup's idleTimeoutMs note. timeoutMs retained for signature
-      // stability; the drain itself blocks until the sink is complete.)
-      q.processAllAvailable()
+      // deterministic and quiet. The drain runs under a HARD watchdog:
+      // a ProcessingTimeTimeout query replayed with AvailableNow spins
+      // empty timeout micro-batches forever (see StreamDedup's
+      // idleTimeoutMs note), and an untimed drain would hang the suite —
+      // fail the test loudly instead.
+      val drain = new java.util.concurrent.FutureTask[Unit](
+        () => q.processAllAvailable())
+      val t = new Thread(drain, s"graft-drain-${q.id}"); t.setDaemon(true)
+      t.start()
+      try drain.get(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          q.stop()
+          fail(s"streaming drain exceeded ${timeoutMs}ms watchdog — " +
+            "likely a ProcessingTimeTimeout state op under AvailableNow " +
+            "spinning empty micro-batches (pass idleTimeoutMs = 0)")
+        case e: java.util.concurrent.ExecutionException => throw e.getCause
+      }
     } finally { q.stop(); q.awaitTermination() }
+
+  /** Assert a streaming checkpoint retained only a handful of commit
+    * epochs — a bounded AvailableNow replay writes one commit per staged
+    * micro-batch (a few dozen at most); hundreds means a timeout spin
+    * silently burned wall-clock even if the query eventually stopped.
+    */
+  def assertFewEpochs(ckpt: String, max: Int = 64): Unit = {
+    val commits = new java.io.File(s"$ckpt/commits")
+    if (commits.isDirectory) {
+      val n = commits.list().count(f => f.forall(_.isDigit))
+      assert(n <= max, s"checkpoint $ckpt retained $n commit epochs " +
+        s"(> $max) — empty-batch spin regression")
+    }
+  }
 }
 
 object SparkSpec {

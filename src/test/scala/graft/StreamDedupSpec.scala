@@ -29,7 +29,7 @@ class StreamDedupSpec extends SparkSpec {
     val q = deduped.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    awaitAndStop(q, 60000)
+    awaitAndStop(q, 60000); assertFewEpochs(ckpt)
     val out = spark.read.parquet(outDir)
     assert(out.count() == 3)
     assert(out.select("text").distinct().count() == 3)
@@ -55,7 +55,7 @@ class StreamDedupSpec extends SparkSpec {
     val q = admitted.toDF.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    awaitAndStop(q, 120000)
+    awaitAndStop(q, 120000); assertFewEpochs(ckpt)
     // global survivors: admitted in ALL (maxHamming+1) bands
     val survivors = spark.read.parquet(outDir)
       .groupBy("id").agg(count(lit(1)).as("n"))
@@ -65,5 +65,28 @@ class StreamDedupSpec extends SparkSpec {
     assert(survivors.contains(1L), s"first-seen doc suppressed: $survivors")
     assert(!survivors.contains(4L), "exact dup must be suppressed in every band")
     assert(!survivors.contains(2L), s"near dup (1-word change) should be suppressed: $survivors")
+  }
+
+  test("watchdog bounds a ProcessingTimeTimeout query under AvailableNow") {
+    // Regression pin for the round-6 suite hang: a flatMapGroupsWithState
+    // with ProcessingTimeTimeout replayed via AvailableNow spins empty
+    // timeout micro-batches forever. awaitAndStop must FAIL within its
+    // watchdog instead of hanging the suite.
+    val dir = Files.createTempDirectory("graft-sdedup-wd").toString
+    val srcDir = s"$dir/in"; val outDir = s"$dir/out"; val ckpt = s"$dir/ckpt"
+    Seq((1L, "watchdog probe text")).toDF("doc_id", "text").write.parquet(srcDir)
+    val stream = spark.readStream.schema(spark.read.parquet(srcDir).schema).parquet(srcDir)
+    val banded = StreamDedup.bandedDocs(stream, "doc_id", "text", maxHamming = 2)
+    // deliberately keep the ProcessingTimeTimeout default — the pathology
+    val q = StreamDedup.simhashDedupStream(banded, maxHamming = 2,
+        idleTimeoutMs = 3600 * 1000L)
+      .toDF.writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).outputMode("append").start()
+    val e = intercept[org.scalatest.exceptions.TestFailedException] {
+      awaitAndStop(q, 8000)
+    }
+    assert(e.getMessage.contains("watchdog"), s"unexpected failure: ${e.getMessage}")
+    assert(!q.isActive, "watchdog path must leave the query stopped")
   }
 }

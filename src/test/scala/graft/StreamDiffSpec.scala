@@ -47,7 +47,7 @@ class StreamDiffSpec extends SparkSpec {
     val q = PointStream.writeToLayer(
       PointStream.canonicalize(stream, "pid", "px", "py"), outDir, ckpt,
       Trigger.AvailableNow())
-    awaitAndStop(q, 120000)
+    awaitAndStop(q, 120000); assertFewEpochs(ckpt)
 
     val streamed = spark.read.parquet(outDir)
     val expected = PointStream.canonicalize(pts, "pid", "px", "py")
@@ -130,7 +130,7 @@ class StreamDiffSpec extends SparkSpec {
       .writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    awaitAndStop(q, 120000)
+    awaitAndStop(q, 120000); assertFewEpochs(ckpt)
 
     val survivors = spark.read.parquet(outDir)
     val batchGroups = Dedup.exactDedup(docs.drop("ts"), "doc_id", "text")
@@ -160,11 +160,11 @@ class StreamDiffSpec extends SparkSpec {
     val stream = spark.readStream.schema(staged.schema)
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val banded = StreamDedup.bandedDocs(stream, "doc_id", "text", maxHamming = maxH)
-    val q = StreamDedup.simhashDedupStream(banded, maxHamming = maxH)
+    val q = StreamDedup.simhashDedupStream(banded, maxHamming = maxH, idleTimeoutMs = 0)
       .toDF.writeStream.format("parquet")
       .option("path", outDir).option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow()).outputMode("append").start()
-    awaitAndStop(q, 120000)
+    awaitAndStop(q, 120000); assertFewEpochs(ckpt)
 
     val allIds = docs.select(col("doc_id").cast("long")).as[Long].collect().toSet
     // global survivor = admitted in all (maxH+1) bands
@@ -204,7 +204,7 @@ class StreamDiffSpec extends SparkSpec {
       val q = PointStream.writeToLayer(
         PointStream.canonicalize(stream, "pid", "px", "py"), outDir, ckpt,
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      awaitAndStop(q, 120000)
+      awaitAndStop(q, 120000); assertFewEpochs(ckpt)
     }
     runOnce()
     val n1 = spark.read.parquet(outDir).count()
@@ -230,12 +230,12 @@ class StreamDiffSpec extends SparkSpec {
       val schema = spark.read.parquet(srcDir).schema
       val stream = spark.readStream.schema(schema).parquet(srcDir)
       val banded = StreamDedup.bandedDocs(stream, "doc_id", "text", maxHamming = maxH)
-      val q = StreamDedup.simhashDedupStream(banded, maxHamming = maxH)
+      val q = StreamDedup.simhashDedupStream(banded, maxHamming = maxH, idleTimeoutMs = 0)
         .toDF.writeStream.format("parquet")
         .option("path", outDir).option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .outputMode("append").start()
-      awaitAndStop(q, 120000)
+      awaitAndStop(q, 120000); assertFewEpochs(ckpt)
     }
 
     // wave 1: the original doc is admitted everywhere

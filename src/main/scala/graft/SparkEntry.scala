@@ -1638,6 +1638,20 @@ object SparkEntry {
         .orderBy(col("n_tri").desc, col("node")).limit(25)
     }),
 
+    // DOULION edge-sampled triangle estimate (round-6 verdict task 8): the
+    // PRODUCTION sibling of gr_triangles at scale — hash-coin keeps ~p of
+    // the edges, exact count on the sample, 1/p³ unbiased scale-up. The
+    // replayable coin makes the sampled subgraph (and thus the estimate)
+    // oracle-checkable; wedge work drops ∝ p² vs the exact count
+    "gr_triangles_approx" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graphs.triangleCountApprox(edges, p = 0.2)
+    }),
+
     // local clustering coefficients over the same co-order graph: exact
     // triangles + degrees, one IEEE division of exact ints per node
     "gr_clustering" -> ((s, dir) => {
@@ -2414,12 +2428,14 @@ object SparkEntry {
 
     // exact media dedup by CONTENT hash — the first pass of any multimodal
     // dedup stack: group on md5(bytes) (a 16-byte shuffle key, never the
-    // payload), emit per-group representative/size/kind-spread. The oracle
-    // replays the groups through the generator's congruence (bytes equal
-    // ⟺ seed ≡ mod 251, 251 prime ⇒ 31 invertible), so the driver checks
-    // the real hash-dedup plan against pure arithmetic
+    // payload), emit per-group representative/size/kind-spread. Duplicates
+    // are PLANTED via seedOf (i ≡ 5 mod 9 reuses the bytes of i−4, a
+    // different kind since 5 ≢ 1 mod 3) — with the full-width generator,
+    // bytes equal ⟺ seed equal, so the oracle replays the groups as pure
+    // seed arithmetic against the real hash-dedup plan
     "mm_exact_dedup" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 600)
+      val media = Multimodal.syntheticMedia(s, 600,
+        seedOf = i => if (i % 9 == 5) i - 4 else i)
       media.groupBy(md5(col("bytes")).as("h"))
         .agg(min("media_id").as("rep"), count(lit(1)).as("n"),
           countDistinct("kind").as("kinds"))
@@ -2820,6 +2836,72 @@ object SparkEntry {
       s.table("st_stream_hourly_mem").orderBy(col("event_type"), col("hour_start"))
     }),
 
+    // tenth streaming gate — LATE / OUT-OF-ORDER arrivals under a REAL
+    // watermark (round-6 verdict task 6; every other gate replays
+    // time-ordered slabs). The corpus is cut into 6 time blocks staged as
+    // ordered micro-batches, then deliberately disordered: rows in the
+    // last 10 minutes of their block slip ONE slab later (out-of-order but
+    // provably inside the 2-hour watermark tolerance — accepted), and rows
+    // in the first 10 minutes of a block whose hour-window closed more
+    // than 2h+1min before the global max are planted in the FINAL slab
+    // (provably beyond the watermark — dropped). Append-mode hourly counts
+    // must equal the batch rollup MINUS exactly the planted-late rows —
+    // the watermark contract, replayed row-for-row by the oracle. A
+    // far-future sentinel in the final slab flushes the last windows.
+    "st_stream_late" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-late")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val ev = T(s, dir, "events")
+        .select(expr("ts div 1000").as("tus"), col("event_type"))
+      val mm = ev.agg(min("tus"), max("tus")).head()
+      val gmin = mm.getLong(0); val gmax = mm.getLong(1)
+      val blen = math.max((gmax - gmin) / 6L, 1L)
+      val tenMin = 600000000L; val twoH = 7200000000L; val oneMin = 60000000L
+      val classified = ev
+        .withColumn("blk", least(expr(s"(tus - ${gmin}L) div ${blen}L"), lit(5L)))
+        .withColumn("hour_end", expr("((tus div 3600000000) + 1) * 3600000000"))
+        .withColumn("late_planted",
+          col("tus") - (lit(gmin) + col("blk") * blen) < tenMin &&
+            col("hour_end") < gmax - twoH - oneMin)
+        .withColumn("late_ok", !col("late_planted") &&
+          when(col("blk") === 5, lit(gmax)).otherwise(
+            lit(gmin) + (col("blk") + 1) * blen) - col("tus") < tenMin)
+        .withColumn("slab", when(col("late_planted"), lit(7L))
+          .otherwise(col("blk") + when(col("late_ok"), lit(1L)).otherwise(lit(0L))))
+        .persist()
+      (0L to 6L).foreach { i =>
+        classified.filter(col("slab") === i).select("tus", "event_type")
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      classified.filter(col("slab") === 7).select("tus", "event_type")
+        .unionByName(s.range(1).select(lit(gmax + 36000000000L).as("tus"),
+          lit("__sentinel").as("event_type")))
+        .repartition(1).write.mode("append").parquet(src)
+      classified.unpersist()
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+        .select(timestamp_micros(col("tus")).as("tev"), col("event_type"))
+        .withWatermark("tev", "2 hours")
+      val agg = stream
+        .groupBy(window(col("tev"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_start"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("st_stream_late_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(240000)
+      s.table("st_stream_late_mem")
+        .filter(col("event_type") =!= "__sentinel")
+        .orderBy(col("event_type"), col("hour_start"))
+    }),
+
     // ECQL front-end leg: a stored-ECQL-style string (the reference feeds
     // these verbatim to GeoTools, SearchCQL.java:27-60) parsed by the
     // graft.functions.Ecql translator — BBOX + BETWEEN + geometryType +
@@ -2829,6 +2911,49 @@ object SparkEntry {
         .filterEcql("BBOX(the_geom, -60.5, -40.5, 60.5, 40.5) AND " +
           "c_acctbal BETWEEN 1000.0 AND 8000.0 AND " +
           "geometryType(the_geom) = 'Point' AND NOT c_nationkey = 7")
+        .df.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .orderBy(col("c_nationkey"))),
+
+    // the procedures listing under the oracle (round-6 verdict task 9):
+    // the static registered surface — the reference's spatial.procedures
+    // returns its @Procedure/@UserFunction registry, here with the engine
+    // entry point serving each name
+    "sp_procedures" -> ((s, dir) => {
+      import s.implicits._
+      graft.engine.SpatialProcedures.registry
+        .toDF("name", "kind", "entry_point").orderBy("name")
+    }),
+
+    // fn spatial.asMap under the oracle (round-6 verdict task 9): the
+    // map-shaped geometry rendering round-trips WKB → JTS → {type,
+    // coordinates}; the oracle replays the coordinates from the fixture
+    "sp_asmap" -> ((s, dir) => {
+      val f = udf((wkb: Array[Byte]) => {
+        val m = graft.engine.SpatialProcedures.asMap(wkb)
+        val c = m("coordinates").asInstanceOf[Seq[Double]]
+        (m("type").toString, c(0), c(1))
+      })
+      pointsDf(s, dir).select(col("ck"), f(col("geometry")).as("m"))
+        .select(col("ck"), col("m._1").as("gname"),
+          col("m._2").as("cx"), col("m._3").as("cy"))
+        .orderBy(col("ck"))
+    }),
+
+    // GeoTools-parity ECQL grammar beyond the reference's own generated
+    // strings (round-6 verdict Missing #3): LIKE / NOT LIKE / IN and
+    // arithmetic inside comparisons — constructs a user migrating stored
+    // CQL from a real deployment hits first. All compile to native
+    // Columns (like/isin/arithmetic), so pushdown is unchanged
+    "sp_ecql_like" -> ((s, dir) =>
+      new GeoFrame(pointsDf(s, dir)
+          .join(T(s, dir, "customer").select(col("c_custkey").as("ck"),
+            col("c_mktsegment"), col("c_name")), Seq("ck")))
+        .filterEcql("c_mktsegment LIKE 'BUIL%' AND " +
+          "c_nationkey IN (1, 3, 5, 7, 9, 11) AND " +
+          "c_acctbal * 2 - 500 > 3000 AND " +
+          "c_name NOT LIKE '%19%'")
         .df.groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
@@ -3725,6 +3850,45 @@ object SparkEntry {
                     |    "properties": {"highway": "residential", "oneway": "yes"}}}}""".stripMargin
       graft.osm.OsmImport.importOsm(s, tmp.toString)
         .filterDynamic(json)
+        .df.select(col("way_id"), st.numPoints(col("geometry")).cast("long").as("n_pts"))
+        .orderBy(col("way_id"))
+    }),
+
+    // stored-JSON dynamic layer stepping THROUGH THE WAY-NODE CHAIN
+    // (round-6 verdict Missing #4): GEOM → FIRST_NODE → NEXT → NODE walks
+    // way → proxy₀ → proxy₁ → the 2nd OSM node (reference graph:
+    // OSMImporter.java:696-714; walk: DynamicIndexReader.stepAndQuery).
+    // Node-level properties CANNOT compile to same-row predicates — the
+    // chain compiles to a semi-join against the osm_way_nds/osm_nodes
+    // staging tables (OsmImport.filterDynamic). The fixture varies node
+    // `version` with the customer key, so the NODE property test admits
+    // exactly the ways whose second node has version 2 — a predicate the
+    // old silently-over-matching same-row compile could never express
+    "osm_dynamic_node_layer" -> ((s, dir) => {
+      val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
+        .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
+      val sb = new StringBuilder("<?xml version='1.0'?>\n<osm version='0.6'>\n")
+      rows.foreach { r =>
+        sb ++= s"  <node id='${r.getLong(0)}' lat='${r.getDouble(3)}' lon='${r.getDouble(2)}'" +
+          s" version='${1 + r.getLong(0) % 3}'/>\n"
+      }
+      rows.groupBy(_.getInt(1)).toSeq.sortBy(_._1).foreach { case (nk, rs) =>
+        sb ++= s"  <way id='${1000 + nk}' version='1'>\n"
+        rs.sortBy(_.getLong(0)).foreach(r => sb ++= s"    <nd ref='${r.getLong(0)}'/>\n")
+        sb ++= "    <tag k='highway' v='residential'/>\n  </way>\n"
+      }
+      sb ++= "</osm>\n"
+      val tmp = java.nio.file.Files.createTempFile("graft-osm-dynnode", ".osm")
+      tmp.toFile.deleteOnExit()
+      java.nio.file.Files.writeString(tmp, sb.toString)
+      val json = """{"step": {"type": "GEOM", "direction": "INCOMING",
+                    |  "step": {"type": "FIRST_NODE", "direction": "OUTGOING",
+                    |    "step": {"type": "NEXT", "direction": "OUTGOING",
+                    |      "step": {"type": "NODE", "direction": "OUTGOING",
+                    |        "properties": {"version": 2}}}}}}""".stripMargin
+      val st8 = graft.osm.OsmImport.parse(s, tmp.toString)
+      val layer = new GeoFrame(graft.osm.OsmImport.assembleWays(st8))
+      graft.osm.OsmImport.filterDynamic(layer, st8, json)
         .df.select(col("way_id"), st.numPoints(col("geometry")).cast("long").as("n_pts"))
         .orderBy(col("way_id"))
     }),
@@ -5694,6 +5858,28 @@ object SparkEntry {
         |  UNION ALL SELECT w FROM tri
         |) GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 25""".stripMargin,
 
+    // the hash-coin sample replayed verbatim, then the same u<v<w triangle
+    // enumeration; estimate = round(tri · (m/keepLt)³) with the identical
+    // IEEE expression tree (p = 0.2 ⇒ keepLt = round(0.2·1000003) = 200001)
+    "gr_triangles_approx" ->
+      """WITH und AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |), samp AS (
+        |  SELECT a, b FROM und
+        |  WHERE (a * 2654435761 + b * 40503) % 1000003 < 200001
+        |), tri AS (
+        |  SELECT count(*) AS tri_sampled
+        |  FROM samp e1 JOIN samp e2 ON e2.a = e1.b
+        |  JOIN samp e3 ON e3.a = e1.a AND e3.b = e2.b
+        |)
+        |SELECT (SELECT count(*) FROM samp)::BIGINT AS n_kept_edges,
+        |       tri_sampled::BIGINT AS tri_sampled,
+        |       CAST(round(tri_sampled * power(1000003.0 / 200001.0, 3))
+        |            AS BIGINT) AS tri_est
+        |FROM tri""".stripMargin,
+
     "gr_clustering" ->
       """WITH und AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
@@ -6212,7 +6398,8 @@ object SparkEntry {
 
     "mm_exact_dedup" ->
       """WITH m AS (
-        |  SELECT range AS media_id, range % 251 AS cls,
+        |  SELECT range AS media_id,
+        |         CASE WHEN range % 9 = 5 THEN range - 4 ELSE range END AS cls,
         |         CASE WHEN range % 3 = 0 THEN 'image'
         |              WHEN range % 3 = 1 THEN 'audio' ELSE 'video' END AS kind
         |  FROM range(0, 600)
@@ -6429,6 +6616,30 @@ object SparkEntry {
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
 
+    // the watermark contract replayed row-for-row: hourly counts over
+    // everything EXCEPT the planted-late set (first-10-min-of-block rows
+    // whose hour window closed > 2h+1min before the global max) — pure
+    // integer µs arithmetic on both engines
+    "st_stream_late" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS tus, event_type FROM events
+        |), g AS (
+        |  SELECT min(tus) AS gmin, max(tus) AS gmax,
+        |         greatest((max(tus) - min(tus)) // 6, 1) AS blen
+        |  FROM e
+        |), cls AS (
+        |  SELECT e.tus, e.event_type,
+        |         (e.tus - (g.gmin + least((e.tus - g.gmin) // g.blen, 5) * g.blen)
+        |            < 600000000
+        |          AND ((e.tus // 3600000000) + 1) * 3600000000
+        |            < g.gmax - 7200000000 - 60000000) AS late_planted
+        |  FROM e, g
+        |)
+        |SELECT (tus // 3600000000) * 3600 AS hour_start, event_type,
+        |       count(*) AS n
+        |FROM cls WHERE NOT late_planted
+        |GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
     // the streamed pair set must equal the batch trailing-band join
     "st_stream_join" ->
       """WITH e AS (
@@ -6631,6 +6842,28 @@ object SparkEntry {
         |WHERE x BETWEEN -60.5 AND 60.5 AND y BETWEEN -40.5 AND 40.5
         |  AND c_acctbal BETWEEN 1000.0 AND 8000.0 AND c_nationkey <> 7
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // static registry — both sides render the same registered surface,
+    // like the reference's procedure registry dump
+    "sp_procedures" -> graft.engine.SpatialProcedures.registry.sortBy(_._1)
+      .map { case (n, k, e) => s"('$n', '$k', '$e')" }
+      .mkString("SELECT * FROM (VALUES ",
+        ", ", ") t(name, kind, entry_point) ORDER BY name"),
+
+    "sp_asmap" -> (PtsCte +
+      """
+        |SELECT ck, 'Point' AS gname, x AS cx, y AS cy
+        |FROM pts ORDER BY ck""".stripMargin),
+
+    "sp_ecql_like" ->
+      """SELECT c_nationkey, count(*) AS n,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
+        |FROM customer
+        |WHERE c_mktsegment LIKE 'BUIL%'
+        |  AND c_nationkey IN (1, 3, 5, 7, 9, 11)
+        |  AND c_acctbal * 2 - 500 > 3000
+        |  AND c_name NOT LIKE '%19%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical ball to sp_within_distance: DWITHIN 1 500 000 meters must
     // land on the exact same geodesic-kilometer oracle
@@ -7146,9 +7379,9 @@ object SparkEntry {
         |  SELECT media_id, step + 1,
         |    CAST((CAST(xor(state, CAST(
         |      CASE WHEN step < 64 THEN
-        |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
-        |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
-        |             ELSE (media_id * 31 + step * 7) % 251 END
+        |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+        |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+        |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
         |      ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
         |      % 18446744073709551616 AS UBIGINT)
         |  FROM chain WHERE step < 128
@@ -7178,9 +7411,9 @@ object SparkEntry {
         |  SELECT media_id, step + 1,
         |    CAST((CAST(xor(state, CAST(
         |      CASE WHEN step < 64 THEN
-        |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
-        |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
-        |             ELSE (media_id * 31 + step * 7) % 251 END
+        |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+        |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+        |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
         |      ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
         |      % 18446744073709551616 AS UBIGINT)
         |  FROM chain WHERE step < 128
@@ -7227,9 +7460,9 @@ object SparkEntry {
         |  SELECT media_id, seed, frame_idx, step + 1,
         |    CAST((CAST(xor(state, CAST(
         |      CASE WHEN step < 64 THEN
-        |        CASE WHEN (seed * 31 + step * 7) % 251 >= 128
-        |             THEN 18446744073709551360 + (seed * 31 + step * 7) % 251
-        |             ELSE (seed * 31 + step * 7) % 251 END
+        |        CASE WHEN ((seed * 1103515245 + step * 12345) % 2147483647) * ((seed * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+        |             THEN 18446744073709551360 + ((seed * 1103515245 + step * 12345) % 2147483647) * ((seed * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+        |             ELSE ((seed * 1103515245 + step * 12345) % 2147483647) * ((seed * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
         |      WHEN step = 64 THEN frame_idx
         |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
         |      % 18446744073709551616 AS UBIGINT)
@@ -7406,6 +7639,21 @@ object SparkEntry {
         |       count(*)::BIGINT AS n_pts
         |FROM customer WHERE c_nationkey % 6 = 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // chain replay: a way matches iff its SECOND node (custkey order
+    // within the nation) carries version 2 = 1 + ck % 3 ⇒ ck % 3 = 1
+    "osm_dynamic_node_layer" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey AS ck, c_nationkey,
+        |         row_number() OVER (PARTITION BY c_nationkey
+        |                            ORDER BY c_custkey) AS rn,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS n
+        |  FROM customer
+        |)
+        |SELECT CAST(1000 + c_nationkey AS BIGINT) AS way_id,
+        |       CAST(n AS BIGINT) AS n_pts
+        |FROM ranked WHERE rn = 2 AND ck % 3 = 1
+        |ORDER BY 1""".stripMargin,
 
     "osm_changeset_stats" -> (PtsCte +
       """
@@ -8442,9 +8690,9 @@ object SparkEntry {
       |  SELECT media_id, step + 1,
       |    CAST((CAST(xor(state, CAST(
       |      CASE WHEN step < 64
-      |        THEN CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
-      |                  THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
-      |                  ELSE (media_id * 31 + step * 7) % 251 END
+      |        THEN CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+      |                  THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |                  ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
       |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
       |      % 18446744073709551616 AS UBIGINT)
       |  FROM chain WHERE step < 320
@@ -8471,13 +8719,16 @@ object SparkEntry {
       |  SELECT media_id, step + 1,
       |    CAST((CAST(xor(state, CAST(
       |      CASE WHEN step < 64
-      |        THEN CASE WHEN ((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                        * 31 + step * 7) % 251 >= 128
+      |        THEN CASE WHEN (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                        * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                        * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
       |             THEN 18446744073709551360
-      |                  + ((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                     * 31 + step * 7) % 251
-      |             ELSE ((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                   * 31 + step * 7) % 251 END
+      |                  + (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                     * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                     * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |             ELSE (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                   * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
+      |                   * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
       |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
       |      % 18446744073709551616 AS UBIGINT)
       |  FROM chain WHERE step < 128
@@ -8514,9 +8765,9 @@ object SparkEntry {
       |  SELECT media_id, step + 1,
       |    CAST((CAST(xor(state, CAST(
       |      CASE WHEN step < 64
-      |        THEN CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
-      |                  THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
-      |                  ELSE (media_id * 31 + step * 7) % 251 END
+      |        THEN CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+      |                  THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |                  ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
       |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
       |      % 18446744073709551616 AS UBIGINT)
       |  FROM chain WHERE step < 320
@@ -8541,13 +8792,16 @@ object SparkEntry {
       |  SELECT media_id, step + 1,
       |    CAST((CAST(xor(state, CAST(
       |      CASE WHEN step < 64
-      |        THEN CASE WHEN ((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                        * 31 + step * 7) % 251 >= 128
+      |        THEN CASE WHEN (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                        * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                        * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
       |             THEN 18446744073709551360
-      |                  + ((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                     * 31 + step * 7) % 251
-      |             ELSE ((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                   * 31 + step * 7) % 251 END
+      |                  + (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                     * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                     * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |             ELSE (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                   * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
+      |                   * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
       |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
       |      % 18446744073709551616 AS UBIGINT)
       |  FROM chain WHERE step < 320
@@ -8597,9 +8851,9 @@ object SparkEntry {
       |  SELECT media_id, frame_idx, step + 1,
       |    CAST((CAST(xor(state, CAST(
       |      CASE WHEN step < 64 THEN
-      |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
-      |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
-      |             ELSE (media_id * 31 + step * 7) % 251 END
+      |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+      |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
       |      WHEN step = 64 THEN frame_idx
       |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
       |      % 18446744073709551616 AS UBIGINT)
@@ -8624,9 +8878,9 @@ object SparkEntry {
       |  SELECT media_id, frame_idx, step + 1,
       |    CAST((CAST(xor(state, CAST(
       |      CASE WHEN step < 64 THEN
-      |        CASE WHEN (media_id * 31 + step * 7) % 251 >= 128
-      |             THEN 18446744073709551360 + (media_id * 31 + step * 7) % 251
-      |             ELSE (media_id * 31 + step * 7) % 251 END
+      |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+      |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
       |      WHEN step = 64 THEN frame_idx
       |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
       |      % 18446744073709551616 AS UBIGINT)

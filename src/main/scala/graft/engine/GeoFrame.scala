@@ -175,7 +175,7 @@ class GeoFrame(val df: DataFrame, val meta: Option[LayerMeta] = None) {
   def withinDistanceKm(lon: Double, lat: Double, km: Double): GeoFrame = {
     val w = Orthodromic.searchWindow(lon, lat, km)
     val pruned = df.filter(
-      st.bboxIntersects(col("bbox"), w.getMinX, w.getMinY, w.getMaxX, w.getMaxY))
+      st.bboxIntersectsWrapped(col("bbox"), w.getMinX, w.getMinY, w.getMaxX, w.getMaxY))
     val withDist =
       if (df.columns.contains("x"))
         // point layer: pure column arithmetic, no UDF, full codegen

@@ -45,6 +45,11 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
 
   // Jackson (on Spark's classpath) rather than hand-rolled JSON: layer or
   // attribute names containing quotes/commas/backslashes round-trip intact.
+  // ATOMIC: the JSON lands in a unique tmp file and is ATOMIC_MOVE-renamed
+  // over layer.json — the same tmp+rename discipline as the VersionedLayer
+  // manifest commit (plans/VersionedLayer.scala), so a reader never
+  // observes a torn metadata file and a crash mid-write leaves the previous
+  // version intact (the stray tmp is ignorable).
   private def writeMeta(m: LayerMeta): Unit = {
     Files.createDirectories(dir(m.name))
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -54,7 +59,45 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     node.put("bucketShift", m.bucketShift)
     val arr = node.putArray("attributes")
     m.attributes.foreach(arr.add)
-    Files.writeString(metaPath(m.name), om.writeValueAsString(node))
+    val tmp = dir(m.name).resolve(
+      s"layer.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.writeString(tmp, om.writeValueAsString(node))
+    Files.move(tmp, metaPath(m.name),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Single-writer mutual exclusion for read-modify-write layer mutations
+    * (append/remove/attribute edits): an O_EXCL lock file under the layer
+    * dir, spin-acquired. Recovery semantics: a lock older than
+    * `staleLockMs` (a crashed writer) is broken and re-acquired — the
+    * crash-window fallback of the VersionedLayer manifest protocol. Data
+    * writes themselves stay crash-safe via the atomic meta rename; the
+    * lock only serializes writers so concurrent mutations cannot lose
+    * updates (two appenders both basing counts on the same snapshot).
+    */
+  private[graft] def withLayerLock[T](name: String,
+      staleLockMs: Long = 30000L)(f: => T): T = {
+    Files.createDirectories(dir(name))
+    val lock = dir(name).resolve(".layer.lock")
+    var acquired = false
+    var tries = 0
+    while (!acquired) {
+      try { Files.createFile(lock); acquired = true }
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          tries += 1
+          val age = try {
+            System.currentTimeMillis() -
+              Files.getLastModifiedTime(lock).toMillis
+          } catch { case _: java.io.IOException => 0L } // vanished — retry
+          if (age > staleLockMs) Files.deleteIfExists(lock) // crashed writer
+          else if (tries > 600) throw new IllegalStateException(
+            s"could not acquire layer lock for '$name' after ${tries} tries")
+          else Thread.sleep(50)
+      }
+    }
+    try f finally Files.deleteIfExists(lock)
   }
 
   private def readMeta(name: String): LayerMeta = {
@@ -100,28 +143,43 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     * storage layout (bbox | hilbert | zorder | geohash), mirroring the
     * reference's index presets.
     */
-  private val CoreCols = Set("id", "geometry", "gtype", "bbox", "x", "y",
-    "props", "__sfc")
+  // x/y are core ONLY for the point-xy encoder (where they are actually
+  // consumed); a WKT-layer source column literally named x or y is a
+  // feature attribute like any other and must survive into props.
+  private val CoreCols = Set("id", "geometry", "gtype", "bbox", "props", "__sfc")
 
   /** Non-core source columns become the layer's dynamic `props` map (the
     * reference's geometry-node feature attributes survive layer creation
     * and stay queryable through props / ECQL) and are recorded in the
     * meta as the DISCOVERED attribute list (getFeatureAttributes).
     */
-  private def extrasOf(source: DataFrame, consumed: Seq[String]): Seq[String] =
-    source.columns.filterNot(c => consumed.contains(c) || CoreCols.contains(c))
-      .toSeq.sorted
+  private def extrasOf(source: DataFrame, consumed: Seq[String],
+      xyCore: Boolean = false): Seq[String] =
+    source.columns.filterNot(c => consumed.contains(c) || CoreCols.contains(c) ||
+      (xyCore && (c == "x" || c == "y"))).toSeq.sorted
 
+  /** Fold the extras into `props`. A source that already carries a props
+    * map (e.g. re-layering an existing layer's df with an added attribute)
+    * keeps its entries — the generated extras map is concatenated on top,
+    * with the explicit top-level column winning on key collision.
+    */
   private def withProps(df: DataFrame, extras: Seq[String]): DataFrame =
     if (extras.isEmpty) df
-    else df.withColumn("props", map_from_arrays(
-      array(extras.map(lit): _*),
-      array(extras.map(c => col(c).cast("string")): _*)))
+    else {
+      val extrasMap = map_from_arrays(
+        array(extras.map(lit): _*),
+        array(extras.map(c => col(c).cast("string")): _*))
+      if (df.columns.contains("props"))
+        df.withColumn("props", map_concat(
+          map_filter(col("props"), (k, _) => !k.isin(extras: _*)), extrasMap))
+      else df.withColumn("props", extrasMap)
+    }
 
   def createPointLayer(name: String, source: DataFrame,
       idCol: String, xCol: String, yCol: String,
       indexType: String = "bbox"): GeoFrame = {
-    val extras = extrasOf(source, Seq(idCol, xCol, yCol))
+    val extras = extrasOf(source, Seq(idCol, xCol, yCol), xyCore = true)
+    val keepProps = extras.nonEmpty || source.columns.contains("props")
     val canonical = withProps(source, extras)
       .withColumn("id", col(idCol).cast("string"))
       .withColumn("x", col(xCol).cast("double"))
@@ -130,7 +188,7 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
       .withColumn("gtype", lit(graft.geom.GeomCodec.GTYPE_POINT))
       .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
       .select(("id" +: "geometry" +: "gtype" +: "bbox" +: "x" +: "y" +:
-        (if (extras.isEmpty) Nil else Seq("props"))).map(col).toIndexedSeq: _*)
+        (if (keepProps) Seq("props") else Nil)).map(col).toIndexedSeq: _*)
     createLayer(name, canonical,
       LayerMeta(name, graft.geom.GeomCodec.GTYPE_POINT, encoder = "point-xy",
         indexType = indexType, attributes = extras))
@@ -142,13 +200,14 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
   def createWktLayer(name: String, source: DataFrame, idCol: String, wktCol: String,
       indexType: String = "bbox"): GeoFrame = {
     val extras = extrasOf(source, Seq(idCol, wktCol))
+    val keepProps = extras.nonEmpty || source.columns.contains("props")
     val canonical = withProps(source, extras)
       .withColumn("id", col(idCol).cast("string"))
       .withColumn("geometry", st.geomFromText(col(wktCol)))
       .withColumn("gtype", st.gtype(col("geometry")))
       .withColumn("bbox", st.bboxOf(col("geometry")))
       .select(("id" +: "geometry" +: "gtype" +: "bbox" +:
-        (if (extras.isEmpty) Nil else Seq("props"))).map(col).toIndexedSeq: _*)
+        (if (keepProps) Seq("props") else Nil)).map(col).toIndexedSeq: _*)
     createLayer(name, canonical,
       LayerMeta(name, 0, encoder = "wkt", indexType = indexType,
         attributes = extras))
@@ -158,12 +217,13 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
     * whitelist (reference: SpatialProcedures.java:613-623; stored on the
     * layer node as `layerprops`).
     */
-  def setLayerAttributes(name: String, attributes: Seq[String]): LayerMeta = {
-    require(layerExists(name), s"layer $name does not exist")
-    val updated = readMeta(name).copy(attributes = attributes)
-    writeMeta(updated)
-    updated
-  }
+  def setLayerAttributes(name: String, attributes: Seq[String]): LayerMeta =
+    withLayerLock(name) {
+      require(layerExists(name), s"layer $name does not exist")
+      val updated = readMeta(name).copy(attributes = attributes)
+      writeMeta(updated)
+      updated
+    }
 
   def getLayer(name: String): GeoFrame = {
     // a missing metadata file would surface as a cryptic NoSuchFileException;
@@ -190,15 +250,16 @@ class SpatialCatalog(spark: SparkSession, warehouseDir: String) {
   /** Append rows to an existing layer — `spatial.addNodes`
     * (reference: SpatialProcedures.java:643; EditableLayerImpl.java:73-110).
     */
-  def appendToLayer(name: String, df: DataFrame): Unit = {
-    require(layerExists(name), s"layer $name does not exist")
-    df.write.mode("append").parquet(dataPath(name))
-  }
+  def appendToLayer(name: String, df: DataFrame): Unit =
+    withLayerLock(name) {
+      require(layerExists(name), s"layer $name does not exist")
+      df.write.mode("append").parquet(dataPath(name))
+    }
 
   /** Remove by id (anti-join delete), returning the index-count delta like
     * the reference's removeNodes (reference: SpatialProcedures.java:690-703).
     */
-  def removeFromLayer(name: String, ids: Seq[String]): Long = {
+  def removeFromLayer(name: String, ids: Seq[String]): Long = withLayerLock(name) {
     val layer = getLayer(name).df
     val before = layer.count()
     val remaining = layer.filter(!col("id").isin(ids: _*))

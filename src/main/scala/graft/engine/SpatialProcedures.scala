@@ -40,12 +40,15 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
 
   // ------------------------------------------------------------- metadata
 
-  /** spatial.procedures (reference: SpatialProcedures.java:210). */
+  /** spatial.procedures (reference: SpatialProcedures.java:210) — the
+    * REGISTERED surface ([[SpatialProcedures.registry]]), not a reflection
+    * dump: the reference lists its @Procedure/@UserFunction registry, and
+    * the static table also records which engine entry point serves each
+    * name (the migration map a reference user needs).
+    */
   def procedures(): DataFrame =
-    this.getClass.getDeclaredMethods
-      .filter(m => java.lang.reflect.Modifier.isPublic(m.getModifiers))
-      .map(m => (m.getName, m.getParameterTypes.map(_.getSimpleName).mkString("(", ",", ")")))
-      .toSeq.sorted.toDF("name", "signature")
+    SpatialProcedures.registry.toDF("name", "kind", "entry_point")
+      .orderBy("name")
 
   /** spatial.layers (reference: :239). */
   def layers(): DataFrame = catalog.listLayers().toDF("name")
@@ -278,16 +281,86 @@ class SpatialProcedures(spark: SparkSession, warehouseDir: String) {
     filtered.count()
   }
 
+  /** fn spatial.asMap — see [[SpatialProcedures.asMap]]. */
+  def asMap(wkb: Array[Byte]): Map[String, Any] = SpatialProcedures.asMap(wkb)
+}
+
+/** The procedure/function registry: the reference's registered surface
+  * (server-plugin @Procedure annotations, SpatialProcedures.java, plus
+  * osm-server-plugin's importOSM pair and the @UserFunction set,
+  * SpatialFunctions.java:46-104), each mapped to the engine entry point
+  * that serves it. `spatial.upgrade` and `spatial.asExternalGeometry` are
+  * N/A by design (no Neo4j store to upgrade / no Neo4j geometry type) —
+  * listed with entry point "n/a" so the surface map is complete.
+  */
+object SpatialProcedures {
+
   /** fn spatial.asMap — geometry as a {type, coordinate(s)} map, the
     * reference's map-shaped function output (reference:
     * SpatialFunctions.java:69-91, GeometryResult map rendering).
     */
   def asMap(wkb: Array[Byte]): Map[String, Any] = {
-    val g = GeomCodec.fromWkb(wkb)
+    val g = graft.geom.GeomCodec.fromWkb(wkb)
     def coords(geom: org.locationtech.jts.geom.Geometry): Any = geom match {
       case p: org.locationtech.jts.geom.Point => Seq(p.getX, p.getY)
       case _ => geom.getCoordinates.toSeq.map(c => Seq(c.x, c.y))
     }
     Map("type" -> g.getGeometryType, "coordinates" -> coords(g))
   }
+
+  val registry: Seq[(String, String, String)] = Seq(
+    ("spatial.procedures", "procedure", "SpatialProcedures.procedures"),
+    ("spatial.layers", "procedure", "SpatialProcedures.layers"),
+    ("spatial.layerTypes", "procedure", "SpatialProcedures.layerTypesDf"),
+    ("spatial.layer", "procedure", "SpatialProcedures.layer"),
+    ("spatial.layerMeta", "procedure", "SpatialProcedures.layerMeta"),
+    ("spatial.addLayer", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addLayerWithEncoder", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addWKTLayer", "procedure", "SpatialProcedures.addWKTLayer"),
+    ("spatial.addPointLayer", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addPointLayerXY", "procedure", "SpatialProcedures.addPointLayerXY"),
+    ("spatial.addPointLayerGeohash", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addPointLayerZOrder", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addPointLayerHilbert", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addPointLayerWithConfig", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addNativePointLayer", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addNativePointLayerXY", "procedure", "SpatialProcedures.addPointLayerXY"),
+    ("spatial.addNativePointLayerGeohash", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addNativePointLayerZOrder", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addNativePointLayerHilbert", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addNativePointLayerWithConfig", "procedure", "SpatialProcedures.addLayer"),
+    ("spatial.addNode", "procedure", "SpatialCatalog.appendToLayer"),
+    ("spatial.addNode.byId", "procedure", "SpatialCatalog.appendToLayer"),
+    ("spatial.addNodes", "procedure", "SpatialCatalog.appendToLayer"),
+    ("spatial.addNodes.byId", "procedure", "SpatialCatalog.appendToLayer"),
+    ("spatial.removeNode", "procedure", "SpatialProcedures.removeNodes"),
+    ("spatial.removeNode.byId", "procedure", "SpatialProcedures.removeNodes"),
+    ("spatial.removeNodes", "procedure", "SpatialProcedures.removeNodes"),
+    ("spatial.removeNodes.byId", "procedure", "SpatialProcedures.removeNodes"),
+    ("spatial.removeLayer", "procedure", "SpatialProcedures.removeLayer"),
+    ("spatial.addWKT", "procedure", "SpatialProcedures.addWKTs"),
+    ("spatial.addWKTs", "procedure", "SpatialProcedures.addWKTs"),
+    ("spatial.updateWKT", "procedure", "SpatialProcedures.updateWKT"),
+    ("spatial.setFeatureAttributes", "procedure", "SpatialProcedures.setFeatureAttributes"),
+    ("spatial.getFeatureAttributes", "procedure", "SpatialProcedures.getFeatureAttributes"),
+    ("spatial.getFeatureCount", "procedure", "SpatialProcedures.getFeatureCount"),
+    ("spatial.getLayerBoundingBox", "procedure", "SpatialProcedures.getLayerBoundingBox"),
+    ("spatial.bbox", "procedure", "SpatialProcedures.bbox"),
+    ("spatial.closest", "procedure", "SpatialProcedures.closest"),
+    ("spatial.withinDistance", "procedure", "SpatialProcedures.withinDistance"),
+    ("spatial.intersects", "procedure", "SpatialProcedures.intersects"),
+    ("spatial.cql", "procedure", "SpatialProcedures.cql"),
+    ("spatial.importShapefile", "procedure", "SpatialProcedures.importShapefile"),
+    ("spatial.importShapefileToLayer", "procedure", "SpatialProcedures.importShapefile"),
+    ("spatial.importOSM", "procedure", "SpatialProcedures.importOSM"),
+    ("spatial.importOSMToLayer", "procedure", "SpatialProcedures.importOSM"),
+    ("spatial.upgrade", "procedure", "n/a"),
+    ("spatial.decodeGeometry", "function", "GeoOutput.toGeoJson"),
+    ("spatial.nodeAsWKT", "function", "SpatialProcedures.asWKT"),
+    ("spatial.extractAttributes", "function", "GeoFrame.extractAttributes"),
+    ("spatial.asMap", "function", "SpatialProcedures.asMap"),
+    ("spatial.asGeometry", "function", "SpatialProcedures.asGeometry"),
+    ("spatial.wktToGeoJson", "function", "SpatialProcedures.wktToGeoJson"),
+    ("spatial.neo4jGeometryToWkt", "function", "n/a"),
+    ("spatial.asExternalGeometry", "function", "n/a"))
 }

@@ -50,6 +50,17 @@ object Ecql {
     val out = Vector.newBuilder[Tok]
     var i = 0
     val n = s.length
+    // '-' is a SIGN only when it cannot be a binary operator — i.e. the
+    // previous token is not a value/closing-paren (so `a - 1` subtracts
+    // while `a < -1` negates)
+    var prevValue = false
+    def add(t: Tok): Unit = {
+      prevValue = t match {
+        case TIdent(_) | TNum(_) | TStr(_) | TSym(")") => true
+        case _ => false
+      }
+      out += t
+    }
     while (i < n) {
       val c = s.charAt(i)
       if (c.isWhitespace) i += 1
@@ -65,25 +76,26 @@ object Ecql {
             else { done = true; i += 1 }
           } else { sb.append(ch); i += 1 }
         }
-        out += TStr(sb.toString)
-      } else if (c.isDigit || (c == '-' && i + 1 < n && s.charAt(i + 1).isDigit)) {
+        add(TStr(sb.toString))
+      } else if (c.isDigit ||
+          (c == '-' && !prevValue && i + 1 < n && s.charAt(i + 1).isDigit)) {
         val start = i
         i += 1
         while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
           s.charAt(i) == 'e' || s.charAt(i) == 'E' ||
           ((s.charAt(i) == '-' || s.charAt(i) == '+') &&
             (s.charAt(i - 1) == 'e' || s.charAt(i - 1) == 'E')))) i += 1
-        out += TNum(s.substring(start, i))
+        add(TNum(s.substring(start, i)))
       } else if (c.isLetter || c == '_') {
         val start = i
         while (i < n && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '_')) i += 1
-        out += TIdent(s.substring(start, i))
+        add(TIdent(s.substring(start, i)))
       } else if (c == '<' && i + 1 < n && (s.charAt(i + 1) == '>' || s.charAt(i + 1) == '=')) {
-        out += TSym(s.substring(i, i + 2)); i += 2
+        add(TSym(s.substring(i, i + 2))); i += 2
       } else if (c == '>' && i + 1 < n && s.charAt(i + 1) == '=') {
-        out += TSym(">="); i += 2
-      } else if ("()=<>,".indexOf(c) >= 0) {
-        out += TSym(c.toString); i += 1
+        add(TSym(">=")); i += 2
+      } else if ("()=<>,+-*/".indexOf(c) >= 0) {
+        add(TSym(c.toString)); i += 1
       } else throw new IllegalArgumentException(s"unexpected character '$c' in ECQL")
     }
     out.result()
@@ -99,6 +111,7 @@ object Ecql {
   private case class StrOp(v: String) extends Operand
   private case class NumOp(v: Double) extends Operand
   private case class BoolOp(v: Boolean) extends Operand
+  private case class ArithOp(c: Column) extends Operand  // +,-,*,/ over operands
 
   private class Parser(toks: Vector[Tok], topCols: Set[String]) {
     private var pos = 0
@@ -211,7 +224,7 @@ object Ecql {
                 // point layer: pure column arithmetic, full codegen
                 st.orthodromicKm(lit(p.getX), lit(p.getY), col("x"), col("y"))
               else st.orthodromicDistanceKm(col("geometry"), p.getX, p.getY)
-            st.bboxIntersects(col("bbox"),
+            st.bboxIntersectsWrapped(col("bbox"),
               w.getMinX, w.getMinY, w.getMaxX, w.getMaxY) && dist <= km
           case _ =>
             // degrees / unrecognized: planar layer-CRS distance (GeoTools
@@ -242,6 +255,13 @@ object Ecql {
             case TSym("(") => depth += 1; sb.append("(")
             case TSym(")") => depth -= 1; sb.append(")")
             case TSym(",") => sb.append(", ")
+            // a '-' after a number tokenizes as a symbol (binary minus);
+            // inside a WKT literal it is always the sign of the next coord
+            case TSym("-") => next() match {
+              case TNum(v) =>
+                if (sb.last.isDigit) sb.append(" "); sb.append("-").append(v)
+              case other => throw new IllegalArgumentException(s"bad WKT literal token $other")
+            }
             case TNum(v) => if (sb.last.isDigit) sb.append(" "); sb.append(v)
             case other => throw new IllegalArgumentException(s"bad WKT literal token $other")
           }
@@ -277,10 +297,10 @@ object Ecql {
       * our map-backed dynamic props need the cast).
       */
     private def sides(a: Operand, b: Operand): (Column, Column) = (a, b) match {
-      case (PropOp(p), NumOp(v)) if !topCols.contains(p) =>
-        (propCol(p).cast("double"), lit(v))
-      case (NumOp(v), PropOp(p)) if !topCols.contains(p) =>
-        (lit(v), propCol(p).cast("double"))
+      case (PropOp(p), NumOp(_) | ArithOp(_)) if !topCols.contains(p) =>
+        (propCol(p).cast("double"), operandCol(b))
+      case (NumOp(_) | ArithOp(_), PropOp(p)) if !topCols.contains(p) =>
+        (operandCol(a), propCol(p).cast("double"))
       case _ => (operandCol(a), operandCol(b))
     }
 
@@ -291,10 +311,52 @@ object Ecql {
       case StrOp(v) => lit(v)
       case NumOp(v) => lit(v)
       case BoolOp(v) => lit(v)
+      case ArithOp(c) => c
+    }
+
+    /** Operand in a numeric context: untyped props cast to double. */
+    private def numericCol(o: Operand): Column = o match {
+      case PropOp(p) if !topCols.contains(p) => propCol(p).cast("double")
+      case PropOp(p) => col(p)
+      case NumOp(v) => lit(v)
+      case ArithOp(c) => c
+      case other => throw new IllegalArgumentException(
+        s"expected numeric operand in arithmetic, got $other")
+    }
+
+    private def isArithSym(t: Tok, ops: String): Boolean = t match {
+      case TSym(sym) => sym.length == 1 && ops.contains(sym)
+      case _ => false
+    }
+
+    /** additive ::= multiplicative {(+|-) multiplicative} — GeoTools ECQL
+      * allows arithmetic inside comparisons (`a * 2 + 1 < b`). Returns the
+      * plain operand when no operator is consumed, so non-numeric
+      * comparisons (strings, geometryType) are untouched.
+      */
+    private def parseArith(): Operand = {
+      var a = parseMul()
+      while (peek.exists(isArithSym(_, "+-"))) {
+        val op = next().asInstanceOf[TSym].s
+        val b = parseMul()
+        a = ArithOp(if (op == "+") numericCol(a) + numericCol(b)
+                    else numericCol(a) - numericCol(b))
+      }
+      a
+    }
+    private def parseMul(): Operand = {
+      var a = parseOperand()
+      while (peek.exists(isArithSym(_, "*/"))) {
+        val op = next().asInstanceOf[TSym].s
+        val b = parseOperand()
+        a = ArithOp(if (op == "*") numericCol(a) * numericCol(b)
+                    else numericCol(a) / numericCol(b))
+      }
+      a
     }
 
     private def parseComparison(): Column = {
-      val a = parseOperand()
+      val a = parseArith()
       peek match {
         case Some(TIdent(kw)) if kw.equalsIgnoreCase("IS") =>
           next()
@@ -315,29 +377,29 @@ object Ecql {
             case other => throw new IllegalArgumentException(s"NOT LIKE needs a string pattern, got $other")
           }
           else if (takeKw("BETWEEN")) {
-            val lo = parseOperand()
+            val lo = parseArith()
             if (!takeKw("AND")) throw new IllegalArgumentException("BETWEEN needs AND")
-            val hi = parseOperand()
+            val hi = parseArith()
             val (ca, cl) = sides(a, lo); val (_, ch) = sides(a, hi)
             !(ca >= cl && ca <= ch)
           }
           else throw new IllegalArgumentException("expected LIKE or BETWEEN after NOT")
         case Some(TIdent(kw)) if kw.equalsIgnoreCase("BETWEEN") =>
           next()
-          val lo = parseOperand()
+          val lo = parseArith()
           if (!takeKw("AND")) throw new IllegalArgumentException("BETWEEN needs AND")
-          val hi = parseOperand()
+          val hi = parseArith()
           val (ca, cl) = sides(a, lo); val (_, ch) = sides(a, hi)
           ca >= cl && ca <= ch
         case Some(TIdent(kw)) if kw.equalsIgnoreCase("IN") =>
           next(); expectSym("(")
-          val vals = scala.collection.mutable.ArrayBuffer[Operand](parseOperand())
-          while (peek.contains(TSym(","))) { next(); vals += parseOperand() }
+          val vals = scala.collection.mutable.ArrayBuffer[Operand](parseArith())
+          while (peek.contains(TSym(","))) { next(); vals += parseArith() }
           expectSym(")")
           vals.map(v => { val (ca, cv) = sides(a, v); ca === cv }).reduce(_ || _)
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
           next()
-          val b = parseOperand()
+          val b = parseArith()
           val (ca, cb) = sides(a, b)
           op match {
             case "=" => ca === cb

@@ -40,6 +40,24 @@ object st {
   def bboxIntersects(bbox: Column, minx: Double, miny: Double, maxx: Double, maxy: Double): Column =
     bbox("minx") <= maxx && bbox("maxx") >= minx && bbox("miny") <= maxy && bbox("maxy") >= miny
 
+  /** bboxIntersects for a longitude interval that may extend past ±180
+    * (a geodesic search window near the antimeridian): splits the prune
+    * into the two wrapped in-range intervals so in-radius rows on the far
+    * side of lon ±180 are not silently dropped. Degenerates to the plain
+    * single-interval prune when no wrap occurs.
+    */
+  def bboxIntersectsWrapped(bbox: Column, minx: Double, miny: Double,
+      maxx: Double, maxy: Double): Column =
+    if (maxx - minx >= 360.0)
+      bboxIntersects(bbox, -180.0, miny, 180.0, maxy)
+    else if (minx < -180.0)
+      bboxIntersects(bbox, minx + 360.0, miny, 180.0, maxy) ||
+        bboxIntersects(bbox, -180.0, miny, maxx, maxy)
+    else if (maxx > 180.0)
+      bboxIntersects(bbox, minx, miny, 180.0, maxy) ||
+        bboxIntersects(bbox, -180.0, miny, maxx - 360.0, maxy)
+    else bboxIntersects(bbox, minx, miny, maxx, maxy)
+
   /** Constant window fully contains the bbox (the INCLUDE_ALL fast path of
     * the reference's window search — reference: filter/SearchIntersectWindow.java:57-66).
     */

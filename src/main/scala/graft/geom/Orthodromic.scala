@@ -31,14 +31,26 @@ object Orthodromic {
       distanceKm(nearest(0).x, nearest(0).y, nearest(1).x, nearest(1).y)
   }
 
-  /** Degree-space search window for a km radius, with cos(lat) longitude
-    * compensation (reference: OrthodromicDistance.java:74-90). Used as the
-    * cheap bbox pre-filter before the exact orthodromic test.
+  /** Degree-space search window for a km radius (reference:
+    * OrthodromicDistance.java:74-90 — but with the EXACT longitude extent
+    * of the geodesic ball, asin(sin c / cos φ), rather than the reference's
+    * first-order c/cos φ, which is strictly NARROWER and silently drops
+    * in-radius rows near the window's east/west edge at high latitude —
+    * ~0.9° of lon at lat 60 / radius 1500 km). When the ball reaches a
+    * pole the longitude span is the full circle. The returned envelope may
+    * extend past lon ±180; prune with [[st.bboxIntersectsWrapped]], which
+    * splits it into the two wrapped intervals. Latitude is clamped to ±90.
+    * Used as the cheap bbox pre-filter before the exact orthodromic test.
     */
   def searchWindow(lon: Double, lat: Double, maxDistanceKm: Double): Envelope = {
-    val latDegrees = math.toDegrees(maxDistanceKm / EarthRadiusKm)
-    val lonDegrees = math.toDegrees(maxDistanceKm / EarthRadiusKm / math.cos(math.toRadians(lat)))
-    new Envelope(lon - lonDegrees, lon + lonDegrees, lat - latDegrees, lat + latDegrees)
+    val c = maxDistanceKm / EarthRadiusKm            // central angle, radians
+    val latDegrees = math.toDegrees(c)
+    val lonDegrees =
+      if (c >= math.Pi / 2 || math.abs(lat) + latDegrees >= 90.0 - 1e-12) 180.0
+      else math.toDegrees(math.asin(math.min(1.0,
+        math.sin(c) / math.cos(math.toRadians(lat)))))
+    new Envelope(lon - lonDegrees, lon + lonDegrees,
+      math.max(-90.0, lat - latDegrees), math.min(90.0, lat + latDegrees))
   }
 
   /** Conservative LOWER bound on the orthodromic distance from (lon,lat) to

@@ -374,6 +374,47 @@ object OsmImport {
   def importOsm(spark: SparkSession, path: String): GeoFrame =
     new GeoFrame(assembleWays(parse(spark, path)))
 
+  /** Execute a stored dynamic-layer JSON query INCLUDING way-node chain
+    * steps (FIRST_NODE / NEXT / NODE — reference:
+    * DynamicIndexReader.java:46-113 walked way→proxy→node at query time,
+    * OSMImporter.java:696-714 built the chain). The same-row GEOM/TAGS
+    * levels filter the assembled rows directly; a chain compiles to a
+    * semi-join against the staging tables: the way must have a proxy at
+    * the walked `seq` (every getSingleRelationship hop existed), and when
+    * the chain ends in a NODE hop the referenced OSM node must pass the
+    * property tests (string-compare semantics; reference property names
+    * `node_osm_id`/`timestamp` map onto the staging `node_id`/`ts`
+    * columns). Scale shape: two key-joins on way_id/node_id — the match
+    * set is computed distributed and semi-joined, never collected.
+    */
+  def filterDynamic(layer: GeoFrame, st8: Staging, json: String): GeoFrame = {
+    val compiled = graft.functions.DynamicLayerJson.compile(
+      json, layer.df.columns.toSet)
+    val base = layer.df.filter(compiled.rowPredicate)
+    compiled.chain match {
+      case None => new GeoFrame(base, layer.meta)
+      case Some(ch) if ch.dead => new GeoFrame(base.limit(0), layer.meta)
+      case Some(ch) =>
+        val nodeColOf = Map("node_osm_id" -> "node_id", "timestamp" -> "ts")
+        var hits = st8.wayNds.filter(col("seq") === ch.seq)
+        if (ch.atNode && ch.nodeProps.nonEmpty) {
+          val pred = ch.nodeProps.map { case (k, vOpt) =>
+            val cn = nodeColOf.getOrElse(k, k)
+            if (!st8.nodes.columns.contains(cn)) lit(false)
+            else vOpt match {
+              case None => col(cn).isNotNull
+              case Some(v) => col(cn).isNotNull && col(cn).cast("string") === lit(v)
+            }
+          }.reduce(_ && _)
+          hits = hits.join(st8.nodes.filter(pred).select("node_id"),
+            Seq("node_id"), "left_semi")
+        }
+        new GeoFrame(
+          base.join(hits.select("way_id").distinct(), Seq("way_id"), "left_semi"),
+          layer.meta)
+    }
+  }
+
   /** Dynamic OSM sub-layer by tag filter, e.g. highway residential roads —
     * the reference's dynamic-layer tag-step query
     * (reference: DynamicLayerConfig.java:48-93 + OSM tag joins).

@@ -48,6 +48,37 @@ object Graphs {
       broadcastLimit: Long = BroadcastEdges): DataFrame =
     trianglesFromUnd(normalized(edges), broadcastLimit)
 
+  /** DOULION edge-sampled triangle estimate (Tsourakakis, Kang, Miller,
+    * Faloutsos, KDD'09): keep each undirected edge independently with
+    * probability p, exact-count triangles on the sparsified graph, scale
+    * by 1/p³ — an unbiased estimator whose variance vanishes as the true
+    * count grows. This is the PRODUCTION path at 100 TB scale: the exact
+    * count pays the O(m^1.5) wedge floor on the full edge set, while this
+    * pays it on a p-fraction (wedge work ∝ p², closing probe ∝ p³); the
+    * exact [[triangleCounts]] stays as the verify sibling. The coin is a
+    * REPLAYABLE hash of the edge key (not rand()), so the sampled subgraph
+    * — and therefore the estimate — is deterministic and oracle-checkable.
+    * Returns one row: kept edges, sampled-subgraph triangle count, and the
+    * 1/p³-scaled estimate.
+    */
+  def triangleCountApprox(edges: DataFrame, p: Double = 0.2,
+      broadcastLimit: Long = BroadcastEdges): DataFrame = {
+    require(p > 0 && p <= 1, s"sampling probability p=$p out of (0,1]")
+    val m = 1000003L                       // prime coin modulus
+    val keepLt = math.round(p * m)         // effective p = keepLt/m exactly
+    val und = normalized(edges)
+      .filter(pmod(col("a") * 2654435761L + col("b") * 40503L, lit(m)) < keepLt)
+      .persist()
+    val kept = und.count()                 // also materializes the sample
+    val tri = trianglesFromUnd(und, broadcastLimit)
+      .agg(coalesce(sum(col("n_tri")), lit(0L)).as("s"))
+      .select((col("s") / 3).cast("long").as("tri_sampled"))
+    val scale = pow(lit(m.toDouble) / lit(keepLt.toDouble), 3)
+    val out = tri.select(lit(kept).as("n_kept_edges"), col("tri_sampled"),
+      round(col("tri_sampled") * scale).cast("long").as("tri_est"))
+    out
+  }
+
   /** Dedup'd undirected edge list (a < b). */
   private def normalized(edges: DataFrame): DataFrame = edges
     .select(least(col("src"), col("dst")).cast("long").as("a"),
@@ -662,6 +693,11 @@ l$i AS (SELECT src AS node, lbl FROM (
           .filter(col("nc") =!= col("color")).limit(1).count() > 0
         colors = next
       }
+      // a non-converged coloring would SPLIT an SCC across labels — fail
+      // loudly instead of returning plausible-looking but wrong output
+      if (changed) throw new IllegalStateException(
+        s"sccLabels: color fixpoint not converged after maxProp=$maxProp " +
+          "iterations (graph ancestor-depth exceeds the bound) — raise maxProp")
       // (2)+(3) pivots grow backward within their color class
       var inScc = colors.filter(col("id") === col("color")).localCheckpoint()
       var frontier = inScc
@@ -684,6 +720,11 @@ l$i AS (SELECT src AS node, lbl FROM (
           frontier = add
         }
       }
+      // an unfinished backward growth leaves SCC members labeled as a
+      // DIFFERENT (later) component — fail loudly
+      if (more) throw new IllegalStateException(
+        s"sccLabels: backward containment not converged after maxProp=$maxProp " +
+          "iterations (SCC diameter exceeds the bound) — raise maxProp")
       // (4) label and peel
       out = out.union(inScc.select(col("id"), col("color").as("scc")))
         .localCheckpoint()
@@ -695,6 +736,11 @@ l$i AS (SELECT src AS node, lbl FROM (
         .select("src", "dst").localCheckpoint()
       done = remV.isEmpty
     }
+    // exhausted peel rounds with vertices remaining ⇒ those vertices would
+    // be silently MISSING from the result — fail loudly instead
+    if (!done) throw new IllegalStateException(
+      s"sccLabels: $maxRounds peel rounds exhausted with unlabeled vertices " +
+        "remaining (condensation depth exceeds the bound) — raise maxRounds")
     out
   }
 }

@@ -350,7 +350,17 @@ object Multimodal {
     spark.range(n.toLong).map { i =>
       val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val s = seedOf(i)
-      val bytes = Array.tabulate[Byte](64)(j => ((s * 31 + j * 7) % 251).toByte)
+      // full 31-bit content space: LCG mod the Mersenne prime 2^31-1, then
+      // SQUARED mod p before the byte fold (a linear form folds seed deltas
+      // that are ≡0 mod 256 to identical contents; squaring makes the
+      // j-interaction nonlinear — measured 99 997 distinct contents per
+      // 100k seeds vs the old (s*31+j*7)%251 form's 251, which made every
+      // growth family above ~250 rows measure collision artifacts, not the
+      // operator). Every op stays < 2^62, so DuckDB BIGINT replays exactly.
+      val bytes = Array.tabulate[Byte](64) { j =>
+        val x = (s * 1103515245L + j * 12345L) % 2147483647L
+        (x * x % 2147483647L % 256L).toByte
+      }
       (i, kind, bytes)
     }.toDF("media_id", "kind", "bytes")
       .withColumn("meta", struct(

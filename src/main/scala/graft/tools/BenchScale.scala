@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{SpatialAggs, SpatialJoin}
 import graft.functions.st
-import graft.pipeline.{Dedup, Similarity}
+import graft.pipeline.{Dedup, Multimodal, Similarity}
 
 /** Growth-curve harness: runs the dedup / ANN / spatial-join families on the
   * base corpus and on synthesized 3× and 10× corpora, and records wall-time
@@ -527,11 +527,34 @@ object BenchScale {
         }.reduce(_ unionByName _).withColumn("bbox", st.bboxOf(col("geometry")))
         SpatialAggs.zonalStats(polys, 3.0)
       }),
-      // NOTE: no mm_video growth family — the stub byte generator has only
-      // 251 distinct contents (s*31+j*7 mod 251 depends on s mod 251), so
-      // any rung beyond ~250 videos gains REAL accidental exact-dups and
-      // the pair count grows quadratically by construction, which would
-      // measure the generator, not the operator
+      // MULTIMODAL ladders (round-6 verdict task 2) — possible now that the
+      // stub generator has a full 31-bit content space (the old mod-251
+      // form gained REAL accidental exact-dups past ~250 rows and any rung
+      // measured the generator, not the operator). Duplicates are PLANTED
+      // via the same seedOf folds as the oracle gates, so true-match counts
+      // grow exactly N× while honest content keeps hash buckets sparse.
+      // pHash near-dup: decode → 64-bit signature → pigeonhole banding
+      // (4×16-bit chunks, 65 536 buckets/band) — band rows grow N×, bucket
+      // occupancy stays ≪1 at every rung, verify pairs ≈ planted dups
+      "mm_phash" -> (n => Multimodal.phashNearDupPairs(
+        Multimodal.syntheticMedia(spark, 300 * n,
+          i => if (i % 9 == 3) i - 3 else i), maxHamming = 3)),
+      // video near-dup: frame-feature SET join — features are rounded
+      // per-frame sums of honest content, effectively unique per (video,
+      // frame), so the feature-equality join matches planted dups only
+      "mm_video_dedup" -> (n => Multimodal.videoNearDupPairs(
+        Multimodal.sampleFrames(Multimodal.syntheticMedia(spark, 300 * n,
+          i => if (i % 9 == 8) i - 6 else i), n = 8, w = 16, h = 16),
+        threshold = 0.5)),
+      // audio constellation: (peak,peak,dt) hash join. The hash-key space
+      // is samplesPerWindow²·maxDt — like IVF's nlist it must scale with
+      // the corpus or the Σc² term goes quadratic; the ladder runs at
+      // spw=256 (196k keys vs 180k hash rows at 100×, occupancy <1) the
+      // same way a production deployment widens its frequency bins
+      "mm_audio_match" -> (n => Multimodal.constellationMatches(
+        Multimodal.syntheticMedia(spark, 300 * n,
+          i => if (i % 9 == 4) i - 3 else i),
+        windows = 8, samplesPerWindow = 256)),
       // distributed hash-to-min CC with pointer jumping over N disjoint
       // copies of the co-purchase graph: rounds stay O(log diameter)
       // (diameter is rung-invariant), each round one id-keyed shuffle ∝ N

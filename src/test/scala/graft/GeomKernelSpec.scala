@@ -46,12 +46,17 @@ class GeomKernelSpec extends AnyFunSuite {
     assert(lp > 340 && lp < 348, s"london-paris $lp")
   }
 
-  test("search window compensates longitude by cos(lat)") {
+  test("search window covers the exact geodesic ball longitude extent") {
     val w = Orthodromic.searchWindow(10, 60, 111.19)
-    // at lat 60, lon half-width should be ~2x the lat half-width
+    // EXACT extent asin(sin c / cos φ) — strictly wider than the
+    // first-order c/cos φ compensation (which under-covers at high lat)
     val latHalf = (w.getMaxY - w.getMinY) / 2
     val lonHalf = (w.getMaxX - w.getMinX) / 2
-    assert(math.abs(lonHalf / latHalf - 1 / math.cos(math.toRadians(60))) < 1e-9)
+    val c = 111.19 / 6371.0
+    val exact = math.toDegrees(math.asin(math.sin(c) / math.cos(math.toRadians(60))))
+    assert(math.abs(lonHalf - exact) < 1e-9)
+    assert(lonHalf > latHalf / math.cos(math.toRadians(60)),
+      "exact extent must dominate the first-order compensation")
   }
 
   test("orthodromic length sums segments") {

@@ -1,0 +1,275 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+import graft.engine.{GeoFrame, SpatialCatalog, SpatialProcedures}
+import graft.functions.{DynamicLayerJson, Ecql, st}
+import graft.geom.Orthodromic
+import graft.osm.OsmImport
+import graft.pipeline.Graphs
+
+/** Round-7 additions: ECQL arithmetic/LIKE/IN grammar, asin-widened +
+  * antimeridian-wrapped DWITHIN windows, loud-failure dynamic-layer
+  * compile + way-node-chain execution, catalog props-merge / x-y attribute
+  * fidelity / write atomicity, sccLabels loud caps, DOULION triangles,
+  * and the static procedure registry.
+  */
+class Round7Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def propsLayerDf = Seq(
+      ("1", "POINT (10 20)", "BUILDING", 5.0, "alpha"),
+      ("2", "POINT (30 -10)", "AUTOMOBILE", 15.0, "beta"),
+      ("3", "POINT (-40 5)", "BUILDING", 25.0, "gamma"))
+    .toDF("id", "wkt", "segment", "score", "name")
+
+  // --------------------------------------------------------------- ECQL
+
+  test("ECQL arithmetic inside comparisons (GeoTools parity)") {
+    val df = Seq((1L, 3.0, 10.0), (2L, 5.0, 9.0), (3L, 7.0, 20.0))
+      .toDF("id", "a", "b")
+    val got = df.filter(Ecql.toColumn("a * 2 + 1 < b", df.columns.toSet))
+      .select("id").as[Long].collect().toSet
+    // 1: 7 < 10 T; 2: 11 < 9 F; 3: 15 < 20 T
+    assert(got == Set(1L, 3L))
+    val got2 = df.filter(Ecql.toColumn("b / 2 - a >= 0", df.columns.toSet))
+      .select("id").as[Long].collect().toSet
+    // 1: 5-3 T; 2: 4.5-5 F; 3: 10-7 T
+    assert(got2 == Set(1L, 3L))
+  }
+
+  test("ECQL LIKE / NOT LIKE / IN / BETWEEN resolve through the props map") {
+    val wh = Files.createTempDirectory("graft-r7-ecql").toString
+    val cat = new SpatialCatalog(spark, wh)
+    val layer = cat.createWktLayer("r7ecql", propsLayerDf, "id", "wkt")
+    def ids(ecql: String): Set[String] =
+      layer.filterEcql(ecql).df.select("id").as[String].collect().toSet
+    assert(ids("segment LIKE 'BUIL%'") == Set("1", "3"))
+    assert(ids("segment NOT LIKE 'BUIL%'") == Set("2"))
+    assert(ids("name IN ('alpha', 'gamma')") == Set("1", "3"))
+    assert(ids("score BETWEEN 10 AND 30") == Set("2", "3"))
+    assert(ids("score * 2 IN (10, 50)") == Set("1", "3"))
+  }
+
+  test("negative trailing WKT coordinates survive the arithmetic tokenizer") {
+    // '-' after a number is a binary-minus SYMBOL now; inside a WKT literal
+    // it must still read as the sign of the next coordinate
+    val df = propsLayerDf
+    val wh = Files.createTempDirectory("graft-r7-wkt").toString
+    val layer = new SpatialCatalog(spark, wh).createWktLayer("r7wkt", df, "id", "wkt")
+    val got = layer.filterEcql(
+        "INTERSECTS(the_geom, POLYGON ((25 -15, 35 -15, 35 -5, 25 -5, 25 -15)))")
+      .df.select("id").as[String].collect().toSet
+    assert(got == Set("2"))
+  }
+
+  // ------------------------------------------- DWITHIN window correctness
+
+  test("searchWindow uses the exact asin longitude extent and pole cap") {
+    // lat 60, 1500 km: first-order c/cosφ under-covers by ~0.9°
+    val w = Orthodromic.searchWindow(0.0, 60.0, 1500.0)
+    val c = 1500.0 / 6371.0
+    val firstOrder = math.toDegrees(c / math.cos(math.toRadians(60.0)))
+    val exact = math.toDegrees(math.asin(math.sin(c) / math.cos(math.toRadians(60.0))))
+    assert(w.getMaxX > firstOrder, "window must be wider than the first-order extent")
+    assert(math.abs(w.getMaxX - exact) < 1e-9)
+    // ball reaching the pole ⇒ full longitude span
+    val wp = Orthodromic.searchWindow(0.0, 85.0, 1500.0)
+    assert(wp.getMinX == -180.0 && wp.getMaxX == 180.0)
+    assert(wp.getMaxY == 90.0)
+  }
+
+  test("withinDistanceKm finds in-radius rows across the antimeridian") {
+    val df = Seq(("a", 179.5, 0.0), ("b", -179.8, 0.0), ("c", 170.0, 0.0),
+        ("d", -170.0, 0.0))
+      .toDF("id", "x", "y")
+      .withColumn("geometry", st.makePoint(col("x"), col("y")))
+      .withColumn("gtype", lit(graft.geom.GeomCodec.GTYPE_POINT))
+      .withColumn("bbox", st.bboxStruct(col("x"), col("y"), col("x"), col("y")))
+    // 200 km around (179.9, 0): covers a (~44 km) and b (~33 km across ±180)
+    val got = new GeoFrame(df).withinDistanceKm(179.9, 0.0, 200.0)
+      .df.select("id").as[String].collect().toSet
+    assert(got == Set("a", "b"), s"expected both sides of the antimeridian, got $got")
+  }
+
+  // -------------------------------------------- dynamic layer: node chains
+
+  test("dynamic-layer JSON: unknown step types and chain misuse fail loudly") {
+    val cols = Set("id", "geometry", "gtype", "bbox", "props")
+    def bad(json: String): String =
+      intercept[IllegalArgumentException](DynamicLayerJson.compile(json, cols))
+        .getMessage
+    assert(bad("""{"step": {"type": "BBOX", "direction": "OUTGOING"}}""")
+      .contains("unsupported step type"))
+    assert(bad("""{"step": {"type": "NEXT", "direction": "OUTGOING"}}""")
+      .contains("only valid after FIRST_NODE"))
+    // a chain query cannot compile to a Column — needs the staging join
+    val chain = """{"step": {"type": "GEOM", "direction": "INCOMING",
+                  |  "step": {"type": "FIRST_NODE", "direction": "OUTGOING"}}}""".stripMargin
+    assert(intercept[IllegalArgumentException](
+      DynamicLayerJson.toColumn(chain, cols)).getMessage.contains("way-node chain"))
+    // GEOM/TAGS-only queries still compile to a Column
+    DynamicLayerJson.toColumn(
+      """{"step": {"type": "TAGS", "direction": "OUTGOING",
+        |  "properties": {"highway": "residential"}}}""".stripMargin, cols)
+  }
+
+  private def osmFixture(): (GeoFrame, OsmImport.Staging) = {
+    // two ways: 100 has 3 nodes (versions 1,2,3), 200 has 2 nodes (1,1)
+    val xml =
+      """<?xml version='1.0'?>
+        |<osm version='0.6'>
+        |  <node id='1' lat='0.0' lon='0.0' version='1'/>
+        |  <node id='2' lat='0.0' lon='1.0' version='2'/>
+        |  <node id='3' lat='0.0' lon='2.0' version='3'/>
+        |  <node id='4' lat='1.0' lon='0.0' version='1'/>
+        |  <node id='5' lat='1.0' lon='1.0' version='1'/>
+        |  <way id='100' version='1'>
+        |    <nd ref='1'/><nd ref='2'/><nd ref='3'/>
+        |    <tag k='highway' v='residential'/>
+        |  </way>
+        |  <way id='200' version='1'>
+        |    <nd ref='4'/><nd ref='5'/>
+        |    <tag k='highway' v='residential'/>
+        |  </way>
+        |</osm>""".stripMargin
+    val f = Files.createTempFile("graft-r7-osm", ".osm")
+    f.toFile.deleteOnExit()
+    Files.writeString(f, xml)
+    val st8 = OsmImport.parse(spark, f.toString)
+    (new GeoFrame(OsmImport.assembleWays(st8)), st8)
+  }
+
+  test("way-node chain steps execute as staging semi-joins (reference walk)") {
+    val (layer, st8) = osmFixture()
+    def wayIds(json: String): Set[Long] =
+      OsmImport.filterDynamic(layer, st8, json)
+        .df.select(col("way_id").cast("long")).as[Long].collect().toSet
+    val geomStep = (inner: String) =>
+      s"""{"step": {"type": "GEOM", "direction": "INCOMING", $inner}}"""
+    // 2nd node version=2 → only way 100
+    assert(wayIds(geomStep(
+      """"step": {"type": "FIRST_NODE", "direction": "OUTGOING",
+        |  "step": {"type": "NEXT", "direction": "OUTGOING",
+        |    "step": {"type": "NODE", "direction": "OUTGOING",
+        |      "properties": {"version": 2}}}}""".stripMargin)) == Set(100L))
+    // 3rd node must EXIST (getSingleRelationship null ⇒ no match) → way 100
+    assert(wayIds(geomStep(
+      """"step": {"type": "FIRST_NODE", "direction": "OUTGOING",
+        |  "step": {"type": "NEXT", "direction": "OUTGOING",
+        |    "step": {"type": "NEXT", "direction": "OUTGOING"}}}""".stripMargin)) == Set(100L))
+    // properties on a proxy node: proxies carry none ⇒ dead ⇒ empty
+    assert(wayIds(geomStep(
+      """"step": {"type": "FIRST_NODE", "direction": "OUTGOING",
+        |  "properties": {"anything": "x"}}""".stripMargin)).isEmpty)
+    // NEXT INCOMING below the first proxy ⇒ walk off the chain ⇒ empty
+    assert(wayIds(geomStep(
+      """"step": {"type": "FIRST_NODE", "direction": "OUTGOING",
+        |  "step": {"type": "NEXT", "direction": "INCOMING"}}""".stripMargin)).isEmpty)
+    // node_osm_id maps onto the staging node_id column
+    assert(wayIds(geomStep(
+      """"step": {"type": "FIRST_NODE", "direction": "OUTGOING",
+        |  "step": {"type": "NODE", "direction": "OUTGOING",
+        |    "properties": {"node_osm_id": 4}}}""".stripMargin)) == Set(200L))
+  }
+
+  // ------------------------------------------------------ catalog fidelity
+
+  test("withProps merges an existing props map instead of overwriting it") {
+    val wh = Files.createTempDirectory("graft-r7-cat").toString
+    val cat = new SpatialCatalog(spark, wh)
+    val base = cat.createWktLayer("r7base", propsLayerDf, "id", "wkt")
+    // re-layer the canonical df with one added attribute: original props
+    // entries must survive, the new column must join them
+    val relayered = cat.createWktLayer("r7re",
+      base.df.withColumn("wkt", st.asText(col("geometry")))
+        .withColumn("grade", col("id").cast("int") * 10),
+      "id", "wkt")
+    val row = relayered.df.filter(col("id") === "2")
+      .select(col("props")("segment"), col("props")("grade")).head()
+    assert(row.getString(0) == "AUTOMOBILE", "pre-existing props entry lost")
+    assert(row.getString(1) == "20", "new attribute not merged into props")
+  }
+
+  test("x/y source columns on a WKT layer are attributes, not dropped") {
+    val wh = Files.createTempDirectory("graft-r7-xy").toString
+    val cat = new SpatialCatalog(spark, wh)
+    val src = Seq(("1", "POINT (1 2)", 7.5, 8.5)).toDF("id", "wkt", "x", "y")
+    val layer = cat.createWktLayer("r7xy", src, "id", "wkt")
+    assert(layer.meta.get.attributes.toSet == Set("x", "y"))
+    val row = layer.df.select(col("props")("x"), col("props")("y")).head()
+    assert(row.getString(0) == "7.5" && row.getString(1) == "8.5")
+  }
+
+  test("concurrent appenders serialize through the layer lock (no lost update)") {
+    val wh = Files.createTempDirectory("graft-r7-lock").toString
+    val cat = new SpatialCatalog(spark, wh)
+    cat.createWktLayer("r7lock", propsLayerDf, "id", "wkt")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    import scala.concurrent._
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    def appender(tag: Int) = Future {
+      (0 until 5).foreach { i =>
+        cat.appendToLayer("r7lock",
+          Seq((s"$tag-$i", s"POINT ($tag $i)")).toDF("id", "wkt")
+            .withColumn("geometry", st.geomFromText(col("wkt")))
+            .withColumn("gtype", st.gtype(col("geometry")))
+            .withColumn("bbox", st.bboxOf(col("geometry")))
+            .withColumn("props", map(lit("segment"), lit("X"),
+              lit("score"), lit("0"), lit("name"), lit("x")))
+            .select("id", "geometry", "gtype", "bbox", "props"))
+      }
+    }
+    val fs = Seq(appender(10), appender(20))
+    Await.result(Future.sequence(fs), duration.Duration(120, "s"))
+    pool.shutdown()
+    val n = cat.getLayer("r7lock").df.count()
+    assert(n == 3 + 10, s"expected 13 rows after 2×5 concurrent appends, got $n")
+    assert(!Files.exists(java.nio.file.Paths.get(wh, "r7lock", ".layer.lock")),
+      "lock file must be released")
+  }
+
+  // ----------------------------------------------------- graphs: loud caps
+
+  test("sccLabels fails loudly when its iteration caps are exhausted") {
+    // a 5-cycle needs >1 propagation round: maxProp=1 must throw, not
+    // return split labels
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val verts = (1L to 5L).toDF("id")
+    val e = intercept[IllegalStateException](
+      Graphs.sccLabels(verts, edges, maxProp = 1).collect())
+    assert(e.getMessage.contains("maxProp"))
+    // with sane caps the same graph is one SCC
+    val ok = Graphs.sccLabels(verts, edges)
+    assert(ok.select("scc").distinct().count() == 1)
+  }
+
+  test("DOULION at p=1 equals the exact triangle count; estimate scales") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L),
+        (5L, 6L)).toDF("src", "dst")
+    val exact = Graphs.triangleCounts(edges)
+      .agg(sum("n_tri")).head().getLong(0) / 3
+    val full = Graphs.triangleCountApprox(edges, p = 1.0).head()
+    assert(full.getAs[Long]("tri_sampled") == exact)
+    assert(full.getAs[Long]("tri_est") == exact)
+    val sampled = Graphs.triangleCountApprox(edges, p = 0.5).head()
+    assert(sampled.getAs[Long]("n_kept_edges") <= 7)
+    assert(sampled.getAs[Long]("tri_est") >= sampled.getAs[Long]("tri_sampled"))
+  }
+
+  // --------------------------------------------------------- registry
+
+  test("procedure registry covers the reference surface exactly once") {
+    val names = SpatialProcedures.registry.map(_._1)
+    assert(names.distinct.size == names.size, "duplicate registry names")
+    val expected = Set("spatial.procedures", "spatial.addLayer",
+      "spatial.addWKTLayer", "spatial.addPointLayerXY", "spatial.bbox",
+      "spatial.closest", "spatial.withinDistance", "spatial.intersects",
+      "spatial.cql", "spatial.importShapefile", "spatial.importOSM",
+      "spatial.asMap", "spatial.wktToGeoJson", "spatial.decodeGeometry")
+    assert(expected.subsetOf(names.toSet))
+    assert(names.size == 54, s"registry size drifted: ${names.size}")
+  }
+}

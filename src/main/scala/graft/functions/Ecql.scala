@@ -150,6 +150,11 @@ object Ecql {
       "DISJOINT" -> "disjoint")
 
     private def parsePrimary(): Column = peek match {
+      // GeoTools CQL match-all / match-none filter keywords
+      case Some(TIdent(id)) if id.equalsIgnoreCase("INCLUDE") =>
+        next(); lit(true)
+      case Some(TIdent(id)) if id.equalsIgnoreCase("EXCLUDE") =>
+        next(); lit(false)
       case Some(TSym("(")) =>
         next(); val e = parseExpr(); expectSym(")"); e
       case Some(TIdent(id)) if id.equalsIgnoreCase("BBOX") =>
@@ -383,7 +388,14 @@ object Ecql {
             val (ca, cl) = sides(a, lo); val (_, ch) = sides(a, hi)
             !(ca >= cl && ca <= ch)
           }
-          else throw new IllegalArgumentException("expected LIKE or BETWEEN after NOT")
+          else if (takeKw("IN")) {
+            expectSym("(")
+            val vals = scala.collection.mutable.ArrayBuffer[Operand](parseArith())
+            while (peek.contains(TSym(","))) { next(); vals += parseArith() }
+            expectSym(")")
+            !vals.map(v => { val (ca, cv) = sides(a, v); ca === cv }).reduce(_ || _)
+          }
+          else throw new IllegalArgumentException("expected LIKE, BETWEEN or IN after NOT")
         case Some(TIdent(kw)) if kw.equalsIgnoreCase("BETWEEN") =>
           next()
           val lo = parseArith()

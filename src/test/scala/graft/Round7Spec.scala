@@ -50,6 +50,10 @@ class Round7Spec extends SparkSpec {
     assert(ids("name IN ('alpha', 'gamma')") == Set("1", "3"))
     assert(ids("score BETWEEN 10 AND 30") == Set("2", "3"))
     assert(ids("score * 2 IN (10, 50)") == Set("1", "3"))
+    assert(ids("name NOT IN ('alpha', 'gamma')") == Set("2"))
+    assert(ids("INCLUDE") == Set("1", "2", "3"))
+    assert(ids("EXCLUDE").isEmpty)
+    assert(ids("INCLUDE AND score > 10") == Set("2", "3"))
   }
 
   test("negative trailing WKT coordinates survive the arithmetic tokenizer") {

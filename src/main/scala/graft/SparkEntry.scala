@@ -2094,6 +2094,29 @@ object SparkEntry {
           round(col("q.stopword_ratio"), 6).as("stopword_ratio"))
         .orderBy(col("doc_id"))),
 
+    // Unicode crawl-text cleanup as a two-engine differential: the corpus
+    // text is pure ASCII, so both sides first inject deterministic noise
+    // (decomposed e+U+0301 / zero-width space by doc_id%3, trailing
+    // double-space + TAB/CR/LF + decomposed o+U+0308), then NFC-compose,
+    // strip controls+ZWSP, collapse spaces, trim — java.text.Normalizer vs
+    // DuckDB nfc_normalize (utf8proc) must agree byte-for-byte (md5 of the
+    // cleaned UTF-8)
+    "tx_normalize" -> ((s, dir) => {
+      val noisy = concat(
+        when(col("doc_id") % 3 === 0, lit("e\u0301 "))
+          .when(col("doc_id") % 3 === 1, lit("\u200B"))
+          .otherwise(lit("")),
+        col("text"), lit("  \t\r\no\u0308"))
+      val clean = graft.pipeline.Corpus.normalizeText(col("noisy"))
+      T(s, dir, "documents")
+        .withColumn("noisy", noisy)
+        .select(col("doc_id"),
+          length(col("noisy")).cast("long").as("n_raw"),
+          length(clean).cast("long").as("n_clean"),
+          md5(to_binary(clean, lit("utf-8"))).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
     // vocabulary growth curve (the Heaps-law diagnostic): corpus split
     // into 10 doc-id deciles, each word attributed to the decile of its
     // FIRST occurrence (one min aggregate on the vocab key), cumulative
@@ -4135,6 +4158,22 @@ object SparkEntry {
         .orderBy(col("cosine").desc, col("id"))
     }),
 
+    // filtered ANN — the vector-database "metadata filtering" shape: the
+    // label predicate is pushed INTO the probed IVF lists, and because a
+    // selective filter starves a fixed nprobe, the probe width escalates
+    // deterministically (2→4→8→16 lists) until ≥ k filtered candidates are
+    // inside the prefix; the oracle replays assignment, probe ranking, AND
+    // the escalation rule
+    "sim_filtered_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      Similarity.ivfFilteredTopK(emb, "vec_id", "embedding",
+          col("label") === 3, q, k = 20, nlist = 16, nprobe = 2)
+        .select(col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("id"))
+    }),
+
     // PQ/ADC compressed-domain search: 8 subspaces × 16 codes (64-dim →
     // 8 small ints, 32×), query LUT broadcast, distance = 8 table lookups
     "sim_pq_adc" -> ((s, dir) => {
@@ -4162,6 +4201,39 @@ object SparkEntry {
       val q = emb.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
       Similarity.probeStoredIvf(s, p, q, k = 20, nprobe = 2)
+    }),
+
+    // stored-index DELETE lifecycle: bootstrap + append as sim_ivf_store,
+    // then tombstone-delete vec_id % 7 == 0 (a metadata-sized sidecar
+    // write — no vector file touched), probe through the tombstone
+    // anti-join, COMPACT (dynamic overwrite of only the affected list
+    // partitions; fully-emptied lists dropped), and probe again — the two
+    // phases must return the identical masked top-k
+    "sim_ivf_delete" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val d = java.nio.file.Files.createTempDirectory("graft-ivf-del")
+      d.toFile.deleteOnExit()
+      val p = d.resolve("idx").toString
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", p, nlist = 16)
+      Similarity.appendIvfIndex(s, p, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding")
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+      // delete-by-id is a driver-side id list by nature (bounded: |corpus|/7
+      // at the gate; production batches arrive as lists anyway)
+      val deleted = emb.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+      Similarity.deleteFromIvfIndex(s, p, deleted)
+      // materialize the tombstone-phase probe BEFORE compaction replaces
+      // the files its lazy scan already listed
+      val tombPhase = Similarity.probeStoredIvf(s, p, q, k = 20, nprobe = 2)
+        .withColumn("phase", lit("tombstone")).localCheckpoint()
+      Similarity.compactIvfIndex(s, p)
+      val compactPhase = Similarity.probeStoredIvf(s, p, q, k = 20, nprobe = 2)
+        .withColumn("phase", lit("compacted"))
+      compactPhase.unionAll(tombPhase)
+        .orderBy(col("phase"), col("cosine").desc, col("id"))
     }),
 
     // IVF-PQ with exact re-rank: coarse-quantizer pruning (2 of 16 lists)
@@ -6280,6 +6352,18 @@ object SparkEntry {
 
     "tx_quality" -> TxQualitySql,
 
+    "tx_normalize" -> {
+      val noisy = "(CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) || ' ' " +
+        "WHEN doc_id % 3 = 1 THEN chr(8203) ELSE '' END) || text || " +
+        "'  ' || chr(9) || chr(13) || chr(10) || 'o' || chr(776)"
+      val clean = graft.pipeline.Corpus.normalizeTextDuckSql("noisy")
+      s"""WITH n AS (SELECT doc_id, $noisy AS noisy FROM documents)
+         |SELECT doc_id, length(noisy)::BIGINT AS n_raw,
+         |       length($clean)::BIGINT AS n_clean,
+         |       md5($clean) AS h
+         |FROM n ORDER BY doc_id""".stripMargin
+    },
+
     "tx_gopher" ->
       TextAnalysis.gopherRulesDuckSql("documents", "doc_id", "text"),
 
@@ -7946,6 +8030,36 @@ object SparkEntry {
         |FROM assign a JOIN probes p ON a.cid = p.cid CROSS JOIN q
         |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
 
+    // filtered-ANN replay: same assignment + probe ranking as sim_ivf_topk,
+    // plus the label pre-filter and the deterministic nprobe escalation
+    // (smallest width in {2,4,8,16} whose probed prefix holds >= 20
+    // filtered candidates, else all 16 lists)
+    "sim_filtered_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |assign AS (
+        |  SELECT id, v, label, cid FROM (
+        |    SELECT e.vec_id AS id, e.v, e.label, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1
+        |), prank AS (
+        |  SELECT cid, row_number() OVER (ORDER BY s DESC, cid) - 1 AS pr
+        |  FROM (SELECT c.cid, list_cosine_similarity(q.qv, c.cv) AS s
+        |        FROM c CROSS JOIN q)
+        |), cand AS (
+        |  SELECT a.id, a.v, p.pr FROM assign a JOIN prank p ON a.cid = p.cid
+        |  WHERE a.label = 3
+        |), width AS (
+        |  SELECT coalesce(min(step), 16) AS w
+        |  FROM (VALUES (2), (4), (8), (16)) s(step)
+        |  WHERE (SELECT count(*) FROM cand WHERE pr < s.step) >= 20
+        |)
+        |SELECT cand.id, round(list_cosine_similarity(cand.v, q.qv), 6) AS cosine
+        |FROM cand CROSS JOIN q WHERE cand.pr < (SELECT w FROM width)
+        |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
+
     // full PQ replay: codebook = subvectors of vec_id < 16, encode = argmin
     // of the 9-rounded subspace L2², ADC = sum of LUT lookups — the rounding
     // before argmin/sum is what makes the float path engine-reproducible
@@ -8002,6 +8116,38 @@ object SparkEntry {
         |SELECT a.id, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
         |FROM assigned a JOIN probes p ON p.cid = a.cid CROSS JOIN q
         |ORDER BY cosine DESC, id LIMIT 20""".stripMargin,
+
+    // delete lifecycle: the sim_ivf_store replay minus the tombstoned ids,
+    // emitted once per phase (tombstone-masked probe ≡ post-compaction probe)
+    "sim_ivf_delete" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |boot AS (SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0),
+        |c AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+        |  FROM boot ORDER BY vec_id LIMIT 16
+        |), q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT cid FROM (
+        |    SELECT c.cid,
+        |           row_number() OVER (
+        |             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+        |    FROM c CROSS JOIN q) WHERE rn <= 2
+        |), assigned AS (
+        |  SELECT id, v, cid FROM (
+        |    SELECT e.vec_id AS id, e.v, c.cid,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c) WHERE rn = 1
+        |), hits AS (
+        |  SELECT a.id, round(list_cosine_similarity(q.qv, a.v), 6) AS cosine
+        |  FROM assigned a JOIN probes p ON p.cid = a.cid CROSS JOIN q
+        |  WHERE a.id % 7 <> 0
+        |  ORDER BY cosine DESC, id LIMIT 20
+        |)
+        |SELECT id, cosine, 'compacted' AS phase FROM hits
+        |UNION ALL
+        |SELECT id, cosine, 'tombstone' AS phase FROM hits
+        |ORDER BY phase, cosine DESC, id""".stripMargin,
 
     "sim_ivf_pq" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -22,6 +22,35 @@ object Corpus {
   private val toksDuck =
     """list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '')"""
 
+  // ===================================================== text normalization
+
+  /** Unicode NFC canonical composition (java.text.Normalizer — the exact
+    * operator a crawl-cleaning pipeline runs first; combining sequences like
+    * `e`+U+0301 become the composed code point). A UDF by necessity: Spark
+    * has no native NFC expression. Per-row, allocation-light, and
+    * embarrassingly parallel — no shuffle, no state, safe at any corpus
+    * size.
+    */
+  val nfcUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** Crawl-text cleanup: NFC-compose, strip C0 controls (tab/CR/LF
+    * included) and zero-width space, collapse space runs, trim. Mirrors
+    * [[normalizeTextDuckSql]] character-for-character so the two engines
+    * hash-match on the cleaned string.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(nfcUdf(text), "[\\x00-\\x1f\\u200B]", ""),
+      " +", " "))
+
+  /** DuckDB replay of [[normalizeText]] over a text expression. */
+  def normalizeTextDuckSql(expr: String): String =
+    s"trim(regexp_replace(regexp_replace(nfc_normalize($expr), " +
+      s"'[\\x00-\\x1f\\x{200B}]', '', 'g'), ' +', ' ', 'g'))"
+
   // ===================================================== decontamination
 
   /** Per-document benchmark contamination report: for each training document

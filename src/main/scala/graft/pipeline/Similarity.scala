@@ -370,6 +370,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** Filtered ANN — the vector-database "metadata filtering" shape: a
+    * predicate (`WHERE label = 3`) is pushed INTO the probed IVF lists
+    * (pre-filter), so the exact re-rank touches only rows that both live in
+    * a probed list and pass the filter. A fixed nprobe under a selective
+    * filter starves the candidate set, so production engines escalate the
+    * probe width; here escalation is a deterministic rule the oracle
+    * replays: double nprobe (nprobe, 2·nprobe, 4·nprobe, … nlist) until
+    * ≥ k filtered candidates sit inside the probed prefix, else probe all.
+    * The escalation decision needs only an nlist-row aggregate
+    * (count by probe_rank — map-side combinable, tiny collect), never the
+    * vectors themselves; at 100 TB the corpus is PARTITIONED BY list_id and
+    * both passes are partition-pruned scans of the filtered columns.
+    */
+  def ivfFilteredTopK(df: DataFrame, idCol: String, vecCol: String,
+      pred: Column, query: Array[Double], k: Int,
+      nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    val cents = deterministicCentroids(df, idCol, vecCol, nlist)
+    val assign = nearestCentroidUdf(cents)
+    // probe order: lists ranked by centroid↔query cosine (ties → lowest id)
+    val ranked = cents.map { case (ci, cv) => (ci, centCos(cv, query.toSeq)) }
+      .sortBy { case (ci, s) => (-s, ci) }.map(_._1)
+    val rankOf = ranked.zipWithIndex.toMap
+    val rankUdf = udf((l: Int) => rankOf(l))
+    val cand = df.filter(pred)
+      .withColumn("probe_rank", rankUdf(assign(col(vecCol))))
+    // candidates per probe rank — ≤ nlist rows on the driver
+    val byRank = cand.groupBy("probe_rank").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val cum = (0 to nlist).scanLeft(0L)((acc, r) => acc + byRank.getOrElse(r, 0L))
+    val steps = Iterator.iterate(nprobe)(_ * 2).takeWhile(_ < nlist).toSeq :+ nlist
+    val probeWidth = steps.find(s => cum(s) >= k).getOrElse(nlist)
+    val qlit = array(query.map(lit): _*)
+    cand.filter(col("probe_rank") < lit(probeWidth))
+      .select(col(idCol).as("id"), cosine(asDouble(col(vecCol)), qlit).as("cosine"))
+      .orderBy(col("cosine").desc, col("id"))
+      .limit(k)
+  }
+
   /** Distributed Lloyd k-means coarse quantizer for IVF: deterministic init
     * (the first `k` vectors by id), then `iters` rounds of
     * assign-to-nearest-centroid (broadcast centroids, compiled cosine) and
@@ -944,11 +982,83 @@ object Similarity {
     val probes = cents.map { case (ci, cv) => (ci, centCos(cv, query.toSeq)) }
       .sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1).toSeq
     val qlit = array(query.map(lit): _*)
-    spark.read.parquet(path)
+    val rows = spark.read.parquet(path)
       .filter(col("list_id").isin(probes: _*))
+    val tomb = ivfTombstones(spark, path)
+    val live = tomb.fold(rows)(t =>
+      rows.join(broadcast(t), Seq("id"), "left_anti"))
+    live
       .select(col("id"), round(cosine(asDouble(col("vec")), qlit), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
+  }
+
+  private val IvfTombDir = "_ivf_tombstones"
+
+  /** Deleted-id set of a stored IVF index, or None when nothing was ever
+    * deleted (the `_`-prefixed directory is invisible to the plain parquet
+    * read of the index itself — Spark's hidden-path convention).
+    */
+  def ivfTombstones(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path, IvfTombDir)
+    if (fsFor(spark, path).exists(p))
+      Some(spark.read.parquet(p.toString).select("id").distinct())
+    else None
+  }
+
+  /** Delete ids from a stored IVF index WITHOUT touching a vector file:
+    * the ids append to a `_ivf_tombstones/` parquet sidecar (the
+    * segment-deletes discipline of Lucene / LSM stores) and every probe
+    * anti-joins the tombstone set AFTER partition pruning (broadcast —
+    * [[compactIvfIndex]] bounds its size). At 100 TB a delete is a
+    * metadata-sized write; the probed data path pays one broadcast-hash
+    * anti-join.
+    */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("id").repartition(1)
+      .write.mode("append")
+      .parquet(new org.apache.hadoop.fs.Path(path, IvfTombDir).toString)
+  }
+
+  /** Fold accumulated tombstones into the index: rewrite ONLY the list
+    * partitions that hold a deleted row (dynamic partition overwrite — the
+    * upsert discipline of [[graft.plans.SpatialLayout]]), then drop the
+    * tombstone sidecar. Returns the rewritten list_ids. The caller gates
+    * WHEN to compact (e.g. tombstones > 40% of a partition — the clustered-
+    * layer rebuild rule); this does the mechanics. The survivors are
+    * localCheckpoint-materialized before the overwrite so the write never
+    * reads the directory it is replacing.
+    */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Int] = {
+    val tomb = ivfTombstones(spark, path).getOrElse(return Nil)
+    val idx = spark.read.parquet(path)
+    val affected = idx.join(broadcast(tomb), Seq("id"), "left_semi")
+      .select("list_id").distinct().collect().map(_.getInt(0)).toSeq
+    if (affected.nonEmpty) {
+      val survivors = idx.filter(col("list_id").isin(affected: _*))
+        .join(broadcast(tomb), Seq("id"), "left_anti")
+        .localCheckpoint()
+      val keptLists = survivors.select("list_id").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (keptLists.nonEmpty)
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("list_id").parquet(path)
+      // a list whose EVERY row was deleted is invisible to dynamic
+      // overwrite (no surviving row lands in it) — drop its directory
+      // explicitly or the old files resurface once the tombstones clear
+      val fs = fsFor(spark, path)
+      (affected.toSet -- keptLists).foreach { l =>
+        fs.delete(new org.apache.hadoop.fs.Path(path, s"list_id=$l"), true)
+      }
+    }
+    fsFor(spark, path).delete(
+      new org.apache.hadoop.fs.Path(path, IvfTombDir), true)
+    affected
   }
 
   // ----------------------------------------------------- binary quantization

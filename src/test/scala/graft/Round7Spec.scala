@@ -276,4 +276,76 @@ class Round7Spec extends SparkSpec {
     assert(expected.subsetOf(names.toSet))
     assert(names.size == 54, s"registry size drifted: ${names.size}")
   }
+
+  // ------------------------------------------- filtered ANN + normalization
+
+  test("filtered ANN escalates nprobe until k candidates, never past nlist") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // selective filter: must return k rows, all passing the filter, scored
+    // identically to a brute-force cosine over the same filtered candidates
+    val got = Similarity.ivfFilteredTopK(emb, "vec_id", "embedding",
+      col("label") === 3, q, k = 20, nlist = 16, nprobe = 2).collect()
+    assert(got.length == 20)
+    val labels = emb.filter(col("label") === 3).select("vec_id")
+      .as[Long].collect().toSet
+    assert(got.forall(r => labels.contains(r.getLong(0))))
+    // impossible filter: empty result, no crash (escalation tops out at nlist)
+    val none = Similarity.ivfFilteredTopK(emb, "vec_id", "embedding",
+      col("label") === -1, q, k = 20, nlist = 16, nprobe = 2).collect()
+    assert(none.isEmpty)
+    // non-selective filter with k tiny: stays inside the base probe width,
+    // and equals unfiltered IVF top-k over the same probe width
+    val all = Similarity.ivfFilteredTopK(emb, "vec_id", "embedding",
+      lit(true), q, k = 5, nlist = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val plain = Similarity.ivfTopK(emb, "vec_id", "embedding", q,
+      k = 5, nlist = 16, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(all == plain)
+  }
+
+  test("IVF delete: tombstone probe ≡ compacted probe; emptied lists dropped") {
+    import graft.pipeline.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val d = Files.createTempDirectory("graft-r7-ivfdel")
+    val p = d.resolve("idx").toString
+    Similarity.writeIvfIndex(emb, "vec_id", "embedding", p, nlist = 8)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // wipe one whole list plus a few scattered ids
+    val byList = spark.read.parquet(p)
+      .groupBy("list_id").agg(collect_list("id").as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val wipe = byList.keys.min
+    val deleted = (byList(wipe) ++ byList.values.flatten.filter(_ % 5 == 0)).distinct.toSeq
+    Similarity.deleteFromIvfIndex(spark, p, deleted)
+    val tomb = Similarity.probeStoredIvf(spark, p, q, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(tomb.nonEmpty && tomb.forall(r => !deleted.contains(r._1)))
+    val rewritten = Similarity.compactIvfIndex(spark, p)
+    assert(rewritten.contains(wipe))
+    // the fully-emptied partition directory must be gone, not just empty
+    assert(!new java.io.File(s"$p/list_id=$wipe").exists())
+    assert(Similarity.ivfTombstones(spark, p).isEmpty)
+    val compacted = Similarity.probeStoredIvf(spark, p, q, k = 10, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(compacted == tomb)
+  }
+
+  test("normalizeText NFC-composes, strips controls/ZWSP, collapses spaces") {
+    val df = Seq(
+      ("e\u0301clair", "\u00e9clair"),                  // combining acute composes
+      ("a\u200Bb", "ab"),                           // zero-width space stripped
+      ("  x \t\r\n y  ", "x y"),                    // controls + runs + trim
+      ("o\u0308 O\u0308", "\u00f6 \u00d6")                    // diaeresis composes
+    ).toDF("raw", "want")
+    val got = df.select(
+      graft.pipeline.Corpus.normalizeText(col("raw")).as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"${r.getString(0)} != ${r.getString(1)}"))
+  }
 }

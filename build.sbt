@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// graft.Bench's parse contract is "totals JSON is the LAST stdout line";
+// under sbt the `[success] Total time …` trailer lands after it and breaks
+// a last-line parser (BENCH_r06.json "parsed": null). Suppressing the
+// success banner (build outcome still signals via exit code) makes the
+// JSON genuinely last under `sbt "runMain graft.Bench"` too.
+Global / showSuccess := false
+// …and sbt's default output strategy re-logs the forked JVM's stdout as
+// `[info] <line>`, which defeats a strict json-parse of that line. Inherit
+// stdout instead: runMain output arrives verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

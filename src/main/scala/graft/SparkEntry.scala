@@ -44,6 +44,23 @@ object SparkEntry {
         df.withColumn("ts", expr("unix_micros(ts) * 1000"))
     }
 
+  /** Ordered slab ids for streaming-gate file staging — ntile(n) bucket
+    * semantics (identical assignment via Events.ntileFromRank) over the
+    * distributed Events.globalRank instead of a single-partition
+    * `ntile().over(Window.orderBy(…))`: the same no-global-WindowExec
+    * discipline the production queries follow. Ties in `order` only ever
+    * move identical-timestamp/identical-key rows across a slab boundary,
+    * which the gates' watermark choreography is insensitive to.
+    */
+  private def slabify(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      nSlabs: Int): DataFrame = {
+    val n = df.count()
+    Events.globalRank(df, order, "_slab_rank")
+      .withColumn("slab",
+        Events.ntileFromRank(col("_slab_rank"), lit(n), nSlabs).cast("int"))
+      .drop("_slab_rank")
+  }
+
   /** Deterministic customer point layer in canonical schema (SURVEY §1.3). */
   private def pointsDf(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer").select(
@@ -1037,8 +1054,7 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("event_type").as("g"),
           Events.kmvHash(col("user_id")).as("h"))
-      val slabW = org.apache.spark.sql.expressions.Window.orderBy("g", "h")
-      val slabs = ev.withColumn("slab", ntile(4).over(slabW))
+      val slabs = slabify(ev, Seq(col("g"), col("h")), 4)
       (1 to 4).foreach { i =>
         slabs.filter(col("slab") === i).drop("slab")
           .repartition(1).write.mode("append").parquet(src)
@@ -2714,8 +2730,7 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id"), col("embedding"),
           to_timestamp(lit("2026-01-01 00:00:00")).as("ets"))
-      val slabW = org.apache.spark.sql.expressions.Window.orderBy("vec_id")
-      val slabs = qs.withColumn("slab", ntile(2).over(slabW))
+      val slabs = slabify(qs, Seq(col("vec_id")), 2)
       (1 to 2).foreach { i =>
         slabs.filter(col("slab") === i).drop("slab")
           .repartition(1).write.mode("append").parquet(src)
@@ -2761,8 +2776,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
-      val slabW = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
-      val slabs = docs.withColumn("slab", ntile(4).over(slabW))
+      val slabs = slabify(docs, Seq(col("doc_id")), 4)
       (1 to 4).foreach { i =>
         slabs.filter(col("slab") === i).drop("slab")
           .repartition(1).write.mode("append").parquet(src)
@@ -2804,8 +2818,7 @@ object SparkEntry {
       val ev = T(s, dir, "events").select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ets"),
         round(col("value") * 100).cast("double").as("value"))
-      val slabW = org.apache.spark.sql.expressions.Window.orderBy("ets")
-      val slabs = ev.withColumn("slab", ntile(4).over(slabW))
+      val slabs = slabify(ev, Seq(col("ets")), 4)
       (1 to 4).foreach { i =>
         slabs.filter(col("slab") === i).drop("slab")
           .repartition(1).write.mode("append").parquet(src)
@@ -4875,9 +4888,15 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
       val scored = LanguageModel.bigramScore(
         docs.filter(col("doc_id") % 5 =!= 0), docs, "doc_id", "text")
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("avg_nll"), col("id"))
-      scored.withColumn("bucket", ntile(10).over(w).cast("long"))
+      // deciles via the distributed globalRank + closed-form ntileFromRank
+      // (bucket-identical to ntile(10) over a global window, without the
+      // move-everything-to-one-partition WindowExec — (avg_nll, id) is a
+      // total order so the rank is deterministic)
+      val n = scored.count()
+      val ranked = Events.globalRank(scored,
+        Seq(col("avg_nll"), col("id")), "_r")
+      ranked.withColumn("bucket",
+          Events.ntileFromRank(col("_r"), lit(n), 10).cast("long"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("docs"), sum("n_bigrams").as("bigrams"),
           min("avg_nll").as("min_nll"), max("avg_nll").as("max_nll"))

@@ -335,6 +335,15 @@ class Round7Spec extends SparkSpec {
     assert(compacted == tomb)
   }
 
+  test("tx_ppl_bucket plans with no global-window exec (globalRank deciles)") {
+    val df = SparkEntry.queries("tx_ppl_bucket")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global WindowExec crept back:\n$plan")
+    // bucket assignment must stay ntile-identical
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.keySet == (1L to 10L).toSet)
+  }
+
   test("normalizeText NFC-composes, strips controls/ZWSP, collapses spaces") {
     val df = Seq(
       ("e\u0301clair", "\u00e9clair"),                  // combining acute composes

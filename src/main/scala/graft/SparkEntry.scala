@@ -3637,6 +3637,17 @@ object SparkEntry {
         .orderBy(col("media_id"), col("window_idx"))
     }),
 
+    // energy-threshold VAD segmentation: active windows (mean amplitude
+    // > 0.5) merged into maximal per-media runs (gaps-and-islands) — the
+    // ASR silence-removal pass; amplitude sums are exact in ≤29 bits so
+    // the threshold replays order-free in the oracle
+    "mm_vad" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 300)
+      Multimodal.vadSegments(media, windows = 8, samplesPerWindow = 32,
+          threshold = 0.5)
+        .orderBy(col("media_id"), col("seg_idx"))
+    }),
+
     // frame sampling over video-kind media: the 1→N explode shape of a real
     // frame sampler, deterministic stub decode replayed by the oracle
     "mm_frames" -> ((s, dir) => {
@@ -7593,6 +7604,8 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
 
     "mm_audio" -> MmAudioSql,
+
+    "mm_vad" -> MmVadSql,
     "mm_audio_match" -> MmAudioMatchSql,
 
     "sp_simplify_reverse" -> (PtsCte +
@@ -8944,6 +8957,43 @@ object SparkEntry {
       |                      / CAST(255 AS FLOAT) AS DOUBLE)), 6) AS peak
       |FROM chain WHERE step > 64
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** mm_vad oracle: the MmAudioSql chain, unrounded per-window sums, the
+    * 0.5 mean-amplitude gate, and the identical gaps-and-islands merge.
+    */
+  private val MmVadSql: String =
+    """WITH RECURSIVE chain(media_id, step, state) AS (
+      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
+      |  FROM range(300) t(i) WHERE i % 3 = 1
+      |  UNION ALL
+      |  SELECT media_id, step + 1,
+      |    CAST((CAST(xor(state, CAST(
+      |      CASE WHEN step < 64
+      |        THEN CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
+      |                  THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
+      |                  ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
+      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
+      |      % 18446744073709551616 AS UBIGINT)
+      |  FROM chain WHERE step < 320
+      |), wv AS (
+      |  SELECT media_id, CAST((step - 65) // 32 AS BIGINT) AS window_idx,
+      |         sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
+      |                  / CAST(255 AS FLOAT) AS DOUBLE)) AS sample_sum
+      |  FROM chain WHERE step > 64 GROUP BY 1, 2
+      |), act AS (
+      |  SELECT media_id, window_idx, sample_sum,
+      |         window_idx - row_number() OVER (
+      |           PARTITION BY media_id ORDER BY window_idx) AS island
+      |  FROM wv WHERE sample_sum / 32 > 0.5
+      |), seg AS (
+      |  SELECT media_id, min(window_idx) AS seg_start, max(window_idx) AS seg_end,
+      |         count(*)::BIGINT AS n_windows, round(sum(sample_sum), 4) AS energy
+      |  FROM act GROUP BY media_id, island
+      |)
+      |SELECT media_id,
+      |       row_number() OVER (PARTITION BY media_id ORDER BY seg_start) AS seg_idx,
+      |       seg_start, seg_end, n_windows, energy
+      |FROM seg ORDER BY media_id, seg_idx""".stripMargin
 
   /** mm_audio_match oracle: the MmAudioSql chain with the duplicate-planting
     * seed fold (media_id % 9 = 4 → media_id − 3), then the identical

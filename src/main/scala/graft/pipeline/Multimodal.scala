@@ -157,6 +157,38 @@ object Multimodal {
       .toDF("media_id", "window_idx", "sample_sum", "peak")
   }
 
+  /** Energy-threshold voice-activity segmentation over the windowed
+    * waveform — the silence-removal pass an ASR-corpus pipeline runs before
+    * transcription: a window is ACTIVE when its mean amplitude exceeds
+    * `threshold`, and maximal runs of active windows merge into segments
+    * (gaps-and-islands: island = window_idx − row_number over the active
+    * windows, both per-media). Per-media windows are a constant (`windows`),
+    * so every partitioned window here is bounded-input by construction.
+    * Amplitudes are byte/255 floats widened to double, so the 32-term sums
+    * are EXACT (≤29 significant bits) and the threshold compare is
+    * order-free — replayable by the oracle. Swap the stub decode for PCM +
+    * a spectral VAD score without touching the dataflow.
+    */
+  def vadSegments(df: DataFrame, windows: Int = 8, samplesPerWindow: Int = 32,
+      threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wv = sampleWaveform(df, windows, samplesPerWindow)
+    val perMedia = Window.partitionBy("media_id").orderBy("window_idx")
+    val segs = wv
+      .filter(col("sample_sum") / lit(samplesPerWindow) > lit(threshold))
+      .withColumn("island", col("window_idx") - row_number().over(perMedia))
+      .groupBy(col("media_id"), col("island"))
+      .agg(min("window_idx").as("seg_start"), max("window_idx").as("seg_end"),
+        count(lit(1)).as("n_windows"),
+        round(sum("sample_sum"), 4).as("energy"))
+    val perSeg = Window.partitionBy("media_id").orderBy("seg_start")
+    segs.withColumn("seg_idx", row_number().over(perSeg).cast("long"))
+      .select(col("media_id"), col("seg_idx"),
+        col("seg_start").cast("long").as("seg_start"),
+        col("seg_end").cast("long").as("seg_end"),
+        col("n_windows"), col("energy"))
+  }
+
   /** Per-sample waveform points (media_id, window_idx, sample_idx, px) —
     * the un-aggregated sibling of [[sampleWaveform]], feeding peak-picking
     * pipelines like [[constellationMatches]].

@@ -335,6 +335,32 @@ class Round7Spec extends SparkSpec {
     assert(compacted == tomb)
   }
 
+  test("vadSegments merges exactly the maximal runs of active windows") {
+    import graft.pipeline.Multimodal
+    val media = Multimodal.syntheticMedia(spark, 120)
+    val act = Multimodal.sampleWaveform(media, 8, 32)
+      .filter(col("sample_sum") / 32 > 0.5)
+      .select(col("media_id"), col("window_idx"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    // brute-force maximal runs from the active-window sets
+    val want = act.toSeq.flatMap { case (id, ws) =>
+      ws.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: rest, w) if w == e + 1 => (s, w) :: rest
+        case (acc, w) => (w, w) :: acc
+      }.reverse.zipWithIndex.map { case ((s, e), i) => (id, i + 1L, s.toLong, e.toLong) }
+    }.toSet
+    val got = Multimodal.vadSegments(media, 8, 32, 0.5)
+      .select("media_id", "seg_idx", "seg_start", "seg_end")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    // every segment is a contiguous run
+    Multimodal.vadSegments(media, 8, 32, 0.5).collect().foreach { r =>
+      assert(r.getAs[Long]("n_windows") ==
+        r.getAs[Long]("seg_end") - r.getAs[Long]("seg_start") + 1)
+    }
+  }
+
   test("tx_ppl_bucket plans with no global-window exec (globalRank deciles)") {
     val df = SparkEntry.queries("tx_ppl_bucket")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString

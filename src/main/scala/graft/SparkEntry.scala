@@ -4140,6 +4140,19 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // cosine RANGE search (radius query, the sibling of top-k): every
+    // vec_id%100 query pulls all corpus rows with cosine ≥ τ via the
+    // multi-probe SRP bucket equi-join + exact verify; recall is the
+    // deterministic seeded-plane collision set, replayed by the oracle
+    "sim_range" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.srpRangeSearch(emb, emb.filter(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", tau = 0.3, dim = 64, bits = 8,
+          probeHamming = 2)
+        .select(col("qid"), col("id"), round(col("cosine"), 6).as("cosine"))
+        .orderBy(col("qid"), col("id"))
+    }),
+
     // SemDeDup: near-dup search restricted to coarse-quantizer clusters —
     // Σ|cluster|² work instead of n², co-located by one shuffle on cid
     "dd_semantic" -> ((s, dir) =>
@@ -7936,6 +7949,27 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // range-search replay: same seeded SRP planes, same multi-probe set
+    // (bucket XOR all masks of Hamming weight ≤ 2), same exact-cosine τ
+    "sim_range" -> {
+      val sig = Similarity.srpBucketDuckSql("v", dim = 64, bits = 8)
+      val flips = Similarity.probeMasks(bits = 8, probeHamming = 2).mkString(", ")
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $sig AS bucket FROM e),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM b
+         |      WHERE vec_id % 100 = 0),
+         |probes AS (
+         |  SELECT q.qid, q.qv, xor(q.qb, f.f) AS probe
+         |  FROM q CROSS JOIN (SELECT unnest([$flips]) AS f) f
+         |)
+         |SELECT DISTINCT p.qid, c.vec_id AS id,
+         |       round(list_cosine_similarity(p.qv, c.v), 6) AS cosine
+         |FROM probes p JOIN b c ON c.bucket = p.probe
+         |WHERE c.vec_id <> p.qid
+         |  AND list_cosine_similarity(p.qv, c.v) >= 0.3
+         |ORDER BY qid, id""".stripMargin
+    },
 
     // same quantizer CTEs as sim_ivf_topk, pair join within cluster
     "dd_semantic" ->

@@ -212,6 +212,49 @@ object Similarity {
       .limit(k)
   }
 
+  /** Cosine RANGE search — "everything within τ of these queries", the
+    * range-query sibling of top-k retrieval (near-dup candidate pull,
+    * radius recall audits): corpus and queries bucket by SRP signature,
+    * each query probes its own bucket plus all `probeHamming`-bit flips
+    * (multi-probe), candidates join ON THE BUCKET (an equi-join on an
+    * 8-byte key — never query×corpus), and exact cosine keeps rows ≥ τ.
+    * Recall is the SRP collision probability, a deterministic function of
+    * the seeded planes — the oracle replays buckets, probe sets, and the
+    * exact filter, so even deliberately-missed rows match. At 100 TB the
+    * corpus is written partitioned/bucketed by `bucket` and each probe is
+    * partition pruning.
+    */
+  /** XOR masks of Hamming weight ≤ `probeHamming` over `bits` — the
+    * multi-probe set shared by [[srpRangeSearch]] and its oracle replay.
+    */
+  private[graft] def probeMasks(bits: Int, probeHamming: Int): Seq[Long] = {
+    val m = scala.collection.mutable.ArrayBuffer(0L)
+    if (probeHamming >= 1) (0 until bits).foreach(i => m += (1L << i))
+    if (probeHamming >= 2)
+      for (i <- 0 until bits; j <- (i + 1) until bits) m += ((1L << i) | (1L << j))
+    m.toSeq
+  }
+
+  def srpRangeSearch(corpus: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, tau: Double, dim: Int, bits: Int = 12,
+      probeHamming: Int = 1): DataFrame = {
+    val qb = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qbucket", srpBucket(col("qvec"), dim, bits))
+    val probed = qb.withColumn("probe",
+      explode(array(probeMasks(bits, probeHamming)
+        .map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
+    val cb = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", srpBucket(col("vec"), dim, bits))
+    probed.join(cb, col("probe") === col("bucket"))
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id"),
+        cosine(asDouble(col("qvec")), asDouble(col("vec"))).as("cosine"))
+      .filter(col("cosine") >= lit(tau))
+      .distinct()
+  }
+
   /** Exact all-pairs near-dup by cosine ≥ threshold — id-ordered self-join
     * with exact cosine. GUARANTEED recall (oracle-checkable), O(n²/p) work:
     * right for up-to-millions of vectors or as the verification pass; at

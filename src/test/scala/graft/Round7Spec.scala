@@ -335,6 +335,28 @@ class Round7Spec extends SparkSpec {
     assert(compacted == tomb)
   }
 
+  test("srpRangeSearch returns a τ-true subset of the brute-force range set") {
+    import graft.pipeline.Similarity
+    assert(Similarity.probeMasks(8, 2).size == 1 + 8 + 28)
+    assert(Similarity.probeMasks(8, 2).distinct.size == 37)
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val qs = emb.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.srpRangeSearch(emb, qs, "vec_id", "embedding",
+        tau = 0.3, dim = 64, bits = 8, probeHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    assert(got.forall(_._3 >= 0.3))
+    // subset of the exact range join (prefilter may miss, never invent)
+    val brute = qs.select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .crossJoin(emb.select(col("vec_id").as("id"), col("embedding").as("v")))
+      .filter(col("qid") =!= col("id"))
+      .filter(Similarity.cosine(
+        transform(col("qv"), _.cast("double")),
+        transform(col("v"), _.cast("double"))) >= 0.3)
+      .select("qid", "id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall(p => brute.contains((p._1, p._2))))
+  }
+
   test("vadSegments merges exactly the maximal runs of active windows") {
     import graft.pipeline.Multimodal
     val media = Multimodal.syntheticMedia(spark, 120)

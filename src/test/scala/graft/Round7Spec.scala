@@ -335,6 +335,30 @@ class Round7Spec extends SparkSpec {
     assert(compacted == tomb)
   }
 
+  test("normalizeText is idempotent and its output is clean NFC (property)") {
+    import java.text.Normalizer
+    // deterministic noisy-string generator mixing combining marks, ZWSP,
+    // controls, runs of spaces, and plain text
+    val atoms = Array("a", "é", "ö", "\u200B", "\t", "\r\n", "  ",
+      "x y", "Ω", " ", "z\u030A", " ", "caf", "9")
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 240).map { _ =>
+      (0 until (1 + rnd.nextInt(12))).map(_ => atoms(rnd.nextInt(atoms.length))).mkString
+    }
+    val df = rows.toDF("raw")
+    val once = graft.pipeline.Corpus.normalizeText(col("raw"))
+    val got = df.select(once.as("c1"),
+        graft.pipeline.Corpus.normalizeText(once).as("c2"))
+      .collect()
+    got.foreach { r =>
+      val c1 = r.getString(0); val c2 = r.getString(1)
+      assert(c1 == c2, s"not idempotent: ${c1} vs ${c2}")
+      assert(!c1.exists(ch => ch < ' ' || ch == '\u200B'), s"dirty: $c1")
+      assert(!c1.contains("  ") && c1 == c1.trim, s"spacing: '$c1'")
+      assert(Normalizer.isNormalized(c1, Normalizer.Form.NFC), s"not NFC: $c1")
+    }
+  }
+
   test("srpRangeSearch returns a τ-true subset of the brute-force range set") {
     import graft.pipeline.Similarity
     assert(Similarity.probeMasks(8, 2).size == 1 + 8 + 28)

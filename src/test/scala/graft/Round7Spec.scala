@@ -335,6 +335,49 @@ class Round7Spec extends SparkSpec {
     assert(compacted == tomb)
   }
 
+  test("dropDuplicatesWithinWatermark semantics pin: no drop-extension, eviction lag") {
+    // Pins the empirically-derived state machine the st_stream_dedupw
+    // oracle replays: (a) duplicates never extend the stored expiry,
+    // (b) eviction runs at END of batch b with W_b, so state is alive
+    // during batch b iff expiry >= W_{b-1}. If a Spark upgrade changes
+    // either rule, this fails loudly before the driver gate does.
+    val d = Files.createTempDirectory("graft-r7-ddwpin")
+    val src = d.resolve("in").toString
+    val ckpt = d.resolve("ckpt").toString
+    def ts(h: Double) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0, 0).plusSeconds((h * 3600).toLong))
+    val batches = Seq(
+      Seq((1L, 0.0), (1L, 0.5), (2L, 0.2)),  // within-batch dup k1 dropped
+      Seq((2L, 0.9), (3L, 1.0)),             // k2 dup within delay dropped
+      Seq((1L, 5.0), (3L, 5.1)),             // alive via W-lag ⇒ both dropped
+      Seq((4L, 20.0)),                       // watermark push
+      Seq((1L, 20.5), (3L, 20.6)),           // state long evicted ⇒ re-emit
+      Seq((5L, 21.0), (5L, 21.5)),           // dup does NOT extend expiry…
+      Seq((6L, 23.2)),                       // …wm pushes past 22.0 expiry…
+      Seq((5L, 22.3)))                       // …but W-LAG keeps k5 alive ⇒ drop
+    batches.foreach { b =>
+      b.map { case (k, h) => (k, ts(h)) }.toDF("k", "ets")
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    val staged = spark.read.parquet(src)
+    val q = spark.readStream.schema(staged.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ets", "1 hour")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.format("memory").queryName("r7_ddw_pin")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    awaitAndStop(q, 120000)
+    val got = spark.table("r7_ddw_pin").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1))).toSet
+    val want = Set((1L, ts(0.0)), (1L, ts(20.5)), (2L, ts(0.2)),
+      (3L, ts(1.0)), (3L, ts(20.6)), (4L, ts(20.0)), (5L, ts(21.0)),
+      (6L, ts(23.2)))
+    assert(got == want, s"semantics drifted:\n got=$got\nwant=$want")
+  }
+
   test("normalizeText is idempotent and its output is clean NFC (property)") {
     import java.text.Normalizer
     // deterministic noisy-string generator mixing combining marks, ZWSP,

@@ -1609,6 +1609,19 @@ object SparkEntry {
         .orderBy(col("node"))
     }),
 
+    // Borůvka minimum spanning forest over the customer↔supplier trade
+    // graph: min-quantity edge weights made DISTINCT by the composite
+    // (w, a, b) key, so the forest is unique and the fixed rounds×jumps
+    // hook/pointer-double schedule replays verbatim in the oracle
+    "gr_mst" -> ((s, dir) => {
+      val edges = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"),
+          col("l_quantity").cast("long").as("w"))
+      Graphs.boruvkaMsf(edges)
+    }),
+
     // ordered funnel view → click → purchase within 48 h of the first
     // view — chained running-min windows, one shuffle (Events.funnel)
     "ev_funnel" -> ((s, dir) => {
@@ -5942,6 +5955,12 @@ object SparkEntry {
          |${relax("d2", "d3")}
          |SELECT node, dist FROM d3 ORDER BY node""".stripMargin
     },
+
+    // Borůvka replay: identical unrolled rounds×jumps schedule
+    "gr_mst" -> Graphs.boruvkaDuckSql(
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+        |       CAST(l_quantity AS BIGINT) AS w
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin),
 
     // stage-k time = min event of that type strictly after stage k−1 and
     // within the horizon of stage 1 — the join formulation is equivalent to

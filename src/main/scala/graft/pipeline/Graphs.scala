@@ -1,5 +1,7 @@
 package graft.pipeline
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -768,5 +770,190 @@ l$i AS (SELECT src AS node, lbl FROM (
       s"sccLabels: $maxRounds peel rounds exhausted with unlabeled vertices " +
         "remaining (condensation depth exceeds the bound) — raise maxRounds")
     out
+  }
+
+  // ------------------------------------------------------------ Borůvka MSF
+
+  /** Borůvka minimum spanning forest over an undirected weighted edge list
+    * `edges(src, dst, w)` — the classic O(log V)-round distributed MST
+    * (Borůvka 1926; the schedule every Pregel-style MSF uses). Weights are
+    * made DISTINCT by the composite key w·2⁴² + a·2²¹ + b (requires node
+    * ids < 2²¹ and 0 ≤ w < 2²⁰ — checked loudly), so the forest is UNIQUE
+    * and the fixed rounds×jumps schedule replays verbatim in the DuckDB
+    * oracle ([[boruvkaDuckSql]]). Each round: every component hooks its
+    * minimum-key incident edge (distinct keys ⇒ the only hook cycles are
+    * mutual 2-cycles, broken toward the smaller component id), labels
+    * collapse through `jumps` pointer-doubling steps (covers chains up to
+    * 2^jumps), and the chosen edges join the forest. Throws if label
+    * chains outrun the doubling depth or cross-component edges survive
+    * all rounds — loud, never silently-partial output.
+    *
+    * Scale shape: each round is two comp-keyed joins, one min-aggregate on
+    * component keys, and jumps small self-joins on the (≤ #components)-row
+    * parent table; every loop-carried frame is localCheckpoint'ed with the
+    * superseded snapshot freed (the sccLabels discipline). Rounds halve the
+    * component count at minimum, so 8 rounds cover 2⁸ components per tree
+    * and real graphs converge in 3-5.
+    */
+  /** Materialize `df` (eager localCheckpoint) and rewrap the checkpointed
+    * RDD in a BARE LogicalRDD. The rewrap is what matters: a plain
+    * localCheckpoint CARRIES the origin plan's computed statistics, and in
+    * an iterative self-join loop those sizeInBytes estimates MULTIPLY —
+    * the pointer-doubling jumps square them every step, and by a few
+    * rounds the driver sits in million-digit BigInteger products inside
+    * SizeInBytesOnlyStatsPlanVisitor (observed: 22 min of driver CPU on a
+    * 160-node graph before the fix). The bare wrapper falls back to
+    * defaultSizeInBytes, keeping every product word-sized. Blocks are
+    * shared with the checkpoint, so [[freeCheckpoint]] on the returned
+    * frame frees them.
+    */
+  private def materializedBare(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint()
+    df.sparkSession.createDataFrame(ck.rdd, df.schema)
+  }
+
+  def boruvkaMsf(edges: DataFrame, rounds: Int = 8, jumps: Int = 6): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        col("w").cast("long").as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .select(col("a"), col("b"), col("w"),
+        (col("w") * lit(1L << 42) + col("a") * lit(1L << 21) + col("b")).as("key"))
+      .pipe(materializedBare)
+    val bounds = und.agg(
+      coalesce(max(greatest(col("a"), col("b"))), lit(0L)).as("mxid"),
+      coalesce(max(col("w")), lit(0L)).as("mxw"),
+      coalesce(min(col("w")), lit(0L)).as("mnw")).head()
+    require(bounds.getLong(0) < (1L << 21) &&
+        bounds.getLong(1) < (1L << 20) && bounds.getLong(2) >= 0L,
+      s"boruvkaMsf: composite weight key needs ids < 2^21 and 0 <= w < 2^20, " +
+        s"got maxId=${bounds.getLong(0)} w in [${bounds.getLong(2)}, ${bounds.getLong(1)}]")
+    var comp = und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node"))).distinct()
+      .withColumn("comp", col("node")).pipe(materializedBare)
+    var chosenKeys = und.select("key").filter(lit(false))
+    var r = 0
+    var done = false
+    while (r < rounds && !done) {
+      val ec = und
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+        .select(col("ca"), col("cb"), col("key"))
+        .pipe(materializedBare)
+      if (ec.isEmpty) { done = true; freeCheckpoint(ec) }
+      else {
+        val inc = ec.select(col("ca").as("c"), col("cb").as("t"), col("key"))
+          .union(ec.select(col("cb").as("c"), col("ca").as("t"), col("key")))
+        // argmin edge per component — keys are unique, so the join back
+        // recovers exactly one (t, key) per c
+        val hook = inc.groupBy("c").agg(min("key").as("key"))
+          .join(inc, Seq("c", "key"))
+          .pipe(materializedBare)
+        chosenKeys = materializedBare(chosenKeys.union(hook.select("key")).distinct())
+        // mutual 2-cycles break toward the smaller component id
+        var par = hook
+          .join(hook.select(col("c").as("t"), col("t").as("tt")), Seq("t"), "left")
+          .select(col("c"),
+            when(col("tt") === col("c"), least(col("c"), col("t")))
+              .otherwise(col("t")).as("p"))
+          .pipe(materializedBare)
+        (1 to jumps).foreach { _ =>
+          val prev = par
+          par = par
+            .join(par.select(col("c").as("p"), col("p").as("pp")), Seq("p"), "left")
+            .select(col("c"), coalesce(col("pp"), col("p")).as("p"))
+            .pipe(materializedBare)
+          freeCheckpoint(prev)
+        }
+        // the doubling depth must have flattened every chain
+        val unstable = par
+          .join(par.select(col("c").as("p"), col("p").as("pp")), Seq("p"), "left")
+          .filter(col("pp").isNotNull && col("pp") =!= col("p"))
+        require(unstable.isEmpty,
+          s"boruvkaMsf: parent chains deeper than 2^$jumps after round $r — raise jumps")
+        val prevComp = comp
+        comp = comp
+          .join(par.select(col("c").as("comp"), col("p")), Seq("comp"), "left")
+          .select(col("node"), coalesce(col("p"), col("comp")).as("comp"))
+          .pipe(materializedBare)
+        freeCheckpoint(prevComp)
+        freeCheckpoint(ec)
+        freeCheckpoint(par)
+        freeCheckpoint(hook)
+      }
+      r += 1
+    }
+    if (!done) {
+      val residual = und
+        .join(comp.select(col("node").as("a"), col("comp").as("ca")), "a")
+        .join(comp.select(col("node").as("b"), col("comp").as("cb")), "b")
+        .filter(col("ca") =!= col("cb"))
+      require(residual.isEmpty,
+        s"boruvkaMsf: $rounds rounds exhausted with cross-component edges left — raise rounds")
+    }
+    und.join(chosenKeys, "key")
+      .select(col("a"), col("b"), col("w"))
+      .orderBy(col("w"), col("a"), col("b"))
+  }
+
+  /** DuckDB replay of [[boruvkaMsf]]: the identical fixed rounds×jumps
+    * schedule unrolled as CTEs over a caller-supplied base relation
+    * producing (src, dst, w). Rounds past convergence are no-ops (no
+    * cross edges ⇒ no hooks ⇒ labels unchanged), exactly like the Spark
+    * loop's early break.
+    */
+  def boruvkaDuckSql(baseSql: String, rounds: Int = 8, jumps: Int = 6): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH base AS MATERIALIZED ($baseSql),
+      |und AS MATERIALIZED (
+      |  SELECT a, b, min(w) AS w FROM (
+      |    SELECT least(src, dst) AS a, greatest(src, dst) AS b, w
+      |    FROM base WHERE src <> dst) GROUP BY 1, 2
+      |), ue AS MATERIALIZED (
+      |  SELECT a, b, w, w * ${1L << 42} + a * ${1L << 21} + b AS key FROM und
+      |), c0 AS MATERIALIZED (
+      |  SELECT node, node AS comp FROM (
+      |    SELECT a AS node FROM ue UNION SELECT b FROM ue)
+      |)""".stripMargin
+    (1 to rounds).foreach { r =>
+      val pc = s"c${r - 1}"
+      sb ++= s""",
+        |ec_$r AS MATERIALIZED (
+        |  SELECT ca.comp AS ca, cb.comp AS cb, ue.key
+        |  FROM ue JOIN $pc ca ON ca.node = ue.a JOIN $pc cb ON cb.node = ue.b
+        |  WHERE ca.comp <> cb.comp
+        |), inc_$r AS MATERIALIZED (
+        |  SELECT ca AS c, cb AS t, key FROM ec_$r
+        |  UNION ALL SELECT cb, ca, key FROM ec_$r
+        |), hk_$r AS MATERIALIZED (
+        |  SELECT i.c, i.t, i.key
+        |  FROM (SELECT c, min(key) AS key FROM inc_$r GROUP BY 1) m
+        |  JOIN inc_$r i ON i.c = m.c AND i.key = m.key
+        |), p_${r}_0 AS MATERIALIZED (
+        |  SELECT h.c, CASE WHEN h2.t = h.c THEN least(h.c, h.t) ELSE h.t END AS p
+        |  FROM hk_$r h LEFT JOIN hk_$r h2 ON h2.c = h.t
+        |)""".stripMargin
+      (1 to jumps).foreach { j =>
+        sb ++= s""",
+          |p_${r}_$j AS MATERIALIZED (
+          |  SELECT x.c, coalesce(y.p, x.p) AS p
+          |  FROM p_${r}_${j - 1} x LEFT JOIN p_${r}_${j - 1} y ON y.c = x.p
+          |)""".stripMargin
+      }
+      sb ++= s""",
+        |c$r AS MATERIALIZED (
+        |  SELECT c.node, coalesce(p.p, c.comp) AS comp
+        |  FROM $pc c LEFT JOIN p_${r}_$jumps p ON p.c = c.comp
+        |)""".stripMargin
+    }
+    val chosen = (1 to rounds).map(r => s"SELECT key FROM hk_$r").mkString(" UNION ")
+    sb ++= s"""
+      |SELECT ue.a, ue.b, ue.w FROM ue
+      |WHERE ue.key IN ($chosen)
+      |ORDER BY ue.w, ue.a, ue.b""".stripMargin
+    sb.toString
   }
 }

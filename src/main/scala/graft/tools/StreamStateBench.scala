@@ -149,6 +149,12 @@ object StreamStateBench {
             s.select(col("g"), col("h"))
               .as[graft.streaming.StreamSketch.KmvRow], 256).toDF()
         })),
+      // dropDuplicatesWithinWatermark: state = one expiry per key still
+      // inside the delay horizon — rate-independent by design (the 10×
+      // copies are exactly the duplicate traffic the operator absorbs)
+      "st_dedup_within_wm" -> (n => ("ets",
+        evAt(n).select(col("user_id").as("k"), col("ets")),
+        s => s.withWatermark("ets", "2 hours").dropDuplicatesWithinWatermark("k"))),
       "st_interval_join" -> (n => ("ets",
         evAt(n).select(col("user_id"), col("ets"), col("event_type")),
         s => {

@@ -335,6 +335,38 @@ class Round7Spec extends SparkSpec {
     assert(compacted == tomb)
   }
 
+  test("boruvkaMsf equals a sequential Kruskal on the same composite weights") {
+    val edges = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .join(spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"),
+        col("l_quantity").cast("long").as("w"))
+    val got = Graphs.boruvkaMsf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference Kruskal with union-find on the identical composite key order
+    val und = edges.select(
+        least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"),
+        col("w"))
+      .groupBy("a", "b").agg(min("w").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = und.sortBy { case (a, b, w) => (w, a, b) }.flatMap {
+      case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(got == want, s"MSF mismatch: ${got.size} vs ${want.size} edges")
+    // spanning-forest size sanity: |V| - #components
+    val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.size
+    assert(got.size <= nodes - 1)
+  }
+
   test("dropDuplicatesWithinWatermark semantics pin: no drop-extension, eviction lag") {
     // Pins the empirically-derived state machine the st_stream_dedupw
     // oracle replays: (a) duplicates never extend the stored expiry,

@@ -1681,6 +1681,21 @@ object SparkEntry {
       Graphs.triangleCountApprox(edges, p = 0.2)
     }),
 
+    // k-truss of the co-order graph restricted to every-4th part (keeps the
+    // per-round triangle re-enumeration oracle-sized): peel edges on < k−2
+    // triangles to the fixpoint subgraph — the edge-wise k-core
+    // strengthening; surviving edges reported with their final support
+    "gr_ktruss" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").filter(col("l_partkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+          col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+      Graphs.trussPeel(edges, k = 5, rounds = 7)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // local clustering coefficients over the same co-order graph: exact
     // triangles + degrees, one IEEE division of exact ints per node
     "gr_clustering" -> ((s, dir) => {
@@ -6057,6 +6072,14 @@ object SparkEntry {
         |       CAST(round(tri_sampled * power(1000003.0 / 200001.0, 3))
         |            AS BIGINT) AS tri_est
         |FROM tri""".stripMargin,
+
+    "gr_ktruss" -> Graphs.trussDuckSql(
+      """e0 AS MATERIALIZED (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        |  WHERE x.l_partkey % 4 = 0 AND y.l_partkey % 4 = 0)""".stripMargin,
+      k = 5, rounds = 7),
 
     "gr_clustering" ->
       """WITH und AS (

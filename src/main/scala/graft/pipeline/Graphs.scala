@@ -89,6 +89,18 @@ object Graphs {
     .distinct()
 
   private def trianglesFromUnd(und: DataFrame,
+      broadcastLimit: Long): DataFrame =
+    orientedTriples(und, broadcastLimit)
+      .select(explode(array(col("u"), col("v"), col("w"))).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n_tri"))
+      .select((col("k") % lit(1L << 31)).as("node"), col("n_tri"))
+
+  /** One row per triangle of the undirected (a<b) list `und`, as the three
+    * orientation KEYS (deg·2³¹ + id) — each triangle produced exactly once
+    * by the degree-oriented wedge plan described on the object. Callers
+    * decode ids with `key % 2³¹`.
+    */
+  private def orientedTriples(und: DataFrame,
       broadcastLimit: Long): DataFrame = {
     val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -110,10 +122,102 @@ object Graphs {
     val wedges = dirE.as("x").join(dirEb.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))
       .select(col("x.u").as("u"), col("x.w").as("v"), col("y.w").as("w"))
-    val tris = wedges.join(dirEb.select(col("u").as("v"), col("w")), Seq("v", "w"))
-    tris.select(explode(array(col("u"), col("v"), col("w"))).as("k"))
-      .groupBy("k").agg(count(lit(1)).as("n_tri"))
-      .select((col("k") % lit(1L << 31)).as("node"), col("n_tri"))
+    wedges.join(dirEb.select(col("u").as("v"), col("w")), Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+  }
+
+  /** Per-edge triangle support over an undirected (a<b) edge list: one row
+    * (a, b, support) for every edge on ≥1 triangle. The enumeration is the
+    * oriented O(m^{3/2}) plan; ids are decoded from the orientation keys and
+    * re-sorted so each triangle charges its three id-ordered edges — the
+    * same (a, b) keys the input carries, whatever the degree orientation
+    * chose.
+    */
+  private def edgeSupport(und: DataFrame, broadcastLimit: Long): DataFrame = {
+    val ids = orientedTriples(und, broadcastLimit).select(
+      (col("u") % lit(1L << 31)).as("x"),
+      (col("v") % lit(1L << 31)).as("y"),
+      (col("w") % lit(1L << 31)).as("z"))
+    val lo = least(col("x"), col("y"), col("z"))
+    val hi = greatest(col("x"), col("y"), col("z"))
+    val tri = ids.select(lo.as("ta"),
+      (col("x") + col("y") + col("z") - lo - hi).as("tb"), hi.as("tc"))
+    tri.select(explode(array(
+        struct(col("ta").as("a"), col("tb").as("b")),
+        struct(col("ta").as("a"), col("tc").as("b")),
+        struct(col("tb").as("a"), col("tc").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+  }
+
+  /** k-truss peel (Cohen, "Trusses: cohesive subgraphs for social network
+    * analysis", 2008): repeatedly drop every undirected edge whose support
+    * (triangles containing it) is < k−2; the fixpoint subgraph is the
+    * k-truss — the edge-wise strengthening of the k-core that keeps only
+    * community-dense structure (each surviving edge sits on ≥ k−2
+    * triangles whose other edges also survive). Bounded-`rounds` contract,
+    * the same policy as [[kcorePeel]]: each round is one oriented triangle
+    * enumeration + a per-edge support count + the threshold filter, and
+    * the DuckDB oracle ([[trussDuckSql]]) unrolls the identical rounds, so
+    * the result is well-defined (and replayable) even when `rounds` stops
+    * short of the fixpoint. Returns the surviving edges with their final
+    * support — one more support pass after the last peel, again mirrored
+    * by the oracle.
+    *
+    * Scale shape per round: the O(m^{3/2}) wedge volume of the current
+    * survivor set (shrinking every round), then a (a,b)-keyed count and a
+    * hash filter — no driver-side state; survivor lists persist per round
+    * because each feeds both the next enumeration's degree aggregate and
+    * its three probe sides.
+    */
+  def trussPeel(edges: DataFrame, k: Int, rounds: Int,
+      broadcastLimit: Long = BroadcastEdges): DataFrame = {
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    // materializedBare per round, not persist: each support pass references
+    // the survivor frame ~5× (degree agg + two degree attaches + wedge +
+    // closing probe), so raw lineage would nest ~5^rounds plan copies —
+    // the driver dies in the analyzer long before any executor works. The
+    // bare LogicalRDD rewrap truncates both the plan tree and the
+    // checkpoint-carried stats (the gr_mst sizeInBytes-squaring pathology).
+    var e = normalized(edges).pipe(materializedBare)
+    for (_ <- 1 to rounds) {
+      e = edgeSupport(e, broadcastLimit)
+        .filter(col("support") >= k - 2)
+        .select("a", "b")
+        .pipe(materializedBare)
+    }
+    edgeSupport(e, broadcastLimit)
+  }
+
+  /** DuckDB replay of [[trussPeel]]: `e0Ctes` is a CTE-list fragment whose
+    * last CTE must be `e0(a, b)`, the dedup'd a<b undirected edge list.
+    * Each round chains a triangle enumeration (id-ordered a<b<c — the same
+    * triangle SET the oriented Spark plan emits), the 3-edge support
+    * count, and the threshold filter; one extra support pass computes the
+    * reported column. CTEs are MATERIALIZED: DuckDB inlines
+    * multiply-referenced CTEs, and tri_i/e_i are each referenced 3×, so an
+    * inlined unroll would expand 3^rounds-fold.
+    */
+  def trussDuckSql(e0Ctes: String, k: Int, rounds: Int): String = {
+    val sb = new StringBuilder(s"WITH $e0Ctes")
+    for (i <- 1 to rounds + 1) {
+      val p = s"e${i - 1}"
+      sb.append(s""",
+tri$i AS MATERIALIZED (
+  SELECT e1.a AS u, e1.b AS v, e2.b AS w
+  FROM $p e1 JOIN $p e2 ON e2.a = e1.b
+  JOIN $p e3 ON e3.a = e1.a AND e3.b = e2.b),
+sup$i AS MATERIALIZED (
+  SELECT a, b, count(*) AS s FROM (
+    SELECT u AS a, v AS b FROM tri$i
+    UNION ALL SELECT u, w FROM tri$i
+    UNION ALL SELECT v, w FROM tri$i) GROUP BY 1, 2)""")
+      if (i <= rounds) sb.append(s""",
+e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
+    }
+    sb.append(
+      s"\nSELECT a, b, s::BIGINT AS support FROM sup${rounds + 1} ORDER BY 1, 2")
+    sb.toString
   }
 
   /** Local clustering coefficients — c(v) = 2·tri(v) / (deg(v)·(deg(v)−1)),

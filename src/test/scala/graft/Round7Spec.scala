@@ -504,4 +504,22 @@ class Round7Spec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1),
       s"${r.getString(0)} != ${r.getString(1)}"))
   }
+
+  test("trussPeel: 5-clique survives 5-truss, bridges and pendant triangles peel") {
+    // K5 on 1..5 (every edge on 3 triangles) + a pendant triangle {5,6,7}
+    // (each edge on exactly 1 triangle) + a bridge 7-8 (no triangle).
+    val k5 = for (i <- 1 to 5; j <- (i + 1) to 5) yield (i.toLong, j.toLong)
+    val extra = Seq((5L, 6L), (5L, 7L), (6L, 7L), (7L, 8L))
+    val edges = (k5 ++ extra).toDF("src", "dst")
+    // 5-truss (support >= 3): exactly the K5 edges, each with support 3
+    val t5 = Graphs.trussPeel(edges, k = 5, rounds = 3).collect()
+    assert(t5.length == 10)
+    assert(t5.forall(_.getLong(2) == 3L))
+    assert(t5.map(r => (r.getLong(0), r.getLong(1))).toSet == k5.toSet)
+    // 3-truss (support >= 1): K5 plus the pendant triangle; bridge gone
+    val t3 = Graphs.trussPeel(edges, k = 3, rounds = 2).collect()
+    assert(t3.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      (k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L))).toSet)
+    assert(t3.filter(r => r.getLong(0) >= 5).forall(_.getLong(2) == 1L))
+  }
 }

@@ -2944,6 +2944,42 @@ object SparkEntry {
       s.table("st_stream_hourly_mem").orderBy(col("event_type"), col("hour_start"))
     }),
 
+    // twelfth streaming gate — STREAM-STATIC enrichment join, the one
+    // micro-batch execution path no other gate covers: every batch of the
+    // event stream hash-joins a parquet-backed dimension (customer →
+    // market segment keyed by user id; at cluster scale the static side is
+    // broadcast once, not shuffled per batch), then rolls into hourly
+    // per-segment counts. Inner join ∧ complete mode ⇒ the batch oracle is
+    // the verbatim join + rollup — no watermark bookkeeping to replay.
+    "st_stream_enrich" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-enrich")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      T(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tev"), col("user_id"))
+        .repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      val dim = T(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val agg = stream.join(broadcast(dim), Seq("user_id"))
+        .groupBy(window(col("tev"), "1 hour"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_start"),
+          col("c_mktsegment"), col("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("st_stream_enrich_mem")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_enrich_mem")
+        .orderBy(col("c_mktsegment"), col("hour_start"))
+    }),
+
     // tenth streaming gate — LATE / OUT-OF-ORDER arrivals under a REAL
     // watermark (round-6 verdict task 6; every other gate replays
     // time-ordered slabs). The corpus is cut into 6 time blocks staged as
@@ -6876,6 +6912,14 @@ object SparkEntry {
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
+    // stream-static enrichment ≡ the batch join + rollup (inner join,
+    // complete mode — no watermark semantics to replay)
+    "st_stream_enrich" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |       c_mktsegment, count(*) AS n
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY c_mktsegment, hour_start""".stripMargin,
 
     // the watermark contract replayed row-for-row: hourly counts over
     // everything EXCEPT the planted-late set (first-10-min-of-block rows

@@ -1298,6 +1298,11 @@ object SparkEntry {
     "ev_cuped" -> ((s, dir) =>
       Events.cuped(T(s, dir, "events"))),
 
+    // difference-in-differences on the same arm/mid-split: 2x2 cells +
+    // the parallel-trends estimate, exact cents moments end-to-end
+    "ev_did" -> ((s, dir) =>
+      Events.did(T(s, dir, "events"))),
+
     // walk-forward one-step Holt backtest: MAE/worst error per series,
     // error sum folded inside the same sequential HOF as the state
     "ev_backtest" -> ((s, dir) =>
@@ -6966,6 +6971,7 @@ object SparkEntry {
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
+    "ev_did" -> Events.didDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
 
     "ev_ttc" ->

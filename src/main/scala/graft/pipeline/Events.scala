@@ -1487,6 +1487,86 @@ object Events {
     * identically by the oracle. One user-rollup shuffle; the pooled
     * moments are a 2-row broadcast.
     */
+  /** Difference-in-differences over the 2×2 natural experiment the corpus
+    * carries: treatment arm = odd user id (the [[cuped]] assignment), post
+    * period = days ≥ the same mid-corpus day split, outcome = per-event
+    * revenue in exact integer cents. Emits the four (arm, post) cells —
+    * event count, cents sum/mean — each annotated with the common DiD
+    * estimate (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre): the
+    * parallel-trends counterfactual lift, the estimator CUPED does not
+    * cover (CUPED de-noises a randomized A/B; DiD identifies the effect
+    * from the time split when assignment was not randomized).
+    *
+    * All moments are exact integers; the only IEEE arithmetic is the four
+    * cell-mean quotients and the fixed signed tree
+    * (s11/n11 − s10/n10) − (s01/n01 − s00/n00), written identically in the
+    * DuckDB oracle — no order-dependent double summation anywhere.
+    * Scale shape: one map-side-combinable 4-group aggregate over the
+    * events scan + a broadcast of the 1-row mid-day split and estimate.
+    */
+  def did(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val rng = e.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(expr("(lo + hi + 1) div 2").as("mid"))
+    val cells = e.crossJoin(rng)
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+      .withColumn("post", (col("day") >= col("mid")).cast("long"))
+      .groupBy("arm", "post")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    def cell(a: Int, p: Int, c: String) =
+      max(when(col("arm") === a && col("post") === p, col(c)))
+    val est = cells.agg(
+        cell(1, 1, "sc").as("s11"), cell(1, 1, "n").as("n11"),
+        cell(1, 0, "sc").as("s10"), cell(1, 0, "n").as("n10"),
+        cell(0, 1, "sc").as("s01"), cell(0, 1, "n").as("n01"),
+        cell(0, 0, "sc").as("s00"), cell(0, 0, "n").as("n00"))
+      .select(((col("s11").cast("double") / col("n11").cast("double") -
+                col("s10").cast("double") / col("n10").cast("double")) -
+               (col("s01").cast("double") / col("n01").cast("double") -
+                col("s00").cast("double") / col("n00").cast("double")))
+        .as("did_raw"))
+    cells.crossJoin(est)
+      .select(col("arm"), col("post"), col("n"), col("sc").as("sum_cents"),
+        round(col("sc").cast("double") / col("n").cast("double"), 6)
+          .as("mean_cents"),
+        round(col("did_raw"), 6).as("did_cents"))
+      .orderBy("arm", "post")
+  }
+
+  /** DuckDB replay of [[did]]: identical integer moments and the identical
+    * fixed signed quotient tree.
+    */
+  def didDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT user_id % 2 AS arm, epoch_ns(ts) // 86400000000000 AS day,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |), rng AS (
+       |  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e
+       |), cells AS (
+       |  SELECT arm,
+       |         CAST(CASE WHEN day >= r.mid THEN 1 ELSE 0 END AS BIGINT) AS post,
+       |         count(*) AS n, sum(cents) AS sc
+       |  FROM e CROSS JOIN rng r GROUP BY 1, 2
+       |), est AS (
+       |  SELECT (max(CASE WHEN arm = 1 AND post = 1 THEN CAST(sc AS DOUBLE) END)
+       |            / max(CASE WHEN arm = 1 AND post = 1 THEN CAST(n AS DOUBLE) END)
+       |          - max(CASE WHEN arm = 1 AND post = 0 THEN CAST(sc AS DOUBLE) END)
+       |            / max(CASE WHEN arm = 1 AND post = 0 THEN CAST(n AS DOUBLE) END))
+       |       - (max(CASE WHEN arm = 0 AND post = 1 THEN CAST(sc AS DOUBLE) END)
+       |            / max(CASE WHEN arm = 0 AND post = 1 THEN CAST(n AS DOUBLE) END)
+       |          - max(CASE WHEN arm = 0 AND post = 0 THEN CAST(sc AS DOUBLE) END)
+       |            / max(CASE WHEN arm = 0 AND post = 0 THEN CAST(n AS DOUBLE) END))
+       |         AS did_raw
+       |  FROM cells
+       |)
+       |SELECT arm, post, n, CAST(sc AS BIGINT) AS sum_cents,
+       |       round(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_cents,
+       |       round(est.did_raw, 6) AS did_cents
+       |FROM cells CROSS JOIN est ORDER BY 1, 2""".stripMargin
+
   def cuped(events: DataFrame): DataFrame = {
     val withDay = events.withColumn("day", expr("ts div 86400000000000"))
     val rng = withDay.agg(min("day").as("lo"), max("day").as("hi"))

@@ -405,4 +405,20 @@ class EventsSpec extends SparkSpec {
       Seq((9L, 150L)).toDF("r_id", "r_ts"), "l_ts", "r_ts", 50L)
     assert(g.count() == 1)
   }
+
+  test("did: 2x2 cells and parallel-trends estimate on a hand panel") {
+    // control user 0: pre means 200c, post 300c (delta +100); treated user 1:
+    // pre 100c, post 700c (delta +600) => DiD = +500 cents
+    def r(u: Long, day: Long, v: Double) = (u, day * 86400000000000L, v)
+    val events = Seq(
+      r(0, 0, 1.0), r(0, 1, 3.0), r(0, 2, 2.0), r(0, 3, 4.0),
+      r(1, 0, 1.0), r(1, 1, 1.0), r(1, 2, 5.0), r(1, 3, 9.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Events.did(events).collect()
+    assert(out.length == 4)
+    assert(out.forall(_.getDouble(5) == 500.0))
+    val cells = out.map(x => ((x.getLong(0), x.getLong(1)), x.getDouble(4))).toMap
+    assert(cells((0L, 0L)) == 200.0 && cells((0L, 1L)) == 300.0)
+    assert(cells((1L, 0L)) == 100.0 && cells((1L, 1L)) == 700.0)
+  }
 }

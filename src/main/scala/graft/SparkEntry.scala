@@ -5149,6 +5149,13 @@ object SparkEntry {
     // vectors silently break dot≈cosine shortcuts); the square-sum folds
     // sequentially inside each vector (aggregate HOF = the oracle's
     // 0-seeded list_reduce), bins are floor(10·norm) on identical doubles
+    // top principal component by exact integer moments + driver power
+    // iteration (bounded by dim, not corpus) — per-label projection stats
+    // + Rayleigh lambda, bit-identical to the oracle's replayed folds
+    "sim_pca" -> ((s, dir) =>
+      Similarity.pcaLabelStats(T(s, dir, "embeddings"),
+        "embedding", "label", dim = 64)),
+
     "sim_norm_hist" -> ((s, dir) => {
       val norm = sqrt(aggregate(
         transform(col("embedding"), _.cast("double")),
@@ -8925,6 +8932,9 @@ object SparkEntry {
         |       round(CAST(sum(h) AS DOUBLE) / (5 * count(*)), 6) AS avg_recall,
         |       round(CAST(min(h) AS DOUBLE) / 5, 6) AS min_recall
         |FROM perq""".stripMargin),
+
+    "sim_pca" -> graft.pipeline.Similarity.pcaLabelStatsDuckSql(
+      "embedding", "label", "embeddings", dim = 64),
 
     "sim_norm_hist" ->
       """WITH n AS (

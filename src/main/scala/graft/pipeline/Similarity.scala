@@ -1454,6 +1454,166 @@ object Similarity {
        |) ORDER BY rank""".stripMargin
   }
 
+  // ------------------------------------------------------------------ PCA
+
+  /** Top principal component of the embedding cloud by distributed moment
+    * accumulation + driver-side power iteration — the embedding-whitening /
+    * drift-diagnosis primitive of a training-data pipeline.
+    *
+    * Replayability is engineered end-to-end: vectors are quantized to
+    * integers (round(x·2¹⁰)), and the d(d+1)/2 second moments Σqᵢqⱼ and d
+    * first moments Σqᵢ are EXACT integer sums (order-independent — the one
+    * thing IEEE addition is not), generated codegen-side as per-row
+    * (i,j,qᵢqⱼ) triples (no self-join) and map-side combined into d(d+1)/2
+    * keys. The covariance entries, the `iters` power steps (v ← Cv/|Cv|
+    * from v₀ = 1/√d), the Rayleigh quotient λ = vᵀCv, and every per-row
+    * projection x·v are then FIXED ascending-index folds of doubles — the
+    * DuckDB oracle replays the identical fold order with list ops, so the
+    * results are bit-identical, not approximately equal. Projections are
+    * re-quantized (round(p·10⁶)) before the per-label aggregate so that
+    * final sum is exact again.
+    *
+    * The only driver-side state is the d(d+1)/2 + d moment row — bounded by
+    * the embedding DIMENSION, never by the corpus (same contract as
+    * [[pqCodebook]]'s codebook collect). One scan, one 2080-key shuffle,
+    * one 3-key shuffle: the 100 TB plan.
+    *
+    * Returns one row per label: n, mean/min/max of the PC-1 projection,
+    * plus the shared λ (variance explained along PC-1, in quantized units).
+    */
+  def pcaLabelStats(df: DataFrame, vecCol: String, labelCol: String,
+      dim: Int, iters: Int = 12): DataFrame = {
+    val s = 1L << 10
+    val q = transform(col(vecCol), x => round(x.cast("double") * s).cast("long"))
+    val terms = df.select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)),
+        i => transform(sequence(i, lit(dim - 1)),
+          j => struct(i.as("i"), j.as("j"),
+            (element_at(q, i + 1) * element_at(q, j + 1)).as("p"),
+            when(i === j, element_at(q, i + 1)).otherwise(lit(0L)).as("qi")))))
+      ).as("t"), lit(1L).as("one"))
+      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
+      .agg(sum(col("t.p")).as("spp"), sum(col("t.qi")).as("sq"),
+        count(lit(1)).as("n"))
+      .collect()
+    val n = terms.head.getLong(4).toDouble
+    val sq = Array.ofDim[Long](dim)
+    val spp = Array.ofDim[Long](dim, dim)
+    terms.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      spp(i)(j) = r.getLong(2); spp(j)(i) = r.getLong(2)
+      if (i == j) sq(i) = r.getLong(3)
+    }
+    val sd = s.toDouble
+    // C_ij = E[q_i q_j]/s² − (E[q_i]/s)(E[q_j]/s): fixed expression tree
+    val c = Array.tabulate(dim, dim)((i, j) =>
+      spp(i)(j).toDouble / (sd * sd) / n -
+        (sq(i).toDouble / sd / n) * (sq(j).toDouble / sd / n))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    def matvec(m: Array[Array[Double]], x: Array[Double]): Array[Double] =
+      Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += m(i)(j) * x(j); j += 1 }; acc
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < dim) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    for (_ <- 1 to iters) {
+      val w = matvec(c, v)
+      val nrm = math.sqrt(dot(w, w))
+      v = w.map(_ / nrm)
+    }
+    val lambda = dot(v, matvec(c, v))
+    val vLit = array(v.map(lit(_)): _*)
+    // per-row projection: ascending-index fold of x·v, then re-quantized so
+    // the per-label sums are exact integers again
+    val proj = aggregate(zip_with(col(vecCol), vLit,
+        (x, p) => x.cast("double") * p),
+      lit(0.0), (acc, t) => acc + t)
+    df.select(col(labelCol).as("label"),
+        round(proj * 1e6).cast("long").as("pq"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("pq").as("spq"),
+        min("pq").as("minpq"), max("pq").as("maxpq"))
+      .select(col("label").cast("long").as("label"), col("n"),
+        round(col("spq").cast("double") / col("n").cast("double") / 1e6, 6)
+          .as("mean_proj"),
+        round(col("minpq").cast("double") / 1e6, 6).as("min_proj"),
+        round(col("maxpq").cast("double") / 1e6, 6).as("max_proj"),
+        round(lit(lambda), 9).as("lambda1"))
+      .orderBy("label")
+  }
+
+  /** DuckDB replay of [[pcaLabelStats]]: the same integer moments, the same
+    * covariance expressions, and `iters` unrolled power steps whose
+    * matrix-vector products / norms / dots are list_dot_product — a
+    * sequential ascending fold, matching the Scala loops bit-for-bit.
+    */
+  def pcaLabelStatsDuckSql(vecExpr: String, labelExpr: String, table: String,
+      dim: Int, iters: Int = 12): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH q AS MATERIALIZED (
+      |  SELECT $labelExpr AS label,
+      |         list_transform($vecExpr,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qv,
+      |         list_transform($vecExpr, x -> CAST(x AS DOUBLE)) AS xv
+      |  FROM $table
+      |), mom AS MATERIALIZED (
+      |  SELECT t.i, t.j, sum(t.p) AS spp, sum(t.qi) AS sq, count(*) AS n
+      |  FROM q, LATERAL (
+      |    SELECT i, j, qv[i + 1] * qv[j + 1] AS p,
+      |           CASE WHEN i = j THEN qv[i + 1] ELSE 0 END AS qi
+      |    FROM generate_series(0, ${dim - 1}) g1(i)
+      |    JOIN generate_series(0, ${dim - 1}) g2(j) ON j >= i
+      |  ) t GROUP BY 1, 2
+      |), cov AS MATERIALIZED (
+      |  SELECT i, j,
+      |         CAST(spp AS DOUBLE) / (1024.0 * 1024.0) / n
+      |           - (CAST(sq AS DOUBLE) / 1024.0 / n)
+      |             * (CAST(sqj AS DOUBLE) / 1024.0 / n) AS v
+      |  FROM (
+      |    SELECT m.i, m.j, m.spp, m.n,
+      |           di.sq AS sq, dj.sq AS sqj
+      |    FROM (SELECT i, j, spp, n FROM mom
+      |          UNION ALL SELECT j, i, spp, n FROM mom WHERE i <> j) m
+      |    JOIN (SELECT i, sq FROM mom WHERE i = j) di ON di.i = m.i
+      |    JOIN (SELECT i, sq FROM mom WHERE i = j) dj ON dj.i = m.j
+      |  )
+      |), cmat AS MATERIALIZED (
+      |  SELECT list(r ORDER BY i) AS m FROM (
+      |    SELECT i, list(v ORDER BY j) AS r FROM cov GROUP BY i
+      |  )
+      |), v0 AS (
+      |  SELECT list_transform(generate_series(1, $dim),
+      |                        x -> 1.0 / sqrt(CAST($dim AS DOUBLE))) AS v
+      |)""".stripMargin
+    for (k <- 1 to iters) {
+      sb ++= s""",
+        |w$k AS (SELECT list_transform(m, r -> list_dot_product(r, v)) AS w
+        |        FROM cmat, v${k - 1}),
+        |v$k AS (SELECT list_transform(w, x -> x / sqrt(list_dot_product(w, w))) AS v
+        |        FROM w$k)""".stripMargin
+    }
+    sb ++= s"""
+      |, lam AS (
+      |  SELECT list_dot_product(v,
+      |           list_transform(m, r -> list_dot_product(r, v))) AS lambda
+      |  FROM cmat, v$iters
+      |), pr AS (
+      |  SELECT q.label,
+      |         CAST(round(list_dot_product(q.xv, v.v) * 1e6) AS BIGINT) AS pq
+      |  FROM q, v$iters v
+      |)
+      |SELECT CAST(label AS BIGINT) AS label, count(*) AS n,
+      |       round(CAST(sum(pq) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+      |         AS mean_proj,
+      |       round(CAST(min(pq) AS DOUBLE) / 1e6, 6) AS min_proj,
+      |       round(CAST(max(pq) AS DOUBLE) / 1e6, 6) AS max_proj,
+      |       round((SELECT lambda FROM lam), 9) AS lambda1
+      |FROM pr GROUP BY 1 ORDER BY 1""".stripMargin
+    sb.toString
+  }
+
   private def srpBucketTable(vecCol: Column, dim: Int, bits: Int, table: Int): Column =
     udf((v: Seq[Float]) => {
       if (v == null) 0L

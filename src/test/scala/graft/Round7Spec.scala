@@ -522,4 +522,21 @@ class Round7Spec extends SparkSpec {
       (k5 ++ Seq((5L, 6L), (5L, 7L), (6L, 7L))).toSet)
     assert(t3.filter(r => r.getLong(0) >= 5).forall(_.getLong(2) == 1L))
   }
+
+  test("pcaLabelStats recovers a known dominant axis, exact lambda") {
+    // four 4-d vectors: +/-2 on axis 0, +/-0.1 on axis 1 => PC1 = e0,
+    // lambda = 4.0 exactly (quantization of +/-2 is exact; the e1 residual
+    // decays as (0.0099/4)^12). Labels split by sign of the projection.
+    import graft.pipeline.Similarity
+    val rows = Seq(
+      (0, Array(-2f, 0.1f, 0f, 0f)), (0, Array(-2f, -0.1f, 0f, 0f)),
+      (1, Array(2f, 0.1f, 0f, 0f)), (1, Array(2f, -0.1f, 0f, 0f)))
+      .toDF("label", "embedding")
+    val out = Similarity.pcaLabelStats(rows, "embedding", "label", dim = 4)
+      .collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getDouble(5) == 4.0), s"lambda ${out.head.getDouble(5)}")
+    val byLabel = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byLabel(0L) == -2.0 && byLabel(1L) == 2.0)
+  }
 }

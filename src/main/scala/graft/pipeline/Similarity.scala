@@ -1485,11 +1485,15 @@ object Similarity {
       dim: Int, iters: Int = 12): DataFrame = {
     val s = 1L << 10
     val q = transform(col(vecCol), x => round(x.cast("double") * s).cast("long"))
-    val terms = df.select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)),
+    // materialize the quantized array ONCE per row before the d(d+1)/2 term
+    // expansion: an unmaterialized transform Column would be re-inlined into
+    // every element_at — ~2d² re-evaluations of the 64-wide quantize per row
+    val terms = df.select(q.as("qv"))
+      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)),
         i => transform(sequence(i, lit(dim - 1)),
           j => struct(i.as("i"), j.as("j"),
-            (element_at(q, i + 1) * element_at(q, j + 1)).as("p"),
-            when(i === j, element_at(q, i + 1)).otherwise(lit(0L)).as("qi")))))
+            (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1)).as("p"),
+            when(i === j, element_at(col("qv"), i + 1)).otherwise(lit(0L)).as("qi")))))
       ).as("t"), lit(1L).as("one"))
       .groupBy(col("t.i").as("i"), col("t.j").as("j"))
       .agg(sum(col("t.p")).as("spp"), sum(col("t.qi")).as("sq"),

@@ -3108,6 +3108,22 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
         .orderBy(col("c_nationkey"))),
 
+    // FES temporal predicates through the stored-CQL surface: AFTER an
+    // instant and BEFORE OR DURING a period over a per-customer derived
+    // first-order timestamp — the GeoTools compilation (< / <= period end)
+    // replayed by the oracle as plain timestamp comparisons
+    "sp_ecql_temporal" -> ((s, dir) =>
+      new GeoFrame(pointsDf(s, dir)
+          .join(T(s, dir, "orders").groupBy(col("o_custkey").as("ck"))
+            .agg(min(col("o_orderdate")).as("first_order")), Seq("ck")))
+        .filterEcql("first_order AFTER 1992-12-31T23:59:59Z AND " +
+          "first_order BEFORE OR DURING " +
+          "1995-01-01T00:00:00Z/1995-12-31T00:00:00Z")
+        .df.groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
+        .orderBy(col("c_nationkey"))),
+
     // ECQL DWITHIN with METRIC units (round-5 verdict Missing #3): the
     // units token routes through the geodesic tier — exact orthodromic
     // distance, latitude-aware search-window prune — so a stored GeoTools
@@ -7181,6 +7197,18 @@ object SparkEntry {
         |  AND c_nationkey IN (1, 3, 5, 7, 9, 11)
         |  AND c_acctbal * 2 - 500 > 3000
         |  AND c_name NOT LIKE '%19%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sp_ecql_temporal" ->
+      """WITH fo AS (
+        |  SELECT o_custkey AS ck, min(o_orderdate) AS first_order
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT c_nationkey, count(*) AS n,
+        |       CAST(sum(round(c_acctbal * 100)) AS BIGINT) AS cents
+        |FROM customer JOIN fo ON ck = c_custkey
+        |WHERE first_order > TIMESTAMP '1992-12-31 23:59:59'
+        |  AND first_order <= TIMESTAMP '1995-12-31 00:00:00'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // identical ball to sp_within_distance: DWITHIN 1 500 000 meters must

@@ -42,6 +42,13 @@ object Ecql {
   private case class TStr(s: String) extends Tok
   private case class TNum(s: String) extends Tok
   private case class TSym(s: String) extends Tok
+  private case class TDate(s: String) extends Tok    // ISO-8601 instant/date
+
+  // ISO instant at the head of the remaining input: date, optional time,
+  // optional zone. Matched BEFORE the number lexer so `2006-11-30` is a
+  // date literal, not a subtraction — the GeoTools lexer's precedence.
+  private val DateRe =
+    """\d{4}-\d{2}-\d{2}(T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})?)?""".r
 
   private val WktTypes = Set("POINT", "LINESTRING", "POLYGON", "MULTIPOINT",
     "MULTILINESTRING", "MULTIPOLYGON", "GEOMETRYCOLLECTION")
@@ -56,7 +63,7 @@ object Ecql {
     var prevValue = false
     def add(t: Tok): Unit = {
       prevValue = t match {
-        case TIdent(_) | TNum(_) | TStr(_) | TSym(")") => true
+        case TIdent(_) | TNum(_) | TStr(_) | TDate(_) | TSym(")") => true
         case _ => false
       }
       out += t
@@ -77,6 +84,10 @@ object Ecql {
           } else { sb.append(ch); i += 1 }
         }
         add(TStr(sb.toString))
+      } else if (c.isDigit && DateRe.findPrefixMatchOf(s.substring(i)).isDefined) {
+        val m = DateRe.findPrefixMatchOf(s.substring(i)).get
+        add(TDate(m.matched))
+        i += m.end
       } else if (c.isDigit ||
           (c == '-' && !prevValue && i + 1 < n && s.charAt(i + 1).isDigit)) {
         val start = i
@@ -112,6 +123,23 @@ object Ecql {
   private case class NumOp(v: Double) extends Operand
   private case class BoolOp(v: Boolean) extends Operand
   private case class ArithOp(c: Column) extends Operand  // +,-,*,/ over operands
+  private case class TimeOp(v: java.sql.Timestamp) extends Operand
+
+  /** ISO instant → UTC timestamp: offset honored when present, date-only =
+    * midnight UTC (the GeoTools temporal-literal reading).
+    */
+  private def parseInstant(s: String): java.sql.Timestamp = {
+    import java.time._
+    val inst =
+      if (!s.contains('T'))
+        LocalDate.parse(s).atStartOfDay.toInstant(ZoneOffset.UTC)
+      else
+        try OffsetDateTime.parse(s).toInstant
+        catch { case _: format.DateTimeParseException =>
+          LocalDateTime.parse(s).toInstant(ZoneOffset.UTC)
+        }
+    java.sql.Timestamp.from(inst)
+  }
 
   private class Parser(toks: Vector[Tok], topCols: Set[String]) {
     private var pos = 0
@@ -248,6 +276,8 @@ object Ecql {
     }
 
     private def parseOperand(): Operand = peek match {
+      case Some(TDate(d)) =>
+        next(); TimeOp(parseInstant(d))
       case Some(TIdent(id)) if WktTypes.contains(id.toUpperCase) =>
         // inline WKT literal: consume ident + balanced parens verbatim
         next()
@@ -306,8 +336,42 @@ object Ecql {
         (propCol(p).cast("double"), operandCol(b))
       case (NumOp(_) | ArithOp(_), PropOp(p)) if !topCols.contains(p) =>
         (operandCol(a), propCol(p).cast("double"))
+      case (_, TimeOp(_)) => (tcol(a), operandCol(b))
+      case (TimeOp(_), _) => (operandCol(a), tcol(b))
       case _ => (operandCol(a), operandCol(b))
     }
+
+    /** Operand in a temporal context: coerced to timestamp (no-op for a
+      * true timestamp column; ISO strings — the props map or string layers
+      * — parse under the session's UTC zone).
+      */
+    private def tcol(o: Operand): Column = o match {
+      case TimeOp(v) => lit(v)
+      case other => operandCol(other).cast("timestamp")
+    }
+
+    /** Instant (Left) or instant/instant period (Right) after BEFORE/AFTER. */
+    private def parseTemporalRhs(): Either[java.sql.Timestamp,
+        (java.sql.Timestamp, java.sql.Timestamp)] = next() match {
+      case TDate(d) =>
+        if (peek.contains(TSym("/"))) {
+          next()
+          next() match {
+            case TDate(d2) => Right((parseInstant(d), parseInstant(d2)))
+            case other => throw new IllegalArgumentException(
+              s"period needs instant/instant (ISO durations unsupported), got $other")
+          }
+        } else Left(parseInstant(d))
+      case other => throw new IllegalArgumentException(
+        s"temporal predicate needs an ISO instant, got $other")
+    }
+
+    private def parsePeriod(): (java.sql.Timestamp, java.sql.Timestamp) =
+      parseTemporalRhs() match {
+        case Right(p) => p
+        case Left(_) => throw new IllegalArgumentException(
+          "expected a period (instant/instant)")
+      }
 
     private def operandCol(o: Operand): Column = o match {
       case PropOp(p) => propCol(p)
@@ -316,6 +380,7 @@ object Ecql {
       case StrOp(v) => lit(v)
       case NumOp(v) => lit(v)
       case BoolOp(v) => lit(v)
+      case TimeOp(v) => lit(v)
       case ArithOp(c) => c
     }
 
@@ -409,6 +474,39 @@ object Ecql {
           while (peek.contains(TSym(","))) { next(); vals += parseArith() }
           expectSym(")")
           vals.map(v => { val (ca, cv) = sides(a, v); ca === cv }).reduce(_ || _)
+        // FES temporal predicates, GeoTools ECQL compilation: BEFORE
+        // instant ⇒ <, AFTER instant ⇒ >, BEFORE period ⇒ < start, AFTER
+        // period ⇒ > end, DURING ⇒ strictly inside, BEFORE OR DURING ⇒
+        // <= end, DURING OR AFTER ⇒ >= start. Periods are instant/instant;
+        // ISO-duration endpoints throw (callers fall back to Spark SQL).
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("BEFORE") =>
+          next()
+          if (takeKw("OR")) {
+            if (!takeKw("DURING"))
+              throw new IllegalArgumentException("expected DURING after BEFORE OR")
+            val (_, e) = parsePeriod()
+            tcol(a) <= lit(e)
+          } else parseTemporalRhs() match {
+            case Left(t) => tcol(a) < lit(t)
+            case Right((st0, _)) => tcol(a) < lit(st0)
+          }
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("AFTER") =>
+          next()
+          parseTemporalRhs() match {
+            case Left(t) => tcol(a) > lit(t)
+            case Right((_, e)) => tcol(a) > lit(e)
+          }
+        case Some(TIdent(kw)) if kw.equalsIgnoreCase("DURING") =>
+          next()
+          if (takeKw("OR")) {
+            if (!takeKw("AFTER"))
+              throw new IllegalArgumentException("expected AFTER after DURING OR")
+            val (st0, _) = parsePeriod()
+            tcol(a) >= lit(st0)
+          } else {
+            val (st0, e) = parsePeriod()
+            tcol(a) > lit(st0) && tcol(a) < lit(e)
+          }
         case Some(TSym(op)) if Set("=", "<>", "<", "<=", ">", ">=")(op) =>
           next()
           val b = parseArith()

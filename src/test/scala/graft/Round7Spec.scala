@@ -539,4 +539,35 @@ class Round7Spec extends SparkSpec {
     val byLabel = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(byLabel(0L) == -2.0 && byLabel(1L) == 2.0)
   }
+
+  test("ECQL temporal predicates: BEFORE/AFTER/DURING and period forms") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2006-11-30 00:00:00")), (2L, t("2006-11-30 00:30:00")),
+      (3L, t("2006-11-30 01:00:00")), (4L, t("2006-11-30 01:30:00")),
+      (5L, t("2006-12-25 12:00:00"))).toDF("id", "ts")
+    def ids(q: String) = df.filter(Ecql.toColumn(q, df.columns.toSet))
+      .select("id").as[Long].collect().toSet
+    assert(ids("ts BEFORE 2006-11-30T01:00:00Z") == Set(1L, 2L))
+    assert(ids("ts AFTER 2006-11-30T01:00:00Z") == Set(4L, 5L))
+    // DURING is strictly inside (GeoTools FES compilation)
+    assert(ids("ts DURING 2006-11-30T00:00:00Z/2006-11-30T01:30:00Z") ==
+      Set(2L, 3L))
+    assert(ids("ts BEFORE OR DURING 2006-11-30T00:00:00Z/2006-11-30T01:00:00Z")
+      == Set(1L, 2L, 3L))
+    assert(ids("ts DURING OR AFTER 2006-11-30T01:00:00Z/2006-11-30T01:30:00Z")
+      == Set(3L, 4L, 5L))
+    // BEFORE a period = before its start; AFTER a period = after its end
+    assert(ids("ts BEFORE 2006-11-30T00:30:00Z/2006-11-30T01:00:00Z") == Set(1L))
+    assert(ids("ts AFTER 2006-11-30T00:30:00Z/2006-11-30T01:00:00Z") ==
+      Set(4L, 5L))
+    // date-only literal = midnight UTC; also usable in plain comparisons
+    assert(ids("ts AFTER 2006-12-01") == Set(5L))
+    assert(ids("ts >= 2006-11-30T01:30:00Z") == Set(4L, 5L))
+    // offset honored
+    assert(ids("ts AFTER 2006-11-30T04:00:00+03:00") == Set(4L, 5L))
+    // ISO durations are rejected loudly, not mis-parsed
+    assertThrows[IllegalArgumentException](
+      Ecql.toColumn("ts DURING 2006-11-30T00:00:00Z/P30D", Set("ts")))
+  }
 }

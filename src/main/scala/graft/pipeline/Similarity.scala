@@ -1456,6 +1456,41 @@ object Similarity {
 
   // ------------------------------------------------------------------ PCA
 
+  /** Upper-triangle second moments Σqᵢqⱼ (i ≤ j, row-major), then the d
+    * first moments Σqᵢ, then the row count — one flat long buffer,
+    * associatively merged (map-side combine applies).
+    */
+  private class MomentAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Long], Array[Long], Seq[Long]] {
+    private val nPair = dim * (dim + 1) / 2
+    override def zero: Array[Long] = Array.ofDim[Long](nPair + dim + 1)
+    override def reduce(b: Array[Long], q: Seq[Long]): Array[Long] = {
+      val a = q.toArray
+      var idx = 0
+      var i = 0
+      while (i < dim) {
+        val qi = a(i)
+        var j = i
+        while (j < dim) { b(idx) += qi * a(j); idx += 1; j += 1 }
+        b(nPair + i) += qi
+        i += 1
+      }
+      b(nPair + dim) += 1L
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Top principal component of the embedding cloud by distributed moment
     * accumulation + driver-side power iteration — the embedding-whitening /
     * drift-diagnosis primitive of a training-data pipeline.
@@ -1485,27 +1520,22 @@ object Similarity {
       dim: Int, iters: Int = 12): DataFrame = {
     val s = 1L << 10
     val q = transform(col(vecCol), x => round(x.cast("double") * s).cast("long"))
-    // materialize the quantized array ONCE per row before the d(d+1)/2 term
-    // expansion: an unmaterialized transform Column would be re-inlined into
-    // every element_at — ~2d² re-evaluations of the 64-wide quantize per row
-    val terms = df.select(q.as("qv"))
-      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)),
-        i => transform(sequence(i, lit(dim - 1)),
-          j => struct(i.as("i"), j.as("j"),
-            (element_at(col("qv"), i + 1) * element_at(col("qv"), j + 1)).as("p"),
-            when(i === j, element_at(col("qv"), i + 1)).otherwise(lit(0L)).as("qi")))))
-      ).as("t"), lit(1L).as("one"))
-      .groupBy(col("t.i").as("i"), col("t.j").as("j"))
-      .agg(sum(col("t.p")).as("spp"), sum(col("t.qi")).as("sq"),
-        count(lit(1)).as("n"))
-      .collect()
-    val n = terms.head.getLong(4).toDouble
-    val sq = Array.ofDim[Long](dim)
+    // moment accumulation as ONE partial-combining aggregate with a
+    // d(d+1)/2 + d + 1 long buffer (the treeAggregate shape, in DataFrame
+    // clothing): each executor folds its partition into its own buffer and
+    // only the d²-sized partials cross the wire — no per-term row
+    // expansion, no shuffle proportional to N. Integer sums are
+    // order-independent, so the plan is free to combine in any order.
+    val nPair = dim * (dim + 1) / 2
+    val momArr = df.select(q.as("qv"))
+      .agg(udaf(new MomentAgg(dim)).apply(col("qv")).as("m"))
+      .head().getSeq[Long](0)
+    val n = momArr(nPair + dim).toDouble
+    val sq = Array.tabulate(dim)(i => momArr(nPair + i))
     val spp = Array.ofDim[Long](dim, dim)
-    terms.foreach { r =>
-      val (i, j) = (r.getInt(0), r.getInt(1))
-      spp(i)(j) = r.getLong(2); spp(j)(i) = r.getLong(2)
-      if (i == j) sq(i) = r.getLong(3)
+    var idx = 0
+    for (i <- 0 until dim; j <- i until dim) {
+      spp(i)(j) = momArr(idx); spp(j)(i) = momArr(idx); idx += 1
     }
     val sd = s.toDouble
     // C_ij = E[q_i q_j]/s² − (E[q_i]/s)(E[q_j]/s): fixed expression tree

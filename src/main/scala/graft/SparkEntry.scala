@@ -1298,6 +1298,11 @@ object SparkEntry {
     "ev_cuped" -> ((s, dir) =>
       Events.cuped(T(s, dir, "events"))),
 
+    // pre-experiment power analysis: required per-arm n for a 5% MDE on
+    // per-user cents, exact moments + pinned z literals
+    "ev_power" -> ((s, dir) =>
+      Events.abPower(T(s, dir, "events"))),
+
     // difference-in-differences on the same arm/mid-split: 2x2 cells +
     // the parallel-trends estimate, exact cents moments end-to-end
     "ev_did" -> ((s, dir) =>
@@ -6994,6 +6999,7 @@ object SparkEntry {
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
+    "ev_power" -> Events.abPowerDuckSql(),
     "ev_did" -> Events.didDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),
 

@@ -1487,6 +1487,63 @@ object Events {
     * identically by the oracle. One user-rollup shuffle; the pooled
     * moments are a 2-row broadcast.
     */
+  /** A/B-test power analysis: per event type, the per-arm sample size
+    * needed to detect a `mdeFrac` relative lift of the per-user cents
+    * metric at α = 0.05 (two-sided), power = 0.80 — the classic
+    * n = 2(z_{α/2}+z_β)²σ²/δ² planning formula that sits in front of every
+    * ev_ab_test run. Variance comes from exact integer moments of per-user
+    * cents totals; the z constants are pinned 17-digit literals shared
+    * verbatim with the oracle, so every IEEE step replays identically.
+    * Two map-side-combinable aggregates, nothing driver-side.
+    */
+  def abPower(events: DataFrame, mdeFrac: Double = 0.05): DataFrame = {
+    val z = lit((1.959963984540054 + 0.8416212335729143) *
+      (1.959963984540054 + 0.8416212335729143))
+    val perUser = events
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .groupBy("event_type", "user_id").agg(sum("cents").as("x"))
+    perUser.groupBy("event_type")
+      .agg(count(lit(1)).as("users"), sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .withColumn("mean_c",
+        col("sx").cast("double") / col("users").cast("double"))
+      .withColumn("var_c",
+        col("sxx").cast("double") / col("users").cast("double") -
+          col("mean_c") * col("mean_c"))
+      .withColumn("delta", col("mean_c") * mdeFrac)
+      .withColumn("n_req",
+        ceil(lit(2.0) * z * col("var_c") / (col("delta") * col("delta")))
+          .cast("long"))
+      .select(col("event_type"), col("users"),
+        round(col("mean_c"), 6).as("mean_cents"),
+        round(col("var_c"), 6).as("var_cents"), col("n_req"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB replay of [[abPower]]: identical moments, identical literal
+    * constants, identical expression trees.
+    */
+  def abPowerDuckSql(mdeFrac: Double = 0.05): String =
+    s"""WITH pu AS (
+       |  SELECT event_type, user_id,
+       |         sum(CAST(round(value * 100) AS BIGINT)) AS x
+       |  FROM events GROUP BY 1, 2
+       |), m AS (
+       |  SELECT event_type, count(*) AS users,
+       |         CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_c,
+       |         CAST(sum(x * x) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |           - (CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+       |             * (CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE)) AS var_c
+       |  FROM pu GROUP BY 1
+       |)
+       |SELECT event_type, users, round(mean_c, 6) AS mean_cents,
+       |       round(var_c, 6) AS var_cents,
+       |       CAST(ceil(2.0 * ((1.959963984540054 + 0.8416212335729143)
+       |                        * (1.959963984540054 + 0.8416212335729143))
+       |                 * var_c / ((mean_c * $mdeFrac) * (mean_c * $mdeFrac)))
+       |            AS BIGINT) AS n_req
+       |FROM m ORDER BY 1""".stripMargin
+
   /** Difference-in-differences over the 2×2 natural experiment the corpus
     * carries: treatment arm = odd user id (the [[cuped]] assignment), post
     * period = days ≥ the same mid-corpus day split, outcome = per-event

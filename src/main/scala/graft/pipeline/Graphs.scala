@@ -924,15 +924,15 @@ l$i AS (SELECT src AS node, lbl FROM (
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(min("w").as("w"))
       .select(col("a"), col("b"), col("w"),
-        (col("w") * lit(1L << 42) + col("a") * lit(1L << 21) + col("b")).as("key"))
+        (col("w") * lit(1L << 44) + col("a") * lit(1L << 22) + col("b")).as("key"))
       .pipe(materializedBare)
     val bounds = und.agg(
       coalesce(max(greatest(col("a"), col("b"))), lit(0L)).as("mxid"),
       coalesce(max(col("w")), lit(0L)).as("mxw"),
       coalesce(min(col("w")), lit(0L)).as("mnw")).head()
-    require(bounds.getLong(0) < (1L << 21) &&
-        bounds.getLong(1) < (1L << 20) && bounds.getLong(2) >= 0L,
-      s"boruvkaMsf: composite weight key needs ids < 2^21 and 0 <= w < 2^20, " +
+    require(bounds.getLong(0) < (1L << 22) &&
+        bounds.getLong(1) < (1L << 18) && bounds.getLong(2) >= 0L,
+      s"boruvkaMsf: composite weight key needs ids < 2^22 and 0 <= w < 2^18, " +
         s"got maxId=${bounds.getLong(0)} w in [${bounds.getLong(2)}, ${bounds.getLong(1)}]")
     var comp = und.select(col("a").as("node"))
       .union(und.select(col("b").as("node"))).distinct()
@@ -1017,7 +1017,7 @@ l$i AS (SELECT src AS node, lbl FROM (
       |    SELECT least(src, dst) AS a, greatest(src, dst) AS b, w
       |    FROM base WHERE src <> dst) GROUP BY 1, 2
       |), ue AS MATERIALIZED (
-      |  SELECT a, b, w, w * ${1L << 42} + a * ${1L << 21} + b AS key FROM und
+      |  SELECT a, b, w, w * ${1L << 44} + a * ${1L << 22} + b AS key FROM und
       |), c0 AS MATERIALIZED (
       |  SELECT node, node AS comp FROM (
       |    SELECT a AS node FROM ue UNION SELECT b FROM ue)

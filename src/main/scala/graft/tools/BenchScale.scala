@@ -591,7 +591,33 @@ object BenchScale {
       // (pins the no-Expand split plan)
       "tx_distinct_n" ->
         (n => graft.pipeline.Corpus.distinctN(
-          docsAt(n).withColumn("source", lit("all")), "source", "text")))
+          docsAt(n).withColumn("source", lit("all")), "source", "text")),
+      // k-truss peel over N disjoint copies of the %4-restricted co-order
+      // graph (the gate query's graph; copy offsets are ≡0 mod 4, so the
+      // restriction selects the same per-copy subgraph at every rung):
+      // rounds constant (per-copy peel structure rung-invariant), each
+      // round's oriented wedge volume ∝ N because copies are disjoint
+      "gr_ktruss" -> (n => graft.pipeline.Graphs.trussPeel(
+        triEdgesAt(n).filter(col("src") % 4 === 0 && col("dst") % 4 === 0),
+        k = 5, rounds = 7, broadcastLimit = 0L)),
+      // Borůvka MSF over N disjoint copies of the trade graph with
+      // deterministic hash weights (offset 40k keeps 100× ids under the
+      // 2²² composite-key bound): hook/jump rounds constant per copy,
+      // every comp join and argmin aggregate ∝ N
+      "gr_mst" -> (n => {
+        val copies = (0 until n).map { c =>
+          val off = lit(c.toLong * 40_000L)
+          eraw1.select((col("src") + off).as("src"), (col("dst") + off).as("dst"))
+        }.reduce(_ unionByName _)
+        graft.pipeline.Graphs.boruvkaMsf(copies.withColumn("w",
+          pmod(col("src") * 31 + col("dst") * 17, lit(100_000L))))
+      }),
+      // PCA: the d(d+1)/2-long moment buffer is rung-invariant (one
+      // partial-combining aggregate, no row expansion), the power
+      // iteration is driver-side constant, the projection scan ∝ N
+      "sim_pca" -> (n => Similarity.pcaLabelStats(
+        embAt(n).withColumn("label", (col("vec_id") % 3).cast("int")),
+        "embedding", "label", dim = 64)))
 
     // SPARK_GRAFT_FAMILIES=a,b runs a subset — the host VM throttles
     // sustained load, so the stitching script runs one family per (short)

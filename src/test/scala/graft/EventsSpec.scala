@@ -421,4 +421,18 @@ class EventsSpec extends SparkSpec {
     assert(cells((0L, 0L)) == 200.0 && cells((0L, 1L)) == 300.0)
     assert(cells((1L, 0L)) == 100.0 && cells((1L, 1L)) == 700.0)
   }
+
+  test("abPower: planning n from exact per-user moments (hand case)") {
+    // one type, two users with totals 100c and 300c: mean 200, var 10000,
+    // delta = 10 => n = ceil(2 (z_a/2+z_b)^2 sigma^2 / delta^2) = 1570
+    val events = Seq(
+      (1L, 0L, "view", 1.0), (2L, 1L, "view", 3.0)
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Events.abPower(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 200.0 && r.getDouble(3) == 10000.0)
+    assert(r.getLong(4) == 1570L)
+  }
 }

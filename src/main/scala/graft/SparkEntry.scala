@@ -2990,6 +2990,56 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("hour_start"))
     }),
 
+    // thirteenth streaming gate — UPDATE-mode aggregation through a
+    // foreachBatch UPSERT into the versioned layer store: the
+    // exactly-once-sink pattern every production pipeline needs (memory/
+    // complete gates re-emit the world; real sinks take per-batch deltas).
+    // Each micro-batch emits only the (hour, type) rows whose cumulative
+    // count changed; the sink anti-joins them into the previous snapshot
+    // and commits through the manifest protocol — crash-safe versions,
+    // replay-idempotent because update rows carry cumulative counts. The
+    // final snapshot must equal the batch rollup verbatim.
+    "st_stream_mv" -> ((s, dir) => {
+      import graft.plans.VersionedLayer
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-mv")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val store = d.resolve("store").toString
+      T(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tev"), col("event_type"))
+        .repartition(4).write.parquet(src)
+      val staged = s.read.parquet(src)
+      val stream = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+      val agg = stream
+        .groupBy(window(col("tev"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").cast("long").as("hour_start"),
+          col("event_type"), col("n"))
+      val q = agg.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val sp = batch.sparkSession
+          val delta = batch.persist()
+          val cur =
+            if (VersionedLayer.versions(sp, store).isEmpty) delta.limit(0)
+            else VersionedLayer.read(sp, store, None)
+          VersionedLayer.commit(
+            cur.join(delta.select("hour_start", "event_type"),
+                Seq("hour_start", "event_type"), "left_anti")
+              .unionByName(delta), store)
+          delta.unpersist()
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      VersionedLayer.read(s, store, None)
+        .orderBy(col("event_type"), col("hour_start"))
+    }),
+
     // tenth streaming gate — LATE / OUT-OF-ORDER arrivals under a REAL
     // watermark (round-6 verdict task 6; every other gate replays
     // time-ordered slabs). The corpus is cut into 6 time blocks staged as
@@ -6942,6 +6992,13 @@ object SparkEntry {
         |ORDER BY user_id, t_start_us""".stripMargin,
 
     "st_stream_hourly" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
+    // the foreachBatch-upsert snapshot ≡ the batch rollup (update-mode
+    // deltas carry cumulative counts, so the final merge is the world)
+    "st_stream_mv" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,

@@ -1298,6 +1298,10 @@ object SparkEntry {
     "ev_cuped" -> ((s, dir) =>
       Events.cuped(T(s, dir, "events"))),
 
+    // sample-ratio-mismatch guard: chi-square (1 df) on the arm split
+    "ev_srm" -> ((s, dir) =>
+      Events.srmCheck(T(s, dir, "events"))),
+
     // pre-experiment power analysis: required per-arm n for a 5% MDE on
     // per-user cents, exact moments + pinned z literals
     "ev_power" -> ((s, dir) =>
@@ -7056,6 +7060,7 @@ object SparkEntry {
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
+    "ev_srm" -> Events.srmDuckSql,
     "ev_power" -> Events.abPowerDuckSql(),
     "ev_did" -> Events.didDuckSql,
     "ev_lag_corr" -> Events.lagCorrelationDuckSql(),

@@ -1487,6 +1487,54 @@ object Events {
     * identically by the oracle. One user-rollup shuffle; the pooled
     * moments are a 2-row broadcast.
     */
+  /** Sample-ratio-mismatch guard — the first thing a healthy experiment
+    * platform checks before reading any metric: a χ² test (1 df) that the
+    * observed arm assignment matches the intended 50/50 split. Exact
+    * integer user counts; the only IEEE arithmetic is the fixed
+    * (o−e)²/e tree and the pinned 3.841458820694124 critical literal
+    * (χ²₀.₀₅,₁) shared with the oracle.
+    */
+  def srmCheck(events: DataFrame): DataFrame = {
+    val arms = events
+      .select(col("user_id"), pmod(col("user_id"), lit(2)).cast("long").as("arm"))
+      .distinct()
+      .groupBy("arm").agg(count(lit(1)).as("users"))
+    arms.agg(
+        max(when(col("arm") === 0, col("users"))).as("users0"),
+        max(when(col("arm") === 1, col("users"))).as("users1"))
+      .withColumn("e",
+        (col("users0") + col("users1")).cast("double") / lit(2.0))
+      .withColumn("chi2",
+        (col("users0").cast("double") - col("e")) *
+          (col("users0").cast("double") - col("e")) / col("e") +
+        (col("users1").cast("double") - col("e")) *
+          (col("users1").cast("double") - col("e")) / col("e"))
+      .select(col("users0"), col("users1"), round(col("chi2"), 6).as("chi2"),
+        (col("chi2") > 3.841458820694124).as("srm"))
+  }
+
+  /** DuckDB replay of [[srmCheck]]. */
+  def srmDuckSql: String =
+    s"""WITH a AS (
+       |  SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+       |), c AS (
+       |  SELECT max(CASE WHEN arm = 0 THEN n END) AS users0,
+       |         max(CASE WHEN arm = 1 THEN n END) AS users1
+       |  FROM (SELECT arm, count(*) AS n FROM a GROUP BY 1)
+       |), f AS (
+       |  SELECT users0, users1,
+       |         CAST(users0 + users1 AS DOUBLE) / 2.0 AS e
+       |  FROM c
+       |)
+       |SELECT users0, users1,
+       |       round((CAST(users0 AS DOUBLE) - e) * (CAST(users0 AS DOUBLE) - e) / e
+       |           + (CAST(users1 AS DOUBLE) - e) * (CAST(users1 AS DOUBLE) - e) / e,
+       |         6) AS chi2,
+       |       ((CAST(users0 AS DOUBLE) - e) * (CAST(users0 AS DOUBLE) - e) / e
+       |           + (CAST(users1 AS DOUBLE) - e) * (CAST(users1 AS DOUBLE) - e) / e)
+       |         > 3.841458820694124 AS srm
+       |FROM f""".stripMargin
+
   /** A/B-test power analysis: per event type, the per-arm sample size
     * needed to detect a `mdeFrac` relative lift of the per-user cents
     * metric at α = 0.05 (two-sided), power = 0.80 — the classic

@@ -435,4 +435,18 @@ class EventsSpec extends SparkSpec {
     assert(r.getDouble(2) == 200.0 && r.getDouble(3) == 10000.0)
     assert(r.getLong(4) == 1570L)
   }
+
+  test("srmCheck: exact chi-square and the 95% flag on hand splits") {
+    // 60/40 of 100 users: chi2 = (10^2/50)*2 = 4.0 > 3.8415 => SRM
+    val bad = (0 until 60).map(i => (i * 2L, 0L)) ++
+      (0 until 40).map(i => (i * 2 + 1L, 0L))
+    val r1 = Events.srmCheck(bad.toDF("user_id", "ts")).collect().head
+    assert(r1.getLong(0) == 60L && r1.getLong(1) == 40L)
+    assert(r1.getDouble(2) == 4.0 && r1.getBoolean(3))
+    // 51/49: chi2 = 0.04 => healthy
+    val ok = (0 until 51).map(i => (i * 2L, 0L)) ++
+      (0 until 49).map(i => (i * 2 + 1L, 0L))
+    val r2 = Events.srmCheck(ok.toDF("user_id", "ts")).collect().head
+    assert(r2.getDouble(2) == 0.04 && !r2.getBoolean(3))
+  }
 }

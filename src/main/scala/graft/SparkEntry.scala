@@ -4928,6 +4928,13 @@ object SparkEntry {
         .withColumn("members",
           array_join(col("members").cast("array<string>"), ","))),
 
+    // canonical-doc selection inside each near-dup cluster: keep the
+    // highest-n_chars member (tie -> smallest id) — the post-clustering
+    // step of a real dedup pipeline, one struct-argmax per group
+    "dd_canonical" -> ((s, dir) =>
+      Groups.canonicalDocs(T(s, dir, "documents"), "doc_id", "text",
+        "n_chars", threshold = 0.2)),
+
     // exact shared-substring contamination (share any verbatim ≥32-char
     // run): boilerplate injected BY THE QUERY on both engines (same
     // pattern as tx_pii) so long verbatim overlaps exist in the synthetic
@@ -8812,6 +8819,7 @@ object SparkEntry {
     "tx_pack_bins" -> Packing.packBinsDuckSql(capacity = 256L, numShards = 8),
 
     "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
+    "dd_canonical" -> Groups.canonicalDocsDuckSql("d.n_chars", threshold = 0.2),
 
     "dd_cluster_hist" -> Groups.clusterHistDuckSql(threshold = 0.2),
 

@@ -178,6 +178,50 @@ object Groups {
         |       count(*) AS n_members
         |FROM lbl GROUP BY lab HAVING count(*) >= 2 ORDER BY group_id""".stripMargin
 
+  /** Canonical-document selection — the step after clustering in a real
+    * dedup pipeline: inside every near-dup cluster keep the BEST member
+    * (max `qualityCol`, ties to the smallest id), not the arbitrary
+    * min-id survivor of [[nearDupDeduped]]. The argmax is one
+    * max(struct(quality, −id)) per group — exact integer lexicographic
+    * order, no window. Returns (group_id, n_members, canonical_id,
+    * kept_quality) for every ≥2 cluster.
+    */
+  def canonicalDocs(df: DataFrame, idCol: String, textCol: String,
+      qualityCol: String, threshold: Double = 0.7,
+      shingleK: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold, shingleK)
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val verts = df.select(col(idCol).cast("long").as("id"))
+    ccLabels(verts, pairs)
+      .join(df.select(col(idCol).cast("long").as("id"),
+        col(qualityCol).cast("long").as("q")), "id")
+      .groupBy(col("label").as("group_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("id")).as("nid"))).as("best"))
+      .filter(col("n_members") >= 2)
+      .select(col("group_id"), col("n_members"),
+        (-col("best.nid")).as("canonical_id"),
+        col("best.q").as("kept_quality"))
+      .orderBy("group_id")
+  }
+
+  /** DuckDB replay of [[canonicalDocs]]: the same label CTEs, the same
+    * lexicographic [quality, −id] argmax as a DuckDB list max.
+    */
+  def canonicalDocsDuckSql(qualityExpr: String, threshold: Double,
+      shingleK: Int = 3): String =
+    groupsDuckCtes(threshold, shingleK) +
+      s"""
+        |, canon AS (
+        |  SELECT lab, count(*) AS n_members,
+        |         max([$qualityExpr, -d.doc_id]) AS best
+        |  FROM lbl JOIN documents d ON d.doc_id = lbl.id
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |)
+        |SELECT lab AS group_id, n_members, -best[2] AS canonical_id,
+        |       best[1] AS kept_quality
+        |FROM canon ORDER BY group_id""".stripMargin
+
   /** DuckDB replay of the cluster-size histogram over `documents`:
     * singletons = documents in no ≥2 cluster. */
   def clusterHistDuckSql(threshold: Double, shingleK: Int = 3): String =

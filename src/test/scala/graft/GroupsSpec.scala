@@ -148,4 +148,21 @@ class GroupsSpec extends SparkSpec {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.toSeq == Seq((10L, 2L, 1L, expect))) // doc 11 has no bigram → absent
   }
+
+  test("canonicalDocs keeps the max-quality member, ties to smallest id") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, t, 100L), (2L, t, 300L), (3L, t, 200L),
+      (10L, "omega psi chi phi upsilon tau", 50L),
+      (11L, "omega psi chi phi upsilon tau", 50L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = graft.pipeline.Groups
+      .canonicalDocs(docs, "doc_id", "text", "n_chars", threshold = 0.2)
+      .collect()
+    assert(out.length == 2)
+    val byGroup = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(byGroup(1L) == ((3L, 2L, 300L)))    // best quality wins
+    assert(byGroup(10L) == ((2L, 10L, 50L)))   // tie -> smaller id
+  }
 }

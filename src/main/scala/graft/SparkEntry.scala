@@ -1298,6 +1298,11 @@ object SparkEntry {
     "ev_cuped" -> ((s, dir) =>
       Events.cuped(T(s, dir, "events"))),
 
+    // offline bandit replay: daily-epoch greedy policy over cumulative
+    // arm means, credited with the logged pulls it would have made
+    "ev_bandit" -> ((s, dir) =>
+      Events.banditReplay(T(s, dir, "events"))),
+
     // sample-ratio-mismatch guard: chi-square (1 df) on the arm split
     "ev_srm" -> ((s, dir) =>
       Events.srmCheck(T(s, dir, "events"))),
@@ -7067,6 +7072,7 @@ object SparkEntry {
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
+    "ev_bandit" -> Events.banditReplayDuckSql,
     "ev_srm" -> Events.srmDuckSql,
     "ev_power" -> Events.abPowerDuckSql(),
     "ev_did" -> Events.didDuckSql,

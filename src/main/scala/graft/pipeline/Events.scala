@@ -1487,6 +1487,72 @@ object Events {
     * identically by the oracle. One user-rollup shuffle; the pooled
     * moments are a 2-row broadcast.
     */
+  /** Offline bandit-policy replay (the Li et al. 2011 replay estimator,
+    * epoch variant): a greedy policy over per-arm cumulative mean reward,
+    * updated once per DAY (the batch cadence real ranking/bandit systems
+    * retrain on), evaluated against the logged stream — for each day with
+    * history, the policy picks argmax mean over all PRIOR days (ties to
+    * the lexicographically smallest arm) and is credited with exactly the
+    * logged events of the arm it would have pulled. Returns one row per
+    * evaluable day: the chosen arm, matched pulls, matched reward.
+    *
+    * Replayable by construction: cumulative moments are exact integer
+    * sums, the mean is one IEEE quotient, and the argmax is a total order
+    * (mean desc, arm asc) — the oracle replays it as a NOT-EXISTS
+    * anti-join. The prior-day rollup is a days×daily range join over the
+    * (bounded) day-count table, never over raw events.
+    */
+  def banditReplay(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val daily = e.groupBy(col("day"), col("event_type").as("arm"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    val days = daily.select("day").distinct()
+    val cum = days.as("d").join(daily.as("h"), col("h.day") < col("d.day"))
+      .groupBy(col("d.day").as("day"), col("h.arm").as("arm"))
+      .agg((sum(col("h.sc")).cast("double") / sum(col("h.n")).cast("double"))
+        .as("mean"))
+    val pol = cum.groupBy("day")
+      .agg(min(struct((-col("mean")).as("nm"), col("arm").as("arm"))).as("b"))
+      .select(col("day"), col("b.arm").as("chosen"))
+    e.join(pol, "day")
+      .groupBy("day", "chosen")
+      .agg(sum(when(col("event_type") === col("chosen"), 1L).otherwise(0L))
+          .as("n_matched"),
+        sum(when(col("event_type") === col("chosen"), col("cents"))
+          .otherwise(0L)).as("cents_matched"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[banditReplay]]. */
+  def banditReplayDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day, event_type AS arm,
+       |         CAST(round(value * 100) AS BIGINT) AS cents
+       |  FROM events
+       |), daily AS (
+       |  SELECT day, arm, count(*) AS n, sum(cents) AS sc
+       |  FROM e GROUP BY 1, 2
+       |), days AS (SELECT DISTINCT day FROM daily),
+       |cum AS (
+       |  SELECT d.day, h.arm,
+       |         CAST(sum(h.sc) AS DOUBLE) / CAST(sum(h.n) AS DOUBLE) AS mean
+       |  FROM days d JOIN daily h ON h.day < d.day GROUP BY 1, 2
+       |), pol AS (
+       |  SELECT c.day, c.arm AS chosen FROM cum c
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM cum c2 WHERE c2.day = c.day
+       |      AND (c2.mean > c.mean OR (c2.mean = c.mean AND c2.arm < c.arm)))
+       |)
+       |SELECT p.day, p.chosen,
+       |       CAST(sum(CASE WHEN e.arm = p.chosen THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_matched,
+       |       CAST(sum(CASE WHEN e.arm = p.chosen THEN e.cents ELSE 0 END)
+       |            AS BIGINT) AS cents_matched
+       |FROM pol p JOIN e ON e.day = p.day
+       |GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   /** Sample-ratio-mismatch guard — the first thing a healthy experiment
     * platform checks before reading any metric: a χ² test (1 df) that the
     * observed arm assignment matches the intended 50/50 split. Exact

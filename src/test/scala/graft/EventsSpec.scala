@@ -449,4 +449,21 @@ class EventsSpec extends SparkSpec {
     val r2 = Events.srmCheck(ok.toDF("user_id", "ts")).collect().head
     assert(r2.getDouble(2) == 0.04 && !r2.getBoolean(3))
   }
+
+  test("banditReplay: daily greedy argmax over prior days, replay credit") {
+    val D = 86400000000000L
+    // day 0: a mean 100c (2 pulls), b mean 300c. day 1: policy=b, logged
+    // pulls a(1: 900c), b(2: 200c+400c) => matched 2, 600c. day 2: cum
+    // means a=(100+100+900)/3=366.7 > b=300 => a; logged only b => 0.
+    val events = Seq(
+      (1L, 0L * D, "a", 1.0), (2L, 0L * D, "a", 1.0), (3L, 0L * D, "b", 3.0),
+      (4L, 1L * D, "a", 9.0), (5L, 1L * D, "b", 2.0), (6L, 1L * D, "b", 4.0),
+      (7L, 2L * D, "b", 1.0)
+    ).map { case (id, t, a, v) => (id, t, a, v) }
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = Events.banditReplay(events)
+      .select("day", "chosen", "n_matched", "cents_matched")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "b", 2L, 600L), (2L, "a", 0L, 0L)))
+  }
 }

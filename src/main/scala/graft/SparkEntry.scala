@@ -4933,6 +4933,30 @@ object SparkEntry {
         .withColumn("members",
           array_join(col("members").cast("array<string>"), ","))),
 
+    // corpus snapshot diff — "what changed between crawls": full outer
+    // join on doc id comparing content hashes; the previous snapshot is
+    // derived deterministically (every 7th doc new since, every 5th
+    // edited since, every 11th retired) so all four statuses exist
+    "tx_snapshot_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val cur = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      val prev = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h"))
+        .unionByName(docs.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            md5(col("text")).as("h")))
+      cur.as("c").join(prev.as("p"),
+          col("c.doc_id") === col("p.doc_id"), "full")
+        .select(when(col("p.doc_id").isNull, "added")
+          .when(col("c.doc_id").isNull, "removed")
+          .when(col("c.h") =!= col("p.h"), "changed")
+          .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
+    }),
+
     // canonical-doc selection inside each near-dup cluster: keep the
     // highest-n_chars member (tie -> smallest id) — the post-clustering
     // step of a real dedup pipeline, one struct-argmax per group
@@ -8826,6 +8850,24 @@ object SparkEntry {
 
     "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
     "dd_canonical" -> Groups.canonicalDocsDuckSql("d.n_chars", threshold = 0.2),
+    "tx_snapshot_diff" ->
+      """WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |prev AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |                  ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, md5(text) FROM documents
+        |  WHERE doc_id % 11 = 0
+        |)
+        |SELECT status, count(*) AS n FROM (
+        |  SELECT CASE WHEN p.doc_id IS NULL THEN 'added'
+        |              WHEN c.doc_id IS NULL THEN 'removed'
+        |              WHEN c.h <> p.h THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM cur c FULL OUTER JOIN prev p ON c.doc_id = p.doc_id
+        |) GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "dd_cluster_hist" -> Groups.clusterHistDuckSql(threshold = 0.2),
 

@@ -1298,6 +1298,11 @@ object SparkEntry {
     "ev_cuped" -> ((s, dir) =>
       Events.cuped(T(s, dir, "events"))),
 
+    // event-study curve: per-day treated-minus-control gap re-centered
+    // by the pre-period baseline — the parallel-trends diagnostic
+    "ev_event_study" -> ((s, dir) =>
+      Events.eventStudy(T(s, dir, "events"))),
+
     // offline bandit replay: daily-epoch greedy policy over cumulative
     // arm means, credited with the logged pulls it would have made
     "ev_bandit" -> ((s, dir) =>
@@ -7096,6 +7101,7 @@ object SparkEntry {
     "ev_pareto" -> Events.paretoDecilesDuckSql,
     "ev_backtest" -> Events.holtBacktestDuckSql,
     "ev_cuped" -> Events.cupedDuckSql,
+    "ev_event_study" -> Events.eventStudyDuckSql,
     "ev_bandit" -> Events.banditReplayDuckSql,
     "ev_srm" -> Events.srmDuckSql,
     "ev_power" -> Events.abPowerDuckSql(),

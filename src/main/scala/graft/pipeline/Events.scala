@@ -1487,6 +1487,81 @@ object Events {
     * identically by the oracle. One user-rollup shuffle; the pooled
     * moments are a 2-row broadcast.
     */
+  /** Event-study curve — the parallel-trends diagnostic every [[did]]
+    * reading should be accompanied by: for EVERY day, the treated-minus-
+    * control gap in per-event mean cents, re-centered by the pre-period
+    * baseline gap. Pre-split days hovering near zero support the
+    * parallel-trends assumption; post-split days trace the effect's
+    * dynamics. Arms and the mid-corpus split match [[did]]; all moments
+    * are exact integers, each output value a fixed quotient tree.
+    * One day×arm aggregate + a broadcast 1-row baseline — window-free.
+    */
+  def eventStudy(events: DataFrame): DataFrame = {
+    val e = events
+      .withColumn("day", expr("ts div 86400000000000"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)).cast("long"))
+    val rng = e.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(expr("(lo + hi + 1) div 2").as("mid"))
+    val daily = e.groupBy("day", "arm")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sc"))
+    def side(a: Int, c: String) = max(when(col("arm") === a, col(c)))
+    val perDay = daily.groupBy("day")
+      .agg(side(1, "sc").as("st"), side(1, "n").as("nt"),
+        side(0, "sc").as("sc0"), side(0, "n").as("nc"))
+      .filter(col("nt").isNotNull && col("nc").isNotNull)
+      .withColumn("gap",
+        col("st").cast("double") / col("nt").cast("double") -
+          col("sc0").cast("double") / col("nc").cast("double"))
+    val base = perDay.crossJoin(rng).filter(col("day") < col("mid"))
+      .agg(sum("st").as("bst"), sum("nt").as("bnt"),
+        sum("sc0").as("bsc"), sum("nc").as("bnc"))
+      .select((col("bst").cast("double") / col("bnt").cast("double") -
+        col("bsc").cast("double") / col("bnc").cast("double")).as("base_gap"))
+    perDay.crossJoin(base).crossJoin(rng)
+      .select(col("day"), (col("day") >= col("mid")).cast("long").as("post"),
+        col("nt"), col("nc"),
+        round(col("gap") - col("base_gap"), 6).as("effect_cents"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[eventStudy]]. */
+  def eventStudyDuckSql: String =
+    s"""WITH e AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS day,
+       |         CAST(round(value * 100) AS BIGINT) AS cents,
+       |         user_id % 2 AS arm
+       |  FROM events
+       |), rng AS (
+       |  SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e
+       |), daily AS (
+       |  SELECT day, arm, count(*) AS n, sum(cents) AS sc
+       |  FROM e GROUP BY 1, 2
+       |), pd AS (
+       |  SELECT day,
+       |         max(CASE WHEN arm = 1 THEN sc END) AS st,
+       |         max(CASE WHEN arm = 1 THEN n END) AS nt,
+       |         max(CASE WHEN arm = 0 THEN sc END) AS sc0,
+       |         max(CASE WHEN arm = 0 THEN n END) AS nc
+       |  FROM daily GROUP BY 1
+       |  HAVING max(CASE WHEN arm = 1 THEN n END) IS NOT NULL
+       |     AND max(CASE WHEN arm = 0 THEN n END) IS NOT NULL
+       |), g AS (
+       |  SELECT day, st, nt, sc0, nc,
+       |         CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+       |           - CAST(sc0 AS DOUBLE) / CAST(nc AS DOUBLE) AS gap
+       |  FROM pd
+       |), base AS (
+       |  SELECT CAST(sum(st) AS DOUBLE) / CAST(sum(nt) AS DOUBLE)
+       |           - CAST(sum(sc0) AS DOUBLE) / CAST(sum(nc) AS DOUBLE) AS base_gap
+       |  FROM g CROSS JOIN rng WHERE day < mid
+       |)
+       |SELECT day,
+       |       CAST(CASE WHEN day >= rng.mid THEN 1 ELSE 0 END AS BIGINT) AS post,
+       |       CAST(nt AS BIGINT) AS nt, CAST(nc AS BIGINT) AS nc,
+       |       round(gap - base_gap, 6) AS effect_cents
+       |FROM g CROSS JOIN base CROSS JOIN rng ORDER BY day""".stripMargin
+
   /** Offline bandit-policy replay (the Li et al. 2011 replay estimator,
     * epoch variant): a greedy policy over per-arm cumulative mean reward,
     * updated once per DAY (the batch cadence real ranking/bandit systems

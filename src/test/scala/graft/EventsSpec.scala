@@ -466,4 +466,22 @@ class EventsSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(out == Seq((1L, "b", 2L, 600L), (2L, "a", 0L, 0L)))
   }
+
+  test("eventStudy: pre-days ~0, post-days show the lift (hand panel)") {
+    val D = 86400000000000L
+    // 4 days, mid = 2. Pre: T mean 300c, C mean 100c both days => base
+    // gap 200, pre effects 0. Day 2: T 600, C 100 => +300. Day 3: T 800,
+    // C 200 => +400.
+    val events = Seq(
+      (0L, 0L * D, 1.0), (1L, 0L * D, 3.0),
+      (0L, 1L * D, 1.0), (1L, 1L * D, 3.0),
+      (0L, 2L * D, 1.0), (1L, 2L * D, 6.0),
+      (0L, 3L * D, 2.0), (1L, 3L * D, 8.0)
+    ).toDF("user_id", "ts", "value")
+    val out = Events.eventStudy(events)
+      .select("day", "post", "effect_cents")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 0L, 0.0), (1L, 0L, 0.0),
+      (2L, 1L, 300.0), (3L, 1L, 400.0)))
+  }
 }

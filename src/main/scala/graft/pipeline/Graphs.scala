@@ -956,7 +956,9 @@ l$i AS (SELECT src AS node, lbl FROM (
         val hook = inc.groupBy("c").agg(min("key").as("key"))
           .join(inc, Seq("c", "key"))
           .pipe(materializedBare)
+        val prevChosen = chosenKeys
         chosenKeys = materializedBare(chosenKeys.union(hook.select("key")).distinct())
+        freeCheckpoint(prevChosen)
         // mutual 2-cycles break toward the smaller component id
         var par = hook
           .join(hook.select(col("c").as("t"), col("t").as("tt")), Seq("t"), "left")

@@ -429,6 +429,9 @@ object Similarity {
   def ivfFilteredTopK(df: DataFrame, idCol: String, vecCol: String,
       pred: Column, query: Array[Double], k: Int,
       nlist: Int = 16, nprobe: Int = 2): DataFrame = {
+    // nprobe <= 0 would make the doubling escalation (0→0→0…) spin forever
+    require(nprobe >= 1 && nlist >= 1,
+      s"ivfFilteredTopK: need nprobe >= 1 and nlist >= 1, got nprobe=$nprobe nlist=$nlist")
     val cents = deterministicCentroids(df, idCol, vecCol, nlist)
     val assign = nearestCentroidUdf(cents)
     // probe order: lists ranked by centroid↔query cosine (ties → lowest id)
@@ -451,12 +454,43 @@ object Similarity {
       .limit(k)
   }
 
+  /** Per-cluster vector sum + count as ONE flat double buffer (slot `dim`
+    * is the count) — associatively merged, so Spark runs it as a PARTIAL
+    * aggregate: each executor folds its partition locally and only
+    * O(partitions·k·d) buffer bytes cross the wire (the sim_pca moment
+    * discipline), never the O(n·d) vector set itself.
+    */
+  private class VecSumAgg(dim: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Array[Float], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = Array.ofDim[Double](dim + 1)
+    override def reduce(b: Array[Double], v: Array[Float]): Array[Double] = {
+      val n = math.min(dim, v.length)
+      var i = 0
+      while (i < n) { b(i) += v(i); i += 1 }
+      b(dim) += 1.0
+      b
+    }
+    override def merge(x: Array[Double], y: Array[Double]): Array[Double] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Double]): Array[Double] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   /** Distributed Lloyd k-means coarse quantizer for IVF: deterministic init
     * (the first `k` vectors by id), then `iters` rounds of
     * assign-to-nearest-centroid (broadcast centroids, compiled cosine) and
-    * per-cluster mean (one shuffle of vectors keyed by cluster per round —
-    * with k ≪ n the reduce side is k streaming groups, so the loop scales to
-    * any corpus size). Empty clusters keep their previous centroid.
+    * per-cluster mean via the partial-combining [[VecSumAgg]] — per round
+    * only O(partitions·k·d) sum/count partials shuffle (the pre-round-8
+    * `groupByKey.mapGroups` moved the full O(n·d) vector set per round), so
+    * the loop scales to any corpus size. Empty clusters keep their previous
+    * centroid.
     */
   def kmeansCentroids(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int = 5): Array[Array[Double]] = {
@@ -466,6 +500,8 @@ object Similarity {
       .as[(Long, Array[Float])]
     var cents: Array[Array[Double]] =
       vecs.orderBy(col("id")).limit(k).collect().map(_._2.map(_.toDouble))
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    val sumAgg = new VecSumAgg(dim).toColumn
     def cos(a: Array[Double], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0
       val n = math.min(a.length, b.length)
@@ -487,18 +523,13 @@ object Similarity {
           (best, v)
         }
         .groupByKey(_._1)
-        .mapGroups { (cluster, it) =>
-          var sum: Array[Double] = null
-          var count = 0L
-          it.foreach { case (_, v) =>
-            if (sum == null) sum = new Array[Double](v.length)
-            var i = 0
-            while (i < v.length) { sum(i) += v(i); i += 1 }
-            count += 1
-          }
-          (cluster, sum.map(_ / count))
-        }
-        .collect().toMap
+        .mapValues(_._2)
+        .agg(sumAgg)
+        .collect()
+        .map { case (cluster, buf) =>
+          val cnt = buf(dim)
+          (cluster, buf.take(dim).map(_ / cnt))
+        }.toMap
       cents = cents.indices.map(i => next.getOrElse(i, cents(i))).toArray
       bc.destroy()
     }

@@ -601,8 +601,8 @@ object BenchScale {
         triEdgesAt(n).filter(col("src") % 4 === 0 && col("dst") % 4 === 0),
         k = 5, rounds = 7, broadcastLimit = 0L)),
       // Borůvka MSF over N disjoint copies of the trade graph with
-      // deterministic hash weights (offset 40k keeps 100× ids under the
-      // 2²² composite-key bound): hook/jump rounds constant per copy,
+      // deterministic hash weights (struct-tuple argmin since round 8 —
+      // no id/weight ceiling): hook/jump rounds constant per copy,
       // every comp join and argmin aggregate ∝ N
       "gr_mst" -> (n => {
         val copies = (0 until n).map { c =>

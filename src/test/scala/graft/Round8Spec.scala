@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Graphs, Similarity}
+
+/** Round-8 additions: the graph family's packed-key ceilings are gone
+  * (struct-tuple orientation/argmin keys — ids and weights are arbitrary
+  * longs), freeCheckpoint actually frees materializedBare frames (the
+  * round-7 ADVICE no-op), kmeansCentroids recenters through a
+  * partial-combining Aggregator, and ivfFilteredTopK validates nprobe.
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  // node ids far above the old 2²²/2³¹ packed-key bounds, weights above 2¹⁸
+  private val Big = 1L << 40
+
+  test("boruvkaMsf accepts ids > 2^32 and weights > 2^18 (ceiling removed)") {
+    // two components: a 4-cycle with a chord at offset 2^40, and a triangle
+    // at offset 2^41 — weights chosen to force specific MST picks
+    val w0 = (1L << 20) // above the old 2^18 weight bound
+    val edges = Seq(
+      (Big + 1, Big + 2, w0 + 5), (Big + 2, Big + 3, w0 + 1),
+      (Big + 3, Big + 4, w0 + 2), (Big + 4, Big + 1, w0 + 3),
+      (Big + 1, Big + 3, w0 + 4),
+      (2 * Big + 1, 2 * Big + 2, 7L), (2 * Big + 2, 2 * Big + 3, 9L),
+      (2 * Big + 1, 2 * Big + 3, 8L)
+    ).toDF("src", "dst", "w")
+    val got = Graphs.boruvkaMsf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = Set(
+      (Big + 2, Big + 3, w0 + 1), (Big + 3, Big + 4, w0 + 2),
+      (Big + 1, Big + 4, w0 + 3),
+      (2 * Big + 1, 2 * Big + 2, 7L), (2 * Big + 1, 2 * Big + 3, 8L))
+    assert(got == want)
+  }
+
+  test("boruvkaMsf matches sequential Kruskal on a random big-id graph") {
+    // deterministic pseudo-random graph over 60 nodes with ids >= 2^40 and
+    // 22-bit-plus weights; ties in w broken by (a, b) exactly like Kruskal
+    val raw = (0 until 400).map { i =>
+      val a = Big + (i * 2654435761L % 60)
+      val b = Big + ((i * 40503L + 7) % 60)
+      (a, b, (1L << 19) + (i * 48271L % 97))
+    }
+    val edges = raw.toDF("src", "dst", "w")
+    val got = Graphs.boruvkaMsf(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val und = raw.filter { case (a, b, _) => a != b }
+      .map { case (a, b, w) => (math.min(a, b), math.max(a, b), w) }
+      .groupBy { case (a, b, _) => (a, b) }
+      .map { case ((a, b), es) => (a, b, es.map(_._3).min) }.toSeq
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val want = und.sortBy { case (a, b, w) => (w, a, b) }.flatMap {
+      case (a, b, w) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra == rb) None else { parent(ra) = rb; Some((a, b, w)) }
+    }.toSet
+    assert(got == want, s"MSF mismatch: ${got.size} vs ${want.size} edges")
+  }
+
+  test("triangleCounts and trussPeel accept ids > 2^32 (orientation structs)") {
+    // K4 on big ids + a pendant edge: every K4 node sits on 3 triangles
+    val k4 = Seq(
+      (Big + 10, Big + 11), (Big + 10, Big + 12), (Big + 10, Big + 13),
+      (Big + 11, Big + 12), (Big + 11, Big + 13), (Big + 12, Big + 13),
+      (Big + 13, Big + 99))
+    val edges = k4.toDF("src", "dst")
+    val tri = Graphs.triangleCounts(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(tri == Map(Big + 10 -> 3L, Big + 11 -> 3L, Big + 12 -> 3L,
+      Big + 13 -> 3L))
+    // 4-truss of K4 + pendant = K4 itself (each K4 edge on 2 triangles)
+    val t4 = Graphs.trussPeel(edges, k = 4, rounds = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val k4Edges = k4.dropRight(1).map { case (a, b) => (a, b, 2L) }.toSet
+    assert(t4 == k4Edges)
+  }
+
+  test("freeCheckpoint frees materializedBare block-store snapshots") {
+    val sc = spark.sparkContext
+    def persisted = sc.getPersistentRDDs.size
+    val before = persisted
+    val edges = (0 until 200).map { i =>
+      (i.toLong % 40, (i * 7L + 1) % 40, (i * 13L) % 50)
+    }.toDF("src", "dst", "w")
+    val msf = Graphs.boruvkaMsf(edges)
+    val n = msf.count()
+    assert(n > 0)
+    // the run localCheckpoints one frame per round×(hook/par/comp/ec/chosen)
+    // step (~30+ for this graph); all superseded snapshots must be freed —
+    // only the result-referenced frames (und, chosen) may remain
+    val leaked = persisted - before
+    assert(leaked <= 3,
+      s"boruvkaMsf leaked $leaked persisted RDD snapshots (freeCheckpoint " +
+        "is a no-op for materializedBare frames again?)")
+  }
+
+  test("kmeansCentroids recenter runs as a partial aggregate, same result") {
+    val vecs = (0 until 64).map { i =>
+      (i.toLong, Array.tabulate(8)(j => ((i % 4) * 10 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding",
+      k = 4, iters = 3)
+    assert(cents.length == 4)
+    // 4 perfectly-separated clusters recover their exact means
+    val expected = (0 until 4).map(c =>
+      Array.tabulate(8)(j => (c * 10 + j).toDouble))
+    // centroids initialized from the first 4 ids = clusters 0,1,2,3 in order
+    cents.zip(expected).foreach { case (got, want) =>
+      got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9) }
+    }
+  }
+
+  test("ivfFilteredTopK rejects nprobe < 1 loudly (no infinite escalation)") {
+    val vecs = (0 until 32).map { i =>
+      (i.toLong, Array.tabulate(4)(j => (i + j).toFloat), i % 2)
+    }.toDF("vec_id", "embedding", "label")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfFilteredTopK(vecs, "vec_id", "embedding",
+        col("label") === 1, Array(1.0, 2.0, 3.0, 4.0), k = 5,
+        nlist = 4, nprobe = 0)
+    }
+    assert(ex.getMessage.contains("nprobe"))
+  }
+}

@@ -3054,6 +3054,97 @@ object SparkEntry {
         .orderBy(col("event_type"), col("hour_start"))
     }),
 
+    // fourteenth streaming gate — CRASH RECOVERY / exactly-once across a
+    // restart (round-7 verdict task 4): the hourly stateful rollup runs
+    // over the first 3 of 6 time-ordered slabs, then the newest commit
+    // marker is DELETED from the checkpoint (simulating the crash window
+    // between a micro-batch's state/offset write and its commit), the
+    // remaining slabs are staged, and the query RESTARTS from the same
+    // checkpoint: Structured Streaming re-executes the uncommitted batch
+    // from its logged offsets against the rolled-back state-store version,
+    // then drains the new slabs. The foreachBatch upsert is key-idempotent
+    // so the replayed delta overwrites itself, and the final snapshot must
+    // equal the batch rollup of ALL events. The restart boundary is
+    // asserted to fall MID-WINDOW (the hour containing the phase-2 head
+    // also holds phase-1 rows), so the post-restart value of that window
+    // can only come from checkpointed state — not a recount.
+    "st_stream_recover" -> ((s, dir) => {
+      import graft.plans.VersionedLayer
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-rec")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val store = d.resolve("store").toString
+      val ev = T(s, dir, "events")
+        .select(expr("ts div 1000").as("tus"), col("event_type"), col("event_id"))
+      val slabs = slabify(ev, Seq(col("tus"), col("event_id")), 6)
+        .select(col("tus"), col("event_type"), col("slab")).persist()
+      val cutHour = slabs.filter(col("slab") === 4)
+        .agg(min(expr("tus div 3600000000"))).head().getLong(0)
+      val straddles = slabs.filter(col("slab") <= 3 &&
+        expr("tus div 3600000000") === cutHour).limit(1).count() > 0
+      require(straddles, "st_stream_recover: restart boundary fell on an " +
+        "hour edge — the gate would not exercise cross-restart state")
+      def stage(range: Range): Unit = range.foreach { i =>
+        slabs.filter(col("slab") === i).select("tus", "event_type")
+          .repartition(1).write.mode("append").parquet(src)
+      }
+      def run(): Unit = {
+        val staged = s.read.parquet(src)
+        val stream = s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val agg = stream
+          .groupBy(window(timestamp_micros(col("tus")), "1 hour"),
+            col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(col("window.start").cast("long").as("hour_start"),
+            col("event_type"), col("n"))
+        val q = agg.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val sp = batch.sparkSession
+            val delta = batch.persist()
+            val cur =
+              if (VersionedLayer.versions(sp, store).isEmpty) delta.limit(0)
+              else VersionedLayer.read(sp, store, None)
+            VersionedLayer.commit(
+              cur.join(delta.select("hour_start", "event_type"),
+                  Seq("hour_start", "event_type"), "left_anti")
+                .unionByName(delta), store)
+            delta.unpersist()
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(180000)
+        // deregister fully before the restart run re-opens the checkpoint
+        q.stop(); q.awaitTermination()
+      }
+      stage(1 to 3)
+      run()
+      // crash simulation: drop the NEWEST commit marker — the batch's
+      // offsets and state survive, its commit does not, so the restart
+      // MUST replay it (the recovery path a clean stop never exercises)
+      val commits = new java.io.File(s"$ckpt/commits").listFiles()
+        .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+      require(commits.nonEmpty, "st_stream_recover: no commits after phase 1")
+      require(commits.last.delete(),
+        "st_stream_recover: could not remove the newest commit marker")
+      // the local checksum FS keeps a hidden .N.crc sidecar per marker —
+      // leave it behind and the replayed batch's commit RENAME collides
+      // (FileAlreadyExistsException surfaced as "Multiple streaming
+      // queries are concurrently using")
+      val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
+      if (crc.exists()) require(crc.delete(),
+        "st_stream_recover: could not remove the commit crc sidecar")
+      stage(4 to 6)
+      run()
+      slabs.unpersist()
+      VersionedLayer.read(s, store, None)
+        .orderBy(col("event_type"), col("hour_start"))
+    }),
+
     // tenth streaming gate — LATE / OUT-OF-ORDER arrivals under a REAL
     // watermark (round-6 verdict task 6; every other gate replays
     // time-ordered slabs). The corpus is cut into 6 time blocks staged as
@@ -7044,6 +7135,14 @@ object SparkEntry {
     // the foreachBatch-upsert snapshot ≡ the batch rollup (update-mode
     // deltas carry cumulative counts, so the final merge is the world)
     "st_stream_mv" ->
+      """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
+        |       event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,
+
+    // exactly-once across a crash-restart: replaying the uncommitted batch
+    // against the rolled-back state version must converge to the same
+    // batch rollup a clean run produces — the store snapshot IS the world
+    "st_stream_recover" ->
       """SELECT (epoch_ns(ts) // 3600000000000) * 3600 AS hour_start,
         |       event_type, count(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY event_type, hour_start""".stripMargin,

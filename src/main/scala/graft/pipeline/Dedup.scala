@@ -180,17 +180,27 @@ object Dedup {
     val OFF = 1024 // keeps band arithmetic positive (floor/truncate parity)
     val docs = df.select(col(idCol).as("id"), col(textCol).as("t"),
       length(col(textCol)).as("len")).persist()
+    // size the (gram, band) candidate join ∝ corpus chars (exploded gram
+    // volume ≈ chars) — the round-7 INIT_PARTS lever in the plan; the
+    // persisted docs frame makes this agg a cache scan
+    val chars = docs.filter(col("len") >= q)
+      .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
+    val n = Autosize.parts(df, chars, Autosize.CharsPerPart)
     val withGrams = docs.filter(col("len") >= q)
       .select(col("id"), col("len"),
         explode(expr(s"transform(sequence(1, length(t) - ${q - 1}), " +
           s"i -> struct(i AS p, substring(t, i, $q) AS g))")).as("x"))
       .select(col("id"), col("len"), col("x.p").as("p"), col("x.g").as("g"))
-    val probe = withGrams.select(col("id"), col("len"), col("g"),
-      ((col("p") + OFF) / W).cast("long").as("band"))
-    val index = withGrams.select(col("id"), col("len"), col("g"),
+    val probe = Autosize.keyed(
+      withGrams.select(col("id"), col("len"), col("g"),
+        ((col("p") + OFF) / W).cast("long").as("band")),
+      n, col("g"), col("band"))
+    val index = Autosize.keyed(
+      withGrams.select(col("id"), col("len"), col("g"),
         explode(array_distinct(array(
           ((col("p") + (OFF - k)) / W).cast("long"),
-          ((col("p") + (OFF + k)) / W).cast("long")))).as("band"))
+          ((col("p") + (OFF + k)) / W).cast("long")))).as("band")),
+      n, col("g"), col("band"))
     // the FULL Gravano count filter, not just >=1: a pair within k edits
     // shares at least max(len)-q+1-k·q one-to-one positional gram matches,
     // and every such match contributes a distinct join row, so filtering
@@ -1112,8 +1122,16 @@ object Dedup {
         out.toArray.sorted
       }
     })
-    val fps = df.filter(length(col(textCol)) >= minLen)
-      .select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+    val eligible = df.filter(length(col(textCol)) >= minLen)
+    // size the fingerprint self-join exchange ∝ corpus chars (the round-7
+    // INIT_PARTS lever in the plan; ReuseExchange shares the one shuffle
+    // between both self-join sides) — small corpora keep the default plan
+    val chars = eligible.agg(coalesce(sum(length(col(textCol))), lit(0L)))
+      .head().getLong(0)
+    val n = Autosize.parts(df, chars, Autosize.CharsPerPart)
+    val fps = Autosize.keyed(
+      eligible.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp")),
+      n, col("fp"))
     val cand = fps.as("a").join(fps.as("b"),
         col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -117,17 +117,31 @@ object Graphs {
       .select(key("a"), key("b"))
     // dirE feeds three joins (both wedge sides + the closing probe); persist
     // so the dedup + degree-attach chain runs once, not three times
-    val dirE = keyed.select(
+    val dirE0 = keyed.select(
       least(col("ka"), col("kb")).as("u"), greatest(col("ka"), col("kb")).as("w"))
       .persist()
     // the persisted count is a cache scan — the same cheap signal
-    // SpatialJoin.join pays only in its in-between band
-    val dirEb = if (dirE.count() <= broadcastLimit) broadcast(dirE) else dirE
+    // SpatialJoin.join pays only in its in-between band; it also sizes the
+    // O(m^{3/2}) wedge exchanges ∝ m (the round-7 INIT_PARTS lever, now in
+    // the plan: 16 fixed partitions spill/hang past ~10× of sf0.1)
+    val m = dirE0.count()
+    val n = Autosize.parts(dirE0, m, Autosize.EdgesPerPart)
+    val dirE = Autosize.keyed(dirE0, n, col("u"))
+    val dirEb = if (m <= broadcastLimit) broadcast(dirE0) else dirE
     // wedges u→v, u→w with v < w close iff oriented edge (v, w) exists
     val wedges = dirE.as("x").join(dirEb.as("y"),
         col("x.u") === col("y.u") && col("x.w") < col("y.w"))
       .select(col("x.u").as("u"), col("x.w").as("v"), col("y.w").as("w"))
-    wedges.join(dirEb.select(col("u").as("v"), col("w")), Seq("v", "w"))
+    // closing probe keys (v, w): pin the wedge-volume exchange to the same
+    // width (broadcast probe needs no exchange at all)
+    val closable =
+      if (m <= broadcastLimit) wedges
+      else Autosize.keyed(wedges, n, col("v"), col("w"))
+    val probeSide =
+      if (m <= broadcastLimit) dirEb.select(col("u").as("v"), col("w"))
+      else Autosize.keyed(
+        dirE0.select(col("u").as("v"), col("w")), n, col("v"), col("w"))
+    closable.join(probeSide, Seq("v", "w"))
       .select(col("u"), col("v"), col("w"))
   }
 
@@ -264,9 +278,30 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
     * tree — at maxHop ≤ ~10 the lineage stays shallow enough that no
     * checkpoint is needed.
     */
+  /** Persisted edge list for the frontier loops (bfs / bfsPerSource /
+    * hashWalks), pre-partitioned by `src` at a width ∝ |E| (the round-7
+    * `INIT_PARTS` lever in plan form): the cached layout satisfies each
+    * round's join distribution on src, so the BIG side never re-shuffles
+    * per round and the probe runs at the sized width instead of the
+    * session's fixed count (which spills past ~10× of sf0.1). Small edge
+    * lists (every gate run) keep the default width — identical plans.
+    */
+  private def sizedEdges(edges: DataFrame, dedup: Boolean = true): DataFrame = {
+    val base = (if (dedup)
+        edges.select(col("src").cast("long").as("src"),
+          col("dst").cast("long").as("dst")).distinct()
+      else edges).persist()
+    val n = Autosize.parts(base, base.count(), Autosize.EdgesPerPart)
+    if (n > base.sparkSession.sessionState.conf.numShufflePartitions) {
+      val sized = base.repartition(n, col("src")).persist()
+      sized.count()
+      base.unpersist(blocking = false)
+      sized
+    } else base
+  }
+
   def bfs(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    val e = sizedEdges(edges)
     // every frontier stays persisted until the caller's action has run —
     // `dist` is a union over all of them, and dropping one mid-loop would
     // silently re-derive the whole prefix chain at the final action
@@ -298,8 +333,7 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
     * k BFS's for the price of one shuffle pipeline.
     */
   def bfsPerSource(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+    val e = sizedEdges(edges)
     var frontier = seeds.select(col("node").cast("long").as("root"))
       .distinct().withColumn("node", col("root")).persist()
     var dist = frontier.withColumn("hop", lit(0))
@@ -652,8 +686,9 @@ l$i AS (SELECT src AS node, lbl FROM (
     */
   def hashWalks(edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     // the edge list is probed once per step — persist it like bfs does, or
-    // every round replays the caller's edge-building joins from the scan
-    val e = edges.select(col("src"), col("dst")).persist()
+    // every round replays the caller's edge-building joins from the scan;
+    // sizedEdges also pins the per-step probe width ∝ |E| (gr_bfs lever)
+    val e = sizedEdges(edges.select(col("src"), col("dst")), dedup = false)
     var cur = seeds.select(col("node").cast("long").as("seed"),
       col("node").cast("long").as("cur"))
     var out = cur.select(col("seed"), lit(0L).as("step"), col("cur").as("node"))

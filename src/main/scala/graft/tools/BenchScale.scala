@@ -61,14 +61,11 @@ object BenchScale {
     // the gate, not one plan's growth
     sys.env.get("SPARK_GRAFT_DEDUP_BCAST").foreach(v =>
       spark.conf.set("spark.graft.dedup.broadcastBytes", v))
-    // SPARK_GRAFT_INIT_PARTS raises AQE's pre-coalesce partition count for
-    // a heavy one-shot family (the measured shuffle-sizing lever, see
-    // Bench.scala note: gr_triangles' O(m^{3/2}) wedge shuffle spills at
-    // 16 fixed partitions once rungs pass ~10×; on a cluster the executor
-    // count sets this floor). Set per-family so the config is constant
-    // across that family's rungs — a consistent curve, not a strategy mix
-    sys.env.get("SPARK_GRAFT_INIT_PARTS").foreach(v =>
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum", v))
+    // Shuffle sizing for the heavy one-shot families is IN THE PLANS since
+    // round 8 (pipeline/Autosize: expansion operators pin their exchange
+    // width ∝ measured input rows; iterative fixpoints stay at the session
+    // floor) — the former SPARK_GRAFT_INIT_PARTS env lever is gone, so
+    // ladder runs need zero per-family pins.
 
     val scaleDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       "/tmp/graft_scale10x_" + new java.io.File(sfDir).getName)

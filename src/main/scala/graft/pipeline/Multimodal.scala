@@ -7,11 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata structs, processed in batch-shaped partition passes.
   *
-  * The decode kernels themselves are STUBBED with a deterministic fake
-  * (no image/audio codecs in this container) — everything Spark-side is
-  * real: schemas, partition sizing, batch iteration, output shapes. Swap
-  * `fakeDecode` for a real codec (e.g. javax.imageio / ffmpeg pipe) without
-  * touching the dataflow.
+  * IMAGE decode is REAL when `spark.graft.mm.codec=bmp` (pure-JVM
+  * uncompressed-BMP codec, [[ImageCodec]] — exercised by the
+  * mm_decode_bmp oracle gate); the default remains the deterministic FNV
+  * stub, and the audio/video kernels stay stubbed (no PCM/video codecs in
+  * this container) — everything Spark-side is real either way: schemas,
+  * partition sizing, batch iteration, output shapes. Swap the stubs for
+  * richer codecs (javax.imageio / ffmpeg pipe) without touching the
+  * dataflow.
   */
 object Multimodal {
 
@@ -49,15 +52,33 @@ object Multimodal {
   /** Decode + resize to (w×h) feature vectors, one batch-shaped partition
     * pass (the Scala analog of a Pandas mapInPandas batch UDF: per-partition
     * iterator, amortized setup, bounded memory per batch).
+    *
+    * The decoder is SELECTED BY CONFIG (`spark.graft.mm.codec`, read once
+    * at plan build): `stub` (default) keeps the deterministic FNV fake;
+    * `bmp` decodes REAL uncompressed 24/32-bit BMP bytes via the pure-JVM
+    * [[ImageCodec]] — native luma pixels box-meaned to the requested
+    * (w, h) — so byte-different encodings of the same pixels (row order,
+    * padding) decode identically, which the FNV stub cannot do. Non-BMP
+    * bytes under `bmp` fail loudly; a silent stub fallback would fake a
+    * decode. The quartet's dataflow is codec-agnostic either way.
     */
   def decodeAndFeaturize(df: DataFrame, w: Int = 32, h: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val codec = spark.conf.get("spark.graft.mm.codec", "stub")
+    require(codec == "stub" || codec == "bmp",
+      s"spark.graft.mm.codec must be stub|bmp, got $codec")
+    val real = codec == "bmp"
     df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition setup would init the real codec once here
+        // per-partition setup would init a stateful codec once here
         it.map { case (id, bytes) =>
-          val px = if (bytes == null) new Array[Float](w * h) else fakeDecode(bytes, w, h)
+          val px =
+            if (bytes == null) new Array[Float](w * h)
+            else if (real) {
+              val (sw, sh, luma) = ImageCodec.decodeBmpLuma(bytes)
+              ImageCodec.boxMean(sw, sh, luma, w, h)
+            } else fakeDecode(bytes, w, h)
           (id, px, w, h)
         }
       }
@@ -256,11 +277,13 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
-  /** Perceptual-hash signature per image row: decode to an 8×8 pseudo-pixel
-    * grid, bit j = pixel j above the image mean — the mean-threshold aHash
-    * variant of pHash. With a REAL decoder visually-similar images map to
-    * nearby signatures; with the FNV stub only byte-identical media collide
-    * (FNV avalanches) — the dedup machinery downstream is what's exercised.
+  /** Perceptual-hash signature per image row: decode to an 8×8 pixel grid,
+    * bit j = pixel j above the image mean — the mean-threshold aHash
+    * variant of pHash. Under `spark.graft.mm.codec=bmp` the decode is REAL
+    * (ImageCodec luma + box-mean to 8×8), so byte-different encodings of
+    * the same pixels collide and visually-similar images map to nearby
+    * signatures (Round8Spec pins the collision); under the default FNV
+    * stub only byte-identical media collide (FNV avalanches).
     * The mean is exact in both engines: 64 pixel values are floats cast to
     * double (24-bit mantissas, ≤ 8 bits of exponent spread), so the sum
     * needs < 40 mantissa bits — no rounding in any summation order.

@@ -117,6 +117,64 @@ class Round8Spec extends SparkSpec {
     }
   }
 
+  test("BMP decode: golden byte vector (hand-assembled 2x2 bottom-up)") {
+    // 2x2, 24-bit, stride = 8 (2 pad bytes/row); pixels top-down:
+    //   (0,0) pure red   (1,0) pure green
+    //   (0,1) pure blue  (1,1) white
+    // bottom-up file order: row1 (blue, white) first, then row0
+    val hdr = Array[Int](
+      'B', 'M', 70, 0, 0, 0, 0, 0, 0, 0, 54, 0, 0, 0,   // file header
+      40, 0, 0, 0, 2, 0, 0, 0, 2, 0, 0, 0,              // info: 2 x 2
+      1, 0, 24, 0, 0, 0, 0, 0, 16, 0, 0, 0,             // planes/bpp/comp/size
+      0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)   // resolution/palette
+    val rows = Array[Int](
+      255, 0, 0, /*blue BGR*/ 255, 255, 255, /*white*/ 0, 0,  // pad
+      0, 0, 255, /*red BGR*/ 0, 255, 0, /*green*/ 0, 0)       // pad
+    val bytes = (hdr ++ rows).map(_.toByte)
+    val (w, h, luma) = graft.pipeline.ImageCodec.decodeBmpLuma(bytes)
+    assert((w, h) == (2, 2))
+    // luma = (299R + 587G + 114B) / 1000
+    assert(luma.toSeq == Seq(299 * 255 / 1000, 587 * 255 / 1000,
+      114 * 255 / 1000, 255))
+  }
+
+  test("BMP encode->decode identity; top-down and bottom-up bytes differ, pixels equal") {
+    val rnd = new scala.util.Random(42)
+    for ((w, h) <- Seq((1, 1), (3, 2), (5, 4), (16, 9))) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val want = (0 until w * h).map(p =>
+        (299 * rgb(p * 3) + 587 * rgb(p * 3 + 1) + 114 * rgb(p * 3 + 2)) / 1000)
+      val up = graft.pipeline.ImageCodec.encodeBmp(w, h, rgb)
+      val down = graft.pipeline.ImageCodec.encodeBmp(w, h, rgb, topDown = true)
+      assert(!java.util.Arrays.equals(up, down) || h == 1)
+      for (enc <- Seq(up, down)) {
+        val (gw, gh, luma) = graft.pipeline.ImageCodec.decodeBmpLuma(enc)
+        assert((gw, gh) == (w, h))
+        assert(luma.toSeq == want)
+      }
+    }
+  }
+
+  test("pHash over real BMP bytes: byte-different encodings of one image collide") {
+    import org.apache.spark.sql.functions.udf
+    val rnd = new scala.util.Random(7)
+    val rgb = Array.fill(16 * 16 * 3)(rnd.nextInt(256))
+    val enc = udf((topDown: Boolean) =>
+      graft.pipeline.ImageCodec.encodeBmp(16, 16, rgb, topDown))
+    val media = spark.range(0, 2).select(col("id").as("media_id"),
+      lit("image").as("kind"), enc(col("id") === 1).as("bytes"))
+    spark.conf.set("spark.graft.mm.codec", "bmp")
+    val sigs =
+      try graft.pipeline.Multimodal.phash64(media).collect()
+      finally spark.conf.set("spark.graft.mm.codec", "stub")
+    assert(sigs.length == 2)
+    val bySig = sigs.map(r => r.getAs[Long]("sig")).distinct
+    // the FNV stub CANNOT do this: the two byte streams differ (row order)
+    // yet the real decode makes their signatures identical
+    assert(bySig.length == 1,
+      s"byte-different same-pixel BMPs got different pHashes: ${bySig.toSeq}")
+  }
+
   test("ivfFilteredTopK rejects nprobe < 1 loudly (no infinite escalation)") {
     val vecs = (0 until 32).map { i =>
       (i.toLong, Array.tabulate(4)(j => (i + j).toFloat), i % 2)

@@ -1422,9 +1422,11 @@ object Corpus {
     val num = col("rank") * col("sxy") - col("sx") * col("sy")
     val denx = col("rank") * col("sxx") - col("sx") * col("sx")
     val deny = col("rank") * col("syy") - col("sy") * col("sy")
-    df.select(explode(toks(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("f"))
-      .orderBy(col("f").desc, col("w")).limit(topN)
+    BoundedWindow(
+      df.select(explode(toks(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w")).limit(topN),
+      topN.toLong, s"Zipf OLS fold (top-$topN word ranks by construction)")
       .withColumn("rank", row_number().over(byFreq).cast("long"))
       .withColumn("x", log(col("rank").cast("double")))
       .withColumn("y", log(col("f").cast("double")))

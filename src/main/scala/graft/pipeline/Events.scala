@@ -300,8 +300,8 @@ object Events {
     val w = Window.partitionBy("g").orderBy("h")
     val sk = dh.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("g"), col("h"))
-    val merged = sk.select("h").distinct()
-    // bounded input (≤ 2k rows) — this global rank is constant-size
+    val merged = BoundedWindow(sk.select("h").distinct(), 2L * k,
+      "KMV union of two k-minimum sketches")
     val wu = Window.orderBy("h")
     val ku = merged.withColumn("rk", row_number().over(wu)).filter(col("rk") <= k)
     val flags = ku.select(col("h"))
@@ -852,7 +852,9 @@ object Events {
       .unionAll(sessions.select(col("t_end").as("t"), lit(-1L).as("d")))
       .withColumn("hour", expr(s"t div $hourUs"))
     // (2) tiny hour-level offset table: deltas strictly before each hour
-    val hourTotals = deltas.groupBy(col("hour")).agg(sum(col("d")).as("hd"))
+    val hourTotals = BoundedWindow(
+      deltas.groupBy(col("hour")).agg(sum(col("d")).as("hd")),
+      1_000_000L, "hour-level offsets (one row per distinct hour — a century is ~876k)")
     val wH = Window.orderBy(col("hour")).rowsBetween(Window.unboundedPreceding, -1)
     val offsets = hourTotals
       .withColumn("off", coalesce(sum(col("hd")).over(wH), lit(0L)))
@@ -2452,8 +2454,10 @@ object Events {
       (max("ts") - lit(censorDays) * lit(86400000000000L)).as("cut"))
     val marked = users.crossJoin(cutoff)
       .withColumn("churned", (col("last") <= col("cut")).cast("int"))
-    val byT = marked.groupBy(col("lifetime").as("t"))
-      .agg(count(lit(1)).as("n_all"), sum("churned").as("d"))
+    val byT = BoundedWindow(
+      marked.groupBy(col("lifetime").as("t"))
+        .agg(count(lit(1)).as("n_all"), sum("churned").as("d")),
+      1_000_000L, "survival folds (one row per distinct day-lifetime)")
     val wOrd = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val total = marked.count()

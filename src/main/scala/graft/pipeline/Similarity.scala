@@ -788,10 +788,13 @@ object Similarity {
       .select(col("qid"), col("dcg"))
     val idcg = (2 to k + 1)
       .map(i => lit(1.0) / log2(lit(i.toDouble))).reduce(_ + _)
-    val scored = queries.select(col(idCol).as("qid")).distinct()
-      .join(perQ, Seq("qid"), "left")
-      .na.fill(0.0, Seq("dcg"))
-      .withColumn("ndcg", col("dcg") / idcg)
+    val scored = BoundedWindow(
+      queries.select(col(idCol).as("qid")).distinct()
+        .join(perQ, Seq("qid"), "left")
+        .na.fill(0.0, Seq("dcg"))
+        .withColumn("ndcg", col("dcg") / idcg),
+      1_000_000L, "NDCG eval folds (one row per eval query — an eval " +
+        "sample, never the corpus)")
     val wg = Window.orderBy("qid")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.orderBy("qid")

@@ -81,7 +81,9 @@ object StreamStateBench {
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
       val slabW = org.apache.spark.sql.expressions.Window.orderBy(tsCol)
-      val slabs = df.withColumn("__slab", ntile(4).over(slabW))
+      val slabs = graft.pipeline.BoundedWindow(df, 50_000_000L,
+          "bench slab staging (the rate-ladder corpus, never production data)")
+        .withColumn("__slab", ntile(4).over(slabW))
       (1 to 4).foreach { i =>
         slabs.filter(col("__slab") === i).drop("__slab")
           .repartition(1).write.mode("append").parquet(src)

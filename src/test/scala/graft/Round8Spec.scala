@@ -175,6 +175,22 @@ class Round8Spec extends SparkSpec {
       s"byte-different same-pixel BMPs got different pHashes: ${bySig.toSeq}")
   }
 
+  test("BoundedWindow enforces the documented bound under the test conf") {
+    import graft.pipeline.BoundedWindow
+    val df = spark.range(0, 100).toDF("i")
+    // within bound: pass-through
+    assert(BoundedWindow(df, 100, "test").count() == 100)
+    // over bound: loud
+    val ex = intercept[IllegalArgumentException] {
+      BoundedWindow(df, 99, "test-over").count()
+    }
+    assert(ex.getMessage.contains("test-over"))
+    // guard off => free pass-through even over bound
+    spark.conf.set("spark.graft.assertBoundedWindows", "false")
+    try assert(BoundedWindow(df, 1, "prod-path").count() == 100)
+    finally spark.conf.set("spark.graft.assertBoundedWindows", "true")
+  }
+
   test("ivfFilteredTopK rejects nprobe < 1 loudly (no infinite escalation)") {
     val vecs = (0 until 32).map { i =>
       (i.toLong, Array.tabulate(4)(j => (i + j).toFloat), i % 2)

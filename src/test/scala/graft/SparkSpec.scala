@@ -66,6 +66,9 @@ object SparkSpec {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // every deliberately-unpartitioned window site runs its
+      // BoundedWindow count guard under the test session
+      .config("spark.graft.assertBoundedWindows", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.functions.SpatialFunctions.register(s)

@@ -3310,6 +3310,24 @@ object SparkEntry {
           sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
         .orderBy(col("c_nationkey"))),
 
+    // ECQL long-tail parity (round-7 verdict task 8): the ID filter (bare
+    // IN over feature ids), the RELATE DE-9IM pattern predicate (exact,
+    // no bbox prune — a pattern can demand disjointness), and the
+    // GeoTools filter-function library's most-used names
+    // (strToLowerCase, abs, floor) — all through the same Column compiler
+    "sp_ecql_fn" -> ((s, dir) =>
+      new GeoFrame(pointsDf(s, dir)
+          .join(T(s, dir, "customer").select(col("c_custkey").as("ck"),
+            col("c_mktsegment"), col("c_name")), Seq("ck")))
+        .filterEcql("(IN ('11', '22', '33') OR " +
+          "(strToLowerCase(c_mktsegment) = 'building' AND " +
+          "abs(c_acctbal - 5000) <= 2000 AND " +
+          "floor(c_acctbal / 1000) IN (3, 4, 5, 6))) AND " +
+          "RELATE(the_geom, " +
+          "POLYGON ((-90 -45, 90 -45, 90 45, -90 45, -90 -45)), " +
+          "'T********')")
+        .df.select(col("ck"), col("x"), col("y")).orderBy(col("ck"))),
+
     // FES temporal predicates through the stored-CQL surface: AFTER an
     // instant and BEFORE OR DURING a period over a per-customer derived
     // first-order timestamp — the GeoTools compilation (< / <= period end)
@@ -7459,6 +7477,21 @@ object SparkEntry {
         |  AND c_acctbal * 2 - 500 > 3000
         |  AND c_name NOT LIKE '%19%'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ID filter = ck in the literal id set; RELATE 'T********' on a point
+    // vs the rectangle = strict interior containment (generator x/y sit on
+    // half-degree offsets, never on the boundary); functions replay as
+    // lower/abs/floor
+    "sp_ecql_fn" -> (PtsCte +
+      """
+        |SELECT ck, x, y
+        |FROM pts JOIN customer ON ck = c_custkey
+        |WHERE (ck IN (11, 22, 33) OR
+        |       (lower(c_mktsegment) = 'building' AND
+        |        abs(pts.c_acctbal - 5000) <= 2000 AND
+        |        floor(pts.c_acctbal / 1000) IN (3, 4, 5, 6)))
+        |  AND x > -90 AND x < 90 AND y > -45 AND y < 45
+        |ORDER BY ck""".stripMargin),
 
     "sp_ecql_temporal" ->
       """WITH fo AS (

@@ -123,6 +123,7 @@ object Ecql {
   private case class NumOp(v: Double) extends Operand
   private case class BoolOp(v: Boolean) extends Operand
   private case class ArithOp(c: Column) extends Operand  // +,-,*,/ over operands
+  private case class FnOp(c: Column, numeric: Boolean) extends Operand // filter-function call
   private case class TimeOp(v: java.sql.Timestamp) extends Operand
 
   /** ISO instant → UTC timestamp: offset honored when present, date-only =
@@ -140,6 +141,20 @@ object Ecql {
         }
     java.sql.Timestamp.from(inst)
   }
+
+  /** GeoTools filter-function library subset (FunctionFinder lookup is
+    * case-insensitive): name → (numeric-args?, builder, numeric-result?).
+    */
+  private val Fns: Map[String, (Boolean, Seq[Column] => Column, Boolean)] = Map(
+    "strtolowercase" -> ((false, (as: Seq[Column]) => lower(as.head), false)),
+    "strtouppercase" -> ((false, (as: Seq[Column]) => upper(as.head), false)),
+    "strtrim" -> ((false, (as: Seq[Column]) => trim(as.head), false)),
+    "strconcat" -> ((false, (as: Seq[Column]) => concat(as: _*), false)),
+    "strlength" -> ((false,
+      (as: Seq[Column]) => length(as.head).cast("double"), true)),
+    "abs" -> ((true, (as: Seq[Column]) => abs(as.head), true)),
+    "ceil" -> ((true, (as: Seq[Column]) => ceil(as.head).cast("double"), true)),
+    "floor" -> ((true, (as: Seq[Column]) => floor(as.head).cast("double"), true)))
 
   private class Parser(toks: Vector[Tok], topCols: Set[String]) {
     private var pos = 0
@@ -222,6 +237,65 @@ object Ecql {
         else
           st.bboxIntersects(col("bbox"), e.getMinX, e.getMinY, e.getMaxX, e.getMaxY) &&
             STPredicate.column(SpatialPreds(kw), col("geometry"), g)
+      // GeoTools ECQL ID filter: a bare `IN ('fid1', 'fid2', …)` at
+      // predicate position selects by feature id (no left attribute). The
+      // canonical layer schema carries the feature id in `id`.
+      case Some(TIdent(id)) if id.equalsIgnoreCase("IN") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        next(); expectSym("(")
+        if (!topCols.contains("id")) throw new IllegalArgumentException(
+          "ID filter needs an `id` column on this layer")
+        val ids = scala.collection.mutable.ArrayBuffer[String]()
+        def takeId(): Unit = next() match {
+          case TStr(v) => ids += v
+          case TNum(v) => ids += v   // numeric fids tokenize as numbers
+          case other => throw new IllegalArgumentException(
+            s"ID filter needs literal feature ids, got $other")
+        }
+        takeId()
+        while (peek.contains(TSym(","))) { next(); takeId() }
+        expectSym(")")
+        col("id").isin(ids.toSeq: _*)
+      // DE-9IM pattern predicate: RELATE(the_geom, <wkt literal>, pattern)
+      // — compiled to the exact relate with NO bbox prune conjunct (a
+      // general pattern can demand disjointness, so an envelope prune
+      // would be unsound; GeoTools evaluates RELATE exactly too)
+      case Some(TIdent(id)) if id.equalsIgnoreCase("RELATE") =>
+        next(); expectSym("(")
+        parseOperand() match {
+          case GeomOp(_) =>
+          case other => throw new IllegalArgumentException(
+            s"RELATE needs the geometry property first, got $other")
+        }
+        expectSym(",")
+        val wkt = parseOperand() match {
+          case StrOp(w) => w
+          case other => throw new IllegalArgumentException(
+            s"RELATE needs a geometry literal, got $other")
+        }
+        expectSym(",")
+        // pattern: quoted string, or the bare GeoTools form (T/F/0/1/2/*
+        // tokens interleaved with '*' symbols) concatenated up to ')'
+        val pat = peek match {
+          case Some(TStr(p)) => next(); p
+          case _ =>
+            val sb = new StringBuilder
+            while (!peek.contains(TSym(")"))) {
+              next() match {
+                case TIdent(s) => sb.append(s)
+                case TNum(s) => sb.append(s)
+                case TSym("*") => sb.append('*')
+                case other => throw new IllegalArgumentException(
+                  s"bad DE-9IM pattern token $other")
+              }
+            }
+            sb.toString
+        }
+        expectSym(")")
+        require(pat.length == 9 && pat.forall(c => "TF012*".contains(c)),
+          s"DE-9IM pattern must be 9 of [TF012*], got '$pat'")
+        val g = GeomCodec.fromWkt(wkt)
+        st.relatePattern(col("geometry"), lit(GeomCodec.toWkb(g)), lit(pat))
       case Some(TIdent(id)) if id.equalsIgnoreCase("DWITHIN") =>
         next(); expectSym("(")
         parseOperand() match {
@@ -312,6 +386,20 @@ object Ecql {
         GeomTypeOp()
       case Some(TIdent(id)) if id.equalsIgnoreCase("TRUE") => next(); BoolOp(true)
       case Some(TIdent(id)) if id.equalsIgnoreCase("FALSE") => next(); BoolOp(false)
+      // GeoTools filter-function library, the most-used string/math names
+      // (ECQL compiles them through FunctionFinder; same case-insensitive
+      // lookup here). String args use the resolved column (props values
+      // are already strings); numeric args coerce through the numeric
+      // path so props cast to double.
+      case Some(TIdent(id)) if Fns.contains(id.toLowerCase) &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        next(); expectSym("(")
+        val args = scala.collection.mutable.ArrayBuffer[Operand](parseArith())
+        while (peek.contains(TSym(","))) { next(); args += parseArith() }
+        expectSym(")")
+        val (numArgs, build, numOut) = Fns(id.toLowerCase)
+        val cols = args.toSeq.map(a => if (numArgs) numericCol(a) else operandCol(a))
+        FnOp(build(cols), numeric = numOut)
       case Some(TIdent(id)) =>
         next()
         if (id.equalsIgnoreCase("the_geom") || id.equalsIgnoreCase("geometry")) GeomOp()
@@ -382,6 +470,7 @@ object Ecql {
       case BoolOp(v) => lit(v)
       case TimeOp(v) => lit(v)
       case ArithOp(c) => c
+      case FnOp(c, _) => c
     }
 
     /** Operand in a numeric context: untyped props cast to double. */
@@ -390,6 +479,8 @@ object Ecql {
       case PropOp(p) => col(p)
       case NumOp(v) => lit(v)
       case ArithOp(c) => c
+      case FnOp(c, true) => c
+      case FnOp(c, false) => c.cast("double")
       case other => throw new IllegalArgumentException(
         s"expected numeric operand in arithmetic, got $other")
     }

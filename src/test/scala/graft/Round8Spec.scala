@@ -175,6 +175,68 @@ class Round8Spec extends SparkSpec {
       s"byte-different same-pixel BMPs got different pHashes: ${bySig.toSeq}")
   }
 
+  test("ECQL ID filter: bare IN over feature ids (GeoTools docs form)") {
+    import graft.functions.Ecql
+    val df = Seq(("river.1", 1.0), ("river.2", 2.0), ("river.3", 3.0))
+      .toDF("id", "flow")
+    // GeoTools ECQL doc example: IN ('river.1', 'river.2')
+    val got = df.filter(Ecql.toColumn("IN ('river.1', 'river.2')",
+      df.columns.toSet)).select("id").as[String].collect().toSet
+    assert(got == Set("river.1", "river.2"))
+    // NOT IN, and ID filter combined with an attribute predicate
+    val got2 = df.filter(Ecql.toColumn(
+      "NOT IN ('river.1') AND flow < 3", df.columns.toSet))
+      .select("id").as[String].collect().toSet
+    assert(got2 == Set("river.2"))
+    // no id column -> loud
+    val noId = Seq((1, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Ecql.toColumn("IN ('a')", noId.columns.toSet)
+    }
+  }
+
+  test("ECQL RELATE compiles the DE-9IM pattern exactly (quoted and bare)") {
+    import graft.functions.{Ecql, st}
+    val df = Seq(
+        (1L, "POINT (0 0)"),      // inside the box
+        (2L, "POINT (10 10)"),    // outside
+        (3L, "POINT (5 0)"))      // inside
+      .toDF("id", "wkt")
+      .withColumn("geometry", st.geomFromText(col("wkt")))
+    val box = "POLYGON ((-6 -6, 6 -6, 6 6, -6 6, -6 -6))"
+    for (pat <- Seq("'T********'", "T********")) {
+      val got = df.filter(Ecql.toColumn(
+          s"RELATE(the_geom, $box, $pat)", df.columns.toSet))
+        .select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 3L), s"pattern form $pat")
+    }
+    // a disjointness-demanding pattern must match the OUTSIDE point —
+    // this is why RELATE gets no bbox prune conjunct
+    val out = df.filter(Ecql.toColumn(
+        s"RELATE(the_geom, $box, 'FF*FF****')", df.columns.toSet))
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L))
+    intercept[IllegalArgumentException] {
+      Ecql.toColumn(s"RELATE(the_geom, $box, 'TTT')", df.columns.toSet)
+    }
+  }
+
+  test("ECQL filter functions: strToLowerCase / strConcat / abs / floor / strLength") {
+    import graft.functions.Ecql
+    val df = Seq((1L, "Alpha", -7.2), (2L, "BETA", 3.9), (3L, "gamma", -1.0))
+      .toDF("id", "name", "v")
+    def ids(e: String) = df.filter(Ecql.toColumn(e, df.columns.toSet))
+      .select("id").as[Long].collect().toSet
+    assert(ids("strToLowerCase(name) = 'alpha'") == Set(1L))
+    assert(ids("strToUpperCase(name) LIKE 'G%'") == Set(3L))
+    assert(ids("abs(v) > 3") == Set(1L, 2L))
+    assert(ids("floor(v) = -8") == Set(1L))
+    assert(ids("strLength(name) = 4") == Set(2L))
+    assert(ids("strConcat(name, 'X') = 'BETAX'") == Set(2L))
+    // nested: function over arithmetic over props
+    assert(ids("abs(v * 2 + 1) < 2") == Set(3L))
+  }
+
   test("BoundedWindow enforces the documented bound under the test conf") {
     import graft.pipeline.BoundedWindow
     val df = spark.range(0, 100).toDF("i")

@@ -61,6 +61,30 @@ object SparkEntry {
       .drop("_slab_rank")
   }
 
+  /** Write one parquet slab file per `slab` value under `src`, in slab
+    * order — the single micro-batch file-staging loop every streaming
+    * gate shares (maxFilesPerTrigger=1 then replays the files in this
+    * order). `slabs` must carry a `slab` column; it is dropped from the
+    * written rows.
+    */
+  private def writeSlabFiles(slabs: DataFrame, slabValues: Seq[Int],
+      src: String): Unit =
+    slabValues.foreach { i =>
+      slabs.filter(col("slab") === i).drop("slab")
+        .repartition(1).write.mode("append").parquet(src)
+    }
+
+  /** One-call gate staging: slabify `df` on `order` into `nSlabs` ordered
+    * micro-batch files under `src` (round-7 verdict task 9 — one staging
+    * implementation; the formerly ad-hoc `repartition(4)` gates now stage
+    * deterministic time/key-ordered slabs like every stateful gate, which
+    * only ever reorders rows their complete/update/distinct semantics are
+    * insensitive to).
+    */
+  private def stageSlabs(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+      nSlabs: Int, src: String): Unit =
+    writeSlabFiles(slabify(df, order, nSlabs), 1 to nSlabs, src)
+
   /** Deterministic customer point layer in canonical schema (SURVEY §1.3). */
   private def pointsDf(s: SparkSession, dir: String): DataFrame =
     T(s, dir, "customer").select(
@@ -1054,11 +1078,7 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("event_type").as("g"),
           Events.kmvHash(col("user_id")).as("h"))
-      val slabs = slabify(ev, Seq(col("g"), col("h")), 4)
-      (1 to 4).foreach { i =>
-        slabs.filter(col("slab") === i).drop("slab")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+      stageSlabs(ev, Seq(col("g"), col("h")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2687,7 +2707,7 @@ object SparkEntry {
       val ckpt = d.resolve("ckpt").toString
       val ev = T(s, dir, "events").select(col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("ets"))
-      ev.repartition(4).write.parquet(src)
+      stageSlabs(ev, Seq(col("ets"), col("event_type")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2714,7 +2734,7 @@ object SparkEntry {
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
       val pts = pointsDf(s, dir).select(col("ck"), col("x"), col("y"), col("c_acctbal"))
-      pts.repartition(4).write.parquet(src)
+      stageSlabs(pts, Seq(col("ck")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2744,8 +2764,8 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      T(s, dir, "documents").select(col("doc_id"), col("text"))
-        .repartition(4).write.parquet(src)
+      stageSlabs(T(s, dir, "documents").select(col("doc_id"), col("text")),
+        Seq(col("doc_id")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2775,10 +2795,10 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      T(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("tev"),
-          col("user_id"), col("event_id"), col("event_type"))
-        .repartition(4).write.parquet(src)
+      stageSlabs(T(s, dir, "events")
+          .select(timestamp_micros(expr("ts div 1000")).as("tev"),
+            col("user_id"), col("event_id"), col("event_type")),
+        Seq(col("tev"), col("event_id")), 4, src)
       val staged = s.read.parquet(src)
       def side(tpe: String, pre: String) =
         s.readStream.schema(staged.schema)
@@ -2827,10 +2847,8 @@ object SparkEntry {
           (expr("ts div 1000") - expr("ts div 1000") % 60000000L)).as("ets"))
       val slabs = slabify(ev, Seq(col("ts"), col("event_id")), 4)
         .groupBy(col("k"), col("slab")).agg(min(col("ets")).as("ets"))
-      (1 to 4).foreach { i =>
-        slabs.filter(col("slab") === i).select("k", "ets")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+        .select("k", "ets", "slab")
+      writeSlabFiles(slabs, 1 to 4, src)
       val staged = s.read.parquet(src)
       val q = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2868,11 +2886,7 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id"), col("embedding"),
           to_timestamp(lit("2026-01-01 00:00:00")).as("ets"))
-      val slabs = slabify(qs, Seq(col("vec_id")), 2)
-      (1 to 2).foreach { i =>
-        slabs.filter(col("slab") === i).drop("slab")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+      stageSlabs(qs, Seq(col("vec_id")), 2, src)
       emb.limit(1).select(lit(-1L).as("vec_id"), col("embedding"),
           to_timestamp(lit("2026-01-03 00:00:00")).as("ets"))
         .repartition(1).write.mode("append").parquet(src)
@@ -2914,11 +2928,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
-      val slabs = slabify(docs, Seq(col("doc_id")), 4)
-      (1 to 4).foreach { i =>
-        slabs.filter(col("slab") === i).drop("slab")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+      stageSlabs(docs, Seq(col("doc_id")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -2956,11 +2966,7 @@ object SparkEntry {
       val ev = T(s, dir, "events").select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ets"),
         round(col("value") * 100).cast("double").as("value"))
-      val slabs = slabify(ev, Seq(col("ets")), 4)
-      (1 to 4).foreach { i =>
-        slabs.filter(col("slab") === i).drop("slab")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+      stageSlabs(ev, Seq(col("ets")), 4, src)
       val sentinel = ev.agg(max("ets").as("m"))
         .select(lit(-1L).as("user_id"),
           (col("m") + expr("INTERVAL 2 DAYS")).as("ets"), lit(0.0).as("value"))
@@ -2989,9 +2995,10 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      T(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("tev"), col("event_type"))
-        .repartition(4).write.parquet(src)
+      stageSlabs(T(s, dir, "events")
+          .select(timestamp_micros(expr("ts div 1000")).as("tev"),
+            col("event_type")),
+        Seq(col("tev"), col("event_type")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -3022,9 +3029,10 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      T(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("tev"), col("user_id"))
-        .repartition(4).write.parquet(src)
+      stageSlabs(T(s, dir, "events")
+          .select(timestamp_micros(expr("ts div 1000")).as("tev"),
+            col("user_id")),
+        Seq(col("tev"), col("user_id")), 4, src)
       val staged = s.read.parquet(src)
       val dim = T(s, dir, "customer")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
@@ -3062,9 +3070,10 @@ object SparkEntry {
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
       val store = d.resolve("store").toString
-      T(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("tev"), col("event_type"))
-        .repartition(4).write.parquet(src)
+      stageSlabs(T(s, dir, "events")
+          .select(timestamp_micros(expr("ts div 1000")).as("tev"),
+            col("event_type")),
+        Seq(col("tev"), col("event_type")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -3127,10 +3136,8 @@ object SparkEntry {
         expr("tus div 3600000000") === cutHour).limit(1).count() > 0
       require(straddles, "st_stream_recover: restart boundary fell on an " +
         "hour edge — the gate would not exercise cross-restart state")
-      def stage(range: Range): Unit = range.foreach { i =>
-        slabs.filter(col("slab") === i).select("tus", "event_type")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+      def stage(range: Range): Unit =
+        writeSlabFiles(slabs.select("tus", "event_type", "slab"), range, src)
       def run(): Unit = {
         val staged = s.read.parquet(src)
         val stream = s.readStream.schema(staged.schema)
@@ -3222,10 +3229,7 @@ object SparkEntry {
         .withColumn("slab", when(col("late_planted"), lit(7L))
           .otherwise(col("blk") + when(col("late_ok"), lit(1L)).otherwise(lit(0L))))
         .persist()
-      (0L to 6L).foreach { i =>
-        classified.filter(col("slab") === i).select("tus", "event_type")
-          .repartition(1).write.mode("append").parquet(src)
-      }
+      writeSlabFiles(classified.select("tus", "event_type", "slab"), 0 to 6, src)
       classified.filter(col("slab") === 7).select("tus", "event_type")
         .unionByName(s.range(1).select(lit(gmax + 36000000000L).as("tus"),
           lit("__sentinel").as("event_type")))

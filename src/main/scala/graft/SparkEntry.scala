@@ -941,6 +941,24 @@ object SparkEntry {
                   lit(1.0) / col("n_b").cast("double"))), 6)))
     }),
 
+    // nonparametric A/B readout beside ev_ab_test's z-test: Mann-Whitney U
+    // on per-user purchase cents (variant = user_id parity). Rank algebra
+    // is exact through ties — the value-group table prefix-sums group
+    // sizes via the distributed two-pass scan (Events.prefixSum, never a
+    // global window), 2·R_A and 2·U_A stay integers, and the tie-corrected
+    // z is one closed form over them (bit-identical cross-engine)
+    "ev_mannwhitney" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val perUser = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("m"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      Events.mannWhitney(perUser, "m", "variant")
+    }),
+
     // cohort lifetime value: purchase cents per (first-active-day cohort,
     // age-in-days), plus the running LTV curve — integer cumsum per cohort,
     // one user shuffle for the cohort min then day-level aggregates only
@@ -2189,6 +2207,27 @@ object SparkEntry {
     // strip controls+ZWSP, collapse spaces, trim — java.text.Normalizer vs
     // DuckDB nfc_normalize (utf8proc) must agree byte-for-byte (md5 of the
     // cleaned UTF-8)
+    // encoding-damage repair (the ftfy web-scrape cleaning step): docs with
+    // doc_id ≡ 2 (mod 5) are PLANTED with UTF-8-read-as-CP1252 mojibake
+    // (" the " → " thÃ© ", " row " → " rowâ€™s "), docs ≡ 4 (mod 5) get the
+    // CLEAN accented forms (the repair must not touch them — they emit no
+    // row), everything else passes through. The operator counts + repairs
+    // via chained codegen'd replace expressions (Corpus.MojibakeMap); the
+    // oracle replays planting, counting, and repair with chr()-built
+    // literals and md5-matches the repaired text
+    "tx_mojibake" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 5 === 2,
+          replace(replace(col("text"), lit(" the "), lit(" th\u00C3\u00A9 ")),
+            lit(" row "), lit(" row\u00E2\u20AC\u2122s ")))
+        .when(col("doc_id") % 5 === 4,
+          replace(col("text"), lit(" the "), lit(" th\u00E9 ")))
+        .otherwise(col("text"))
+      graft.pipeline.Corpus.fixMojibake(
+          T(s, dir, "documents").select(col("doc_id"), planted.as("t")),
+          "doc_id", "t")
+        .orderBy(col("id"))
+    }),
+
     "tx_normalize" -> ((s, dir) => {
       val noisy = concat(
         when(col("doc_id") % 3 === 0, lit("e\u0301 "))
@@ -2594,6 +2633,47 @@ object SparkEntry {
         enc(col("id")).as("bytes"))
       val prev = s.conf.get("spark.graft.mm.codec", "stub")
       s.conf.set("spark.graft.mm.codec", "bmp")
+      // the codec choice is captured at plan build — restore right after
+      val decoded =
+        try Multimodal.decodeAndFeaturize(media, 15, 12)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      decoded.select(col("media_id"), size(col("pixels")).cast("long").as("n_px"),
+          aggregate(col("pixels"), lit(0L),
+            (a, v) => a + round(v.cast("double") * 255).cast("long")).as("px_sum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL PNG decode (the second real format behind the codec seam): 40
+    // deterministic 15×12 RGB patterns ENCODED as genuine zlib-deflated
+    // truecolor PNGs — row filter i%5 (all five unfilter paths exercised),
+    // odd ids RGBA color type 6 / even ids RGB color type 2 — then DECODED
+    // through the pure-JVM PNG codec (spark.graft.mm.codec=png). Integer
+    // luma end-to-end, so the oracle replays per-image sums from the
+    // pattern formula without parsing bytes; equality proves the inflate +
+    // unfilter + luma path really reads PNG
+    "mm_decode_png" -> ((s, dir) => {
+      val enc = udf((i: Long) => {
+        val w = 15; val h = 12
+        val rgb = new Array[Int](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val o = (y * w + x) * 3
+            rgb(o) = ((x * 7 + i) % 256).toInt
+            rgb(o + 1) = (y * 11) % 256
+            rgb(o + 2) = ((x * y + i) % 256).toInt
+            x += 1
+          }
+          y += 1
+        }
+        graft.pipeline.ImageCodec.encodePng(w, h, rgb,
+          filterType = (i % 5).toInt, alpha = i % 2 == 1)
+      })
+      val media = s.range(0, 40).select(col("id").as("media_id"),
+        enc(col("id")).as("bytes"))
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
       // the codec choice is captured at plan build — restore right after
       val decoded =
         try Multimodal.decodeAndFeaturize(media, 15, 12)
@@ -5969,6 +6049,44 @@ object SparkEntry {
         |  END AS z
         |FROM s""".stripMargin,
 
+    // the identical exact rank algebra: DuckDB's window cumsum stands in
+    // for the distributed prefix scan (single-node oracle, same integers)
+    "ev_mannwhitney" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT m AS v, count(*)::BIGINT AS n_v,
+        |         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS a_v
+        |  FROM u GROUP BY 1
+        |), c AS (
+        |  SELECT *, (sum(n_v) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |             - n_v)::BIGINT AS cum_before
+        |  FROM g
+        |), s AS (
+        |  SELECT sum(a_v * (2 * cum_before + n_v + 1))::BIGINT AS two_ra,
+        |         sum(a_v)::BIGINT AS n_a,
+        |         sum(n_v - a_v)::BIGINT AS n_b,
+        |         sum(n_v * n_v * n_v - n_v)::BIGINT AS ties
+        |  FROM c
+        |)
+        |SELECT n_a, n_b,
+        |       (two_ra - n_a * (n_a + 1))::BIGINT AS two_u_a, ties,
+        |       CASE WHEN n_a * n_b > 0 AND
+        |         (n_a + n_b + 1)::DOUBLE - ties::DOUBLE /
+        |           ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE > 0
+        |       THEN round(
+        |         ((two_ra - n_a * (n_a + 1))::DOUBLE / 2.0
+        |            - n_a::DOUBLE * n_b::DOUBLE / 2.0) /
+        |         sqrt(n_a::DOUBLE * n_b::DOUBLE / 12.0 *
+        |           ((n_a + n_b + 1)::DOUBLE - ties::DOUBLE /
+        |              ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE)), 6)
+        |       END AS z
+        |FROM s""".stripMargin,
+
     "ev_ltv" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
@@ -6800,6 +6918,22 @@ object SparkEntry {
 
     "tx_quality" -> TxQualitySql,
 
+    "tx_mojibake" -> {
+      import graft.pipeline.Corpus.duckChr
+      val moji = s"' th' || ${duckChr("\u00C3\u00A9")} || ' '"
+      val curly = s"' row' || ${duckChr("\u00E2\u20AC\u2122")} || 's '"
+      val clean = s"' th' || ${duckChr("\u00E9")} || ' '"
+      s"""WITH p AS (
+         |  SELECT doc_id, CASE
+         |    WHEN doc_id % 5 = 2 THEN
+         |      replace(replace(text, ' the ', $moji), ' row ', $curly)
+         |    WHEN doc_id % 5 = 4 THEN replace(text, ' the ', $clean)
+         |    ELSE text END AS t
+         |  FROM documents
+         |)
+         |${graft.pipeline.Corpus.mojibakeDuckSql("p")}""".stripMargin
+    },
+
     "tx_normalize" -> {
       val noisy = "(CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) || ' ' " +
         "WHEN doc_id % 3 = 1 THEN chr(8203) ELSE '' END) || text || " +
@@ -6948,6 +7082,14 @@ object SparkEntry {
       """SELECT i AS media_id, count(*)::BIGINT AS n_px,
         |       sum((299 * ((x * 3 + i) % 256) + 587 * ((y * 5) % 256)
         |            + 114 * ((x + y + i) % 256)) // 1000)::BIGINT AS px_sum
+        |FROM range(0, 40) t(i), range(0, 15) xs(x), range(0, 12) ys(y)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the PNG round-trip pattern replayed in pure integer arithmetic
+    "mm_decode_png" ->
+      """SELECT i AS media_id, count(*)::BIGINT AS n_px,
+        |       sum((299 * ((x * 7 + i) % 256) + 587 * ((y * 11) % 256)
+        |            + 114 * ((x * y + i) % 256)) // 1000)::BIGINT AS px_sum
         |FROM range(0, 40) t(i), range(0, 15) xs(x), range(0, 12) ys(y)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -710,6 +710,78 @@ object Corpus {
        |FROM sc WHERE n_banned > 0 ORDER BY id""".stripMargin
   }
 
+  // ======================================================= mojibake repair
+
+  /** The most common UTF-8-read-as-CP1252 double-encodings (the top of
+    * ftfy's table — Speer, "fixes text for you", the standard web-scrape
+    * cleaning step): each entry is (mojibake sequence, intended char).
+    * Written as \\u escapes so the source survives any editor/charset.
+    */
+  val MojibakeMap: Seq[(String, String)] = Seq(
+    "\u00C3\u00A9" -> "\u00E9", // A-tilde copyright  -> e-acute
+    "\u00C3\u00A8" -> "\u00E8", // A-tilde diaeresis  -> e-grave
+    "\u00C3\u00A7" -> "\u00E7", // A-tilde section    -> c-cedilla
+    "\u00C3\u00B6" -> "\u00F6", // A-tilde pilcrow    -> o-umlaut
+    "\u00C3\u00BC" -> "\u00FC", // A-tilde 1/4        -> u-umlaut
+    "\u00C3\u00B1" -> "\u00F1", // A-tilde plus-minus -> n-tilde
+    "\u00E2\u20AC\u2122" -> "\u2019", // a-circumflex euro tm -> right single quote
+    "\u00E2\u20AC\u0153" -> "\u201C") // a-circumflex euro oe -> left double quote
+
+  /** Repair the [[MojibakeMap]] double-encodings in a string column —
+    * a chain of codegen'd `replace` expressions, no UDF. The three-char
+    * (curly-quote) sequences and the two-char (accent) sequences never
+    * overlap (prefixes â vs Ã), so application order is immaterial.
+    */
+  def repairMojibake(text: Column): Column =
+    MojibakeMap.foldLeft(text) { case (c, (bad, good)) =>
+      replace(c, lit(bad), lit(good))
+    }
+
+  /** Encoding-damage scan + repair over a corpus: per document, the number
+    * of mojibake sequences repaired (counted per pattern as the length
+    * drop under deletion, exact integers), lengths before/after, and the
+    * md5 of the repaired text. Pure per-row string expressions — an
+    * embarrassingly-parallel scan at 100 TB, no shuffle, no UDF. Only
+    * damaged documents are emitted.
+    */
+  def fixMojibake(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nMoji = MojibakeMap.map { case (bad, _) =>
+      // length drop is a multiple of the pattern length, so the double
+      // division is exact
+      ((length(t) - length(replace(t, lit(bad)))) / lit(bad.length)).cast("long")
+    }.reduce(_ + _)
+    val fixed = repairMojibake(t)
+    df.select(col(idCol).as("id"), nMoji.as("n_moji"),
+        length(t).cast("long").as("n_before"),
+        length(fixed).cast("long").as("n_after"),
+        md5(to_binary(fixed, lit("utf-8"))).as("h"))
+      .filter(col("n_moji") > 0)
+  }
+
+  /** Render a (BMP) string as a DuckDB expression via chr() codepoints —
+    * keeps the oracle SQL ASCII-only regardless of transport encoding.
+    */
+  def duckChr(s: String): String =
+    s.map(c => s"chr(${c.toInt})").mkString(" || ")
+
+  /** DuckDB replay of [[fixMojibake]] over a prepared relation `rel`
+    * with columns (doc_id, t).
+    */
+  def mojibakeDuckSql(rel: String): String = {
+    val fixed = MojibakeMap.foldLeft("t") { case (e, (bad, good)) =>
+      s"replace($e, ${duckChr(bad)}, ${duckChr(good)})"
+    }
+    val counts = MojibakeMap.map { case (bad, _) =>
+      s"(length(t) - length(replace(t, ${duckChr(bad)}, ''))) // ${bad.length}"
+    }.mkString(" + ")
+    s"""SELECT doc_id AS id, CAST($counts AS BIGINT) AS n_moji,
+       |       length(t)::BIGINT AS n_before,
+       |       length($fixed)::BIGINT AS n_after,
+       |       md5($fixed) AS h
+       |FROM $rel WHERE $counts > 0 ORDER BY id""".stripMargin
+  }
+
   // ===================================================== sliding-window chunking
 
   /** RAG/retrieval-prep chunking: split each document into token windows of

@@ -1151,6 +1151,96 @@ object Events {
       schema)
   }
 
+  /** Distributed global prefix sum: `outCol` = Σ `valueCol` over all rows
+    * strictly BEFORE this row in `order` (exclusive running total). Same
+    * two-pass shape as [[globalRank]] — range-repartition + local sort,
+    * then one ~numPartitions-row pass collects per-partition totals whose
+    * exclusive scan seeds each partition's offset — so no partition ever
+    * holds more than its range slice (the global-window
+    * `sum().over(Window.orderBy(…))` this replaces moves the ENTIRE input
+    * to one task). The order columns must form a total order for a
+    * deterministic result. Mann-Whitney's tie-aware rank sums
+    * ([[mannWhitney]]) ride on this over the value-group table.
+    */
+  def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
+      outCol: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    // pass 1: per-partition totals (numPartitions rows to the driver)
+    val partTotals = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((p, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive scan
+    // pass 2: local running total + the partition's global offset
+    val schema = df.schema.add(outCol, LongType, nullable = false)
+    val out = spark.createDataFrame(
+      sorted.rdd.mapPartitionsWithIndex { (p, it) =>
+        var run = offsets(p)
+        it.map { r =>
+          val before = run; run += r.getLong(vIdx)
+          Row.fromSeq(r.toSeq :+ before)
+        }
+      }, schema)
+    sorted.unpersist(blocking = false)
+    out
+  }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) between two variants of an integer
+    * metric, exact tie-aware rank algebra: group users by metric value,
+    * prefix-sum group sizes in value order ([[prefixSum]] — never a
+    * global window), and fold each group's average rank in the DOUBLED
+    * domain — 2·R_A = Σ_groups a_v·(2·cum_before + n_v + 1) stays an
+    * exact integer through ties, as does 2·U_A = 2·R_A − n_A(n_A+1).
+    * The z-statistic uses the standard tie-corrected variance
+    * σ² = n_A·n_B/12·((n+1) − Σ(t³−t)/(n(n−1))) (Lehmann, Nonparametrics
+    * 1975 eq. 1.28); every float is a closed form over exact integers, so
+    * both engines compute bit-identical doubles. Input: one row per unit
+    * with integer `metricCol` and `variantCol` ∈ {0, 1}. Output: one row
+    * (n_a, n_b, two_u_a, ties, z).
+    */
+  def mannWhitney(perUnit: DataFrame, metricCol: String,
+      variantCol: String): DataFrame = {
+    val g = perUnit.groupBy(col(metricCol).as("v")).agg(
+      count(lit(1)).as("n_v"),
+      sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("a_v"))
+    val scanned = prefixSum(g, Seq(col("v")), "n_v", "cum_before")
+    // the tie cube n_v³ silently wraps a BIGINT once a value group passes
+    // ~2.1M rows (and the sum wraps earlier still) — accumulate in
+    // decimal(38,0) and fail LOUDLY if the exact sum no longer fits the
+    // BIGINT output; assert_true folds into the kept column so column
+    // pruning can't drop the guard
+    val nvd = col("n_v").cast("decimal(38,0)")
+    scanned.agg(
+        sum(col("a_v") * (lit(2) * col("cum_before") + col("n_v") + lit(1)))
+          .as("two_ra"),
+        sum(col("a_v")).as("n_a"),
+        sum(col("n_v") - col("a_v")).as("n_b"),
+        sum(nvd * nvd * nvd - nvd).as("ties_d"))
+      .withColumn("ties",
+        coalesce(assert_true(
+          col("ties_d") <= lit(Long.MaxValue).cast("decimal(38,0)"),
+          lit("mannWhitney: exact tie sum Σ(t³−t) overflows BIGINT — " +
+            "tie groups too large for the integer path")).cast("long"),
+          lit(0L)) + col("ties_d").cast("long"))
+      .withColumn("two_u_a",
+        col("two_ra") - col("n_a") * (col("n_a") + lit(1)))
+      .withColumn("z", {
+        val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+        val n = col("n_a") + col("n_b")
+        val sigma2 = na * nb / lit(12.0) *
+          ((n + lit(1)).cast("double") -
+            col("ties").cast("double") / (n * (n - lit(1))).cast("double"))
+        when(sigma2 > 0, round(
+          (col("two_u_a").cast("double") / lit(2.0) - na * nb / lit(2.0)) /
+            sqrt(sigma2), 6))
+      })
+      .select("n_a", "n_b", "two_u_a", "ties", "z")
+  }
+
   /** SQL `ntile(q)` bucket recovered from a 1-based global rank over `n`
     * rows — the first (n mod q) buckets hold ⌈n/q⌉ rows, the rest ⌊n/q⌋
     * (identical to Spark's and DuckDB's NTile). Lets the distributed

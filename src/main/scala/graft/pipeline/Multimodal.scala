@@ -9,12 +9,14 @@ import org.apache.spark.sql.types._
   *
   * IMAGE decode is REAL when `spark.graft.mm.codec=bmp` (pure-JVM
   * uncompressed-BMP codec, [[ImageCodec]] — exercised by the
-  * mm_decode_bmp oracle gate); the default remains the deterministic FNV
-  * stub, and the audio/video kernels stay stubbed (no PCM/video codecs in
-  * this container) — everything Spark-side is real either way: schemas,
-  * partition sizing, batch iteration, output shapes. Swap the stubs for
-  * richer codecs (javax.imageio / ffmpeg pipe) without touching the
-  * dataflow.
+  * mm_decode_bmp oracle gate) or `=png` (pure-JVM 8-bit truecolor PNG:
+  * zlib inflate + all five row unfilters, cross-checked against
+  * javax.imageio in Round8Spec and gated by mm_decode_png); the default
+  * remains the deterministic FNV stub, and the audio/video kernels stay
+  * stubbed (no PCM/video codecs in this container) — everything
+  * Spark-side is real either way: schemas, partition sizing, batch
+  * iteration, output shapes. Swap the stubs for richer codecs
+  * (javax.imageio / ffmpeg pipe) without touching the dataflow.
   */
 object Multimodal {
 
@@ -58,25 +60,28 @@ object Multimodal {
     * `bmp` decodes REAL uncompressed 24/32-bit BMP bytes via the pure-JVM
     * [[ImageCodec]] — native luma pixels box-meaned to the requested
     * (w, h) — so byte-different encodings of the same pixels (row order,
-    * padding) decode identically, which the FNV stub cannot do. Non-BMP
-    * bytes under `bmp` fail loudly; a silent stub fallback would fake a
-    * decode. The quartet's dataflow is codec-agnostic either way.
+    * padding) decode identically, which the FNV stub cannot do; `png`
+    * does the same through the pure-JVM PNG path (zlib inflate + row
+    * unfilters). Wrong-format bytes under a real codec fail loudly; a
+    * silent stub fallback would fake a decode. The quartet's dataflow is
+    * codec-agnostic either way.
     */
   def decodeAndFeaturize(df: DataFrame, w: Int = 32, h: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val codec = spark.conf.get("spark.graft.mm.codec", "stub")
-    require(codec == "stub" || codec == "bmp",
-      s"spark.graft.mm.codec must be stub|bmp, got $codec")
-    val real = codec == "bmp"
+    require(codec == "stub" || codec == "bmp" || codec == "png",
+      s"spark.graft.mm.codec must be stub|bmp|png, got $codec")
     df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup would init a stateful codec once here
         it.map { case (id, bytes) =>
           val px =
             if (bytes == null) new Array[Float](w * h)
-            else if (real) {
-              val (sw, sh, luma) = ImageCodec.decodeBmpLuma(bytes)
+            else if (codec == "bmp" || codec == "png") {
+              val (sw, sh, luma) =
+                if (codec == "bmp") ImageCodec.decodeBmpLuma(bytes)
+                else ImageCodec.decodePngLuma(bytes)
               ImageCodec.boxMean(sw, sh, luma, w, h)
             } else fakeDecode(bytes, w, h)
           (id, px, w, h)

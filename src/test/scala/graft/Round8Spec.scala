@@ -9,6 +9,9 @@ import graft.pipeline.{Graphs, Similarity}
   * longs), freeCheckpoint actually frees materializedBare frames (the
   * round-7 ADVICE no-op), kmeansCentroids recenters through a
   * partial-combining Aggregator, and ivfFilteredTopK validates nprobe.
+  * The second real image codec (pure-JVM truecolor PNG) is pinned by an
+  * encode/decode identity across all five row filters plus a two-engine
+  * differential against javax.imageio.
   */
 class Round8Spec extends SparkSpec {
   import spark.implicits._
@@ -251,6 +254,114 @@ class Round8Spec extends SparkSpec {
     spark.conf.set("spark.graft.assertBoundedWindows", "false")
     try assert(BoundedWindow(df, 1, "prod-path").count() == 100)
     finally spark.conf.set("spark.graft.assertBoundedWindows", "true")
+  }
+
+  test("PNG encode->decode identity for all five row filters, RGB and RGBA") {
+    val rnd = new scala.util.Random(11)
+    for ((w, h) <- Seq((1, 1), (3, 2), (7, 5), (16, 9)); ft <- 0 to 4;
+         alpha <- Seq(false, true)) {
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val want = (0 until w * h).map(p =>
+        (299 * rgb(p * 3) + 587 * rgb(p * 3 + 1) + 114 * rgb(p * 3 + 2)) / 1000)
+      val enc = graft.pipeline.ImageCodec.encodePng(w, h, rgb, ft, alpha)
+      val (gw, gh, luma) = graft.pipeline.ImageCodec.decodePngLuma(enc)
+      assert((gw, gh) == (w, h), s"dims under filter $ft alpha=$alpha")
+      assert(luma.toSeq == want, s"luma under filter $ft alpha=$alpha")
+    }
+  }
+
+  test("PNG two-engine differential: javax.imageio reads ours, we read its") {
+    val rnd = new scala.util.Random(13)
+    val w = 19; val h = 11
+    val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+    val want = (0 until w * h).map(p =>
+      (299 * rgb(p * 3) + 587 * rgb(p * 3 + 1) + 114 * rgb(p * 3 + 2)) / 1000)
+    // ours -> JDK: every filter type's byte stream is a conforming PNG
+    for (ft <- 0 to 4) {
+      val enc = graft.pipeline.ImageCodec.encodePng(w, h, rgb, ft)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(enc))
+      assert(img != null, s"ImageIO rejected our filter-$ft PNG")
+      assert((img.getWidth, img.getHeight) == (w, h))
+      val jdkLuma = for (y <- 0 until h; x <- 0 until w) yield {
+        val p = img.getRGB(x, y)
+        (299 * ((p >> 16) & 0xFF) + 587 * ((p >> 8) & 0xFF) + 114 * (p & 0xFF)) / 1000
+      }
+      assert(jdkLuma == want, s"ImageIO pixel mismatch on filter $ft")
+    }
+    // JDK -> ours: an INDEPENDENTLY-encoded PNG (ImageIO picks its own
+    // filters/compression) decodes identically through the pure decoder
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val s = (y * w + x) * 3
+      img.setRGB(x, y, (rgb(s) << 16) | (rgb(s + 1) << 8) | rgb(s + 2))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val (gw, gh, luma) = graft.pipeline.ImageCodec.decodePngLuma(bos.toByteArray)
+    assert((gw, gh) == (w, h))
+    assert(luma.toSeq == want, "pure decoder disagrees with ImageIO's encoding")
+  }
+
+  test("pHash over real PNG bytes: filter-different encodings of one image collide") {
+    import org.apache.spark.sql.functions.udf
+    val rnd = new scala.util.Random(17)
+    val rgb = Array.fill(16 * 16 * 3)(rnd.nextInt(256))
+    val enc = udf((ft: Int) => graft.pipeline.ImageCodec.encodePng(16, 16, rgb, ft))
+    val media = spark.range(0, 5).select(col("id").as("media_id"),
+      lit("image").as("kind"), enc(col("id").cast("int")).as("bytes"))
+    spark.conf.set("spark.graft.mm.codec", "png")
+    val sigs =
+      try graft.pipeline.Multimodal.phash64(media).collect()
+      finally spark.conf.set("spark.graft.mm.codec", "stub")
+    assert(sigs.length == 5)
+    val bySig = sigs.map(r => r.getAs[Long]("sig")).distinct
+    // five byte-different streams (one per filter type), one pixel grid
+    assert(bySig.length == 1,
+      s"filter-different same-pixel PNGs got different pHashes: ${bySig.toSeq}")
+  }
+
+  test("prefixSum: distributed exclusive scan matches the local scan") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 500).map(i => (rnd.nextInt(1000).toLong, i.toLong))
+    val df = rows.toDF("k", "v").repartition(7)
+    val got = graft.pipeline.Events.prefixSum(df,
+        Seq(col("k"), col("v")), "v", "cum")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    var run = 0L
+    rows.sortBy(identity).foreach { case (k, v) =>
+      assert(got((k, v)) == run, s"cum at ($k,$v)")
+      run += v
+    }
+  }
+
+  test("mannWhitney: exact tie-aware rank algebra on a hand-checked fixture") {
+    // A = {1,2,3}, B = {2,3,4}: R_A = 1 + 2.5 + 4.5 = 8 (2R_A=16),
+    // U_A = 2, ties = 6+6 = 12, sigma^2 = 9/12*(7 - 12/30) = 4.95,
+    // z = (2 - 4.5)/sqrt(4.95) = -1.123666
+    val df = Seq((1L, 0L), (2L, 0L), (3L, 0L), (2L, 1L), (3L, 1L), (4L, 1L))
+      .toDF("m", "variant")
+    val r = graft.pipeline.Events.mannWhitney(df, "m", "variant").head()
+    assert(r.getAs[Long]("n_a") == 3 && r.getAs[Long]("n_b") == 3)
+    assert(r.getAs[Long]("two_u_a") == 4)
+    assert(r.getAs[Long]("ties") == 12)
+    assert(math.abs(r.getAs[Double]("z") - -1.123666) < 1e-9)
+  }
+
+  test("mojibake repair: plants fixed, clean accents untouched, counts exact") {
+    import graft.pipeline.Corpus
+    val damaged = "caf\u00C3\u00A9 says it\u00E2\u20AC\u2122s ni\u00C3\u00B1o"
+    val clean = "caf\u00E9 says it\u2019s ni\u00F1o"
+    val df = Seq((1L, damaged), (2L, clean), (3L, "plain ascii"))
+      .toDF("doc_id", "t")
+    val out = Corpus.fixMojibake(df, "doc_id", "t").collect()
+    assert(out.length == 1 && out(0).getAs[Long]("id") == 1L)
+    assert(out(0).getAs[Long]("n_moji") == 3)
+    assert(out(0).getAs[Long]("n_after") == clean.length.toLong)
+    // repaired text IS the clean string (same md5)
+    val cleanHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(0).getAs[String]("h") == cleanHash)
   }
 
   test("ivfFilteredTopK rejects nprobe < 1 loudly (no infinite escalation)") {

@@ -959,6 +959,36 @@ object SparkEntry {
       Events.mannWhitney(perUser, "m", "variant")
     }),
 
+    // two-sample Kolmogorov–Smirnov on per-user TOTAL activity cents —
+    // the distribution-shift guard beside ev_mannwhitney's location test;
+    // the CDF gap is maximised as an exact integer cross-product over one
+    // multi-column prefix-sum pass (never a global window)
+    "ev_ks" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val perUser = T(s, dir, "events")
+        .select(col("user_id"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(sum(col("cents")).as("m"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      Events.ksTest(perUser, "m", "variant")
+    }),
+
+    // deterministic Poisson-bootstrap 95% CI for the A/B difference in
+    // mean purchase cents — 200 hash-replayable resamples, map-side
+    // combinable flat-map expansion, distributed rank for the percentile
+    // bounds; the interval the ev_ab_test point estimate ships with
+    "ev_bootstrap" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val perUser = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("m"))
+        .withColumn("variant", (col("user_id") % 2).cast("long"))
+      Events.bootstrapDiff(perUser, "user_id", "m", "variant", reps = 200)
+    }),
+
     // cohort lifetime value: purchase cents per (first-active-day cohort,
     // age-in-days), plus the running LTV curve — integer cumsum per cohort,
     // one user shuffle for the cohort min then day-level aggregates only
@@ -2227,6 +2257,16 @@ object SparkEntry {
           "doc_id", "t")
         .orderBy(col("id"))
     }),
+
+    // boilerplate-aware HTML text extraction (the first transform of a
+    // web-crawl pipeline): the page is constructed deterministically
+    // around each document (title/script/style/nav/footer chrome), then
+    // script+style blocks drop, tags strip, entities decode, whitespace
+    // collapses, and the link-density boilerplate signal is emitted —
+    // all codegen'd per-row string built-ins, shuffle-free
+    "tx_html_extract" -> ((s, dir) =>
+      graft.pipeline.Corpus.htmlExtract(T(s, dir, "documents"),
+        "doc_id", "text", "lang", "source")),
 
     "tx_normalize" -> ((s, dir) => {
       val noisy = concat(
@@ -5204,6 +5244,15 @@ object SparkEntry {
       Groups.canonicalDocs(T(s, dir, "documents"), "doc_id", "text",
         "n_chars", threshold = 0.2)),
 
+    // leakage-safe train/test split: near-dup CLUSTERS (not documents)
+    // hash to splits, so no test doc has a near-duplicate in train; the
+    // audit row computes the cross-split pair count under the cluster
+    // policy (0) AND under the naive per-doc split (> 0 — the
+    // contamination this operator exists to prevent)
+    "dd_split_leakage" -> ((s, dir) =>
+      Groups.leakageSafeSplit(T(s, dir, "documents"), "doc_id", "text",
+        threshold = 0.2)),
+
     // exact shared-substring contamination (share any verbatim ≥32-char
     // run): boilerplate injected BY THE QUERY on both engines (same
     // pattern as tx_pii) so long verbatim overlaps exist in the synthetic
@@ -5364,6 +5413,17 @@ object SparkEntry {
     "tx_lm_score" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
       LanguageModel.bigramScore(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
+    }),
+
+    // the same perplexity-filter contract under interpolated Kneser–Ney
+    // smoothing (the KenLM-family estimator a production CCNet filter
+    // ships) — absolute discount 0.75, continuation-probability backoff;
+    // same train/score split, same sort-merge model-join plan shape
+    "tx_kn_score" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      LanguageModel.knBigramScore(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0), "doc_id", "text")
     }),
@@ -6086,6 +6146,85 @@ object SparkEntry {
         |              ((n_a + n_b) * (n_a + n_b - 1))::DOUBLE)), 6)
         |       END AS z
         |FROM s""".stripMargin,
+
+    "ev_ks" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id
+        |), g AS (
+        |  SELECT m AS v,
+        |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS a_v,
+        |    sum(CASE WHEN variant <> 0 THEN 1 ELSE 0 END)::BIGINT AS b_v
+        |  FROM u GROUP BY 1
+        |), c AS (
+        |  SELECT (sum(a_v) OVER wo)::BIGINT AS ca,
+        |         (sum(b_v) OVER wo)::BIGINT AS cb
+        |  FROM g WINDOW wo AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        |), t AS (
+        |  SELECT sum(a_v)::BIGINT AS n_a, sum(b_v)::BIGINT AS n_b FROM g
+        |), s AS (
+        |  SELECT n_a, n_b, max(abs(ca * n_b - cb * n_a))::BIGINT AS d_num
+        |  FROM c CROSS JOIN t GROUP BY n_a, n_b
+        |)
+        |SELECT n_a, n_b, d_num,
+        |  round(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 6) AS d,
+        |  round(sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |        * (d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)), 6) AS ks_lambda,
+        |  (sqrt((n_a * n_b)::DOUBLE / (n_a + n_b)::DOUBLE)
+        |   * (d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE)) > 1.358) AS reject_05
+        |FROM s""".stripMargin,
+
+    "ev_bootstrap" ->
+      """WITH u AS (
+        |  SELECT user_id AS uid,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS m,
+        |    user_id % 2 AS variant
+        |  FROM events GROUP BY user_id
+        |), x AS (
+        |  SELECT uid, m, variant, r,
+        |    (uid * 1103515245 + r * 12345 + 987654321) % 1000000 AS uu
+        |  FROM u CROSS JOIN (SELECT unnest(range(0, 200)) AS r)
+        |), wt AS (
+        |  SELECT r, variant, m,
+        |    CASE WHEN uu < 367879 THEN 0 WHEN uu < 735759 THEN 1
+        |         WHEN uu < 919699 THEN 2 WHEN uu < 981012 THEN 3
+        |         WHEN uu < 996340 THEN 4 WHEN uu < 999406 THEN 5
+        |         WHEN uu < 999917 THEN 6 ELSE 7 END AS w
+        |  FROM x
+        |), pr AS (
+        |  SELECT r,
+        |    sum(CASE WHEN variant = 0 THEN w * m ELSE 0 END)::BIGINT AS sa,
+        |    sum(CASE WHEN variant = 0 THEN w ELSE 0 END)::BIGINT AS wa,
+        |    sum(CASE WHEN variant <> 0 THEN w * m ELSE 0 END)::BIGINT AS sb,
+        |    sum(CASE WHEN variant <> 0 THEN w ELSE 0 END)::BIGINT AS wb
+        |  FROM wt GROUP BY r
+        |), dfr AS (
+        |  SELECT r, sa::DOUBLE / wa::DOUBLE - sb::DOUBLE / wb::DOUBLE AS diff
+        |  FROM pr WHERE wa > 0 AND wb > 0
+        |), rk AS (
+        |  SELECT diff, CAST(row_number() OVER (ORDER BY diff, r) AS BIGINT) AS rk,
+        |         CAST(count(*) OVER () AS BIGINT) AS n_reps
+        |  FROM dfr
+        |), ci AS (
+        |  SELECT max(n_reps) AS n_reps,
+        |    max(CASE WHEN rk = greatest(1, (n_reps * 25 + 999) // 1000)
+        |        THEN diff END) AS lo_raw,
+        |    max(CASE WHEN rk = (n_reps * 975 + 999) // 1000
+        |        THEN diff END) AS hi_raw
+        |  FROM rk
+        |), pt AS (
+        |  SELECT sum(CASE WHEN variant = 0 THEN m ELSE 0 END)::DOUBLE /
+        |         sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::DOUBLE -
+        |         sum(CASE WHEN variant <> 0 THEN m ELSE 0 END)::DOUBLE /
+        |         sum(CASE WHEN variant <> 0 THEN 1 ELSE 0 END)::DOUBLE AS p
+        |  FROM u
+        |)
+        |SELECT CAST(n_reps AS BIGINT) AS n_reps, round(p, 6) AS point_diff,
+        |       round(lo_raw, 6) AS lo, round(hi_raw, 6) AS hi
+        |FROM ci CROSS JOIN pt""".stripMargin,
 
     "ev_ltv" ->
       """WITH e AS (
@@ -6933,6 +7072,8 @@ object SparkEntry {
          |)
          |${graft.pipeline.Corpus.mojibakeDuckSql("p")}""".stripMargin
     },
+
+    "tx_html_extract" -> graft.pipeline.Corpus.htmlExtractDuckSql,
 
     "tx_normalize" -> {
       val noisy = "(CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) || ' ' " +
@@ -9185,6 +9326,7 @@ object SparkEntry {
 
     "dd_neardup_groups" -> Groups.nearDupGroupsDuckSql(threshold = 0.2),
     "dd_canonical" -> Groups.canonicalDocsDuckSql("d.n_chars", threshold = 0.2),
+    "dd_split_leakage" -> Groups.leakageSafeSplitDuckSql(threshold = 0.2),
     "tx_snapshot_diff" ->
       """WITH cur AS (SELECT doc_id, md5(text) AS h FROM documents),
         |prev AS (
@@ -9220,6 +9362,9 @@ object SparkEntry {
 
     "tx_lm_score" ->
       LanguageModel.bigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
+
+    "tx_kn_score" ->
+      LanguageModel.knBigramScoreDuckSql("doc_id % 5 <> 0", "doc_id % 5 = 0"),
 
     "tx_ppl_bucket" -> s"""
       |SELECT bucket, count(*) AS docs,

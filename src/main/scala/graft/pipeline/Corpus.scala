@@ -1547,4 +1547,96 @@ object Corpus {
        |       round(((rank * sxy - sx * sy) * (rank * sxy - sx * sy))
        |             / ((rank * sxx - sx * sx) * (rank * syy - sy * sy)), 6) AS r2
        |FROM run WHERE rank = (SELECT max(rank) FROM run)""".stripMargin
+
+  // ===================================================== HTML text extraction
+
+  /** Boilerplate-aware text extraction from raw HTML — the first transform
+    * of every web-crawl training-data pipeline (CCNet/trafilatura shape):
+    * drop script/style blocks, strip tags, decode entities, collapse
+    * whitespace, and emit the link-density signal a boilerplate classifier
+    * thresholds on (nav/footer chrome is link-dense, body prose is not).
+    * The page is CONSTRUCTED deterministically from the document row (the
+    * corpus is plain text; the synthetic wrapper adds a title, a tracking
+    * script, a style block, a nav bar, and a link-bearing footer) so the
+    * oracle replays construction + extraction verbatim.
+    *
+    * Everything is codegen'd string built-ins — regexp_replace chains,
+    * `aggregate` over `regexp_extract_all` for anchor-text chars — per-row
+    * and shuffle-free: the 100 TB plan is a pure map. Output per doc:
+    * n_links, anchor chars, extracted length, link density, and the first
+    * 60 extracted chars (the value-equality probe).
+    */
+  def htmlExtract(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String): DataFrame = {
+    val html = concat(
+      lit("<html><head><title>"), col(sourceCol), lit(" #"),
+      col(idCol).cast("string"),
+      lit("</title><script type=\"text/javascript\">var t=\""), col(langCol),
+      lit("\";track(t);</script><style>.nav a{color:#00f}</style></head><body>"),
+      lit("<div class=\"nav\"><a href=\"/\">Home</a> <a href=\"/"),
+      col(langCol), lit("\">"), upper(col(langCol)),
+      lit("</a></div><h1>"), col(sourceCol), lit("</h1><p>"), col(textCol),
+      lit("</p><div class=\"footer\"><a href=\"/tos\">Terms &amp; " +
+        "Conditions</a> &copy; 2026</div></body></html>"))
+    val noScript = regexp_replace(html, "<script[^>]*>[\\s\\S]*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "<style[^>]*>[\\s\\S]*?</style>", " ")
+    val anchors = regexp_extract_all(noStyle,
+      lit("<a [^>]*>([^<]*)</a>"), lit(1))
+    val body = trim(regexp_replace(
+      replace(replace(regexp_replace(noStyle, "<[^>]*>", " "),
+        lit("&amp;"), lit("&")), lit("&copy;"), lit("(c)")),
+      "\\s+", " "))
+    df.select(col(idCol).as("doc_id"),
+        ((length(noStyle) - length(replace(noStyle, lit("<a "), lit("")))) /
+          lit(3)).cast("long").as("n_links"),
+        aggregate(anchors, lit(0L), (acc, x) => acc + length(x))
+          .as("anchor_chars"),
+        length(body).as("extracted_len"),
+        body.as("b"))
+      .select(col("doc_id"), col("n_links"), col("anchor_chars"),
+        col("extracted_len"),
+        round(col("anchor_chars").cast("double") /
+          col("extracted_len").cast("double"), 6).as("link_density"),
+        substring(col("b"), 1, 60).as("head"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replay of [[htmlExtract]]: identical construction literal,
+    * identical regex chain (RE2 supports the same `[\s\S]*?` lazy blocks),
+    * `'g'`-flagged replaces for Spark's replace-all semantics.
+    */
+  def htmlExtractDuckSql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    '<html><head><title>' || source || ' #' || doc_id::VARCHAR ||
+      |    '</title><script type="text/javascript">var t="' || lang ||
+      |    '";track(t);</script><style>.nav a{color:#00f}</style></head><body>' ||
+      |    '<div class="nav"><a href="/">Home</a> <a href="/' || lang || '">' ||
+      |    upper(lang) || '</a></div><h1>' || source || '</h1><p>' || text ||
+      |    '</p><div class="footer"><a href="/tos">Terms &amp; Conditions</a>' ||
+      |    ' &copy; 2026</div></body></html>' AS html
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, regexp_replace(regexp_replace(html,
+      |    '<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+      |    '<style[^>]*>[\s\S]*?</style>', ' ', 'g') AS ns
+      |  FROM h
+      |), b AS (
+      |  SELECT doc_id, ns,
+      |    trim(regexp_replace(replace(replace(
+      |      regexp_replace(ns, '<[^>]*>', ' ', 'g'),
+      |      '&amp;', '&'), '&copy;', '(c)'), '\s+', ' ', 'g')) AS body,
+      |    CAST(coalesce(list_sum(list_transform(
+      |      regexp_extract_all(ns, '<a [^>]*>([^<]*)</a>', 1),
+      |      x -> length(x))), 0) AS BIGINT) AS anchor_chars
+      |  FROM s
+      |)
+      |SELECT doc_id,
+      |  CAST((length(ns) - length(replace(ns, '<a ', ''))) / 3 AS BIGINT)
+      |    AS n_links,
+      |  anchor_chars,
+      |  length(body) AS extracted_len,
+      |  round(anchor_chars::DOUBLE / length(body)::DOUBLE, 6) AS link_density,
+      |  substr(body, 1, 60) AS head
+      |FROM b ORDER BY doc_id""".stripMargin
 }

@@ -1163,26 +1163,45 @@ object Events {
     * ([[mannWhitney]]) ride on this over the value-group table.
     */
   def prefixSum(df: DataFrame, order: Seq[Column], valueCol: String,
-      outCol: String): DataFrame = {
+      outCol: String): DataFrame =
+    prefixSums(df, order, Seq(valueCol), Seq(outCol))
+
+  /** Multi-column [[prefixSum]]: one range shuffle carries any number of
+    * running totals (KS needs both variants' cumulative counts in the same
+    * value order — two independent prefixSum calls would pay the range
+    * repartition twice and could disagree on partition boundaries). */
+  def prefixSums(df: DataFrame, order: Seq[Column], valueCols: Seq[String],
+      outCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
+    require(valueCols.nonEmpty && valueCols.length == outCols.length,
+      "prefixSums: valueCols and outCols must pair up")
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val vIdx = sorted.schema.fieldIndex(valueCol)
-    // pass 1: per-partition totals (numPartitions rows to the driver)
+    val idxs = valueCols.map(sorted.schema.fieldIndex).toArray
+    val k = idxs.length
+    // pass 1: per-partition totals (numPartitions × k longs to the driver)
     val partTotals = sorted.rdd.mapPartitionsWithIndex { (p, it) =>
-      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((p, s))
+      val s = new Array[Long](k)
+      it.foreach { r =>
+        var i = 0; while (i < k) { s(i) += r.getLong(idxs(i)); i += 1 }
+      }
+      Iterator((p, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive scan
-    // pass 2: local running total + the partition's global offset
-    val schema = df.schema.add(outCol, LongType, nullable = false)
+    val offsets = partTotals.scanLeft(new Array[Long](k)) { (a, b) =>
+      Array.tabulate(k)(i => a(i) + b(i)) // exclusive scan
+    }
+    // pass 2: local running totals + the partition's global offsets
+    var schema = df.schema
+    outCols.foreach(c => schema = schema.add(c, LongType, nullable = false))
     val out = spark.createDataFrame(
       sorted.rdd.mapPartitionsWithIndex { (p, it) =>
-        var run = offsets(p)
+        val run = offsets(p).clone()
         it.map { r =>
-          val before = run; run += r.getLong(vIdx)
-          Row.fromSeq(r.toSeq :+ before)
+          val before = java.util.Arrays.copyOf(run, k)
+          var i = 0; while (i < k) { run(i) += r.getLong(idxs(i)); i += 1 }
+          Row.fromSeq(r.toSeq ++ before)
         }
       }, schema)
     sorted.unpersist(blocking = false)
@@ -1239,6 +1258,118 @@ object Events {
             sqrt(sigma2), 6))
       })
       .select("n_a", "n_b", "two_u_a", "ties", "z")
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance between the variants of an
+    * integer metric — the distribution-shift readout beside
+    * [[mannWhitney]]'s location test (an A/B metric can keep its mean and
+    * still change shape; KS is the standard guard). The empirical-CDF gap
+    * is evaluated at every distinct value via ONE multi-column
+    * [[prefixSums]] pass over the value-group table (never a global
+    * window), and the maximised gap is kept as the EXACT integer
+    * cross-product `d_num = max |cumA·n_b − cumB·n_a|` so both engines
+    * agree bit-for-bit before any division. Output: one row
+    * (n_a, n_b, d_num, d, ks_lambda, reject_05) where
+    * d = d_num/(n_a·n_b), λ = √(n_a·n_b/(n_a+n_b))·d and reject_05
+    * applies the asymptotic α=0.05 critical value c(α)=1.358 (Smirnov).
+    * Integer-exactness bound: cum·n ≤ n_a·n_b must fit a long —
+    * loud guard at n_a·n_b ≥ 2⁶² rather than silent wraparound.
+    */
+  def ksTest(perUnit: DataFrame, metricCol: String,
+      variantCol: String): DataFrame = {
+    val g = perUnit.groupBy(col(metricCol).as("v")).agg(
+      sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("a_v"),
+      sum(when(col(variantCol) =!= 0, 1L).otherwise(0L)).as("b_v"))
+    val scanned = prefixSums(g, Seq(col("v")), Seq("a_v", "b_v"),
+        Seq("ca0", "cb0"))
+      .withColumn("ca", col("ca0") + col("a_v")) // CDF is right-continuous:
+      .withColumn("cb", col("cb0") + col("b_v")) // include the group itself
+    val tot = scanned.agg(sum(col("a_v")).as("n_a"), sum(col("b_v")).as("n_b"))
+    scanned.crossJoin(broadcast(tot))
+      .withColumn("guard", coalesce(assert_true(
+        col("n_a") * col("n_b") < lit(1L << 62),
+        lit("ksTest: n_a*n_b too large for the exact integer gap — " +
+          "rescale or subsample")).cast("long"), lit(0L)))
+      .agg(
+        max(abs(col("ca") * col("n_b") - col("cb") * col("n_a")) +
+          col("guard")).as("d_num"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .withColumn("d_raw", col("d_num").cast("double") /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+      .withColumn("lam_raw",
+        sqrt((col("n_a") * col("n_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")) * col("d_raw"))
+      .select(col("n_a"), col("n_b"), col("d_num"),
+        round(col("d_raw"), 6).as("d"),
+        round(col("lam_raw"), 6).as("ks_lambda"),
+        (col("lam_raw") > 1.358).as("reject_05"))
+  }
+
+  /** Deterministic Poisson bootstrap for the A/B difference in means —
+    * the CI machinery a metrics platform runs beside the point estimate.
+    * Each of `reps` resamples draws every unit's multiplicity from a
+    * Poisson(1) inverse-CDF over a hash-uniform u ∈ [0,1e6) computed by an
+    * integer LCG mix of (unit id, replicate) — fully replayable in the
+    * DuckDB oracle, no RNG state. Plan shape for 100 TB: the only row
+    * expansion is the `reps`-way explode feeding a map-side-combinable
+    * `groupBy(r)` (the classic flat-map bootstrap — partial aggregation
+    * collapses each partition to reps×2 partial sums before the shuffle);
+    * the replicate table is `reps` rows, ranked by the distributed
+    * [[globalRank]]. Output: one row (n_reps, point_diff, lo, hi) with the
+    * 2.5/97.5 % nearest-rank percentile bounds.
+    * Id bound (documented, loud): |uid| ≤ 8.3e9 keeps the LCG mix inside
+    * a long before the pmod.
+    */
+  def bootstrapDiff(perUnit: DataFrame, idCol: String, metricCol: String,
+      variantCol: String, reps: Int = 200): DataFrame = {
+    require(reps >= 40, s"bootstrapDiff: need >= 40 replicates for a 95% " +
+      s"nearest-rank CI, got $reps")
+    val base = perUnit.select(col(idCol).cast("long").as("uid"),
+      col(metricCol).cast("long").as("m"),
+      col(variantCol).cast("long").as("variant"))
+    val expanded = base
+      .withColumn("r", explode(sequence(lit(0), lit(reps - 1))))
+      .withColumn("u", pmod(col("uid") * lit(1103515245L) +
+        col("r") * lit(12345L) + lit(987654321L), lit(1000000L)))
+      // Poisson(1) inverse CDF on the integer grid: thresholds are
+      // round(1e6 * P(X<=k)), exact cross-engine integer comparisons
+      .withColumn("w",
+        when(col("u") < 367879, 0L).when(col("u") < 735759, 1L)
+          .when(col("u") < 919699, 2L).when(col("u") < 981012, 3L)
+          .when(col("u") < 996340, 4L).when(col("u") < 999406, 5L)
+          .when(col("u") < 999917, 6L).otherwise(7L))
+    val perRep = expanded.groupBy("r").agg(
+        sum(when(col("variant") === 0, col("w") * col("m")).otherwise(0L)).as("sa"),
+        sum(when(col("variant") === 0, col("w")).otherwise(0L)).as("wa"),
+        sum(when(col("variant") =!= 0, col("w") * col("m")).otherwise(0L)).as("sb"),
+        sum(when(col("variant") =!= 0, col("w")).otherwise(0L)).as("wb"))
+      .filter(col("wa") > 0 && col("wb") > 0)
+      .withColumn("diff", col("sa").cast("double") / col("wa").cast("double")
+        - col("sb").cast("double") / col("wb").cast("double"))
+      .select("r", "diff")
+    val ranked = globalRank(perRep, Seq(col("diff"), col("r")), "rk")
+    val nn = ranked.agg(count(lit(1)).as("n_reps"))
+    val point = base.agg(
+      (sum(when(col("variant") === 0, col("m")).otherwise(0L)).cast("double") /
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).cast("double") -
+        sum(when(col("variant") =!= 0, col("m")).otherwise(0L)).cast("double") /
+          sum(when(col("variant") =!= 0, 1L).otherwise(0L)).cast("double"))
+        .as("pt"))
+    // nearest-rank percentile bounds as EXACT integer ceilings —
+    // ⌈n/40⌉ and ⌈39n/40⌉ via (n·k + 999) div 1000; a float 0.025 here
+    // would be a double in Spark but a DECIMAL in DuckDB and the two
+    // ceil()s can disagree on the boundary
+    ranked.crossJoin(broadcast(nn))
+      .agg(
+        first(col("n_reps")).as("n_reps"),
+        max(when(col("rk") === greatest(lit(1L),
+          ((col("n_reps") * 25 + 999) / 1000).cast("long")), col("diff")))
+          .as("lo_raw"),
+        max(when(col("rk") === ((col("n_reps") * 975 + 999) / 1000).cast("long"),
+          col("diff"))).as("hi_raw"))
+      .crossJoin(broadcast(point))
+      .select(col("n_reps"), round(col("pt"), 6).as("point_diff"),
+        round(col("lo_raw"), 6).as("lo"), round(col("hi_raw"), 6).as("hi"))
   }
 
   /** SQL `ntile(q)` bucket recovered from a 1-based global rank over `n`

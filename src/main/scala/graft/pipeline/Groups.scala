@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate GROUP assembly: pairs → connected components → one
@@ -221,6 +221,86 @@ object Groups {
         |SELECT lab AS group_id, n_members, -best[2] AS canonical_id,
         |       best[1] AS kept_quality
         |FROM canon ORDER BY group_id""".stripMargin
+
+  /** Leakage-safe train/test split — assign near-dup CLUSTERS, not
+    * documents, to splits, so no evaluation document has a near-duplicate
+    * in training (the train/test contamination that silently inflates
+    * benchmark scores; the reason dedup pipelines split AFTER clustering).
+    * The split key is a deterministic integer mix of the cluster label
+    * (component min id), 80/20. Output is ONE audit row: split sizes, the
+    * near-dup pair count, and the cross-split pair count under BOTH the
+    * cluster-aware policy (structurally 0 — computed, not assumed) and the
+    * naive per-document hash split (> 0 on any corpus with near-dups —
+    * the control that shows why the cluster hop matters). Scale shape: the
+    * labels frame is one row per doc, the audit joins key on the tiny pair
+    * set; nothing beyond the MinHash machinery itself grows with corpus
+    * size. Id bound: |label| ≤ 3.4e9 keeps the split mix inside a long.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, shingleK: Int = 3): DataFrame = {
+    val pairs = Dedup.minhashNearDupPairs(df, idCol, textCol, threshold, shingleK)
+      .select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+      .localCheckpoint(true) // consumed twice: CC labels + the leak audit
+    val verts = df.select(col(idCol).cast("long").as("id"))
+    // Knuth multiply, shift, permille cut. The shift/modulus pair matters:
+    // the multiplier is ≡ 1 mod 10 so `(key·M) % 10` is just `key mod 10`,
+    // and a 3-bit shift leaves `(key·M)>>3 ≡ ⌊key/8⌋ mod 10` (M ≡ 1 mod 8,
+    // ⌊M/8⌋ ≡ 0 mod 10) — both degenerate residue splits. `>>7 mod 1000`
+    // mixes consecutive ids uniformly (⌊M/128⌋ ≡ 779 mod 1000, coprime):
+    // measured 0.80006 train fraction over 1..100000.
+    def splitOf(key: Column): Column =
+      when(pmod(shiftright(key * lit(2654435761L), 7), lit(1000L)) < 800,
+        "train").otherwise("test")
+    val pol = ccLabels(verts, pairs)
+      .select(col("id"), splitOf(col("label")).as("cs"), splitOf(col("id")).as("ns"))
+    val counts = pol.agg(
+      sum(when(col("cs") === "train", 1L).otherwise(0L)).as("n_train"),
+      sum(when(col("cs") === "test", 1L).otherwise(0L)).as("n_test"))
+    val leak = pairs
+      .join(pol.select(col("id").as("src"), col("cs").as("cs_a"),
+        col("ns").as("ns_a")), "src")
+      .join(pol.select(col("id").as("dst"), col("cs").as("cs_b"),
+        col("ns").as("ns_b")), "dst")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        coalesce(sum(when(col("cs_a") =!= col("cs_b"), 1L).otherwise(0L)),
+          lit(0L)).as("leak_pairs_cluster_split"),
+        coalesce(sum(when(col("ns_a") =!= col("ns_b"), 1L).otherwise(0L)),
+          lit(0L)).as("leak_pairs_naive_split"))
+    counts.crossJoin(broadcast(leak))
+  }
+
+  /** DuckDB replay of [[leakageSafeSplit]]: the shared MinHash + transitive
+    * closure CTEs, the identical integer split mix on both the cluster
+    * label and the raw id.
+    */
+  def leakageSafeSplitDuckSql(threshold: Double, shingleK: Int = 3): String =
+    groupsDuckCtes(threshold, shingleK) +
+      """
+        |, alldocs AS (
+        |  SELECT d.doc_id AS id, coalesce(l.lab, d.doc_id) AS lab
+        |  FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id
+        |), spl AS (
+        |  SELECT id,
+        |    CASE WHEN ((lab * 2654435761) >> 7) % 1000 < 800
+        |         THEN 'train' ELSE 'test' END AS cs,
+        |    CASE WHEN ((id * 2654435761) >> 7) % 1000 < 800
+        |         THEN 'train' ELSE 'test' END AS ns
+        |  FROM alldocs
+        |), cnt AS (
+        |  SELECT CAST(sum(CASE WHEN cs = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |         CAST(sum(CASE WHEN cs = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |  FROM spl
+        |), lk AS (
+        |  SELECT count(*) AS n_dup_pairs,
+        |    CAST(coalesce(sum(CASE WHEN a.cs <> b.cs THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS leak_pairs_cluster_split,
+        |    CAST(coalesce(sum(CASE WHEN a.ns <> b.ns THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |      AS leak_pairs_naive_split
+        |  FROM prs JOIN spl a ON a.id = prs.id_a JOIN spl b ON b.id = prs.id_b
+        |)
+        |SELECT n_train, n_test, n_dup_pairs,
+        |       leak_pairs_cluster_split, leak_pairs_naive_split
+        |FROM cnt CROSS JOIN lk""".stripMargin
 
   /** DuckDB replay of the cluster-size histogram over `documents`:
     * singletons = documents in no ≥2 cluster. */

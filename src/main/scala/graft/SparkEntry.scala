@@ -989,6 +989,22 @@ object SparkEntry {
       Events.bootstrapDiff(perUser, "user_id", "m", "variant", reps = 200)
     }),
 
+    // always-valid sequential testing (mSPRT): the per-day log mixture
+    // likelihood ratio over cumulative purchase cents, pre-registered
+    // σ² = 1e9 / τ² = 1e6 — the "safe to peek daily" readout a metrics
+    // platform ships beside the fixed-horizon ev_ab_test; day-level
+    // aggregate first, running sums only over the bounded day table
+    "ev_msprt" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val obs = T(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(expr("(ts div 1000) div 86400000000").as("day"),
+          (col("user_id") % 2).cast("long").as("variant"),
+          round(col("value") * 100).cast("long").as("x"))
+      Events.msprtDaily(obs, "day", "variant", "x",
+        sigma2 = 1.0e9, tau2 = 1.0e6)
+    }),
+
     // cohort lifetime value: purchase cents per (first-active-day cohort,
     // age-in-days), plus the running LTV curve — integer cumsum per cohort,
     // one user shuffle for the cohort min then day-level aggregates only
@@ -2938,6 +2954,58 @@ object SparkEntry {
         .start()
       q.awaitTermination(180000)
       s.table("st_stream_join_mem")
+        .select(col("p_id"), col("c_id"),
+          (unix_micros(col("p_tev")) - unix_micros(col("c_tev"))).as("dt_us"))
+        .orderBy(col("p_id"), col("c_id"))
+    }),
+
+    // fifteenth streaming CORRECTNESS gate — stream-stream LEFT OUTER join
+    // with watermark-driven null emission: every purchase keeps a row even
+    // when no same-user click precedes it within the 10-minute band. Outer
+    // results only materialize once the watermark PROVES no match can still
+    // arrive, so this gate exercises the state-eviction semantics the inner
+    // gate's 40-day no-eviction delay deliberately avoids. Two staging
+    // obligations make it deterministic: (a) slabs are time-SORTED, so
+    // eviction can never outrun a possible match (every future row ≥ the
+    // running max ≥ watermark); (b) a final sentinel slab (one purchase +
+    // one click at 2100-01-01, user −1, filtered from the output) pushes
+    // BOTH sides' watermarks past every real row, flushing the pending
+    // null-side state through the end-of-stream no-data batch.
+    "st_stream_outer" -> ((s, dir) => {
+      val d = java.nio.file.Files.createTempDirectory("graft-stream-outer")
+      d.toFile.deleteOnExit()
+      val src = d.resolve("in").toString
+      val ckpt = d.resolve("ckpt").toString
+      val base = T(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("tev"),
+          col("user_id"), col("event_id"), col("event_type"))
+      val sentinels = s.range(0, 2).select(
+        timestamp_micros(lit(4102444800000000L)).as("tev"), // 2100-01-01 UTC
+        lit(-1L).as("user_id"), (col("id") - 2).as("event_id"),
+        when(col("id") === 0, "purchase").otherwise("click").as("event_type"))
+      stageSlabs(base.unionByName(sentinels),
+        Seq(col("tev"), col("event_id")), 5, src)
+      val staged = s.read.parquet(src)
+      def side(tpe: String, pre: String) =
+        s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id").as(s"${pre}_user"),
+            col("event_id").as(s"${pre}_id"), col("tev").as(s"${pre}_tev"))
+          .withWatermark(s"${pre}_tev", "10 minutes")
+      val joined = side("purchase", "p").join(side("click", "c"),
+        expr("c_user = p_user AND " +
+          "c_tev BETWEEN p_tev - INTERVAL 10 MINUTES AND p_tev"),
+        "leftOuter")
+      val q = joined.writeStream
+        .format("memory").queryName("st_stream_outer_mem")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(180000)
+      s.table("st_stream_outer_mem")
+        .filter(col("p_user") >= 0) // drop the sentinel pair
         .select(col("p_id"), col("c_id"),
           (unix_micros(col("p_tev")) - unix_micros(col("c_tev"))).as("dt_us"))
         .orderBy(col("p_id"), col("c_id"))
@@ -6226,6 +6294,8 @@ object SparkEntry {
         |       round(lo_raw, 6) AS lo, round(hi_raw, 6) AS hi
         |FROM ci CROSS JOIN pt""".stripMargin,
 
+    "ev_msprt" -> Events.msprtDuckSql(sigma2 = 1.0e9, tau2 = 1.0e6),
+
     "ev_ltv" ->
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, event_type,
@@ -7545,6 +7615,24 @@ object SparkEntry {
         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         |  AND c.tsn BETWEEN p.tsn - 600000000 AND p.tsn
         |ORDER BY p_id, c_id""".stripMargin,
+
+    // the streamed LEFT OUTER set must equal the batch band left join —
+    // matched pairs identical to st_stream_join, plus one null-click row
+    // per unmatched purchase (the watermark-flushed outer state)
+    "st_stream_outer" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tsn, event_type FROM events
+        |), p AS (
+        |  SELECT user_id, event_id, tsn FROM e WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id AS cu, event_id AS c_id, tsn AS ct
+        |  FROM e WHERE event_type = 'click'
+        |)
+        |SELECT p.event_id AS p_id, c.c_id,
+        |       CASE WHEN c.c_id IS NOT NULL THEN p.tsn - c.ct END AS dt_us
+        |FROM p LEFT JOIN c ON c.cu = p.user_id
+        |  AND c.ct BETWEEN p.tsn - 600000000 AND p.tsn
+        |ORDER BY p_id, c_id NULLS FIRST""".stripMargin,
 
     "gr_ppr" -> PageRank.pprDuckSql(iters = 3, damping = 0.85, topK = 25),
 

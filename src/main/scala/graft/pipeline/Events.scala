@@ -1372,6 +1372,109 @@ object Events {
         round(col("lo_raw"), 6).as("lo"), round(col("hi_raw"), 6).as("hi"))
   }
 
+  /** Mixture sequential probability ratio test (mSPRT) — the always-valid
+    * p-value machinery that makes continuous experiment monitoring safe
+    * (peeking at a fixed-horizon z-test inflates false positives; the
+    * mSPRT martingale does not — Johari, Pekelis & Walsh 2015/2022). One
+    * readout row per day: the cumulative two-sample mean difference and
+    * the log mixture likelihood ratio
+    *
+    *   ln Λ_t = ½·ln(V_t/(V_t+τ²)) + θ̂_t²·τ²/(2·V_t·(V_t+τ²)),
+    *   V_t = σ²·(1/n_A + 1/n_B)
+    *
+    * under a pre-registered observation variance σ² and mixture variance
+    * τ² (pre-registration is how deployed mSPRT works — estimating σ from
+    * the same stream would break the martingale property). `reject_so_far`
+    * latches once ln Λ ever crosses ln(1/α); α = 0.05 is pinned as the
+    * literal 2.995732 (= ln 20, same pinned-literal discipline as
+    * ev_power). Plan shape: one day×variant aggregate (map-side combined)
+    * then ordered running sums over the BOUNDED day table — the corpus-
+    * sized work never enters a window. Input: (day, variant ∈ {0,1},
+    * integer metric x). Output: (day, n_a, n_b, diff, ln_lambda,
+    * reject_so_far), floats rounded to 6.
+    */
+  def msprtDaily(obs: DataFrame, dayCol: String, variantCol: String,
+      metricCol: String, sigma2: Double, tau2: Double,
+      maxDays: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = obs.groupBy(col(dayCol).as("day")).agg(
+      sum(when(col(variantCol) === 0, col(metricCol)).otherwise(0L)).as("sa"),
+      sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("ca"),
+      sum(when(col(variantCol) =!= 0, col(metricCol)).otherwise(0L)).as("sb"),
+      sum(when(col(variantCol) =!= 0, 1L).otherwise(0L)).as("cb"))
+    val run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = BoundedWindow(daily, maxDays,
+        s"mSPRT daily readout (day-level table, ≤ $maxDays rows)")
+      .withColumn("n_a", sum("ca").over(run))
+      .withColumn("n_b", sum("cb").over(run))
+      .withColumn("cum_sa", sum("sa").over(run))
+      .withColumn("cum_sb", sum("sb").over(run))
+    val na = col("n_a").cast("double"); val nb = col("n_b").cast("double")
+    val theta = col("cum_sa").cast("double") / na -
+      col("cum_sb").cast("double") / nb
+    val v = lit(sigma2) * (lit(1.0) / na + lit(1.0) / nb)
+    val lnLam = lit(0.5) * log(v / (v + lit(tau2))) +
+      ((theta * theta) * lit(tau2)) / (lit(2.0) * v * (v + lit(tau2)))
+    val scored = cum.withColumn("diff_raw",
+        when(col("n_a") > 0 && col("n_b") > 0, theta))
+      .withColumn("lnl_raw",
+        when(col("n_a") > 0 && col("n_b") > 0, lnLam))
+    scored
+      .withColumn("reject_so_far",
+        max(when(col("lnl_raw") > 2.995732, 1L).otherwise(0L)).over(run))
+      .select(col("day"), col("n_a"), col("n_b"),
+        round(col("diff_raw"), 6).as("diff"),
+        round(col("lnl_raw"), 6).as("ln_lambda"),
+        col("reject_so_far"))
+      .orderBy("day")
+  }
+
+  /** DuckDB replay of [[msprtDaily]] over per-purchase cents with
+    * user-parity arms — identical parenthesization of the ln Λ tree.
+    */
+  def msprtDuckSql(sigma2: Double, tau2: Double): String =
+    s"""WITH o AS (
+       |  SELECT epoch_us(ts) // 86400000000 AS day,
+       |         user_id % 2 AS variant,
+       |         CAST(round(value * 100) AS BIGINT) AS x
+       |  FROM events WHERE event_type = 'purchase'
+       |), daily AS (
+       |  SELECT day,
+       |    sum(CASE WHEN variant = 0 THEN x ELSE 0 END)::BIGINT AS sa,
+       |    sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS ca,
+       |    sum(CASE WHEN variant <> 0 THEN x ELSE 0 END)::BIGINT AS sb,
+       |    sum(CASE WHEN variant <> 0 THEN 1 ELSE 0 END)::BIGINT AS cb
+       |  FROM o GROUP BY 1
+       |), cum AS (
+       |  SELECT day,
+       |    (sum(ca) OVER wo)::BIGINT AS n_a, (sum(cb) OVER wo)::BIGINT AS n_b,
+       |    (sum(sa) OVER wo)::BIGINT AS cum_sa,
+       |    (sum(sb) OVER wo)::BIGINT AS cum_sb
+       |  FROM daily
+       |  WINDOW wo AS (ORDER BY day ROWS UNBOUNDED PRECEDING)
+       |), sc AS (
+       |  SELECT day, n_a, n_b,
+       |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |      cum_sa::DOUBLE / n_a::DOUBLE - cum_sb::DOUBLE / n_b::DOUBLE
+       |    END AS diff_raw,
+       |    CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |      0.5 * ln(($sigma2 * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+       |               / (($sigma2 * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) + $tau2))
+       |      + (((cum_sa::DOUBLE / n_a::DOUBLE - cum_sb::DOUBLE / n_b::DOUBLE)
+       |          * (cum_sa::DOUBLE / n_a::DOUBLE - cum_sb::DOUBLE / n_b::DOUBLE))
+       |         * $tau2)
+       |        / (2.0 * ($sigma2 * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE))
+       |           * (($sigma2 * (1.0 / n_a::DOUBLE + 1.0 / n_b::DOUBLE)) + $tau2))
+       |    END AS lnl_raw
+       |  FROM cum
+       |)
+       |SELECT day, n_a, n_b, round(diff_raw, 6) AS diff,
+       |       round(lnl_raw, 6) AS ln_lambda,
+       |       (max(CASE WHEN lnl_raw > 2.995732 THEN 1 ELSE 0 END)
+       |          OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))::BIGINT
+       |         AS reject_so_far
+       |FROM sc ORDER BY day""".stripMargin
+
   /** SQL `ntile(q)` bucket recovered from a 1-based global rank over `n`
     * rows — the first (n mod q) buckets hold ⌈n/q⌉ rows, the rest ⌊n/q⌋
     * (identical to Spark's and DuckDB's NTile). Lets the distributed

@@ -1010,13 +1010,20 @@ l$i AS (SELECT src AS node, lbl FROM (
             col("a"), col("b"), col("w"))
           .union(ec.select(col("cb").as("c"), col("ca").as("t"),
             col("a"), col("b"), col("w")))
-        // argmin incident edge per component: min over struct(w, a, b, t)
-        // IS the lexicographic argmin on the distinct (w, a, b) order (an
-        // edge appears at most once per c group, so the trailing t never
-        // tie-breaks) and carries the whole winning tuple out of ONE
-        // aggregate — no join-back, no packed-key id/weight ceiling
-        val hook = inc.groupBy("c").agg(
-            min(struct(col("w"), col("a"), col("b"), col("t"))).as("m"))
+        // argmin incident edge per component on the distinct (w, a, b)
+        // order, TWO-PHASE: a plain long min(w) first (HashAggregate —
+        // a single min(struct(w, a, b, t)) agg is correct but its struct
+        // buffer forces SortAggregate over all 2m incident rows every
+        // round, measured ~40% slower at the 100× ladder rung), then the
+        // lexicographic (a, b) tie-break as a struct min over ONLY the
+        // min-weight survivors (≈ one row per component; both the agg and
+        // the join reuse the same hash-partition(c) exchange). An edge
+        // appears at most once per c group, so the trailing t never
+        // tie-breaks. No packed-key id/weight ceiling.
+        val minw = inc.groupBy("c").agg(min(col("w")).as("mw"))
+        val hook = inc.join(minw, "c").filter(col("w") === col("mw"))
+          .groupBy("c").agg(
+            min(struct(col("a"), col("b"), col("t"))).as("m"))
           .select(col("c"), col("m.t").as("t"), col("m.a").as("a"),
             col("m.b").as("b"))
           .pipe(materializedBare)

@@ -337,6 +337,30 @@ object BenchScale {
       "ev_gini" ->
         (n => graft.pipeline.Events.giniRevenue(
           evAt(n).withColumn("event_type", lit("purchase")))),
+      // two-sample KS at N×: per-user rollup scan dominates; the
+      // prefix-sum pass is one range shuffle over the value-group table
+      // (distinct per-user totals ≤ users, grows ~N×)
+      "ev_ks" -> (n => {
+        val perUser = evAt(n)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id").agg(sum(col("cents")).as("m"))
+          .withColumn("variant", (col("user_id") % 2).cast("long"))
+        graft.pipeline.Events.ksTest(perUser, "m", "variant")
+      }),
+      // Poisson bootstrap at N×: the 200-way explode is the only row
+      // expansion and partial aggregation collapses it map-side to
+      // reps×2 sums per partition — wall time must stay ~linear in users
+      // despite the 200× flat-map (the classic bootstrap scale shape)
+      "ev_bootstrap" -> (n => {
+        val perUser = evAt(n)
+          .select(col("user_id"),
+            round(col("value") * 100).cast("long").as("cents"))
+          .groupBy("user_id").agg(sum(col("cents")).as("m"))
+          .withColumn("variant", (col("user_id") % 2).cast("long"))
+        graft.pipeline.Events.bootstrapDiff(perUser, "user_id", "m",
+          "variant", reps = 200)
+      }),
       // 3 PageRank rounds over N disjoint graph copies: per-iteration
       // edges⋈ranks + dst-sum, work ∝ edges
       "gr_pagerank" ->

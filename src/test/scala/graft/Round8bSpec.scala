@@ -116,6 +116,38 @@ class Round8bSpec extends SparkSpec {
     assert(!body.contains("track") && !body.contains("color"))
   }
 
+  test("msprtDaily: ln-lambda matches the closed form, reject latches") {
+    // day 1: A = {10, 20}, B = {0}; day 2: A += {30}, B += {0, 0}
+    val obs = Seq(
+      (1L, 0L, 10L), (1L, 0L, 20L), (1L, 1L, 0L),
+      (2L, 0L, 30L), (2L, 1L, 0L), (2L, 1L, 0L)).toDF("day", "variant", "x")
+    // σ² = 25 so day-2's cumulative evidence (θ = 20, V = 16.7) crosses
+    // ln 20 ≈ 3.0 (ln Λ ≈ 9.9) while day-1's (θ = 15, V = 37.5) does not
+    val s2 = 25.0; val t2 = 400.0
+    def lnl(sa: Long, na: Long, sb: Long, nb: Long): Double = {
+      val theta = sa.toDouble / na - sb.toDouble / nb
+      val v = s2 * (1.0 / na + 1.0 / nb)
+      0.5 * math.log(v / (v + t2)) + theta * theta * t2 / (2.0 * v * (v + t2))
+    }
+    val rows = Events.msprtDaily(obs, "day", "variant", "x", s2, t2)
+      .collect()
+    assert(rows.length == 2)
+    val d1 = rows(0); val d2 = rows(1)
+    assert(d1.getAs[Long]("n_a") == 2 && d1.getAs[Long]("n_b") == 1)
+    assert(math.abs(d1.getAs[Double]("ln_lambda") -
+      math.rint(lnl(30, 2, 0, 1) * 1e6) / 1e6) < 1e-9)
+    assert(math.abs(d2.getAs[Double]("ln_lambda") -
+      math.rint(lnl(60, 3, 0, 3) * 1e6) / 1e6) < 1e-9)
+    // day-2 evidence (mean gap 20, tiny V) crosses ln 20; day 1 does not
+    assert(d1.getAs[Long]("reject_so_far") == (if (lnl(30, 2, 0, 1) > 2.995732) 1L else 0L))
+    assert(d2.getAs[Long]("reject_so_far") == 1L)
+    // the latch: once rejected, later flat days stay rejected
+    val obs3 = obs.unionByName(
+      Seq((3L, 0L, 0L), (3L, 1L, 0L)).toDF("day", "variant", "x"))
+    val r3 = Events.msprtDaily(obs3, "day", "variant", "x", s2, t2).collect()
+    assert(r3.last.getAs[Long]("reject_so_far") == 1L)
+  }
+
   test("leakageSafeSplit: cluster split leaks zero pairs, naive split leaks") {
     def naiveTrain(id: Long) =
       Math.floorMod((id * 2654435761L) >> 7, 1000L) < 800

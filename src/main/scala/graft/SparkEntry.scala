@@ -3318,12 +3318,20 @@ object SparkEntry {
         .select(expr("ts div 1000").as("tus"), col("event_type"), col("event_id"))
       val slabs = slabify(ev, Seq(col("tus"), col("event_id")), 6)
         .select(col("tus"), col("event_type"), col("slab")).persist()
-      val cutHour = slabs.filter(col("slab") === 4)
-        .agg(min(expr("tus div 3600000000"))).head().getLong(0)
-      val straddles = slabs.filter(col("slab") <= 3 &&
-        expr("tus div 3600000000") === cutHour).limit(1).count() > 0
-      require(straddles, "st_stream_recover: restart boundary fell on an " +
-        "hour edge — the gate would not exercise cross-restart state")
+      // restart cut chosen ADAPTIVELY: first k whose k|k+1 slab boundary
+      // falls mid-hour (slab k+1's first hour also holds slab ≤ k rows) —
+      // a fixed 3|4 cut lands exactly on an hour edge at some corpus
+      // sizes (observed at sf0.001) and would not exercise cross-restart
+      // state; the final snapshot equals the batch rollup for ANY cut
+      val cut = (3 to 5).find { k =>
+        val cutHour = slabs.filter(col("slab") === k + 1)
+          .agg(min(expr("tus div 3600000000"))).head().getLong(0)
+        slabs.filter(col("slab") <= k &&
+          expr("tus div 3600000000") === cutHour).limit(1).count() > 0
+      }
+      require(cut.isDefined, "st_stream_recover: every candidate restart " +
+        "boundary fell on an hour edge — the gate would not exercise " +
+        "cross-restart state")
       def stage(range: Range): Unit =
         writeSlabFiles(slabs.select("tus", "event_type", "slab"), range, src)
       def run(): Unit = {
@@ -3358,7 +3366,7 @@ object SparkEntry {
         // deregister fully before the restart run re-opens the checkpoint
         q.stop(); q.awaitTermination()
       }
-      stage(1 to 3)
+      stage(1 to cut.get)
       run()
       // crash simulation: drop the NEWEST commit marker — the batch's
       // offsets and state survive, its commit does not, so the restart
@@ -3375,7 +3383,7 @@ object SparkEntry {
       val crc = new java.io.File(s"$ckpt/commits/.${commits.last.getName}.crc")
       if (crc.exists()) require(crc.delete(),
         "st_stream_recover: could not remove the commit crc sidecar")
-      stage(4 to 6)
+      stage(cut.get + 1 to 6)
       run()
       slabs.unpersist()
       VersionedLayer.read(s, store, None)

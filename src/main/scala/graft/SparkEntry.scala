@@ -82,8 +82,48 @@ object SparkEntry {
     * insensitive to).
     */
   private def stageSlabs(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
-      nSlabs: Int, src: String): Unit =
-    writeSlabFiles(slabify(df, order, nSlabs), 1 to nSlabs, src)
+      nSlabs: Int, src: String): Unit = {
+    // persist BEFORE the per-slab writes: slabify's count + two-pass
+    // globalRank would otherwise recompute once per slab (n× the whole
+    // staging plan — the round-8 2.9–9.8× streaming-gate regression).
+    // Same discipline the recover gate already applies to its slabs.
+    val slabs = slabify(df, order, nSlabs).persist()
+    try writeSlabFiles(slabs, 1 to nSlabs, src)
+    finally slabs.unpersist()
+  }
+
+  /** Streaming-MV sink shared by the mv/recover gates: PARTITION-SCOPED
+    * upsert of an update-mode (hour_start, event_type, n) delta into a
+    * delta-chained [[graft.plans.VersionedLayer]] store. Only the hour
+    * partitions the delta touches are read back (partition-pruned through
+    * the version chain's `_PARTS` manifests), merged key-level
+    * (old-rows anti-join delta ∪ delta), and rewritten — bytes per
+    * micro-batch ∝ the delta, never the store (previously each batch
+    * rewrote the FULL snapshot: O(store × batches) I/O, the round-8
+    * verdict's one real scale-killer finding). Replay-idempotent: update
+    * rows carry cumulative counts, so a crash-replayed batch rewrites the
+    * same partitions with the same merged content. The dirty-hour collect
+    * is bounded by the delta's distinct hours.
+    */
+  private def mvUpsert(batch: DataFrame, store: String): Unit = {
+    import graft.plans.VersionedLayer
+    val sp = batch.sparkSession
+    val delta = batch.persist()
+    try {
+      val dirty = delta.select(col("hour_start").cast("string").as("h"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      val content =
+        VersionedLayer.readPartitions(sp, store, "hour_start", dirty) match {
+          case None => delta
+          case Some(base) => base
+            .join(delta.select("hour_start", "event_type"),
+              Seq("hour_start", "event_type"), "left_anti")
+            .unionByName(delta)
+        }
+      VersionedLayer.commitDelta(content, store, "hour_start")
+    } finally delta.unpersist()
+    ()
+  }
 
   /** Deterministic customer point layer in canonical schema (SURVEY §1.3). */
   private def pointsDf(s: SparkSession, dir: String): DataFrame =
@@ -1155,7 +1195,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_kmv_mem")
         .groupBy(col("g"))
         .agg(max(struct(col("ver"), col("n_kept"), col("hk"))).as("m"))
@@ -2640,8 +2681,12 @@ object SparkEntry {
     // bytes equal ⟺ seed equal, so the oracle replays the groups as pure
     // seed arithmetic against the real hash-dedup plan
     "mm_exact_dedup" -> ((s, dir) => {
+      // image rows carry GENUINE PNG bytes (round-9 codec promotion);
+      // audio/video keep the synthetic stream — the md5 grouping is
+      // format-blind, and the planted dup pair is audio↔video, so the
+      // oracle's seed/kind structure is untouched
       val media = Multimodal.syntheticMedia(s, 600,
-        seedOf = i => if (i % 9 == 5) i - 4 else i)
+        seedOf = i => if (i % 9 == 5) i - 4 else i, realImagePng = true)
       media.groupBy(md5(col("bytes")).as("h"))
         .agg(min("media_id").as("rep"), count(lit(1)).as("n"),
           countDistinct("kind").as("kinds"))
@@ -2740,6 +2785,47 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // REAL baseline-JPEG decode (the third real format — the one a web
+    // crawl actually meets): 40 deterministic 20×12 grayscale patterns,
+    // CONSTANT per 8×8 block with EVEN values — DC-only blocks whose
+    // coefficient 8·(v−128) the Annex-K quantizer (q₀₀=16) divides
+    // exactly, so the lossy pipeline is the identity BY CONSTRUCTION and
+    // the oracle replays per-image sums in pure integer SQL. Odd ids are
+    // encoded with a restart interval (DRI + RSTn + DC-predictor resets on
+    // the decode path); 20×12 exercises edge-replicated partial blocks +
+    // crop. The full huffman+IDCT path on non-constant images is pinned by
+    // the two-engine javax.imageio differential in Round9Spec.
+    "mm_decode_jpeg" -> ((s, dir) => {
+      val enc = udf((i: Long) => {
+        val w = 20; val h = 12
+        val luma = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            luma(y * w + x) =
+              (2 * ((x / 8 * 31 + y / 8 * 17 + i * 7) % 128)).toInt
+            x += 1
+          }
+          y += 1
+        }
+        graft.pipeline.JpegCodec.encodeJpegGray(w, h, luma,
+          restartInterval = if (i % 2 == 1) 2 else 0)
+      })
+      val media = s.range(0, 40).select(col("id").as("media_id"),
+        enc(col("id")).as("bytes"))
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "jpeg")
+      // the codec choice is captured at plan build — restore right after
+      val decoded =
+        try Multimodal.decodeAndFeaturize(media, 20, 12)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      decoded.select(col("media_id"), size(col("pixels")).cast("long").as("n_px"),
+          aggregate(col("pixels"), lit(0L),
+            (a, v) => a + round(v.cast("double") * 255).cast("long")).as("px_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // image near-dup dedup via pHash banding; every 9th id reuses the bytes
     // of id−3, so exact-dup images exist under distinct ids (with the FNV
     // stub decode only byte-identical media collide — see phash64 scaladoc)
@@ -2747,19 +2833,36 @@ object SparkEntry {
     // video-kind duplicates (i ≡ 8 mod 9 shares the seed of i-6, both
     // video-kind since 8 ≡ 2 ≡ (8-6) mod 3)
     "mm_video_dedup" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300,
-        i => if (i % 9 == 8) i - 6 else i)
-      Multimodal.videoNearDupPairs(
-          Multimodal.sampleFrames(media, n = 8, w = 16, h = 16),
-          threshold = 0.5)
+      // REAL frame decode by default (round-9 promotion): videos are
+      // length-prefixed containers of genuine 16×16 PNG frames; the
+      // planted duplicates (i ≡ 8 mod 9 share i−6's seed) have
+      // byte-different per-frame encodings (filter keyed on the id) of
+      // identical pixels — frame-set Jaccard 1 only under a real decode
+      val media = Multimodal.syntheticVideoPng(s, 300,
+        i => if (i % 9 == 8) i - 6 else i, frames = 8)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val frames =
+        try Multimodal.sampleFrames(media, n = 8, w = 16, h = 16)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      Multimodal.videoNearDupPairs(frames, threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
     "mm_phash" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300,
+      // REAL decode by default (round-9 promotion): genuine 8×8 PNGs, the
+      // planted duplicates (i ≡ 3 mod 9 → i−3) are byte-DIFFERENT
+      // encodings (row filter keyed on the original id) of IDENTICAL
+      // pixels — only a real decode collides them; the retired FNV stub
+      // could not (it avalanches on bytes)
+      val media = Multimodal.syntheticImagePng(s, 300,
         i => if (i % 9 == 3) i - 3 else i)
-      Multimodal.phashNearDupPairs(media, maxHamming = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val pairs =
+        try Multimodal.phashNearDupPairs(media, maxHamming = 3)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      pairs.orderBy(col("id_a"), col("id_b"))
     }),
 
     // ====================================== §2 operator-coverage additions
@@ -2857,7 +2960,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_hop_mem")
         .select(col("event_type"),
           expr("unix_timestamp(w.start) div 3600").as("win_start"), col("n"))
@@ -2885,7 +2989,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_cells_mem")
         .orderBy(col("cell_x"), col("cell_y"))
     }),
@@ -2914,7 +3019,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_dedup_mem").orderBy(col("text_hash"))
     }),
 
@@ -2952,7 +3058,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_join_mem")
         .select(col("p_id"), col("c_id"),
           (unix_micros(col("p_tev")) - unix_micros(col("c_tev"))).as("dt_us"))
@@ -3003,7 +3110,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_outer_mem")
         .filter(col("p_user") >= 0) // drop the sentinel pair
         .select(col("p_id"), col("c_id"),
@@ -3047,7 +3155,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_dedupw_mem")
         .select(col("k").as("user_id"), unix_micros(col("ets")).as("ets_us"))
         .orderBy(col("user_id"), col("ets_us"))
@@ -3089,7 +3198,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_ann_mem")
         .filter(col("qid") >= 0)
         .select(col("qid"), col("rank"), col("nid"), col("cosine"))
@@ -3133,7 +3243,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_simdedup_mem")
         .groupBy(col("id")).agg(count(lit(1)).as("n_adm"))
         .orderBy("id")
@@ -3169,7 +3280,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_sessions_mem")
         .filter(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("t_start")).as("t_start_us"),
@@ -3201,7 +3313,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_hourly_mem").orderBy(col("event_type"), col("hour_start"))
     }),
 
@@ -3237,7 +3350,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       s.table("st_stream_enrich_mem")
         .orderBy(col("c_mktsegment"), col("hour_start"))
     }),
@@ -3247,10 +3361,11 @@ object SparkEntry {
     // exactly-once-sink pattern every production pipeline needs (memory/
     // complete gates re-emit the world; real sinks take per-batch deltas).
     // Each micro-batch emits only the (hour, type) rows whose cumulative
-    // count changed; the sink anti-joins them into the previous snapshot
-    // and commits through the manifest protocol — crash-safe versions,
-    // replay-idempotent because update rows carry cumulative counts. The
-    // final snapshot must equal the batch rollup verbatim.
+    // count changed; the sink merges them into ONLY the dirty hour
+    // partitions and commits a partition-scoped delta version through the
+    // manifest protocol (mvUpsert) — crash-safe versions, bytes per batch
+    // ∝ delta, replay-idempotent because update rows carry cumulative
+    // counts. The final snapshot must equal the batch rollup verbatim.
     "st_stream_mv" -> ((s, dir) => {
       import graft.plans.VersionedLayer
       val d = java.nio.file.Files.createTempDirectory("graft-stream-mv")
@@ -3274,21 +3389,12 @@ object SparkEntry {
         .outputMode("update")
         .option("checkpointLocation", ckpt)
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          val sp = batch.sparkSession
-          val delta = batch.persist()
-          val cur =
-            if (VersionedLayer.versions(sp, store).isEmpty) delta.limit(0)
-            else VersionedLayer.read(sp, store, None)
-          VersionedLayer.commit(
-            cur.join(delta.select("hour_start", "event_type"),
-                Seq("hour_start", "event_type"), "left_anti")
-              .unionByName(delta), store)
-          delta.unpersist()
-          ()
+          mvUpsert(batch, store)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(180000)
+      require(q.awaitTermination(180000),
+        "streaming gate exceeded its 180 s budget — refusing partial results")
       VersionedLayer.read(s, store, None)
         .orderBy(col("event_type"), col("hour_start"))
     }),
@@ -3324,10 +3430,16 @@ object SparkEntry {
       // sizes (observed at sf0.001) and would not exercise cross-restart
       // state; the final snapshot equals the batch rollup for ANY cut
       val cut = (3 to 5).find { k =>
+        // nullable read: on very small corpora a 6-way ntile can leave
+        // slab k+1 empty — min() is then NULL and the candidate simply
+        // fails (letting the require below fire with its diagnostic)
+        // rather than NPE-ing in getLong
         val cutHour = slabs.filter(col("slab") === k + 1)
-          .agg(min(expr("tus div 3600000000"))).head().getLong(0)
-        slabs.filter(col("slab") <= k &&
-          expr("tus div 3600000000") === cutHour).limit(1).count() > 0
+          .agg(min(expr("tus div 3600000000"))).head()
+          .getAs[java.lang.Long](0)
+        cutHour != null && slabs.filter(col("slab") <= k &&
+          expr("tus div 3600000000") === cutHour.longValue()).limit(1)
+          .count() > 0
       }
       require(cut.isDefined, "st_stream_recover: every candidate restart " +
         "boundary fell on an hour edge — the gate would not exercise " +
@@ -3348,21 +3460,12 @@ object SparkEntry {
           .outputMode("update")
           .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) =>
-            val sp = batch.sparkSession
-            val delta = batch.persist()
-            val cur =
-              if (VersionedLayer.versions(sp, store).isEmpty) delta.limit(0)
-              else VersionedLayer.read(sp, store, None)
-            VersionedLayer.commit(
-              cur.join(delta.select("hour_start", "event_type"),
-                  Seq("hour_start", "event_type"), "left_anti")
-                .unionByName(delta), store)
-            delta.unpersist()
-            ()
+            mvUpsert(batch, store)
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(180000)
+        require(q.awaitTermination(180000),
+          "streaming gate exceeded its 180 s budget — refusing partial results")
         // deregister fully before the restart run re-opens the checkpoint
         q.stop(); q.awaitTermination()
       }
@@ -3447,7 +3550,8 @@ object SparkEntry {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination(240000)
+      require(q.awaitTermination(240000),
+        "streaming gate exceeded its 240 s budget — refusing partial results")
       s.table("st_stream_late_mem")
         .filter(col("event_type") =!= "__sentinel")
         .orderBy(col("event_type"), col("hour_start"))
@@ -3522,7 +3626,14 @@ object SparkEntry {
         .filterEcql("(IN ('11', '22', '33') OR " +
           "(strToLowerCase(c_mktsegment) = 'building' AND " +
           "abs(c_acctbal - 5000) <= 2000 AND " +
-          "floor(c_acctbal / 1000) IN (3, 4, 5, 6))) AND " +
+          "floor(c_acctbal / 1000) IN (3, 4, 5, 6)) OR " +
+          // round-9 filter-function tail: substring/index/match/minmax/
+          // round/pow/pi through the same FunctionFinder-style registry
+          "(strEndsWith(c_name, '1') = TRUE AND " +
+          "strSubstring(c_mktsegment, 0, 4) = 'AUTO' AND " +
+          "round(min(c_acctbal, 2000.0)) >= 1999 AND " +
+          "strIndexOf(strToUpperCase(c_name), 'CUSTOMER') = 0 AND " +
+          "pow(2, 3) + pi() > 11)) AND " +
           "RELATE(the_geom, " +
           "POLYGON ((-90 -45, 90 -45, 90 45, -90 45, -90 -45)), " +
           "'T********')")
@@ -4197,11 +4308,17 @@ object SparkEntry {
         .orderBy(col("media_id"), col("seg_idx"))
     }),
 
-    // frame sampling over video-kind media: the 1→N explode shape of a real
-    // frame sampler, deterministic stub decode replayed by the oracle
+    // frame sampling over video-kind media — REAL by default (round-9
+    // promotion): container slice → PNG decode per frame; the oracle
+    // replays the lossless frame pattern in integer SQL
     "mm_frames" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300)
-      Multimodal.sampleFrames(media, n = 4, w = 16, h = 16)
+      val media = Multimodal.syntheticVideoPng(s, 300, frames = 4)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val frames =
+        try Multimodal.sampleFrames(media, n = 4, w = 16, h = 16)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      frames
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
           round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4).as("pixel_sum"))
         .orderBy(col("media_id"), col("frame_idx"))
@@ -7312,6 +7429,16 @@ object SparkEntry {
         |FROM range(0, 40) t(i), range(0, 15) xs(x), range(0, 12) ys(y)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the JPEG gate's block-constant even-valued pattern replayed exactly:
+    // DC-only blocks with q00=16 | 8·(v−128) make the lossy roundtrip the
+    // identity, so plain integer SQL is the full oracle
+    "mm_decode_jpeg" ->
+      """SELECT i AS media_id, count(*)::BIGINT AS n_px,
+        |       sum(2 * ((x // 8 * 31 + y // 8 * 17 + i * 7) % 128))::BIGINT
+        |         AS px_sum
+        |FROM range(0, 40) t(i), range(0, 20) xs(x), range(0, 12) ys(y)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "mm_phash" -> MmPhashSql,
 
     "sp_density_islands" -> DensityIslandsSql,
@@ -7872,7 +7999,12 @@ object SparkEntry {
         |WHERE (ck IN (11, 22, 33) OR
         |       (lower(c_mktsegment) = 'building' AND
         |        abs(pts.c_acctbal - 5000) <= 2000 AND
-        |        floor(pts.c_acctbal / 1000) IN (3, 4, 5, 6)))
+        |        floor(pts.c_acctbal / 1000) IN (3, 4, 5, 6)) OR
+        |       (c_name LIKE '%1' AND
+        |        substr(c_mktsegment, 1, 4) = 'AUTO' AND
+        |        round(least(pts.c_acctbal, 2000.0)) >= 1999 AND
+        |        strpos(upper(c_name), 'CUSTOMER') - 1 = 0 AND
+        |        pow(2, 3) + pi() > 11))
         |  AND x > -90 AND x < 90 AND y > -45 AND y < 45
         |ORDER BY ck""".stripMargin),
 
@@ -8469,32 +8601,21 @@ object SparkEntry {
         |       round(cos, 6) AS cos
         |FROM ranked WHERE rk <= 3 ORDER BY 1, 2""".stripMargin,
 
-    // same stub-decode chain as mm_frames at 8 frames, with the byte seed
-    // remapped (i ≡ 8 mod 9 → i-6) to plant video duplicates, then the
-    // set-Jaccard assembled relationally (feature-join candidates)
+    // the REAL per-frame PNG decode replayed from the lossless frame
+    // pattern (seed remapped i ≡ 8 mod 9 → i-6 to plant duplicates), then
+    // the set-Jaccard assembled relationally (feature-join candidates)
     "mm_video_dedup" ->
-      """WITH RECURSIVE chain(media_id, seed, frame_idx, step, state) AS (
-        |  SELECT i AS media_id,
-        |         CASE WHEN i % 9 = 8 THEN i - 6 ELSE i END AS seed,
-        |         f AS frame_idx, 0 AS step,
-        |         CAST(14695981039346656037 AS UBIGINT) AS state
-        |  FROM range(300) t(i), range(8) u(f) WHERE i % 3 = 2
-        |  UNION ALL
-        |  SELECT media_id, seed, frame_idx, step + 1,
-        |    CAST((CAST(xor(state, CAST(
-        |      CASE WHEN step < 64 THEN
-        |        CASE WHEN ((seed * 1103515245 + step * 12345) % 2147483647) * ((seed * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-        |             THEN 18446744073709551360 + ((seed * 1103515245 + step * 12345) % 2147483647) * ((seed * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-        |             ELSE ((seed * 1103515245 + step * 12345) % 2147483647) * ((seed * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-        |      WHEN step = 64 THEN frame_idx
-        |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-        |      % 18446744073709551616 AS UBIGINT)
-        |  FROM chain WHERE step < 321
-        |), feat0 AS (
-        |  SELECT media_id, frame_idx,
-        |         round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-        |                        / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
-        |  FROM chain WHERE step > 65 GROUP BY 1, 2
+      """WITH feat0 AS (
+        |  SELECT i AS media_id, f AS frame_idx,
+        |         round(sum(CAST(CAST(
+        |           (299 * ((p * 3 + f * 29 + s * 7) % 256)
+        |            + 587 * ((p * 5 + f * 31 + s * 11) % 256)
+        |            + 114 * ((p * 7 + f * 37 + s * 13) % 256)) // 1000
+        |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
+        |  FROM (SELECT i, CASE WHEN i % 9 = 8 THEN i - 6 ELSE i END AS s
+        |        FROM range(300) t(i) WHERE i % 3 = 2) m(i, s),
+        |       range(8) u(f), range(256) q(p)
+        |  GROUP BY 1, 2
         |), feats AS (
         |  SELECT DISTINCT media_id, feat FROM feat0
         |), sizes AS (
@@ -9837,40 +9958,25 @@ object SparkEntry {
       |FROM chain WHERE step > 64
       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
-  /** mm_phash oracle: the 8×8 stub decode replayed (same FNV chain as
-    * MmDecodeSql, 64 byte steps + 64 pixel steps) with the seed remapped to
-    * id−3 for every 9th id, then the mean-threshold signature and an
-    * all-pairs Hamming join — valid against the Spark banded plan because
-    * pigeonhole banding at (maxHamming+1) chunks has total recall. The
-    * 64-pixel mean is EXACT in any summation order (float values cast to
-    * double need < 40 mantissa bits), so the `px > mean` bits agree.
+  /** mm_phash oracle: the REAL 8×8 PNG decode replayed from the lossless
+    * image pattern (seed remapped to id−3 for every 9th id — planted
+    * byte-different pixel-duplicates), then the mean-threshold signature
+    * and an all-pairs Hamming join — valid against the Spark banded plan
+    * because pigeonhole banding at (maxHamming+1) chunks has total recall.
+    * The 64-pixel mean is EXACT in any summation order (float values cast
+    * to double need < 40 mantissa bits), so the `px > mean` bits agree.
     */
   private val MmPhashSql: String =
-    """WITH RECURSIVE chain(media_id, step, state) AS (
-      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i) WHERE i % 3 = 0
-      |  UNION ALL
-      |  SELECT media_id, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64
-      |        THEN CASE WHEN (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                        * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                        * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |             THEN 18446744073709551360
-      |                  + (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                     * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                     * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |             ELSE (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                   * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 3 THEN media_id - 3 ELSE media_id END)
-      |                   * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 128
-      |), px AS (
-      |  SELECT media_id, step - 65 AS j,
-      |         CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |              / CAST(255 AS FLOAT) AS DOUBLE) AS px
-      |  FROM chain WHERE step > 64
+    """WITH px AS (
+      |  SELECT i AS media_id, j,
+      |         CAST(CAST(
+      |           (299 * ((j * 3 + s * 7) % 256)
+      |            + 587 * ((j * 5 + s * 11) % 256)
+      |            + 114 * ((j * 7 + s * 13) % 256)) // 1000
+      |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) AS px
+      |  FROM (SELECT i, CASE WHEN i % 9 = 3 THEN i - 3 ELSE i END AS s
+      |        FROM range(300) t(i) WHERE i % 3 = 0) m(i, s),
+      |       range(64) p(j)
       |), mn AS (
       |  SELECT media_id, avg(px) AS mean FROM px GROUP BY 1
       |), sigs AS (
@@ -10009,31 +10115,19 @@ object SparkEntry {
       |FROM best WHERE rn = 1 AND n_match >= 4
       |ORDER BY 1, 2""".stripMargin
 
-  /** mm_frames oracle: sampleFrames' stub decode replayed per (video, frame)
-    * — same FNV chain as MmDecodeSql but seeded with the 64 synthetic bytes
-    * PLUS the frame index byte (step 64), then 256 pixel steps.
+  /** mm_frames oracle: the REAL per-frame PNG decode replayed from the
+    * lossless 16×16 frame pattern in pure integer SQL (luma then the same
+    * float/255 division the box-mean identity applies).
     */
   private val MmFramesSql: String =
-    """WITH RECURSIVE chain(media_id, frame_idx, step, state) AS (
-      |  SELECT i AS media_id, f AS frame_idx, 0 AS step,
-      |         CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i), range(4) u(f) WHERE i % 3 = 2
-      |  UNION ALL
-      |  SELECT media_id, frame_idx, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64 THEN
-      |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |      WHEN step = 64 THEN frame_idx
-      |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 321
-      |)
-      |SELECT media_id, frame_idx,
-      |       round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
-      |FROM chain WHERE step > 65
+    """SELECT i AS media_id, f AS frame_idx,
+      |       round(sum(CAST(CAST(
+      |         (299 * ((p * 3 + f * 29 + i * 7) % 256)
+      |          + 587 * ((p * 5 + f * 31 + i * 11) % 256)
+      |          + 114 * ((p * 7 + f * 37 + i * 13) % 256)) // 1000
+      |         AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
+      |FROM range(300) t(i), range(4) u(f), range(256) q(p)
+      |WHERE i % 3 = 2
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** mm_scenes oracle: the mm_frames stub-decode chain at 12 frames/video

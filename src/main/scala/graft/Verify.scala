@@ -22,10 +22,19 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      // per-query wall-clock on stderr: when a driver gate run comes back
+      // empty/partial, its own log shows how far the sweep got and which
+      // query ate the budget (round-8 lesson — the empty artifact was
+      // undiagnosable from driver logs alone)
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(
+          f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      } catch { case e: Throwable =>
+        System.err.println(
+          f"[verify] $name failed after ${(System.nanoTime() - t0) / 1e9}%.2fs: ${e.getMessage}")
       }
       // queries persist intermediates; clear between queries so 70+ dumps
       // don't accumulate into storage-eviction churn

@@ -152,9 +152,46 @@ object Ecql {
     "strconcat" -> ((false, (as: Seq[Column]) => concat(as: _*), false)),
     "strlength" -> ((false,
       (as: Seq[Column]) => length(as.head).cast("double"), true)),
+    // round-9 tail: the rest of the FunctionFinder names ECQL meets in
+    // stored filters. String indexes are 0-based begin-inclusive /
+    // end-exclusive (GeoTools StringInFunction semantics); strIndexOf is
+    // -1-when-absent like String.indexOf.
+    "strcapitalize" -> ((false, (as: Seq[Column]) => initcap(as.head), false)),
+    "strsubstring" -> ((false, (as: Seq[Column]) =>
+      as.head.substr(as(1).cast("int") + 1,
+        as(2).cast("int") - as(1).cast("int")), false)),
+    "strsubstringstart" -> ((false, (as: Seq[Column]) =>
+      as.head.substr(as(1).cast("int") + 1, lit(Int.MaxValue)), false)),
+    "strindexof" -> ((false, (as: Seq[Column]) =>
+      (call_function("instr", as.head, as(1)) - 1).cast("double"), true)),
+    "strmatches" -> ((false, (as: Seq[Column]) =>
+      call_function("regexp_like", as.head, as(1)), false)),
+    "strstartswith" -> ((false, (as: Seq[Column]) =>
+      call_function("startswith", as.head, as(1)), false)),
+    "strendswith" -> ((false, (as: Seq[Column]) =>
+      call_function("endswith", as.head, as(1)), false)),
+    "strequalsignorecase" -> ((false, (as: Seq[Column]) =>
+      lower(as.head) === lower(as(1)), false)),
     "abs" -> ((true, (as: Seq[Column]) => abs(as.head), true)),
     "ceil" -> ((true, (as: Seq[Column]) => ceil(as.head).cast("double"), true)),
-    "floor" -> ((true, (as: Seq[Column]) => floor(as.head).cast("double"), true)))
+    "floor" -> ((true, (as: Seq[Column]) => floor(as.head).cast("double"), true)),
+    "round" -> ((true,
+      (as: Seq[Column]) => round(as.head, 0).cast("double"), true)),
+    "min" -> ((true, (as: Seq[Column]) => least(as.head, as(1)), true)),
+    "max" -> ((true, (as: Seq[Column]) => greatest(as.head, as(1)), true)),
+    "pow" -> ((true, (as: Seq[Column]) => pow(as.head, as(1)), true)),
+    "sqrt" -> ((true, (as: Seq[Column]) => sqrt(as.head), true)),
+    "exp" -> ((true, (as: Seq[Column]) => exp(as.head), true)),
+    // GeoTools log is the NATURAL log (java.lang.Math.log)
+    "log" -> ((true, (as: Seq[Column]) => log(as.head), true)),
+    "sin" -> ((true, (as: Seq[Column]) => sin(as.head), true)),
+    "cos" -> ((true, (as: Seq[Column]) => cos(as.head), true)),
+    "tan" -> ((true, (as: Seq[Column]) => tan(as.head), true)),
+    "asin" -> ((true, (as: Seq[Column]) => asin(as.head), true)),
+    "acos" -> ((true, (as: Seq[Column]) => acos(as.head), true)),
+    "atan" -> ((true, (as: Seq[Column]) => atan(as.head), true)),
+    "atan2" -> ((true, (as: Seq[Column]) => atan2(as.head, as(1)), true)),
+    "pi" -> ((true, (_: Seq[Column]) => lit(math.Pi), true)))
 
   private class Parser(toks: Vector[Tok], topCols: Set[String]) {
     private var pos = 0
@@ -391,11 +428,35 @@ object Ecql {
       // lookup here). String args use the resolved column (props values
       // are already strings); numeric args coerce through the numeric
       // path so props cast to double.
+      // strReplace is parsed apart from the registry: its global flag is a
+      // LITERAL we must inspect — the non-global (replace-first) form has
+      // no clean columnar build, so it fails loudly instead of silently
+      // replacing all occurrences
+      case Some(TIdent(id)) if id.equalsIgnoreCase("strReplace") &&
+          pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
+        next(); expectSym("(")
+        val s = parseArith(); expectSym(",")
+        val pat = parseArith(); expectSym(",")
+        val repl = parseArith()
+        val global =
+          if (peek.contains(TSym(","))) { next(); parseOperand() }
+          else BoolOp(true)
+        expectSym(")")
+        global match {
+          case BoolOp(true) =>
+          case other => throw new IllegalArgumentException(
+            s"strReplace: only the global (TRUE) form is supported, got $other")
+        }
+        FnOp(call_function("regexp_replace",
+          operandCol(s), operandCol(pat), operandCol(repl)), numeric = false)
       case Some(TIdent(id)) if Fns.contains(id.toLowerCase) &&
           pos + 1 < toks.length && toks(pos + 1) == TSym("(") =>
         next(); expectSym("(")
-        val args = scala.collection.mutable.ArrayBuffer[Operand](parseArith())
-        while (peek.contains(TSym(","))) { next(); args += parseArith() }
+        val args = scala.collection.mutable.ArrayBuffer[Operand]()
+        if (!peek.contains(TSym(")"))) {
+          args += parseArith()
+          while (peek.contains(TSym(","))) { next(); args += parseArith() }
+        }
         expectSym(")")
         val (numArgs, build, numOut) = Fns(id.toLowerCase)
         val cols = args.toSeq.map(a => if (numArgs) numericCol(a) else operandCol(a))

@@ -1582,10 +1582,13 @@ object Corpus {
     val noStyle = regexp_replace(noScript, "<style[^>]*>[\\s\\S]*?</style>", " ")
     val anchors = regexp_extract_all(noStyle,
       lit("<a [^>]*>([^<]*)</a>"), lit(1))
+    // explicit whitespace class, NOT \s: Java-regex \s includes \x0B
+    // (vertical tab) while DuckDB's RE2 \s excludes it — the two engines
+    // agree by construction only with the class spelled out identically
     val body = trim(regexp_replace(
       replace(replace(regexp_replace(noStyle, "<[^>]*>", " "),
         lit("&amp;"), lit("&")), lit("&copy;"), lit("(c)")),
-      "\\s+", " "))
+      "[ \\t\\n\\r\\f\\x0B]+", " "))
     df.select(col(idCol).as("doc_id"),
         ((length(noStyle) - length(replace(noStyle, lit("<a "), lit("")))) /
           lit(3)).cast("long").as("n_links"),
@@ -1625,7 +1628,7 @@ object Corpus {
       |  SELECT doc_id, ns,
       |    trim(regexp_replace(replace(replace(
       |      regexp_replace(ns, '<[^>]*>', ' ', 'g'),
-      |      '&amp;', '&'), '&copy;', '(c)'), '\s+', ' ', 'g')) AS body,
+      |      '&amp;', '&'), '&copy;', '(c)'), '[ \t\n\r\f\x0B]+', ' ', 'g')) AS body,
       |    CAST(coalesce(list_sum(list_transform(
       |      regexp_extract_all(ns, '<a [^>]*>([^<]*)</a>', 1),
       |      x -> length(x))), 0) AS BIGINT) AS anchor_chars

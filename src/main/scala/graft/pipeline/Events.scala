@@ -1286,8 +1286,12 @@ object Events {
       .withColumn("cb", col("cb0") + col("b_v")) // include the group itself
     val tot = scanned.agg(sum(col("a_v")).as("n_a"), sum(col("b_v")).as("n_b"))
     scanned.crossJoin(broadcast(tot))
+      // compare via division, not the product: n_a*n_b itself wraps for
+      // n_a,n_b ≳ 2³¹ and a wrapped (possibly small/negative) product
+      // would sail through a `< 2⁶²` check. n_a < floor(2⁶²/n_b) implies
+      // n_a·n_b < 2⁶² with no intermediate that can overflow.
       .withColumn("guard", coalesce(assert_true(
-        col("n_a") * col("n_b") < lit(1L << 62),
+        col("n_a") < lit(1L << 62) / greatest(col("n_b"), lit(1L)),
         lit("ksTest: n_a*n_b too large for the exact integer gap — " +
           "rescale or subsample")).cast("long"), lit(0L)))
       .agg(

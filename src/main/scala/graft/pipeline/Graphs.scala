@@ -24,9 +24,10 @@ object Graphs {
 
   /** Per-node triangle counts over an undirected edge list `edges(src,
     * dst)` (self-loops and duplicate/reversed edges are normalized away).
-    * Node ids must be < 2³¹ (they are packed beside the degree into one
-    * long ordering key). Returns (node, n_tri) for every node on ≥1
-    * triangle.
+    * Node ids are unbounded longs — the (deg, id) total order is a native
+    * Spark STRUCT key, not a packed long (the round-8 rewrite removed the
+    * old < 2³¹ packing ceiling). Returns (node, n_tri) for every node on
+    * ≥1 triangle.
     *
     * Shuffle count: degree aggregate, two co-partitioned joins to attach
     * endpoint degrees, the wedge self-join on the apex, the closing-edge

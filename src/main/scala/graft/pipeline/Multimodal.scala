@@ -7,16 +7,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata structs, processed in batch-shaped partition passes.
   *
-  * IMAGE decode is REAL when `spark.graft.mm.codec=bmp` (pure-JVM
-  * uncompressed-BMP codec, [[ImageCodec]] — exercised by the
-  * mm_decode_bmp oracle gate) or `=png` (pure-JVM 8-bit truecolor PNG:
-  * zlib inflate + all five row unfilters, cross-checked against
-  * javax.imageio in Round8Spec and gated by mm_decode_png); the default
-  * remains the deterministic FNV stub, and the audio/video kernels stay
-  * stubbed (no PCM/video codecs in this container) — everything
-  * Spark-side is real either way: schemas, partition sizing, batch
-  * iteration, output shapes. Swap the stubs for richer codecs
-  * (javax.imageio / ffmpeg pipe) without touching the dataflow.
+  * IMAGE decode is REAL under `spark.graft.mm.codec=bmp` (pure-JVM
+  * uncompressed-BMP codec, [[ImageCodec]]), `=png` (8-bit truecolor PNG:
+  * zlib inflate + all five row unfilters) or `=jpeg` (baseline sequential
+  * [[JpegCodec]]: huffman + dequant + reference IDCT) — each
+  * cross-checked against javax.imageio and gated by its mm_decode_*
+  * oracle. Since round 9 the PRODUCTION mm queries run real decodes by
+  * default: mm_phash / mm_video_dedup / mm_frames decode genuine PNG
+  * bytes ([[syntheticImagePng]] / [[syntheticVideoPng]] fixtures), and
+  * mm_exact_dedup hashes genuine PNG image bytes; the FNV stub is the
+  * no-codec fallback for the remaining synthetic gates and tests. Audio
+  * kernels stay stubbed (no PCM fixtures yet) — everything Spark-side is
+  * real either way: schemas, partition sizing, batch iteration, output
+  * shapes.
   */
 object Multimodal {
 
@@ -70,18 +73,21 @@ object Multimodal {
     val spark = df.sparkSession
     import spark.implicits._
     val codec = spark.conf.get("spark.graft.mm.codec", "stub")
-    require(codec == "stub" || codec == "bmp" || codec == "png",
-      s"spark.graft.mm.codec must be stub|bmp|png, got $codec")
+    require(codec == "stub" || codec == "bmp" || codec == "png" ||
+      codec == "jpeg",
+      s"spark.graft.mm.codec must be stub|bmp|png|jpeg, got $codec")
     df.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition setup would init a stateful codec once here
         it.map { case (id, bytes) =>
           val px =
             if (bytes == null) new Array[Float](w * h)
-            else if (codec == "bmp" || codec == "png") {
-              val (sw, sh, luma) =
-                if (codec == "bmp") ImageCodec.decodeBmpLuma(bytes)
-                else ImageCodec.decodePngLuma(bytes)
+            else if (codec == "bmp" || codec == "png" || codec == "jpeg") {
+              val (sw, sh, luma) = codec match {
+                case "bmp"  => ImageCodec.decodeBmpLuma(bytes)
+                case "png"  => ImageCodec.decodePngLuma(bytes)
+                case "jpeg" => JpegCodec.decodeJpegLuma(bytes)
+              }
               ImageCodec.boxMean(sw, sh, luma, w, h)
             } else fakeDecode(bytes, w, h)
           (id, px, w, h)
@@ -134,16 +140,46 @@ object Multimodal {
       .toDF("media_id", "pixels", "width", "height")
   }
 
-  /** Frame sampling for video-kind rows: emits `n` evenly spaced pseudo
-    * frames per media row (explode shape identical to a real frame sampler).
+  /** Frame sampling for video-kind rows: emits `n` evenly spaced frames per
+    * media row (the explode shape of a real frame sampler). Under
+    * `spark.graft.mm.codec=png` the decode is REAL: bytes are a
+    * length-prefixed PNG-frame container ([[syntheticVideoPng]]'s layout —
+    * or any producer's), each sampled frame is sliced, PNG-decoded and
+    * box-meaned to (w, h); the default FNV stub remains the no-codec
+    * fallback. Same config-at-plan-build discipline as
+    * [[decodeAndFeaturize]].
     */
   def sampleFrames(df: DataFrame, n: Int = 4, w: Int = 16, h: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val codec = spark.conf.get("spark.graft.mm.codec", "stub")
+    require(codec == "stub" || codec == "png",
+      s"sampleFrames supports stub|png containers, got $codec")
     df.filter(col("kind") === "video")
       .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        (0 until n).map { f =>
+        if (codec == "png") {
+          require(bytes != null, s"media $id: null video container")
+          // slice the container: [4-byte BE length][PNG] repeated
+          val frames = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
+          var o = 0
+          while (o < bytes.length) {
+            require(o + 4 <= bytes.length, s"media $id: torn frame header")
+            val len = ((bytes(o) & 0xFF) << 24) | ((bytes(o + 1) & 0xFF) << 16) |
+              ((bytes(o + 2) & 0xFF) << 8) | (bytes(o + 3) & 0xFF)
+            require(len > 0 && o + 4 + len <= bytes.length,
+              s"media $id: torn frame of $len bytes at $o")
+            frames += java.util.Arrays.copyOfRange(bytes, o + 4, o + 4 + len)
+            o += 4 + len
+          }
+          require(frames.length >= n,
+            s"media $id: ${frames.length} frames < sample size $n")
+          (0 until n).map { k =>
+            val (sw, sh, luma) =
+              ImageCodec.decodePngLuma(frames(k * frames.length / n))
+            (id, k, ImageCodec.boxMean(sw, sh, luma, w, h))
+          }
+        } else (0 until n).map { f =>
           val seed = if (bytes == null) Array[Byte](f.toByte)
             else bytes :+ f.toByte
           (id, f, fakeDecode(seed, w, h))
@@ -284,11 +320,12 @@ object Multimodal {
 
   /** Perceptual-hash signature per image row: decode to an 8×8 pixel grid,
     * bit j = pixel j above the image mean — the mean-threshold aHash
-    * variant of pHash. Under `spark.graft.mm.codec=bmp` the decode is REAL
-    * (ImageCodec luma + box-mean to 8×8), so byte-different encodings of
-    * the same pixels collide and visually-similar images map to nearby
-    * signatures (Round8Spec pins the collision); under the default FNV
-    * stub only byte-identical media collide (FNV avalanches).
+    * variant of pHash. Under a real codec (`spark.graft.mm.codec=bmp|png|
+    * jpeg` — the mm_phash gate's default since round 9) byte-different
+    * encodings of the same pixels collide and visually-similar images map
+    * to nearby signatures (Round8Spec pins the collision); under the
+    * test-only FNV stub only byte-identical media collide (FNV
+    * avalanches).
     * The mean is exact in both engines: 64 pixel values are floats cast to
     * double (24-bit mantissas, ≤ 8 bits of exponent spread), so the sum
     * needs < 40 mantissa bits — no rounding in any summation order.
@@ -405,11 +442,19 @@ object Multimodal {
     * media under distinct ids (the dedup fixtures).
     */
   def syntheticMedia(spark: SparkSession, n: Int,
-      seedOf: Long => Long = identity): DataFrame = {
+      seedOf: Long => Long = identity,
+      realImagePng: Boolean = false): DataFrame = {
     import spark.implicits._
     spark.range(n.toLong).map { i =>
       val kind = (i % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
       val s = seedOf(i)
+      if (realImagePng && kind == "image") {
+        // GENUINE PNG bytes for image rows — every byte-affecting choice
+        // keyed on the SEED so seed-duplicates stay byte-identical (the
+        // exact-dedup contract) while distinct seeds stay byte-distinct
+        (i, kind, ImageCodec.encodePng(8, 8, rgbPattern(s),
+          filterType = (s % 5).toInt, alpha = s % 2 == 0))
+      } else {
       // full 31-bit content space: LCG mod the Mersenne prime 2^31-1, then
       // SQUARED mod p before the byte fold (a linear form folds seed deltas
       // that are ≡0 mod 256 to identical contents; squaring makes the
@@ -422,9 +467,90 @@ object Multimodal {
         (x * x % 2147483647L % 256L).toByte
       }
       (i, kind, bytes)
+      }
     }.toDF("media_id", "kind", "bytes")
       .withColumn("meta", struct(
         lit(640).as("width"), lit(480).as("height"), lit(3).as("channels"),
         lit(16000).as("sample_rate"), lit(1000L).as("duration_ms"), lit("fake").as("format")))
+  }
+
+  // ---- REAL-bytes generators (round-9 codec promotion) ---------------------
+  //
+  // The decode gates proved the codecs; these generators put GENUINE PNG
+  // byte streams under the production mm queries (phash / video dedup /
+  // frame sampling / exact dedup), retiring the FNV stub at those sites to
+  // a test-only fallback. Patterns are integer formulas of (seed, pixel)
+  // so the DuckDB oracles replay decoded values exactly (PNG is lossless).
+
+  /** Deterministic 8×8 RGB pattern for seed `s` (pixel index p = y·8+x). */
+  private def rgbPattern(s: Long): Array[Int] =
+    Array.tabulate(64 * 3) { k =>
+      val p = k / 3
+      (k % 3 match {
+        case 0 => (p * 3 + s * 7) % 256
+        case 1 => (p * 5 + s * 11) % 256
+        case _ => (p * 7 + s * 13) % 256
+      }).toInt
+    }
+
+  /** Image-kind rows (ids ≡ 0 mod 3, matching [[syntheticMedia]]'s kind
+    * layout) whose bytes are REAL 8×8 truecolor PNGs of [[rgbPattern]].
+    * `seedOf` plants pixel-duplicates; `filterOf` picks the PNG row filter
+    * per ORIGINAL id — keying it off the id (not the seed) makes planted
+    * duplicates byte-DIFFERENT encodings of identical pixels, which only a
+    * real decode can collide (the FNV stub cannot).
+    */
+  def syntheticImagePng(spark: SparkSession, n: Int,
+      seedOf: Long => Long = identity,
+      filterOf: Long => Int = i => (i % 5).toInt): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).filter(_ % 3 == 0).map { i =>
+      val bytes = ImageCodec.encodePng(8, 8, rgbPattern(seedOf(i)),
+        filterType = filterOf(i), alpha = i % 2 == 1)
+      (i, "image", bytes)
+    }.toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(
+        lit(8).as("width"), lit(8).as("height"), lit(3).as("channels"),
+        lit(null.asInstanceOf[Integer]).as("sample_rate"),
+        lit(null.asInstanceOf[java.lang.Long]).as("duration_ms"),
+        lit("png").as("format")))
+  }
+
+  /** Deterministic 16×16 RGB pattern for frame `f` of seed `s`. */
+  private def frameRgbPattern(s: Long, f: Int): Array[Int] =
+    Array.tabulate(256 * 3) { k =>
+      val p = k / 3
+      (k % 3 match {
+        case 0 => (p * 3 + f * 29 + s * 7) % 256
+        case 1 => (p * 5 + f * 31 + s * 11) % 256
+        case _ => (p * 7 + f * 37 + s * 13) % 256
+      }).toInt
+    }
+
+  /** Video-kind rows (ids ≡ 2 mod 3) whose bytes are a length-prefixed
+    * container of `frames` REAL 16×16 PNG frames ([4-byte BE length][PNG])
+    * — the byte layout a real frame sampler slices before decoding.
+    */
+  def syntheticVideoPng(spark: SparkSession, n: Int,
+      seedOf: Long => Long = identity, frames: Int = 4): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).filter(_ % 3 == 2).map { i =>
+      val s = seedOf(i)
+      val bos = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < frames) {
+        val png = ImageCodec.encodePng(16, 16, frameRgbPattern(s, f),
+          filterType = (f + i).toInt % 5)
+        bos.write((png.length >>> 24) & 0xFF); bos.write((png.length >>> 16) & 0xFF)
+        bos.write((png.length >>> 8) & 0xFF); bos.write(png.length & 0xFF)
+        bos.write(png, 0, png.length)
+        f += 1
+      }
+      (i, "video", bos.toByteArray)
+    }.toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(
+        lit(16).as("width"), lit(16).as("height"), lit(3).as("channels"),
+        lit(null.asInstanceOf[Integer]).as("sample_rate"),
+        lit(40L * frames).as("duration_ms"), lit("pngv").as("format")))
   }
 }

@@ -57,34 +57,156 @@ object VersionedLayer {
     } else versions(spark, path).lastOption
   }
 
+  private def swapManifest(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, next: Int): Unit = {
+    val tmp = new Path(path, s"_MANIFEST.tmp$next")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(manifestPath(path), false)
+    fs.rename(tmp, manifestPath(path))
+  }
+
   /** Commit `df` as the next version; returns the new version number. */
   def commit(df: DataFrame, path: String): Int = {
     val spark = df.sparkSession
     val fs = fsOf(spark, path)
     val next = currentVersion(spark, path).getOrElse(0) + 1
     df.write.mode("overwrite").parquet(s"$path/v=$next")
-    val tmp = new Path(path, s"_MANIFEST.tmp$next")
-    val out = fs.create(tmp, true)
-    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    fs.delete(manifestPath(path), false)
-    fs.rename(tmp, manifestPath(path))
+    swapManifest(fs, path, next)
     next
   }
 
-  /** Read the current version, or a pinned one (time travel). */
+  // ---- partition-scoped delta commits ------------------------------------
+  //
+  // `commit` rewrites the WHOLE store every version — fine for layer
+  // rebuilds, a scale-killer for a streaming materialized view (a 100 TB MV
+  // would be rewritten entirely every trigger; the round-8 verdict's one
+  // real anti-pattern finding). Delta versions fix the I/O contract:
+  // `v=N/data/` physically holds ONLY the partitions this commit touched,
+  // and `v=N/_PARTS` maps every LIVE partition dir to the version whose
+  // data/ hosts it (an Iceberg-style manifest, one line per partition).
+  // Bytes written per commit ∝ the delta, never the store.
+  //
+  // Crash windows mirror the full-commit protocol: data/ then _PARTS then
+  // the version-level _SUCCESS then the manifest swap — a crash anywhere
+  // leaves readers resolving to the previous complete version.
+  //
+  // Partition values must render losslessly as Spark partition-dir strings
+  // (numeric keys like hour_start, or escape-free strings) — documented
+  // bound, loudly true for every gate key.
+
+  private def partsPath(path: String, v: Int) = new Path(s"$path/v=$v/_PARTS")
+
+  /** The live partition map (partition dir name → hosting version) of a
+    * delta version, None for a full-snapshot version. */
+  private def partsOf(spark: SparkSession, path: String,
+      v: Int): Option[Map[String, Int]] = {
+    val fs = fsOf(spark, path)
+    val pp = partsPath(path, v)
+    if (!fs.exists(pp)) None
+    else {
+      val in = fs.open(pp)
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      Some(txt.split("\n").iterator.filter(_.nonEmpty).map { l =>
+        val i = l.lastIndexOf('\t')
+        l.substring(0, i) -> l.substring(i + 1).toInt
+      }.toMap)
+    }
+  }
+
+  /** Read a set of live partitions (by dir name) grouped by hosting
+    * version — each version's data/ is scanned once with an IN filter on
+    * the partition column (partition-pruned: the predicate is over the
+    * partition column only). */
+  private def readParts(spark: SparkSession, path: String,
+      parts: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(parts.nonEmpty, s"no live partitions to read at $path")
+    val partCol = parts.head._1.takeWhile(_ != '=')
+    parts.groupBy(_._2).toSeq.sortBy(_._1).map { case (ver, m) =>
+      val vals = m.keysIterator.map(_.drop(partCol.length + 1)).toSeq
+      spark.read.option("basePath", s"$path/v=$ver/data")
+        .parquet(s"$path/v=$ver/data")
+        .filter(col(partCol).cast("string").isin(vals: _*))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Commit `content` — the FULL new content of every partition it touches
+    * (the caller merges old-rows ∪ delta for dirty partitions; see
+    * [[readPartitions]]) — as the next version, writing ONLY those
+    * partitions. The store must be empty or delta-chained (a full snapshot
+    * base would need a one-off re-partitioned rewrite first). */
+  def commitDelta(content: DataFrame, path: String, partCol: String): Int = {
+    val spark = content.sparkSession
+    val fs = fsOf(spark, path)
+    val cur = currentVersion(spark, path)
+    val base: Map[String, Int] = cur match {
+      case None => Map.empty
+      case Some(v) => partsOf(spark, path, v).getOrElse(throw
+        new IllegalStateException(s"commitDelta on $path: v=$v is a full " +
+          "snapshot, not a delta chain — rewrite it once via " +
+          "commitDelta(read(...)) on a fresh path"))
+    }
+    val next = cur.getOrElse(0) + 1
+    content.write.mode("overwrite").partitionBy(partCol)
+      .parquet(s"$path/v=$next/data")
+    val dirty = fs.listStatus(new Path(s"$path/v=$next/data")).toSeq
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName)
+    val parts = base ++ dirty.iterator.map(_ -> next)
+    val pout = fs.create(partsPath(path, next), true)
+    try pout.write(parts.toSeq.sorted
+      .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
+    finally pout.close()
+    // version-level completion marker (the parquet _SUCCESS sits under
+    // data/; versions() checks v=N/_SUCCESS) — created only after _PARTS
+    fs.create(new Path(s"$path/v=$next/_SUCCESS"), true).close()
+    swapManifest(fs, path, next)
+    next
+  }
+
+  /** Read ONLY the named partition values from the current delta chain —
+    * the partition-pruned base scan a caller merges a delta into before
+    * [[commitDelta]]. Returns None when the store is empty. */
+  def readPartitions(spark: SparkSession, path: String, partCol: String,
+      values: Seq[String]): Option[DataFrame] =
+    currentVersion(spark, path).map { v =>
+      val parts = partsOf(spark, path, v).getOrElse(throw
+        new IllegalStateException(s"readPartitions on $path: v=$v is a " +
+          "full snapshot, not a delta chain"))
+      val want = values.map(x => s"$partCol=$x").toSet
+      val live = parts.filter { case (k, _) => want(k) }
+      if (live.isEmpty) None else Some(readParts(spark, path, live))
+    }.flatten
+
+  /** Read the current version, or a pinned one (time travel). Delta-chain
+    * versions resolve through their `_PARTS` manifest (each hosting
+    * version's data/ scanned once); full snapshots read their dir. */
   def read(spark: SparkSession, path: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.orElse(currentVersion(spark, path)).getOrElse(
       throw new IllegalStateException(s"no committed version at $path"))
-    spark.read.parquet(s"$path/v=$v")
+    partsOf(spark, path, v) match {
+      case Some(parts) => readParts(spark, path, parts)
+      case None        => spark.read.parquet(s"$path/v=$v")
+    }
   }
 
-  /** Drop all but the newest `keep` versions (never the current one). */
+  /** Drop all but the newest `keep` versions — never the current one, and
+    * never a version still hosting live partitions of the current delta
+    * chain (old delta versions stay until their last partition is
+    * overwritten past the keep horizon). */
   def vacuum(spark: SparkSession, path: String, keep: Int): Seq[Int] = {
     val fs = fsOf(spark, path)
     val cur = currentVersion(spark, path)
+    val referenced: Set[Int] = cur
+      .flatMap(v => partsOf(spark, path, v))
+      .map(_.values.toSet).getOrElse(Set.empty)
     val drop = versions(spark, path).dropRight(math.max(keep, 1))
-      .filterNot(cur.contains)
+      .filterNot(cur.contains).filterNot(referenced.contains)
     drop.foreach(v => fs.delete(new Path(path, s"v=$v"), true))
     drop
   }

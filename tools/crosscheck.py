@@ -8,6 +8,11 @@ import pandas as pd
 
 outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+# optional: write a driver-convention CORRECTNESS json (per-query
+# rows/schema/hash match) so a locally-run sweep leaves the same artifact
+# the driver's gate would
+jsonout = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
 
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
@@ -22,16 +27,27 @@ n_ok = n_bad = 0
 for name in names:
     files = glob.glob(f"{outdir}/{name}/*.parquet")
     if not files:
-        print(f"{name:24s} NO OUTPUT"); n_bad += 1; continue
+        print(f"{name:24s} NO OUTPUT"); n_bad += 1
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": 0,
+                        "oracle_rows": None, "err": "no spark output"}
+        continue
     got = pd.read_parquet(files[0])
     got = got[sorted(got.columns)]
     if name not in oracle:
         print(f"{name:24s} rows-only: {len(got)} rows, cols={list(got.columns)}")
+        report[name] = {"rows_match": len(got) > 0, "schema_match": None,
+                        "hash_match": None, "spark_rows": len(got),
+                        "oracle_rows": None, "err": None}
         continue
     try:
         exp = con.execute(oracle[name]).fetchdf()
     except Exception as e:
-        print(f"{name:24s} ORACLE SQL ERROR: {e}"); n_bad += 1; continue
+        print(f"{name:24s} ORACLE SQL ERROR: {e}"); n_bad += 1
+        report[name] = {"rows_match": False, "schema_match": False,
+                        "hash_match": False, "spark_rows": len(got),
+                        "oracle_rows": None, "err": f"oracle sql: {e}"}
+        continue
     exp = exp[sorted(exp.columns)]
     ok_schema = list(got.columns) == list(exp.columns)
     ok_rows = len(got) == len(exp)
@@ -76,5 +92,13 @@ for name in names:
     if status == "OK": n_ok += 1
     else: n_bad += 1
     print(f"{name:24s} {status}")
+    report[name] = {"rows_match": bool(ok_rows), "schema_match": bool(ok_schema),
+                    "hash_match": bool(ok_schema and ok_rows and ok_vals),
+                    "spark_rows": int(len(got)), "oracle_rows": int(len(exp)),
+                    "err": None}
 
 print(f"\n{n_ok} OK, {n_bad} BAD, {len([n for n in names if n not in oracle])} rows-only")
+if jsonout:
+    with open(jsonout, "w") as f:
+        json.dump(dict(sorted(report.items())), f, indent=2)
+    print(f"wrote {jsonout}")

@@ -4275,37 +4275,52 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
-    // audio waveform windowing: decode → fixed windows → per-window sum/peak
-    // (the VAD/loudness shape), FNV stub replayed by the oracle
-    // Shazam-style constellation matching over audio with planted
-    // duplicates (seedOf folds every 9th audio id onto id−3): per-window
-    // argmax peaks → (pa, pb, dt) hashes → banded join ON THE HASH (the
-    // inverted-index shape, never all-pairs audio) → modal-offset verify.
-    // The 33 planted pairs must surface at offset 0 with all 18 hashes
+    // Shazam-style constellation matching over REAL WAV audio (round-9
+    // promotion) with planted duplicates (seedOf folds every 9th audio id
+    // onto id−3 — byte-DIFFERENT streams via the id-keyed comment chunk,
+    // identical samples): per-window argmax peaks → (pa, pb, dt) hashes →
+    // banded join ON THE HASH (the inverted-index shape, never all-pairs
+    // audio) → modal-offset verify. The 33 planted pairs must surface at
+    // offset 0 with all 18 hashes
     "mm_audio_match" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300,
+      val media = Multimodal.syntheticAudioWav(s, 300,
         seedOf = i => if (i % 9 == 4) i - 3 else i)
-      Multimodal.constellationMatches(media)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "wav")
+      try Multimodal.constellationMatches(media)
+      finally s.conf.set("spark.graft.mm.codec", prev)
     }),
 
+    // audio waveform windowing over REAL PCM (round-9 promotion): RIFF
+    // parse → 16-bit samples → fixed windows → per-window sum/peak (the
+    // VAD/loudness shape); the lossless amplitude pattern replays in SQL
     "mm_audio" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300)
-      Multimodal.sampleWaveform(media, windows = 8, samplesPerWindow = 32)
-        .select(col("media_id"), col("window_idx").cast("long").as("window_idx"),
+      val media = Multimodal.syntheticAudioWav(s, 300)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "wav")
+      val wv =
+        try Multimodal.sampleWaveform(media, windows = 8, samplesPerWindow = 32)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      wv.select(col("media_id"), col("window_idx").cast("long").as("window_idx"),
           round(col("sample_sum"), 4).as("sample_sum"),
           round(col("peak"), 6).as("peak"))
         .orderBy(col("media_id"), col("window_idx"))
     }),
 
-    // energy-threshold VAD segmentation: active windows (mean amplitude
-    // > 0.5) merged into maximal per-media runs (gaps-and-islands) — the
-    // ASR silence-removal pass; amplitude sums are exact in ≤29 bits so
-    // the threshold replays order-free in the oracle
+    // energy-threshold VAD segmentation over REAL PCM (round-9 promotion):
+    // active windows (mean amplitude > 0.5) merged into maximal per-media
+    // runs (gaps-and-islands) — the ASR silence-removal pass; the loud/
+    // quiet fixture pattern gives clean 0.28/0.83-mean margins and exact
+    // amplitude sums, so the threshold replays order-free in the oracle
     "mm_vad" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300)
-      Multimodal.vadSegments(media, windows = 8, samplesPerWindow = 32,
+      val media = Multimodal.syntheticAudioWav(s, 300)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "wav")
+      val segs =
+        try Multimodal.vadSegments(media, windows = 8, samplesPerWindow = 32,
           threshold = 0.5)
-        .orderBy(col("media_id"), col("seg_idx"))
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      segs.orderBy(col("media_id"), col("seg_idx"))
     }),
 
     // frame sampling over video-kind media — REAL by default (round-9
@@ -9997,51 +10012,36 @@ object SparkEntry {
     * step-65 buckets into 32-wide windows, float division replicated before
     * the double aggregation.
     */
+  /** mm_audio oracle: the REAL WAV decode replayed from the lossless
+    * loud/quiet amplitude pattern (pattern·257 − 32768 PCM shorts decode
+    * to exactly pattern/255f — 65535 = 255·257).
+    */
   private val MmAudioSql: String =
-    """WITH RECURSIVE chain(media_id, step, state) AS (
-      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i) WHERE i % 3 = 1
-      |  UNION ALL
-      |  SELECT media_id, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64
-      |        THEN CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |                  THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |                  ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 320
+    """WITH px AS (
+      |  SELECT i AS media_id, j // 32 AS w,
+      |         CAST(CAST(
+      |           (CASE WHEN ((j // 32) + i) % 3 <> 0 THEN 180 ELSE 40 END
+      |            + (j * 7 + i * 11) % 64)
+      |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) AS px
+      |  FROM range(300) t(i), range(256) u(j) WHERE i % 3 = 1
       |)
-      |SELECT media_id, CAST((step - 65) // 32 AS BIGINT) AS window_idx,
-      |       round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS sample_sum,
-      |       round(max(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 6) AS peak
-      |FROM chain WHERE step > 64
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      |SELECT media_id, CAST(w AS BIGINT) AS window_idx,
+      |       round(sum(px), 4) AS sample_sum,
+      |       round(max(px), 6) AS peak
+      |FROM px GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** mm_vad oracle: the MmAudioSql chain, unrounded per-window sums, the
     * 0.5 mean-amplitude gate, and the identical gaps-and-islands merge.
     */
   private val MmVadSql: String =
-    """WITH RECURSIVE chain(media_id, step, state) AS (
-      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i) WHERE i % 3 = 1
-      |  UNION ALL
-      |  SELECT media_id, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64
-      |        THEN CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |                  THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |                  ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 320
-      |), wv AS (
-      |  SELECT media_id, CAST((step - 65) // 32 AS BIGINT) AS window_idx,
-      |         sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |                  / CAST(255 AS FLOAT) AS DOUBLE)) AS sample_sum
-      |  FROM chain WHERE step > 64 GROUP BY 1, 2
+    """WITH wv AS (
+      |  SELECT i AS media_id, CAST(j // 32 AS BIGINT) AS window_idx,
+      |         sum(CAST(CAST(
+      |           (CASE WHEN ((j // 32) + i) % 3 <> 0 THEN 180 ELSE 40 END
+      |            + (j * 7 + i * 11) % 64)
+      |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)) AS sample_sum
+      |  FROM range(300) t(i), range(256) u(j) WHERE i % 3 = 1
+      |  GROUP BY 1, 2
       |), act AS (
       |  SELECT media_id, window_idx, sample_sum,
       |         window_idx - row_number() OVER (
@@ -10057,36 +10057,21 @@ object SparkEntry {
       |       seg_start, seg_end, n_windows, energy
       |FROM seg ORDER BY media_id, seg_idx""".stripMargin
 
-  /** mm_audio_match oracle: the MmAudioSql chain with the duplicate-planting
-    * seed fold (media_id % 9 = 4 → media_id − 3), then the identical
-    * peak-pick / hash-pair / banded-match / modal-offset pipeline.
+  /** mm_audio_match oracle: the REAL WAV decode replayed from the lossless
+    * amplitude pattern with the duplicate-planting seed fold (media_id % 9
+    * = 4 → media_id − 3), then the identical peak-pick / hash-pair /
+    * banded-match / modal-offset pipeline.
     */
   private val MmAudioMatchSql: String =
-    """WITH RECURSIVE chain(media_id, step, state) AS (
-      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i) WHERE i % 3 = 1
-      |  UNION ALL
-      |  SELECT media_id, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64
-      |        THEN CASE WHEN (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                        * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                        * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |             THEN 18446744073709551360
-      |                  + (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                     * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                     * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |             ELSE (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                   * 1103515245 + step * 12345) % 2147483647) * (((CASE WHEN media_id % 9 = 4 THEN media_id - 3 ELSE media_id END)
-      |                   * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 320
-      |), px AS (
-      |  SELECT media_id, step - 65 AS s,
-      |         CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |              / CAST(255 AS FLOAT) AS DOUBLE) AS px
-      |  FROM chain WHERE step > 64
+    """WITH px AS (
+      |  SELECT i AS media_id, j AS s,
+      |         CAST(CAST(
+      |           (CASE WHEN ((j // 32) + sd) % 3 <> 0 THEN 180 ELSE 40 END
+      |            + (j * 7 + sd * 11) % 64)
+      |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE) AS px
+      |  FROM (SELECT i, CASE WHEN i % 9 = 4 THEN i - 3 ELSE i END AS sd
+      |        FROM range(300) t(i) WHERE i % 3 = 1) m(i, sd),
+      |       range(256) u(j)
       |), pk AS (
       |  SELECT media_id, s // 32 AS w, s % 32 AS p,
       |         row_number() OVER (PARTITION BY media_id, s // 32

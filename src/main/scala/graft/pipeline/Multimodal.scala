@@ -195,14 +195,38 @@ object Multimodal {
     * replayable by the DuckDB oracle. Swap `fakeDecode` for a PCM decode
     * without touching the dataflow.
     */
+  /** Shared audio sample decode honoring `spark.graft.mm.codec` (read once
+    * at plan build): `wav` decodes REAL RIFF/PCM bytes ([[AudioCodec]]) to
+    * the engine's [0, 1] float amplitude grid — (s + 32768)/65535f; the
+    * FNV stub remains the no-codec fallback. Fails loudly on short or
+    * non-PCM streams.
+    */
+  private def decodeSamples(codec: String, id: Long, bytes: Array[Byte],
+      n: Int, samplesPerWindow: Int, windows: Int): Array[Float] =
+    if (bytes == null) new Array[Float](n)
+    else if (codec == "wav") {
+      val (_, pcm) = AudioCodec.decodeWavPcm16(bytes)
+      require(pcm.length >= n,
+        s"media $id: ${pcm.length} PCM samples < required $n")
+      Array.tabulate(n)(i => (pcm(i) + 32768) / 65535.0f)
+    } else fakeDecode(bytes, samplesPerWindow, windows)
+
+  private def audioCodecOf(spark: SparkSession): String = {
+    val codec = spark.conf.get("spark.graft.mm.codec", "stub")
+    require(codec == "stub" || codec == "wav",
+      s"audio kernels support stub|wav, got $codec")
+    codec
+  }
+
   def sampleWaveform(df: DataFrame, windows: Int = 8, samplesPerWindow: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val codec = audioCodecOf(spark)
     df.filter(col("kind") === "audio")
       .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val samples = if (bytes == null) new Array[Float](windows * samplesPerWindow)
-          else fakeDecode(bytes, samplesPerWindow, windows)
+        val samples = decodeSamples(codec, id, bytes,
+          windows * samplesPerWindow, samplesPerWindow, windows)
         (0 until windows).map { wi =>
           var sum = 0.0
           var peak = Float.MinValue
@@ -259,11 +283,12 @@ object Multimodal {
       samplesPerWindow: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val codec = audioCodecOf(spark)
     df.filter(col("kind") === "audio")
       .select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val s = if (bytes == null) new Array[Float](windows * samplesPerWindow)
-          else fakeDecode(bytes, samplesPerWindow, windows)
+        val s = decodeSamples(codec, id, bytes,
+          windows * samplesPerWindow, samplesPerWindow, windows)
         s.indices.map(i =>
           (id, i / samplesPerWindow, i % samplesPerWindow, s(i).toDouble))
       }
@@ -514,6 +539,36 @@ object Multimodal {
         lit(null.asInstanceOf[Integer]).as("sample_rate"),
         lit(null.asInstanceOf[java.lang.Long]).as("duration_ms"),
         lit("png").as("format")))
+  }
+
+  /** Audio-kind rows (ids ≡ 1 mod 3) whose bytes are REAL 16-bit mono
+    * RIFF/WAV streams of a deterministic loud/quiet window pattern:
+    * 8 windows × 32 samples; windows with ((w + s) % 3 ≠ 0) sit at base
+    * amplitude 180 (active for the 0.5-mean VAD threshold), the rest at 40
+    * (quiet), plus a per-sample (7j + 11s) mod 64 texture that keeps every
+    * window's argmax unique. Samples store pattern·257 − 32768 so the
+    * decoded float is pattern/255f EXACTLY. A LIST/INFO comment chunk
+    * carries the ORIGINAL id — planted seed-duplicates are byte-DIFFERENT
+    * streams of identical samples, which only a real decode aligns.
+    */
+  def syntheticAudioWav(spark: SparkSession, n: Int,
+      seedOf: Long => Long = identity): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).filter(_ % 3 == 1).map { i =>
+      val s = seedOf(i)
+      val pcm = Array.tabulate[Short](256) { j =>
+        val base = if (((j / 32) + s) % 3 != 0) 180 else 40
+        val pat = base + (j * 7 + s * 11) % 64
+        (pat * 257 - 32768).toShort
+      }
+      (i, "audio",
+        AudioCodec.encodeWavPcm16(16000, pcm, comment = Some(s"media-$i")))
+    }.toDF("media_id", "kind", "bytes")
+      .withColumn("meta", struct(
+        lit(null.asInstanceOf[Integer]).as("width"),
+        lit(null.asInstanceOf[Integer]).as("height"),
+        lit(1).as("channels"), lit(16000).as("sample_rate"),
+        lit(16L).as("duration_ms"), lit("wav").as("format")))
   }
 
   /** Deterministic 16×16 RGB pattern for frame `f` of seed `s`. */

@@ -211,6 +211,51 @@ class Round9Spec extends SparkSpec {
     assert(e2.getMessage.contains("baseline"))
   }
 
+  // ---- WAV codec ----------------------------------------------------------
+
+  test("WAV PCM16 roundtrip is exact; chunk skipping; two-engine differential") {
+    import graft.pipeline.AudioCodec
+    val pcm = Array.tabulate[Short](256) { j =>
+      val pat = (if (((j / 32) + 5) % 3 != 0) 180 else 40) + (j * 7 + 55) % 64
+      (pat * 257 - 32768).toShort
+    }
+    // with the LIST/INFO comment chunk between fmt and data (byte-different
+    // encodings of identical samples + the decoder's skip path)
+    for (cmt <- Seq(None, Some("media-7"), Some("odd"))) {
+      val wav = AudioCodec.encodeWavPcm16(16000, pcm, cmt)
+      val (rate, got) = AudioCodec.decodeWavPcm16(wav)
+      assert(rate == 16000 && got.toSeq == pcm.toSeq, s"roundtrip cmt=$cmt")
+    }
+    assert(!java.util.Arrays.equals(
+      AudioCodec.encodeWavPcm16(16000, pcm, Some("a")),
+      AudioCodec.encodeWavPcm16(16000, pcm, Some("b"))),
+      "comment chunk must make byte-different streams")
+    // second engine: javax.sound reads our comment-free stream exactly
+    val wav = AudioCodec.encodeWavPcm16(16000, pcm, None)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    assert(fmt.getChannels == 1 && fmt.getSampleSizeInBits == 16 &&
+      fmt.getSampleRate == 16000.0f)
+    val raw = ais.readAllBytes()
+    assert(raw.length == pcm.length * 2)
+    val jdk = Array.tabulate[Short](pcm.length) { i =>
+      (((raw(2 * i) & 0xFF) | ((raw(2 * i + 1) & 0xFF) << 8)).toShort)
+    }
+    assert(jdk.toSeq == pcm.toSeq, "javax.sound disagrees on our PCM data")
+    // the amplitude grid: pattern·257 − 32768 decodes to EXACTLY pattern/255f
+    val f = (pcm(0) + 32768) / 65535.0f
+    val pat0 = (if (5 % 3 != 0) 180 else 40) + 55 % 64
+    assert(f == pat0.toFloat / 255.0f)
+    // unsupported shapes fail loudly
+    val stereoHdr = wav.clone()
+    stereoHdr(22) = 2 // channels field inside fmt
+    val e = intercept[IllegalArgumentException] {
+      AudioCodec.decodeWavPcm16(stereoHdr)
+    }
+    assert(e.getMessage.contains("PCM 16-bit mono"))
+  }
+
   test("sampleFrames under codec=png: container slice + REAL decode") {
     import graft.pipeline.Multimodal
     val media = Multimodal.syntheticVideoPng(spark, 9, frames = 3)

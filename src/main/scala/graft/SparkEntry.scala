@@ -2694,10 +2694,16 @@ object SparkEntry {
         .orderBy("rep")
     }),
 
+    // production decode entry over REAL 8×8 PNGs (round-9 promotion) —
+    // native-dims decode, lossless pattern replayed by the oracle
     "mm_decode" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300)
-      Multimodal.decodeAndFeaturize(media, 16, 16)
-        .select(col("media_id"),
+      val media = Multimodal.syntheticImagePng(s, 300)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val decoded =
+        try Multimodal.decodeAndFeaturize(media, 8, 8)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      decoded.select(col("media_id"),
           round(aggregate(col("pixels"), lit(0.0d), (a, v) => a + v.cast("double")), 4).as("pixel_sum"))
         .orderBy(col("media_id"))
     }),
@@ -4339,12 +4345,16 @@ object SparkEntry {
         .orderBy(col("media_id"), col("frame_idx"))
     }),
 
-    // decode → box-filter RESIZE (8×8 → 4×4): destination pixels are exact
-    // level-sum quarters, recovered losslessly for the position-weighted
-    // checksum the oracle replays from the FNV chain
+    // REAL decode → box-filter RESIZE (8×8 → 4×4): destination pixels are
+    // exact level-sum quarters, recovered losslessly for the
+    // position-weighted checksum the oracle replays from the PNG pattern
     "mm_resize" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300).filter(col("kind") === "image")
-      val px = Multimodal.decodeAndFeaturize(media, w = 8, h = 8)
+      val media = Multimodal.syntheticImagePng(s, 300)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val px =
+        try Multimodal.decodeAndFeaturize(media, w = 8, h = 8)
+        finally s.conf.set("spark.graft.mm.codec", prev)
       Multimodal.boxResize(px, srcW = 8, srcH = 8, dstW = 4, dstH = 4)
         .select(col("media_id"),
           expr("""aggregate(zip_with(pixels, sequence(1, 16),
@@ -4361,8 +4371,13 @@ object SparkEntry {
     // ranks are bit-deterministic across engines, swap the stub for a real
     // CNN and the dataflow is unchanged
     "mm_embed_knn" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300).filter(col("kind") === "image")
-      val emb = Multimodal.decodeAndFeaturize(media, w = 8, h = 8)
+      val media = Multimodal.syntheticImagePng(s, 300)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val decoded =
+        try Multimodal.decodeAndFeaturize(media, w = 8, h = 8)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      val emb = decoded
         .select(col("media_id"), expr(
           """transform(sequence(0, 7), b -> aggregate(slice(pixels, b*8 + 1, 8), 0L,
             |  (acc, v) -> acc + CAST(round(CAST(v AS DOUBLE) * 255) AS BIGINT)))""".stripMargin)
@@ -5708,13 +5723,19 @@ object SparkEntry {
         .orderBy(col("n_points").desc, col("cell_x"), col("cell_y"))
         .limit(20)),
 
-    // shot-boundary scene segmentation over sampled video frames: the lag
-    // cut rule, running-sum scene ids, and the per-scene aggregate all share
-    // ONE media_id shuffle
+    // shot-boundary scene segmentation over REAL decoded video frames
+    // (round-9 promotion): the lag cut rule, running-sum scene ids, and the
+    // per-scene aggregate all share ONE media_id shuffle; the quadratic-k
+    // frame pattern makes |Δfeat| ≈ 0.75–1.0·|Δk|, so cuts and non-cuts
+    // both occur
     "mm_scenes" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 300)
-      Multimodal.sceneSegments(Multimodal.sampleFrames(media, n = 12),
-          threshold = 5.5)
+      val media = Multimodal.syntheticVideoPng(s, 300, frames = 12)
+      val prev = s.conf.get("spark.graft.mm.codec", "stub")
+      s.conf.set("spark.graft.mm.codec", "png")
+      val frames =
+        try Multimodal.sampleFrames(media, n = 12)
+        finally s.conf.set("spark.graft.mm.codec", prev)
+      Multimodal.sceneSegments(frames, threshold = 5.5)
         .orderBy(col("media_id"), col("scene_id"))
     }),
 
@@ -8541,24 +8562,12 @@ object SparkEntry {
 
     // image FNV chain → 2×2 block level-sums → position-weighted checksum
     "mm_resize" ->
-      """WITH RECURSIVE chain(media_id, step, state) AS (
-        |  SELECT i AS media_id, 0 AS step,
-        |         CAST(14695981039346656037 AS UBIGINT) AS state
-        |  FROM range(300) t(i) WHERE i % 3 = 0
-        |  UNION ALL
-        |  SELECT media_id, step + 1,
-        |    CAST((CAST(xor(state, CAST(
-        |      CASE WHEN step < 64 THEN
-        |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-        |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-        |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-        |      ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-        |      % 18446744073709551616 AS UBIGINT)
-        |  FROM chain WHERE step < 128
-        |), px AS (
-        |  SELECT media_id, (step - 65) AS pidx,
-        |         CAST((state // 1099511627776) % 256 AS BIGINT) AS level
-        |  FROM chain WHERE step > 64
+      """WITH px AS (
+        |  SELECT i AS media_id, p AS pidx,
+        |         CAST((299 * ((p * 3 + i * 7) % 256)
+        |             + 587 * ((p * 5 + i * 11) % 256)
+        |             + 114 * ((p * 7 + i * 13) % 256)) // 1000 AS BIGINT) AS level
+        |  FROM range(300) t(i), range(64) q(p) WHERE i % 3 = 0
         |), blocks AS (
         |  SELECT media_id,
         |         ((pidx // 8) // 2) * 4 + ((pidx % 8) // 2) AS b,
@@ -8573,24 +8582,12 @@ object SparkEntry {
     // LEVELS kept as exact integers → block-sum embedding → integer
     // dot/norm cosine, rank ties broken by neighbor id
     "mm_embed_knn" ->
-      """WITH RECURSIVE chain(media_id, step, state) AS (
-        |  SELECT i AS media_id, 0 AS step,
-        |         CAST(14695981039346656037 AS UBIGINT) AS state
-        |  FROM range(300) t(i) WHERE i % 3 = 0
-        |  UNION ALL
-        |  SELECT media_id, step + 1,
-        |    CAST((CAST(xor(state, CAST(
-        |      CASE WHEN step < 64 THEN
-        |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-        |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-        |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-        |      ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-        |      % 18446744073709551616 AS UBIGINT)
-        |  FROM chain WHERE step < 128
-        |), px AS (
-        |  SELECT media_id, (step - 65) AS pidx,
-        |         CAST((state // 1099511627776) % 256 AS BIGINT) AS level
-        |  FROM chain WHERE step > 64
+      """WITH px AS (
+        |  SELECT i AS media_id, p AS pidx,
+        |         CAST((299 * ((p * 3 + i * 7) % 256)
+        |             + 587 * ((p * 5 + i * 11) % 256)
+        |             + 114 * ((p * 7 + i * 13) % 256)) // 1000 AS BIGINT) AS level
+        |  FROM range(300) t(i), range(64) q(p) WHERE i % 3 = 0
         |), emb AS (
         |  SELECT media_id, pidx // 8 AS b, sum(level) AS v
         |  FROM px GROUP BY 1, 2
@@ -8623,9 +8620,8 @@ object SparkEntry {
       """WITH feat0 AS (
         |  SELECT i AS media_id, f AS frame_idx,
         |         round(sum(CAST(CAST(
-        |           (299 * ((p * 3 + f * 29 + s * 7) % 256)
-        |            + 587 * ((p * 5 + f * 31 + s * 11) % 256)
-        |            + 114 * ((p * 7 + f * 37 + s * 13) % 256)) // 1000
+        |           CASE WHEN p < (s * s * 31 + f * f * 17 + f * s * 5) % 200 + 28
+        |                THEN 255 ELSE (p * 3) % 64 END
         |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
         |  FROM (SELECT i, CASE WHEN i % 9 = 8 THEN i - 6 ELSE i END AS s
         |        FROM range(300) t(i) WHERE i % 3 = 2) m(i, s),
@@ -9947,31 +9943,19 @@ object SparkEntry {
        |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
-  /** mm_decode oracle: the deterministic FNV-1a stub decode replayed in SQL —
-    * a recursive chain over UBIGINT state with the 64-bit wrap-around multiply
-    * done in HUGEINT and Java's byte sign-extension reproduced explicitly.
-    * Steps 1..64 fold the synthetic bytes; steps 65..320 emit 256 pixels.
+  /** mm_decode oracle: the REAL 8×8 PNG decode replayed from the lossless
+    * image pattern in pure integer SQL (luma, then the same float/255
+    * division the identity box-mean applies).
     */
   private val MmDecodeSql: String =
-    """WITH RECURSIVE chain(media_id, step, state) AS (
-      |  SELECT i AS media_id, 0 AS step, CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i)
-      |  UNION ALL
-      |  SELECT media_id, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64
-      |        THEN CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |                  THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |                  ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |        ELSE step - 64 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 320
-      |)
-      |SELECT media_id,
-      |       round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |                      / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
-      |FROM chain WHERE step > 64
-      |GROUP BY media_id ORDER BY media_id""".stripMargin
+    """SELECT i AS media_id,
+      |       round(sum(CAST(CAST(
+      |         (299 * ((p * 3 + i * 7) % 256)
+      |          + 587 * ((p * 5 + i * 11) % 256)
+      |          + 114 * ((p * 7 + i * 13) % 256)) // 1000
+      |         AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
+      |FROM range(300) t(i), range(64) q(p) WHERE i % 3 = 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** mm_phash oracle: the REAL 8×8 PNG decode replayed from the lossless
     * image pattern (seed remapped to id−3 for every 9th id — planted
@@ -10107,39 +10091,26 @@ object SparkEntry {
   private val MmFramesSql: String =
     """SELECT i AS media_id, f AS frame_idx,
       |       round(sum(CAST(CAST(
-      |         (299 * ((p * 3 + f * 29 + i * 7) % 256)
-      |          + 587 * ((p * 5 + f * 31 + i * 11) % 256)
-      |          + 114 * ((p * 7 + f * 37 + i * 13) % 256)) // 1000
+      |         CASE WHEN p < (i * i * 31 + f * f * 17 + f * i * 5) % 200 + 28
+      |              THEN 255 ELSE (p * 3) % 64 END
       |         AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS pixel_sum
       |FROM range(300) t(i), range(4) u(f), range(256) q(p)
       |WHERE i % 3 = 2
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** mm_scenes oracle: the mm_frames stub-decode chain at 12 frames/video
-    * (same FNV recurrence, range(12) frame fan-out), then the identical
-    * lag/threshold/running-sum scene assembly in window SQL.
+  /** mm_scenes oracle: the REAL 12-frame PNG container decode replayed
+    * from the lossless quadratic-k frame pattern, then the identical
+    * lag-cut / running-sum / per-scene aggregate.
     */
   private val MmScenesSql: String =
-    """WITH RECURSIVE chain(media_id, frame_idx, step, state) AS (
-      |  SELECT i AS media_id, f AS frame_idx, 0 AS step,
-      |         CAST(14695981039346656037 AS UBIGINT) AS state
-      |  FROM range(300) t(i), range(12) u(f) WHERE i % 3 = 2
-      |  UNION ALL
-      |  SELECT media_id, frame_idx, step + 1,
-      |    CAST((CAST(xor(state, CAST(
-      |      CASE WHEN step < 64 THEN
-      |        CASE WHEN ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 >= 128
-      |             THEN 18446744073709551360 + ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256
-      |             ELSE ((media_id * 1103515245 + step * 12345) % 2147483647) * ((media_id * 1103515245 + step * 12345) % 2147483647) % 2147483647 % 256 END
-      |      WHEN step = 64 THEN frame_idx
-      |      ELSE step - 65 END AS UBIGINT)) AS HUGEINT) * 1099511628211)
-      |      % 18446744073709551616 AS UBIGINT)
-      |  FROM chain WHERE step < 321
-      |), feat AS (
-      |  SELECT media_id, frame_idx,
-      |         round(sum(CAST(CAST((state // 1099511627776) % 256 AS FLOAT)
-      |                        / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
-      |  FROM chain WHERE step > 65
+    """WITH feat AS (
+      |  SELECT i AS media_id, f AS frame_idx,
+      |         round(sum(CAST(CAST(
+      |           CASE WHEN p < (i * i * 31 + f * f * 17 + f * i * 5) % 200 + 28
+      |                THEN 255 ELSE (p * 3) % 64 END
+      |           AS FLOAT) / CAST(255 AS FLOAT) AS DOUBLE)), 4) AS feat
+      |  FROM range(300) t(i), range(12) u(f), range(256) q(p)
+      |  WHERE i % 3 = 2
       |  GROUP BY 1, 2
       |), cuts AS (
       |  SELECT media_id, frame_idx, feat,

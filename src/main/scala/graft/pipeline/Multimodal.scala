@@ -571,16 +571,25 @@ object Multimodal {
         lit(16L).as("duration_ms"), lit("wav").as("format")))
   }
 
-  /** Deterministic 16×16 RGB pattern for frame `f` of seed `s`. */
-  private def frameRgbPattern(s: Long, f: Int): Array[Int] =
-    Array.tabulate(256 * 3) { k =>
-      val p = k / 3
-      (k % 3 match {
-        case 0 => (p * 3 + f * 29 + s * 7) % 256
-        case 1 => (p * 5 + f * 31 + s * 11) % 256
-        case _ => (p * 7 + f * 37 + s * 13) % 256
-      }).toInt
+  /** Deterministic 16×16 gray pattern for frame `f` of seed `s`: the first
+    * k(f, s) pixels saturate at 255, the rest carry a fixed low texture —
+    * so the per-frame SUM is strictly monotone in k and distinct k give
+    * well-separated frame features. k is QUADRATIC in (f, s): an affine
+    * form would align whole frame RANGES of unrelated videos whenever one
+    * offset matched (the first cut of this fixture did exactly that — an
+    * odd-multiplier channel pattern is a bijection mod 256, every frame
+    * sum collapsed to one band and the dedup gate degenerated to 3 831
+    * pairs); with the quadratic mix a cross-video frame collision is a
+    * ~1/200 Bernoulli per frame pair and a ≥6-of-8 set overlap is ~1e-6
+    * per video pair. r=g=b keeps integer luma = the gray value exactly.
+    */
+  private def frameRgbPattern(s: Long, f: Int): Array[Int] = {
+    val k = ((s * s * 31 + f * f * 17 + f * s * 5) % 200 + 28).toInt
+    Array.tabulate(256 * 3) { i =>
+      val p = i / 3
+      if (p < k) 255 else (p * 3) % 64
     }
+  }
 
   /** Video-kind rows (ids ≡ 2 mod 3) whose bytes are a length-prefixed
     * container of `frames` REAL 16×16 PNG frames ([4-byte BE length][PNG])

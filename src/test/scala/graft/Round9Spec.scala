@@ -269,11 +269,9 @@ class Round9Spec extends SparkSpec {
       assert(fr.length == 9)
       // frame (s=2, f=1) must equal the lossless pattern's luma/255f
       val got = fr.find(r => r._1 == 2L && r._2 == 1).get._3
+      val k = ((2L * 2 * 31 + 1 * 1 * 17 + 1 * 2 * 5) % 200 + 28).toInt
       val want = (0 until 256).map { p =>
-        val r = (p * 3 + 1 * 29 + 2 * 7) % 256
-        val g = (p * 5 + 1 * 31 + 2 * 11) % 256
-        val b = (p * 7 + 1 * 37 + 2 * 13) % 256
-        ((299 * r + 587 * g + 114 * b) / 1000).toFloat / 255.0f
+        (if (p < k) 255 else (p * 3) % 64).toFloat / 255.0f
       }
       assert(got == want, "real container decode diverged from the pattern")
       // n < total: evenly spaced sampling still decodes (frame 0 for n=1)

@@ -1045,6 +1045,62 @@ object SparkEntry {
         sigma2 = 1.0e9, tau2 = 1.0e6)
     }),
 
+    // quantile treatment effects: the A/B readout at the p25/p50/p75/p90
+    // of per-user purchase cents — where in the distribution the treatment
+    // moved mass, not just the mean (exact percentile over the per-user
+    // table, the same interpolation contract ev_quantiles pinned)
+    "ev_qte" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val users = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("m"))
+        .withColumn("v", (col("user_id") % 2).cast("long"))
+      val q = users.groupBy("v")
+        .agg(expr("percentile(m, array(0.25D, 0.5D, 0.75D, 0.9D))").as("q"))
+      val lbl = array(lit("p25"), lit("p50"), lit("p75"), lit("p90"))
+      q.select(col("v"), posexplode(col("q")))
+        .toDF("v", "i", "qv")
+        .groupBy("i").agg(
+          max(when(col("v") === 0, col("qv"))).as("qa"),
+          max(when(col("v") === 1, col("qv"))).as("qb"))
+        .select(element_at(lbl, col("i") + 1).as("q_label"),
+          round(col("qa"), 6).as("q_a"), round(col("qb"), 6).as("q_b"),
+          round(col("qb") - col("qa"), 6).as("qte"))
+        .orderBy("q_label")
+    }),
+
+    // multiple-testing control: per-event-type Welch z on event cents
+    // (user-parity arms) + Benjamini–Hochberg step-up FDR across the
+    // metric family — the guardrail a platform applies when one experiment
+    // reads out many metrics; p via the A&S erfc polynomial, identical
+    // text in both engines (Events.welchBh)
+    "ev_bh" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val obs = T(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 2).cast("long").as("v"),
+          round(col("value") * 100).cast("long").as("x"))
+      Events.welchBh(obs, "event_type", "v", "x", alpha = 0.1)
+    }),
+
+    // robust A/B means: winsorized (5%) and trimmed per-variant means of
+    // per-user purchase cents beside the raw mean — the outlier-robust
+    // readout; rank-based order statistics (integer cents, exact sums),
+    // distributed ranks, no per-variant global window
+    "ev_winsor" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val users = T(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .groupBy("user_id").agg(
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).as("m"))
+        .withColumn("v", (col("user_id") % 2).cast("long"))
+      Events.winsorMeans(users, "user_id", "m", "v", frac = 0.05)
+    }),
+
     // cohort lifetime value: purchase cents per (first-active-day cohort,
     // age-in-days), plus the running LTV curve — integer cumsum per cohort,
     // one user shuffle for the cohort min then day-level aggregates only
@@ -6456,6 +6512,38 @@ object SparkEntry {
         |FROM ci CROSS JOIN pt""".stripMargin,
 
     "ev_msprt" -> Events.msprtDuckSql(sigma2 = 1.0e9, tau2 = 1.0e6),
+
+    "ev_qte" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         sum(CASE WHEN event_type = 'purchase'
+        |                  THEN CAST(round(value * 100) AS BIGINT)
+        |                  ELSE 0 END)::BIGINT AS m
+        |  FROM events GROUP BY 1
+        |), vv AS (SELECT user_id % 2 AS v, m FROM u),
+        |qa AS (SELECT quantile_cont(m, 0.25) AS q1, quantile_cont(m, 0.5) AS q2,
+        |              quantile_cont(m, 0.75) AS q3, quantile_cont(m, 0.9) AS q4
+        |       FROM vv WHERE v = 0),
+        |qb AS (SELECT quantile_cont(m, 0.25) AS q1, quantile_cont(m, 0.5) AS q2,
+        |              quantile_cont(m, 0.75) AS q3, quantile_cont(m, 0.9) AS q4
+        |       FROM vv WHERE v = 1)
+        |SELECT * FROM (
+        |  SELECT 'p25' AS q_label, round(qa.q1, 6) AS q_a, round(qb.q1, 6) AS q_b,
+        |         round(qb.q1 - qa.q1, 6) AS qte FROM qa, qb
+        |  UNION ALL
+        |  SELECT 'p50', round(qa.q2, 6), round(qb.q2, 6),
+        |         round(qb.q2 - qa.q2, 6) FROM qa, qb
+        |  UNION ALL
+        |  SELECT 'p75', round(qa.q3, 6), round(qb.q3, 6),
+        |         round(qb.q3 - qa.q3, 6) FROM qa, qb
+        |  UNION ALL
+        |  SELECT 'p90', round(qa.q4, 6), round(qb.q4, 6),
+        |         round(qb.q4 - qa.q4, 6) FROM qa, qb
+        |) ORDER BY q_label""".stripMargin,
+
+    "ev_bh" -> Events.welchBhDuckSql(alpha = 0.1),
+
+    "ev_winsor" -> Events.winsorDuckSql(frac = 0.05),
 
     "ev_ltv" ->
       """WITH e AS (

@@ -1479,6 +1479,183 @@ object Events {
        |         AS reject_so_far
        |FROM sc ORDER BY day""".stripMargin
 
+  // ----------------------------------------------------------------------
+  // Welch z + Benjamini–Hochberg FDR across a metric family
+  //
+  // The numeric tree is defined ONCE as dialect-neutral SQL text (CAST,
+  // CASE, sqrt/exp/abs only — parsed identically by Spark's expr() and
+  // DuckDB), so both engines execute bit-identical double arithmetic; the
+  // normal tail is Abramowitz–Stegun 7.1.26 (|ε| < 1.5e-7), the standard
+  // erfc polynomial (public formula; Handbook of Mathematical Functions).
+
+  /** Welch z from exact integer moments (n, Σx, Σx²) of two arms. */
+  private[pipeline] val welchZSql: String = {
+    val va = "(CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a) / (n_a - 1.0)"
+    val vb = "(CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b) / (n_b - 1.0)"
+    val se = s"sqrt(($va) / n_a + ($vb) / n_b)"
+    s"CASE WHEN n_a >= 2 AND n_b >= 2 AND $se > 0 THEN " +
+      s"((CAST(s1_b AS DOUBLE) / n_b) - (CAST(s1_a AS DOUBLE) / n_a)) / $se " +
+      "ELSE 0.0 END"
+  }
+
+  /** Two-sided normal p from a `z_raw` column: p = erfc(|z|/√2) via the
+    * A&S 7.1.26 polynomial — identical text in both engines.
+    */
+  private[pipeline] val pFromZSql: String = {
+    val t = "(1.0 / (1.0 + 0.3275911 * (abs(z_raw) / sqrt(2.0))))"
+    s"((((1.061405429 * $t - 1.453152027) * $t + 1.421413741) * $t" +
+      s" - 0.284496736) * $t + 0.254829592) * $t" +
+      " * exp(-((abs(z_raw) / sqrt(2.0)) * (abs(z_raw) / sqrt(2.0))))"
+  }
+
+  /** Per-group Welch two-sample z on an integer metric + Benjamini–Hochberg
+    * step-up FDR adjustment across the group family — the multiple-testing
+    * control a metrics platform applies when one experiment reads out many
+    * metrics at once. Input: (group, variant ∈ {0,1}, integer x). The group
+    * table is tiny (≤ `maxGroups`, BoundedWindow-guarded); everything
+    * upstream of it is one map-side-combinable aggregate. Output per group:
+    * (group, n_a, n_b, z, p, p_bh, signif at `alpha`), ordered by group.
+    * q(i) = min_{j≥i} min(1, p(j)·m/j) — the classic step-up, computed as a
+    * reverse running min over the rank ordering.
+    */
+  def welchBh(obs: DataFrame, groupCol: String, variantCol: String,
+      metricCol: String, alpha: Double = 0.1, maxGroups: Long = 4096L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(metricCol)
+    val g = obs.groupBy(col(groupCol).as("g")).agg(
+      sum(when(col(variantCol) === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col(variantCol) === 0, x).otherwise(0L)).as("s1_a"),
+      sum(when(col(variantCol) === 0, x * x).otherwise(0L)).as("s2_a"),
+      sum(when(col(variantCol) =!= 0, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col(variantCol) =!= 0, x).otherwise(0L)).as("s1_b"),
+      sum(when(col(variantCol) =!= 0, x * x).otherwise(0L)).as("s2_b"))
+    val scored = g.withColumn("z_raw", expr(welchZSql))
+      .withColumn("p_raw", expr(pFromZSql))
+    val wAsc = Window.orderBy(col("p_raw"), col("g"))
+    val wAll = Window.orderBy(col("p_raw"), col("g"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wDesc = Window.orderBy(col("rk").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    BoundedWindow(scored, maxGroups, s"BH metric family (≤ $maxGroups groups)")
+      .withColumn("rk", row_number().over(wAsc))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("c", least(expr("(p_raw * m) / rk"), lit(1.0)))
+      .withColumn("q_raw", min(col("c")).over(wDesc))
+      .select(col("g").as(groupCol), col("n_a"), col("n_b"),
+        round(col("z_raw"), 6).as("z"), round(col("p_raw"), 6).as("p"),
+        round(col("q_raw"), 6).as("p_bh"),
+        when(col("q_raw") <= alpha, 1L).otherwise(0L).as("signif"))
+      .orderBy(col(groupCol))
+  }
+
+  /** DuckDB replay of [[welchBh]] over per-event cents grouped by
+    * event_type with user-parity arms — shares the exact `welchZSql` /
+    * `pFromZSql` text, so the double trees are identical by construction.
+    */
+  def welchBhDuckSql(alpha: Double): String =
+    s"""WITH e AS (
+       |  SELECT event_type AS g, user_id % 2 AS v,
+       |         CAST(round(value * 100) AS BIGINT) AS x
+       |  FROM events
+       |), agg AS (
+       |  SELECT g,
+       |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+       |    sum(CASE WHEN v = 0 THEN x ELSE 0 END)::BIGINT AS s1_a,
+       |    sum(CASE WHEN v = 0 THEN x * x ELSE 0 END)::BIGINT AS s2_a,
+       |    sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+       |    sum(CASE WHEN v <> 0 THEN x ELSE 0 END)::BIGINT AS s1_b,
+       |    sum(CASE WHEN v <> 0 THEN x * x ELSE 0 END)::BIGINT AS s2_b
+       |  FROM e GROUP BY 1
+       |), sc AS (
+       |  SELECT g, n_a, n_b, $welchZSql AS z_raw FROM agg
+       |), pp AS (
+       |  SELECT *, $pFromZSql AS p_raw FROM sc
+       |), rk AS (
+       |  SELECT *, row_number() OVER (ORDER BY p_raw, g) AS rk,
+       |         count(*) OVER () AS m
+       |  FROM pp
+       |), qq AS (
+       |  SELECT *, min(least((p_raw * m) / rk, 1.0))
+       |              OVER (ORDER BY rk DESC ROWS UNBOUNDED PRECEDING) AS q_raw
+       |  FROM rk
+       |)
+       |SELECT g AS event_type, n_a, n_b, round(z_raw, 6) AS z,
+       |       round(p_raw, 6) AS p, round(q_raw, 6) AS p_bh,
+       |       (CASE WHEN q_raw <= $alpha THEN 1 ELSE 0 END)::BIGINT AS signif
+       |FROM qq ORDER BY 1""".stripMargin
+
+  /** Winsorized and trimmed per-variant means of an integer metric —
+    * the robust-metric readout beside the raw mean. k = ⌊frac·n⌋ per
+    * variant; winsorizing replaces the k smallest with the (k+1)-th order
+    * statistic and the k largest with the (n−k)-th; trimming drops both
+    * tails. Ranks come from the distributed [[globalRank]] over
+    * (variant, x, id) minus a per-variant offset (no per-variant global
+    * window), and every sum is an exact integer — the ONLY doubles are the
+    * three final divisions, identical in the oracle by construction.
+    * Output: (variant, n, mean, winsor_mean, trim_mean).
+    */
+  def winsorMeans(perUnit: DataFrame, idCol: String, metricCol: String,
+      variantCol: String, frac: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val u = perUnit.select(col(variantCol).as("v"), col(metricCol).as("x"),
+      col(idCol).as("uid"))
+    val ranked = globalRank(u, Seq(col("v"), col("x"), col("uid")), "gr")
+    val wOff = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val meta = BoundedWindow(
+        u.groupBy("v").agg(count(lit(1)).as("n")), 64L,
+        "winsor variant table (one row per arm)")
+      .withColumn("off", coalesce(sum("n").over(wOff), lit(0L)))
+      .withColumn("k", floor(col("n") * lit(frac)).cast("long"))
+    ranked.join(broadcast(meta), "v")
+      .withColumn("pr", col("gr") - col("off"))
+      .groupBy("v").agg(
+        max(col("n")).as("n"), max(col("k")).as("k"),
+        sum(col("x")).as("s_all"),
+        sum(when(col("pr") > col("k") && col("pr") <= col("n") - col("k"),
+          col("x")).otherwise(0L)).as("s_mid"),
+        max(when(col("pr") === col("k") + 1, col("x"))).as("lo"),
+        max(when(col("pr") === col("n") - col("k"), col("x"))).as("hi"))
+      .select(col("v").as("variant"), col("n"),
+        round(col("s_all").cast("double") / col("n"), 6).as("mean"),
+        round((col("s_mid") + col("k") * col("lo") + col("k") * col("hi"))
+          .cast("double") / col("n"), 6).as("winsor_mean"),
+        when(col("n") > lit(2L) * col("k"),
+          round(col("s_mid").cast("double") / (col("n") - lit(2L) * col("k")), 6))
+          .as("trim_mean"))
+      .orderBy("variant")
+  }
+
+  /** DuckDB replay of [[winsorMeans]] over per-user total purchase cents
+    * with user-parity arms.
+    */
+  def winsorDuckSql(frac: Double): String =
+    s"""WITH u AS (
+       |  SELECT user_id % 2 AS v, user_id AS uid,
+       |         sum(CASE WHEN event_type = 'purchase'
+       |                  THEN CAST(round(value * 100) AS BIGINT)
+       |                  ELSE 0 END)::BIGINT AS x
+       |  FROM events GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY v ORDER BY x, uid) AS pr
+       |  FROM u
+       |), meta AS (
+       |  SELECT v, count(*)::BIGINT AS n,
+       |         CAST(floor(count(*) * $frac) AS BIGINT) AS k
+       |  FROM u GROUP BY 1
+       |), a AS (
+       |  SELECT r.v, max(n) AS n, max(k) AS k, sum(x)::BIGINT AS s_all,
+       |    sum(CASE WHEN pr > k AND pr <= n - k THEN x ELSE 0 END)::BIGINT AS s_mid,
+       |    max(CASE WHEN pr = k + 1 THEN x END) AS lo,
+       |    max(CASE WHEN pr = n - k THEN x END) AS hi
+       |  FROM r JOIN meta ON r.v = meta.v GROUP BY 1
+       |)
+       |SELECT v AS variant, n,
+       |  round(CAST(s_all AS DOUBLE) / n, 6) AS mean,
+       |  round(CAST(s_mid + k * lo + k * hi AS DOUBLE) / n, 6) AS winsor_mean,
+       |  CASE WHEN n > 2 * k
+       |       THEN round(CAST(s_mid AS DOUBLE) / (n - 2 * k), 6) END AS trim_mean
+       |FROM a ORDER BY variant""".stripMargin
+
   /** SQL `ntile(q)` bucket recovered from a 1-based global rank over `n`
     * rows — the first (n mod q) buckets hold ⌈n/q⌉ rows, the rest ⌊n/q⌋
     * (identical to Spark's and DuckDB's NTile). Lets the distributed

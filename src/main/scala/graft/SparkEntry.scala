@@ -2358,6 +2358,32 @@ object SparkEntry {
     // via chained codegen'd replace expressions (Corpus.MojibakeMap); the
     // oracle replays planting, counting, and repair with chr()-built
     // literals and md5-matches the repaired text
+    // Flesch reading-ease profile of the corpus: per-document sentence /
+    // word / syllable counts → FRE = 206.835 − 1.015·(w/s) − 84.6·(syl/w)
+    // (Flesch 1948), histogrammed by (lang, 10-point bucket). Syllables
+    // use the vowel-group heuristic counted once over the whole document
+    // (maximal [aeiouy]+ runs never cross a word boundary, so the doc-level
+    // count equals the per-word sum — THREE text-level regex passes total,
+    // no per-word lambda). Counts are exact integers; the ONLY doubles are
+    // the per-doc FRE (identical formula text in both engines) surfaced as
+    // min/max per bucket — order-free, so FP summation order never enters
+    "tx_readability" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .withColumn("ns",
+          expr("CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1) AS BIGINT)"))
+        .withColumn("nw",
+          expr("CAST(greatest(size(regexp_extract_all(lower(text), '[a-z]+', 0)), 1) AS BIGINT)"))
+        .withColumn("nsyl",
+          expr("CAST(greatest(size(regexp_extract_all(lower(text), '[aeiouy]+', 0)), 1) AS BIGINT)"))
+        .withColumn("fre", expr(
+          "206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns) - 84.6 * (CAST(nsyl AS DOUBLE) / nw)"))
+        .withColumn("bucket", expr("CAST(floor(fre / 10) AS BIGINT)"))
+        .groupBy("lang", "bucket").agg(
+          count(lit(1)).as("n_docs"), sum("nw").as("words"),
+          sum("ns").as("sents"), sum("nsyl").as("sylls"),
+          round(min("fre"), 4).as("fre_min"), round(max("fre"), 4).as("fre_max"))
+        .orderBy("lang", "bucket")),
+
     "tx_mojibake" -> ((s, dir) => {
       val planted = when(col("doc_id") % 5 === 2,
           replace(replace(col("text"), lit(" the "), lit(" th\u00C3\u00A9 ")),
@@ -2493,6 +2519,31 @@ object SparkEntry {
           round(col("common").cast("double")
             / (col("d1") + col("d2") - col("common")).cast("double"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("c1"), col("c2")).limit(25)
+    }),
+
+    // Adamic–Adar link prediction on the same bipartite projection: shared
+    // neighbors weighted by 1/ln(degree) — rare shared suppliers count
+    // more than hubs (Adamic & Adar 2003); ordering on the ROUNDED score
+    // so both engines agree at the top-k boundary
+    "gr_adamic" -> ((s, dir) => {
+      val cust0 = T(s, dir, "customer").filter(col("c_nationkey") === 0)
+        .select(col("c_custkey"))
+      val e = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(cust0, col("o_custkey") === col("c_custkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
+        .distinct().persist()
+      val sdeg = e.groupBy("sup").agg(count(lit(1)).as("d"))
+        .withColumnRenamed("sup", "s2")
+      e.as("a").join(e.as("b"),
+          col("a.sup") === col("b.sup") && col("a.c") < col("b.c"))
+        .join(sdeg, col("a.sup") === col("s2"))
+        .groupBy(col("a.c").as("c1"), col("b.c").as("c2"))
+        .agg(count(lit(1)).as("common"),
+          sum(lit(1.0) / log(col("d"))).as("aa"))
+        .select(col("c1"), col("c2"), col("common"),
+          round(col("aa"), 6).as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("c1"), col("c2")).limit(25)
     }),
 
     // -------------------------------------------- distributed spatial join
@@ -2650,6 +2701,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     }),
+
+    // LSH band-geometry planner: theoretical τ ≈ (1/b)^(1/r) beside the
+    // MEASURED candidate-pair count each (b × r) factorization of the
+    // 128-perm signature would emit on this corpus — run before committing
+    // a dedup threshold; each plan costs one banded self-join, the same
+    // shape production banding pays
+    "dd_lsh_plan" -> ((s, dir) =>
+      Dedup.lshPlan(T(s, dir, "documents"), "doc_id", "text",
+        Seq((8, 16), (16, 8), (32, 4), (64, 2)))),
 
     "dd_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDupPairs(T(s, dir, "documents"), "doc_id", "text", threshold = 0.2)
@@ -7376,6 +7436,24 @@ object SparkEntry {
 
     "tx_quality" -> TxQualitySql,
 
+    "tx_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS ns,
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '[a-z]+')), 1) AS BIGINT) AS nw,
+        |    CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS BIGINT) AS nsyl
+        |  FROM documents
+        |), f AS (
+        |  SELECT lang, ns, nw, nsyl,
+        |    206.835 - 1.015 * (CAST(nw AS DOUBLE) / ns) - 84.6 * (CAST(nsyl AS DOUBLE) / nw) AS fre
+        |  FROM d
+        |)
+        |SELECT lang, CAST(floor(fre / 10) AS BIGINT) AS bucket,
+        |       count(*)::BIGINT AS n_docs, sum(nw)::BIGINT AS words,
+        |       sum(ns)::BIGINT AS sents, sum(nsyl)::BIGINT AS sylls,
+        |       round(min(fre), 4) AS fre_min, round(max(fre), 4) AS fre_max
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "tx_mojibake" -> {
       import graft.pipeline.Corpus.duckChr
       val moji = s"' th' || ${duckChr("\u00C3\u00A9")} || ' '"
@@ -7466,6 +7544,23 @@ object SparkEntry {
         |FROM w JOIN deg d1 ON d1.c = w.c1 JOIN deg d2 ON d2.c = w.c2
         |ORDER BY jaccard DESC, c1, c2 LIMIT 25""".stripMargin,
 
+    "gr_adamic" ->
+      """WITH e AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON c_custkey = o_custkey AND c_nationkey = 0
+        |), sd AS (SELECT sup, count(*)::BIGINT AS d FROM e GROUP BY 1),
+        |w AS (
+        |  SELECT a.c AS c1, b.c AS c2, count(*)::BIGINT AS common,
+        |         sum(1.0 / ln(d)) AS aa
+        |  FROM e a JOIN e b ON a.sup = b.sup AND a.c < b.c
+        |  JOIN sd ON sd.sup = a.sup
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c1, c2, common, round(aa, 6) AS adamic_adar
+        |FROM w ORDER BY adamic_adar DESC, c1, c2 LIMIT 25""".stripMargin,
+
     // ------------------------------------------ formerly-rows-only queries
     "sp_intersects_poly" -> (PtsCte +
       """
@@ -7486,6 +7581,9 @@ object SparkEntry {
     // mulmod in HUGEINT, the same FNV band fold and banded self-join — the
     // probabilistic RECALL is a deterministic function of the seeds, so even
     // the deliberately-missed pairs match
+    "dd_lsh_plan" -> Dedup.lshPlanDuckSql(
+      Seq((8, 16), (16, 8), (32, 4), (64, 2)), shingleK = 3),
+
     "dd_minhash_pairs" -> Dedup.minhashPairsDuckSql(threshold = 0.2, shingleK = 3),
 
     "dd_incremental" -> Dedup.minhashIncrementalDuckSql(threshold = 0.2,

@@ -602,7 +602,23 @@ object Dedup {
   /** Shared CTE prefix (toks → hashed shingle sets → 128-perm signatures →
     * band keys) for the minhash oracle generators.
     */
-  private[pipeline] def minhashDuckCtes(shingleK: Int): String = {
+  private[pipeline] def minhashDuckCtes(shingleK: Int): String =
+    minhashSigCtes(shingleK) +
+      s""", bands AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |      sig[8 * b + 1 : 8 * b + 8]),
+         |      (acc, s) -> CAST((CAST(xor(acc, s) AS HUGEINT) * 1099511628211)
+         |                       % 18446744073709551616 AS UBIGINT)) AS bh
+         |  FROM sigs, range(0, $NumBands) t(b)
+         |)""".stripMargin
+
+  /** The sig-table prefix of [[minhashDuckCtes]] (toks → hashed shingle
+    * sets → 128-perm signatures), reusable by callers that band the
+    * signatures with their OWN (bands × rows) geometry (e.g. the LSH band
+    * planner).
+    */
+  private[pipeline] def minhashSigCtes(shingleK: Int): String = {
     val P = MersennePrime
     val sigExprs = perms.map { case (a, b) =>
       s"(CASE WHEN len(xs) = 0 THEN CAST(9223372036854775807 AS UBIGINT) ELSE " +
@@ -625,14 +641,99 @@ object Dedup {
        |  FROM sh
        |), sigs AS (
        |  SELECT doc_id, ss, $sigExprs AS sig FROM xsets
-       |), bands AS (
-       |  SELECT doc_id, b,
-       |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
-       |      sig[8 * b + 1 : 8 * b + 8]),
-       |      (acc, s) -> CAST((CAST(xor(acc, s) AS HUGEINT) * 1099511628211)
-       |                       % 18446744073709551616 AS UBIGINT)) AS bh
-       |  FROM sigs, range(0, $NumBands) t(b)
        |)""".stripMargin
+  }
+
+  /** Measured LSH band-plan comparison: for each candidate (bands b ×
+    * rows r) geometry over the 128-perm signature, the THEORETICAL
+    * similarity threshold τ ≈ (1/b)^(1/r) beside the MEASURED distinct
+    * candidate-pair count that banding would emit on THIS corpus — the
+    * parameter-planning pass a dedup pipeline runs before committing a
+    * threshold (theory says where the S-curve sits; the measured count
+    * says what the plan costs downstream). Signatures are computed once
+    * and persisted; each plan is one banded self-join (b explode rows per
+    * doc, never all-pairs) — the identical shape production banding uses,
+    * so the planner's cost model IS the production plan's.
+    */
+  def lshPlan(df: DataFrame, idCol: String, textCol: String,
+      plans: Seq[(Int, Int)], shingleK: Int = 3): DataFrame = {
+    require(plans.nonEmpty &&
+      plans.forall { case (b, r) => b > 0 && r > 0 && b * r <= NumPerms },
+      s"each plan needs b·r ≤ $NumPerms")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shSet = udf((s: String) => minhashShingleSet(s, shingleK))
+    val sigOf = udf((ss: Seq[Long]) => signatureOfSet(ss))
+    // persisted: every plan branch scans the SAME signature table (the
+    // expensive tokenize+hash pass runs once, not once per plan); caller
+    // (or Verify's clearCache) releases it after the action
+    val sigs = df.select(col(idCol).as("id"),
+        sigOf(shSet(col(textCol))).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE job for every plan: union the per-plan bandings tagged by plan
+    // index, self-join keyed by (plan, band, hash), count per plan — not a
+    // count() action per plan (4× the fixed job/shuffle overhead otherwise)
+    val banded = plans.zipWithIndex.map { case ((b, r), i) =>
+      val bandHash = udf((sig: Seq[Long], band: Int) => {
+        var h = 0xcbf29ce484222325L
+        var j = band * r
+        val end = j + r
+        while (j < end) { h ^= sig(j); h *= 0x100000001b3L; j += 1 }
+        h
+      })
+      sigs
+        .select(col("id"), col("sig"),
+          explode(array((0 until b).map(lit): _*)).as("band"))
+        .select(lit(i).as("pi"), col("id"), col("band"),
+          bandHash(col("sig"), col("band")).as("bh"))
+    }.reduce(_.unionByName(_))
+    val counts = banded.as("x").join(banded.as("y"),
+        col("x.pi") === col("y.pi") && col("x.band") === col("y.band") &&
+          col("x.bh") === col("y.bh") && col("x.id") < col("y.id"))
+      .select(col("x.pi").as("pi"), col("x.id").as("ia"), col("y.id").as("ib"))
+      .distinct()
+      .groupBy("pi").agg(count(lit(1)).as("cand_pairs"))
+    val meta = plans.zipWithIndex.map { case ((b, r), i) =>
+      val thr = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (i, b.toLong, r.toLong, thr)
+    }.toDF("pi", "b", "r", "est_threshold")
+    meta.join(counts, Seq("pi"), "left")
+      .select(col("b"), col("r"), col("est_threshold"),
+        coalesce(col("cand_pairs"), lit(0L)).as("cand_pairs"))
+      .orderBy("b", "r")
+  }
+
+  /** DuckDB replay of [[lshPlan]]: the shared sig CTEs, then one banding
+    * CTE per plan with that plan's (b × r) slice geometry. The τ literal is
+    * pre-rounded in Scala and injected into BOTH engines, so no cross-libm
+    * pow() is compared.
+    */
+  def lshPlanDuckSql(plans: Seq[(Int, Int)], shingleK: Int = 3): String = {
+    val per = plans.zipWithIndex.map { case ((b, r), i) =>
+      val thr = BigDecimal(math.pow(1.0 / b, 1.0 / r))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toString
+      s""", bands$i AS (
+         |  SELECT doc_id, b,
+         |    list_reduce(list_prepend(CAST(14695981039346656037 AS UBIGINT),
+         |      sig[$r * b + 1 : $r * b + $r]),
+         |      (acc, s) -> CAST((CAST(xor(acc, s) AS HUGEINT) * 1099511628211)
+         |                       % 18446744073709551616 AS UBIGINT)) AS bh
+         |  FROM sigs, range(0, $b) t(b)
+         |), plan$i AS (
+         |  SELECT CAST($b AS BIGINT) AS b, CAST($r AS BIGINT) AS r,
+         |         CAST($thr AS DOUBLE) AS est_threshold,
+         |         (SELECT count(*) FROM (
+         |            SELECT DISTINCT a.doc_id AS ia, bb.doc_id AS ib
+         |            FROM bands$i a JOIN bands$i bb
+         |              ON a.b = bb.b AND a.bh = bb.bh
+         |             AND a.doc_id < bb.doc_id))::BIGINT AS cand_pairs
+         |)""".stripMargin
+    }
+    minhashSigCtes(shingleK) + per.mkString +
+      "\nSELECT * FROM (" +
+      plans.indices.map(i => s"SELECT * FROM plan$i").mkString(" UNION ALL ") +
+      ") ORDER BY b, r"
   }
 
   /** Pigeonhole-banded Hamming-≤maxHamming self-join over a (id, sh) frame:

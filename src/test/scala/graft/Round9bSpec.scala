@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.Events
+import graft.pipeline.{Dedup, Events}
 
 /** Round-9 (second session) additions: experimentation-stats operators —
   * Welch z + Benjamini–Hochberg FDR across a metric family, winsorized /
@@ -51,5 +51,33 @@ class Round9bSpec extends SparkSpec {
         (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
     assert(out(0L) == ((59.5, 10.5, 10.5)))
     assert(out(1L) == ((10.5, 10.5, 10.5)))
+  }
+
+  test("lshPlan: lower-τ geometries emit a superset of candidate pairs; " +
+      "exact duplicates collide under every plan") {
+    // 30 distinct docs + 3 planted exact duplicates (identical text ⇒
+    // identical signature ⇒ band-collision under EVERY (b, r) geometry)
+    val docs = ((0 until 30).map(i =>
+        (i.toLong, s"alpha bravo charlie delta echo ${i} foxtrot golf " +
+          s"hotel india juliet kilo lima mike november ${i * 7} oscar papa"))
+      ++ Seq(100L, 101L, 102L).map(id =>
+        (id, "alpha bravo charlie delta echo 1 foxtrot golf " +
+          "hotel india juliet kilo lima mike november 7 oscar papa")))
+      .toDF("doc_id", "text")
+    val plans = Seq((8, 16), (16, 8), (32, 4), (64, 2))
+    val out = Dedup.lshPlan(docs, "doc_id", "text", plans)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3)))
+    assert(out.map(t => (t._1.toInt, t._2.toInt)).toSeq == plans.sortBy(_._1))
+    // τ falls as bands widen relative to rows → candidate counts rise
+    val byB = out.sortBy(_._1)
+    byB.sliding(2).foreach {
+      case Array((_, _, t1, c1), (_, _, t2, c2)) =>
+        assert(t2 < t1, "est_threshold must fall as b grows (r shrinks)")
+        assert(c2 >= c1, "looser plans must emit at least as many candidates")
+      case _ =>
+    }
+    // doc 1 and the three planted copies: C(4,2) = 6 pairs under every plan
+    byB.foreach { case (_, _, _, c) => assert(c >= 6L) }
   }
 }

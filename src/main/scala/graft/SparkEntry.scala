@@ -254,6 +254,66 @@ object SparkEntry {
     p.toFile.deleteOnExit()
     p
   }
+  private lazy val warcIngestTmp: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft-warc-ingest")
+    (0 until 4).foreach { f =>
+      val ext = if (f < 2) "warc" else "warc.gz"
+      d.resolve(s"shard-$f.$ext").toFile.deleteOnExit()
+    }
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  /** Stage the 4-shard WARC fixture for the current sf dir (fixture
+    * generation only — bounded by the documents table; files are
+    * overwritten per call so SF switches see fresh content). Shards 0-1
+    * are plain `.warc`, shards 2-3 record-per-gzip-member `.warc.gz`.
+    */
+  private def stageWarcFixture(s: SparkSession, dir: String): String = {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+    val rows = T(s, dir, "documents").select(col("doc_id"), col("text"))
+      .orderBy("doc_id").collect()  // fixture generation only
+    val shards = Array.fill(4)(new java.io.ByteArrayOutputStream())
+    def record(warcType: String, url: Option[String], ct: String,
+        payload: Array[Byte]): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      graft.sources.Warc.writeRecord(b, warcType, url, ct, payload)
+      b.toByteArray
+    }
+    def emit(f: Int, bytes: Array[Byte]): Unit =
+      if (f < 2) shards(f).write(bytes)
+      else shards(f).write(graft.sources.Warc.gzipMember(bytes))
+    (0 until 4).foreach(f => emit(f, record("warcinfo", None,
+      "application/warc-fields", graft.sources.Warc.InfoPayload)))
+    rows.foreach { r =>
+      val d = r.getLong(0); val text = r.getString(1)
+      val p = d / 2
+      val host = s"www.host${p % 5}.example"
+      val raw =
+        if (d % 2 == 0)
+          s"https://WWW.Host${p % 5}.EXAMPLE/doc/$p?utm_source=feed&x=1#top"
+        else s"https://www.host${p % 5}.example:443/doc/$p?x=1"
+      val f = (d % 4).toInt
+      val body =
+        if (d % 10 == 7) "not found".getBytes(UTF_8) else text.getBytes(UTF_8)
+      val status = if (d % 10 == 7) "404 Not Found" else "200 OK"
+      val http = (s"HTTP/1.1 $status\r\n" +
+        "Content-Type: text/plain; charset=utf-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(ISO_8859_1) ++ body
+      emit(f, record("response", Some(raw),
+        "application/http;msgtype=response", http))
+      if (d % 5 == 0)
+        emit(f, record("request", Some(raw),
+          "application/http;msgtype=request",
+          s"GET /doc/$p?x=1 HTTP/1.1\r\nHost: $host\r\n\r\n".getBytes(ISO_8859_1)))
+    }
+    (0 until 4).foreach { f =>
+      val ext = if (f < 2) "warc" else "warc.gz"
+      java.nio.file.Files.write(warcIngestTmp.resolve(s"shard-$f.$ext"),
+        shards(f).toByteArray)
+    }
+    warcIngestTmp.toString
+  }
   private lazy val shpIngestBase: String = {
     val d = java.nio.file.Files.createTempDirectory("graft-shp-ingest")
     val base = d.resolve("nations")
@@ -4597,6 +4657,43 @@ object SparkEntry {
     // way lengths and tag values from `customer` directly. Matches the
     // reference's golden-data checks (osm tests TestOSMImportBase
     // .checkOSMLayer:79: index count == feature count).
+    // WARC crawl-archive ingestion (sources/Warc.scala): the fixture is a
+    // real 4-shard WARC/1.1 corpus derived from `documents` (2 plain
+    // shards + 2 record-per-gzip-member .warc.gz shards; response records
+    // carry genuine HTTP messages, every 5th doc adds a request record,
+    // each shard opens with warcinfo), parsed back streaming with one task
+    // per file — the crawl-corpus parallelism model. The oracle derives
+    // the expected stats from `documents` by the generator's formulas, an
+    // independent derivation rather than a parser replay.
+    "warc_ingest_stats" -> ((s, dir) => {
+      val src = stageWarcFixture(s, dir)
+      graft.sources.Warc.read(s, s"$src/*.warc*")
+        .groupBy(col("warcType").as("warc_type"),
+          coalesce(col("httpStatus"), lit(-1L)).as("http_status"))
+        .agg(count(lit(1)).as("n_recs"), sum(col("bodyLen")).as("body_bytes"),
+          countDistinct(col("host")).as("n_hosts"))
+        .orderBy("warc_type", "http_status")
+    }),
+
+    // URL canonicalization over the same corpus: captures whose raw URLs
+    // differ only by case / default port / fragment / tracking params /
+    // query order collapse to one canonical key — the capture-dedup
+    // grouping a crawl pipeline runs before content dedup. The fixture
+    // plants one equivalent-URL pair per (2k, 2k+1) doc pair; the oracle
+    // derives each group straight from doc_id, independent of the
+    // canonicalizer
+    "warc_url_canon" -> ((s, dir) => {
+      val src = stageWarcFixture(s, dir)
+      val canon = udf((u: String) => graft.sources.Warc.canonicalUrl(u))
+      graft.sources.Warc.read(s, s"$src/*.warc*")
+        .filter(col("warcType") === "response")
+        .select(canon(col("url")).as("curl"), col("url").as("u"))
+        .groupBy("curl")
+        .agg(countDistinct("u").as("n_urls"), count(lit(1)).as("n_recs"))
+        .filter(col("n_urls") >= 2)
+        .orderBy("curl")
+    }),
+
     "osm_ingest_stats" -> ((s, dir) => {
       val rows = pointsDf(s, dir).select(col("ck"), col("c_nationkey"), col("x"), col("y"))
         .orderBy(col("c_nationkey"), col("ck")).collect()  // fixture generation only
@@ -8933,6 +9030,10 @@ object SparkEntry {
         |SELECT round(count(DISTINCT (x, y)) * $DiscArea, 4) AS area,
         |       count(DISTINCT (x, y))::BIGINT AS n_parts
         |FROM pts WHERE c_nationkey = 0""".stripMargin),
+
+    "warc_ingest_stats" -> graft.sources.Warc.ingestStatsDuckSql,
+
+    "warc_url_canon" -> graft.sources.Warc.urlCanonDuckSql,
 
     "osm_ingest_stats" -> (PtsCte +
       """

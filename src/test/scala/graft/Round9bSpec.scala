@@ -1,8 +1,12 @@
 package graft
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Dedup, Events}
+import graft.sources.Warc
 
 /** Round-9 (second session) additions: experimentation-stats operators —
   * Welch z + Benjamini–Hochberg FDR across a metric family, winsorized /
@@ -79,5 +83,70 @@ class Round9bSpec extends SparkSpec {
     }
     // doc 1 and the three planted copies: C(4,2) = 6 pairs under every plan
     byB.foreach { case (_, _, _, c) => assert(c >= 6L) }
+  }
+
+  // ------------------------------------------------------------------ WARC
+
+  private def oneRecord(warcType: String, url: Option[String], ct: String,
+      payload: Array[Byte]): Array[Byte] = {
+    val b = new ByteArrayOutputStream()
+    Warc.writeRecord(b, warcType, url, ct, payload)
+    b.toByteArray
+  }
+
+  test("Warc: plain and gzip-member streams parse identically; HTTP " +
+      "split yields status + body; truncation fails loudly") {
+    val body = "héllo wörld".getBytes(UTF_8)
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    val req = "GET / HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes(UTF_8)
+    val recs =
+      oneRecord("warcinfo", None, "application/warc-fields", Warc.InfoPayload) ++
+      oneRecord("response", Some("https://A.example/?x=1"),
+        "application/http;msgtype=response", http) ++
+      oneRecord("request", Some("https://a.example/"),
+        "application/http;msgtype=request", req)
+    val plain = Warc.records(new ByteArrayInputStream(recs), "t.warc").toVector
+    assert(plain.map(_.warcType) == Vector("warcinfo", "response", "request"))
+    assert(plain(0).bodyLen == Warc.InfoPayload.length && plain(0).host.isEmpty)
+    assert(plain(1).httpStatus.contains(200L))
+    assert(plain(1).body.sameElements(body))
+    assert(plain(1).host.contains("a.example"))
+    assert(plain(2).httpStatus.isEmpty && plain(2).bodyLen == 0L)
+
+    // gzip: one member per record, chained transparently
+    val members = Seq(
+      oneRecord("warcinfo", None, "application/warc-fields", Warc.InfoPayload),
+      oneRecord("response", Some("https://A.example/?x=1"),
+        "application/http;msgtype=response", http))
+      .map(Warc.gzipMember).reduce(_ ++ _)
+    val unz = Warc.records(new java.io.BufferedInputStream(
+      new java.util.zip.GZIPInputStream(
+        new ByteArrayInputStream(members))), "t.warc.gz").toVector
+    assert(unz.map(_.warcType) == Vector("warcinfo", "response"))
+    assert(unz(1).body.sameElements(body))
+
+    // truncated payload: loud failure, not a silent partial record
+    val cut = recs.take(recs.length - 30)
+    val ex = intercept[Exception] {
+      Warc.records(new ByteArrayInputStream(cut), "cut.warc").toVector
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("Warc.canonicalUrl: case, default ports, fragments, tracking " +
+      "params, param order and empty paths all normalize") {
+    assert(Warc.canonicalUrl("HTTPS://WWW.Ex.COM:443/a?b=2&a=1#frag")
+      == "https://www.ex.com/a?a=1&b=2")
+    assert(Warc.canonicalUrl("http://ex.com:80/") == "http://ex.com/")
+    assert(Warc.canonicalUrl("http://ex.com:8080/x") == "http://ex.com:8080/x")
+    assert(Warc.canonicalUrl("https://ex.com") == "https://ex.com/")
+    assert(Warc.canonicalUrl("https://ex.com/p?utm_source=a&utm_campaign=b")
+      == "https://ex.com/p")
+    assert(Warc.canonicalUrl("https://ex.com/p?gclid=zz&q=1&fbclid=aa")
+      == "https://ex.com/p?q=1")
+    assert(Warc.canonicalUrl("https://ex.com/p?utmx=1") // not a utm_ param
+      == "https://ex.com/p?utmx=1")
+    intercept[IllegalArgumentException] { Warc.canonicalUrl("not-a-url") }
   }
 }

@@ -19,12 +19,14 @@ object Similarity {
   /** Cosine similarity between two array<double> columns — pure HOF columns,
     * left-to-right accumulation (deterministic).
     */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity — ONE fused codegen loop over both arrays
+    * ([[graft.functions.CosineSimExpr]]); bit-identical to the
+    * zip_with+aggregate HOF composition it replaced (left-to-right
+    * accumulation, same null propagation), but the ANN-family hot scalar
+    * no longer pays four array walks of per-element lambda dispatch.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimExpr.column(a, b)
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -36,7 +38,7 @@ object Similarity {
       query: Array[Double], k: Int): DataFrame = {
     val qlit = array(query.map(lit): _*)
     df.select(col(idCol).as("id"),
-        cosine(asDouble(col(vecCol)), qlit).as("cosine"))
+        cosine(col(vecCol), qlit).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -56,10 +58,10 @@ object Similarity {
     val qPre = array(query.take(prefixDim).map(lit): _*)
     val qFull = array(query.map(lit): _*)
     val short = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
-        round(cosine(asDouble(slice(col(vecCol), 1, prefixDim)), qPre), 6).as("pre_cos"))
+        round(cosine(slice(col(vecCol), 1, prefixDim), qPre), 6).as("pre_cos"))
       .orderBy(col("pre_cos").desc, col("id")).limit(shortlist)
     short.select(col("id"), col("pre_cos"),
-        round(cosine(asDouble(col("__v")), qFull), 6).as("cosine"))
+        round(cosine(col("__v"), qFull), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
@@ -98,7 +100,7 @@ object Similarity {
         round(cosine(dequant(col(vecCol)), qFull), 6).as("sq_cos"))
       .orderBy(col("sq_cos").desc, col("id")).limit(shortlist)
     short.select(col("id"), col("sq_cos"),
-        round(cosine(asDouble(col("__v")), qFull), 6).as("cosine"))
+        round(cosine(col("__v"), qFull), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 
@@ -207,7 +209,7 @@ object Similarity {
     val bucketed = df.withColumn("bucket", srpBucket(col(vecCol), dim, bits))
     val qlit = array(query.map(lit): _*)
     bucketed.filter(col("bucket").isin(probes.toSeq: _*))
-      .select(col(idCol).as("id"), cosine(asDouble(col(vecCol)), qlit).as("cosine"))
+      .select(col(idCol).as("id"), cosine(col(vecCol), qlit).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -250,7 +252,7 @@ object Similarity {
     probed.join(cb, col("probe") === col("bucket"))
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id"),
-        cosine(asDouble(col("qvec")), asDouble(col("vec"))).as("cosine"))
+        cosine(col("qvec"), col("vec")).as("cosine"))
       .filter(col("cosine") >= lit(tau))
       .distinct()
   }
@@ -408,7 +410,7 @@ object Similarity {
     val qlit = array(query.map(lit): _*)
     df.withColumn("list_id", assign(col(vecCol)))
       .filter(col("list_id").isin(probes: _*))
-      .select(col(idCol).as("id"), cosine(asDouble(col(vecCol)), qlit).as("cosine"))
+      .select(col(idCol).as("id"), cosine(col(vecCol), qlit).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -449,7 +451,7 @@ object Similarity {
     val probeWidth = steps.find(s => cum(s) >= k).getOrElse(nlist)
     val qlit = array(query.map(lit): _*)
     cand.filter(col("probe_rank") < lit(probeWidth))
-      .select(col(idCol).as("id"), cosine(asDouble(col(vecCol)), qlit).as("cosine"))
+      .select(col(idCol).as("id"), cosine(col(vecCol), qlit).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -697,7 +699,7 @@ object Similarity {
     queriesProbed.join(corpusAssigned, "list_id")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        round(cosine(asDouble(col("qvec")), asDouble(col("nvec"))), 6).as("cosine"))
+        round(cosine(col("qvec"), col("nvec")), 6).as("cosine"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
@@ -830,7 +832,7 @@ object Similarity {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         col("l.vec").as("v_a"), col("r.vec").as("v_b"))
       .distinct()
-    cand.withColumn("cosine", cosine(asDouble(col("v_a")), asDouble(col("v_b"))))
+    cand.withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
@@ -853,7 +855,7 @@ object Similarity {
     val l = a.select(col("cid"), col("id").as("id_a"), col("vec").as("v_a"))
     val r = a.select(col("cid"), col("id").as("id_b"), col("vec").as("v_b"))
     l.join(r, "cid").filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", cosine(asDouble(col("v_a")), asDouble(col("v_b"))))
+      .withColumn("cosine", cosine(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("cid"), col("id_a"), col("id_b"), col("cosine"))
   }
@@ -1065,7 +1067,7 @@ object Similarity {
     val live = tomb.fold(rows)(t =>
       rows.join(broadcast(t), Seq("id"), "left_anti"))
     live
-      .select(col("id"), round(cosine(asDouble(col("vec")), qlit), 6).as("cosine"))
+      .select(col("id"), round(cosine(col("vec"), qlit), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id"))
       .limit(k)
   }
@@ -1182,7 +1184,7 @@ object Similarity {
       .withColumn("hamming", bit_count(col("__sig").bitwiseXOR(lit(qsig))).cast("int"))
       .orderBy(col("hamming"), col("id")).limit(shortlist)
       .select(col("id"), col("hamming"),
-        round(cosine(asDouble(col("__v")), qlit), 6).as("cosine"))
+        round(cosine(col("__v"), qlit), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("id")).limit(k)
   }
 

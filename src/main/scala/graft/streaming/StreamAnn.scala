@@ -54,7 +54,7 @@ object StreamAnn {
       .filter(col("nid") =!= col("qid"))
       .select(col(tsCol), col("qid"),
         struct(
-          (-round(Similarity.cosine(asD(col("qvec")), asD(col("nvec"))), 6))
+          (-round(Similarity.cosine(col("qvec"), col("nvec")), 6))
             .as("negc"),
           col("nid")).as("c"))
       .groupBy(window(col(tsCol), windowDuration), col("qid"))

@@ -2444,6 +2444,28 @@ object SparkEntry {
           round(min("fre"), 4).as("fre_min"), round(max("fre"), 4).as("fre_max"))
         .orderBy("lang", "bucket")),
 
+    // one-pass corpus "data card": the governance profile (counts,
+    // cardinalities, length distribution) a dataset release ships with —
+    // single aggregate, metrics unpivoted through an ordered map explode
+    "tx_datacard" -> ((s, dir) =>
+      T(s, dir, "documents").agg(
+          count(lit(1)).cast("double").as("n_docs"),
+          countDistinct(col("lang")).cast("double").as("n_langs"),
+          countDistinct(col("source")).cast("double").as("n_sources"),
+          sum(col("n_chars")).cast("double").as("total_chars"),
+          max(col("n_chars")).cast("double").as("max_chars"),
+          expr("percentile(n_chars, array(0.5D, 0.9D))").as("q"))
+        .select(explode(map(
+          lit("avg_chars"), round(col("total_chars") / col("n_docs"), 4),
+          lit("max_chars"), col("max_chars"),
+          lit("n_docs"), col("n_docs"),
+          lit("n_langs"), col("n_langs"),
+          lit("n_sources"), col("n_sources"),
+          lit("p50_chars"), round(col("q")(0), 4),
+          lit("p90_chars"), round(col("q")(1), 4),
+          lit("total_chars"), col("total_chars"))).as(Seq("metric", "value")))
+        .orderBy("metric")),
+
     "tx_mojibake" -> ((s, dir) => {
       val planted = when(col("doc_id") % 5 === 2,
           replace(replace(col("text"), lit(" the "), lit(" th\u00C3\u00A9 ")),
@@ -4692,6 +4714,32 @@ object SparkEntry {
         .agg(countDistinct("u").as("n_urls"), count(lit(1)).as("n_recs"))
         .filter(col("n_urls") >= 2)
         .orderBy("curl")
+    }),
+
+    // crawl politeness: parse per-host robots.txt (RFC 9309 semantics —
+    // group selection, longest-rule precedence, Allow wins ties) and gate
+    // the WARC captures' paths through it — host h blocks /doc/ but
+    // re-allows /doc/<h+1>, so allowed/blocked splits differ per host.
+    // The oracle derives each verdict straight from doc_id arithmetic,
+    // independent of the parser/matcher
+    "warc_robots" -> ((s, dir) => {
+      val src = stageWarcFixture(s, dir)
+      val rulesByHost = (0 until 5).map { h =>
+        val txt = "User-agent: megacrawler\nDisallow: /private/\n\n" +
+          s"User-agent: *\nDisallow: /doc/\nAllow: /doc/${h + 1}\n"
+        (s"www.host$h.example", graft.sources.Robots.parse(txt, "*"))
+      }.toMap
+      val bc = s.sparkContext.broadcast(rulesByHost)
+      val okU = udf((host: String, url: String) =>
+        bc.value.get(host).forall(rs =>
+          graft.sources.Robots.allowed(rs, graft.sources.Warc.pathOf(url))))
+      graft.sources.Warc.read(s, s"$src/*.warc*")
+        .filter(col("warcType") === "response")
+        .select(col("host"), okU(col("host"), col("url")).as("ok"))
+        .groupBy("host").agg(
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"),
+          sum(when(!col("ok"), 1L).otherwise(0L)).as("n_blocked"))
+        .orderBy("host")
     }),
 
     "osm_ingest_stats" -> ((s, dir) => {
@@ -7533,6 +7581,26 @@ object SparkEntry {
 
     "tx_quality" -> TxQualitySql,
 
+    "tx_datacard" ->
+      """WITH a AS (
+        |  SELECT count(*)::BIGINT AS n, count(DISTINCT lang)::BIGINT AS nl,
+        |         count(DISTINCT source)::BIGINT AS nsrc,
+        |         sum(n_chars)::BIGINT AS tot, max(n_chars)::BIGINT AS mx,
+        |         quantile_cont(n_chars, 0.5) AS p50,
+        |         quantile_cont(n_chars, 0.9) AS p90
+        |  FROM documents
+        |)
+        |SELECT * FROM (
+        |  SELECT 'avg_chars' AS metric, round(CAST(tot AS DOUBLE) / n, 4) AS value FROM a
+        |  UNION ALL SELECT 'max_chars', CAST(mx AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_docs', CAST(n AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_langs', CAST(nl AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_sources', CAST(nsrc AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'p50_chars', round(p50, 4) FROM a
+        |  UNION ALL SELECT 'p90_chars', round(p90, 4) FROM a
+        |  UNION ALL SELECT 'total_chars', CAST(tot AS DOUBLE) FROM a
+        |) ORDER BY metric""".stripMargin,
+
     "tx_readability" ->
       """WITH d AS (
         |  SELECT lang,
@@ -9030,6 +9098,20 @@ object SparkEntry {
         |SELECT round(count(DISTINCT (x, y)) * $DiscArea, 4) AS area,
         |       count(DISTINCT (x, y))::BIGINT AS n_parts
         |FROM pts WHERE c_nationkey = 0""".stripMargin),
+
+    "warc_robots" ->
+      """WITH d AS (SELECT doc_id // 2 AS p FROM documents),
+        |e AS (
+        |  SELECT p, (p % 5) AS h,
+        |         CASE WHEN starts_with(CAST(p AS VARCHAR),
+        |                               CAST((p % 5) + 1 AS VARCHAR))
+        |              THEN 1 ELSE 0 END AS ok
+        |  FROM d
+        |)
+        |SELECT 'www.host' || h || '.example' AS host,
+        |       sum(ok)::BIGINT AS n_allowed,
+        |       (count(*) - sum(ok))::BIGINT AS n_blocked
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "warc_ingest_stats" -> graft.sources.Warc.ingestStatsDuckSql,
 

@@ -207,6 +207,22 @@ object Warc {
       (if (kept.isEmpty) "" else "?" + kept.mkString("&"))
   }
 
+  /** Path component of an absolute URL (query/fragment stripped; host-only
+    * URLs → "/") — the string robots.txt rules match against.
+    */
+  def pathOf(u: String): String = {
+    val si = u.indexOf("://")
+    if (si < 0) return "/"
+    val rest = u.substring(si + 3)
+    val ps = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
+    if (ps < 0 || rest.charAt(ps) != '/') "/"
+    else {
+      val p = rest.substring(ps)
+      val e = p.indexWhere(c => c == '?' || c == '#')
+      if (e < 0) p else p.substring(0, e)
+    }
+  }
+
   /** Host (lowercased, port stripped) of an absolute URL. */
   def hostOf(u: String): String = {
     val si = u.indexOf("://")

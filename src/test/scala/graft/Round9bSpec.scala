@@ -6,7 +6,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.functions._
 
 import graft.pipeline.{Dedup, Events}
-import graft.sources.Warc
+import graft.sources.{Robots, Warc}
 
 /** Round-9 (second session) additions: experimentation-stats operators —
   * Welch z + Benjamini–Hochberg FDR across a metric family, winsorized /
@@ -148,5 +148,39 @@ class Round9bSpec extends SparkSpec {
     assert(Warc.canonicalUrl("https://ex.com/p?utmx=1") // not a utm_ param
       == "https://ex.com/p?utmx=1")
     intercept[IllegalArgumentException] { Warc.canonicalUrl("not-a-url") }
+  }
+
+  test("Robots: group selection, longest-rule precedence, Allow ties, " +
+      "wildcards and $ anchors") {
+    val txt =
+      """# crawl policy
+        |User-agent: megacrawler
+        |Disallow: /private/
+        |
+        |User-agent: *
+        |Disallow: /doc/
+        |Allow: /doc/2
+        |Disallow: /*.pdf$
+        |Allow: /a
+        |Disallow: /a
+        |""".stripMargin
+    val star = Robots.parse(txt, "*")
+    assert(Robots.allowed(star, "/"))            // no matching rule
+    assert(!Robots.allowed(star, "/doc/17"))     // Disallow /doc/
+    assert(Robots.allowed(star, "/doc/21"))      // longer Allow /doc/2 wins
+    assert(!Robots.allowed(star, "/x/file.pdf")) // wildcard + anchor
+    assert(Robots.allowed(star, "/x/file.pdfx")) // anchor really anchors
+    assert(Robots.allowed(star, "/a/b"))         // equal length: Allow wins
+    // exact-agent group preferred over *
+    val mega = Robots.parse(txt, "MegaCrawler")
+    assert(!Robots.allowed(mega, "/private/x"))
+    assert(Robots.allowed(mega, "/doc/17"))      // * group not applied
+    // empty Disallow = no rule = allow all
+    val open = Robots.parse("User-agent: *\nDisallow:\n", "*")
+    assert(open.isEmpty && Robots.allowed(open, "/anything"))
+    // Warc.pathOf feeds the matcher
+    assert(Warc.pathOf("https://h.example/doc/3?x=1#f") == "/doc/3")
+    assert(Warc.pathOf("https://h.example") == "/")
+    assert(Warc.pathOf("https://h.example?q=1") == "/")
   }
 }

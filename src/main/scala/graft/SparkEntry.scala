@@ -108,19 +108,28 @@ object SparkEntry {
   private def mvUpsert(batch: DataFrame, store: String): Unit = {
     import graft.plans.VersionedLayer
     val sp = batch.sparkSession
-    val delta = batch.persist()
+    // store partition grain is the DAY, not the hour: an hourly MV
+    // partitioned by hour_start writes one directory PER DISTINCT HOUR
+    // per commit (~180 tiny dirs per micro-batch on a 720-hour corpus —
+    // a filesystem-metadata storm that dominated the gate's wall-clock);
+    // day grain bounds a commit at the delta's distinct DAYS while bytes
+    // stay ∝ delta. Rows remain keyed (hour_start, event_type) — the
+    // partition column only scopes which directories a commit rewrites.
+    val delta = batch
+      .withColumn("day_start", expr("(hour_start div 86400) * 86400"))
+      .persist()
     try {
-      val dirty = delta.select(col("hour_start").cast("string").as("h"))
+      val dirty = delta.select(col("day_start").cast("string").as("d"))
         .distinct().collect().map(_.getString(0)).toSeq
       val content =
-        VersionedLayer.readPartitions(sp, store, "hour_start", dirty) match {
+        VersionedLayer.readPartitions(sp, store, "day_start", dirty) match {
           case None => delta
           case Some(base) => base
             .join(delta.select("hour_start", "event_type"),
               Seq("hour_start", "event_type"), "left_anti")
             .unionByName(delta)
         }
-      VersionedLayer.commitDelta(content, store, "hour_start")
+      VersionedLayer.commitDelta(content, store, "day_start")
     } finally delta.unpersist()
     ()
   }
@@ -3600,6 +3609,7 @@ object SparkEntry {
       require(q.awaitTermination(180000),
         "streaming gate exceeded its 180 s budget — refusing partial results")
       VersionedLayer.read(s, store, None)
+        .select(col("hour_start"), col("event_type"), col("n"))
         .orderBy(col("event_type"), col("hour_start"))
     }),
 
@@ -3694,6 +3704,7 @@ object SparkEntry {
       run()
       slabs.unpersist()
       VersionedLayer.read(s, store, None)
+        .select(col("hour_start"), col("event_type"), col("n"))
         .orderBy(col("event_type"), col("hour_start"))
     }),
 

@@ -41,6 +41,15 @@ object Bench {
         // GC thrash that taxes every query after them (cleanup is outside
         // the timed window)
         spark.catalog.clearCache()
+        // clearCache only covers CacheManager entries — localCheckpoint()ed
+        // frames (graph fixpoints, CC label loops) persist at the RDD level
+        // and leaked one resident snapshot per iteration per query into the
+        // block store for the REST of the bench (measured: ev_bh 0.7 s in a
+        // fresh session vs 14.3 s mid-bench, dd_substring_winnow 6.4 vs
+        // 48.8 — storage-eviction tax, not query cost). Unpersist whatever
+        // survived the query, still outside the timed window.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
         name -> dt
       }
     // stop FIRST, emit the result JSON as the very last stdout line: the

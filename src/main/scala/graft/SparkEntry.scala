@@ -82,14 +82,41 @@ object SparkEntry {
     * insensitive to).
     */
   private def stageSlabs(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
-      nSlabs: Int, src: String): Unit = {
+      nSlabs: Int, src: String): Long = {
     // persist BEFORE the per-slab writes: slabify's count + two-pass
     // globalRank would otherwise recompute once per slab (n× the whole
     // staging plan — the round-8 2.9–9.8× streaming-gate regression).
     // Same discipline the recover gate already applies to its slabs.
     val slabs = slabify(df, order, nSlabs).persist()
-    try writeSlabFiles(slabs, 1 to nSlabs, src)
-    finally slabs.unpersist()
+    try { writeSlabFiles(slabs, 1 to nSlabs, src); slabs.count() }
+    finally { slabs.unpersist(); () }
+  }
+
+  /** Start a streaming gate with the session shuffle width resized to a
+    * STATE-sized width for `rows` staged rows (one state partition per
+    * ~25k rows, ≥1, capped at the session default), then enforce the gate
+    * budget. Micro-batch overhead is ∝ state partitions × batches ×
+    * stateful operators — at the session's core-scaled width a 100k-row
+    * gate pays 32 state-store commits per stateful stage per batch, pure
+    * choreography (measured: st_stream_join 20→? s, guide §2.2's
+    * too-many-tiny-partitions tax in streaming form). The width derives
+    * from DATA SIZE, not core count: at cluster scale rows/25k exceeds any
+    * session width and the cap keeps the plan identical to today's, while
+    * small gates stop over-partitioning their state. Results are
+    * partitioning-invariant (every gate is oracle-pinned); the conf is
+    * restored before the gate's result frame is acted on, so only the
+    * stream's own micro-batches run at the resized width.
+    */
+  private def runGate(s: SparkSession, rows: Long, budgetMs: Long = 180000)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    s.conf.set(key, math.max(1L, math.min(old.toLong, rows / 25000L + 1)).toString)
+    try {
+      val q = start
+      require(q.awaitTermination(budgetMs),
+        "streaming gate exceeded its budget — refusing partial results")
+    } finally s.conf.set(key, old)
   }
 
   /** Streaming-MV sink shared by the mv/recover gates: PARTITION-SCOPED
@@ -1307,21 +1334,21 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .select(col("event_type").as("g"),
           Events.kmvHash(col("user_id")).as("h"))
-      stageSlabs(ev, Seq(col("g"), col("h")), 4, src)
+      val staged0 = stageSlabs(ev, Seq(col("g"), col("h")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
       val k = 256
-      val q = graft.streaming.StreamSketch.kmvStream(
-          stream.as[graft.streaming.StreamSketch.KmvRow], k)
-        .toDF()
-        .writeStream.format("memory").queryName("st_stream_kmv_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        graft.streaming.StreamSketch.kmvStream(
+            stream.as[graft.streaming.StreamSketch.KmvRow], k)
+          .toDF()
+          .writeStream.format("memory").queryName("st_stream_kmv_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_kmv_mem")
         .groupBy(col("g"))
         .agg(max(struct(col("ver"), col("n_kept"), col("hk"))).as("m"))
@@ -3159,7 +3186,7 @@ object SparkEntry {
       val ckpt = d.resolve("ckpt").toString
       val ev = T(s, dir, "events").select(col("event_type"),
         timestamp_micros(expr("ts div 1000")).as("ets"))
-      stageSlabs(ev, Seq(col("ets"), col("event_type")), 4, src)
+      val staged0 = stageSlabs(ev, Seq(col("ets"), col("event_type")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -3167,14 +3194,14 @@ object SparkEntry {
         .groupBy(col("event_type"),
           window(col("ets"), "3 hours", "1 hour").as("w"))
         .agg(count(lit(1)).as("n"))
-      val q = agg.writeStream
-        .format("memory").queryName("st_stream_hop_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        agg.writeStream
+          .format("memory").queryName("st_stream_hop_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_hop_mem")
         .select(col("event_type"),
           expr("unix_timestamp(w.start) div 3600").as("win_start"), col("n"))
@@ -3187,7 +3214,7 @@ object SparkEntry {
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
       val pts = pointsDf(s, dir).select(col("ck"), col("x"), col("y"), col("c_acctbal"))
-      stageSlabs(pts, Seq(col("ck")), 4, src)
+      val staged0 = stageSlabs(pts, Seq(col("ck")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -3196,14 +3223,14 @@ object SparkEntry {
           floor(col("y") / 10.0).cast("int").as("cell_y"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("c_acctbal") * 100).cast("long")).as("cents"))
-      val q = agg.writeStream
-        .format("memory").queryName("st_stream_cells_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        agg.writeStream
+          .format("memory").queryName("st_stream_cells_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_cells_mem")
         .orderBy(col("cell_x"), col("cell_y"))
     }),
@@ -3218,7 +3245,7 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      stageSlabs(T(s, dir, "documents").select(col("doc_id"), col("text")),
+      val staged0 = stageSlabs(T(s, dir, "documents").select(col("doc_id"), col("text")),
         Seq(col("doc_id")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
@@ -3226,14 +3253,14 @@ object SparkEntry {
       val agg = stream
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-      val q = agg.writeStream
-        .format("memory").queryName("st_stream_dedup_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        agg.writeStream
+          .format("memory").queryName("st_stream_dedup_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_dedup_mem").orderBy(col("text_hash"))
     }),
 
@@ -3250,7 +3277,7 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      stageSlabs(T(s, dir, "events")
+      val staged0 = stageSlabs(T(s, dir, "events")
           .select(timestamp_micros(expr("ts div 1000")).as("tev"),
             col("user_id"), col("event_id"), col("event_type")),
         Seq(col("tev"), col("event_id")), 4, src)
@@ -3265,14 +3292,14 @@ object SparkEntry {
       val joined = side("purchase", "p").join(side("click", "c"),
         expr("c_user = p_user AND " +
           "c_tev BETWEEN p_tev - INTERVAL 10 MINUTES AND p_tev"))
-      val q = joined.writeStream
-        .format("memory").queryName("st_stream_join_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        joined.writeStream
+          .format("memory").queryName("st_stream_join_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_join_mem")
         .select(col("p_id"), col("c_id"),
           (unix_micros(col("p_tev")) - unix_micros(col("c_tev"))).as("dt_us"))
@@ -3303,7 +3330,7 @@ object SparkEntry {
         timestamp_micros(lit(4102444800000000L)).as("tev"), // 2100-01-01 UTC
         lit(-1L).as("user_id"), (col("id") - 2).as("event_id"),
         when(col("id") === 0, "purchase").otherwise("click").as("event_type"))
-      stageSlabs(base.unionByName(sentinels),
+      val staged0 = stageSlabs(base.unionByName(sentinels),
         Seq(col("tev"), col("event_id")), 5, src)
       val staged = s.read.parquet(src)
       def side(tpe: String, pre: String) =
@@ -3317,14 +3344,14 @@ object SparkEntry {
         expr("c_user = p_user AND " +
           "c_tev BETWEEN p_tev - INTERVAL 10 MINUTES AND p_tev"),
         "leftOuter")
-      val q = joined.writeStream
-        .format("memory").queryName("st_stream_outer_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        joined.writeStream
+          .format("memory").queryName("st_stream_outer_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_outer_mem")
         .filter(col("p_user") >= 0) // drop the sentinel pair
         .select(col("p_id"), col("c_id"),
@@ -3354,22 +3381,27 @@ object SparkEntry {
         col("event_id"), col("ts"),
         timestamp_micros(
           (expr("ts div 1000") - expr("ts div 1000") % 60000000L)).as("ets"))
+      // persist before the per-slab writes — same stageSlabs discipline
+      // (slabify's count + two-pass rank would recompute once per slab)
       val slabs = slabify(ev, Seq(col("ts"), col("event_id")), 4)
         .groupBy(col("k"), col("slab")).agg(min(col("ets")).as("ets"))
         .select("k", "ets", "slab")
-      writeSlabFiles(slabs, 1 to 4, src)
+        .persist()
+      val staged0 =
+        try { writeSlabFiles(slabs, 1 to 4, src); slabs.count() }
+        finally { slabs.unpersist(); () }
       val staged = s.read.parquet(src)
-      val q = s.readStream.schema(staged.schema)
-        .option("maxFilesPerTrigger", "1").parquet(src)
-        .withWatermark("ets", "7199999999 microseconds")
-        .dropDuplicatesWithinWatermark("k")
-        .writeStream.format("memory").queryName("st_stream_dedupw_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        s.readStream.schema(staged.schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .withWatermark("ets", "7199999999 microseconds")
+          .dropDuplicatesWithinWatermark("k")
+          .writeStream.format("memory").queryName("st_stream_dedupw_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_dedupw_mem")
         .select(col("k").as("user_id"), unix_micros(col("ets")).as("ets_us"))
         .orderBy(col("user_id"), col("ets_us"))
@@ -3396,23 +3428,23 @@ object SparkEntry {
       val qs = emb.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id"), col("embedding"),
           to_timestamp(lit("2026-01-01 00:00:00")).as("ets"))
-      stageSlabs(qs, Seq(col("vec_id")), 2, src)
+      val staged0 = stageSlabs(qs, Seq(col("vec_id")), 2, src)
       emb.limit(1).select(lit(-1L).as("vec_id"), col("embedding"),
           to_timestamp(lit("2026-01-03 00:00:00")).as("ets"))
         .repartition(1).write.mode("append").parquet(src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = graft.streaming.StreamAnn
-        .annEnrichStream(stream, emb, "vec_id", "embedding", "ets",
-          k = 5, nlist = 16, nprobe = 2)
-        .writeStream.format("memory").queryName("st_stream_ann_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        graft.streaming.StreamAnn
+          .annEnrichStream(stream, emb, "vec_id", "embedding", "ets",
+            k = 5, nlist = 16, nprobe = 2)
+          .writeStream.format("memory").queryName("st_stream_ann_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_ann_mem")
         .filter(col("qid") >= 0)
         .select(col("qid"), col("rank"), col("nid"), col("cosine"))
@@ -3439,7 +3471,7 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
         .filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), col("text"))
-      stageSlabs(docs, Seq(col("doc_id")), 4, src)
+      val staged0 = stageSlabs(docs, Seq(col("doc_id")), 4, src)
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
@@ -3448,16 +3480,16 @@ object SparkEntry {
       // idleTimeoutMs = 0 ⇒ NoTimeout: a registered processing-time
       // timeout would keep this AvailableNow replay spinning empty
       // timeout batches forever (see StreamDedup.simhashDedupStream)
-      val q = graft.streaming.StreamDedup
-        .simhashDedupStream(banded, maxHamming = 3, idleTimeoutMs = 0)
-        .toDF()
-        .writeStream.format("memory").queryName("st_stream_simdedup_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        graft.streaming.StreamDedup
+          .simhashDedupStream(banded, maxHamming = 3, idleTimeoutMs = 0)
+          .toDF()
+          .writeStream.format("memory").queryName("st_stream_simdedup_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_simdedup_mem")
         .groupBy(col("id")).agg(count(lit(1)).as("n_adm"))
         .orderBy("id")
@@ -3478,7 +3510,7 @@ object SparkEntry {
       val ev = T(s, dir, "events").select(col("user_id"),
         timestamp_micros(expr("ts div 1000")).as("ets"),
         round(col("value") * 100).cast("double").as("value"))
-      stageSlabs(ev, Seq(col("ets")), 4, src)
+      val staged0 = stageSlabs(ev, Seq(col("ets")), 4, src)
       val sentinel = ev.agg(max("ets").as("m"))
         .select(lit(-1L).as("user_id"),
           (col("m") + expr("INTERVAL 2 DAYS")).as("ets"), lit(0.0).as("value"))
@@ -3486,15 +3518,15 @@ object SparkEntry {
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(src)
-      val q = graft.streaming.StreamSessions
-        .sessionStream(stream, "user_id", "ets")
-        .writeStream.format("memory").queryName("st_stream_sessions_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        graft.streaming.StreamSessions
+          .sessionStream(stream, "user_id", "ets")
+          .writeStream.format("memory").queryName("st_stream_sessions_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_sessions_mem")
         .filter(col("user_id") >= 0)
         .select(col("user_id"), unix_micros(col("t_start")).as("t_start_us"),
@@ -3508,7 +3540,7 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      stageSlabs(T(s, dir, "events")
+      val staged0 = stageSlabs(T(s, dir, "events")
           .select(timestamp_micros(expr("ts div 1000")).as("tev"),
             col("event_type")),
         Seq(col("tev"), col("event_type")), 4, src)
@@ -3520,14 +3552,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("hour_start"),
           col("event_type"), col("n"))
-      val q = agg.writeStream
-        .format("memory").queryName("st_stream_hourly_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        agg.writeStream
+          .format("memory").queryName("st_stream_hourly_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_hourly_mem").orderBy(col("event_type"), col("hour_start"))
     }),
 
@@ -3543,7 +3575,7 @@ object SparkEntry {
       d.toFile.deleteOnExit()
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
-      stageSlabs(T(s, dir, "events")
+      val staged0 = stageSlabs(T(s, dir, "events")
           .select(timestamp_micros(expr("ts div 1000")).as("tev"),
             col("user_id")),
         Seq(col("tev"), col("user_id")), 4, src)
@@ -3557,14 +3589,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("hour_start"),
           col("c_mktsegment"), col("n"))
-      val q = agg.writeStream
-        .format("memory").queryName("st_stream_enrich_mem")
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        agg.writeStream
+          .format("memory").queryName("st_stream_enrich_mem")
+          .outputMode("complete")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_enrich_mem")
         .orderBy(col("c_mktsegment"), col("hour_start"))
     }),
@@ -3586,7 +3618,7 @@ object SparkEntry {
       val src = d.resolve("in").toString
       val ckpt = d.resolve("ckpt").toString
       val store = d.resolve("store").toString
-      stageSlabs(T(s, dir, "events")
+      val staged0 = stageSlabs(T(s, dir, "events")
           .select(timestamp_micros(expr("ts div 1000")).as("tev"),
             col("event_type")),
         Seq(col("tev"), col("event_type")), 4, src)
@@ -3598,16 +3630,16 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("hour_start"),
           col("event_type"), col("n"))
-      val q = agg.writeStream
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          mvUpsert(batch, store)
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(180000),
-        "streaming gate exceeded its 180 s budget — refusing partial results")
+      runGate(s, staged0) {
+        agg.writeStream
+          .outputMode("update")
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            mvUpsert(batch, store)
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       VersionedLayer.read(s, store, None)
         .select(col("hour_start"), col("event_type"), col("n"))
         .orderBy(col("event_type"), col("hour_start"))
@@ -3638,6 +3670,7 @@ object SparkEntry {
         .select(expr("ts div 1000").as("tus"), col("event_type"), col("event_id"))
       val slabs = slabify(ev, Seq(col("tus"), col("event_id")), 6)
         .select(col("tus"), col("event_type"), col("slab")).persist()
+      val evRows = slabs.count()
       // restart cut chosen ADAPTIVELY: first k whose k|k+1 slab boundary
       // falls mid-hour (slab k+1's first hour also holds slab ≤ k rows) —
       // a fixed 3|4 cut lands exactly on an hour edge at some corpus
@@ -3670,18 +3703,22 @@ object SparkEntry {
           .agg(count(lit(1)).as("n"))
           .select(col("window.start").cast("long").as("hour_start"),
             col("event_type"), col("n"))
-        val q = agg.writeStream
-          .outputMode("update")
-          .option("checkpointLocation", ckpt)
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            mvUpsert(batch, store)
-          }
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        require(q.awaitTermination(180000),
-          "streaming gate exceeded its 180 s budget — refusing partial results")
+        // both phases resize identically (state width is pinned in the
+        // checkpoint at first start; recover must restart at the same one)
+        var q0: org.apache.spark.sql.streaming.StreamingQuery = null
+        runGate(s, evRows) {
+          q0 = agg.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              mvUpsert(batch, store)
+            }
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q0
+        }
         // deregister fully before the restart run re-opens the checkpoint
-        q.stop(); q.awaitTermination()
+        q0.stop(); q0.awaitTermination()
       }
       stage(1 to cut.get)
       run()
@@ -3748,6 +3785,7 @@ object SparkEntry {
         .unionByName(s.range(1).select(lit(gmax + 36000000000L).as("tus"),
           lit("__sentinel").as("event_type")))
         .repartition(1).write.mode("append").parquet(src)
+      val staged0 = classified.count()
       classified.unpersist()
       val staged = s.read.parquet(src)
       val stream = s.readStream.schema(staged.schema)
@@ -3759,14 +3797,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .select(col("window.start").cast("long").as("hour_start"),
           col("event_type"), col("n"))
-      val q = agg.writeStream
-        .format("memory").queryName("st_stream_late_mem")
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      require(q.awaitTermination(240000),
-        "streaming gate exceeded its 240 s budget — refusing partial results")
+      runGate(s, staged0, budgetMs = 240000) {
+        agg.writeStream
+          .format("memory").queryName("st_stream_late_mem")
+          .outputMode("append")
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table("st_stream_late_mem")
         .filter(col("event_type") =!= "__sentinel")
         .orderBy(col("event_type"), col("hour_start"))

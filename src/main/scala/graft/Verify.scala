@@ -37,8 +37,16 @@ object Verify {
           f"[verify] $name failed after ${(System.nanoTime() - t0) / 1e9}%.2fs: ${e.getMessage}")
       }
       // queries persist intermediates; clear between queries so 70+ dumps
-      // don't accumulate into storage-eviction churn
+      // don't accumulate into storage-eviction churn. clearCache misses
+      // RDD-level persists (localCheckpoint loops) — unpersist those too,
+      // and nudge GC so the ContextCleaner can drop stale broadcast blocks
+      // (a 48 GiB driver heap may otherwise never GC during the sweep);
+      // this keeps the gate's wall-clock flat instead of degrading with
+      // query count (the round-8 empty-artifact lesson).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

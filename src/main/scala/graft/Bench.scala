@@ -47,9 +47,11 @@ object Bench {
         // block store for the REST of the bench (measured: ev_bh 0.7 s in a
         // fresh session vs 14.3 s mid-bench, dd_substring_winnow 6.4 vs
         // 48.8 — storage-eviction tax, not query cost). Unpersist whatever
-        // survived the query, still outside the timed window.
+        // survived the query, still outside the timed window — BLOCKING,
+        // so no deferred removal work bleeds into the next query's timed
+        // region (round-9 ADVICE on blocking=false).
         spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+          .foreach(_.unpersist(blocking = true))
         name -> dt
       }
     // stop FIRST, emit the result JSON as the very last stdout line: the
@@ -64,10 +66,26 @@ object Bench {
       .setScale(3, BigDecimal.RoundingMode.HALF_UP)
     spark.stop()
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    // the driver keeps only the stdout TAIL: once the per-query map above
-    // grows past the capture window, anything at the head of that one long
-    // line (r04/r05 lost "total") is cut. A second, SHORT, final line always
-    // survives truncation and carries the headline numbers on its own.
+    // the driver keeps only the LAST 2000 CHARS of stdout (every
+    // BENCH_rNN.json tail is exactly 2000): at 340 queries the one-line
+    // per-query map above (~8 KB) no longer fits that window at all
+    // (PERF_r09.per_query = {} / n_common = 0 — the driver could not see a
+    // single per-query number). Re-emit the SAME results as several SHORT
+    // chunk lines (integer milliseconds, ~60 queries ≈ 1.3 KB per line,
+    // each parseable on its own), ordered ASCENDING by time so the final
+    // chunk — the one guaranteed to survive a 2000-char tail together with
+    // the total line — carries the HEAVIEST queries, where a regression
+    // matters. A full-stdout parser gets complete coverage; a tail-only
+    // parser still sees the top ~40-100 by cost. Additions only: the long
+    // line and both totals are unchanged, nothing is renamed or dropped.
+    results.sortBy(_._2).grouped(60).zipWithIndex.foreach { case (chunk, i) =>
+      val body = chunk.map { case (k, v) =>
+        "\"" + k + "\":" + math.round(v * 1000)
+      }.mkString("{", ",", "}")
+      println(s"""{"metric":"per_query_chunk","i":$i,"unit":"ms","queries":$body}""")
+    }
+    // A final, SHORT line always survives truncation and carries the
+    // headline numbers on its own (r04/r05 lost "total" without it).
     println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"sf":"$sfDir"}""")
     System.out.flush()
   }

@@ -114,7 +114,16 @@ object SparkEntry {
     s.conf.set(key, math.max(1L, math.min(old.toLong, rows / 25000L + 1)).toString)
     try {
       val q = start
-      require(q.awaitTermination(budgetMs),
+      val finished =
+        try q.awaitTermination(budgetMs)
+        catch { case e: Throwable =>
+          // stop the stream before propagating: an orphaned query would
+          // keep consuming files/cores and pollute every later timing
+          try q.stop() catch { case _: Throwable => () }
+          throw e
+        }
+      if (!finished) try q.stop() catch { case _: Throwable => () }
+      require(finished,
         "streaming gate exceeded its budget — refusing partial results")
     } finally s.conf.set(key, old)
   }

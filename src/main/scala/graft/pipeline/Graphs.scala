@@ -315,10 +315,15 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
 
   def bfs(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
     val e = sizedEdges(edges)
-    // every frontier stays persisted until the caller's action has run —
-    // `dist` is a union over all of them, and dropping one mid-loop would
-    // silently re-derive the whole prefix chain at the final action
-    var frontier = seeds.select(col("node").cast("long").as("node")).distinct().persist()
+    // every frontier is materializedBare (NOT just persisted): `dist` is a
+    // union over all of them, so they must stay resident to the caller's
+    // action — but a persisted frontier still EMBEDS the whole prefix
+    // chain in its logical plan, and the settled anti-join re-analyzes
+    // that growing tree every round (guide §5 driver cost). The bare
+    // rewrap keeps round plans constant-size; no frontier is freed (all
+    // are read by the result).
+    var frontier = seeds.select(col("node").cast("long").as("node"))
+      .distinct().pipe(materializedBare)
     var dist = frontier.withColumn("hop", lit(0))
     var hop = 0
     var frontierEmpty = false
@@ -327,11 +332,14 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
-        .persist()
+        .pipe(materializedBare)
       frontierEmpty = next.isEmpty
       dist = dist.union(next.withColumn("hop", lit(hop)))
       frontier = next
     }
+    // the result unions only (checkpointed) frontiers — the probed edge
+    // list is no longer referenced; drop its cached blocks now
+    e.unpersist(blocking = false)
     dist
   }
 
@@ -347,8 +355,11 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
     */
   def bfsPerSource(edges: DataFrame, seeds: DataFrame, maxHop: Int): DataFrame = {
     val e = sizedEdges(edges)
+    // same frontier discipline as [[bfs]]: materializedBare per round so
+    // the settled anti-join's plan stays constant-size (guide §5); every
+    // frontier stays resident (the result unions all of them)
     var frontier = seeds.select(col("node").cast("long").as("root"))
-      .distinct().withColumn("node", col("root")).persist()
+      .distinct().withColumn("node", col("root")).pipe(materializedBare)
     var dist = frontier.withColumn("hop", lit(0))
     var hop = 0
     var frontierEmpty = false
@@ -357,11 +368,12 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(col("root"), col("dst").as("node")).distinct()
         .join(dist.select("root", "node"), Seq("root", "node"), "left_anti")
-        .persist()
+        .pipe(materializedBare)
       frontierEmpty = next.isEmpty
       dist = dist.union(next.withColumn("hop", lit(hop)))
       frontier = next
     }
+    e.unpersist(blocking = false)
     dist
   }
 
@@ -380,17 +392,24 @@ e$i AS MATERIALIZED (SELECT a, b FROM sup$i WHERE s >= ${k - 2})""")
     * (node, deg) of the surviving subgraph after `rounds` peels.
     */
   def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    // materializedBare per round, not persist: persist keeps the full
+    // unrolled logical plan (each round references e ~3×, so the analyzed
+    // tree multiplied to 86k plan lines / 14k Exchanges by round 4 —
+    // measured in plans/r09/scratch/gr_kcore.txt), and Catalyst re-walks
+    // that whole text on every action — pure driver cost (guide §5) that
+    // grows with rounds and was the suite's top run-to-run noise source.
+    // The bare rewrap keeps every round's plan constant-size; the
+    // superseded survivor frame is freed (the sccLabels discipline).
     var e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct().pipe(materializedBare)
     for (_ <- 1 to rounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("n"))
-      // persist per round: e branches into the degree aggregate and both
-      // survivor joins of the NEXT round — unpersisted lineage would
-      // recompute the whole peel prefix at every round
-      e = e.join(keep.select(col("n").as("src")), Seq("src"))
+      val next = e.join(keep.select(col("n").as("src")), Seq("src"))
         .join(keep.select(col("n").as("dst")), Seq("dst"))
-        .select("src", "dst").persist()
+        .select("src", "dst").pipe(materializedBare)
+      freeCheckpoint(e) // superseded generation — release its blocks now
+      e = next
     }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
@@ -431,18 +450,25 @@ e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
     * would re-run the whole prefix per action.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    // materializedBare per round (not persist): keeps each round's plan
+    // constant-size instead of embedding the whole prefix (guide §5 /
+    // §7.3 driver planning cost); superseded label generations are freed
+    // — the sccLabels checkpoint discipline.
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct().pipe(materializedBare)
     var labels = e.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
+      .withColumn("lbl", col("node")).pipe(materializedBare)
     for (_ <- 1 to rounds) {
-      labels = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+      val next = e.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
         .groupBy(col("src"))
         .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("src").as("node"), (-col("m.nl")).as("lbl"))
-        .persist()
+        .pipe(materializedBare)
+      freeCheckpoint(labels) // superseded generation
+      labels = next
     }
+    freeCheckpoint(e) // the result reads only the final (checkpointed) labels
     labels.orderBy(col("node"))
   }
 
@@ -479,19 +505,30 @@ l$i AS (SELECT src AS node, lbl FROM (
     * score, score = raw/max(side) rounded to 6.
     */
   def hits(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    // materializedBare per half-round (not persist) + free the superseded
+    // generation: constant-size plans instead of a per-round unrolled tree
+    // (guide §5; the sccLabels checkpoint discipline).
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct().pipe(materializedBare)
     var h = e.select(col("src").as("node")).distinct()
-      .withColumn("s", lit(1L))
+      .withColumn("s", lit(1L)).pipe(materializedBare)
     var a: DataFrame = h.limit(0)
-    for (_ <- 1 to iters) {
-      a = e.join(h, e("src") === h("node"))
+    for (i <- 1 to iters) {
+      val aPrev = a
+      val hPrev = h
+      a = e.join(hPrev, e("src") === hPrev("node"))
         .groupBy(col("dst").as("anode")).agg(sum(col("s")).as("s"))
-        .select(col("anode").as("node"), col("s")).persist()
+        .select(col("anode").as("node"), col("s")).pipe(materializedBare)
+      // round 1's aPrev is h.limit(0) — a DERIVED frame over h's
+      // checkpoint, so freeing it would free h's own blocks; skip it
+      if (i > 1) freeCheckpoint(aPrev)
       h = e.join(a, e("dst") === a("node"))
         .groupBy(col("src").as("hnode")).agg(sum(col("s")).as("s"))
-        .select(col("hnode").as("node"), col("s")).persist()
+        .select(col("hnode").as("node"), col("s")).pipe(materializedBare)
+      freeCheckpoint(hPrev)
     }
+    // the result reads only the final (checkpointed) a and h
+    freeCheckpoint(e)
     def top(side: String, df: DataFrame) = {
       val mx = df.agg(max(col("s")).as("mx"))
       df.crossJoin(mx)
@@ -539,19 +576,32 @@ l$i AS (SELECT src AS node, lbl FROM (
     * node-keyed aggregates; nothing is broadcast, state is (node, long).
     */
   def katz(edges: DataFrame, iters: Int, k: Int): DataFrame = {
+    // materializedBare per round (not persist) + free superseded frames:
+    // the persisted version kept the full unrolled plan (37k lines / 5.9k
+    // Exchanges by round 3 — plans/r09/scratch/gr_katz.txt) that Catalyst
+    // re-analyzed per action, and it leaked both loop frames per round
+    // (every generation of t and acc stayed persisted to query end).
+    // Guide §5; the sccLabels checkpoint discipline.
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct().pipe(materializedBare)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    var t = nodes.withColumn("s", lit(1L)).persist()
+    var t = nodes.withColumn("s", lit(1L)).pipe(materializedBare)
     var acc = t
     for (_ <- 1 to iters) {
-      t = e.join(t, e("src") === t("node"))
+      val tPrev = t
+      val accPrev = acc
+      t = e.join(tPrev, e("src") === tPrev("node"))
         .groupBy(col("dst").as("n2")).agg(sum(col("s")).as("s"))
-        .select(col("n2").as("node"), col("s")).persist()
-      acc = acc.select(col("node"), (col("s") * 4).as("s")).unionByName(t)
-        .groupBy("node").agg(sum(col("s")).as("s")).persist()
+        .select(col("n2").as("node"), col("s")).pipe(materializedBare)
+      acc = accPrev.select(col("node"), (col("s") * 4).as("s")).unionByName(t)
+        .groupBy("node").agg(sum(col("s")).as("s")).pipe(materializedBare)
+      freeCheckpoint(tPrev)
+      if (!(accPrev eq tPrev)) freeCheckpoint(accPrev)
     }
+    // the result reads only the final (checkpointed) acc
+    if (!(t eq acc)) freeCheckpoint(t)
+    freeCheckpoint(e)
     val mx = acc.agg(max(col("s")).as("mx"))
     acc.crossJoin(mx)
       .select(col("node"), col("s").as("score_raw"),
@@ -595,18 +645,24 @@ l$i AS (SELECT src AS node, lbl FROM (
     * replay the oracle runs, so integer weights hash-match round for round.
     */
   def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    // materializedBare per round (dist BRANCHES into relax join + union,
+    // and a persisted chain still embeds the whole prefix plan — guide §5);
+    // superseded estimates are freed, the sccLabels discipline
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w")).persist()
+      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .pipe(materializedBare)
     var dist = seeds.select(col("node").cast("long").as("node"), lit(0L).as("dist"))
-    for (_ <- 1 to rounds) {
-      val relaxed = dist.join(e, dist("node") === e("src"))
+    for (r <- 1 to rounds) {
+      val prev = dist
+      val relaxed = prev.join(e, prev("node") === e("src"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
-      // persist per round: dist BRANCHES (relax join + union), so an
-      // unpersisted chain would recompute 2× per round — 2^k at round k
-      dist = dist.union(relaxed)
+      dist = prev.union(relaxed)
         .groupBy("node").agg(min(col("dist")).as("dist"))
-        .persist()
+        .pipe(materializedBare)
+      // round 1's prev is the raw seed projection (no checkpoint to free)
+      if (r > 1) freeCheckpoint(prev)
     }
+    freeCheckpoint(e) // result = final checkpointed dist (or raw seeds)
     dist
   }
 
@@ -635,11 +691,19 @@ l$i AS (SELECT src AS node, lbl FROM (
     */
   def brandesBetweenness(edges: DataFrame, seeds: DataFrame,
       maxHop: Int, k: Int): DataFrame = {
+    // materializedBare per level on BOTH passes (not persist): persisted
+    // levels still embedded the whole prefix chain in each round's plan —
+    // the forward anti-join and every backward contrib re-analyzed an
+    // 86k-line / 12k-Exchange tree (plans/r09/scratch/gr_betweenness.txt),
+    // pure driver cost (guide §5). Bare rewraps keep every level's plan
+    // constant-size. Levels/deltas are all read by the result (acc unions
+    // the deltas, the backward pass reads every level), so only s0 — used
+    // by the forward pass alone — is freed.
     val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")).distinct().persist()
+      col("dst").cast("long").as("dst")).distinct().pipe(materializedBare)
     val s0 = seeds.select(col("node").cast("long").as("root"))
       .distinct().withColumn("node", col("root"))
-      .withColumn("sigma", lit(1L)).persist()
+      .withColumn("sigma", lit(1L)).pipe(materializedBare)
     // forward: levels(h) = (root, node, sigma) settled exactly at hop h
     val levels = scala.collection.mutable.ArrayBuffer(s0)
     var settled = s0.select("root", "node")
@@ -649,7 +713,7 @@ l$i AS (SELECT src AS node, lbl FROM (
         .select(col("root"), col("dst").as("node"), col("sigma"))
         .join(settled, Seq("root", "node"), "left_anti")
         .groupBy("root", "node").agg(sum("sigma").as("sigma"))
-        .persist()
+        .pipe(materializedBare)
       levels += next
       settled = settled.union(next.select("root", "node"))
     }
@@ -657,7 +721,7 @@ l$i AS (SELECT src AS node, lbl FROM (
     var delta = levels(maxHop)
       .select(col("root"), col("node"), col("sigma"),
         lit(0.0).as("delta"))
-      .persist()
+      .pipe(materializedBare)
     var acc = delta.select(col("root"), col("node"), col("delta"))
     for (h <- (maxHop - 1) to 1 by -1) {
       val lvl = levels(h)
@@ -671,9 +735,14 @@ l$i AS (SELECT src AS node, lbl FROM (
       delta = lvl.join(contrib, Seq("root", "node"), "left")
         .select(lvl("root"), lvl("node"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
-        .persist()
+        .pipe(materializedBare)
       acc = acc.union(delta.select(col("root"), col("node"), col("delta")))
     }
+    // every delta is already (eagerly) checkpointed, so the levels and the
+    // edge list are fully consumed — the result reads only acc's deltas.
+    // Free them now instead of leaking rounds × frames to query end.
+    levels.foreach(freeCheckpoint)
+    freeCheckpoint(e)
     acc.groupBy("node").agg(round(sum("delta"), 6).as("betweenness"))
       .orderBy(col("betweenness").desc, col("node")).limit(k)
   }
@@ -709,16 +778,19 @@ l$i AS (SELECT src AS node, lbl FROM (
       val h = (col("cur") * 1000003L + lit(t.toLong) * 101L +
         col("dst") * 7919L) % 1000000007L
       // each level is consumed twice (next step's input + the output
-      // union); persist it — the bfs frontier discipline — or level t
-      // re-executes all t upstream joins inside every union branch
+      // union); materializedBare it — the bfs frontier discipline, with
+      // constant-size plans instead of a per-step unrolled tree (§5)
       cur = cur.join(e, col("cur") === col("src"))
         .groupBy(col("seed"))
         .agg(min(struct(h.as("h"), col("dst").as("d"))).as("m"))
         .select(col("seed"), col("m.d").cast("long").as("cur"))
-        .persist()
+        .pipe(materializedBare)
       out = out.union(
         cur.select(col("seed"), lit(t.toLong).as("step"), col("cur").as("node")))
     }
+    // the result unions only checkpointed levels (plus the raw seed
+    // projection) — the probed edge list is no longer referenced
+    e.unpersist(blocking = false)
     out.orderBy("seed", "step")
   }
 

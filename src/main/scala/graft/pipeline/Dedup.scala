@@ -186,11 +186,25 @@ object Dedup {
     val chars = docs.filter(col("len") >= q)
       .agg(coalesce(sum(col("len")), lit(0L))).head().getLong(0)
     val n = Autosize.parts(df, chars, Autosize.CharsPerPart)
+    // One explode pass, hashed grams (round 10, guide §2.3 + §5):
+    // - positions explode directly (no intermediate array-of-structs per
+    //   doc as before — the transform+struct form materialized ~len
+    //   12-char string copies per document before the Generate);
+    // - the join key is xxhash64(gram), not the q-char string — an 8-byte
+    //   shuffle key. Hash equality is implied by gram equality so recall
+    //   is untouched; a collision can only ADD candidate join rows, and
+    //   both the Gravano count filter (a lower bound collisions can only
+    //   help pass) and the final banded-DP levenshtein verify are exact,
+    //   so the OUTPUT is provably unchanged;
+    // - persisted: probe AND index consume it, and unpersisted lineage
+    //   re-ran the whole corpus explode once per side (measured 2.6 s per
+    //   pass at sf0.1 — the query's single largest component).
     val withGrams = docs.filter(col("len") >= q)
-      .select(col("id"), col("len"),
-        explode(expr(s"transform(sequence(1, length(t) - ${q - 1}), " +
-          s"i -> struct(i AS p, substring(t, i, $q) AS g))")).as("x"))
-      .select(col("id"), col("len"), col("x.p").as("p"), col("x.g").as("g"))
+      .select(col("id"), col("len"), col("t"),
+        explode(sequence(lit(1), col("len") - lit(q - 1))).as("p"))
+      .select(col("id"), col("len"), col("p"),
+        xxhash64(col("t").substr(col("p"), lit(q))).as("g"))
+      .persist()
     val probe = Autosize.keyed(
       withGrams.select(col("id"), col("len"), col("g"),
         ((col("p") + OFF) / W).cast("long").as("band")),
@@ -236,11 +250,15 @@ object Dedup {
     val shorts = docs.filter(col("len") < shortLen && col("len") > k)
     // index side: segment j covers 1-based [1 + j*len div (k+1),
     // (j+1)*len div (k+1)] — all k+1 segments nonempty for len > k
+    // both segment sides join on xxhash64(segment) — the same narrower-key
+    // argument as the gram band join above (the probe's all-positions
+    // explode is the volume; hashing also makes its distinct an 8-byte op)
     val segIdx = shorts.select(col("id"), col("len"),
         explode(expr(s"transform(sequence(0, $k), j -> " +
           s"substring(t, 1 + j * len DIV ${k + 1}, " +
           s"(j + 1) * len DIV ${k + 1} - j * len DIV ${k + 1}))")).as("seg"))
       .filter(length(col("seg")) >= 1)
+      .select(col("id"), col("len"), xxhash64(col("seg")).as("seg"))
     // probe side: every substring whose length any partner's segment could
     // have (partner len within ±k ⇒ segment lengths in
     // [(len-k) div (k+1), (len+k) div (k+1) + 1])
@@ -250,6 +268,7 @@ object Dedup {
           s"(len + $k) DIV ${k + 1} + 1), " +
           s"L -> transform(sequence(1, len - L + 1), " +
           s"i -> substring(t, i, L))))")).as("seg"))
+      .select(col("pid"), col("plen"), xxhash64(col("seg")).as("seg"))
       .distinct()
     val shortCand = segIdx.as("l").join(segProbe.as("r"),
         col("l.seg") === col("r.seg") && col("l.id") =!= col("r.pid") &&
@@ -1151,6 +1170,14 @@ object Dedup {
     */
   def sharedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
+    // Round-10 note: a two-phase variant (xxhash64(gram) candidate
+    // self-join + exact-gram verify restricted to candidate docs — the
+    // §2.3/§3.2 shape) was implemented and measured at sf0.1: 5.90 →
+    // 6.58 s min-of-3, a regression — at this scale the cost is the
+    // all-positions explode+distinct (CPU), not the join key width, and
+    // the extra verify pass never pays for itself. Reverted; the cheap
+    // scale path for this contract is [[winnowedSubstringPairs]], which
+    // already ships the candidate-then-verify plan (~25× cheaper).
     val grams = df.filter(length(col(textCol)) >= minLen)
       .select(col(idCol).as("id"),
         col(textCol).as("t"),

@@ -1213,17 +1213,31 @@ object Similarity {
       shortlist: Int = 60, dim: Int = 64): DataFrame = {
     val base = df.select(col(idCol).cast("long").as("id"),
       asDouble(col(vecCol)).as("v")).persist()
+    // the winning centroid's cv is re-attached by a broadcast join on cid
+    // AFTER the argmax instead of riding through the aggregate: the agg
+    // buffer used to carry BOTH 64-double arrays (x and cv, ~1 KB/row)
+    // through the exchange; now only x does (guide §2.3, shuffle fewer
+    // bytes). Identical result: the struct comparison never reaches x/cv
+    // ((s, ncid) is unique per candidate — ncid distinct per cid), and
+    // cid → cv is functional.
     def assignTo(vecs: DataFrame, xCol: String, cents: DataFrame): DataFrame =
       vecs.join(broadcast(cents))
         .withColumn("s", cosine(col(xCol), col("cv")))
         .groupBy("id")
         .agg(max(struct(col("s").as("s"), (-col("cid")).as("ncid"),
-          col(xCol).as("x"), col("cv").as("cv"))).as("m"))
-        .select(col("id"), col("m.x").as(xCol),
-          (-col("m.ncid")).as("cid"), col("m.cv").as("cv"))
+          col(xCol).as("x"))).as("m"))
+        .select(col("id"), col("m.x").as(xCol), (-col("m.ncid")).as("cid"))
+        .join(broadcast(cents), "cid")
+        .select(col("id"), col(xCol), col("cid"), col("cv"))
     def train(vecs: DataFrame, xCol: String): (DataFrame, DataFrame) = {
+      // cents is materialized (eager localCheckpoint) each refinement:
+      // the codebook is nlist rows, but left LAZY its plan nests the whole
+      // previous iteration's corpus-wide assignment — and every
+      // broadcast(cents) consumer re-executed that chain from scratch
+      // (guide §5: materialise tiny reused intermediates). This is what
+      // made the 13k-line sim_rq plan and its repeated recenter passes.
       var cents = vecs.filter(col("id") < nlist)
-        .select(col("id").as("cid"), col(xCol).as("cv"))
+        .select(col("id").as("cid"), col(xCol).as("cv")).localCheckpoint()
       for (_ <- 1 to iters) {
         val assigned = assignTo(vecs, xCol, cents)
         val re = assigned
@@ -1234,8 +1248,9 @@ object Similarity {
             s => s.getField("mv")).as("cv2"))
         cents = cents.as("p").join(re, Seq("cid"), "left")
           .select(col("cid"), coalesce(col("cv2"), col("p.cv")).as("cv"))
+          .localCheckpoint()
       }
-      (assignTo(vecs, xCol, cents).persist(), cents.persist())
+      (assignTo(vecs, xCol, cents).persist(), cents)
     }
     val (a1, cents1) = train(base, "v")
     val resid = a1.select(col("id"),

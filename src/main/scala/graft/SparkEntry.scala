@@ -5976,6 +5976,11 @@ object SparkEntry {
     // per-bucket totals exact, boundaries are order statistics
     "tx_ppl_bucket" -> ((s, dir) => {
       val docs = T(s, dir, "documents")
+      // NOT persisted (round-10 measured): scored is consumed three times
+      // (count + range sampling + zipWithIndex), but count() on the lazy
+      // frame benefits from column pruning and the recomputes are cheaper
+      // than materializing every column — persist() measured 2.21 → 3.27 s
+      // min-of-3 at sf0.1, so the lazy form stays
       val scored = LanguageModel.bigramScore(
         docs.filter(col("doc_id") % 5 =!= 0), docs, "doc_id", "text")
       // deciles via the distributed globalRank + closed-form ntileFromRank
